@@ -1,13 +1,276 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.PointInTime
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry pairs a Spark plan (built on the graft.store kernels) with
+  * equivalent DuckDB SQL in [[oracleSql]]. All queries emit a canonical
+  * ORDER BY and explicit tie-breaks so the driver's hash compare is
+  * deterministic (SURVEY.md §2.6/§2.7).
+  */
 object SparkEntry {
+
+  // -------------------------------------------------------------- helpers
+
+  private def read(s: SparkSession, dir: String, table: String): DataFrame =
+    s.read.parquet(s"$dir/$table.parquet")
+
+  /** events with `ts` normalized to TimestampType. The file stores
+    * TIMESTAMP(NANOS), which Spark's parquet reader rejects by default —
+    * read nanos as long and floor-divide to micros, the exact truncation
+    * DuckDB applies when casting ns→us (FIXTURES.md B, precision note).
+    */
+  private def eventsRaw(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = read(s, dir, "events")
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _                                   => col("ts")
+    }
+    raw.select(
+      col("event_id"),
+      tsCol.as("ts"),
+      col("user_id"),
+      col("event_type"),
+      col("value"),
+      col("props"))
+  }
+
+  /** events recast as a feature table: user_id → entity_id, ts → timestamp,
+    * event_id as the deterministic tie-break (FIXTURES.md B).
+    */
+  private def eventsFeatures(s: SparkSession, dir: String): DataFrame =
+    eventsRaw(s, dir).select(
+      col("user_id").as("entity_id"),
+      col("ts").as("timestamp"),
+      col("event_id"),
+      col("event_type"),
+      col("value"),
+      col("props"))
+
+  /** orders recast as a feature table keyed by customer. */
+  private def ordersFeatures(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "orders").select(
+      col("o_custkey").as("entity_id"),
+      col("o_orderdate").as("timestamp"),
+      col("o_orderkey"),
+      col("o_orderstatus"),
+      col("o_totalprice"),
+      col("o_orderpriority"))
+
+  private val PitAsOf = "2024-01-20 00:00:00"
+  private val PitIds: Seq[Any] = (0L to 9L) :+ 999999L
+  private val PitIdsSql = "(0,1,2,3,4,5,6,7,8,9,999999)"
+
+  // -------------------------------------------------------------- contract
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("asof_join_orders")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O7/O18/O19/O20: PIT snapshot — σ_time → σ_entity → γ_argmax → π
+    "pit_snapshot_events" -> ((s, dir) =>
+      PointInTime
+        .pitSnapshot(
+          eventsFeatures(s, dir),
+          lit(java.sql.Timestamp.valueOf(PitAsOf)),
+          entityIds = Some(PitIds),
+          tieBreakCols = Seq("event_id"))
+        .orderBy("entity_id")),
+
+    // O7 + O16: PIT snapshot with feature-column projection
+    "pit_snapshot_projection" -> ((s, dir) =>
+      PointInTime
+        .pitSnapshot(
+          eventsFeatures(s, dir),
+          lit(java.sql.Timestamp.valueOf(PitAsOf)),
+          entityIds = Some(PitIds),
+          columns = Some(Seq("value")),
+          tieBreakCols = Seq("event_id"))
+        .orderBy("entity_id")),
+
+    // O20 over the whole table: every entity's latest state as of T
+    "pit_latest_all_entities" -> ((s, dir) =>
+      PointInTime
+        .pitSnapshot(
+          eventsFeatures(s, dir),
+          lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")),
+          tieBreakCols = Seq("event_id"))
+        .orderBy("entity_id")),
+
+    // O7 on a bigger-cardinality entity space (lineitem per supplier);
+    // composite tie-break because (suppkey, shipdate) ties are dense
+    "pit_lineitem_supplier" -> ((s, dir) =>
+      PointInTime
+        .pitSnapshot(
+          read(s, dir, "lineitem").select(
+            col("l_suppkey").as("entity_id"),
+            col("l_shipdate").as("timestamp"),
+            col("l_orderkey"),
+            col("l_linenumber"),
+            col("l_quantity"),
+            col("l_extendedprice")),
+          lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00")),
+          tieBreakCols = Seq("l_orderkey", "l_linenumber"))
+        .orderBy("entity_id")),
+
+    // O8: as-of join — spine derived from orders (custkey, orderdate+30d)
+    "asof_join_orders" -> ((s, dir) => {
+      val feat = ordersFeatures(s, dir)
+      val spine = read(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(
+          col("o_custkey").as("entity_id"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("timestamp"))
+      PointInTime
+        .asOfJoin(spine, feat, tieBreakCols = Seq("o_orderkey"))
+        .orderBy("entity_id", "timestamp", "o_orderkey")
+    }),
+
+    // O8 on the event stream: probe each sampled event 1h after it happened
+    "asof_join_events" -> ((s, dir) => {
+      val feat = eventsFeatures(s, dir)
+      val spine = eventsRaw(s, dir)
+        .filter(col("event_id") % 13 === 0)
+        .select(
+          col("user_id").as("entity_id"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("timestamp"))
+      PointInTime
+        .asOfJoin(spine, feat, tieBreakCols = Seq("event_id"))
+        .orderBy("entity_id", "timestamp", "event_id")
+    }),
+
+    // O8 + O16: as-of join with projection (training-set shape)
+    "asof_join_projection" -> ((s, dir) => {
+      val feat = ordersFeatures(s, dir)
+      val spine = read(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(
+          col("o_custkey").as("entity_id"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("timestamp"))
+      PointInTime
+        .asOfJoin(spine, feat, columns = Some(Seq("o_totalprice")),
+          tieBreakCols = Seq("o_orderkey"))
+        .orderBy("entity_id", "timestamp", "o_totalprice")
+    }),
+
+    // Aggregation showcase (integer-cents arithmetic so the hash compare
+    // is exact across engines — double sums are order-dependent)
+    "agg_pricing_summary" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("count_order"),
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_cents"),
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("sum_disc_units"))
+        .orderBy("l_returnflag", "l_linestatus"))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "pit_snapshot_events" ->
+      s"""SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
+         |FROM events
+         |WHERE ts <= TIMESTAMP '$PitAsOf' AND user_id IN $PitIdsSql
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         |ORDER BY entity_id""".stripMargin,
+
+    "pit_snapshot_projection" ->
+      s"""SELECT user_id AS entity_id, ts AS "timestamp", value
+         |FROM events
+         |WHERE ts <= TIMESTAMP '$PitAsOf' AND user_id IN $PitIdsSql
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         |ORDER BY entity_id""".stripMargin,
+
+    "pit_latest_all_entities" ->
+      """SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
+        |FROM events
+        |WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY entity_id""".stripMargin,
+
+    "pit_lineitem_supplier" ->
+      """SELECT l_suppkey AS entity_id, l_shipdate AS "timestamp",
+        |       l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-06-01 00:00:00'
+        |QUALIFY row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) = 1
+        |ORDER BY entity_id""".stripMargin,
+
+    "asof_join_orders" ->
+      """WITH spine AS (
+        |  SELECT o_orderkey AS spine_id, o_custkey AS e,
+        |         o_orderdate + INTERVAL 30 DAY AS t
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |), j AS (
+        |  SELECT s.spine_id, f.o_custkey, f.o_orderdate, f.o_orderkey,
+        |         f.o_orderstatus, f.o_totalprice, f.o_orderpriority,
+        |         row_number() OVER (PARTITION BY s.spine_id
+        |             ORDER BY f.o_orderdate DESC, f.o_orderkey DESC) AS rn
+        |  FROM spine s JOIN orders f
+        |    ON f.o_custkey = s.e AND f.o_orderdate <= s.t
+        |)
+        |SELECT o_custkey AS entity_id, o_orderdate AS "timestamp",
+        |       o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM j WHERE rn = 1
+        |ORDER BY entity_id, "timestamp", o_orderkey""".stripMargin,
+
+    "asof_join_events" ->
+      """WITH spine AS (
+        |  SELECT event_id AS spine_id, user_id AS e, ts + INTERVAL 1 HOUR AS t
+        |  FROM events WHERE event_id % 13 = 0
+        |), j AS (
+        |  SELECT s.spine_id, f.user_id, f.ts, f.event_id, f.event_type,
+        |         f.value, f.props,
+        |         row_number() OVER (PARTITION BY s.spine_id
+        |             ORDER BY f.ts DESC, f.event_id DESC) AS rn
+        |  FROM spine s JOIN events f
+        |    ON f.user_id = s.e AND f.ts <= s.t
+        |)
+        |SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type,
+        |       value, props
+        |FROM j WHERE rn = 1
+        |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
+
+    "asof_join_projection" ->
+      """WITH spine AS (
+        |  SELECT o_orderkey AS spine_id, o_custkey AS e,
+        |         o_orderdate + INTERVAL 30 DAY AS t
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |), j AS (
+        |  SELECT s.spine_id, f.o_custkey, f.o_orderdate, f.o_totalprice,
+        |         row_number() OVER (PARTITION BY s.spine_id
+        |             ORDER BY f.o_orderdate DESC, f.o_orderkey DESC) AS rn
+        |  FROM spine s JOIN orders f
+        |    ON f.o_custkey = s.e AND f.o_orderdate <= s.t
+        |)
+        |SELECT o_custkey AS entity_id, o_orderdate AS "timestamp", o_totalprice
+        |FROM j WHERE rn = 1
+        |ORDER BY entity_id, "timestamp", o_totalprice""".stripMargin,
+
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       count(*) AS count_order,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_units
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
 }

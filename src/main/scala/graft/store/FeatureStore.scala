@@ -1,0 +1,189 @@
+package graft.store
+
+import java.sql.Timestamp
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import scala.collection.immutable.SortedMap
+
+/** Point-in-time correct feature store on Spark — the engine's public API,
+  * mirroring the reference surface one-to-one
+  * (reference: src/ml_feature_store/store.py:95-401):
+  *
+  *   register / get / getTrainingSet / getVersion / listTables /
+  *   getTableInfo / delete / tableNames / maxVersions
+  *
+  * Differences by design (documented in SURVEY.md §7.4):
+  *   - storage is versioned parquet directories (not in-memory pandas), so
+  *     tables scale past one machine's RAM;
+  *   - a deterministic tie-break column `_ingest_key` (xxhash64 of the
+  *     full row) is added at registration: the reference's winner among
+  *     duplicate (entity, ts) rows is unspecified, this engine's is total;
+  *   - `description` is accepted and dropped, exactly like the reference
+  *     (store.py:133 — dead parameter).
+  */
+final class FeatureStore(
+    val spark: SparkSession,
+    storageRoot: String = null,
+    val maxVersions: Int = 10) {
+
+  if (maxVersions < 1)
+    throw new IllegalArgumentException(
+      s"max_versions must be >= 1, got $maxVersions")
+
+  import Validation.{EntityIdColumn, TimestampColumn}
+
+  private val root =
+    Option(storageRoot).getOrElse(Storage.defaultRoot())
+  private val storage = new Storage(spark, root)
+  private val catalog = new Catalog
+
+  /** Internal deterministic tie-break column; never surfaced in output. */
+  private val IngestKeyCol = "_ingest_key"
+
+  def tableNames: Seq[String] = catalog.names
+
+  /** Register (create or new-version) a feature table
+    * (reference: store.py:129-216). Validates required columns +
+    * non-emptiness, casts `timestamp` to TimestampType, writes a sorted,
+    * day-partitioned parquet snapshot, prunes history beyond
+    * `maxVersions`.
+    */
+  def register(
+      name: String,
+      df: DataFrame,
+      description: String = ""): FeatureTableInfo = {
+    Validation.validateDataFrame(df, name)
+    val prepared = prepare(df)
+    val now = System.currentTimeMillis()
+    val meta = catalog.get(name) match {
+      case None =>
+        val rows = storage.write(name, 1, prepared, EntityIdColumn, TimestampColumn)
+        TableMeta(name, 1, rows, now, now, SortedMap(1 -> df.columns.toSeq))
+      case Some(cur) =>
+        val v = cur.version + 1
+        val rows = storage.write(name, v, prepared, EntityIdColumn, TimestampColumn)
+        val withNew = cur.copy(
+          version = v,
+          rowCount = rows,
+          updatedAt = now,
+          versions = cur.versions + (v -> df.columns.toSeq))
+        prune(withNew)
+    }
+    catalog.put(meta)
+    meta.info
+  }
+
+  /** PIT snapshot read (reference: store.py:218-259): latest row per
+    * requested entity at or before `timestamp`. Unknown entities yield no
+    * rows (not an error); unknown table raises FeatureTableNotFoundError.
+    */
+  def get(
+      name: String,
+      entityIds: Seq[Any],
+      timestamp: Any,
+      columns: Option[Seq[String]] = None): DataFrame = {
+    val meta = catalog.getOrThrow(name)
+    val asOf = FeatureStore.normalizeTimestamp(timestamp)
+    PointInTime.pitSnapshot(
+      currentData(meta),
+      lit(asOf),
+      entityIds = Some(entityIds),
+      columns = columns,
+      tieBreakCols = Seq(IngestKeyCol),
+      tableName = name)
+  }
+
+  /** Point-in-time training-set join (reference: store.py:261-308):
+    * for each (entity, ts) spine row, the latest feature row at or before
+    * ts; non-matches dropped, duplicate spine rows duplicated.
+    */
+  def getTrainingSet(
+      name: String,
+      entityTimestamps: DataFrame,
+      columns: Option[Seq[String]] = None): DataFrame = {
+    val meta = catalog.getOrThrow(name)
+    PointInTime.asOfJoin(
+      entityTimestamps,
+      currentData(meta),
+      columns = columns,
+      tieBreakCols = Seq(IngestKeyCol),
+      tableName = name)
+  }
+
+  /** Retrieve the current or a historical snapshot
+    * (reference: store.py:377-401).
+    */
+  def getVersion(name: String, version: Int): DataFrame = {
+    val meta = catalog.getOrThrow(name)
+    val cols = meta.versions.getOrElse(
+      version,
+      throw new FeatureTableNotFoundError(
+        s"Version $version of table '$name' not found. " +
+          s"Available versions: ${meta.versions.keys.mkString(", ")}"))
+    storage.read(name, version, cols)
+  }
+
+  def listTables(): Seq[FeatureTableInfo] = catalog.all.map(_.info)
+
+  def getTableInfo(name: String): FeatureTableInfo =
+    catalog.getOrThrow(name).info
+
+  /** Drop a table and all versions; returns false (never throws) when the
+    * table does not exist (reference: store.py:362-375).
+    */
+  def delete(name: String): Boolean =
+    catalog.remove(name) match {
+      case Some(_) => storage.deleteTable(name); true
+      case None    => false
+    }
+
+  // ---------------------------------------------------------------- private
+
+  /** Current-version DataFrame including the internal tie-break column. */
+  private def currentData(meta: TableMeta): DataFrame =
+    storage.read(meta.name, meta.version, meta.columns :+ IngestKeyCol)
+
+  /** Cast timestamp + attach the deterministic ingest key
+    * (reference: store.py:472-486 casts and sorts; the physical sort
+    * happens at write time in [[Storage]]).
+    */
+  private def prepare(df: DataFrame): DataFrame =
+    df.withColumn(TimestampColumn, col(TimestampColumn).cast(TimestampType))
+      .withColumn(IngestKeyCol, xxhash64(df.columns.map(col): _*))
+
+  /** Keep the newest `maxVersions` snapshots, current counting as one
+    * (reference: store.py:585-599).
+    */
+  private def prune(meta: TableMeta): TableMeta = {
+    val excess = meta.versions.keys.toSeq.sorted.dropRight(maxVersions)
+    excess.foreach(v => storage.deleteVersion(meta.name, v))
+    meta.copy(versions = meta.versions -- excess)
+  }
+}
+
+object FeatureStore {
+
+  /** Timestamp coercion at the API boundary
+    * (reference: store.py:602-611 `pd.Timestamp(ts)`): accepts
+    * java.sql.Timestamp, java.time.Instant/LocalDateTime/LocalDate and
+    * ISO-ish strings ("2024-01-15" or "2024-01-15 10:30:00"), all
+    * interpreted as UTC (naive-as-UTC convention, SURVEY.md §1.2).
+    */
+  def normalizeTimestamp(ts: Any): Timestamp = ts match {
+    case t: Timestamp     => t
+    case i: Instant       => Timestamp.from(i)
+    case d: LocalDateTime => Timestamp.from(d.toInstant(ZoneOffset.UTC))
+    case d: LocalDate     => Timestamp.from(d.atStartOfDay.toInstant(ZoneOffset.UTC))
+    case d: java.util.Date => new Timestamp(d.getTime)
+    case s: String =>
+      val norm = if (s.length == 10) s"${s}T00:00:00" else s.replace(' ', 'T')
+      Timestamp.from(LocalDateTime.parse(norm).toInstant(ZoneOffset.UTC))
+    case other =>
+      throw new FeatureValidationError(
+        s"Cannot interpret timestamp value: $other (${other.getClass.getName})")
+  }
+}

@@ -1,0 +1,198 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The two temporal kernels of the engine, as pure `DataFrame => DataFrame`
+  * transformations (no catalog state):
+  *
+  *   - [[pitSnapshot]] — "latest row per entity at or before T"
+  *     (reference: src/ml_feature_store/store.py:218-259, the
+  *     σ_time → σ_entity → γ_argmax → π pipeline)
+  *   - [[asOfJoin]] — point-in-time training-set join: for each spine
+  *     row (e, t), the feature row with the same entity and the greatest
+  *     timestamp <= t; non-matching pairs dropped (inner as-of)
+  *     (reference: store.py:261-334, an O(|spine|·|table|) nested loop
+  *     there — replaced here by a single-sort merge formulated as a
+  *     union + running `last(..., ignoreNulls)` window).
+  *
+  * Scale notes (100 TB design):
+  *   - `pitSnapshot` / `latestPerEntity` use `max_by(struct(row), ord)` —
+  *     a hash aggregation with map-side partial combine: one shuffle of
+  *     *one row per entity per map partition*, never a full sort. The
+  *     preceding filters push down to the parquet scan.
+  *   - `asOfJoin` unions the (narrow) spine with the feature table and
+  *     computes a running "latest feature row so far" per entity with a
+  *     ROWS-frame window: one shuffle + one sort, O((n+m) log(n+m))
+  *     per entity, with NO pairwise blowup — unlike the naive
+  *     equi-join + `ts <= t` filter plan whose intermediate size is the
+  *     number of (spine row, earlier feature row) pairs.
+  *     [[asOfJoinViaJoin]] keeps that naive plan for comparison; it can
+  *     win when the spine is tiny and broadcastable.
+  *   - Both kernels take explicit tie-break columns: the reference's
+  *     winner among duplicate (entity, ts) rows is unspecified
+  *     (pandas idxmax of an unstable sort), so a deterministic total
+  *     order is this engine's documented divergence-by-design.
+  */
+object PointInTime {
+
+  import Validation.{EntityIdColumn, TimestampColumn}
+
+  /** γ argmax: the single row per entity maximizing (ts, tieBreak...)
+    * (reference: store.py:516-530 `groupby(...).idxmax()`).
+    * Empty input → empty output, schema preserved.
+    */
+  def latestPerEntity(
+      df: DataFrame,
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val ord = struct((tsCol +: tieBreakCols).map(col): _*)
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(col(entityCol).as("_gk"))
+      .agg(max_by(payload, ord).as("_row"))
+      .select(df.columns.map(c => col("_row").getField(c).as(c)): _*)
+  }
+
+  /** PIT snapshot read: time filter → entity filter → latest-per-entity →
+    * optional projection (reference: store.py:218-259).
+    *
+    * @param entityIds None = all entities; Some(ids) filters (an `IN`
+    *                  predicate, pushed to the scan; for very large id
+    *                  sets prefer a broadcast left-semi join upstream).
+    * @param columns   None = all table columns; Some(cols) validates the
+    *                  subset and emits [entity, ts] ++ cols in that order.
+    */
+  def pitSnapshot(
+      table: DataFrame,
+      asOf: Column,
+      entityIds: Option[Seq[Any]] = None,
+      columns: Option[Seq[String]] = None,
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn,
+      tieBreakCols: Seq[String] = Nil,
+      tableName: String = "<anonymous>"): DataFrame = {
+    columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
+    val timeFiltered = table.filter(col(tsCol) <= asOf)
+    val filtered = entityIds match {
+      case Some(ids) => timeFiltered.filter(col(entityCol).isin(ids: _*))
+      case None      => timeFiltered
+    }
+    val latest = latestPerEntity(filtered, entityCol, tsCol, tieBreakCols)
+    project(latest, columns, entityCol, tsCol)
+  }
+
+  /** Point-in-time as-of join (reference: store.py:261-334). Output rows
+    * are the matched *feature* rows (including the feature row's own
+    * timestamp — the spine timestamp is dropped, matching
+    * `_point_in_time_lookup`'s `.to_dict()` of the feature row);
+    * spine pairs with no match emit nothing; duplicate spine pairs emit
+    * duplicate rows.
+    *
+    * Plan shape: tag feature rows side=0 and spine probes side=1, union,
+    * then per entity in (ts, side, tieBreak) order take the running
+    * `last(featureRow, ignoreNulls)` with a ROWS frame — each spine probe
+    * sees exactly the latest feature row at-or-before its ts (side=0
+    * sorts before side=1 at equal ts ⇒ inclusive cutoff).
+    */
+  def asOfJoin(
+      spine: DataFrame,
+      table: DataFrame,
+      columns: Option[Seq[String]] = None,
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn,
+      tieBreakCols: Seq[String] = Nil,
+      tableName: String = "<anonymous>"): DataFrame = {
+    Validation.validateDataFrame(
+      spine.select(spine.columns.filter(Seq(entityCol, tsCol).contains).map(col): _*),
+      "entity_timestamps")
+    columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
+
+    val outCols = table.columns
+    val payload = struct(outCols.map(col): _*)
+    val payloadType = table.select(payload.as("_p")).schema.head.dataType
+    val ord =
+      if (tieBreakCols.isEmpty) struct(lit(0))
+      else struct(tieBreakCols.map(col): _*)
+    val ordType = table.select(ord.as("_o")).schema.head.dataType
+    val entityType = table.schema(entityCol).dataType
+    val tsType = table.schema(tsCol).dataType
+
+    val featSide = table.select(
+      col(entityCol).as("_e"),
+      col(tsCol).as("_t"),
+      lit(0).as("_side"),
+      payload.as("_p"),
+      ord.as("_o"))
+    val spineSide = spine.select(
+      col(entityCol).cast(entityType).as("_e"),
+      col(tsCol).cast(tsType).as("_t"),
+      lit(1).as("_side"),
+      lit(null).cast(payloadType).as("_p"),
+      lit(null).cast(ordType).as("_o"))
+
+    val w = Window
+      .partitionBy(col("_e"))
+      .orderBy(col("_t").asc, col("_side").asc, col("_o").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = featSide
+      .unionByName(spineSide)
+      .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1 && col("_match").isNotNull)
+      .select(outCols.map(c => col("_match").getField(c).as(c)): _*)
+
+    project(matched, columns, entityCol, tsCol)
+  }
+
+  /** Naive as-of plan for comparison / tiny broadcastable spines:
+    * equi-join on entity + range filter + per-(spine row) argmax. The
+    * spine is first deduplicated so the pairwise intermediate is bounded
+    * by distinct probes, then re-expanded to preserve duplicate pairs.
+    */
+  def asOfJoinViaJoin(
+      spine: DataFrame,
+      table: DataFrame,
+      columns: Option[Seq[String]] = None,
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn,
+      tieBreakCols: Seq[String] = Nil,
+      tableName: String = "<anonymous>"): DataFrame = {
+    columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
+    val entityType = table.schema(entityCol).dataType
+    val tsType = table.schema(tsCol).dataType
+    val probes = spine
+      .select(col(entityCol).cast(entityType).as("_e"), col(tsCol).cast(tsType).as("_t"))
+      .distinct()
+    val payload = struct(table.columns.map(col): _*)
+    val ord = struct((tsCol +: tieBreakCols).map(col): _*)
+    val best = probes
+      .join(table, probes("_e") === table(entityCol) && table(tsCol) <= probes("_t"))
+      .groupBy(col("_e"), col("_t"))
+      .agg(max_by(payload, ord).as("_match"))
+    val expanded = spine
+      .select(col(entityCol).cast(entityType).as("_e"), col(tsCol).cast(tsType).as("_t"))
+      .join(best, Seq("_e", "_t"))
+      .select(table.columns.map(c => col("_match").getField(c).as(c)): _*)
+    project(expanded, columns, entityCol, tsCol)
+  }
+
+  /** π [entity, ts] ++ columns (reference: store.py:250-253, 303-306);
+    * None keeps the table's registration column order minus internal cols.
+    */
+  private def project(
+      df: DataFrame,
+      columns: Option[Seq[String]],
+      entityCol: String,
+      tsCol: String): DataFrame = columns match {
+    case Some(cs) => df.select((Seq(entityCol, tsCol) ++ cs).map(col): _*)
+    case None     => df.select(dropInternal(df.columns).map(col): _*)
+  }
+
+  /** Engine-internal columns (e.g. the deterministic tie-break id added
+    * at registration) never appear in query output.
+    */
+  private def dropInternal(cols: Seq[String]): Seq[String] =
+    cols.filterNot(_.startsWith("_"))
+}

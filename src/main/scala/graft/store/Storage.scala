@@ -1,0 +1,81 @@
+package graft.store
+
+import java.net.URI
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned parquet storage: one directory per table version,
+  * `<root>/<table>/v=<n>/` — the durable analog of the reference's
+  * in-memory `history: Dict[int, DataFrame]` (store.py:51-69, 204).
+  *
+  * Write layout is chosen for the 100 TB read paths, implementing what the
+  * reference's author lists as future work (reference README.md:167,
+  * time-based partitioning):
+  *   - partitioned by a derived `_ts_date` day column → partition pruning
+  *     for `timestamp <= T` scans;
+  *   - within each partition, repartitioned by entity and sorted by
+  *     (entity, timestamp) → parquet row-group min/max stats make
+  *     per-entity probes skip row groups, and the PIT aggregation's
+  *     map-side combine sees clustered keys.
+  */
+final class Storage(spark: SparkSession, root: String) {
+
+  private val DateCol = "_ts_date"
+
+  def tablePath(name: String): String = s"$root/$name"
+  def versionPath(name: String, version: Int): String =
+    s"${tablePath(name)}/v=$version"
+
+  /** Write one version snapshot; returns the row count (read back from
+    * parquet footer statistics — metadata-only, no data scan).
+    */
+  def write(
+      name: String,
+      version: Int,
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String): Long = {
+    val path = versionPath(name, version)
+    df.withColumn(DateCol, to_date(col(tsCol)))
+      .repartition(col(entityCol))
+      .sortWithinPartitions(col(entityCol), col(tsCol))
+      .write
+      .mode("overwrite")
+      .partitionBy(DateCol)
+      .parquet(path)
+    spark.read.parquet(path).count()
+  }
+
+  /** Read one version snapshot with the original column order restored
+    * (the partition column is internal and dropped).
+    */
+  def read(name: String, version: Int, columns: Seq[String]): DataFrame =
+    spark.read
+      .parquet(versionPath(name, version))
+      .select(columns.map(col): _*)
+
+  def deleteVersion(name: String, version: Int): Unit =
+    delete(versionPath(name, version))
+
+  def deleteTable(name: String): Unit = delete(tablePath(name))
+
+  private def delete(pathStr: String): Unit = {
+    val path = new Path(pathStr)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) { fs.delete(path, true); () }
+  }
+}
+
+object Storage {
+  /** A fresh session-local storage root under java.io.tmpdir — keeps the
+    * reference's zero-infrastructure stance (README.md:122) while being
+    * swappable for any Hadoop-compatible URI (s3a://, hdfs://) at scale.
+    */
+  def defaultRoot(): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-feature-store-")
+      .toUri
+    new URI(dir.toString).getPath.stripSuffix("/")
+  }
+}

@@ -1,0 +1,46 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+
+/** Input validation mirroring the reference's checks
+  * (reference: src/ml_feature_store/store.py:422-470).
+  */
+object Validation {
+
+  /** Required columns of every feature table / spine
+    * (reference: store.py:21-24).
+    */
+  val EntityIdColumn = "entity_id"
+  val TimestampColumn = "timestamp"
+  val RequiredColumns: Seq[String] = Seq(EntityIdColumn, TimestampColumn)
+
+  /** Reject frames missing required columns or with no rows
+    * (reference: store.py:422-446). The emptiness probe is a
+    * `limit(1)` job — cheap at any scale.
+    */
+  def validateDataFrame(df: DataFrame, context: String): Unit = {
+    val missing = RequiredColumns.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new FeatureValidationError(
+        s"$context is missing required columns: ${missing.mkString(", ")} " +
+          s"(required: ${RequiredColumns.mkString(", ")})")
+    if (df.isEmpty)
+      throw new FeatureValidationError(s"$context must not be empty")
+  }
+
+  /** Requested projection must be a subset of the *feature* columns —
+    * entity_id/timestamp cannot be re-requested because they are always
+    * prepended to the output (reference: store.py:448-470).
+    */
+  def validateColumns(
+      requested: Seq[String],
+      tableColumns: Seq[String],
+      tableName: String): Unit = {
+    val featureCols = tableColumns.filterNot(RequiredColumns.contains).toSet
+    val unknown = requested.filterNot(featureCols.contains)
+    if (unknown.nonEmpty)
+      throw new FeatureValidationError(
+        s"Columns not found in table '$tableName': ${unknown.mkString(", ")}. " +
+          s"Available feature columns: ${featureCols.toSeq.sorted.mkString(", ")}")
+  }
+}

@@ -1,0 +1,16 @@
+package graft.store
+
+/** Sealed error hierarchy mirroring the reference's exceptions
+  * (reference: src/ml_feature_store/store.py:72-81).
+  */
+sealed abstract class FeatureStoreError(message: String) extends RuntimeException(message)
+
+/** Raised when a feature table or version is not registered
+  * (reference: store.py:75-76, 398-401, 416-419).
+  */
+final class FeatureTableNotFoundError(message: String) extends FeatureStoreError(message)
+
+/** Raised when input data fails validation
+  * (reference: store.py:79-81, 422-470).
+  */
+final class FeatureValidationError(message: String) extends FeatureStoreError(message)

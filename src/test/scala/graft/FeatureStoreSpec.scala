@@ -1,0 +1,161 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{FeatureStore, FeatureTableNotFoundError, FeatureValidationError}
+
+/** API-level ports of the reference's lifecycle tests
+  * (reference tests/test_core.py:54-116, 270-347 — init, register,
+  * versioning, table management) against the parquet-backed store.
+  */
+class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
+
+  private def freshStore(maxVersions: Int = 5): FeatureStore =
+    new FeatureStore(spark, maxVersions = maxVersions)
+
+  // --- TestFeatureStoreInit (test_core.py:54-66) ---
+
+  test("default max_versions is 10") {
+    assert(new FeatureStore(spark).maxVersions == 10)
+  }
+
+  test("max_versions < 1 rejected") {
+    intercept[IllegalArgumentException](new FeatureStore(spark, maxVersions = 0))
+  }
+
+  // --- TestRegisterFeatures (test_core.py:69-116) ---
+
+  test("register returns correct metadata") {
+    val store = freshStore()
+    val info = store.register("user_features", sampleFeatures)
+    assert(info.name == "user_features")
+    assert(info.version == 1)
+    assert(info.rowCount == 5)
+    assert(info.columns.toSet ==
+      Set("entity_id", "timestamp", "feature_a", "feature_b"))
+    assert(store.tableNames == Seq("user_features"))
+  }
+
+  test("re-register increments version") {
+    val store = freshStore()
+    assert(store.register("t", singleRow(1.0)).version == 1)
+    assert(store.register("t", singleRow(2.0)).version == 2)
+  }
+
+  test("register rejects missing required columns") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((1, 2)).toDF("x", "y")
+    intercept[FeatureValidationError](freshStore().register("bad", bad))
+  }
+
+  test("register rejects empty DataFrame") {
+    intercept[FeatureValidationError](
+      freshStore().register("empty", sampleFeatures.limit(0)))
+  }
+
+  // --- PIT reads through the store (schema round-trips parquet) ---
+
+  test("get round-trips through parquet storage") {
+    val store = freshStore()
+    store.register("f", sampleFeatures)
+    val rows = store.get("f", Seq("user_1"), ts("2024-01-20")).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Double]("feature_a") == 2.0)
+    assert(rows.head.schema.fieldNames.toSeq ==
+      Seq("entity_id", "timestamp", "feature_a", "feature_b"))
+  }
+
+  test("get on unknown table raises with available-tables message") {
+    val store = freshStore()
+    store.register("known", sampleFeatures)
+    val e = intercept[FeatureTableNotFoundError](
+      store.get("nope", Seq("u"), ts("2024-01-01")))
+    assert(e.getMessage.contains("known"))
+  }
+
+  test("getTrainingSet through the store") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    store.register("f", sampleFeatures)
+    val spine = Seq(
+      ("user_1", ts("2024-01-20")),
+      ("user_2", ts("2024-01-15"))).toDF("entity_id", "timestamp")
+    val out = store.getTrainingSet("f", spine).collect()
+    assert(out.length == 2)
+    assert(out.map(_.schema.fieldNames.toSeq).distinct.head ==
+      Seq("entity_id", "timestamp", "feature_a", "feature_b"))
+  }
+
+  test("getTrainingSet validates the spine") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    store.register("f", sampleFeatures)
+    val badSpine = Seq(1).toDF("x")
+    intercept[FeatureValidationError](store.getTrainingSet("f", badSpine))
+  }
+
+  // --- TestVersioning (test_core.py:270-303) ---
+
+  test("historical versions retrievable (test_core.py:273-291)") {
+    val store = freshStore()
+    store.register("t", singleRow(1.0))
+    store.register("t", singleRow(2.0))
+    assert(store.getVersion("t", 1).collect().head.getAs[Double]("val") == 1.0)
+    assert(store.getVersion("t", 2).collect().head.getAs[Double]("val") == 2.0)
+  }
+
+  test("missing version raises with available versions (store.py:398-401)") {
+    val store = freshStore()
+    store.register("t", singleRow(1.0))
+    val e = intercept[FeatureTableNotFoundError](store.getVersion("t", 99))
+    assert(e.getMessage.contains("1"))
+  }
+
+  test("history pruned to max_versions, current counting as one") {
+    val store = freshStore(maxVersions = 2)
+    (1 to 4).foreach(i => store.register("t", singleRow(i.toDouble)))
+    assert(store.getTableInfo("t").version == 4)
+    assert(store.getVersion("t", 4).collect().head.getAs[Double]("val") == 4.0)
+    assert(store.getVersion("t", 3).collect().head.getAs[Double]("val") == 3.0)
+    intercept[FeatureTableNotFoundError](store.getVersion("t", 2))
+    intercept[FeatureTableNotFoundError](store.getVersion("t", 1))
+  }
+
+  test("schema drift across versions keeps per-version columns") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    store.register("t", singleRow(1.0))
+    val wider = Seq(("user_1", ts("2024-01-02"), 2.0, "extra"))
+      .toDF("entity_id", "timestamp", "val", "note")
+    store.register("t", wider)
+    assert(store.getVersion("t", 1).columns.toSeq ==
+      Seq("entity_id", "timestamp", "val"))
+    assert(store.getVersion("t", 2).columns.toSeq ==
+      Seq("entity_id", "timestamp", "val", "note"))
+  }
+
+  // --- TestTableManagement (test_core.py:306-347) ---
+
+  test("list tables and get info") {
+    val store = freshStore()
+    store.register("a", singleRow(1.0))
+    store.register("b", sampleFeatures)
+    val infos = store.listTables()
+    assert(infos.map(_.name) == Seq("a", "b"))
+    assert(store.getTableInfo("b").rowCount == 5)
+    intercept[FeatureTableNotFoundError](store.getTableInfo("c"))
+  }
+
+  test("delete removes table, returns false for missing") {
+    val store = freshStore()
+    store.register("t", singleRow(1.0))
+    assert(store.delete("t"))
+    assert(store.tableNames.isEmpty)
+    assert(!store.delete("t"))
+    intercept[FeatureTableNotFoundError](store.get("t", Seq("u"), ts("2024-01-01")))
+  }
+}

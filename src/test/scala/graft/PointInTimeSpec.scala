@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{FeatureValidationError, PointInTime}
+
+/** Kernel-level ports of the reference's semantic core
+  * (reference tests/test_core.py:119-267 — TestPointInTimeLookup +
+  * TestTrainingSet), run directly against the pure kernels.
+  */
+class PointInTimeSpec extends AnyFunSuite with SparkTestBase {
+
+  private def snapshotMap(ids: Seq[Any], asOf: String, cols: Option[Seq[String]] = None): Map[String, Row] =
+    PointInTime
+      .pitSnapshot(sampleFeatures, lit(ts(asOf)), Some(ids), cols)
+      .collect()
+      .map(r => r.getString(r.fieldIndex("entity_id")) -> r)
+      .toMap
+
+  test("latest row at or before cutoff (test_core.py:122-136)") {
+    val m = snapshotMap(Seq("user_1"), "2024-01-20")
+    assert(m.size == 1)
+    assert(m("user_1").getAs[Double]("feature_a") == 2.0)
+    assert(m("user_1").getAs[Long]("feature_b") == 200L)
+  }
+
+  test("no future leakage (test_core.py:138-152)") {
+    val m = snapshotMap(Seq("user_1"), "2024-01-10")
+    assert(m("user_1").getAs[Double]("feature_a") == 1.0)
+  }
+
+  test("multi-entity lookup (test_core.py:154-166)") {
+    val m = snapshotMap(Seq("user_1", "user_2"), "2024-01-25")
+    assert(m.size == 2)
+    assert(m("user_1").getAs[Double]("feature_a") == 2.0)
+    assert(m("user_2").getAs[Double]("feature_a") == 20.0)
+  }
+
+  test("unknown entity yields empty, not error (test_core.py:168-180)") {
+    val m = snapshotMap(Seq("ghost"), "2024-01-25")
+    assert(m.isEmpty)
+  }
+
+  test("column subset projection (test_core.py:193-207)") {
+    val df = PointInTime.pitSnapshot(
+      sampleFeatures, lit(ts("2024-01-20")), Some(Seq("user_1")),
+      Some(Seq("feature_a")))
+    assert(df.columns.toSeq == Seq("entity_id", "timestamp", "feature_a"))
+    assert(df.collect().head.getAs[Double]("feature_a") == 2.0)
+  }
+
+  test("unknown column raises validation error (test_core.py:209-221)") {
+    intercept[FeatureValidationError] {
+      PointInTime.pitSnapshot(
+        sampleFeatures, lit(ts("2024-01-20")), Some(Seq("user_1")),
+        Some(Seq("nope")))
+    }
+    // entity_id/timestamp cannot be re-requested either (store.py:464)
+    intercept[FeatureValidationError] {
+      PointInTime.pitSnapshot(
+        sampleFeatures, lit(ts("2024-01-20")), Some(Seq("user_1")),
+        Some(Seq("entity_id")))
+    }
+  }
+
+  test("parametrized timeline sweep incl. inclusive boundary (test_core.py:223-248)") {
+    val cases = Seq(
+      "2024-01-01" -> 1.0, // exact boundary is inclusive
+      "2024-01-15" -> 2.0,
+      "2024-02-01" -> 3.0,
+      "2024-12-31" -> 3.0)
+    for ((cutoff, expected) <- cases) {
+      val m = snapshotMap(Seq("user_1"), cutoff)
+      assert(m("user_1").getAs[Double]("feature_a") == expected, s"cutoff=$cutoff")
+    }
+  }
+
+  test("before all data yields empty") {
+    assert(snapshotMap(Seq("user_1"), "2023-12-31").isEmpty)
+  }
+
+  test("as-of join over 2-row spine (test_core.py:251-267)") {
+    val s = spark
+    import s.implicits._
+    val spine = Seq(
+      ("user_1", ts("2024-01-20")),
+      ("user_2", ts("2024-01-15"))).toDF("entity_id", "timestamp")
+    val out = PointInTime.asOfJoin(spine, sampleFeatures).collect()
+    assert(out.length == 2)
+    val byEntity = out.map(r => r.getString(0) -> r).toMap
+    // user_1 @ Jan 20 matches the Jan 15 feature row (feature-row ts kept)
+    assert(byEntity("user_1").getAs[Double]("feature_a") == 2.0)
+    assert(byEntity("user_1").getAs[java.sql.Timestamp]("timestamp") == ts("2024-01-15"))
+    // user_2 @ Jan 15 matches the Jan 1 row
+    assert(byEntity("user_2").getAs[Double]("feature_a") == 10.0)
+  }
+
+  test("as-of join drops non-matching pairs (inner semantics)") {
+    val s = spark
+    import s.implicits._
+    val spine = Seq(
+      ("user_1", ts("2023-01-01")), // before all data → dropped
+      ("ghost", ts("2024-06-01")), // unknown entity → dropped
+      ("user_2", ts("2024-06-01"))).toDF("entity_id", "timestamp")
+    val out = PointInTime.asOfJoin(spine, sampleFeatures).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("feature_a") == 20.0)
+  }
+
+  test("as-of join preserves duplicate spine pairs") {
+    val s = spark
+    import s.implicits._
+    val spine = Seq(
+      ("user_1", ts("2024-01-20")),
+      ("user_1", ts("2024-01-20")),
+      ("user_1", ts("2024-01-20"))).toDF("entity_id", "timestamp")
+    val out = PointInTime.asOfJoin(spine, sampleFeatures).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Double]("feature_a") == 2.0))
+  }
+
+  test("as-of join column projection (store.py:303-306)") {
+    val s = spark
+    import s.implicits._
+    val spine = Seq(("user_1", ts("2024-01-20"))).toDF("entity_id", "timestamp")
+    val out = PointInTime.asOfJoin(spine, sampleFeatures, Some(Seq("feature_b")))
+    assert(out.columns.toSeq == Seq("entity_id", "timestamp", "feature_b"))
+    assert(out.collect().head.getAs[Long]("feature_b") == 200L)
+  }
+
+  test("as-of join exact-timestamp boundary is inclusive") {
+    val s = spark
+    import s.implicits._
+    val spine = Seq(("user_1", ts("2024-01-15"))).toDF("entity_id", "timestamp")
+    val out = PointInTime.asOfJoin(spine, sampleFeatures).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("feature_a") == 2.0)
+  }
+
+  test("naive join-based as-of plan agrees with merge plan") {
+    val s = spark
+    import s.implicits._
+    val spine = Seq(
+      ("user_1", ts("2024-01-20")),
+      ("user_1", ts("2024-01-20")), // duplicate preserved
+      ("user_2", ts("2024-01-15")),
+      ("ghost", ts("2024-06-01"))).toDF("entity_id", "timestamp")
+    val a = PointInTime.asOfJoin(spine, sampleFeatures)
+      .orderBy("entity_id", "timestamp").collect().toSeq
+    val b = PointInTime.asOfJoinViaJoin(spine, sampleFeatures)
+      .orderBy("entity_id", "timestamp").collect().toSeq
+    assert(a == b)
+  }
+
+  test("deterministic tie-break among duplicate (entity, ts) rows") {
+    val s = spark
+    import s.implicits._
+    val dup = Seq(
+      ("u", ts("2024-01-01"), "first", 1L),
+      ("u", ts("2024-01-01"), "second", 2L)).toDF("entity_id", "timestamp", "tag", "seq")
+    val snap = PointInTime.pitSnapshot(
+      dup, lit(ts("2024-06-01")), None, None, tieBreakCols = Seq("seq"))
+    assert(snap.collect().head.getAs[String]("tag") == "second")
+    val spine = Seq(("u", ts("2024-06-01"))).toDF("entity_id", "timestamp")
+    val joined = PointInTime.asOfJoin(spine, dup, tieBreakCols = Seq("seq"))
+    assert(joined.collect().head.getAs[String]("tag") == "second")
+  }
+
+  test("latestPerEntity on empty input returns empty with schema") {
+    val empty = sampleFeatures.limit(0)
+    val out = PointInTime.latestPerEntity(empty)
+    assert(out.columns.toSeq == sampleFeatures.columns.toSeq)
+    assert(out.count() == 0)
+  }
+}
