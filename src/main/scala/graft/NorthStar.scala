@@ -1,0 +1,302 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** North-star extension queries (SURVEY.md §7.4): dedup, similarity
+  * search, text analysis, multimodal plumbing over the documents /
+  * embeddings tables. Split from [[SparkEntry]] for readability; the
+  * driver sees the concatenated maps.
+  *
+  * Oracle-matching rules are the same as the parity set: md5-derived
+  * hashes (portable), integral arithmetic where possible, sequential
+  * double folds for dot products, canonical ORDER BY everywhere.
+  */
+object NorthStar {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private val AnnQueryIds: Seq[Long] = 0L to 9L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis ----
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.textStats(docs(s, dir)).orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")),
+    "doc_stats_by_source" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy("source")),
+
+    // ---- dedup family ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDuplicates(docs(s, dir)).orderBy("content_hash")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(docs(s, dir), numPerms = 16, rowsPerBand = 4)
+        .orderBy("id_a", "id_b")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 6)
+        .orderBy("id_a", "id_b")),
+
+    // ---- embedding similarity ----
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+    "ann_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(emb(s, dir), AnnQueryIds, k = 3)
+        .orderBy("query_id", "rank")),
+    // approximate scale path — verified against brute force in the test
+    // suite (recall), not oracle-SQL-expressible at reasonable cost
+    "ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(emb(s, dir), AnnQueryIds, k = 3, numPlanes = 6)
+        .orderBy("query_id", "rank")),
+
+    // ---- multimodal plumbing ----
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.mediaMeta(Multimodal.asMedia(docs(s, dir))).orderBy("doc_id")),
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.asMedia(docs(s, dir)))
+        .toDF()
+        .orderBy("doc_id"))
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  private val Md5Long60 = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
+  private val StopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        |       (length(text) - len(string_split(text, ' ')) + 1)
+        |           / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         string_split(text, ' ') AS toks,
+         |         length(text) AS nc
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(toks, x -> x IN ($StopList))) AS DOUBLE)
+         |             / len(toks) AS stopword_ratio,
+         |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+         |         (nc - len(toks) + 1) / len(toks) AS avg_token_len,
+         |         len(toks) AS n_tokens
+         |  FROM t
+         |)
+         |SELECT doc_id, stopword_ratio, distinct_ratio, avg_token_len, n_tokens,
+         |       0.3 * stopword_ratio + 0.5 * distinct_ratio
+         |         + 0.2 * (CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0
+         |                       THEN 1.0 ELSE 0.0 END) AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      val hitExprs = TextAnalysis.LangMarkers
+        .map { case (lang, words) =>
+          val list = words.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split(text, ' '), x -> x IN ($list))) AS hits_$lang"
+        }
+        .mkString(",\n       ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |       $hitExprs
+         |  FROM documents
+         |)
+         |SELECT doc_id, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+         |       CASE
+         |         WHEN hits_en >= hits_de AND hits_en >= hits_es
+         |          AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+         |         WHEN hits_de >= hits_es AND hits_de >= hits_fr
+         |          AND hits_de >= hits_zh THEN 'de'
+         |         WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+         |         WHEN hits_fr >= hits_zh THEN 'fr'
+         |         ELSE 'zh'
+         |       END AS predicted_lang
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, ${Md5Long60.format("lower(trim(text))")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_stats_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, tok[CAST(i AS INT)] || ' ' || tok[CAST(i AS INT)+1]
+        |         || ' ' || tok[CAST(i AS INT)+2] AS s
+        |  FROM toks, range(1, 1024) t(i) WHERE i + 2 <= len(tok)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val h = Md5Long60.format("s")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, tok[CAST(i AS INT)] || ' ' || tok[CAST(i AS INT)+1]
+         |         || ' ' || tok[CAST(i AS INT)+2] AS s
+         |  FROM toks, range(1, 1024) t(i) WHERE i + 2 <= len(tok)
+         |),
+         |h AS (SELECT doc_id, $h % 4294967311 AS hv FROM sh),
+         |perms AS (
+         |  SELECT CAST(i AS INT) AS perm, 1 + 37 * i AS a,
+         |         (1000003 * i + 12345) % 4294967311 AS b
+         |  FROM range(0, 16) t(i)
+         |),
+         |mh AS (
+         |  SELECT doc_id, perm,
+         |         CAST(min((a * hv + b) % 4294967311) AS BIGINT) AS minhash
+         |  FROM h CROSS JOIN perms GROUP BY 1, 2
+         |),
+         |sig AS (
+         |  SELECT doc_id, perm // 4 AS band,
+         |         string_agg(minhash::VARCHAR, ',' ORDER BY perm) AS sig
+         |  FROM mh GROUP BY 1, 2
+         |)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM sig a JOIN sig b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      val h32 = "CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)"
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |th AS (SELECT doc_id, $h32 AS h FROM tok),
+         |bits AS (
+         |  SELECT CAST(i AS INT) AS bit, CAST(pow(2, i) AS BIGINT) AS shift
+         |  FROM range(0, 32) t(i)
+         |),
+         |s AS (
+         |  SELECT doc_id, bit, shift,
+         |         sum(((h // shift) % 2) * 2 - 1) AS sgn
+         |  FROM th CROSS JOIN bits GROUP BY 1, 2, 3
+         |),
+         |sig AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN sgn > 0 THEN shift ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM s GROUP BY 1
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_embedding" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |         / (a.nrm * b.nrm) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |         / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |           / (q.nrm * c.nrm) AS score
+        |  FROM v q JOIN v c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id IN (0,1,2,3,4,5,6,7,8,9)
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, score, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       md5(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_features" ->
+      """WITH ch AS (
+        |  SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) // 16 AS bucket
+        |  FROM documents, range(1, 4096) t(i) WHERE i <= length(text)
+        |),
+        |bk AS (SELECT doc_id, bucket, count(*) AS c FROM ch GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.doc_id, d.nb, CAST(g.i AS INT) AS b
+        |  FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents) d,
+        |       range(0, 16) g(i)
+        |),
+        |hist AS (
+        |  SELECT grid.doc_id, grid.nb, grid.b,
+        |         CAST(coalesce(bk.c, 0) AS DOUBLE) AS c
+        |  FROM grid LEFT JOIN bk
+        |    ON bk.doc_id = grid.doc_id AND bk.bucket = grid.b
+        |)
+        |SELECT doc_id, CAST(nb AS INT) AS n_bytes,
+        |       list(c / greatest(nb, 1) ORDER BY b) AS features
+        |FROM hist GROUP BY doc_id, nb
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -72,8 +72,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("asof_join_orders")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * north-star extension set in [[NorthStar]].
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = parityQueries ++ NorthStar.queries
+
+  private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O7/O18/O19/O20: PIT snapshot — σ_time → σ_entity → γ_argmax → π
     "pit_snapshot_events" -> ((s, dir) =>
       PointInTime
@@ -179,7 +183,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = parityOracleSql ++ NorthStar.oracleSql
+
+  private def parityOracleSql: Map[String, String] = Map(
     "pit_snapshot_events" ->
       s"""SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
          |FROM events

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Text-analysis operators for training-data pipelines over a documents
+  * table (`doc_id`, `text`, ...). Everything is built from codegen'd
+  * built-in functions — no UDFs — so plans stay inside whole-stage
+  * codegen and push down cleanly; all arithmetic is shaped to be
+  * bit-identical to the DuckDB oracle SQL (integer counts, single
+  * left-to-right double divisions).
+  *
+  * Scale: each operator is a narrow per-row map over the documents scan —
+  * no shuffle at all except where noted.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Stopword list used by quality scoring (fixed, engine-portable). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Per-document size/shape statistics. Pure map — zero shuffles. */
+  def textStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      // single-space separation ⇒ total token chars = n_chars - (n_tokens-1)
+      ((length(col(textCol)) - size(toks) + 1) / size(toks)).as("avg_token_len"))
+  }
+
+  /** Heuristic quality score: stopword ratio, vocabulary diversity and a
+    * token-length band, combined with fixed weights. The formula's
+    * operation order matches the oracle SQL exactly (double arithmetic is
+    * deterministic when the expression tree is identical).
+    */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val stopHits =
+      size(filter(toks, t => t.isInCollection(Stopwords)))
+    val nTok = size(toks)
+    val stopRatio = (stopHits.cast("double") / nTok).as("stopword_ratio")
+    val distinctRatio = (size(array_distinct(toks)).cast("double") / nTok).as("distinct_ratio")
+    val avgLen = ((length(col(textCol)) - nTok + 1) / nTok)
+    docs
+      .select(col(idCol), stopRatio, distinctRatio, avgLen.as("avg_token_len"), nTok.as("n_tokens"))
+      .withColumn(
+        "quality_score",
+        lit(0.3) * col("stopword_ratio") +
+          lit(0.5) * col("distinct_ratio") +
+          lit(0.2) * when(col("avg_token_len").between(3.0, 8.0), 1.0).otherwise(0.0))
+  }
+
+  /** Language-marker word lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic tie order: en > de > es > fr > zh.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("de5", "shi4", "zai4", "le5", "he2"))
+
+  /** Predict a language per document by marker-word hits. */
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val hits = LangMarkers.map { case (lang, words) =>
+      size(filter(toks, t => t.isInCollection(words))).as(s"hits_$lang")
+    }
+    val h = LangMarkers.map { case (lang, _) => col(s"hits_$lang") }.toIndexedSeq
+    val predicted =
+      when(h(0) >= h(1) && h(0) >= h(2) && h(0) >= h(3) && h(0) >= h(4), "en")
+        .when(h(1) >= h(2) && h(1) >= h(3) && h(1) >= h(4), "de")
+        .when(h(2) >= h(3) && h(2) >= h(4), "es")
+        .when(h(3) >= h(4), "fr")
+        .otherwise("zh")
+    docs
+      .select(col(idCol) +: col(textCol) +: hits: _*)
+      .withColumn("predicted_lang", predicted)
+      .drop(textCol)
+  }
+
+  /** 60-bit content fingerprint of the normalized text (md5-derived so
+    * the oracle reproduces it; reference for rolling/structural
+    * fingerprints at scale).
+    */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      Hashing.md5Long60(lower(trim(col(textCol)))).as("fingerprint"))
+}

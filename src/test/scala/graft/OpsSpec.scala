@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Semantics of the north-star operators on hand-computed fixtures, plus
+  * recall of the approximate (LSH) paths against exact baselines on the
+  * real sf0.001 embeddings.
+  */
+class OpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docsDF(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("textStats counts chars, tokens, distinct tokens") {
+    val out = TextAnalysis
+      .textStats(docsDF(1L -> "a b c a"))
+      .collect()
+      .head
+    assert(out.getAs[Int]("n_chars") == 7)
+    assert(out.getAs[Int]("n_tokens") == 4)
+    assert(out.getAs[Int]("n_distinct_tokens") == 3)
+    assert(out.getAs[Double]("avg_token_len") == 1.0)
+  }
+
+  test("qualityScore formula matches hand computation") {
+    // "the fast table scan" — 1 stopword of 4 tokens, all distinct,
+    // avg token len (19-3)/4 = 4.0 → in [3,8] band
+    val out = TextAnalysis
+      .qualityScore(docsDF(1L -> "the fast table scan"))
+      .collect()
+      .head
+    assert(out.getAs[Double]("stopword_ratio") == 0.25)
+    assert(out.getAs[Double]("distinct_ratio") == 1.0)
+    assert(out.getAs[Double]("quality_score") == 0.3 * 0.25 + 0.5 * 1.0 + 0.2 * 1.0)
+  }
+
+  test("langId picks marker-hit argmax with deterministic tie order") {
+    val out = TextAnalysis
+      .langId(docsDF(
+        1L -> "der hund und die katze ist",
+        2L -> "no markers here",
+        3L -> "le chat et la mer est"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang"))
+      .toMap
+    assert(out(1L) == "de")
+    assert(out(2L) == "en") // all-zero tie → first in priority order
+    assert(out(3L) == "fr")
+  }
+
+  test("fingerprint is normalization-invariant and content-sensitive") {
+    val out = TextAnalysis
+      .fingerprint(docsDF(1L -> "  Hello World ", 2L -> "hello world", 3L -> "other"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint"))
+      .toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("exactDuplicates groups identical texts, keeps min id") {
+    val out = Dedup
+      .exactDuplicates(docsDF(5L -> "same text here", 2L -> "same text here", 9L -> "unique"))
+      .collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies"))
+      .toMap
+    assert(out(2L) == 2L)
+    assert(out(9L) == 1L)
+  }
+
+  test("wordShingles emits distinct n-grams, none for short docs") {
+    val sh = Dedup.wordShingles(docsDF(1L -> "a b c d", 2L -> "x y"), n = 3)
+    val got = sh.collect().map(_.getAs[String]("shingle")).sorted.toSeq
+    assert(got == Seq("a b c", "b c d"))
+  }
+
+  test("ngramJaccard: identical docs → 1.0; disjoint → no pair") {
+    val out = Dedup
+      .ngramJaccardPairs(
+        docsDF(
+          1L -> "the quick brown fox jumps over dogs",
+          2L -> "the quick brown fox jumps over dogs",
+          3L -> "completely different words in this one"),
+        n = 3, threshold = 0.5)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id_a") == 1L)
+    assert(out.head.getAs[Long]("id_b") == 2L)
+    assert(out.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhash LSH surfaces identical docs as candidates") {
+    val out = Dedup
+      .lshCandidatePairs(
+        docsDF(
+          1L -> "the quick brown fox jumps over the lazy dogs",
+          2L -> "the quick brown fox jumps over the lazy dogs",
+          3L -> "completely different words in this one today"),
+        numPerms = 16, rowsPerBand = 4)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: identical text → hamming 0, different text > 0") {
+    val pairs = Dedup
+      .simhashPairs(
+        docsDF(
+          1L -> "spark query engine runs fast",
+          2L -> "spark query engine runs fast",
+          3L -> "totally unrelated content words entirely elsewhere"),
+        maxHamming = 0)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSeq
+      == Seq((1L, 2L, 0)))
+  }
+
+  private def embDF(rows: (Long, Seq[Float])*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("cosine: self = 1, orthogonal = 0, ranking correct") {
+    val e = embDF(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f),
+      2L -> Seq(1f, 0f, 0f),
+      3L -> Seq(0.8f, 0.6f, 0f))
+    val top = Similarity
+      .bruteForceTopK(e, Seq(0L), k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"), r.getAs[Int]("rank")))
+    assert(top.head == ((2L, 1.0, 1)))          // identical vector first
+    // float32 inputs: 0.8f/0.6f carry ~1e-8 representation error
+    assert(top(1)._1 == 3L && math.abs(top(1)._2 - 0.8) < 1e-6)
+    assert(top(2) == ((1L, 0.0, 3)))            // orthogonal last
+  }
+
+  test("cosineNearDupPairs finds the duplicated vector only") {
+    val e = embDF(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f),
+      2L -> Seq(1f, 0f, 0f))
+    val pairs = Similarity.cosineNearDupPairs(e, threshold = 0.99).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 2L)))
+  }
+
+  test("LSH topk recall vs brute force on real embeddings (sf0.001)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ids = (0L to 9L)
+    val exact = Similarity.bruteForceTopK(e, ids, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshTopK(e, ids, k = 3, numPlanes = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(approx.nonEmpty)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"LSH recall@3 = $recall%.2f (4 planes)")
+    assert(recall > 0.0) // deterministic given the hash-derived planes
+  }
+
+  test("multimodal: meta + stub feature extraction plumbing") {
+    val media = Multimodal.asMedia(docsDF(1L -> "abcd"))
+    val meta = Multimodal.mediaMeta(media).collect().head
+    assert(meta.getAs[Int]("n_bytes") == 4)
+    val feats = Multimodal.extractFeatures(media).collect().head
+    assert(feats.n_bytes == 4)
+    assert(feats.features.length == 16)
+    assert(math.abs(feats.features.sum - 1.0) < 1e-12) // normalized histogram
+    assert(feats.features(6) == 1.0) // 'a'..'d' all in bucket 0x6
+  }
+}

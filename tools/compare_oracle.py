@@ -47,7 +47,10 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: shape {got.shape} != {want.shape}")
             failures += 1
             continue
-        gv, wv = got.values.tolist(), want.values.tolist()
+        def deep(rows):
+            return [[list(v) if hasattr(v, "__len__") and not isinstance(v, str)
+                     else v for v in row] for row in rows]
+        gv, wv = deep(got.values.tolist()), deep(want.values.tolist())
         if gv != wv:
             bad = next(i for i, (a, b) in enumerate(zip(gv, wv)) if a != b)
             print(f"FAIL {name}: first diff at row {bad}:")
