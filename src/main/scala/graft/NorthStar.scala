@@ -54,7 +54,7 @@ object NorthStar {
       Dedup.lshCandidatePairs(docs(s, dir), numPerms = 16, rowsPerBand = 4)
         .orderBy("id_a", "id_b")),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), maxHamming = 6)
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 2)
         .orderBy("id_a", "id_b")),
 
     // ---- embedding similarity ----
@@ -226,7 +226,7 @@ object NorthStar {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
          |ORDER BY id_a, id_b""".stripMargin
     },
 

@@ -24,6 +24,17 @@ object Hashing {
   def md5Long32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
 
+  /** JVM-side twin of [[md5Long60]] (same md5 → same value), for driver-
+    * side derivation of deterministic constants (e.g. LSH hyperplanes).
+    */
+  def md5Long60Jvm(s: String): Long = {
+    val digest = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = digest.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Prime just above 2^32 — modulus of the MinHash permutation family.
     * Keeps (a*h + b) within 2^62 for a < 2^29, so 64-bit arithmetic is
     * exact in both engines.

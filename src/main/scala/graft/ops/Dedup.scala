@@ -36,7 +36,12 @@ object Dedup {
         min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
+  /** Distinct word n-gram shingles per document: (id, shingle).
+    * Deliberately lambda-free (explode + element_at, no higher-order
+    * functions): HOF lambdas get fresh expression ids on every
+    * invocation, which defeats plan/codegen caching and degrades
+    * long-lived sessions.
+    */
   def wordShingles(
       docs: DataFrame,
       n: Int,
@@ -48,11 +53,45 @@ object Dedup {
       .filter(size(col("_toks")) >= n)
       .select(
         col(idCol),
-        explode(
-          transform(
-            sequence(lit(0), size(col("_toks")) - n),
-            i => concat_ws(" ", slice(col("_toks"), i + 1, lit(n))))).as("shingle"))
+        col("_toks"),
+        explode(sequence(lit(0), size(col("_toks")) - n)).as("_i"))
+      .select(
+        col(idCol),
+        concat_ws(
+          " ",
+          (1 to n).map(j => element_at(col("_toks"), col("_i") + j)): _*)
+          .as("shingle"))
       .distinct()
+  }
+
+  /** Per-doc distinct shingle-hash sets: (id, _set array<long>, _n size).
+    * Shingles are hashed to the portable 60-bit family — ~8 bytes per
+    * key downstream instead of a 20+-byte string, with 2^-60 collision
+    * odds per pair.
+    */
+  private def shingleHashSets(
+      docs: DataFrame,
+      n: Int,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .select(col(idCol), toks.as("_toks"))
+      .filter(size(col("_toks")) >= n)
+      .select(
+        col(idCol),
+        col("_toks"),
+        explode(sequence(lit(0), size(col("_toks")) - n)).as("_i"))
+      .select(
+        col(idCol),
+        Hashing
+          .md5Long60(concat_ws(
+            " ",
+            (1 to n).map(j => element_at(col("_toks"), col("_i") + j)): _*))
+          .as("_sh"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("_sh")).as("_set"))
+      .select(col(idCol), col("_set"), size(col("_set")).as("_n"))
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs (ids a < b with
@@ -65,18 +104,27 @@ object Dedup {
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = wordShingles(docs, n, idCol, textCol)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a
-      .join(b, Seq("shingle"))
+    // Join on the 60-bit shingle hash, not the shingle string: ~8 bytes
+    // per key through the shuffle instead of ~20+, and cheap equality.
+    // Hash collisions are immaterial at 2^-60 per pair, and the oracle
+    // hashes with the same md5 formula so sets stay identical.
+    // One aggregation builds each doc's distinct-shingle set (and its
+    // size) — a single shuffle replacing separate distinct + size
+    // passes; the re-explode is shuffle-free. Set sizes then ride along
+    // through the pair join, so the whole op is 3 shuffles total and
+    // needs no post-join broadcast jobs. Both join inputs are the same
+    // subplan, so that shuffle is planned once and reused.
+    val sh = shingleHashSets(docs, n, idCol, textCol)
+      .select(col(idCol), explode(col("_set")).as("_sh"), col("_n"))
+    val a = sh.select(col(idCol).as("id_a"), col("_sh"), col("_n").as("_na"))
+    val b = sh.select(col(idCol).as("id_b"), col("_sh"), col("_n").as("_nb"))
+    a.join(b, Seq("_sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("_inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("_n").as("_na")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("_n").as("_nb")), Seq("id_b"))
+      .agg(
+        count(lit(1)).as("_inter"),
+        first(col("_na")).as("_na"),
+        first(col("_nb")).as("_nb"))
       .select(
         col("id_a"),
         col("id_b"),
@@ -123,16 +171,30 @@ object Dedup {
       shingleWidth: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sig = minhashSignatures(docs, numPerms, shingleWidth, idCol, textCol)
-      .groupBy(col(idCol), (col("perm") / rowsPerBand).cast("int").as("band"))
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("perm"), col("minhash")))),
-            x => x.getField("minhash").cast("string")),
-          ",").as("sig"))
-    val a = sig.select(col(idCol).as("id_a"), col("band"), col("sig"))
-    val b = sig.select(col(idCol).as("id_b"), col("band"), col("sig"))
+    val p = Hashing.MinHashPrime
+    // Wide form: all k minhashes as k min-aggregates in ONE partial-
+    // aggregated shuffle (no permutation join, no collect_list sort) —
+    // the shape that holds up at corpus scale.
+    val hashed = shingleHashSets(docs, shingleWidth, idCol, textCol)
+      .select(col(idCol), explode(col("_set")).as("_e"))
+      .select(col(idCol), (col("_e") % p).as("_h"))
+    val minAggs = (0 until numPerms).map { i =>
+      min((lit(Hashing.permA(i)) * col("_h") + lit(Hashing.permB(i))) % p)
+        .as(s"_mh$i")
+    }
+    val sigWide = hashed.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+    val numBands = numPerms / rowsPerBand
+    val bandSigs = (0 until numBands).map { b =>
+      concat_ws(
+        ",",
+        (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"_mh$i").cast("string")): _*)
+    }
+    val banded = sigWide.select(
+      col(idCol),
+      posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -147,25 +209,23 @@ object Dedup {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    // 32-row broadcast table of (bit index, 2^i) — pow is exact here and
-    // reproducible in the oracle SQL.
-    val bits = spark
-      .range(32)
-      .select(
-        col("id").cast("int").as("bit"),
-        pow(lit(2.0), col("id")).cast("long").as("_shift"))
     val tokenHashes = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("_tok"))
       .select(col(idCol), Hashing.md5Long32(col("_tok")).as("_h"))
+    // All 32 per-bit sign sums as wide aggregates in ONE partial-
+    // aggregated shuffle (no 32× row blowup, no bit-table join).
+    // Integer `div`, not `/`: double-cast truncation differs between
+    // engines (DuckDB rounds on cast), integral div is exact in both.
+    val signAggs = (0 until 32).map { i =>
+      sum(expr(s"((_h div ${1L << i}) % 2) * 2 - 1")).as(s"_s$i")
+    }
+    val packed = (0 until 32)
+      .map(i => when(col(s"_s$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
     tokenHashes
-      .join(broadcast(bits))
-      .groupBy(col(idCol), col("bit"), col("_shift"))
-      // integer division, not `/`: double-cast truncation differs between
-      // engines (DuckDB rounds on cast), integral div is exact in both
-      .agg(sum(expr("((_h div _shift) % 2) * 2 - 1")).as("_s"))
       .groupBy(col(idCol))
-      .agg(sum(when(col("_s") > 0, col("_shift")).otherwise(0L)).cast("long").as("simhash"))
+      .agg(signAggs.head, signAggs.tail: _*)
+      .select(col(idCol), packed.cast("long").as("simhash"))
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance <= maxHamming.
@@ -178,7 +238,13 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val sig = simhash(docs, idCol, textCol)
-    val a = sig.select(col(idCol).as("id_a"), col("simhash").as("_sa"))
+    // The signature table is tiny, so AQE coalesces it to one partition —
+    // which would serialize the O(n²) nested-loop pair scan on a single
+    // core. Spread the streamed side across the full parallelism.
+    val nPart = docs.sparkSession.sparkContext.defaultParallelism
+    val a = sig
+      .repartition(nPart)
+      .select(col(idCol).as("id_a"), col("simhash").as("_sa"))
     val b = sig.select(col(idCol).as("id_b"), col("simhash").as("_sb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(

