@@ -99,6 +99,21 @@ object SparkEntry {
           tieBreakCols = Seq("event_id"))
         .orderBy("entity_id")),
 
+    // O19 scale path: entity predicate as a broadcast left-semi join
+    // (for id sets too large for an IN literal)
+    "pit_snapshot_semijoin" -> ((s, dir) => {
+      val entities = eventsRaw(s, dir)
+        .filter(col("user_id") % 3 === 0)
+        .select(col("user_id").as("entity_id"))
+      PointInTime
+        .pitSnapshotForEntities(
+          eventsFeatures(s, dir),
+          lit(java.sql.Timestamp.valueOf(PitAsOf)),
+          entities,
+          tieBreakCols = Seq("event_id"))
+        .orderBy("entity_id")
+    }),
+
     // O20 over the whole table: every entity's latest state as of T
     "pit_latest_all_entities" -> ((s, dir) =>
       PointInTime
@@ -197,6 +212,13 @@ object SparkEntry {
       s"""SELECT user_id AS entity_id, ts AS "timestamp", value
          |FROM events
          |WHERE ts <= TIMESTAMP '$PitAsOf' AND user_id IN $PitIdsSql
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         |ORDER BY entity_id""".stripMargin,
+
+    "pit_snapshot_semijoin" ->
+      s"""SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
+         |FROM events
+         |WHERE ts <= TIMESTAMP '$PitAsOf' AND user_id % 3 = 0
          |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
          |ORDER BY entity_id""".stripMargin,
 

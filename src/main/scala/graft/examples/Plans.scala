@@ -1,0 +1,26 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump formatted physical plans for the contract queries (dev tool for
+  * the pushdown/codegen audit).
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("pit_snapshot_events", "pit_lineitem_supplier", "asof_join_orders", "agg_pricing_summary")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -83,6 +83,30 @@ object PointInTime {
     project(latest, columns, entityCol, tsCol)
   }
 
+  /** PIT snapshot for a large entity set supplied as a DataFrame: the
+    * entity predicate becomes a broadcast left-semi join instead of an
+    * IN literal — the scale form of the reference's `isin` filter
+    * (store.py:502-514) once the id set no longer fits a literal list.
+    */
+  def pitSnapshotForEntities(
+      table: DataFrame,
+      asOf: Column,
+      entities: DataFrame,
+      columns: Option[Seq[String]] = None,
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn,
+      tieBreakCols: Seq[String] = Nil,
+      tableName: String = "<anonymous>"): DataFrame = {
+    columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
+    val ids = entities
+      .select(col(entityCol).cast(table.schema(entityCol).dataType).as(entityCol))
+      .distinct()
+    val filtered = table
+      .filter(col(tsCol) <= asOf)
+      .join(broadcast(ids), Seq(entityCol), "left_semi")
+    project(latestPerEntity(filtered, entityCol, tsCol, tieBreakCols), columns, entityCol, tsCol)
+  }
+
   /** Point-in-time as-of join (reference: store.py:261-334). Output rows
     * are the matched *feature* rows (including the feature row's own
     * timestamp — the spine timestamp is dropped, matching
