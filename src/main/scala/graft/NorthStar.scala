@@ -70,6 +70,12 @@ object NorthStar {
       Similarity.lshTopK(emb(s, dir), AnnQueryIds, k = 3, numPlanes = 6)
         .orderBy("query_id", "rank")),
 
+    // approximate IVF scale path — recall-tested against brute force,
+    // not oracle-SQL-expressible at reasonable cost
+    "ann_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), AnnQueryIds, k = 3, numCentroids = 16, nProbe = 4)
+        .orderBy("query_id", "rank")),
+
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(Multimodal.asMedia(docs(s, dir))).orderBy("doc_id")),
@@ -90,7 +96,9 @@ object NorthStar {
         |       len(string_split(text, ' ')) AS n_tokens,
         |       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
         |       (length(text) - len(string_split(text, ' ')) + 1)
-        |           / len(string_split(text, ' ')) AS avg_token_len
+        |           / len(string_split(text, ' ')) AS avg_token_len,
+        |       len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}|[^a-z0-9 ]'))
+        |           AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->

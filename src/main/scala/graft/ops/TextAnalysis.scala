@@ -24,6 +24,13 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+  /** BPE-ish subword-count estimate: alnum runs chunked greedily at 4
+    * chars plus lone non-alnum marks — the usual ~4-chars-per-token
+    * heuristic, as one portable regex (identical semantics in Java and
+    * RE2 regex engines; the space literal avoids escape-dialect drift).
+    */
+  val BpeishPattern = "[a-z0-9]{1,4}|[^a-z0-9 ]"
+
   /** Per-document size/shape statistics. Pure map — zero shuffles. */
   def textStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
@@ -33,7 +40,9 @@ object TextAnalysis {
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_distinct_tokens"),
       // single-space separation ⇒ total token chars = n_chars - (n_tokens-1)
-      ((length(col(textCol)) - size(toks) + 1) / size(toks)).as("avg_token_len"))
+      ((length(col(textCol)) - size(toks) + 1) / size(toks)).as("avg_token_len"),
+      size(regexp_extract_all(lower(col(textCol)), lit(BpeishPattern), lit(0)))
+        .as("n_tokens_bpe"))
   }
 
   /** Heuristic quality score: stopword ratio, vocabulary diversity and a

@@ -62,3 +62,65 @@ final class Catalog {
 
   def all: Seq[TableMeta] = names.map(tables(_))
 }
+
+/** Durable catalog state: a tiny line-based metadata file under the
+  * storage root, rewritten atomically on every mutation, so a new
+  * session can reopen a store from disk (the reference is ephemeral by
+  * design; persistence is what makes versioned parquet storage usable
+  * across processes). Format, one record per line, tab-separated with
+  * URL-encoded fields:
+  *
+  *   T <name> <version> <rowCount> <registeredAt> <updatedAt>
+  *   V <name> <version> <col1> <col2> ...
+  */
+object CatalogPersistence {
+  import java.net.{URLDecoder, URLEncoder}
+  import java.nio.charset.StandardCharsets.UTF_8
+  import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+  private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
+  private def dec(s: String): String = URLDecoder.decode(s, UTF_8)
+
+  def catalogFile(root: String): Path = Paths.get(root, "_catalog.tsv")
+
+  def save(root: String, metas: Seq[TableMeta]): Unit = {
+    val lines = metas.flatMap { m =>
+      val head =
+        s"T\t${enc(m.name)}\t${m.version}\t${m.rowCount}\t${m.registeredAt}\t${m.updatedAt}"
+      val versions = m.versions.toSeq.map { case (v, cols) =>
+        (s"V\t${enc(m.name)}\t$v" +: cols.map(enc)).mkString("\t")
+      }
+      head +: versions
+    }
+    val path = catalogFile(root)
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling("_catalog.tsv.tmp")
+    Files.writeString(tmp, lines.mkString("\n"))
+    Files.move(
+      tmp, path,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def load(root: String): Seq[TableMeta] = {
+    val path = catalogFile(root)
+    if (!Files.exists(path)) return Seq.empty
+    val lines = Files.readString(path).split("\n").toSeq.filter(_.nonEmpty)
+    val heads = lines.collect {
+      case l if l.startsWith("T\t") =>
+        val f = l.split("\t")
+        dec(f(1)) -> (f(2).toInt, f(3).toLong, f(4).toLong, f(5).toLong)
+    }.toMap
+    val versions = lines
+      .collect {
+        case l if l.startsWith("V\t") =>
+          val f = l.split("\t")
+          (dec(f(1)), f(2).toInt, f.drop(3).toSeq.map(dec))
+      }
+      .groupBy(_._1)
+    heads.toSeq.map { case (name, (version, rowCount, reg, upd)) =>
+      val vs = scala.collection.immutable.SortedMap(
+        versions.getOrElse(name, Seq.empty).map(v => v._2 -> v._3): _*)
+      TableMeta(name, version, rowCount, reg, upd, vs)
+    }
+  }
+}

@@ -40,6 +40,9 @@ final class FeatureStore(
     Option(storageRoot).getOrElse(Storage.defaultRoot())
   private val storage = new Storage(spark, root)
   private val catalog = new Catalog
+  // Reopen an existing store: the catalog file under the root (written
+  // on every mutation) restores tables, versions and schemas.
+  CatalogPersistence.load(root).foreach(catalog.put)
 
   /** Internal deterministic tie-break column; never surfaced in output. */
   private val IngestKeyCol = "_ingest_key"
@@ -74,6 +77,7 @@ final class FeatureStore(
         prune(withNew)
     }
     catalog.put(meta)
+    CatalogPersistence.save(root, catalog.all)
     meta.info
   }
 
@@ -89,7 +93,7 @@ final class FeatureStore(
     val meta = catalog.getOrThrow(name)
     val asOf = FeatureStore.normalizeTimestamp(timestamp)
     PointInTime.pitSnapshot(
-      currentData(meta),
+      currentData(meta, Some(asOf)),
       lit(asOf),
       entityIds = Some(entityIds),
       columns = columns,
@@ -137,15 +141,26 @@ final class FeatureStore(
     */
   def delete(name: String): Boolean =
     catalog.remove(name) match {
-      case Some(_) => storage.deleteTable(name); true
-      case None    => false
+      case Some(_) =>
+        storage.deleteTable(name)
+        CatalogPersistence.save(root, catalog.all)
+        true
+      case None => false
     }
 
   // ---------------------------------------------------------------- private
 
-  /** Current-version DataFrame including the internal tie-break column. */
-  private def currentData(meta: TableMeta): DataFrame =
-    storage.read(meta.name, meta.version, meta.columns :+ IngestKeyCol)
+  /** Current-version DataFrame including the internal tie-break column;
+    * a known as-of cutoff enables day-partition pruning at the scan.
+    */
+  private def currentData(
+      meta: TableMeta,
+      asOf: Option[Timestamp] = None): DataFrame =
+    storage.read(
+      meta.name,
+      meta.version,
+      meta.columns :+ IngestKeyCol,
+      asOf.map(_.toInstant.atZone(ZoneOffset.UTC).toLocalDate))
 
   /** Cast timestamp + attach the deterministic ingest key
     * (reference: store.py:472-486 casts and sorts; the physical sort

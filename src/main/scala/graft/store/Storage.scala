@@ -48,12 +48,21 @@ final class Storage(spark: SparkSession, root: String) {
   }
 
   /** Read one version snapshot with the original column order restored
-    * (the partition column is internal and dropped).
+    * (the partition column is internal and dropped). When an as-of
+    * cutoff is known, the derived day predicate prunes partitions at
+    * planning time — `timestamp <= T ⇒ _ts_date <= date(T)` — which is
+    * the reference author's wish-list item (README.md:167, "partitioning
+    * by month reduces scan size by 24x") implemented natively.
     */
-  def read(name: String, version: Int, columns: Seq[String]): DataFrame =
-    spark.read
-      .parquet(versionPath(name, version))
-      .select(columns.map(col): _*)
+  def read(
+      name: String,
+      version: Int,
+      columns: Seq[String],
+      asOfDate: Option[java.time.LocalDate] = None): DataFrame = {
+    val base = spark.read.parquet(versionPath(name, version))
+    val pruned = asOfDate.fold(base)(d => base.filter(col(DateCol) <= lit(d)))
+    pruned.select(columns.map(col): _*)
+  }
 
   def deleteVersion(name: String, version: Int): Unit =
     delete(versionPath(name, version))

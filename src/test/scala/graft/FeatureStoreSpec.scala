@@ -150,6 +150,39 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
     intercept[FeatureTableNotFoundError](store.getTableInfo("c"))
   }
 
+  test("a new session reopens the store from the persisted catalog") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-reopen-").toString
+    val store = new FeatureStore(spark, root)
+    store.register("t", singleRow(1.0))
+    store.register("t", singleRow(2.0))
+
+    val reopened = new FeatureStore(spark, root)
+    assert(reopened.tableNames == Seq("t"))
+    assert(reopened.getTableInfo("t").version == 2)
+    assert(reopened.getVersion("t", 1).collect().head.getAs[Double]("val") == 1.0)
+    assert(reopened
+      .get("t", Seq("user_1"), ts("2024-06-01"))
+      .collect().head.getAs[Double]("val") == 2.0)
+  }
+
+  test("PIT read prunes day partitions from a known cutoff") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    val multiDay = Seq(
+      ("u", ts("2024-01-01"), 1.0),
+      ("u", ts("2024-01-10"), 2.0),
+      ("u", ts("2024-02-20"), 3.0)).toDF("entity_id", "timestamp", "val")
+    store.register("t", multiDay)
+    val df = store.get("t", Seq("u"), ts("2024-01-15"))
+    // the derived _ts_date predicate must reach the scan as a partition
+    // filter, so the Feb file is never read
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("_ts_date"), s"no partition filter in plan:\n$scan")
+    assert(df.collect().head.getAs[Double]("val") == 2.0)
+  }
+
   test("delete removes table, returns false for missing") {
     val store = freshStore()
     store.register("t", singleRow(1.0))

@@ -29,6 +29,15 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.getAs[Double]("avg_token_len") == 1.0)
   }
 
+  test("BPE-ish token estimate chunks alnum runs at 4 chars") {
+    val out = TextAnalysis
+      .textStats(docsDF(1L -> "hello world"))
+      .collect()
+      .head
+    // hell|o + worl|d → 4 subword chunks
+    assert(out.getAs[Int]("n_tokens_bpe") == 4)
+  }
+
   test("qualityScore formula matches hand computation") {
     // "the fast table scan" — 1 stopword of 4 tokens, all distinct,
     // avg token len (19-3)/4 = 4.0 → in [3,8] band
@@ -163,6 +172,19 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     info(f"LSH recall@3 = $recall%.2f (4 planes)")
     assert(recall > 0.0) // deterministic given the hash-derived planes
+  }
+
+  test("IVF topk recall vs brute force on real embeddings (sf0.001)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ids = (0L to 9L)
+    val exact = Similarity.bruteForceTopK(e, ids, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.ivfTopK(e, ids, k = 3, numCentroids = 8, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(approx.size == exact.size) // every query still gets k results
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"IVF recall@3 = $recall%.2f (8 lists, probe 4)")
+    assert(recall >= 0.4) // deterministic given the fixed centroid seed
   }
 
   test("multimodal: meta + stub feature extraction plumbing") {
