@@ -167,6 +167,22 @@ object SparkEntry {
         .orderBy("entity_id", "timestamp", "o_orderkey")
     }),
 
+    // O8 skew-aware strategy: two-pass prefix scan over 90-day buckets
+    // (same semantics and oracle; hot entities spread across tasks)
+    "asof_join_bucketed" -> ((s, dir) => {
+      val feat = ordersFeatures(s, dir)
+      val spine = read(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(
+          col("o_custkey").as("entity_id"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("timestamp"))
+      PointInTime
+        .asOfJoinBucketed(
+          spine, feat, bucketSeconds = 90L * 86400,
+          tieBreakCols = Seq("o_orderkey"))
+        .orderBy("entity_id", "timestamp", "o_orderkey")
+    }),
+
     // O8 on the event stream: probe each sampled event 1h after it happened
     "asof_join_events" -> ((s, dir) => {
       val feat = eventsFeatures(s, dir)
@@ -272,6 +288,24 @@ object SparkEntry {
         |ORDER BY entity_id, "timestamp", o_orderkey""".stripMargin,
 
     "asof_join_via_join" ->
+      """WITH spine AS (
+        |  SELECT o_orderkey AS spine_id, o_custkey AS e,
+        |         o_orderdate + INTERVAL 30 DAY AS t
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |), j AS (
+        |  SELECT s.spine_id, f.o_custkey, f.o_orderdate, f.o_orderkey,
+        |         f.o_orderstatus, f.o_totalprice, f.o_orderpriority,
+        |         row_number() OVER (PARTITION BY s.spine_id
+        |             ORDER BY f.o_orderdate DESC, f.o_orderkey DESC) AS rn
+        |  FROM spine s JOIN orders f
+        |    ON f.o_custkey = s.e AND f.o_orderdate <= s.t
+        |)
+        |SELECT o_custkey AS entity_id, o_orderdate AS "timestamp",
+        |       o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM j WHERE rn = 1
+        |ORDER BY entity_id, "timestamp", o_orderkey""".stripMargin,
+
+    "asof_join_bucketed" ->
       """WITH spine AS (
         |  SELECT o_orderkey AS spine_id, o_custkey AS e,
         |         o_orderdate + INTERVAL 30 DAY AS t

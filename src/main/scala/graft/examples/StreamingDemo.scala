@@ -50,6 +50,27 @@ object StreamingDemo {
     println(s"[demo] PIT @Jan15: ${asOfJan15.map(r => r.getString(0) -> r.getDouble(2)).toSeq.sortBy(_._1)}")
 
     query.stop()
+
+    // continuously-maintained latest state (flatMapGroupsWithState)
+    val events = MemoryStream[graft.streaming.StreamingFeatures.FeatureEvent]
+    val stateQuery = graft.streaming.StreamingFeatures
+      .latestState(events.toDS(), lateness = "365 days")
+      .writeStream
+      .format("memory")
+      .queryName("demo_latest")
+      .outputMode("update")
+      .start()
+    events.addData(
+      graft.streaming.StreamingFeatures.FeatureEvent("u1", ts("2024-01-10"), 10.0))
+    stateQuery.processAllAvailable()
+    events.addData(
+      graft.streaming.StreamingFeatures.FeatureEvent("u1", ts("2024-01-05"), 5.0), // late, older
+      graft.streaming.StreamingFeatures.FeatureEvent("u1", ts("2024-01-20"), 20.0))
+    stateQuery.processAllAvailable()
+    println(s"[demo] latest-state emissions: " +
+      spark.sql("SELECT entity_id, value FROM demo_latest").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq)
+    stateQuery.stop()
     spark.stop()
   }
 }

@@ -170,6 +170,91 @@ object PointInTime {
     project(matched, columns, entityCol, tsCol)
   }
 
+  /** Skew-aware as-of join: identical semantics to [[asOfJoin]], but the
+    * per-entity window is split into (entity, time-bucket) windows plus a
+    * tiny per-entity carry scan — the classic two-pass prefix scan:
+    *
+    *   1. within each (entity, bucket): running `last` as usual;
+    *   2. per (entity, bucket): the bucket's final feature state, then a
+    *      window over *buckets* (rows = #buckets per entity, small by
+    *      construction) yields the state carried into each bucket;
+    *   3. a spine probe's match = coalesce(within-bucket running state,
+    *      carried-in state).
+    *
+    * A hot entity with billions of rows thus spreads across
+    * time-range/bucketSeconds tasks instead of serializing into one —
+    * the answer to window-partition skew that AQE cannot split.
+    */
+  def asOfJoinBucketed(
+      spine: DataFrame,
+      table: DataFrame,
+      bucketSeconds: Long,
+      columns: Option[Seq[String]] = None,
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn,
+      tieBreakCols: Seq[String] = Nil,
+      tableName: String = "<anonymous>"): DataFrame = {
+    Validation.validateDataFrame(
+      spine.select(spine.columns.filter(Seq(entityCol, tsCol).contains).map(col): _*),
+      "entity_timestamps")
+    columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
+
+    val outCols = table.columns
+    val payload = struct(outCols.map(col): _*)
+    val payloadType = table.select(payload.as("_p")).schema.head.dataType
+    val ord =
+      if (tieBreakCols.isEmpty) struct(lit(0))
+      else struct(tieBreakCols.map(col): _*)
+    val ordType = table.select(ord.as("_o")).schema.head.dataType
+    val entityType = table.schema(entityCol).dataType
+    val tsType = table.schema(tsCol).dataType
+
+    val featSide = table.select(
+      col(entityCol).as("_e"), col(tsCol).as("_t"),
+      lit(0).as("_side"), payload.as("_p"), ord.as("_o"))
+    val spineSide = spine.select(
+      col(entityCol).cast(entityType).as("_e"), col(tsCol).cast(tsType).as("_t"),
+      lit(1).as("_side"), lit(null).cast(payloadType).as("_p"),
+      lit(null).cast(ordType).as("_o"))
+    val unioned = featSide
+      .unionByName(spineSide)
+      .withColumn("_b", floor(unix_timestamp(col("_t")) / bucketSeconds))
+
+    val orderCols = Seq(col("_t").asc, col("_side").asc, col("_o").asc)
+    val wRun = Window
+      .partitionBy(col("_e"), col("_b"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBucket = Window
+      .partitionBy(col("_e"), col("_b"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withRun = unioned
+      .withColumn("_run", last(col("_p"), ignoreNulls = true).over(wRun))
+      .withColumn("_bfinal", last(col("_p"), ignoreNulls = true).over(wBucket))
+
+    // carried-in state: last non-null bucket-final among strictly earlier
+    // buckets of the same entity (rows per entity = #buckets — tiny)
+    val wCarry = Window
+      .partitionBy(col("_e"))
+      .orderBy(col("_b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = withRun
+      .groupBy(col("_e"), col("_b"))
+      // _bfinal is constant within the (entity, bucket) group
+      .agg(first(col("_bfinal"), ignoreNulls = false).as("_bf"))
+      .withColumn("_carry", last(col("_bf"), ignoreNulls = true).over(wCarry))
+      .select(col("_e"), col("_b"), col("_carry"))
+
+    val matched = withRun
+      .join(carry, Seq("_e", "_b"))
+      .withColumn("_match", coalesce(col("_run"), col("_carry")))
+      .filter(col("_side") === 1 && col("_match").isNotNull)
+      .select(outCols.map(c => col("_match").getField(c).as(c)): _*)
+
+    project(matched, columns, entityCol, tsCol)
+  }
+
   /** Naive as-of plan for comparison / tiny broadcastable spines:
     * equi-join on entity + range filter + per-(spine row) argmax. The
     * spine is first deduplicated so the pairwise intermediate is bounded

@@ -122,6 +122,24 @@ object PointInTimeProps extends Properties("PointInTime") {
     (got == want) && got.length <= effSpine.length
   }
 
+  property("asOfJoinBucketed (skew-aware) equals asOfJoin") = forAll(
+    genRows, genSpine, Gen.oneOf(3600L, 86400L, 86400L * 7)) { (rows, spine, bucketSec) =>
+    val s = spark
+    import s.implicits._
+    val spineDf = (if (spine.isEmpty) List(("z", 1)) else spine)
+      .map { case (e, d) => (e, ts(d)) }
+      .toDF("entity_id", "timestamp")
+    val df = toDF(rows)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(2), r.getLong(3))
+    val a = PointInTime.asOfJoin(spineDf, df, tieBreakCols = Seq("seq"))
+      .collect().map(key).toList.sorted
+    val b = PointInTime
+      .asOfJoinBucketed(spineDf, df, bucketSec, tieBreakCols = Seq("seq"))
+      .collect().map(key).toList.sorted
+    a == b
+  }
+
   property("asOfJoin merge and join formulations agree") = forAll(
     genRows, genSpine) { (rows, spine) =>
     val s = spark

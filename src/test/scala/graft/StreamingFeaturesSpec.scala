@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingFeatures
+import graft.streaming.StreamingFeatures.{FeatureEvent, LatestState}
+
+/** Windowed aggregates + stateful latest-state streams over memory
+  * sources, including out-of-order arrival.
+  */
+class StreamingFeaturesSpec extends AnyFunSuite with SparkTestBase {
+
+  private def t(s: String): Timestamp = ts(s)
+
+  test("windowed aggregates per entity with sliding windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val source = MemoryStream[(String, Timestamp, Double)]
+    val agg = StreamingFeatures.windowedAggregates(
+      source.toDF().toDF("entity_id", "timestamp", "value"),
+      windowDuration = "10 days",
+      slideDuration = "5 days")
+    val query = agg.writeStream
+      .format("memory")
+      .queryName("win_agg")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      source.addData(
+        ("u1", t("2024-01-02 00:00:00"), 1.0),
+        ("u1", t("2024-01-04 00:00:00"), 2.0),
+        ("u2", t("2024-01-03 00:00:00"), 5.0))
+      query.processAllAvailable()
+      // push the watermark far forward so earlier windows close and emit
+      source.addData(("u3", t("2024-03-01 00:00:00"), 0.0))
+      query.processAllAvailable()
+      val rows = s.sql(
+        "SELECT entity_id, n_events, sum_value FROM win_agg " +
+          "WHERE entity_id = 'u1' ORDER BY window_start").collect()
+      // Jan 2 + Jan 4 fall in two overlapping 10-day windows each
+      assert(rows.nonEmpty)
+      assert(rows.map(_.getAs[Long]("n_events")).max == 2)
+      assert(rows.map(_.getAs[Double]("sum_value")).max == 3.0)
+    } finally query.stop()
+  }
+
+  test("latestState keeps PIT semantics under out-of-order arrival") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val source = MemoryStream[FeatureEvent]
+    val query = StreamingFeatures
+      .latestState(source.toDS(), lateness = "365 days")
+      .writeStream
+      .format("memory")
+      .queryName("latest_state")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      source.addData(FeatureEvent("u1", t("2024-01-10"), 10.0))
+      query.processAllAvailable()
+      source.addData(
+        FeatureEvent("u1", t("2024-01-05"), 5.0), // older — must not regress state
+        FeatureEvent("u2", t("2024-01-07"), 7.0))
+      query.processAllAvailable()
+      source.addData(FeatureEvent("u1", t("2024-01-20"), 20.0)) // newer — updates
+      query.processAllAvailable()
+
+      val out = s.sql("SELECT * FROM latest_state").as[LatestState].collect()
+      // last emitted row per entity is the live state
+      val finalState = out.groupBy(_.entity_id).map { case (e, rows) =>
+        e -> rows.maxBy(_.timestamp.getTime)
+      }
+      assert(finalState("u1").value == 20.0)
+      assert(finalState("u1").timestamp == t("2024-01-20"))
+      assert(finalState("u2").value == 7.0)
+      // the out-of-order older u1 row never surfaced
+      assert(!out.exists(r => r.entity_id == "u1" && r.value == 5.0))
+    } finally query.stop()
+  }
+}
