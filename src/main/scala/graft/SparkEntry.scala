@@ -231,6 +231,28 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = parityOracleSql ++ NorthStar.oracleSql
 
+  /** One oracle for all three as-of physical strategies — same
+    * semantics by contract, so any oracle change applies to every
+    * strategy at once.
+    */
+  private val OrdersAsOfOracle: String =
+    """WITH spine AS (
+        |  SELECT o_orderkey AS spine_id, o_custkey AS e,
+        |         o_orderdate + INTERVAL 30 DAY AS t
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |), j AS (
+        |  SELECT s.spine_id, f.o_custkey, f.o_orderdate, f.o_orderkey,
+        |         f.o_orderstatus, f.o_totalprice, f.o_orderpriority,
+        |         row_number() OVER (PARTITION BY s.spine_id
+        |             ORDER BY f.o_orderdate DESC, f.o_orderkey DESC) AS rn
+        |  FROM spine s JOIN orders f
+        |    ON f.o_custkey = s.e AND f.o_orderdate <= s.t
+        |)
+        |SELECT o_custkey AS entity_id, o_orderdate AS "timestamp",
+        |       o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM j WHERE rn = 1
+        |ORDER BY entity_id, "timestamp", o_orderkey""".stripMargin
+
   private def parityOracleSql: Map[String, String] = Map(
     "pit_snapshot_events" ->
       s"""SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
@@ -269,59 +291,11 @@ object SparkEntry {
         |    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) = 1
         |ORDER BY entity_id""".stripMargin,
 
-    "asof_join_orders" ->
-      """WITH spine AS (
-        |  SELECT o_orderkey AS spine_id, o_custkey AS e,
-        |         o_orderdate + INTERVAL 30 DAY AS t
-        |  FROM orders WHERE o_orderkey % 7 = 0
-        |), j AS (
-        |  SELECT s.spine_id, f.o_custkey, f.o_orderdate, f.o_orderkey,
-        |         f.o_orderstatus, f.o_totalprice, f.o_orderpriority,
-        |         row_number() OVER (PARTITION BY s.spine_id
-        |             ORDER BY f.o_orderdate DESC, f.o_orderkey DESC) AS rn
-        |  FROM spine s JOIN orders f
-        |    ON f.o_custkey = s.e AND f.o_orderdate <= s.t
-        |)
-        |SELECT o_custkey AS entity_id, o_orderdate AS "timestamp",
-        |       o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
-        |FROM j WHERE rn = 1
-        |ORDER BY entity_id, "timestamp", o_orderkey""".stripMargin,
+    "asof_join_orders" -> OrdersAsOfOracle,
 
-    "asof_join_via_join" ->
-      """WITH spine AS (
-        |  SELECT o_orderkey AS spine_id, o_custkey AS e,
-        |         o_orderdate + INTERVAL 30 DAY AS t
-        |  FROM orders WHERE o_orderkey % 7 = 0
-        |), j AS (
-        |  SELECT s.spine_id, f.o_custkey, f.o_orderdate, f.o_orderkey,
-        |         f.o_orderstatus, f.o_totalprice, f.o_orderpriority,
-        |         row_number() OVER (PARTITION BY s.spine_id
-        |             ORDER BY f.o_orderdate DESC, f.o_orderkey DESC) AS rn
-        |  FROM spine s JOIN orders f
-        |    ON f.o_custkey = s.e AND f.o_orderdate <= s.t
-        |)
-        |SELECT o_custkey AS entity_id, o_orderdate AS "timestamp",
-        |       o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
-        |FROM j WHERE rn = 1
-        |ORDER BY entity_id, "timestamp", o_orderkey""".stripMargin,
+    "asof_join_via_join" -> OrdersAsOfOracle,
 
-    "asof_join_bucketed" ->
-      """WITH spine AS (
-        |  SELECT o_orderkey AS spine_id, o_custkey AS e,
-        |         o_orderdate + INTERVAL 30 DAY AS t
-        |  FROM orders WHERE o_orderkey % 7 = 0
-        |), j AS (
-        |  SELECT s.spine_id, f.o_custkey, f.o_orderdate, f.o_orderkey,
-        |         f.o_orderstatus, f.o_totalprice, f.o_orderpriority,
-        |         row_number() OVER (PARTITION BY s.spine_id
-        |             ORDER BY f.o_orderdate DESC, f.o_orderkey DESC) AS rn
-        |  FROM spine s JOIN orders f
-        |    ON f.o_custkey = s.e AND f.o_orderdate <= s.t
-        |)
-        |SELECT o_custkey AS entity_id, o_orderdate AS "timestamp",
-        |       o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
-        |FROM j WHERE rn = 1
-        |ORDER BY entity_id, "timestamp", o_orderkey""".stripMargin,
+    "asof_join_bucketed" -> OrdersAsOfOracle,
 
     "asof_join_events" ->
       """WITH spine AS (

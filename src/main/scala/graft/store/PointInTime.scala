@@ -128,12 +128,42 @@ object PointInTime {
       tsCol: String = TimestampColumn,
       tieBreakCols: Seq[String] = Nil,
       tableName: String = "<anonymous>"): DataFrame = {
+    val (unioned, outCols) =
+      taggedUnion(spine, table, columns, entityCol, tsCol, tieBreakCols, tableName)
+
+    val w = Window
+      .partitionBy(col("_e"))
+      .orderBy(col("_t").asc, col("_side").asc, col("_o").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = unioned
+      .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1 && col("_match").isNotNull)
+      .select(outCols.map(c => col("_match").getField(c).as(c)): _*)
+
+    project(matched, columns, entityCol, tsCol)
+  }
+
+  /** Shared front half of the as-of formulations: validate, then union
+    * feature rows (side 0, full payload + tie-break ord) with spine
+    * probes (side 1, null payload). Side 0 sorting before side 1 at
+    * equal ts is what makes the cutoff inclusive — any change here
+    * affects every as-of strategy at once.
+    */
+  private def taggedUnion(
+      spine: DataFrame,
+      table: DataFrame,
+      columns: Option[Seq[String]],
+      entityCol: String,
+      tsCol: String,
+      tieBreakCols: Seq[String],
+      tableName: String): (DataFrame, Seq[String]) = {
     Validation.validateDataFrame(
       spine.select(spine.columns.filter(Seq(entityCol, tsCol).contains).map(col): _*),
       "entity_timestamps")
     columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
 
-    val outCols = table.columns
+    val outCols = table.columns.toSeq
     val payload = struct(outCols.map(col): _*)
     val payloadType = table.select(payload.as("_p")).schema.head.dataType
     val ord =
@@ -155,19 +185,7 @@ object PointInTime {
       lit(1).as("_side"),
       lit(null).cast(payloadType).as("_p"),
       lit(null).cast(ordType).as("_o"))
-
-    val w = Window
-      .partitionBy(col("_e"))
-      .orderBy(col("_t").asc, col("_side").asc, col("_o").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val matched = featSide
-      .unionByName(spineSide)
-      .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1 && col("_match").isNotNull)
-      .select(outCols.map(c => col("_match").getField(c).as(c)): _*)
-
-    project(matched, columns, entityCol, tsCol)
+    (featSide.unionByName(spineSide), outCols)
   }
 
   /** Skew-aware as-of join: identical semantics to [[asOfJoin]], but the
@@ -194,60 +212,55 @@ object PointInTime {
       tsCol: String = TimestampColumn,
       tieBreakCols: Seq[String] = Nil,
       tableName: String = "<anonymous>"): DataFrame = {
-    Validation.validateDataFrame(
-      spine.select(spine.columns.filter(Seq(entityCol, tsCol).contains).map(col): _*),
-      "entity_timestamps")
-    columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
-
-    val outCols = table.columns
-    val payload = struct(outCols.map(col): _*)
-    val payloadType = table.select(payload.as("_p")).schema.head.dataType
-    val ord =
-      if (tieBreakCols.isEmpty) struct(lit(0))
-      else struct(tieBreakCols.map(col): _*)
-    val ordType = table.select(ord.as("_o")).schema.head.dataType
-    val entityType = table.schema(entityCol).dataType
-    val tsType = table.schema(tsCol).dataType
-
-    val featSide = table.select(
-      col(entityCol).as("_e"), col(tsCol).as("_t"),
-      lit(0).as("_side"), payload.as("_p"), ord.as("_o"))
-    val spineSide = spine.select(
-      col(entityCol).cast(entityType).as("_e"), col(tsCol).cast(tsType).as("_t"),
-      lit(1).as("_side"), lit(null).cast(payloadType).as("_p"),
-      lit(null).cast(ordType).as("_o"))
-    val unioned = featSide
-      .unionByName(spineSide)
-      .withColumn("_b", floor(unix_timestamp(col("_t")) / bucketSeconds))
+    if (bucketSeconds < 1)
+      throw new FeatureValidationError(
+        s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val (unionedRaw, outCols) =
+      taggedUnion(spine, table, columns, entityCol, tsCol, tieBreakCols, tableName)
+    // bucket key by ts type: temporal types via unix_timestamp (epoch
+    // seconds), numeric ts columns (epoch longs, version counters)
+    // bucketed in their own units — asOfJoin accepts any orderable ts,
+    // so this strategy must not silently require TimestampType
+    import org.apache.spark.sql.types._
+    val seconds = table.schema(tsCol).dataType match {
+      case _: TimestampType | _: TimestampNTZType | _: DateType =>
+        unix_timestamp(col("_t"))
+      case _: NumericType => col("_t")
+      case other =>
+        throw new FeatureValidationError(
+          s"asOfJoinBucketed needs a temporal or numeric $tsCol, got $other")
+    }
+    val unioned = unionedRaw.withColumn("_b", floor(seconds / bucketSeconds))
 
     val orderCols = Seq(col("_t").asc, col("_side").asc, col("_o").asc)
     val wRun = Window
       .partitionBy(col("_e"), col("_b"))
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wBucket = Window
-      .partitionBy(col("_e"), col("_b"))
-      .orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val withRun = unioned
       .withColumn("_run", last(col("_p"), ignoreNulls = true).over(wRun))
-      .withColumn("_bfinal", last(col("_p"), ignoreNulls = true).over(wBucket))
 
-    // carried-in state: last non-null bucket-final among strictly earlier
-    // buckets of the same entity (rows per entity = #buckets — tiny)
+    // bucket-final feature state per (entity, bucket) in one aggregation:
+    // any feature row (payload non-null) outranks every spine probe, then
+    // (ts, tie-break) picks the bucket's last feature row; spine-only
+    // buckets yield a null and rely on the carry. The window over buckets
+    // is tiny: rows per entity = #buckets.
     val wCarry = Window
       .partitionBy(col("_e"))
       .orderBy(col("_b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = withRun
+    val carry = unioned
       .groupBy(col("_e"), col("_b"))
-      // _bfinal is constant within the (entity, bucket) group
-      .agg(first(col("_bfinal"), ignoreNulls = false).as("_bf"))
+      .agg(max_by(
+        col("_p"),
+        struct(col("_p").isNotNull, col("_t"), col("_o"))).as("_bf"))
       .withColumn("_carry", last(col("_bf"), ignoreNulls = true).over(wCarry))
-      .select(col("_e"), col("_b"), col("_carry"))
+      .select(col("_e").as("_ce"), col("_b").as("_cb"), col("_carry"))
 
+    // null-safe join keys: Window.partitionBy groups null entities (and
+    // null-ts buckets) together, so the bucketed strategy must too
     val matched = withRun
-      .join(carry, Seq("_e", "_b"))
+      .join(carry, col("_e") <=> col("_ce") && col("_b") <=> col("_cb"))
       .withColumn("_match", coalesce(col("_run"), col("_carry")))
       .filter(col("_side") === 1 && col("_match").isNotNull)
       .select(outCols.map(c => col("_match").getField(c).as(c)): _*)

@@ -10,11 +10,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * and stateful halves of the streaming story ([[StreamingIngest]] being
   * the store-materialization half).
   *
-  * Scale notes: both operators shuffle once by entity; state is bounded
-  * by the watermark (windowed aggs age out automatically, the
-  * latest-state map holds one row per live entity — the same cardinality
-  * an online store would). State lives in the state store, checkpointed,
-  * per-partition — no driver involvement.
+  * Scale notes: both operators shuffle once by entity. Windowed-agg
+  * state is bounded by the watermark (closed windows age out); the
+  * latest-state map holds one entry per entity ever seen — the same
+  * cardinality an online store would, bounded only if the entity domain
+  * is. State lives in the state store, checkpointed, per-partition —
+  * no driver involvement.
   */
 object StreamingFeatures {
 
@@ -64,9 +65,17 @@ object StreamingFeatures {
   /** Continuously-maintained latest-row-per-entity — the streaming twin
     * of [[graft.store.PointInTime.latestPerEntity]] and the online-
     * serving materialization: each micro-batch emits only entities whose
-    * latest state changed. Out-of-order rows older than the held state
-    * are ignored (PIT semantics: the max-timestamp row wins, ties to
-    * the later arrival).
+    * latest state changed.
+    *
+    * Semantics: rows later than the watermark by more than `lateness`
+    * are dropped before reaching the state function (EventTimeTimeout
+    * enables Spark's late-event filter; with NoTimeout the watermark
+    * would be a silent no-op here). Among surviving rows, the
+    * max-(timestamp, value) row wins within a batch (deterministic
+    * tie-break) and an equal-or-newer timestamp across batches replaces
+    * held state. State is one entry per entity ever seen and is NOT
+    * expired by the watermark — for unbounded entity domains (session
+    * ids), add a state timeout at the call site.
     */
   def latestState(
       events: Dataset[FeatureEvent],
@@ -77,9 +86,9 @@ object StreamingFeatures {
       .withWatermark("timestamp", lateness)
       .groupByKey(_.entity_id)
       .flatMapGroupsWithState[LatestState, LatestState](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (entity: String, rows: Iterator[FeatureEvent], state: GroupState[LatestState]) =>
-          val incoming = rows.maxByOption(e => e.timestamp.getTime)
+          val incoming = rows.maxByOption(e => (e.timestamp.getTime, e.value))
           val current = state.getOption
           incoming match {
             case Some(e)
