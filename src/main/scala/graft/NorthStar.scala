@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -43,6 +44,35 @@ object NorthStar {
           min(col("doc_id")).as("min_doc_id"),
           max(col("doc_id")).as("max_doc_id"))
         .orderBy("source")),
+
+    // ---- relational breadth: broadcast dim join + windowed analytics ----
+    "join_customer_orders" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+        .orderBy("c_mktsegment")
+    }),
+    "window_running_totals" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      SparkEntry
+        .eventsForNorthStar(s, dir)
+        .select(
+          col("user_id").as("entity_id"),
+          col("ts").as("timestamp"),
+          col("event_id"),
+          count(lit(1)).over(w).as("running_events"),
+          sum(round(col("value") * 100).cast("long")).over(w)
+            .as("running_value_cents"))
+        .orderBy("entity_id", "timestamp", "event_id")
+    }),
 
     // ---- dedup family ----
     "dedup_exact" -> ((s, dir) =>
@@ -156,6 +186,23 @@ object NorthStar {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "join_customer_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "window_running_totals" ->
+      """SELECT user_id AS entity_id, ts AS "timestamp", event_id,
+        |       CAST(count(*) OVER w AS BIGINT) AS running_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        |           AS running_value_cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

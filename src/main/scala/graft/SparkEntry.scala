@@ -40,6 +40,10 @@ object SparkEntry {
       col("props"))
   }
 
+  /** events with normalized `ts` for the NorthStar query set. */
+  private[graft] def eventsForNorthStar(s: SparkSession, dir: String): DataFrame =
+    eventsRaw(s, dir)
+
   /** events recast as a feature table: user_id → entity_id, ts → timestamp,
     * event_id as the deterministic tie-break (FIXTURES.md B).
     */
