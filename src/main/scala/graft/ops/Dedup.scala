@@ -143,20 +143,23 @@ object Dedup {
       shingleWidth: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
     val p = Hashing.MinHashPrime
-    val perms = spark
-      .range(numPerms)
-      .select(
-        col("id").cast("int").as("perm"),
-        (lit(1L) + lit(37L) * col("id")).as("_a"),
-        ((lit(1000003L) * col("id") + lit(12345L)) % p).as("_b"))
-    val hashed = wordShingles(docs, shingleWidth, idCol, textCol)
-      .select(col(idCol), (Hashing.md5Long60(col("shingle")) % p).as("_h"))
-    hashed
-      .join(broadcast(perms))
-      .groupBy(col(idCol), col("perm"))
-      .agg(min((col("_a") * col("_h") + col("_b")) % p).as("minhash"))
+    val hashed = shingleHashSets(docs, shingleWidth, idCol, textCol)
+      .select(col(idCol), explode(col("_set")).as("_e"))
+      .select(col(idCol), (col("_e") % p).as("_h"))
+    val minAggs = (0 until numPerms).map { i =>
+      min((lit(Hashing.permA(i)) * col("_h") + lit(Hashing.permB(i))) % p)
+        .as(s"_mh$i")
+    }
+    // wide aggregation (one partial-combined shuffle), unpivoted back to
+    // the documented long (id, perm, minhash) shape without a join
+    val wide = hashed.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+    val permStructs = (0 until numPerms).map { i =>
+      struct(lit(i).as("perm"), col(s"_mh$i").as("minhash"))
+    }
+    wide
+      .select(col(idCol), explode(array(permStructs: _*)).as("_pm"))
+      .select(col(idCol), col("_pm.perm").as("perm"), col("_pm.minhash").as("minhash"))
   }
 
   /** LSH banding: group each doc's minhashes into bands of
