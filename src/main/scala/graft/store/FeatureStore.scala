@@ -28,7 +28,8 @@ import scala.collection.immutable.SortedMap
 final class FeatureStore(
     val spark: SparkSession,
     storageRoot: String = null,
-    val maxVersions: Int = 10) {
+    val maxVersions: Int = 10,
+    partitionGranularity: String = "month") {
 
   if (maxVersions < 1)
     throw new IllegalArgumentException(
@@ -38,7 +39,7 @@ final class FeatureStore(
 
   private val root =
     Option(storageRoot).getOrElse(Storage.defaultRoot())
-  private val storage = new Storage(spark, root)
+  private val storage = new Storage(spark, root, partitionGranularity)
   private val catalog = new Catalog
   // Reopen an existing store: the catalog file under the root (written
   // on every mutation) restores tables, versions and schemas.

@@ -12,16 +12,42 @@ import org.apache.spark.sql.functions._
   * Write layout is chosen for the 100 TB read paths, implementing what the
   * reference's author lists as future work (reference README.md:167,
   * time-based partitioning):
-  *   - partitioned by a derived `_ts_date` day column → partition pruning
-  *     for `timestamp <= T` scans;
-  *   - within each partition, repartitioned by entity and sorted by
-  *     (entity, timestamp) → parquet row-group min/max stats make
-  *     per-entity probes skip row groups, and the PIT aggregation's
-  *     map-side combine sees clustered keys.
+  *   - partitioned by a derived `_ts_date` period column (month by
+  *     default, day for high-density tables) → partition pruning for
+  *     `timestamp <= T` scans;
+  *   - the shuffle before the write is keyed by the PARTITION column,
+  *     not the entity: every task then holds few periods, so the file
+  *     count stays ≈ #periods. (Keying by entity looks natural but makes
+  *     every task write a file into every period directory —
+  *     tasks × periods tiny files.)
+  *   - within each file, rows sorted by (entity, timestamp) → parquet
+  *     row-group min/max stats make per-entity probes skip row groups.
   */
-final class Storage(spark: SparkSession, root: String) {
+final class Storage(
+    spark: SparkSession,
+    root: String,
+    granularity: String = "month") {
 
   private val DateCol = "_ts_date"
+
+  private def period(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    granularity match {
+      case "day"   => to_date(ts)
+      case "month" => trunc(ts, "month")
+      case other =>
+        throw new FeatureValidationError(
+          s"Unsupported partition granularity '$other' (day|month)")
+    }
+
+  /** The partition-pruning bound for `timestamp <= T`: the period
+    * containing T (rows later in the same period are removed by the
+    * main timestamp predicate).
+    */
+  private def periodOf(d: java.time.LocalDate): java.time.LocalDate =
+    granularity match {
+      case "day" => d
+      case _     => d.withDayOfMonth(1)
+    }
 
   def tablePath(name: String): String = s"$root/$name"
   def versionPath(name: String, version: Int): String =
@@ -37,8 +63,8 @@ final class Storage(spark: SparkSession, root: String) {
       entityCol: String,
       tsCol: String): Long = {
     val path = versionPath(name, version)
-    df.withColumn(DateCol, to_date(col(tsCol)))
-      .repartition(col(entityCol))
+    df.withColumn(DateCol, period(col(tsCol)))
+      .repartition(col(DateCol))
       .sortWithinPartitions(col(entityCol), col(tsCol))
       .write
       .mode("overwrite")
@@ -60,7 +86,8 @@ final class Storage(spark: SparkSession, root: String) {
       columns: Seq[String],
       asOfDate: Option[java.time.LocalDate] = None): DataFrame = {
     val base = spark.read.parquet(versionPath(name, version))
-    val pruned = asOfDate.fold(base)(d => base.filter(col(DateCol) <= lit(d)))
+    val pruned =
+      asOfDate.fold(base)(d => base.filter(col(DateCol) <= lit(periodOf(d))))
     pruned.select(columns.map(col): _*)
   }
 
