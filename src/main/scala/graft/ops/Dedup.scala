@@ -46,30 +46,15 @@ object Dedup {
       docs: DataFrame,
       n: Int,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val toks = split(col(textCol), " ")
-    docs
-      .select(col(idCol), toks.as("_toks"))
-      .filter(size(col("_toks")) >= n)
-      .select(
-        col(idCol),
-        col("_toks"),
-        explode(sequence(lit(0), size(col("_toks")) - n)).as("_i"))
-      .select(
-        col(idCol),
-        concat_ws(
-          " ",
-          (1 to n).map(j => element_at(col("_toks"), col("_i") + j)): _*)
-          .as("shingle"))
-      .distinct()
-  }
+      textCol: String = "text"): DataFrame =
+    shingleOccurrences(docs, n, idCol, textCol).distinct()
 
-  /** Per-doc distinct shingle-hash sets: (id, _set array<long>, _n size).
-    * Shingles are hashed to the portable 60-bit family — ~8 bytes per
-    * key downstream instead of a 20+-byte string, with 2^-60 collision
-    * odds per pair.
+  /** All (id, shingle) occurrences, not yet deduplicated — the shared
+    * tokenization core of [[wordShingles]] and [[shingleHashSets]]; any
+    * tokenization change here applies to the whole Jaccard/MinHash
+    * family at once.
     */
-  private def shingleHashSets(
+  private def shingleOccurrences(
       docs: DataFrame,
       n: Int,
       idCol: String,
@@ -84,15 +69,28 @@ object Dedup {
         explode(sequence(lit(0), size(col("_toks")) - n)).as("_i"))
       .select(
         col(idCol),
-        Hashing
-          .md5Long60(concat_ws(
-            " ",
-            (1 to n).map(j => element_at(col("_toks"), col("_i") + j)): _*))
-          .as("_sh"))
+        concat_ws(
+          " ",
+          (1 to n).map(j => element_at(col("_toks"), col("_i") + j)): _*)
+          .as("shingle"))
+  }
+
+  /** Per-doc distinct shingle-hash sets: (id, _set array<long>, _n size).
+    * Shingles are hashed to the portable 60-bit family — ~8 bytes per
+    * key downstream instead of a 20+-byte string, with 2^-60 collision
+    * odds per pair. One aggregation dedups and sizes in a single
+    * shuffle.
+    */
+  private def shingleHashSets(
+      docs: DataFrame,
+      n: Int,
+      idCol: String,
+      textCol: String): DataFrame =
+    shingleOccurrences(docs, n, idCol, textCol)
+      .select(col(idCol), Hashing.md5Long60(col("shingle")).as("_sh"))
       .groupBy(col(idCol))
       .agg(collect_set(col("_sh")).as("_set"))
       .select(col(idCol), col("_set"), size(col("_set")).as("_n"))
-  }
 
   /** Exact n-gram Jaccard near-duplicate pairs (ids a < b with
     * J(a,b) >= threshold). Pairwise work is bounded by the
@@ -174,6 +172,9 @@ object Dedup {
       shingleWidth: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    if (rowsPerBand < 1 || numPerms % rowsPerBand != 0)
+      throw new graft.store.FeatureValidationError(
+        s"rowsPerBand ($rowsPerBand) must be >= 1 and divide numPerms ($numPerms)")
     val p = Hashing.MinHashPrime
     // Wide form: all k minhashes as k min-aggregates in ONE partial-
     // aggregated shuffle (no permutation join, no collect_list sort) —

@@ -131,7 +131,8 @@ object Similarity {
           if (oIds(j) > idA) {
             val vb = oVecs(j)
             var d = 0.0; var t = 0
-            while (t < va.length) { d += va(t) * vb(t); t += 1 }
+            val n = math.min(va.length, vb.length)
+            while (t < n) { d += va(t) * vb(t); t += 1 }
             val cos = d / (na * oNorms(j))
             if (cos >= threshold) out += ((idA, oIds(j), cos))
           }

@@ -60,7 +60,9 @@ final class Catalog {
 
   def remove(name: String): Option[TableMeta] = tables.remove(name)
 
-  def all: Seq[TableMeta] = names.map(tables(_))
+  /** Atomic snapshot — safe against concurrent removals. */
+  def all: Seq[TableMeta] =
+    tables.readOnlySnapshot().values.toSeq.sortBy(_.name)
 }
 
 /** Durable catalog state: a tiny line-based metadata file under the
@@ -94,7 +96,9 @@ object CatalogPersistence {
     }
     val path = catalogFile(root)
     Files.createDirectories(path.getParent)
-    val tmp = path.resolveSibling("_catalog.tsv.tmp")
+    // unique tmp name: concurrent saves must not interleave on one file
+    val tmp = path.resolveSibling(
+      s"_catalog.tsv.tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, lines.mkString("\n"))
     Files.move(
       tmp, path,

@@ -59,7 +59,7 @@ final class FeatureStore(
   def register(
       name: String,
       df: DataFrame,
-      description: String = ""): FeatureTableInfo = {
+      description: String = ""): FeatureTableInfo = this.synchronized {
     Validation.validateDataFrame(df, name)
     val prepared = prepare(df)
     val now = System.currentTimeMillis()
@@ -140,7 +140,7 @@ final class FeatureStore(
   /** Drop a table and all versions; returns false (never throws) when the
     * table does not exist (reference: store.py:362-375).
     */
-  def delete(name: String): Boolean =
+  def delete(name: String): Boolean = this.synchronized {
     catalog.remove(name) match {
       case Some(_) =>
         storage.deleteTable(name)
@@ -148,6 +148,7 @@ final class FeatureStore(
         true
       case None => false
     }
+  }
 
   // ---------------------------------------------------------------- private
 
@@ -157,19 +158,33 @@ final class FeatureStore(
   private def currentData(
       meta: TableMeta,
       asOf: Option[Timestamp] = None): DataFrame =
-    storage.read(
-      meta.name,
-      meta.version,
-      meta.columns :+ IngestKeyCol,
-      asOf.map(_.toInstant.atZone(ZoneOffset.UTC).toLocalDate))
+    storage.read(meta.name, meta.version, meta.columns :+ IngestKeyCol, asOf)
 
   /** Cast timestamp + attach the deterministic ingest key
     * (reference: store.py:472-486 casts and sorts; the physical sort
-    * happens at write time in [[Storage]]).
+    * happens at write time in [[Storage]]). Unparseable timestamp values
+    * are rejected rather than silently nulled — the reference's
+    * `pd.to_datetime` raises, and a silently-null row would vanish from
+    * every PIT read while still counting toward rowCount.
     */
-  private def prepare(df: DataFrame): DataFrame =
+  private def prepare(df: DataFrame): DataFrame = {
+    val tsIsTemporal = df.schema(TimestampColumn).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType    => true
+      case _: org.apache.spark.sql.types.TimestampNTZType => true
+      case _: org.apache.spark.sql.types.DateType         => true
+      case _                                              => false
+    }
+    if (!tsIsTemporal) {
+      val bad = df.filter(
+        col(TimestampColumn).isNotNull &&
+          col(TimestampColumn).cast(TimestampType).isNull)
+      if (!bad.isEmpty)
+        throw new FeatureValidationError(
+          s"Column '$TimestampColumn' contains values that cannot be cast to timestamp")
+    }
     df.withColumn(TimestampColumn, col(TimestampColumn).cast(TimestampType))
       .withColumn(IngestKeyCol, xxhash64(df.columns.map(col): _*))
+  }
 
   /** Keep the newest `maxVersions` snapshots, current counting as one
     * (reference: store.py:585-599).

@@ -158,9 +158,7 @@ object PointInTime {
       tsCol: String,
       tieBreakCols: Seq[String],
       tableName: String): (DataFrame, Seq[String]) = {
-    Validation.validateDataFrame(
-      spine.select(spine.columns.filter(Seq(entityCol, tsCol).contains).map(col): _*),
-      "entity_timestamps")
+    Validation.validateSpine(spine, entityCol, tsCol)
     columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
 
     val outCols = table.columns.toSeq
@@ -289,13 +287,17 @@ object PointInTime {
       .distinct()
     val payload = struct(table.columns.map(col): _*)
     val ord = struct((tsCol +: tieBreakCols).map(col): _*)
+    // null-safe entity equality: the window formulations group null
+    // entities together, so this strategy must match them too (null-ts
+    // probes never match anywhere: ts <= null is null — same as the
+    // reference's NaT comparisons)
     val best = probes
-      .join(table, probes("_e") === table(entityCol) && table(tsCol) <= probes("_t"))
+      .join(table, probes("_e") <=> table(entityCol) && table(tsCol) <= probes("_t"))
       .groupBy(col("_e"), col("_t"))
       .agg(max_by(payload, ord).as("_match"))
     val expanded = spine
-      .select(col(entityCol).cast(entityType).as("_e"), col(tsCol).cast(tsType).as("_t"))
-      .join(best, Seq("_e", "_t"))
+      .select(col(entityCol).cast(entityType).as("_se"), col(tsCol).cast(tsType).as("_st"))
+      .join(best, col("_se") <=> col("_e") && col("_st") <=> col("_t"))
       .select(table.columns.map(c => col("_match").getField(c).as(c)): _*)
     project(expanded, columns, entityCol, tsCol)
   }

@@ -39,15 +39,6 @@ final class Storage(
           s"Unsupported partition granularity '$other' (day|month)")
     }
 
-  /** The partition-pruning bound for `timestamp <= T`: the period
-    * containing T (rows later in the same period are removed by the
-    * main timestamp predicate).
-    */
-  private def periodOf(d: java.time.LocalDate): java.time.LocalDate =
-    granularity match {
-      case "day" => d
-      case _     => d.withDayOfMonth(1)
-    }
 
   def tablePath(name: String): String = s"$root/$name"
   def versionPath(name: String, version: Int): String =
@@ -75,19 +66,23 @@ final class Storage(
 
   /** Read one version snapshot with the original column order restored
     * (the partition column is internal and dropped). When an as-of
-    * cutoff is known, the derived day predicate prunes partitions at
-    * planning time — `timestamp <= T ⇒ _ts_date <= date(T)` — which is
+    * cutoff is known, the derived period predicate prunes partitions at
+    * planning time — `timestamp <= T ⇒ _ts_date <= period(T)` — which is
     * the reference author's wish-list item (README.md:167, "partitioning
-    * by month reduces scan size by 24x") implemented natively.
+    * by month reduces scan size by 24x") implemented natively. The bound
+    * is derived with the SAME `period` expression that produced the
+    * partition values, so write and read agree under any session
+    * timezone (a driver-side UTC conversion would silently prune valid
+    * rows in non-UTC sessions).
     */
   def read(
       name: String,
       version: Int,
       columns: Seq[String],
-      asOfDate: Option[java.time.LocalDate] = None): DataFrame = {
+      asOf: Option[java.sql.Timestamp] = None): DataFrame = {
     val base = spark.read.parquet(versionPath(name, version))
     val pruned =
-      asOfDate.fold(base)(d => base.filter(col(DateCol) <= lit(periodOf(d))))
+      asOf.fold(base)(t => base.filter(col(DateCol) <= period(lit(t))))
     pruned.select(columns.map(col): _*)
   }
 

@@ -28,6 +28,19 @@ object Validation {
       throw new FeatureValidationError(s"$context must not be empty")
   }
 
+  /** Spine validation with caller-chosen column names (the kernel API
+    * allows non-default entityCol/tsCol; the fixed-name check above is
+    * the store-level contract).
+    */
+  def validateSpine(df: DataFrame, entityCol: String, tsCol: String): Unit = {
+    val missing = Seq(entityCol, tsCol).filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new FeatureValidationError(
+        s"entity_timestamps is missing required columns: ${missing.mkString(", ")}")
+    if (df.select(Seq(entityCol, tsCol).map(org.apache.spark.sql.functions.col): _*).isEmpty)
+      throw new FeatureValidationError("entity_timestamps must not be empty")
+  }
+
   /** Requested projection must be a subset of the *feature* columns —
     * entity_id/timestamp cannot be re-requested because they are always
     * prepended to the output (reference: store.py:448-470).

@@ -30,16 +30,20 @@ object StreamingIngest {
     * "re-register the whole table" policy, automated). Full-snapshot
     * rewrite per batch mirrors the reference's versioning semantics; at
     * 100 TB the same seam takes a Delta/Iceberg append instead.
+    *
+    * Late rows are ACCEPTED, not dropped: a foreachBatch sink has no
+    * stateful operator, so a watermark here would be a silent no-op —
+    * and accepting late data IS the reference's policy ("accept
+    * staleness and recompute in the next batch", README.md:142). Bounded
+    * lateness filtering belongs to the stateful operators in
+    * [[StreamingFeatures]].
     */
   def start(
       stream: DataFrame,
       store: FeatureStore,
       name: String,
-      lateness: String = "10 minutes",
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    stream
-      .withWatermark("timestamp", lateness)
-      .writeStream
+    stream.writeStream
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
