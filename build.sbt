@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout/stderr straight through instead of
+// re-logging with an "[info] " prefix: Bench/Verify print a machine-read
+// JSON line on stdout that must stay parseable byte-for-byte.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
