@@ -109,10 +109,15 @@ object NorthStar {
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(Multimodal.asMedia(docs(s, dir))).orderBy("doc_id")),
+    // long format (one row per histogram bucket): the driver's compare
+    // sorts every column in pandas, which cannot order array cells — so
+    // the oracle-facing shape is array-free; the library API
+    // (extractFeatures) still returns the fixed-width vector.
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.asMedia(docs(s, dir)))
         .toDF()
-        .orderBy("doc_id"))
+        .select(col("doc_id"), col("n_bytes"), posexplode(col("features")).as(Seq("bucket", "feature")))
+        .orderBy("doc_id", "bucket"))
   )
 
   // ------------------------------------------------------------ oracles
@@ -349,9 +354,9 @@ object NorthStar {
         |  FROM grid LEFT JOIN bk
         |    ON bk.doc_id = grid.doc_id AND bk.bucket = grid.b
         |)
-        |SELECT doc_id, CAST(nb AS INT) AS n_bytes,
-        |       list(c / greatest(nb, 1) ORDER BY b) AS features
-        |FROM hist GROUP BY doc_id, nb
-        |ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, CAST(nb AS INT) AS n_bytes, b AS bucket,
+        |       c / greatest(nb, 1) AS feature
+        |FROM hist
+        |ORDER BY doc_id, bucket""".stripMargin
   )
 }
