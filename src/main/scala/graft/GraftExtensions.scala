@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+import graft.functions.FloatVectorDot
+import graft.plans.AsOfJoinStrategy
+
+/** Session wiring for graft's Catalyst extensions:
+  *
+  *   - `graft_dot(a, b)` — native codegen float-vector dot product
+  *     ([[graft.functions.FloatVectorDot]]), callable from SQL;
+  *   - [[graft.plans.AsOfJoinStrategy]] — plans the native as-of join
+  *     operator ([[graft.plans.AsOfJoinNode]]).
+  *
+  * Two registration paths:
+  *
+  *   1. Config-based (cluster-wide, no code):
+  *      `spark.sql.extensions=graft.GraftExtensions`
+  *   2. Programmatic, on an already-built session:
+  *      `GraftExtensions.ensureRegistered(spark)` — idempotent; called
+  *      automatically by the graft entry points that need it.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    val (id, info, builder) = FloatVectorDot.descriptor
+    e.injectFunction((id, info, builder))
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
+}
+
+object GraftExtensions {
+
+  /** Register the strategy + SQL functions on a live session. Safe to
+    * call repeatedly (`extraStrategies` is deduplicated, the function
+    * registry write is replace-on-conflict).
+    */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val (id, info, builder) = FloatVectorDot.descriptor
+    org.apache.spark.sql.graftbridge.bridge.registerFunction(spark, id, info, builder)
+  }
+}

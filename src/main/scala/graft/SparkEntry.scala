@@ -187,6 +187,22 @@ object SparkEntry {
         .orderBy("entity_id", "timestamp", "o_orderkey")
     }),
 
+    // O8 as a first-class Catalyst operator: custom LogicalPlan +
+    // Strategy + merge-join SparkPlan (graft.plans.AsOfJoinExec),
+    // registered via SparkSessionExtensions; same semantics and oracle
+    // as the other three strategies
+    "asof_join_native" -> ((s, dir) => {
+      val feat = ordersFeatures(s, dir)
+      val spine = read(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(
+          col("o_custkey").as("entity_id"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("timestamp"))
+      PointInTime
+        .asOfJoinNative(spine, feat, tieBreakCols = Seq("o_orderkey"))
+        .orderBy("entity_id", "timestamp", "o_orderkey")
+    }),
+
     // O8 on the event stream: probe each sampled event 1h after it happened
     "asof_join_events" -> ((s, dir) => {
       val feat = eventsFeatures(s, dir)
@@ -300,6 +316,8 @@ object SparkEntry {
     "asof_join_via_join" -> OrdersAsOfOracle,
 
     "asof_join_bucketed" -> OrdersAsOfOracle,
+
+    "asof_join_native" -> OrdersAsOfOracle,
 
     "asof_join_events" ->
       """WITH spine AS (

@@ -33,19 +33,15 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** JVM-compiled left fold: float elements widened to double, products
-    * accumulated left-to-right — exactly [[dot]]'s (and DuckDB
-    * `list_sum(list_transform(...))`'s) rounding sequence, ~100× faster
-    * than the interpreted HOF on pair-heavy plans.
+  /** Native codegen left fold ([[graft.functions.FloatVectorDot]]):
+    * float elements widened to double, products accumulated
+    * left-to-right — exactly [[dot]]'s (and DuckDB
+    * `list_sum(list_transform(...))`'s) rounding sequence. Reads the
+    * unsafe array buffers directly inside whole-stage codegen — no
+    * Seq boxing (the former UDF form), no interpreted HOF.
     */
-  val dotFast: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (a: Seq[Float], b: Seq[Float]) =>
-      var acc = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-      acc
-    }
+  def dotFast(a: Column, b: Column): Column =
+    graft.functions.FloatVectorDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -3,6 +3,7 @@ package graft.store
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.bridge
 
 /** The two temporal kernels of the engine, as pure `DataFrame => DataFrame`
   * transformations (no catalog state):
@@ -264,6 +265,42 @@ object PointInTime {
       .select(outCols.map(c => col("_match").getField(c).as(c)): _*)
 
     project(matched, columns, entityCol, tsCol)
+  }
+
+  /** Native-operator as-of join: identical semantics and oracle to
+    * [[asOfJoin]], planned as graft's custom Catalyst operator
+    * ([[graft.plans.AsOfJoinNode]] → [[graft.plans.AsOfJoinExec]]) — a
+    * streaming merge over co-partitioned, co-sorted children with O(1)
+    * per-partition state. EnsureRequirements plans the exchanges/sorts,
+    * so a feature table already clustered by entity (graft's
+    * registration layout) joins with no feature-side shuffle.
+    */
+  def asOfJoinNative(
+      spine: DataFrame,
+      table: DataFrame,
+      columns: Option[Seq[String]] = None,
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn,
+      tieBreakCols: Seq[String] = Nil,
+      tableName: String = "<anonymous>"): DataFrame = {
+    Validation.validateSpine(spine, entityCol, tsCol)
+    columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
+    val spark = table.sparkSession
+    graft.GraftExtensions.ensureRegistered(spark)
+    val entityType = table.schema(entityCol).dataType
+    val tsType = table.schema(tsCol).dataType
+    val spineNorm = spine.select(
+      col(entityCol).cast(entityType).as(entityCol),
+      col(tsCol).cast(tsType).as(tsCol))
+    val lplan = bridge.analyzed(spineNorm)
+    val rplan = bridge.analyzed(table)
+    def rAttr(n: String) = rplan.output.find(_.name == n).getOrElse(
+      throw new FeatureValidationError(s"column '$n' not found in feature table"))
+    val node = graft.plans.AsOfJoinNode(
+      lplan, rplan,
+      lplan.output.head, lplan.output(1),
+      rAttr(entityCol), rAttr(tsCol), tieBreakCols.map(rAttr))
+    project(bridge.ofRows(spark, node), columns, entityCol, tsCol)
   }
 
   /** Naive as-of plan for comparison / tiny broadcastable spines:

@@ -140,6 +140,23 @@ object PointInTimeProps extends Properties("PointInTime") {
     a == b
   }
 
+  property("asOfJoinNative (custom operator) equals asOfJoin") = forAll(
+    genRows, genSpine) { (rows, spine) =>
+    val s = spark
+    import s.implicits._
+    val spineDf = (if (spine.isEmpty) List(("z", 1)) else spine)
+      .map { case (e, d) => (e, ts(d)) }
+      .toDF("entity_id", "timestamp")
+    val df = toDF(rows)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(2), r.getLong(3))
+    val a = PointInTime.asOfJoin(spineDf, df, tieBreakCols = Seq("seq"))
+      .collect().map(key).toList.sorted
+    val b = PointInTime.asOfJoinNative(spineDf, df, tieBreakCols = Seq("seq"))
+      .collect().map(key).toList.sorted
+    a == b
+  }
+
   property("asOfJoin merge and join formulations agree") = forAll(
     genRows, genSpine) { (rows, spine) =>
     val s = spark

@@ -168,6 +168,44 @@ class PointInTimeSpec extends AnyFunSuite with SparkTestBase {
     assert(joined.collect().head.getAs[String]("tag") == "second")
   }
 
+  test("native as-of operator: semantics + plans as AsOfJoinExec") {
+    val s = spark
+    import s.implicits._
+    val spine = Seq(
+      ("user_1", ts("2024-01-20")),
+      ("user_1", ts("2024-01-20")), // duplicate spine pair preserved
+      ("user_2", ts("2024-01-15")),
+      ("user_1", ts("2024-01-15")), // exact boundary inclusive
+      ("ghost", ts("2024-06-01"))) // unknown entity dropped
+      .toDF("entity_id", "timestamp")
+    val native = PointInTime.asOfJoinNative(spine, sampleFeatures)
+    val physical = native.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$physical")
+    val a = native.orderBy("entity_id", "timestamp").collect().toSeq
+    val b = PointInTime.asOfJoin(spine, sampleFeatures)
+      .orderBy("entity_id", "timestamp").collect().toSeq
+    assert(a == b)
+    assert(a.length == 4)
+  }
+
+  test("native as-of operator: projection and tie-break") {
+    val s = spark
+    import s.implicits._
+    val spine = Seq(("user_1", ts("2024-01-20"))).toDF("entity_id", "timestamp")
+    val projected = PointInTime.asOfJoinNative(spine, sampleFeatures, Some(Seq("feature_b")))
+    assert(projected.columns.toSeq == Seq("entity_id", "timestamp", "feature_b"))
+    assert(projected.collect().head.getAs[Long]("feature_b") == 200L)
+
+    val dup = Seq(
+      ("u", ts("2024-01-01"), "first", 1L),
+      ("u", ts("2024-01-01"), "second", 2L)).toDF("entity_id", "timestamp", "tag", "seq")
+    val joined = PointInTime.asOfJoinNative(
+      Seq(("u", ts("2024-06-01"))).toDF("entity_id", "timestamp"),
+      dup, tieBreakCols = Seq("seq"))
+    assert(joined.collect().head.getAs[String]("tag") == "second")
+  }
+
   test("latestPerEntity on empty input returns empty with schema") {
     val empty = sampleFeatures.limit(0)
     val out = PointInTime.latestPerEntity(empty)

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** The native codegen dot product must be bit-identical to the
+  * interpreted higher-order-function fold (which is itself verified
+  * bit-identical to DuckDB's list_sum in the oracle gate) — same
+  * left-to-right double accumulation, just compiled.
+  */
+class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def vecs = {
+    val s = spark
+    import s.implicits._
+    // adversarial floats: denormals-ish, negatives, catastrophic
+    // cancellation candidates, plus a length mismatch
+    Seq(
+      (1L, Array(1.0f, 2.5f, -3.25f, 1e-7f), Array(4.0f, -0.5f, 2.0f, 1e7f)),
+      (2L, Array(0.1f, 0.2f, 0.3f), Array(0.3f, 0.2f, 0.1f)),
+      (3L, Array(1e8f, 1.0f, -1e8f), Array(1.0f, 1.0f, 1.0f)),
+      (4L, Array.empty[Float], Array(1.0f)),
+      (5L, Array(2.0f, 3.0f), Array(5.0f))) // length mismatch: shorter wins
+      .toDF("id", "a", "b")
+  }
+
+  test("graft_dot equals the interpreted HOF fold bit-for-bit") {
+    // equal-length rows only: zip_with null-pads a shorter array (→
+    // NULL), graft_dot takes min length like the engine's former UDF.
+    // Embeddings are fixed-width, so only the equal-length contract is
+    // oracle-facing.
+    val rows = vecs
+      .filter(size(col("a")) === size(col("b")))
+      .select(
+        Similarity.dotFast(col("a"), col("b")).as("fast"),
+        Similarity.dot(col("a"), col("b")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(
+        java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"fast=${r.getDouble(0)} ref=${r.getDouble(1)}")
+    }
+  }
+
+  test("null array propagates null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Option(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("id", "a", "b")
+    val out = df.select(Similarity.dotFast(col("a"), col("b"))).collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("graft_dot is callable from SQL after extension registration") {
+    GraftExtensions.ensureRegistered(spark)
+    vecs.createOrReplaceTempView("vecs_sql_test")
+    val out = spark
+      .sql("SELECT id, graft_dot(a, b) AS d FROM vecs_sql_test ORDER BY id")
+      .collect()
+    assert(out.length == 5)
+    assert(out(1).getDouble(1) == (0.1f.toDouble * 0.3f.toDouble +
+      0.2f.toDouble * 0.2f.toDouble + 0.3f.toDouble * 0.1f.toDouble))
+    assert(out(3).getDouble(1) == 0.0) // empty side → empty zip → 0
+  }
+
+  test("non-array input is rejected at analysis") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "nope")).toDF("id", "a")
+    intercept[Exception] {
+      df.select(Similarity.dotFast(col("a"), col("a"))).collect()
+    }
+  }
+}
