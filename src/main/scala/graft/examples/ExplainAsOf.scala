@@ -1,0 +1,26 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: dump the formatted physical plans of the as-of strategies
+  * to eyeball exchange/scan reuse and codegen spans.
+  */
+object ExplainAsOf {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = if (args.length > 1) args(1) else "asof_join_bucketed"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = graft.SparkEntry.queries(which)(spark, dir)
+    df.explain("formatted")
+    val t0 = System.nanoTime()
+    val n = df.count()
+    println(s"[explain] $which rows=$n in ${(System.nanoTime() - t0) / 1e9}s")
+    spark.stop()
+  }
+}

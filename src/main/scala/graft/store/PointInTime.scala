@@ -242,8 +242,12 @@ object PointInTime {
     // bucket-final feature state per (entity, bucket) in one aggregation:
     // any feature row (payload non-null) outranks every spine probe, then
     // (ts, tie-break) picks the bucket's last feature row; spine-only
-    // buckets yield a null and rely on the carry. The window over buckets
-    // is tiny: rows per entity = #buckets.
+    // buckets yield a null and rely on the carry (they MUST appear here —
+    // the inner join below pairs every probe's (entity, bucket) with its
+    // carry row, so the aggregation runs over the full union, and the
+    // map-side partial combine shrinks the shuffle to one row per
+    // (entity, bucket) per task). The window over buckets is tiny: rows
+    // per entity = #buckets.
     val wCarry = Window
       .partitionBy(col("_e"))
       .orderBy(col("_b").asc)
