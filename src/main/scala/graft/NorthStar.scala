@@ -94,14 +94,15 @@ object NorthStar {
     "ann_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), AnnQueryIds, k = 3)
         .orderBy("query_id", "rank")),
-    // approximate scale path — verified against brute force in the test
-    // suite (recall), not oracle-SQL-expressible at reasonable cost
+    // approximate scale path — deterministic md5-derived hyperplanes,
+    // so the whole bucket/score/rank pipeline is oracle-SQL-expressible
+    // (recall vs brute force additionally measured in the test suite)
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), AnnQueryIds, k = 3, numPlanes = 6)
         .orderBy("query_id", "rank")),
 
-    // approximate IVF scale path — recall-tested against brute force,
-    // not oracle-SQL-expressible at reasonable cost
+    // approximate IVF scale path — deterministic coarse quantizer
+    // (lowest-id seed centroids), oracle-paired like the LSH path
     "ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), AnnQueryIds, k = 3, numCentroids = 16, nProbe = 4)
         .orderBy("query_id", "rank")),
@@ -321,6 +322,111 @@ object NorthStar {
         |           / (q.nrm * c.nrm) AS score
         |  FROM v q JOIN v c ON c.vec_id != q.vec_id
         |  WHERE q.vec_id IN (0,1,2,3,4,5,6,7,8,9)
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, score, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Hyperplane weights mirror Similarity.lshBuckets exactly: plane p,
+    // dim d ← md5Long60("p:d")/2^59 - 1, folded over the vector in dim
+    // order (list_sum(list_transform) is the same sequential double
+    // fold as the engine's tight loop — verified bit-identical). The
+    // embedding dimensionality (64) is a testdata constant; the engine
+    // derives it from the data at runtime.
+    "ann_lsh_topk" ->
+      """WITH w AS (
+        |  SELECT CAST(p.i AS INT) AS p, CAST(d.i AS INT) AS d,
+        |         CAST(('0x' || substr(md5(p.i || ':' || d.i), 1, 15)) AS BIGINT)
+        |           / pow(2, 59) - 1.0 AS wt
+        |  FROM range(0, 6) p(i), range(0, 64) d(i)
+        |),
+        |planes AS (SELECT p, list(wt ORDER BY d) AS wv FROM w GROUP BY p),
+        |v AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |sig AS (
+        |  SELECT v.vec_id,
+        |         CAST(sum(CASE WHEN list_sum(list_transform(
+        |                list_zip(v.embedding, pl.wv),
+        |                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) > 0
+        |              THEN CAST(pow(2, pl.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM v CROSS JOIN planes pl
+        |  GROUP BY v.vec_id
+        |),
+        |vb AS (SELECT v.vec_id, v.embedding, v.nrm, s.bucket
+        |       FROM v JOIN sig s USING (vec_id)),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, bucket
+        |  FROM vb WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)
+        |),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         list_sum(list_transform(list_zip(q.qv, c.embedding),
+        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |           / (q.qn * c.nrm) AS score
+        |  FROM q JOIN vb c ON c.bucket = q.bucket AND c.vec_id != q.query_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, score, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Coarse quantizer mirrors Similarity.ivfTopK: centroids = the 16
+    // lowest-id vectors; assignment = argmax inner product (ties →
+    // lowest centroid id, same as the engine's strict > scan); probes =
+    // top-4 centroids per query by the same order.
+    "ann_ivf_topk" ->
+      """WITH cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+        |         embedding AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 16
+        |),
+        |v AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |cscore AS (
+        |  SELECT v.vec_id, ct.c,
+        |         list_sum(list_transform(list_zip(v.embedding, ct.cv),
+        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS s
+        |  FROM v CROSS JOIN cents ct
+        |),
+        |rankedc AS (
+        |  SELECT vec_id, c,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |  FROM cscore
+        |),
+        |assign AS (SELECT vec_id, c AS lst FROM rankedc WHERE rn = 1),
+        |probes AS (SELECT vec_id, c FROM rankedc WHERE rn <= 4),
+        |cand AS (SELECT v.vec_id, v.embedding, v.nrm, a.lst
+        |         FROM v JOIN assign a USING (vec_id)),
+        |q AS (
+        |  SELECT v.vec_id AS query_id, v.embedding AS qv, v.nrm AS qn, p.c
+        |  FROM v JOIN probes p USING (vec_id)
+        |  WHERE v.vec_id IN (0,1,2,3,4,5,6,7,8,9)
+        |),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         list_sum(list_transform(list_zip(q.qv, c.embedding),
+        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |           / (q.qn * c.nrm) AS score
+        |  FROM q JOIN cand c ON c.lst = q.c AND c.vec_id != q.query_id
         |),
         |ranked AS (
         |  SELECT query_id, neighbor_id, score,
