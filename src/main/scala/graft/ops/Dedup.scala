@@ -142,9 +142,12 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val p = Hashing.MinHashPrime
-    val hashed = shingleHashSets(docs, shingleWidth, idCol, textCol)
-      .select(col(idCol), explode(col("_set")).as("_e"))
-      .select(col(idCol), (col("_e") % p).as("_h"))
+    // Straight from shingle occurrences: min under any permutation is
+    // invariant to duplicate shingles, so no per-doc distinct pass (and
+    // its extra shuffle + collect_set buffers) is needed — duplicates
+    // just lose the min() race map-side.
+    val hashed = shingleOccurrences(docs, shingleWidth, idCol, textCol)
+      .select(col(idCol), (Hashing.md5Long60(col("shingle")) % p).as("_h"))
     val minAggs = (0 until numPerms).map { i =>
       min((lit(Hashing.permA(i)) * col("_h") + lit(Hashing.permB(i))) % p)
         .as(s"_mh$i")
@@ -177,11 +180,11 @@ object Dedup {
         s"rowsPerBand ($rowsPerBand) must be >= 1 and divide numPerms ($numPerms)")
     val p = Hashing.MinHashPrime
     // Wide form: all k minhashes as k min-aggregates in ONE partial-
-    // aggregated shuffle (no permutation join, no collect_list sort) —
-    // the shape that holds up at corpus scale.
-    val hashed = shingleHashSets(docs, shingleWidth, idCol, textCol)
-      .select(col(idCol), explode(col("_set")).as("_e"))
-      .select(col(idCol), (col("_e") % p).as("_h"))
+    // aggregated shuffle (no permutation join, no collect_list sort,
+    // and no per-doc distinct pass — min is duplicate-invariant) — the
+    // shape that holds up at corpus scale.
+    val hashed = shingleOccurrences(docs, shingleWidth, idCol, textCol)
+      .select(col(idCol), (Hashing.md5Long60(col("shingle")) % p).as("_h"))
     val minAggs = (0 until numPerms).map { i =>
       min((lit(Hashing.permA(i)) * col("_h") + lit(Hashing.permB(i))) % p)
         .as(s"_mh$i")

@@ -75,7 +75,11 @@ object PointInTime {
       tieBreakCols: Seq[String] = Nil,
       tableName: String = "<anonymous>"): DataFrame = {
     columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
-    val timeFiltered = table.filter(col(tsCol) <= asOf)
+    // Prune to the requested columns BEFORE the argmax: the projection
+    // reaches the parquet scan (ReadSchema shrinks) and the aggregation
+    // payload carries only what the caller asked for.
+    val pruned = pruneFor(table, columns, entityCol, tsCol, tieBreakCols)
+    val timeFiltered = pruned.filter(col(tsCol) <= asOf)
     val filtered = entityIds match {
       case Some(ids) => timeFiltered.filter(col(entityCol).isin(ids: _*))
       case None      => timeFiltered
@@ -102,7 +106,7 @@ object PointInTime {
     val ids = entities
       .select(col(entityCol).cast(table.schema(entityCol).dataType).as(entityCol))
       .distinct()
-    val filtered = table
+    val filtered = pruneFor(table, columns, entityCol, tsCol, tieBreakCols)
       .filter(col(tsCol) <= asOf)
       .join(broadcast(ids), Seq(entityCol), "left_semi")
     project(latestPerEntity(filtered, entityCol, tsCol, tieBreakCols), columns, entityCol, tsCol)
@@ -162,17 +166,21 @@ object PointInTime {
     Validation.validateSpine(spine, entityCol, tsCol)
     columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
 
-    val outCols = table.columns.toSeq
+    // With an explicit projection the payload struct carries only the
+    // requested columns — the pruning reaches the feature-table scan and
+    // the union shuffles narrow rows instead of full ones.
+    val prunedTable = pruneFor(table, columns, entityCol, tsCol, tieBreakCols)
+    val outCols = prunedTable.columns.toSeq
     val payload = struct(outCols.map(col): _*)
-    val payloadType = table.select(payload.as("_p")).schema.head.dataType
+    val payloadType = prunedTable.select(payload.as("_p")).schema.head.dataType
     val ord =
       if (tieBreakCols.isEmpty) struct(lit(0))
       else struct(tieBreakCols.map(col): _*)
-    val ordType = table.select(ord.as("_o")).schema.head.dataType
-    val entityType = table.schema(entityCol).dataType
-    val tsType = table.schema(tsCol).dataType
+    val ordType = prunedTable.select(ord.as("_o")).schema.head.dataType
+    val entityType = prunedTable.schema(entityCol).dataType
+    val tsType = prunedTable.schema(tsCol).dataType
 
-    val featSide = table.select(
+    val featSide = prunedTable.select(
       col(entityCol).as("_e"),
       col(tsCol).as("_t"),
       lit(0).as("_side"),
@@ -292,13 +300,14 @@ object PointInTime {
     columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
     val spark = table.sparkSession
     graft.GraftExtensions.ensureRegistered(spark)
+    val prunedTable = pruneFor(table, columns, entityCol, tsCol, tieBreakCols)
     val entityType = table.schema(entityCol).dataType
     val tsType = table.schema(tsCol).dataType
     val spineNorm = spine.select(
       col(entityCol).cast(entityType).as(entityCol),
       col(tsCol).cast(tsType).as(tsCol))
     val lplan = bridge.analyzed(spineNorm)
-    val rplan = bridge.analyzed(table)
+    val rplan = bridge.analyzed(prunedTable)
     def rAttr(n: String) = rplan.output.find(_.name == n).getOrElse(
       throw new FeatureValidationError(s"column '$n' not found in feature table"))
     val node = graft.plans.AsOfJoinNode(
@@ -322,25 +331,26 @@ object PointInTime {
       tieBreakCols: Seq[String] = Nil,
       tableName: String = "<anonymous>"): DataFrame = {
     columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
-    val entityType = table.schema(entityCol).dataType
-    val tsType = table.schema(tsCol).dataType
+    val pruned = pruneFor(table, columns, entityCol, tsCol, tieBreakCols)
+    val entityType = pruned.schema(entityCol).dataType
+    val tsType = pruned.schema(tsCol).dataType
     val probes = spine
       .select(col(entityCol).cast(entityType).as("_e"), col(tsCol).cast(tsType).as("_t"))
       .distinct()
-    val payload = struct(table.columns.map(col): _*)
+    val payload = struct(pruned.columns.map(col): _*)
     val ord = struct((tsCol +: tieBreakCols).map(col): _*)
     // null-safe entity equality: the window formulations group null
     // entities together, so this strategy must match them too (null-ts
     // probes never match anywhere: ts <= null is null — same as the
     // reference's NaT comparisons)
     val best = probes
-      .join(table, probes("_e") <=> table(entityCol) && table(tsCol) <= probes("_t"))
+      .join(pruned, probes("_e") <=> pruned(entityCol) && pruned(tsCol) <= probes("_t"))
       .groupBy(col("_e"), col("_t"))
       .agg(max_by(payload, ord).as("_match"))
     val expanded = spine
       .select(col(entityCol).cast(entityType).as("_se"), col(tsCol).cast(tsType).as("_st"))
       .join(best, col("_se") <=> col("_e") && col("_st") <=> col("_t"))
-      .select(table.columns.map(c => col("_match").getField(c).as(c)): _*)
+      .select(pruned.columns.map(c => col("_match").getField(c).as(c)): _*)
     project(expanded, columns, entityCol, tsCol)
   }
 
@@ -361,4 +371,23 @@ object PointInTime {
     */
   private def dropInternal(cols: Seq[String]): Seq[String] =
     cols.filterNot(_.startsWith("_"))
+
+  /** When an explicit projection was requested, restrict the feature
+    * table to the columns the kernel can actually emit or order by
+    * (entity, ts, tie-breaks, requested features) — applied BEFORE the
+    * heavy operator so Catalyst pushes the pruning into the scan
+    * (ReadSchema) and every shuffle carries narrow rows. No projection →
+    * untouched (full-row semantics).
+    */
+  private def pruneFor(
+      table: DataFrame,
+      columns: Option[Seq[String]],
+      entityCol: String,
+      tsCol: String,
+      tieBreakCols: Seq[String]): DataFrame = columns match {
+    case Some(cs) =>
+      val needed = (Seq(entityCol, tsCol) ++ tieBreakCols ++ cs).distinct
+      table.select(needed.map(col): _*)
+    case None => table
+  }
 }
