@@ -118,7 +118,28 @@ object NorthStar {
       Multimodal.extractFeatures(Multimodal.asMedia(docs(s, dir)))
         .toDF()
         .select(col("doc_id"), col("n_bytes"), posexplode(col("features")).as(Seq("bucket", "feature")))
-        .orderBy("doc_id", "bucket"))
+        .orderBy("doc_id", "bucket")),
+
+    // resize / frame-sample plumbing (stub codecs, real distributed
+    // shape); payloads are ASCII text bytes, so the oracle can reproduce
+    // the byte arithmetic with character functions exactly
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.asMedia(docs(s, dir)), factor = 4)
+        .toDF()
+        .select(
+          col("doc_id"),
+          col("n_bytes_in"),
+          length(col("media")).as("n_bytes_out"),
+          decode(col("media"), "UTF-8").as("resized_text"))
+        .orderBy("doc_id")),
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.asMedia(docs(s, dir)), frameLen = 64, stride = 48)
+        .toDF()
+        .select(
+          col("doc_id"),
+          col("frame_idx"),
+          decode(col("frame"), "UTF-8").as("frame_text"))
+        .orderBy("doc_id", "frame_idx"))
   )
 
   // ------------------------------------------------------------ oracles
@@ -442,6 +463,32 @@ object NorthStar {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Engine keeps every 4th BYTE; payloads are ASCII so every 4th CHAR
+    // is the same operation. range() upper bound 1024 covers the max
+    // document length (577 chars at sf0.1) with slack.
+    "multimodal_resize" ->
+      """WITH ch AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i, substr(text, CAST(i AS INT), 1) AS c
+        |  FROM documents, range(1, 1024) t(i)
+        |  WHERE i <= length(text) AND (i - 1) % 4 = 0
+        |),
+        |agg AS (
+        |  SELECT doc_id, string_agg(c, '' ORDER BY i) AS s
+        |  FROM ch GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, length(d.text) AS n_bytes_in,
+        |       length(coalesce(a.s, '')) AS n_bytes_out,
+        |       coalesce(a.s, '') AS resized_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |       substr(text, CAST(i AS INT) * 48 + 1, 64) AS frame_text
+        |FROM documents, range(0, 32) t(i)
+        |WHERE CAST(i AS INT) * 48 + 64 <= length(text)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "multimodal_features" ->
       """WITH ch AS (

@@ -78,4 +78,55 @@ object Multimodal {
         }
       }
   }
+
+  /** Resized media payload: original size + the downsampled bytes. */
+  final case class ResizedMedia(doc_id: Long, n_bytes_in: Int, media: Array[Byte])
+
+  /** STUB resize: keep every `factor`-th byte — the deterministic
+    * stand-in for an image/audio downsample. Same row-wise shape a real
+    * resize has (bytes in, smaller bytes out), so swapping in a codec
+    * changes only the inner loop. No shuffle, constant memory.
+    */
+  def resize(media: DataFrame, factor: Int): Dataset[ResizedMedia] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+          ResizedMedia(id, bytes.length, out)
+        }
+      }
+  }
+
+  /** One sampled frame of a media payload. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame sampling: fixed-length windows every `stride` bytes
+    * (overlapping when stride < frameLen), complete frames only — the
+    * video/audio frame-extraction shape (one input row → N frame rows).
+    * flatMap keeps it shuffle-free; frames stream out per partition.
+    */
+  def frameSample(media: DataFrame, frameLen: Int, stride: Int): Dataset[MediaFrame] = {
+    require(frameLen >= 1 && stride >= 1,
+      s"frameLen/stride must be >= 1, got $frameLen/$stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        Iterator.from(0)
+          .map(idx => (idx, idx * stride))
+          .takeWhile { case (_, start) => start + frameLen <= bytes.length }
+          .map { case (idx, start) =>
+            MediaFrame(id, idx, java.util.Arrays.copyOfRange(bytes, start, start + frameLen))
+          }
+      }
+  }
 }

@@ -197,4 +197,26 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(feats.features.sum - 1.0) < 1e-12) // normalized histogram
     assert(feats.features(6) == 1.0) // 'a'..'d' all in bucket 0x6
   }
+
+  test("multimodal: resize keeps every factor-th byte, factor 1 is identity") {
+    val media = Multimodal.asMedia(docsDF(1L -> "abcdefghij", 2L -> ""))
+    val byId = Multimodal.resize(media, factor = 4).collect().map(r => r.doc_id -> r).toMap
+    assert(new String(byId(1L).media, "UTF-8") == "aei")
+    assert(byId(1L).n_bytes_in == 10)
+    assert(byId(2L).media.isEmpty) // empty payload → empty resize
+    val id = Multimodal.resize(media, factor = 1).collect().map(r => r.doc_id -> r).toMap
+    assert(new String(id(1L).media, "UTF-8") == "abcdefghij")
+    intercept[IllegalArgumentException](Multimodal.resize(media, factor = 0))
+  }
+
+  test("multimodal: frameSample emits complete overlapping frames only") {
+    val media = Multimodal.asMedia(docsDF(1L -> "abcdefgh", 2L -> "abc"))
+    val frames = Multimodal.frameSample(media, frameLen = 4, stride = 2)
+      .collect()
+      .sortBy(f => (f.doc_id, f.frame_idx))
+    // doc 1 (8 bytes): starts 0,2,4 → "abcd","cdef","efgh"; start 6 would
+    // overrun. doc 2 (3 bytes): shorter than a frame → nothing.
+    assert(frames.map(f => (f.doc_id, f.frame_idx, new String(f.frame, "UTF-8"))).toSeq ==
+      Seq((1L, 0, "abcd"), (1L, 1, "cdef"), (1L, 2, "efgh")))
+  }
 }
