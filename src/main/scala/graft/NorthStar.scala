@@ -35,6 +35,15 @@ object NorthStar {
       TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")),
+    "text_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(docs(s, dir), k = 100).orderBy("rank")),
+    // deterministic hash-bucket dataset split: stable across runs,
+    // engines and cluster sizes — rerunning a pipeline reassigns nothing
+    "split_assign" -> ((s, dir) =>
+      graft.ops.Sampling
+        .hashSplit(docs(s, dir), Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
     "doc_stats_by_source" -> ((s, dir) =>
       docs(s, dir)
         .groupBy("source")
@@ -207,6 +216,33 @@ object NorthStar {
     "text_fingerprint" ->
       s"""SELECT doc_id, ${Md5Long60.format("lower(trim(text))")} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_topk" ->
+      """WITH c AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token
+        |),
+        |r AS (
+        |  SELECT token, n,
+        |         CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+        |  FROM c
+        |)
+        |SELECT token, n, rank FROM r WHERE rank <= 100
+        |ORDER BY rank""".stripMargin,
+
+    "split_assign" ->
+      """SELECT doc_id,
+        |       CASE WHEN h < 80 THEN 'train'
+        |            WHEN h < 90 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |           % 100 AS h
+        |  FROM documents
+        |)
+        |ORDER BY doc_id""".stripMargin,
 
     "doc_stats_by_source" ->
       """SELECT source, count(*) AS n_docs,

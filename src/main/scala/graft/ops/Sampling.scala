@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deterministic sampling and dataset splitting for training pipelines.
+  *
+  * Both operators key on the md5-derived portable hash of the row id, so
+  * the assignment is (a) stable across runs, engines and cluster sizes —
+  * re-running a 100 TB pipeline reassigns nothing, and a holdout row
+  * never leaks into training on a rerun — and (b) reproducible by the
+  * DuckDB oracle (unlike `rand(seed)`, whose sequence is engine- and
+  * partitioning-dependent, or `TABLESAMPLE`, which is not row-stable).
+  * Pure per-row projections: no shuffle, no state, fully codegen'd.
+  */
+object Sampling {
+
+  /** Non-negative 60-bit hash of the id, the shared assignment key. */
+  private def idHash(idCol: Column): Column =
+    Hashing.md5Long60(idCol.cast("string"))
+
+  /** Keep ~`percent`% of rows, chosen by id hash (0 < percent < 100).
+    * Deterministic: the same row is kept in every run and engine.
+    */
+  def deterministicSample(
+      df: DataFrame,
+      percent: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(percent > 0 && percent < 100, s"percent must be in (0,100), got $percent")
+    df.filter(idHash(col(idCol)) % 100 < percent)
+  }
+
+  /** Assign each row to a named split by hash bucket. `weights` are
+    * integer percentages summing to 100, e.g.
+    * Seq("train" -> 80, "valid" -> 10, "test" -> 10).
+    */
+  def hashSplit(
+      df: DataFrame,
+      weights: Seq[(String, Int)],
+      idCol: String = "doc_id",
+      splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0) && weights.map(_._2).sum == 100,
+      s"weights must be positive and sum to 100, got $weights")
+    val h = idHash(col(idCol)) % 100
+    val cuts = weights.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val expr = weights.zip(cuts).init.foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((name, _), hi)) => acc.when(h < hi, lit(name))
+    }.otherwise(lit(weights.last._1))
+    df.withColumn(splitCol, expr)
+  }
+}

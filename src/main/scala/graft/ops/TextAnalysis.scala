@@ -104,4 +104,27 @@ object TextAnalysis {
     docs.select(
       col(idCol),
       Hashing.md5Long60(lower(trim(col(textCol)))).as("fingerprint"))
+
+  /** Corpus vocabulary: the k most frequent tokens (ties broken
+    * lexicographically), with their counts and 1-based rank.
+    *
+    * Scale shape: the token count is one partial-aggregated shuffle over
+    * the corpus; the top-k cut is a distributed TakeOrdered (every
+    * partition keeps k candidates), and only the k survivors enter the
+    * single-partition ranking window — the window never sees the full
+    * vocabulary.
+    */
+  def vocabTopK(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token").asc)).cast("int"))
+  }
 }

@@ -219,4 +219,41 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(frames.map(f => (f.doc_id, f.frame_idx, new String(f.frame, "UTF-8"))).toSeq ==
       Seq((1L, 0, "abcd"), (1L, 1, "cdef"), (1L, 2, "efgh")))
   }
+
+  test("vocabTopK ranks by count desc then token asc") {
+    val out = graft.ops.TextAnalysis
+      .vocabTopK(docsDF(1L -> "b a b c a b", 2L -> "c a"), k = 2)
+      .collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n"), r.getAs[Int]("rank")))
+      .sortBy(_._3)
+    // counts: a=3, b=3, c=2 → rank 1 goes to 'a' on the tie
+    assert(out.toSeq == Seq(("a", 3L, 1), ("b", 3L, 2)))
+  }
+
+  test("hashSplit is a deterministic total assignment with correct buckets") {
+    val docs = docsDF((1L to 200L).map(i => i -> s"doc $i"): _*)
+    val w = Seq("train" -> 80, "valid" -> 10, "test" -> 10)
+    val a = graft.ops.Sampling.hashSplit(docs, w).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val b = graft.ops.Sampling.hashSplit(docs, w).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(a == b)                               // rerun reassigns nothing
+    assert(a.values.toSet == Set("train", "valid", "test"))
+    val trainFrac = a.values.count(_ == "train").toDouble / a.size
+    assert(trainFrac > 0.6 && trainFrac < 0.95)  // hash spread sanity
+    // the split column must agree with the hash bucket definition
+    val h = graft.functions.Hashing.md5Long60Jvm("7") % 100
+    val expected = if (h < 80) "train" else if (h < 90) "valid" else "test"
+    assert(a(7L) == expected)
+    intercept[IllegalArgumentException](
+      graft.ops.Sampling.hashSplit(docs, Seq("a" -> 50, "b" -> 49)))
+  }
+
+  test("deterministicSample keeps a stable id-keyed subset") {
+    val docs = docsDF((1L to 100L).map(i => i -> "x"): _*)
+    val kept = graft.ops.Sampling.deterministicSample(docs, 20)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == (1L to 100L).filter(i =>
+      graft.functions.Hashing.md5Long60Jvm(i.toString) % 100 < 20).toSet)
+  }
 }
