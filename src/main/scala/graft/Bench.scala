@@ -28,9 +28,14 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
     // dev knob: semicolon-separated k=v pairs, e.g.
     // SPARK_GRAFT_EXTRA_CONF='spark.sql.adaptive.enabled=false'
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
-    })
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
+      _.split(';').iterator.map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_EXTRA_CONF segment '$kv' is not key=value")
+        }
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

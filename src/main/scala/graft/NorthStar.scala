@@ -277,7 +277,8 @@ object NorthStar {
         |sh AS (
         |  SELECT DISTINCT doc_id, tok[CAST(i AS INT)] || ' ' || tok[CAST(i AS INT)+1]
         |         || ' ' || tok[CAST(i AS INT)+2] AS s
-        |  FROM toks, range(1, 1024) t(i) WHERE i + 2 <= len(tok)
+        |  FROM (SELECT doc_id, tok, unnest(generate_series(1, len(tok) - 2)) AS i
+        |        FROM toks)
         |),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (
@@ -299,7 +300,8 @@ object NorthStar {
          |sh AS (
          |  SELECT DISTINCT doc_id, tok[CAST(i AS INT)] || ' ' || tok[CAST(i AS INT)+1]
          |         || ' ' || tok[CAST(i AS INT)+2] AS s
-         |  FROM toks, range(1, 1024) t(i) WHERE i + 2 <= len(tok)
+         |  FROM (SELECT doc_id, tok, unnest(generate_series(1, len(tok) - 2)) AS i
+         |        FROM toks)
          |),
          |h AS (SELECT doc_id, $h % 4294967311 AS hv FROM sh),
          |perms AS (
@@ -501,35 +503,35 @@ object NorthStar {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Engine keeps every 4th BYTE; payloads are ASCII so every 4th CHAR
-    // is the same operation. range() upper bound 1024 covers the max
-    // document length (577 chars at sf0.1) with slack.
+    // is the same operation. Bounds derive from each document (indexed
+    // list lambda / per-row generate_series), never a fixed cap that a
+    // longer corpus would silently overflow.
     "multimodal_resize" ->
-      """WITH ch AS (
-        |  SELECT doc_id, CAST(i AS INT) AS i, substr(text, CAST(i AS INT), 1) AS c
-        |  FROM documents, range(1, 1024) t(i)
-        |  WHERE i <= length(text) AND (i - 1) % 4 = 0
-        |),
-        |agg AS (
-        |  SELECT doc_id, string_agg(c, '' ORDER BY i) AS s
-        |  FROM ch GROUP BY doc_id
+      """SELECT doc_id, length(text) AS n_bytes_in,
+        |       length(r) AS n_bytes_out, r AS resized_text
+        |FROM (
+        |  SELECT doc_id, text,
+        |         array_to_string(list_filter(string_split(text, ''),
+        |             (x, i) -> (i - 1) % 4 = 0), '') AS r
+        |  FROM documents
         |)
-        |SELECT d.doc_id, length(d.text) AS n_bytes_in,
-        |       length(coalesce(a.s, '')) AS n_bytes_out,
-        |       coalesce(a.s, '') AS resized_text
-        |FROM documents d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin,
 
     "multimodal_frames" ->
       """SELECT doc_id, CAST(i AS INT) AS frame_idx,
         |       substr(text, CAST(i AS INT) * 48 + 1, 64) AS frame_text
-        |FROM documents, range(0, 32) t(i)
-        |WHERE CAST(i AS INT) * 48 + 64 <= length(text)
+        |FROM (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0, (length(text) - 64) // 48)) AS i
+        |  FROM documents WHERE length(text) >= 64
+        |)
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "multimodal_features" ->
       """WITH ch AS (
         |  SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) // 16 AS bucket
-        |  FROM documents, range(1, 4096) t(i) WHERE i <= length(text)
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        |        FROM documents)
         |),
         |bk AS (SELECT doc_id, bucket, count(*) AS c FROM ch GROUP BY 1, 2),
         |grid AS (

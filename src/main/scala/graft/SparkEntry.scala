@@ -19,6 +19,14 @@ object SparkEntry {
   private def read(s: SparkSession, dir: String, table: String): DataFrame =
     s.read.parquet(s"$dir/$table.parquet")
 
+  /** Timestamp literal parsed as UTC regardless of the JVM default zone
+    * (java.sql.Timestamp.valueOf would use the host zone — a latent
+    * off-by-offset against the oracle's TIMESTAMP literals on any
+    * non-UTC host).
+    */
+  private def utcTs(v: String): java.sql.Timestamp =
+    graft.store.FeatureStore.normalizeTimestamp(v)
+
   /** events with `ts` normalized to TimestampType. The file stores
     * TIMESTAMP(NANOS), which Spark's parquet reader rejects by default —
     * read nanos as long and floor-divide to micros, the exact truncation
@@ -84,17 +92,28 @@ object SparkEntry {
     * so the tie-break never fires and plain SQL over the raw table is an
     * exact oracle.
     */
-  private def demoStore(s: SparkSession, dir: String): graft.store.FeatureStore = {
-    val feats = eventsFeatures(s, dir)
-    val rows = feats.count()
-    val san = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s"${sys.props("java.io.tmpdir")}/graft_store_rt_v1_${san}_$rows"
-    val store = new graft.store.FeatureStore(s, root)
-    val fresh = !store.tableNames.contains("events") ||
-      store.getTableInfo("events").rowCount != rows
-    if (fresh) store.register("events", feats)
-    store
-  }
+  private val demoStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def demoStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    demoStores.computeIfAbsent(dir, _ => {
+      val feats = eventsFeatures(s, dir)
+      // one aggregation job for (row count, id checksum): the checksum in
+      // the root key means a regenerated source with the same row count
+      // still maps to a fresh directory, and the memo above means bench
+      // re-invocations skip even this scan.
+      val fp = feats.agg(count(lit(1)), sum(col("event_id"))).head()
+      val rows = fp.getLong(0)
+      val idSum = fp.getLong(1)
+      val san = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root =
+        s"${sys.props("java.io.tmpdir")}/graft_store_rt_v2_${san}_${rows}_$idSum"
+      val store = new graft.store.FeatureStore(s, root)
+      val fresh = !store.tableNames.contains("events") ||
+        store.getTableInfo("events").rowCount != rows
+      if (fresh) store.register("events", feats)
+      store
+    })
 
   // -------------------------------------------------------------- contract
 
@@ -113,7 +132,7 @@ object SparkEntry {
       PointInTime
         .pitSnapshot(
           eventsFeatures(s, dir),
-          lit(java.sql.Timestamp.valueOf(PitAsOf)),
+          lit(utcTs(PitAsOf)),
           entityIds = Some(PitIds),
           tieBreakCols = Seq("event_id"))
         .orderBy("entity_id")),
@@ -123,7 +142,7 @@ object SparkEntry {
       PointInTime
         .pitSnapshot(
           eventsFeatures(s, dir),
-          lit(java.sql.Timestamp.valueOf(PitAsOf)),
+          lit(utcTs(PitAsOf)),
           entityIds = Some(PitIds),
           columns = Some(Seq("value")),
           tieBreakCols = Seq("event_id"))
@@ -138,7 +157,7 @@ object SparkEntry {
       PointInTime
         .pitSnapshotForEntities(
           eventsFeatures(s, dir),
-          lit(java.sql.Timestamp.valueOf(PitAsOf)),
+          lit(utcTs(PitAsOf)),
           entities,
           tieBreakCols = Seq("event_id"))
         .orderBy("entity_id")
@@ -149,7 +168,7 @@ object SparkEntry {
       PointInTime
         .pitSnapshot(
           eventsFeatures(s, dir),
-          lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")),
+          lit(utcTs("2024-01-15 00:00:00")),
           tieBreakCols = Seq("event_id"))
         .orderBy("entity_id")),
 
@@ -165,7 +184,7 @@ object SparkEntry {
             col("l_linenumber"),
             col("l_quantity"),
             col("l_extendedprice")),
-          lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00")),
+          lit(utcTs("1998-06-01 00:00:00")),
           tieBreakCols = Seq("l_orderkey", "l_linenumber"))
         .orderBy("entity_id")),
 
@@ -282,7 +301,7 @@ object SparkEntry {
     // is exact across engines — double sums are order-dependent)
     "agg_pricing_summary" -> ((s, dir) =>
       read(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .filter(col("l_shipdate") <= lit(utcTs("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("count_order"),

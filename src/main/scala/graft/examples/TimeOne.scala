@@ -10,14 +10,28 @@ object TimeOne {
     val name = args.headOption.getOrElse("doc_stats_by_source")
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 5
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      // mirror Bench's session exactly, or timings are not comparable
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
+      _.split(';').iterator.map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_EXTRA_CONF segment '$kv' is not key=value")
+        }
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
+      else dir
+    graft.SparkEntry.queries(name)(spark, warmDir).count()
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, dir).count()

@@ -45,9 +45,15 @@ object Sampling {
       s"weights must be positive and sum to 100, got $weights")
     val h = idHash(col(idCol)) % 100
     val cuts = weights.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
-    val expr = weights.zip(cuts).init.foldLeft(when(lit(false), lit(""))) {
-      case (acc, ((name, _), hi)) => acc.when(h < hi, lit(name))
-    }.otherwise(lit(weights.last._1))
-    df.withColumn(splitCol, expr)
+    val assigned = weights.init.zip(cuts) match {
+      case Seq() => lit(weights.head._1) // single bucket: everything
+      case (n0, hi0) +: rest =>
+        rest
+          .foldLeft(when(h < hi0, lit(n0._1))) {
+            case (acc, (nm, hi)) => acc.when(h < hi, lit(nm._1))
+          }
+          .otherwise(lit(weights.last._1))
+    }
+    df.withColumn(splitCol, assigned)
   }
 }
