@@ -95,6 +95,17 @@ object NorthStar {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 2)
         .orderBy("id_a", "id_b")),
+    // cross-source contamination check: n-gram overlap between corpus
+    // sources (the benchmark-leakage question "how much of source B is
+    // in source A?"), which is exactly source-granularity Jaccard — the
+    // per-doc kernel pools shingles per source via its id column
+    "source_overlap" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.0, idCol = "source")
+        .select(
+          col("id_a").as("source_a"),
+          col("id_b").as("source_b"),
+          col("jaccard"))
+        .orderBy("source_a", "source_b")),
 
     // ---- embedding similarity ----
     "dedup_embedding" -> ((s, dir) =>
@@ -293,6 +304,27 @@ object NorthStar {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "source_overlap" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS tok FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, tok[CAST(i AS INT)] || ' ' || tok[CAST(i AS INT)+1]
+        |         || ' ' || tok[CAST(i AS INT)+2] AS s
+        |  FROM (SELECT source, tok, unnest(generate_series(1, len(tok) - 2)) AS i
+        |        FROM toks)
+        |),
+        |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source_a, source_b,
+        |       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.source = source_a
+        |JOIN sizes sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
 
     "dedup_minhash_lsh" -> {
       val h = Md5Long60.format("s")

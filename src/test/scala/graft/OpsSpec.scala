@@ -220,6 +220,25 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       Seq((1L, 0, "abcd"), (1L, 1, "cdef"), (1L, 2, "efgh")))
   }
 
+  test("source-level jaccard pools shingles per source (contamination check)") {
+    val s = spark
+    import s.implicits._
+    // source A: docs with shingles {a b c, b c d} ∪ {b c d, c d e} = 3 distinct
+    // source B: {a b c} — intersection {a b c} = 1, union = 3 → J = 1/3
+    val docs = Seq(
+      ("A", "a b c d"),
+      ("A", "b c d e"),
+      ("B", "a b c")
+    ).toDF("source", "text")
+    val out = graft.ops.Dedup
+      .ngramJaccardPairs(docs, n = 3, threshold = 0.0, idCol = "source")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("id_a") == "A" && r.getAs[String]("id_b") == "B")
+    assert(math.abs(r.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-15)
+  }
+
   test("vocabTopK ranks by count desc then token asc") {
     val out = graft.ops.TextAnalysis
       .vocabTopK(docsDF(1L -> "b a b c a b", 2L -> "c a"), k = 2)
