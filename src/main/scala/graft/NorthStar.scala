@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.store.{PointInTime, WindowFeatures}
 
 /** North-star extension queries (SURVEY.md §7.4): dedup, similarity
   * search, text analysis, multimodal plumbing over the documents /
@@ -82,6 +83,58 @@ object NorthStar {
             .as("running_value_cents"))
         .orderBy("entity_id", "timestamp", "event_id")
     }),
+    // sliding-window aggregation features ("activity in the 7 days
+    // before each training timestamp") — single-pass RANGE-frame plan,
+    // no pairwise join blowup; integer-cents sum for oracle exactness
+    "window_agg_features" -> ((s, dir) => {
+      val ev = SparkEntry.eventsForNorthStar(s, dir)
+      val feat = ev.select(
+        col("user_id").as("entity_id"),
+        col("ts").as("timestamp"),
+        col("event_id"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      val spine = ev
+        .filter(col("event_id") % 13 === 0)
+        .select(
+          col("user_id").as("entity_id"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("timestamp"))
+      WindowFeatures
+        .windowAggJoin(spine, feat, windowSeconds = 7L * 86400, Seq(
+          WindowFeatures.WindowAgg("n_events_7d", "rows"),
+          WindowFeatures.WindowAgg("sum_value_cents_7d", "sum", "value_cents"),
+          WindowFeatures.WindowAgg("max_value_cents_7d", "max", "value_cents"),
+          WindowFeatures.WindowAgg("min_event_id_7d", "min", "event_id")))
+        .orderBy("entity_id", "timestamp")
+    }),
+    // batch sessionization: gap > 1h starts a new session; the
+    // deterministic base for session-length / events-per-session features
+    "sessionize_events" -> ((s, dir) =>
+      WindowFeatures
+        .sessionize(
+          SparkEntry.eventsForNorthStar(s, dir).select(
+            col("user_id").as("entity_id"),
+            col("ts").as("timestamp"),
+            col("event_id")),
+          gapSeconds = 3600L,
+          tieBreakCols = Seq("event_id"))
+        .orderBy("entity_id", "session_seq")),
+    // top-k recent rows per entity as of T — the "last 3 interactions"
+    // feature; WindowGroupLimit prunes to k rows per entity map-side
+    "pit_topk_recent" -> ((s, dir) =>
+      PointInTime
+        .latestKPerEntity(
+          SparkEntry.eventsForNorthStar(s, dir)
+            .filter(col("ts") <= lit(graft.store.FeatureStore
+              .normalizeTimestamp("2024-01-20 00:00:00")))
+            .select(
+              col("user_id").as("entity_id"),
+              col("ts").as("timestamp"),
+              col("event_id"),
+              col("event_type"),
+              col("value")),
+          k = 3,
+          tieBreakCols = Seq("event_id"))
+        .orderBy("entity_id", "recency_rank")),
 
     // ---- dedup family ----
     "dedup_exact" -> ((s, dir) =>
@@ -277,6 +330,56 @@ object NorthStar {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
+
+    "window_agg_features" ->
+      """WITH spine AS (
+        |  SELECT user_id AS entity_id, ts + INTERVAL 1 HOUR AS t
+        |  FROM events WHERE event_id % 13 = 0
+        |)
+        |SELECT s.entity_id, s.t AS "timestamp",
+        |       CAST(count(f.event_id) AS BIGINT) AS n_events_7d,
+        |       CAST(sum(CAST(round(f.value * 100) AS BIGINT)) AS BIGINT)
+        |           AS sum_value_cents_7d,
+        |       CAST(max(CAST(round(f.value * 100) AS BIGINT)) AS BIGINT)
+        |           AS max_value_cents_7d,
+        |       min(f.event_id) AS min_event_id_7d
+        |FROM spine s LEFT JOIN events f
+        |  ON f.user_id = s.entity_id
+        | AND f.ts <= s.t AND f.ts > s.t - INTERVAL 7 DAY
+        |GROUP BY s.entity_id, s.t
+        |ORDER BY s.entity_id, s.t""".stripMargin,
+
+    "sessionize_events" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(is_new) OVER (
+        |             PARTITION BY user_id ORDER BY ts
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_seq
+        |  FROM marked
+        |)
+        |SELECT user_id AS entity_id, session_seq,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY entity_id, session_seq""".stripMargin,
+
+    "pit_topk_recent" ->
+      """SELECT user_id AS entity_id, ts AS "timestamp", event_id,
+        |       event_type, value,
+        |       CAST(row_number() OVER (
+        |           PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        |         AS INT) AS recency_rank
+        |FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |QUALIFY recency_rank <= 3
+        |ORDER BY entity_id, recency_rank""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

@@ -56,6 +56,28 @@ object PointInTime {
       .select(df.columns.map(c => col("_row").getField(c).as(c)): _*)
   }
 
+  /** γ argmax generalized to the top k: the k most recent rows per
+    * entity in (ts, tieBreak...) descending order, each tagged with its
+    * 1-based `recency_rank` — the "last N interactions" feature shape.
+    * Plan: rank window + filter; Spark's WindowGroupLimit pushes the
+    * `rank <= k` limit into the shuffle-map side, so each partition
+    * ships at most k rows per entity rather than the full history.
+    */
+  def latestKPerEntity(
+      df: DataFrame,
+      k: Int,
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    if (k < 1)
+      throw new FeatureValidationError(s"k must be >= 1, got $k")
+    val w = Window
+      .partitionBy(col(entityCol))
+      .orderBy((tsCol +: tieBreakCols).map(col(_).desc): _*)
+    df.withColumn("recency_rank", row_number().over(w))
+      .filter(col("recency_rank") <= k)
+  }
+
   /** PIT snapshot read: time filter → entity filter → latest-per-entity →
     * optional projection (reference: store.py:218-259).
     *

@@ -1,0 +1,188 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Time-windowed aggregation features — the "sum of events in the last
+  * N days as of each training timestamp" family that production feature
+  * pipelines layer on top of the reference's plain as-of join
+  * (reference: src/ml_feature_store/store.py:261-308 gives only the
+  * latest-row lookup; windowed aggregates are the standard extension).
+  *
+  * Scale design (100 TB): the naive plan — range join spine×table then
+  * group by spine row — materializes every (probe, in-window row) pair:
+  * a 7-day window over a busy entity multiplies the shuffle by the
+  * window's row count. [[windowAggJoin]] instead unions probes into the
+  * event stream and evaluates every aggregate with a RANGE-frame window
+  * over epoch-micros: ONE shuffle + one sort of (events + probes), no
+  * pairwise intermediate, all aggregates computed in the same window
+  * pass. Skew note: a single hot entity still lands in one task — for
+  * that shape, pre-split by time bucket as in
+  * [[PointInTime.asOfJoinBucketed]] (sums/counts/min/max all decompose
+  * over buckets).
+  */
+object WindowFeatures {
+
+  import Validation.{EntityIdColumn, TimestampColumn}
+
+  /** One requested aggregate: `fn` ∈ {rows, count, sum, min, max},
+    * evaluated over the feature rows inside the probe's window.
+    * `rows` counts feature rows (input ignored); the rest apply to
+    * `input` with SQL null-skipping semantics.
+    */
+  final case class WindowAgg(out: String, fn: String, input: String = "")
+
+  private val SupportedFns = Set("rows", "count", "sum", "min", "max")
+
+  /** For each spine row (e, t): aggregates over feature rows r with
+    * `r.entity == e AND t - window < r.ts <= t` (inclusive upper bound —
+    * same cutoff convention as the as-of join; lower bound exclusive so
+    * consecutive windows of length `windowSeconds` tile without
+    * overlap). Every spine row is emitted (left semantics): zero
+    * in-window rows → `rows`/`count` = 0, `sum`/`min`/`max` = null.
+    * Duplicate spine rows emit duplicate outputs.
+    *
+    * Determinism note (oracle-facing callers): `sum` over floating
+    * point is order-dependent across engines — aggregate integer units
+    * (e.g. cents as LONG) instead, as everywhere else in this engine.
+    *
+    * @param windowSeconds window length; for a temporal `tsCol` the
+    *   unit is seconds (applied at microsecond precision); for a
+    *   numeric `tsCol` it is the column's own units.
+    */
+  def windowAggJoin(
+      spine: DataFrame,
+      table: DataFrame,
+      windowSeconds: Long,
+      aggs: Seq[WindowAgg],
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn): DataFrame = {
+    if (windowSeconds < 1)
+      throw new FeatureValidationError(
+        s"windowSeconds must be >= 1, got $windowSeconds")
+    if (aggs.isEmpty)
+      throw new FeatureValidationError("windowAggJoin needs at least one aggregate")
+    aggs.find(a => !SupportedFns.contains(a.fn)).foreach(a =>
+      throw new FeatureValidationError(
+        s"unsupported window aggregate '${a.fn}' (supported: ${SupportedFns.toSeq.sorted.mkString(", ")})"))
+    Validation.validateSpine(spine, entityCol, tsCol)
+    val valueCols = aggs.collect { case WindowAgg(_, fn, in) if fn != "rows" => in }.distinct
+    val missing = valueCols.filterNot(table.columns.contains)
+    if (missing.nonEmpty)
+      throw new FeatureValidationError(
+        s"windowAggJoin input columns not in table: ${missing.mkString(", ")}")
+    val dupOut = aggs.groupBy(_.out).collect { case (o, as) if as.size > 1 => o }
+    if (dupOut.nonEmpty)
+      throw new FeatureValidationError(
+        s"duplicate output names: ${dupOut.toSeq.sorted.mkString(", ")}")
+
+    val entityType = table.schema(entityCol).dataType
+    val tsType = table.schema(tsCol).dataType
+    // ordering value + frame width in matching units: temporal columns
+    // at microsecond precision, numeric ts columns in their own units
+    // (same convention as asOfJoinBucketed's bucket key)
+    val (ordOf, width): (Column => Column, Long) = tsType match {
+      case _: TimestampType | _: TimestampNTZType | _: DateType =>
+        ((c: Column) => unix_micros(c.cast(TimestampType)), windowSeconds * 1000000L)
+      case _: NumericType =>
+        ((c: Column) => c.cast(LongType), windowSeconds)
+      case other =>
+        throw new FeatureValidationError(
+          s"windowAggJoin needs a temporal or numeric $tsCol, got $other")
+    }
+
+    val featSide = table.select(
+      col(entityCol).as("_e") +:
+        col(tsCol).as("_t") +:
+        lit(0).as("_side") +:
+        valueCols.map(c => col(c).as(s"_v_$c")): _*)
+    val spineSide = spine.select(
+      col(entityCol).cast(entityType).as("_e") +:
+        col(tsCol).cast(tsType).as("_t") +:
+        lit(1).as("_side") +:
+        valueCols.map(c => lit(null).cast(table.schema(c).dataType).as(s"_v_$c")): _*)
+
+    // RANGE frame (value-based): peers at the probe's exact ordering
+    // value are all included regardless of union order — the inclusive
+    // upper bound needs no side tag in the sort, unlike the as-of ROWS
+    // frame. All aggregates share one WindowSpec → one physical Window
+    // operator → one shuffle + one sort total.
+    val w = Window
+      .partitionBy(col("_e"))
+      .orderBy(col("_us"))
+      .rangeBetween(-(width - 1L), 0L)
+    def featOnly(c: Column): Column = when(col("_side") === 0, c)
+    val aggCols = aggs.map {
+      case WindowAgg(out, "rows", _) => count(featOnly(lit(1))).over(w).as(out)
+      case WindowAgg(out, "count", in) => count(featOnly(col(s"_v_$in"))).over(w).as(out)
+      case WindowAgg(out, "sum", in) => sum(featOnly(col(s"_v_$in"))).over(w).as(out)
+      case WindowAgg(out, "min", in) => min(featOnly(col(s"_v_$in"))).over(w).as(out)
+      case WindowAgg(out, "max", in) => max(featOnly(col(s"_v_$in"))).over(w).as(out)
+      case WindowAgg(_, fn, _) =>
+        throw new FeatureValidationError(s"unsupported window aggregate '$fn'")
+    }
+
+    featSide.unionByName(spineSide)
+      .withColumn("_us", ordOf(col("_t")))
+      .select(col("_e") +: col("_t") +: col("_side") +: aggCols: _*)
+      .filter(col("_side") === 1)
+      .select(col("_e").as(entityCol) +: col("_t").as(tsCol) +: aggs.map(a => col(a.out)): _*)
+  }
+
+  /** Batch sessionization: split each entity's event stream into
+    * sessions separated by gaps strictly greater than `gapSeconds`,
+    * returning one row per session with its bounds and event count —
+    * the batch twin of a streaming session window, and the
+    * deterministic base for session-length / events-per-session
+    * features.
+    *
+    * Plan: per-entity `lag` marks session starts (gap > threshold or
+    * first event), a running sum over the same sort turns marks into
+    * session ordinals, then a hash aggregation by (entity, ordinal)
+    * collapses sessions — map-side partial combine keeps the second
+    * shuffle at one row per session per map partition.
+    *
+    * All outputs are timestamps and counts — deterministic across
+    * engines by construction.
+    */
+  def sessionize(
+      events: DataFrame,
+      gapSeconds: Long,
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    if (gapSeconds < 1)
+      throw new FeatureValidationError(s"gapSeconds must be >= 1, got $gapSeconds")
+    Validation.validateSpine(events, entityCol, tsCol)
+    val tsType = events.schema(tsCol).dataType
+    val (ordOf, gapWidth): (Column => Column, Long) = tsType match {
+      case _: TimestampType | _: TimestampNTZType | _: DateType =>
+        ((c: Column) => unix_micros(c.cast(TimestampType)), gapSeconds * 1000000L)
+      case _: NumericType =>
+        ((c: Column) => c.cast(LongType), gapSeconds)
+      case other =>
+        throw new FeatureValidationError(
+          s"sessionize needs a temporal or numeric $tsCol, got $other")
+    }
+    val order = (col("_us") +: tieBreakCols.map(col)).map(_.asc)
+    val we = Window.partitionBy(col(entityCol)).orderBy(order: _*)
+    val marked = events
+      .withColumn("_us", ordOf(col(tsCol)))
+      .withColumn("_new",
+        when(col("_us") - lag(col("_us"), 1).over(we) > gapWidth, 1)
+          .when(lag(col("_us"), 1).over(we).isNull, 1)
+          .otherwise(0))
+      .withColumn("_sess",
+        sum(col("_new")).over(we.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked
+      .groupBy(col(entityCol), col("_sess").as("session_seq"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col(entityCol), col("session_seq"), col("session_start"),
+        col("session_end"), col("n_events"))
+  }
+}
