@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Profiling, Similarity, TextAnalysis}
 import graft.store.{PointInTime, WindowFeatures}
 
 /** North-star extension queries (SURVEY.md §7.4): dedup, similarity
@@ -25,6 +25,9 @@ object NorthStar {
     s.read.parquet(s"$dir/embeddings.parquet")
 
   private val AnnQueryIds: Seq[Long] = 0L to 9L
+
+  private def utc(v: String) =
+    lit(graft.store.FeatureStore.normalizeTimestamp(v))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----
@@ -135,6 +138,39 @@ object NorthStar {
           k = 3,
           tieBreakCols = Seq("event_id"))
         .orderBy("entity_id", "recency_rank")),
+
+    // ---- data-quality & drift monitoring ----
+    // long-format column profile: counts + distincts + numeric min/max
+    // in ONE aggregation pass (string columns exercised in ProfilingSpec;
+    // their null min/max is kept out of the oracle, whose NaN compare
+    // cannot express SQL NULL)
+    "feature_profile" -> ((s, dir) =>
+      Profiling
+        .profile(SparkEntry.eventsForNorthStar(s, dir), Seq("event_id", "value"))
+        .orderBy("col_name")),
+    // value distribution split at mid-month: the integer (bin, n_a, n_b)
+    // base every drift score builds on
+    "drift_histogram" -> ((s, dir) =>
+      Profiling
+        .driftHistogram(
+          SparkEntry.eventsForNorthStar(s, dir), "value", "ts",
+          utc("2024-01-16 00:00:00"), binWidth = 25.0, numBins = 20)
+        .orderBy("bin")),
+    // total-variation drift score — exact integer numerator, single
+    // final division (cross-engine bit-identical)
+    "drift_tvd" -> ((s, dir) =>
+      Profiling.totalVariation(
+        Profiling.driftHistogram(
+          SparkEntry.eventsForNorthStar(s, dir), "value", "ts",
+          utc("2024-01-16 00:00:00"), binWidth = 25.0, numBins = 20))),
+    // staleness histogram: whole-day age of each entity's latest row at
+    // the cutoff — the "how stale is what serving would read" monitor
+    "feature_freshness" -> ((s, dir) =>
+      Profiling
+        .freshness(
+          SparkEntry.eventsForNorthStar(s, dir),
+          utc("2024-01-25 00:00:00"), entityCol = "user_id", tsCol = "ts")
+        .orderBy("days_stale")),
 
     // ---- dedup family ----
     "dedup_exact" -> ((s, dir) =>
@@ -380,6 +416,56 @@ object NorthStar {
         |FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
         |QUALIFY recency_rank <= 3
         |ORDER BY entity_id, recency_rank""".stripMargin,
+
+    "feature_profile" ->
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+        |       count(event_id) AS n_nonnull,
+        |       count(DISTINCT event_id) AS n_distinct,
+        |       CAST(min(event_id) AS DOUBLE) AS min_value,
+        |       CAST(max(event_id) AS DOUBLE) AS max_value
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', count(*), count(value), count(DISTINCT value),
+        |       CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+        |FROM events
+        |ORDER BY col_name""".stripMargin,
+
+    "drift_histogram" ->
+      """SELECT CAST(least(greatest(floor(value / 25), 0), 19) AS BIGINT) AS bin,
+        |       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+        |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "drift_tvd" ->
+      """WITH hist AS (
+        |  SELECT CAST(least(greatest(floor(value / 25), 0), 19) AS BIGINT) AS bin,
+        |         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |                       THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+        |  FROM events GROUP BY bin
+        |), t AS (
+        |  SELECT CAST(sum(cnt_a) AS BIGINT) AS ta,
+        |         CAST(sum(cnt_b) AS BIGINT) AS tb
+        |  FROM hist
+        |)
+        |SELECT CAST(sum(abs(cnt_a * tb - cnt_b * ta)) AS BIGINT) AS tvd_numerator,
+        |       max(ta) AS total_a, max(tb) AS total_b,
+        |       CAST(sum(abs(cnt_a * tb - cnt_b * ta)) AS BIGINT)
+        |         / (2.0 * max(ta) * max(tb)) AS tvd
+        |FROM hist, t""".stripMargin,
+
+    "feature_freshness" ->
+      """WITH latest AS (
+        |  SELECT user_id, max(ts) AS latest_ts FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-25 00:00:00' GROUP BY user_id
+        |)
+        |SELECT (epoch_us(TIMESTAMP '2024-01-25 00:00:00') - epoch_us(latest_ts))
+        |         // 86400000000 AS days_stale,
+        |       count(*) AS n_entities
+        |FROM latest GROUP BY days_stale ORDER BY days_stale""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

@@ -1,0 +1,22 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the formatted physical plan of one SparkEntry query.
+  * Usage: runMain graft.examples.ExplainQ <name> [sfDir]
+  */
+object ExplainQ {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("window_agg_features")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+    spark.stop()
+  }
+}

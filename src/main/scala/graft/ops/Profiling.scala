@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.FeatureValidationError
+
+/** Data-quality and drift monitoring over feature tables — the
+  * operational layer a production feature store runs beside training
+  * (the reference stores features but publishes no monitoring; this is
+  * the standard extension its users build first).
+  *
+  * Every metric here is engine-portable by construction: counts and
+  * integer arithmetic end-to-end, with at most ONE scalar double
+  * division at the end of a query — never a cross-row double
+  * accumulation, whose order-dependence would break exact comparisons
+  * between engines (and between runs at different parallelism).
+  *
+  * Scale notes: [[profile]] is one aggregation pass (count-distincts
+  * expand the input once per profiled column — at petabyte scale swap
+  * exact distincts for HLL sketches); [[driftHistogram]],
+  * [[totalVariation]] and [[freshness]] shuffle only (bin, count) /
+  * (entity, max-ts) pairs after map-side partial aggregation.
+  */
+object Profiling {
+
+  /** Long-format per-column profile: one row per requested column with
+    * row/non-null/distinct counts and numeric min/max (null min/max for
+    * non-numeric columns). The profile is a single aggregation job.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    if (cols.isEmpty)
+      throw new FeatureValidationError("profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new FeatureValidationError(
+        s"profile columns not in table: ${missing.mkString(", ")}")
+    val aggs = cols.flatMap { c =>
+      val numeric = df.schema(c).dataType.isInstanceOf[NumericType]
+      def mm(f: Column => Column) =
+        if (numeric) f(col(c)).cast(DoubleType) else lit(null).cast(DoubleType)
+      Seq(
+        count(lit(1)).as(s"_n_$c"),
+        count(col(c)).as(s"_nn_$c"),
+        count_distinct(col(c)).as(s"_nd_$c"),
+        mm(min).as(s"_min_$c"),
+        mm(max).as(s"_max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols
+      .map(c => s"'$c', _n_$c, _nn_$c, _nd_$c, _min_$c, _max_$c")
+      .mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stacked) AS " +
+        "(col_name, n_rows, n_nonnull, n_distinct, min_value, max_value)")
+  }
+
+  /** Two-period histogram of a numeric column: rows before `splitAt` go
+    * to period A, the rest to B; values bin into `floor(value /
+    * binWidth)` clamped to [0, numBins-1]. Returns (bin, cnt_a, cnt_b)
+    * — the integer base both drift scores build on.
+    */
+  def driftHistogram(
+      df: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      splitAt: Column,
+      binWidth: Double,
+      numBins: Int): DataFrame = {
+    if (numBins < 1 || !(binWidth > 0))
+      throw new FeatureValidationError(
+        s"need numBins >= 1 and binWidth > 0, got $numBins / $binWidth")
+    df.select(
+        least(greatest(floor(col(valueCol) / binWidth), lit(0L)),
+          lit(numBins - 1L)).cast(LongType).as("bin"),
+        when(col(tsCol) < splitAt, 1L).otherwise(0L).as("_a"),
+        when(col(tsCol) < splitAt, 0L).otherwise(1L).as("_b"))
+      .groupBy("bin")
+      .agg(sum(col("_a")).as("cnt_a"), sum(col("_b")).as("cnt_b"))
+  }
+
+  /** Total-variation distance between the two periods of a
+    * [[driftHistogram]]: TVD = ½ Σ_bins |p_bin − q_bin|.
+    *
+    * Computed exactly: Σ|cnt_a·total_b − cnt_b·total_a| is an integer
+    * (`tvd_numerator`), and TVD = numerator / (2·total_a·total_b) is
+    * one scalar division — bit-identical across engines. 64-bit bound:
+    * cnt·total pairs must stay under 2^63 (fine to ~3·10^9 rows per
+    * period; beyond that, widen to DECIMAL).
+    */
+  def totalVariation(hist: DataFrame): DataFrame = {
+    val totals = hist.agg(
+      sum(col("cnt_a")).as("total_a"), sum(col("cnt_b")).as("total_b"))
+    hist
+      .crossJoin(broadcast(totals))
+      .agg(
+        sum(abs(col("cnt_a") * col("total_b") - col("cnt_b") * col("total_a")))
+          .as("tvd_numerator"),
+        max(col("total_a")).as("total_a"),
+        max(col("total_b")).as("total_b"))
+      .select(
+        col("tvd_numerator"),
+        col("total_a"),
+        col("total_b"),
+        (col("tvd_numerator") /
+          (lit(2.0) * col("total_a") * col("total_b"))).as("tvd"))
+  }
+
+  /** Feature freshness as of `asOf`: for every entity with at least one
+    * row at or before the cutoff, the age in whole days of its latest
+    * row, histogrammed as (days_stale, n_entities) — the "how stale is
+    * what serving would read" monitor, PIT-consistent with the store's
+    * snapshot semantics (inclusive cutoff).
+    */
+  def freshness(
+      df: DataFrame,
+      asOf: Column,
+      entityCol: String = "entity_id",
+      tsCol: String = "timestamp"): DataFrame = {
+    df.filter(col(tsCol) <= asOf)
+      .groupBy(col(entityCol))
+      .agg(max(col(tsCol)).as("_latest"))
+      // exact long micros + integer `div`: floor(double-division) could
+      // misround a quotient landing within an ulp of an integer
+      .withColumn("_age_us",
+        unix_micros(asOf.cast(TimestampType)) -
+          unix_micros(col("_latest").cast(TimestampType)))
+      .select(expr("_age_us div 86400000000").as("days_stale"))
+      .groupBy("days_stale")
+      .agg(count(lit(1)).as("n_entities"))
+  }
+}

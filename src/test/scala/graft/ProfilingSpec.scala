@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Profiling
+import graft.store.FeatureValidationError
+
+/** Hand-computed fixtures for the data-quality/drift operators,
+  * covering the cases the oracle queries deliberately avoid (string
+  * columns with null min/max, zero/total drift identities, clamped
+  * bins, null handling in counts).
+  */
+class ProfilingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ev(rows: (String, String, java.lang.Double)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq
+      .map { case (e, d, v) => (e, ts(d), Option(v).map(_.doubleValue)) }
+      .toDF("entity_id", "timestamp", "value")
+  }
+
+  test("profile: counts, distincts, numeric min/max; string min/max null") {
+    val df = ev(
+      ("a", "2024-01-01", 1.0),
+      ("a", "2024-01-02", 3.0),
+      ("b", "2024-01-03", null))
+    val out = Profiling.profile(df, Seq("entity_id", "value"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(out("entity_id") == ((3L, 3L, 2L, None, None)))
+    assert(out("value") == ((3L, 2L, 2L, Some(1.0), Some(3.0))))
+  }
+
+  test("profile rejects unknown and empty column lists") {
+    val df = ev(("a", "2024-01-01", 1.0))
+    intercept[FeatureValidationError](Profiling.profile(df, Seq("nope")))
+    intercept[FeatureValidationError](Profiling.profile(df, Nil))
+  }
+
+  test("driftHistogram clamps out-of-range values into edge bins") {
+    val df = ev(
+      ("a", "2024-01-01", -5.0),  // below 0 → bin 0
+      ("a", "2024-01-01", 5.0),   // bin 0
+      ("a", "2024-01-20", 15.0),  // bin 1
+      ("a", "2024-01-20", 999.0)) // above top → bin 2 (clamped)
+    val split = lit(Timestamp.valueOf("2024-01-10 00:00:00"))
+    val out = Profiling.driftHistogram(df, "value", "timestamp", split, 10.0, 3)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(out == List((0L, 2L, 0L), (1L, 0L, 1L), (2L, 0L, 1L)))
+  }
+
+  test("totalVariation: identical distributions → 0, disjoint → 1") {
+    val same = Seq((0L, 2L, 4L), (1L, 3L, 6L))
+    val disjoint = Seq((0L, 5L, 0L), (1L, 0L, 7L))
+    val s = spark
+    import s.implicits._
+    def tvd(rows: Seq[(Long, Long, Long)]): Double =
+      Profiling.totalVariation(rows.toDF("bin", "cnt_a", "cnt_b"))
+        .collect().head.getAs[Double]("tvd")
+    assert(tvd(same) == 0.0)
+    assert(tvd(disjoint) == 1.0)
+  }
+
+  test("freshness: whole-day staleness histogram at inclusive cutoff") {
+    val df = ev(
+      ("a", "2024-01-01", 1.0),
+      ("a", "2024-01-09", 1.0),  // a: latest Jan 9 → 1 day stale
+      ("b", "2024-01-10", 1.0),  // b: exactly at cutoff → 0 days (inclusive)
+      ("c", "2024-01-02", 1.0),  // c: 8 days
+      ("d", "2024-01-11", 1.0))  // d: only after cutoff → excluded
+    val out = Profiling
+      .freshness(df, lit(Timestamp.valueOf("2024-01-10 00:00:00")))
+      .orderBy("days_stale").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(out == List((0L, 1L), (1L, 1L), (8L, 1L)))
+  }
+}
