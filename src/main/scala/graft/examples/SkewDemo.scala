@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.store.PointInTime
 
 /** Demonstrates WHY asOfJoinBucketed exists: a synthetic workload where
-  * one hot entity owns a third of all feature rows — the shape AQE
+  * one hot entity owns half of all feature rows — the shape AQE
   * cannot fix, because a window partition is indivisible. The plain
   * union+window as-of funnels the hot entity into one task (one core
   * does 1/3 of the work); the bucketed two-pass prefix scan splits it
@@ -30,16 +30,20 @@ object SkewDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // entity 0 gets every third row; the rest spread over 100k entities.
-    // One timestamp per row (micros since epoch), unique → deterministic.
-    def entity = when(col("id") % 3 === 0, 0L)
+    // entity 0 gets every SECOND row (50% of the table); the rest
+    // spread over 100k entities. One timestamp per row (micros since
+    // epoch), unique → deterministic. The hot share must comfortably
+    // exceed rows/cores for the window's serialization to dominate the
+    // parallel floor — at 1/cores share the single hot task merely ties
+    // the other cores' combined work.
+    def entity = when(col("id") % 2 === 0, 0L)
       .otherwise(pmod(col("id"), lit(100000L)) + 1L)
     val feat = spark.range(n).select(
       entity.as("entity_id"),
       timestamp_micros(col("id") * 1000000L).as("timestamp"),
       col("id").as("payload"))
     val spine = spark.range(n / 10).select(
-      when(col("id") % 3 === 0, 0L)
+      when(col("id") % 2 === 0, 0L)
         .otherwise(pmod(col("id") * 7L, lit(100000L)) + 1L).as("entity_id"),
       timestamp_micros((col("id") * 10L + 5L) * 1000000L).as("timestamp"))
 
@@ -56,12 +60,26 @@ object SkewDemo {
     PointInTime.asOfJoinBucketed(spine.limit((n / 500).toInt), wf, 86400L).count()
     PointInTime.asOfJoinSkewHybrid(spine.limit((n / 500).toInt), wf, 86400L, 100000L).count()
 
+    // decomposition: where does the hybrid's time go?
+    time("  window on cold tail")(
+      PointInTime.asOfJoin(
+        spine.filter(col("entity_id") =!= 0L),
+        feat.filter(col("entity_id") =!= 0L)).count())
+    time("  window on hot entity")(
+      PointInTime.asOfJoin(
+        spine.filter(col("entity_id") === 0L),
+        feat.filter(col("entity_id") === 0L)).count())
+    time("  bucketed on hot entity")(
+      PointInTime.asOfJoinBucketed(
+        spine.filter(col("entity_id") === 0L),
+        feat.filter(col("entity_id") === 0L), 86400L).count())
+
     val a = time("asOfJoin (window)")(
       PointInTime.asOfJoin(spine, feat).count())
     // bucket = 1 day of synthetic time = 86400 rows of the hot entity
     val b = time("asOfJoinBucketed (2-pass)")(
       PointInTime.asOfJoinBucketed(spine, feat, bucketSeconds = 86400L).count())
-    // hybrid: only the hot entity (1.7M rows) buckets; the 100k-entity
+    // hybrid: only the hot entity (n/2 rows) buckets; the 100k-entity
     // long tail takes the window path
     val c = time("asOfJoinSkewHybrid")(
       PointInTime.asOfJoinSkewHybrid(

@@ -119,6 +119,54 @@ final class FeatureStore(
       tableName = name)
   }
 
+  /** Windowed aggregation features over the stored table: for each
+    * spine row (entity, t), aggregates of the table's rows inside
+    * (t − window, t] — see [[WindowFeatures.windowAggJoin]]. The
+    * training-set twin of [[getTrainingSet]] for "activity in the last
+    * N days" features.
+    */
+  def getWindowFeatures(
+      name: String,
+      entityTimestamps: DataFrame,
+      windowSeconds: Long,
+      aggs: Seq[WindowFeatures.WindowAgg]): DataFrame = {
+    val meta = catalog.getOrThrow(name)
+    val inputs = aggs.filter(_.fn != "rows").map(_.input).distinct
+    Validation.validateColumns(inputs, meta.columns, name)
+    WindowFeatures.windowAggJoin(
+      entityTimestamps, currentData(meta), windowSeconds, aggs)
+  }
+
+  /** The k most recent rows per requested entity at or before
+    * `timestamp`, each tagged with its 1-based `recency_rank` — the
+    * "last N interactions" read ([[PointInTime.latestKPerEntity]]
+    * under the store's PIT cutoff and deterministic tie-break).
+    */
+  def getRecent(
+      name: String,
+      entityIds: Seq[Any],
+      timestamp: Any,
+      k: Int): DataFrame = {
+    val meta = catalog.getOrThrow(name)
+    val asOf = FeatureStore.normalizeTimestamp(timestamp)
+    val eligible = currentData(meta, Some(asOf))
+      .filter(col(TimestampColumn) <= lit(asOf))
+      .filter(col(EntityIdColumn).isin(entityIds: _*))
+    PointInTime
+      .latestKPerEntity(eligible, k, tieBreakCols = Seq(IngestKeyCol))
+      .select((meta.columns :+ "recency_rank").map(col): _*)
+  }
+
+  /** Gap-based sessions over the stored table — see
+    * [[WindowFeatures.sessionize]]; the store supplies its internal
+    * ingest key as the deterministic within-timestamp tie-break.
+    */
+  def getSessions(name: String, gapSeconds: Long): DataFrame = {
+    val meta = catalog.getOrThrow(name)
+    WindowFeatures.sessionize(
+      currentData(meta), gapSeconds, tieBreakCols = Seq(IngestKeyCol))
+  }
+
   /** Retrieve the current or a historical snapshot
     * (reference: store.py:377-401).
     */

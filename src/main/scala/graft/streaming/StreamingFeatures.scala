@@ -62,6 +62,45 @@ object StreamingFeatures {
         col("sum_value"),
         col("last_event_ts"))
 
+  /** Gap-based session windows per entity — the streaming twin of
+    * [[graft.store.WindowFeatures.sessionize]], on Spark's native
+    * `session_window` (merging-window state, watermark-expired).
+    *
+    * Boundary convention differs from the batch operator by design of
+    * the built-in: `session_window` starts a NEW session when the gap
+    * is >= `gapDuration` (window end = last event + gap), while the
+    * batch operator keeps a gap exactly equal to the threshold in the
+    * SAME session (strictly-greater split). Equal-to-gap spacings are
+    * the only rows that disagree.
+    *
+    * Works identically over a batch DataFrame (same function, no
+    * watermark needed) — the train/serve symmetry argument for using
+    * the built-in rather than porting the batch lag/cumsum plan to
+    * streaming state by hand.
+    */
+  def sessionWindows(
+      stream: DataFrame,
+      gapDuration: String,
+      lateness: String = "10 minutes",
+      entityCol: String = "entity_id",
+      tsCol: String = "timestamp"): DataFrame = {
+    val withWm =
+      if (stream.isStreaming) stream.withWatermark(tsCol, lateness) else stream
+    withWm
+      .groupBy(col(entityCol), session_window(col(tsCol), gapDuration))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_event_ts"),
+        max(col(tsCol)).as("last_event_ts"))
+      .select(
+        col(entityCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"),
+        col("first_event_ts"),
+        col("last_event_ts"))
+  }
+
   /** Continuously-maintained latest-row-per-entity — the streaming twin
     * of [[graft.store.PointInTime.latestPerEntity]] and the online-
     * serving materialization: each micro-batch emits only entities whose

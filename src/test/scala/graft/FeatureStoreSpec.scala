@@ -191,4 +191,52 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(!store.delete("t"))
     intercept[FeatureTableNotFoundError](store.get("t", Seq("u"), ts("2024-01-01")))
   }
+
+  test("getWindowFeatures aggregates only rows inside the probe window") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    store.register("f", sampleFeatures)
+    val spine = Seq(
+      ("user_1", ts("2024-01-20")), // Jan 1 outside 10d window, Jan 15 inside
+      ("user_2", ts("2024-01-02"))  // only Jan 1 inside
+    ).toDF("entity_id", "timestamp")
+    val out = store
+      .getWindowFeatures("f", spine, 10L * 86400, Seq(
+        graft.store.WindowFeatures.WindowAgg("n", "rows"),
+        graft.store.WindowFeatures.WindowAgg("max_b", "max", "feature_b")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toList.sorted
+    assert(out == List(("user_1", 1L, 200L), ("user_2", 1L, 1000L)))
+    intercept[FeatureValidationError](
+      store.getWindowFeatures("f", spine, 86400L,
+        Seq(graft.store.WindowFeatures.WindowAgg("x", "sum", "nope"))))
+  }
+
+  test("getRecent returns k latest rows per entity at the PIT cutoff") {
+    val store = freshStore()
+    store.register("f", sampleFeatures)
+    val out = store
+      .getRecent("f", Seq("user_1", "user_2"), ts("2024-01-31"), k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getAs[Int]("recency_rank")))
+      .toList.sorted
+    // user_1's Feb 1 row is beyond the cutoff; ranks restart per entity
+    assert(out == List(
+      ("user_1", ts("2024-01-01"), 2), ("user_1", ts("2024-01-15"), 1),
+      ("user_2", ts("2024-01-01"), 2), ("user_2", ts("2024-01-20"), 1)))
+  }
+
+  test("getSessions groups the stored rows by gap") {
+    val store = freshStore()
+    store.register("f", sampleFeatures)
+    val out = store.getSessions("f", gapSeconds = 15L * 86400)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toList.sorted
+    // user_1: Jan 1 → Jan 15 (14d, same) → Feb 1 (17d, new session)
+    // user_2: Jan 1 → Jan 20 (19d, new session)
+    assert(out == List(
+      ("user_1", 1L, 2L), ("user_1", 2L, 1L),
+      ("user_2", 1L, 1L), ("user_2", 2L, 1L)))
+  }
 }

@@ -85,4 +85,48 @@ class StreamingFeaturesSpec extends AnyFunSuite with SparkTestBase {
       assert(!out.exists(r => r.entity_id == "u1" && r.value == 5.0))
     } finally query.stop()
   }
+
+  test("sessionWindows groups gap-separated bursts, streaming and batch alike") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val events = Seq(
+      ("u1", t("2024-01-01 10:00:00"), 1.0),
+      ("u1", t("2024-01-01 10:20:00"), 1.0), // within 30m gap → same session
+      ("u1", t("2024-01-01 12:00:00"), 1.0), // 100m later → new session
+      ("u2", t("2024-01-01 11:00:00"), 1.0))
+    val source = MemoryStream[(String, Timestamp, Double)]
+    val query = StreamingFeatures
+      .sessionWindows(
+        source.toDF().toDF("entity_id", "timestamp", "value"),
+        gapDuration = "30 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("sessions")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      source.addData(events: _*)
+      query.processAllAvailable()
+      // far-future row pushes the watermark so all sessions close
+      source.addData(("u9", t("2024-03-01 00:00:00"), 0.0))
+      query.processAllAvailable()
+      val rows = s.sql(
+        "SELECT entity_id, session_start, n_events FROM sessions " +
+          "WHERE entity_id LIKE 'u1%' OR entity_id = 'u2' " +
+          "ORDER BY entity_id, session_start").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(2))).toList ==
+        List(("u1", 2L), ("u1", 1L), ("u2", 1L)))
+
+      // identical call over a batch frame: same sessions (train/serve symmetry)
+      val batch = StreamingFeatures
+        .sessionWindows(
+          events.toDF("entity_id", "timestamp", "value"), "30 minutes")
+        .orderBy("entity_id", "session_start")
+        .collect()
+      assert(batch.map(r => (r.getString(0), r.getAs[Long]("n_events"))).toList ==
+        List(("u1", 2L), ("u1", 1L), ("u2", 1L)))
+    } finally query.stop()
+  }
 }
