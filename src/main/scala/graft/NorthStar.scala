@@ -106,7 +106,13 @@ object NorthStar {
           WindowFeatures.WindowAgg("n_events_7d", "rows"),
           WindowFeatures.WindowAgg("sum_value_cents_7d", "sum", "value_cents"),
           WindowFeatures.WindowAgg("max_value_cents_7d", "max", "value_cents"),
-          WindowFeatures.WindowAgg("min_event_id_7d", "min", "event_id")))
+          WindowFeatures.WindowAgg("min_event_id_7d", "min", "event_id"),
+          // second horizon of the same signal: shares the shuffle/sort,
+          // adds only a frame scan (the 7d/30d/90d multi-horizon shape)
+          WindowFeatures.WindowAgg("n_events_1d", "rows",
+            windowSeconds = Some(86400L)),
+          WindowFeatures.WindowAgg("sum_value_cents_1d", "sum", "value_cents",
+            Some(86400L))))
         .orderBy("entity_id", "timestamp")
     }),
     // batch sessionization: gap > 1h starts a new session; the
@@ -378,7 +384,13 @@ object NorthStar {
         |           AS sum_value_cents_7d,
         |       CAST(max(CAST(round(f.value * 100) AS BIGINT)) AS BIGINT)
         |           AS max_value_cents_7d,
-        |       min(f.event_id) AS min_event_id_7d
+        |       min(f.event_id) AS min_event_id_7d,
+        |       CAST(count(f.event_id)
+        |              FILTER (WHERE f.ts > s.t - INTERVAL 1 DAY)
+        |            AS BIGINT) AS n_events_1d,
+        |       CAST(sum(CAST(round(f.value * 100) AS BIGINT))
+        |              FILTER (WHERE f.ts > s.t - INTERVAL 1 DAY)
+        |            AS BIGINT) AS sum_value_cents_1d
         |FROM spine s LEFT JOIN events f
         |  ON f.user_id = s.entity_id
         | AND f.ts <= s.t AND f.ts > s.t - INTERVAL 7 DAY

@@ -31,8 +31,18 @@ object WindowFeatures {
     * evaluated over the feature rows inside the probe's window.
     * `rows` counts feature rows (input ignored); the rest apply to
     * `input` with SQL null-skipping semantics.
+    *
+    * `windowSeconds` optionally overrides the join-level window length
+    * for THIS aggregate — the "7d / 30d / 90d horizons of the same
+    * signal" shape. All horizons share the one shuffle and sort: each
+    * distinct length adds only a frame evaluation over the already-
+    * sorted run, never another pass over the data.
     */
-  final case class WindowAgg(out: String, fn: String, input: String = "")
+  final case class WindowAgg(
+      out: String,
+      fn: String,
+      input: String = "",
+      windowSeconds: Option[Long] = None)
 
   private val SupportedFns = Set("rows", "count", "sum", "min", "max")
 
@@ -59,16 +69,16 @@ object WindowFeatures {
       aggs: Seq[WindowAgg],
       entityCol: String = EntityIdColumn,
       tsCol: String = TimestampColumn): DataFrame = {
-    if (windowSeconds < 1)
+    if (windowSeconds < 1 || aggs.flatMap(_.windowSeconds).exists(_ < 1))
       throw new FeatureValidationError(
-        s"windowSeconds must be >= 1, got $windowSeconds")
+        s"windowSeconds must be >= 1 (join-level: $windowSeconds)")
     if (aggs.isEmpty)
       throw new FeatureValidationError("windowAggJoin needs at least one aggregate")
     aggs.find(a => !SupportedFns.contains(a.fn)).foreach(a =>
       throw new FeatureValidationError(
         s"unsupported window aggregate '${a.fn}' (supported: ${SupportedFns.toSeq.sorted.mkString(", ")})"))
     Validation.validateSpine(spine, entityCol, tsCol)
-    val valueCols = aggs.collect { case WindowAgg(_, fn, in) if fn != "rows" => in }.distinct
+    val valueCols = aggs.collect { case a if a.fn != "rows" => a.input }.distinct
     val missing = valueCols.filterNot(table.columns.contains)
     if (missing.nonEmpty)
       throw new FeatureValidationError(
@@ -107,21 +117,31 @@ object WindowFeatures {
     // RANGE frame (value-based): peers at the probe's exact ordering
     // value are all included regardless of union order — the inclusive
     // upper bound needs no side tag in the sort, unlike the as-of ROWS
-    // frame. All aggregates share one WindowSpec → one physical Window
-    // operator → one shuffle + one sort total.
-    val w = Window
-      .partitionBy(col("_e"))
-      .orderBy(col("_us"))
-      .rangeBetween(-(width - 1L), 0L)
+    // frame. Aggregates sharing a window length share one WindowSpec;
+    // distinct lengths become sibling Window operators over the SAME
+    // partitioning and sort, so Catalyst plans one shuffle + one sort
+    // total and each extra horizon costs only a frame scan.
+    val sameUnits: Long => Long = tsType match {
+      case _: NumericType => identity
+      case _ => _ * 1000000L
+    }
+    def frameFor(seconds: Option[Long]): org.apache.spark.sql.expressions.WindowSpec =
+      Window
+        .partitionBy(col("_e"))
+        .orderBy(col("_us"))
+        .rangeBetween(-(seconds.map(sameUnits).getOrElse(width) - 1L), 0L)
     def featOnly(c: Column): Column = when(col("_side") === 0, c)
-    val aggCols = aggs.map {
-      case WindowAgg(out, "rows", _) => count(featOnly(lit(1))).over(w).as(out)
-      case WindowAgg(out, "count", in) => count(featOnly(col(s"_v_$in"))).over(w).as(out)
-      case WindowAgg(out, "sum", in) => sum(featOnly(col(s"_v_$in"))).over(w).as(out)
-      case WindowAgg(out, "min", in) => min(featOnly(col(s"_v_$in"))).over(w).as(out)
-      case WindowAgg(out, "max", in) => max(featOnly(col(s"_v_$in"))).over(w).as(out)
-      case WindowAgg(_, fn, _) =>
-        throw new FeatureValidationError(s"unsupported window aggregate '$fn'")
+    val aggCols = aggs.map { a =>
+      val w = frameFor(a.windowSeconds)
+      a match {
+        case WindowAgg(out, "rows", _, _) => count(featOnly(lit(1))).over(w).as(out)
+        case WindowAgg(out, "count", in, _) => count(featOnly(col(s"_v_$in"))).over(w).as(out)
+        case WindowAgg(out, "sum", in, _) => sum(featOnly(col(s"_v_$in"))).over(w).as(out)
+        case WindowAgg(out, "min", in, _) => min(featOnly(col(s"_v_$in"))).over(w).as(out)
+        case WindowAgg(out, "max", in, _) => max(featOnly(col(s"_v_$in"))).over(w).as(out)
+        case WindowAgg(_, fn, _, _) =>
+          throw new FeatureValidationError(s"unsupported window aggregate '$fn'")
+      }
     }
 
     featSide.unionByName(spineSide)

@@ -60,20 +60,28 @@ object WindowFeaturesProps extends Properties("WindowFeatures") {
         WindowAgg("n", "rows"),
         WindowAgg("sv", "sum", "v"),
         WindowAgg("mn", "min", "v"),
-        WindowAgg("mx", "max", "v")))
+        WindowAgg("mx", "max", "v"),
+        // per-agg horizon override: a second, 2-day window in the same pass
+        WindowAgg("n2", "rows", windowSeconds = Some(2L * 86400L)),
+        WindowAgg("sv2", "sum", "v", Some(2L * 86400L))))
       .collect()
       .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2),
         Option(r.get(3)).map(_.asInstanceOf[Long]),
         Option(r.get(4)).map(_.asInstanceOf[Long]),
-        Option(r.get(5)).map(_.asInstanceOf[Long])))
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        r.getLong(6),
+        Option(r.get(7)).map(_.asInstanceOf[Long])))
       .toList.sorted
     val want = spine.map { case (e, d) =>
       // upper bound inclusive, lower bound exclusive: (d - w, d]
       val in = rows.filter(r => r.e == e && r.day > d - wDays && r.day <= d)
+      val in2 = rows.filter(r => r.e == e && r.day > d - 2 && r.day <= d)
       (e, ts(d).toString, in.size.toLong,
         if (in.isEmpty) None else Some(in.map(_.v).sum),
         if (in.isEmpty) None else Some(in.map(_.v).min),
-        if (in.isEmpty) None else Some(in.map(_.v).max))
+        if (in.isEmpty) None else Some(in.map(_.v).max),
+        in2.size.toLong,
+        if (in2.isEmpty) None else Some(in2.map(_.v).sum))
     }.sorted
     got == want
   }
