@@ -28,8 +28,18 @@ object Profiling {
   /** Long-format per-column profile: one row per requested column with
     * row/non-null/distinct counts and numeric min/max (null min/max for
     * non-numeric columns). The profile is a single aggregation job.
+    *
+    * @param exactDistinct true (default) counts distincts exactly — the
+    *   oracle-comparable mode, but each profiled column re-expands the
+    *   input. false switches to HyperLogLog++ (`approx_count_distinct`,
+    *   ~2% rsd): ONE pass total regardless of column count, constant
+    *   memory — the petabyte-scale mode (not oracle-paired: the sketch
+    *   estimate is engine-specific).
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(
+      df: DataFrame,
+      cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
     if (cols.isEmpty)
       throw new FeatureValidationError("profile needs at least one column")
     val missing = cols.filterNot(df.columns.contains)
@@ -40,10 +50,13 @@ object Profiling {
       val numeric = df.schema(c).dataType.isInstanceOf[NumericType]
       def mm(f: Column => Column) =
         if (numeric) f(col(c)).cast(DoubleType) else lit(null).cast(DoubleType)
+      val distinct =
+        if (exactDistinct) count_distinct(col(c))
+        else approx_count_distinct(col(c))
       Seq(
         count(lit(1)).as(s"_n_$c"),
         count(col(c)).as(s"_nn_$c"),
-        count_distinct(col(c)).as(s"_nd_$c"),
+        distinct.as(s"_nd_$c"),
         mm(min).as(s"_min_$c"),
         mm(max).as(s"_max_$c"))
     }

@@ -167,6 +167,28 @@ final class FeatureStore(
       currentData(meta), gapSeconds, tieBreakCols = Seq(IngestKeyCol))
   }
 
+  /** Per-column data-quality profile of the stored table's current
+    * version — see [[graft.ops.Profiling.profile]]. Defaults to every
+    * registered column; `exactDistinct = false` switches distinct
+    * counts to one-pass HLL sketches for very large tables.
+    */
+  def profileTable(
+      name: String,
+      columns: Option[Seq[String]] = None,
+      exactDistinct: Boolean = true): DataFrame = {
+    val meta = catalog.getOrThrow(name)
+    // plain membership, not validateColumns: profiling entity_id /
+    // timestamp (cardinality, time range) is legitimate here
+    columns.foreach { cs =>
+      val unknown = cs.filterNot(meta.columns.contains)
+      if (unknown.nonEmpty)
+        throw new FeatureValidationError(
+          s"Columns not found in table '$name': ${unknown.mkString(", ")}")
+    }
+    val cols = columns.getOrElse(meta.columns)
+    graft.ops.Profiling.profile(currentData(meta), cols, exactDistinct)
+  }
+
   /** Retrieve the current or a historical snapshot
     * (reference: store.py:377-401).
     */

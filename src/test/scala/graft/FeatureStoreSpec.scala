@@ -227,6 +227,18 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
       ("user_2", ts("2024-01-01"), 2), ("user_2", ts("2024-01-20"), 1)))
   }
 
+  test("profileTable profiles registered columns, rejects unknown ones") {
+    val store = freshStore()
+    store.register("f", sampleFeatures)
+    val out = store.profileTable("f")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet ==
+      Set("entity_id", "timestamp", "feature_a", "feature_b"))
+    assert(out.values.forall(_ == 5L))
+    intercept[FeatureValidationError](
+      store.profileTable("f", Some(Seq("nope"))))
+  }
+
   test("getSessions groups the stored rows by gap") {
     val store = freshStore()
     store.register("f", sampleFeatures)

@@ -36,6 +36,16 @@ class ProfilingSpec extends AnyFunSuite with SparkTestBase {
     assert(out("value") == ((3L, 2L, 2L, Some(1.0), Some(3.0))))
   }
 
+  test("profile with approximate distincts stays within HLL tolerance") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, i % 97)).toDF("id", "mod")
+    val out = Profiling.profile(df, Seq("id", "mod"), exactDistinct = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(out("id") - 1000L) <= 50)
+    assert(math.abs(out("mod") - 97L) <= 5)
+  }
+
   test("profile rejects unknown and empty column lists") {
     val df = ev(("a", "2024-01-01", 1.0))
     intercept[FeatureValidationError](Profiling.profile(df, Seq("nope")))

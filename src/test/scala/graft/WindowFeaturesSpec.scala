@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{FeatureValidationError, WindowFeatures}
+import graft.store.WindowFeatures.WindowAgg
+
+/** Unit coverage for the windowed operators' non-temporal ts path
+  * (numeric ordering columns: epoch longs, version counters) and the
+  * validation surface — the properties file covers temporal semantics.
+  */
+class WindowFeaturesSpec extends AnyFunSuite with SparkTestBase {
+
+  test("windowAggJoin on a numeric ts column uses the column's own units") {
+    val s = spark
+    import s.implicits._
+    val feat = Seq(("a", 10L, 1L), ("a", 15L, 2L), ("a", 20L, 4L))
+      .toDF("entity_id", "timestamp", "v")
+    val spine = Seq(("a", 20L), ("a", 14L)).toDF("entity_id", "timestamp")
+    // window 6 units: (14, 20] → rows at 15, 20; (8, 14] → row at 10
+    val out = WindowFeatures
+      .windowAggJoin(spine, feat, windowSeconds = 6L,
+        Seq(WindowAgg("n", "rows"), WindowAgg("sv", "sum", "v")))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toList.sorted
+    assert(out == List((14L, 1L, 1L), (20L, 2L, 6L)))
+  }
+
+  test("sessionize on a numeric ts column splits on strictly-greater gaps") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(("a", 1L), ("a", 4L), ("a", 7L), ("a", 20L))
+      .toDF("entity_id", "timestamp")
+    // gap 3: diffs 3,3 stay; diff 13 splits
+    val out = WindowFeatures.sessionize(ev, gapSeconds = 3L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList.sorted
+    assert(out == List((1L, 1L, 7L, 3L), (2L, 20L, 20L, 1L)))
+  }
+
+  test("windowAggJoin validation: bad fn, bad column, dup outputs, bad window") {
+    val s = spark
+    import s.implicits._
+    val feat = Seq(("a", 1L, 1L)).toDF("entity_id", "timestamp", "v")
+    val spine = Seq(("a", 1L)).toDF("entity_id", "timestamp")
+    intercept[FeatureValidationError](
+      WindowFeatures.windowAggJoin(spine, feat, 5L, Seq(WindowAgg("x", "avg", "v"))))
+    intercept[FeatureValidationError](
+      WindowFeatures.windowAggJoin(spine, feat, 5L, Seq(WindowAgg("x", "sum", "nope"))))
+    intercept[FeatureValidationError](
+      WindowFeatures.windowAggJoin(spine, feat, 5L,
+        Seq(WindowAgg("x", "rows"), WindowAgg("x", "sum", "v"))))
+    intercept[FeatureValidationError](
+      WindowFeatures.windowAggJoin(spine, feat, 0L, Seq(WindowAgg("x", "rows"))))
+    intercept[FeatureValidationError](
+      WindowFeatures.windowAggJoin(spine, feat, 5L,
+        Seq(WindowAgg("x", "rows", "", Some(0L)))))
+  }
+}
