@@ -133,8 +133,7 @@ object NorthStar {
       PointInTime
         .latestKPerEntity(
           SparkEntry.eventsForNorthStar(s, dir)
-            .filter(col("ts") <= lit(graft.store.FeatureStore
-              .normalizeTimestamp("2024-01-20 00:00:00")))
+            .filter(col("ts") <= utc("2024-01-20 00:00:00"))
             .select(
               col("user_id").as("entity_id"),
               col("ts").as("timestamp"),

@@ -53,6 +53,10 @@ object SkewDemo {
       println(f"[skew] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$r")
       r
     }
+    // content checksum, not just a row count: a strategy matching every
+    // probe to the WRONG feature row would preserve the count
+    def checksum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("payload")).cast("long")).head().getLong(0)
 
     // warm both plans once at 1/50 scale so JIT/codegen is steady
     val wf = feat.limit((n / 50).toInt)
@@ -84,8 +88,12 @@ object SkewDemo {
     val c = time("asOfJoinSkewHybrid")(
       PointInTime.asOfJoinSkewHybrid(
         spine, feat, bucketSeconds = 86400L, hotRowThreshold = 100000L).count())
-    require(a == b && b == c, s"strategies disagree: $a / $b / $c")
-    println(s"[skew] equivalence OK ($a rows)")
+    require(a == b && b == c, s"strategies disagree on count: $a / $b / $c")
+    val ka = checksum(PointInTime.asOfJoin(spine, feat))
+    val kb = checksum(PointInTime.asOfJoinBucketed(spine, feat, 86400L))
+    val kc = checksum(PointInTime.asOfJoinSkewHybrid(spine, feat, 86400L, 100000L))
+    require(ka == kb && kb == kc, s"strategies disagree on content: $ka / $kb / $kc")
+    println(s"[skew] equivalence OK ($a rows, payload checksum $ka)")
     spark.stop()
   }
 }

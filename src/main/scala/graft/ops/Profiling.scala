@@ -46,7 +46,10 @@ object Profiling {
     if (missing.nonEmpty)
       throw new FeatureValidationError(
         s"profile columns not in table: ${missing.mkString(", ")}")
-    val aggs = cols.flatMap { c =>
+    // internal aliases are INDEX-based and labels are escaped: column
+    // names are caller-controlled and may contain quotes, spaces, or
+    // operator characters that would misparse inside selectExpr
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       val numeric = df.schema(c).dataType.isInstanceOf[NumericType]
       def mm(f: Column => Column) =
         if (numeric) f(col(c)).cast(DoubleType) else lit(null).cast(DoubleType)
@@ -54,15 +57,18 @@ object Profiling {
         if (exactDistinct) count_distinct(col(c))
         else approx_count_distinct(col(c))
       Seq(
-        count(lit(1)).as(s"_n_$c"),
-        count(col(c)).as(s"_nn_$c"),
-        distinct.as(s"_nd_$c"),
-        mm(min).as(s"_min_$c"),
-        mm(max).as(s"_max_$c"))
+        count(lit(1)).as(s"_n_$i"),
+        count(col(c)).as(s"_nn_$i"),
+        distinct.as(s"_nd_$i"),
+        mm(min).as(s"_min_$i"),
+        mm(max).as(s"_max_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols
-      .map(c => s"'$c', _n_$c, _nn_$c, _nd_$c, _min_$c, _max_$c")
+    val stacked = cols.zipWithIndex
+      .map { case (c, i) =>
+        s"'${c.replace("\\", "\\\\").replace("'", "\\'")}', " +
+          s"_n_$i, _nn_$i, _nd_$i, _min_$i, _max_$i"
+      }
       .mkString(", ")
     one.selectExpr(
       s"stack(${cols.size}, $stacked) AS " +
@@ -73,6 +79,11 @@ object Profiling {
     * to period A, the rest to B; values bin into `floor(value /
     * binWidth)` clamped to [0, numBins-1]. Returns (bin, cnt_a, cnt_b)
     * — the integer base both drift scores build on.
+    *
+    * Rows with a NULL value or NULL timestamp are excluded — without
+    * the filter, `greatest(null, 0)` would silently fold every null
+    * value into bin 0 and `otherwise` would route null timestamps to
+    * period B. Track null RATES with [[profile]], not the histogram.
     */
   def driftHistogram(
       df: DataFrame,
@@ -84,7 +95,8 @@ object Profiling {
     if (numBins < 1 || !(binWidth > 0))
       throw new FeatureValidationError(
         s"need numBins >= 1 and binWidth > 0, got $numBins / $binWidth")
-    df.select(
+    df.filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .select(
         least(greatest(floor(col(valueCol) / binWidth), lit(0L)),
           lit(numBins - 1L)).cast(LongType).as("bin"),
         when(col(tsCol) < splitAt, 1L).otherwise(0L).as("_a"),
@@ -101,6 +113,11 @@ object Profiling {
     * one scalar division — bit-identical across engines. 64-bit bound:
     * cnt·total pairs must stay under 2^63 (fine to ~3·10^9 rows per
     * period; beyond that, widen to DECIMAL).
+    *
+    * An EMPTY period (total_a or total_b = 0) yields `tvd` NULL (0/0
+    * under non-ANSI division) — deliberately not 0: a missing
+    * comparison period is "undefined drift", and a NULL reaching a
+    * threshold check is the alert a silent 0.0 would suppress.
     */
   def totalVariation(hist: DataFrame): DataFrame = {
     val totals = hist.agg(

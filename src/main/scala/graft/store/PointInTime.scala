@@ -344,36 +344,51 @@ object PointInTime {
     if (hot.isEmpty)
       asOfJoin(spine, table, columns, entityCol, tsCol, tieBreakCols, tableName)
     else {
-      Validation.validateSpine(spine, entityCol, tsCol)
+      val missing = Seq(entityCol, tsCol).filterNot(spine.columns.contains)
+      if (missing.nonEmpty)
+        throw new FeatureValidationError(
+          s"entity_timestamps is missing required columns: ${missing.mkString(", ")}")
       // null-safe split: a null entity can be hot (Window groups nulls);
-      // isin() would drop it, so route null membership explicitly
+      // isin() would drop it, so route null membership explicitly.
+      // The predicate is built per side because the SPINE side must be
+      // compared post-cast to the table's entity type — taggedUnion casts
+      // the spine entity before matching, so classifying the raw spine
+      // value would route a narrowing-cast probe to the wrong side and
+      // silently drop its match.
       val nonNullHot = hot.filter(_ != null)
-      val hotPred: Column =
+      def hotPredOn(e: Column): Column =
         if (hot.contains(null))
-          col(entityCol).isNull ||
-            (if (nonNullHot.isEmpty) lit(false) else col(entityCol).isin(nonNullHot: _*))
-        else col(entityCol).isin(nonNullHot: _*)
-      val coldPred = !coalesce(hotPred, lit(false))
-      val hotSpine = spine.filter(hotPred)
-      val coldSpine = spine.filter(coldPred)
-      // An empty split would trip the sub-kernel's spine validation (the
-      // full spine was validated above; a one-sided spine is legitimate
-      // here). Route it away — and drop the unprobed side of the TABLE
-      // too: as-of matches are entity-equal, so features on the spine-less
-      // side can never reach a probe, and keeping them out of the window
-      // is the whole point of the split.
-      if (hotSpine.isEmpty)
-        asOfJoin(spine, table.filter(coldPred),
+          e.isNull ||
+            (if (nonNullHot.isEmpty) lit(false) else e.isin(nonNullHot: _*))
+        else e.isin(nonNullHot: _*)
+      def coldPredOn(e: Column): Column = !coalesce(hotPredOn(e), lit(false))
+      val spineEntity = col(entityCol).cast(table.schema(entityCol).dataType)
+      val hotSpine = spine.filter(hotPredOn(spineEntity))
+      val coldSpine = spine.filter(coldPredOn(spineEntity))
+      // One aggregation job sizes both splits (subsuming the emptiness
+      // validation — hot/cold partition every spine row): an empty split
+      // would trip the sub-kernel's spine validation, and routing it away
+      // also drops the unprobed side of the TABLE — as-of matches are
+      // entity-equal, so features on the spine-less side can never reach
+      // a probe, and keeping them out of the window is the point.
+      val sizes = spine.agg(
+        count(when(hotPredOn(spineEntity), 1)).as("h"),
+        count(when(coldPredOn(spineEntity), 1)).as("c")).head()
+      val (nHot, nCold) = (sizes.getLong(0), sizes.getLong(1))
+      if (nHot + nCold == 0)
+        throw new FeatureValidationError("entity_timestamps must not be empty")
+      if (nHot == 0)
+        asOfJoin(spine, table.filter(coldPredOn(col(entityCol))),
           columns, entityCol, tsCol, tieBreakCols, tableName)
-      else if (coldSpine.isEmpty)
-        asOfJoinBucketed(spine, table.filter(hotPred), bucketSeconds,
+      else if (nCold == 0)
+        asOfJoinBucketed(spine, table.filter(hotPredOn(col(entityCol))), bucketSeconds,
           columns, entityCol, tsCol, tieBreakCols, tableName)
       else {
         val hotPart = asOfJoinBucketed(
-          hotSpine, table.filter(hotPred), bucketSeconds,
+          hotSpine, table.filter(hotPredOn(col(entityCol))), bucketSeconds,
           columns, entityCol, tsCol, tieBreakCols, tableName)
         val coldPart = asOfJoin(
-          coldSpine, table.filter(coldPred),
+          coldSpine, table.filter(coldPredOn(col(entityCol))),
           columns, entityCol, tsCol, tieBreakCols, tableName)
         hotPart.unionByName(coldPart)
       }

@@ -103,11 +103,16 @@ object WindowFeatures {
           s"windowAggJoin needs a temporal or numeric $tsCol, got $other")
     }
 
-    val featSide = table.select(
-      col(entityCol).as("_e") +:
-        col(tsCol).as("_t") +:
-        lit(0).as("_side") +:
-        valueCols.map(c => col(c).as(s"_v_$c")): _*)
+    // null-ts feature rows can be inside NO window — but unfiltered they
+    // would sort as null-ordering peers of null-ts probes and leak into
+    // those probes' frames
+    val featSide = table
+      .filter(col(tsCol).isNotNull)
+      .select(
+        col(entityCol).as("_e") +:
+          col(tsCol).as("_t") +:
+          lit(0).as("_side") +:
+          valueCols.map(c => col(c).as(s"_v_$c")): _*)
     val spineSide = spine.select(
       col(entityCol).cast(entityType).as("_e") +:
         col(tsCol).cast(tsType).as("_t") +:

@@ -212,4 +212,26 @@ class PointInTimeSpec extends AnyFunSuite with SparkTestBase {
     assert(out.columns.toSeq == sampleFeatures.columns.toSeq)
     assert(out.count() == 0)
   }
+
+  test("skew-hybrid classifies a spine needing an entity-type cast like asOfJoin") {
+    val s = spark
+    import s.implicits._
+    // table entities are LONG; the spine arrives as DOUBLE with a
+    // fractional id. taggedUnion casts 1.5 → 1L (match); the hybrid's
+    // hot/cold split must classify the CAST value the same way, or the
+    // probe routes to the side whose table filter stripped entity 1.
+    val feat = Seq((1L, ts("2024-01-01"), 10L), (1L, ts("2024-01-02"), 20L))
+      .toDF("entity_id", "timestamp", "v")
+    val spine = Seq((1.5d, ts("2024-01-03")), (1.0d, ts("2024-01-03")))
+      .toDF("entity_id", "timestamp")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(2))
+    val plain = PointInTime.asOfJoin(spine, feat, tieBreakCols = Seq("v"))
+      .collect().map(key).toList.sorted
+    val hybrid = PointInTime
+      .asOfJoinSkewHybrid(spine, feat, 86400L, hotRowThreshold = 1L,
+        tieBreakCols = Seq("v"))
+      .collect().map(key).toList.sorted
+    assert(plain == List((1L, 20L), (1L, 20L)))
+    assert(hybrid == plain)
+  }
 }
