@@ -168,6 +168,17 @@ object NorthStar {
         Profiling.driftHistogram(
           SparkEntry.eventsForNorthStar(s, dir), "value", "ts",
           utc("2024-01-16 00:00:00"), binWidth = 25.0, numBins = 20))),
+    // exact per-type value percentiles over integer cents — bit-matching
+    // DuckDB's quantile_cont (same interpolation on exact operands)
+    "value_percentiles" -> ((s, dir) =>
+      Profiling
+        .percentiles(
+          SparkEntry.eventsForNorthStar(s, dir)
+            .select(col("event_type"),
+              round(col("value") * 100).cast("long").as("cents")),
+          "cents", Seq("event_type"),
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .orderBy("event_type")),
     // staleness histogram: whole-day age of each entity's latest row at
     // the cutoff — the "how stale is what serving would read" monitor
     "feature_freshness" -> ((s, dir) =>
@@ -467,6 +478,14 @@ object NorthStar {
         |       CAST(sum(abs(cnt_a * tb - cnt_b * ta)) AS BIGINT)
         |         / (2.0 * max(ta) * max(tb)) AS tvd
         |FROM hist, t""".stripMargin,
+
+    "value_percentiles" ->
+      """SELECT event_type,
+        |       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
+        |       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90,
+        |       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) AS p99,
+        |       count(*) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "feature_freshness" ->
       """WITH latest AS (

@@ -137,6 +137,40 @@ object Profiling {
           (lit(2.0) * col("total_a") * col("total_b"))).as("tvd"))
   }
 
+  /** Exact per-group percentiles of an integral column — p50/p90/p99
+    * latency-style monitoring over integer-unit features (cents,
+    * micros, counts).
+    *
+    * Cross-engine exactness: Spark's `percentile` and DuckDB's
+    * `quantile_cont` both interpolate `lower + (upper − lower) · frac`
+    * at rank `p · (n − 1)`; on integral inputs every operand is exact
+    * in double and the interpolation is one scalar expression, so
+    * results are bit-identical (verified empirically on the events
+    * table, float noise digits included).
+    *
+    * Scale note: exact percentiles buffer each group's values — right
+    * for bounded groups (per event type, per tenant). For unbounded
+    * groups switch to `approx_percentile`, which sketches in constant
+    * memory but is not oracle-comparable.
+    */
+  def percentiles(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      ps: Seq[(String, Double)]): DataFrame = {
+    if (ps.isEmpty)
+      throw new FeatureValidationError("percentiles needs at least one (name, p)")
+    ps.find(p => p._2 < 0 || p._2 > 1).foreach(p =>
+      throw new FeatureValidationError(
+        s"percentile fraction must be in [0, 1], got ${p._2} for '${p._1}'"))
+    if (!df.schema(valueCol).dataType.isInstanceOf[NumericType])
+      throw new FeatureValidationError(
+        s"percentiles needs a numeric $valueCol, got ${df.schema(valueCol).dataType}")
+    val aggs = ps.map { case (n, p) => percentile(col(valueCol), lit(p)).as(n) } :+
+      count(lit(1)).as("n_rows")
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Feature freshness as of `asOf`: for every entity with at least one
     * row at or before the cutoff, the age in whole days of its latest
     * row, histogrammed as (days_stale, n_entities) — the "how stale is

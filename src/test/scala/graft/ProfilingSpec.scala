@@ -77,6 +77,25 @@ class ProfilingSpec extends AnyFunSuite with SparkTestBase {
     assert(tvd(disjoint) == 1.0)
   }
 
+  test("percentiles: exact interpolation per group, validation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("b", 5L))
+      .toDF("g", "v")
+    val out = Profiling.percentiles(df, "v", Seq("g"),
+      Seq("p50" -> 0.5, "p75" -> 0.75))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    // a: ranks at 0.5*(4-1)=1.5 → 20+0.5*10 = 25; 0.75*3=2.25 → 30+0.25*10
+    assert(out("a") == ((25.0, 32.5, 4L)))
+    assert(out("b") == ((5.0, 5.0, 1L)))
+    intercept[FeatureValidationError](Profiling.percentiles(df, "v", Seq("g"), Nil))
+    intercept[FeatureValidationError](
+      Profiling.percentiles(df, "v", Seq("g"), Seq("x" -> 1.5)))
+    intercept[FeatureValidationError](
+      Profiling.percentiles(df, "g", Seq("g"), Seq("x" -> 0.5)))
+  }
+
   test("freshness: whole-day staleness histogram at inclusive cutoff") {
     val df = ev(
       ("a", "2024-01-01", 1.0),
