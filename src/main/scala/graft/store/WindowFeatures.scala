@@ -156,6 +156,174 @@ object WindowFeatures {
       .select(col("_e").as(entityCol) +: col("_t").as(tsCol) +: aggs.map(a => col(a.out)): _*)
   }
 
+  /** Skew-aware form of [[windowAggJoin]]: identical semantics, but the
+    * per-entity RANGE window is decomposed over (entity, time-bucket)
+    * tasks, with bucket width = the window length. A probe's window
+    * (t − w, t] then spans at most TWO buckets:
+    *
+    *   - a PREFIX of the probe's own bucket k = ⌊t/w⌋ (rows ≤ t), read
+    *     by a forward running aggregate with the probe placed at t;
+    *   - a SUFFIX of bucket k−1 (rows > t − w), read by a BACKWARD
+    *     running aggregate with a second probe copy placed at t − w
+    *     (which lands in bucket k−1 by construction).
+    *
+    * Halves recombine per distinct probe (sums/counts add, min/max
+    * fold, null iff both halves empty), then re-expand to duplicate
+    * spine rows — all five aggregate fns decompose this way. A hot
+    * entity's windows thus spread across its time range instead of
+    * serializing into one window partition (the skew AQE cannot split,
+    * same argument as [[PointInTime.asOfJoinBucketed]]). Costs two
+    * extra small shuffles (probe-half combine + duplicate re-expand),
+    * so the plain single-window form wins on long-tail data — route by
+    * entity heat, as [[PointInTime.asOfJoinSkewHybrid]] does for as-of.
+    *
+    * Per-aggregate `windowSeconds` overrides are rejected: the bucket
+    * grid is the window length, one horizon per pass.
+    */
+  def windowAggJoinBucketed(
+      spine: DataFrame,
+      table: DataFrame,
+      windowSeconds: Long,
+      aggs: Seq[WindowAgg],
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn): DataFrame = {
+    if (aggs.exists(_.windowSeconds.isDefined))
+      throw new FeatureValidationError(
+        "windowAggJoinBucketed buckets by the join-level window; per-aggregate horizons need one pass each")
+    if (windowSeconds < 1)
+      throw new FeatureValidationError(
+        s"windowSeconds must be >= 1, got $windowSeconds")
+    if (aggs.isEmpty)
+      throw new FeatureValidationError("windowAggJoin needs at least one aggregate")
+    aggs.find(a => !SupportedFns.contains(a.fn)).foreach(a =>
+      throw new FeatureValidationError(
+        s"unsupported window aggregate '${a.fn}' (supported: ${SupportedFns.toSeq.sorted.mkString(", ")})"))
+    Validation.validateSpine(spine, entityCol, tsCol)
+    val valueCols = aggs.collect { case a if a.fn != "rows" => a.input }.distinct
+    val missing = valueCols.filterNot(table.columns.contains)
+    if (missing.nonEmpty)
+      throw new FeatureValidationError(
+        s"windowAggJoin input columns not in table: ${missing.mkString(", ")}")
+    val dupOut = aggs.groupBy(_.out).collect { case (o, as) if as.size > 1 => o }
+    if (dupOut.nonEmpty)
+      throw new FeatureValidationError(
+        s"duplicate output names: ${dupOut.toSeq.sorted.mkString(", ")}")
+
+    val entityType = table.schema(entityCol).dataType
+    val tsType = table.schema(tsCol).dataType
+    val (ordOf, width): (Column => Column, Long) = tsType match {
+      case _: TimestampType | _: TimestampNTZType | _: DateType =>
+        ((c: Column) => unix_micros(c.cast(TimestampType)), windowSeconds * 1000000L)
+      case _: NumericType =>
+        ((c: Column) => c.cast(LongType), windowSeconds)
+      case other =>
+        throw new FeatureValidationError(
+          s"windowAggJoin needs a temporal or numeric $tsCol, got $other")
+    }
+
+    // distinct probes: halves recombine on (entity, t), so duplicates
+    // must collapse first and re-expand at the end (asOfJoinViaJoin's
+    // pattern) — pairing by a generated id would not survive task retry
+    val probes = spine
+      .select(col(entityCol).cast(entityType).as("_e"), col(tsCol).cast(tsType).as("_t"))
+      .distinct()
+      .withColumn("_us0", ordOf(col("_t")))
+    val featSide = table
+      .filter(col(tsCol).isNotNull)
+      .select(
+        col(entityCol).as("_e") +:
+          ordOf(col(tsCol)).as("_us") +:
+          lit(0).as("_side") +:
+          lit(null).cast(LongType).as("_us0") +:
+          valueCols.map(c => col(c).as(s"_v_$c")): _*)
+    def probeSide(side: Int, at: Column) = probes.select(
+      col("_e") +:
+        at.as("_us") +:
+        lit(side).as("_side") +:
+        col("_us0") +:
+        valueCols.map(c => lit(null).cast(table.schema(c).dataType).as(s"_v_$c")): _*)
+    val unioned = featSide
+      .unionByName(probeSide(1, col("_us0")))           // reads bucket-k prefix
+      .unionByName(probeSide(2, col("_us0") - width))   // reads bucket-(k-1) suffix
+      // true floor division (negative-safe): (x - pmod(x, w)) is the
+      // exact floor multiple, so the double division is exact too
+      .withColumn("_bk",
+        when(col("_us").isNull, lit(null).cast(LongType))
+          .otherwise(((col("_us") - pmod(col("_us"), lit(width))) / width)
+            .cast(LongType)))
+
+    // forward: features sort BEFORE probes at equal ts (inclusive upper
+    // bound); backward: the suffix probe sorts before equal-ts features
+    // in descending order (strictly-greater lower bound)
+    val wF = Window.partitionBy(col("_e"), col("_bk"))
+      .orderBy(col("_us").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.partitionBy(col("_e"), col("_bk"))
+      .orderBy(col("_us").desc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def featOnly(c: Column): Column = when(col("_side") === 0, c)
+    def runningAggs(w: org.apache.spark.sql.expressions.WindowSpec) = aggs.map { a =>
+      val c = a match {
+        case WindowAgg(_, "rows", _, _) => count(featOnly(lit(1))).over(w)
+        case WindowAgg(_, "count", in, _) => count(featOnly(col(s"_v_$in"))).over(w)
+        case WindowAgg(_, "sum", in, _) => sum(featOnly(col(s"_v_$in"))).over(w)
+        case WindowAgg(_, "min", in, _) => min(featOnly(col(s"_v_$in"))).over(w)
+        case WindowAgg(_, "max", in, _) => max(featOnly(col(s"_v_$in"))).over(w)
+        case WindowAgg(_, fn, _, _) =>
+          throw new FeatureValidationError(s"unsupported window aggregate '$fn'")
+      }
+      c.as(s"_r_${a.out}")
+    }
+    // both scans in one select: Catalyst plans ONE exchange on
+    // (_e, _bk) with an ascending and a descending sort over it
+    val scannedBoth = unioned.select(
+      (col("_e") +: col("_side") +: col("_us0") +:
+        (aggs.zip(runningAggs(wF)).map { case (a, c) => c.as(s"_f_${a.out}") } ++
+          aggs.zip(runningAggs(wB)).map { case (a, c) => c.as(s"_b_${a.out}") })): _*)
+    // recombine the two probe copies per (entity, probe-ts) with an
+    // aggregation, NOT a self-join — a join would evaluate the whole
+    // scan subtree twice. Each probe is distinct, so the side-1 row is
+    // the unique forward-half candidate and max() just picks it (and
+    // preserves a legitimately-null empty-half value).
+    val halfAggs =
+      aggs.map(a => max(when(col("_side") === 1, col(s"_f_${a.out}")))
+        .as(s"_p_${a.out}")) ++
+        aggs.map(a => max(when(col("_side") === 2, col(s"_b_${a.out}")))
+          .as(s"_s_${a.out}"))
+    val halves = scannedBoth
+      .filter(col("_side") =!= 0)
+      .groupBy(col("_e").as("_pe"), col("_us0").as("_pt"))
+      .agg(halfAggs.head, halfAggs.tail: _*)
+
+    def combined(a: WindowAgg): Column = {
+      val p = col(s"_p_${a.out}")
+      val s = col(s"_s_${a.out}")
+      a.fn match {
+        case "rows" | "count" => (p + s).as(a.out)
+        case "sum" =>
+          // null iff BOTH halves saw no rows (plain windowAggJoin's
+          // empty-window sum is null, a one-sided window's is not)
+          when(p.isNull && s.isNull, lit(null))
+            .otherwise(coalesce(p, lit(0)) + coalesce(s, lit(0)))
+            .as(a.out)
+        case "min" => least(p, s).as(a.out)
+        case "max" => greatest(p, s).as(a.out)
+      }
+    }
+    val perProbe = halves.select(
+      col("_pe") +: col("_pt") +: aggs.map(combined): _*)
+
+    // re-expand duplicate spine rows (null-safe equality, as elsewhere)
+    spine
+      .select(
+        col(entityCol).cast(entityType).as("_oe"),
+        col(tsCol).cast(tsType).as("_ot"))
+      .join(perProbe,
+        col("_oe") <=> col("_pe") && ordOf(col("_ot")) <=> col("_pt"))
+      .select(col("_oe").as(entityCol) +: col("_ot").as(tsCol) +:
+        aggs.map(a => col(a.out)): _*)
+  }
+
   /** Batch sessionization: split each entity's event stream into
     * sessions separated by gaps strictly greater than `gapSeconds`,
     * returning one row per session with its bounds and event count —

@@ -86,6 +86,31 @@ object WindowFeaturesProps extends Properties("WindowFeatures") {
     got == want
   }
 
+  property("windowAggJoinBucketed equals windowAggJoin") = forAll(
+    genRows, genSpine, Gen.choose(1, 10)) { (rows, spineRaw, wDays) =>
+    val spine = if (spineRaw.isEmpty) List(("a", 1)) else spineRaw
+    val s = spark
+    import s.implicits._
+    val spineDf = spine.map { case (e, d) => (e, ts(d)) }
+      .toDF("entity_id", "timestamp")
+    val aggSet = Seq(
+      WindowAgg("n", "rows"),
+      WindowAgg("sv", "sum", "v"),
+      WindowAgg("mn", "min", "v"),
+      WindowAgg("mx", "max", "v"))
+    def run(f: => org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long])))
+      .toList.sorted
+    val plain = run(WindowFeatures
+      .windowAggJoin(spineDf, toDF(rows), wDays * 86400L, aggSet))
+    val bucketed = run(WindowFeatures
+      .windowAggJoinBucketed(spineDf, toDF(rows), wDays * 86400L, aggSet))
+    plain == bucketed
+  }
+
   property("sessionize equals sequential-walk model") = forAll(
     genRows, Gen.choose(1, 6)) { (rows, gapDays) =>
     val got = WindowFeatures
