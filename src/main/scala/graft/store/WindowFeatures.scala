@@ -324,6 +324,76 @@ object WindowFeatures {
         aggs.map(a => col(a.out)): _*)
   }
 
+  /** Heat-routed form of [[windowAggJoin]]: entities with at least
+    * `hotRowThreshold` feature rows take the bucketed prefix/suffix
+    * decomposition ([[windowAggJoinBucketed]]), the long tail takes the
+    * plain single-window plan — same routing argument as
+    * [[PointInTime.asOfJoinSkewHybrid]], including the cast-aware split
+    * (the spine entity is classified AFTER casting to the table's
+    * entity type, matching what the kernels compare) and the
+    * driver-side hot set bounded by totalRows / hotRowThreshold.
+    */
+  def windowAggJoinHybrid(
+      spine: DataFrame,
+      table: DataFrame,
+      windowSeconds: Long,
+      aggs: Seq[WindowAgg],
+      hotRowThreshold: Long = 10000000L,
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn): DataFrame = {
+    if (hotRowThreshold < 1)
+      throw new FeatureValidationError(
+        s"hotRowThreshold must be >= 1, got $hotRowThreshold")
+    val hot = table
+      .groupBy(col(entityCol).as("_he"))
+      .agg(count(lit(1)).as("_hc"))
+      .filter(col("_hc") >= hotRowThreshold)
+      .select(col("_he"))
+      .collect()
+      .map(_.get(0))
+    if (hot.isEmpty)
+      return windowAggJoin(spine, table, windowSeconds, aggs, entityCol, tsCol)
+    val missing = Seq(entityCol, tsCol).filterNot(spine.columns.contains)
+    if (missing.nonEmpty)
+      throw new FeatureValidationError(
+        s"entity_timestamps is missing required columns: ${missing.mkString(", ")}")
+    val nonNullHot = hot.filter(_ != null)
+    def hotPredOn(e: Column): Column =
+      if (hot.contains(null))
+        e.isNull ||
+          (if (nonNullHot.isEmpty) lit(false) else e.isin(nonNullHot: _*))
+      else e.isin(nonNullHot: _*)
+    def coldPredOn(e: Column): Column = !coalesce(hotPredOn(e), lit(false))
+    val spineEntity = col(entityCol).cast(table.schema(entityCol).dataType)
+    val sizes = spine.agg(
+      count(when(hotPredOn(spineEntity), 1)).as("h"),
+      count(when(coldPredOn(spineEntity), 1)).as("c")).head()
+    val (nHot, nCold) = (sizes.getLong(0), sizes.getLong(1))
+    if (nHot + nCold == 0)
+      throw new FeatureValidationError("entity_timestamps must not be empty")
+    // unlike the as-of hybrid, spine rows for the table-less side must
+    // KEEP their left-semantics zero rows — so the unprobed table side
+    // is filtered but the spine is never dropped, and an empty split
+    // simply runs the whole spine down one path
+    if (nHot == 0)
+      windowAggJoin(spine, table.filter(coldPredOn(col(entityCol))),
+        windowSeconds, aggs, entityCol, tsCol)
+    else if (nCold == 0)
+      windowAggJoinBucketed(spine, table.filter(hotPredOn(col(entityCol))),
+        windowSeconds, aggs, entityCol, tsCol)
+    else {
+      val hotPart = windowAggJoinBucketed(
+        spine.filter(hotPredOn(spineEntity)),
+        table.filter(hotPredOn(col(entityCol))),
+        windowSeconds, aggs, entityCol, tsCol)
+      val coldPart = windowAggJoin(
+        spine.filter(coldPredOn(spineEntity)),
+        table.filter(coldPredOn(col(entityCol))),
+        windowSeconds, aggs, entityCol, tsCol)
+      hotPart.unionByName(coldPart)
+    }
+  }
+
   /** Batch sessionization: split each entity's event stream into
     * sessions separated by gaps strictly greater than `gapSeconds`,
     * returning one row per session with its bounds and event count —
