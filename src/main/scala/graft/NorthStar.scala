@@ -41,6 +41,18 @@ object NorthStar {
       TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")),
     "text_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(docs(s, dir), k = 100).orderBy("rank")),
+    // Gopher-style repeated-top-bigram fraction per document
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.bigramRepetition(docs(s, dir)).orderBy("doc_id")),
+    // C4/PII-style scrubbing (emails, URLs, and an "-er"-word demo
+    // class that actually fires on the synthetic corpus)
+    "text_redact" -> ((s, dir) =>
+      TextAnalysis.regexRedact(docs(s, dir), TextAnalysis.PiiPattern)
+        .orderBy("doc_id")),
+    // word-shape quality signals (extreme word lengths, digit/symbol
+    // char counts, alphabetic-word fraction)
+    "text_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherStats(docs(s, dir)).orderBy("doc_id")),
     // deterministic hash-bucket dataset split: stable across runs,
     // engines and cluster sizes — rerunning a pipeline reassigns nothing
     "split_assign" -> ((s, dir) =>
@@ -369,6 +381,62 @@ object NorthStar {
         |)
         |SELECT token, n, rank FROM r WHERE rank <= 100
         |ORDER BY rank""".stripMargin,
+
+    // lead() pairing over position-indexed tokens is the SQL mirror of
+    // the engine's array-side slice+zip; docs under two tokens drop out
+    // of both. sum(BIGINT) is HUGEINT in DuckDB — cast back.
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        |  FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id,
+        |         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           AS gram
+        |  FROM toks
+        |),
+        |counts AS (
+        |  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS n
+        |  FROM grams WHERE gram IS NOT NULL GROUP BY 1, 2
+        |),
+        |ranked AS (
+        |  SELECT doc_id, gram, n,
+        |         CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_distinct_bigrams,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY n DESC, gram ASC) AS rn
+        |  FROM counts
+        |)
+        |SELECT doc_id, n_bigrams, n_distinct_bigrams, gram AS top_bigram,
+        |       n AS top_bigram_n,
+        |       CAST(n AS DOUBLE) / n_bigrams AS top_bigram_frac
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_redact" ->
+      s"""SELECT doc_id,
+         |       len(regexp_extract_all(text, '${TextAnalysis.PiiPattern}'))
+         |         AS n_matches,
+         |       regexp_replace(text, '${TextAnalysis.PiiPattern}',
+         |                      '<REDACTED>', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        |)
+        |SELECT doc_id,
+        |       len(toks) AS n_words,
+        |       list_min(list_transform(toks, x -> length(x))) AS min_word_len,
+        |       list_max(list_transform(toks, x -> length(x))) AS max_word_len,
+        |       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit_chars,
+        |       length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+        |         AS n_symbol_chars,
+        |       CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+        |            AS DOUBLE) / len(toks) AS frac_alpha_words
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "split_assign" ->
       """SELECT doc_id,

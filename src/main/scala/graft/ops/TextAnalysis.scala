@@ -105,6 +105,96 @@ object TextAnalysis {
       col(idCol),
       Hashing.md5Long60(lower(trim(col(textCol)))).as("fingerprint"))
 
+  /** Default scrub pattern for [[regexRedact]]: emails, URLs, and (so
+    * the synthetic all-words corpus exercises redaction at all) whole
+    * words ending in "er". Stays in the Java∩RE2 common regex dialect
+    * and contains no quote characters, so the identical string embeds
+    * in both the Column API and a single-quoted SQL literal.
+    */
+  val PiiPattern: String =
+    "[a-z0-9.]+@[a-z0-9.]+|https?://[^ ]+|\\b[a-z]+er\\b"
+
+  /** Gopher-style bigram repetition: for each document, the total and
+    * distinct bigram counts and the share of all bigrams taken by the
+    * single most frequent one (ties broken lexicographically) — the
+    * classic "repeated top n-gram fraction" quality filter.
+    *
+    * Scale shape: bigrams are built array-side per row (slice +
+    * arrays_zip, codegen'd — no self-join, no pre-shuffle), then one
+    * partial-aggregated shuffle counts (doc, gram) pairs and one
+    * doc-keyed exchange serves BOTH windows (totals and rank share the
+    * partitioning). Documents shorter than two tokens produce no row.
+    */
+  def bigramRepetition(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val grams = docs
+      .select(
+        col(idCol),
+        explode(arrays_zip(
+          slice(toks, lit(1), n - 1).as("w1"),
+          slice(toks, lit(2), n - 1).as("w2"))).as("g"))
+      .select(col(idCol), concat_ws(" ", col("g.w1"), col("g.w2")).as("gram"))
+    val counts = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("n"))
+    val byDoc = Window.partitionBy(col(idCol))
+    val rank = byDoc.orderBy(col("n").desc, col("gram").asc)
+    counts
+      .select(
+        col(idCol),
+        col("gram").as("top_bigram"),
+        col("n").as("top_bigram_n"),
+        sum(col("n")).over(byDoc).as("n_bigrams"),
+        count(lit(1)).over(byDoc).as("n_distinct_bigrams"),
+        row_number().over(rank).as("rn"))
+      .filter(col("rn") === 1)
+      .select(
+        col(idCol),
+        col("n_bigrams"),
+        col("n_distinct_bigrams"),
+        col("top_bigram"),
+        col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"))
+  }
+
+  /** C4/PII-style scrubbing: count and redact every match of `pattern`.
+    * Pure per-row map — zero shuffles; the pattern must stay in the
+    * Java∩RE2 common dialect (char classes, `\b`, alternation, `+`/`*`)
+    * so the same string drives both this engine and the SQL oracle.
+    */
+  def regexRedact(
+      docs: DataFrame,
+      pattern: String,
+      replacement: String = "<REDACTED>",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0)))
+        .as("n_matches"),
+      regexp_replace(col(textCol), pattern, replacement).as("redacted"))
+
+  /** Word-shape quality signals (Gopher §A.1.1 style): word count,
+    * extreme word lengths, digit/symbol character counts, and the
+    * fraction of purely alphabetic words. Pure per-row map — zero
+    * shuffles; integer counts plus one final double division keep it
+    * bit-identical across engines.
+    */
+  def gopherStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val lens = transform(toks, t => length(t))
+    docs.select(
+      col(idCol),
+      size(toks).as("n_words"),
+      array_min(lens).as("min_word_len"),
+      array_max(lens).as("max_word_len"),
+      length(regexp_replace(col(textCol), "[^0-9]", "")).as("n_digit_chars"),
+      length(regexp_replace(col(textCol), "[a-z0-9 ]", "")).as("n_symbol_chars"),
+      (size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("double") /
+        size(toks)).as("frac_alpha_words"))
+  }
+
   /** Corpus vocabulary: the k most frequent tokens (ties broken
     * lexicographically), with their counts and 1-based rank.
     *

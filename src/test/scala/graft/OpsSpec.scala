@@ -38,6 +38,45 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.getAs[Int]("n_tokens_bpe") == 4)
   }
 
+  test("bigramRepetition finds the dominant bigram with lexicographic tie-break") {
+    // bigrams of "b a b a b": (b a)(a b)(b a)(a b) → 4 total, 2 distinct,
+    // tie at n=2 broken to "a b"
+    val out = TextAnalysis
+      .bigramRepetition(docsDF(1L -> "b a b a b", 2L -> "x"))
+      .collect()
+    assert(out.length == 1) // single-token doc 2 emits nothing
+    val r = out.head
+    assert(r.getAs[Long]("n_bigrams") == 4L)
+    assert(r.getAs[Long]("n_distinct_bigrams") == 2L)
+    assert(r.getAs[String]("top_bigram") == "a b")
+    assert(r.getAs[Long]("top_bigram_n") == 2L)
+    assert(r.getAs[Double]("top_bigram_frac") == 0.5)
+  }
+
+  test("regexRedact counts and replaces all matches") {
+    val out = TextAnalysis
+      .regexRedact(docsDF(1L -> "the customer sent an order to the table"),
+        TextAnalysis.PiiPattern)
+      .collect()
+      .head
+    assert(out.getAs[Int]("n_matches") == 2)
+    assert(out.getAs[String]("redacted") ==
+      "the <REDACTED> sent an <REDACTED> to the table")
+  }
+
+  test("gopherStats word-shape signals match hand computation") {
+    val out = TextAnalysis
+      .gopherStats(docsDF(1L -> "abc x12 longword !"))
+      .collect()
+      .head
+    assert(out.getAs[Int]("n_words") == 4)
+    assert(out.getAs[Int]("min_word_len") == 1)
+    assert(out.getAs[Int]("max_word_len") == 8)
+    assert(out.getAs[Int]("n_digit_chars") == 2)
+    assert(out.getAs[Int]("n_symbol_chars") == 1)
+    assert(out.getAs[Double]("frac_alpha_words") == 0.5)
+  }
+
   test("qualityScore formula matches hand computation") {
     // "the fast table scan" — 1 stopword of 4 tokens, all distinct,
     // avg token len (19-3)/4 = 4.0 → in [3,8] band
