@@ -101,6 +101,41 @@ object StreamingFeatures {
         col("last_event_ts"))
   }
 
+  /** Streaming exact deduplication — the continuous-ingest twin of
+    * [[graft.ops.Dedup.exactDuplicates]]: fingerprint the normalized
+    * text (md5-derived, same hash as the batch path) and keep only the
+    * FIRST arrival of each fingerprint, across micro-batches, via
+    * Spark's built-in streaming `dropDuplicates` state.
+    *
+    * State is one entry per distinct fingerprint — exact forever-dedup
+    * for a bounded corpus. For unbounded streams pass `withinWatermark`
+    * to switch to `dropDuplicatesWithinWatermark`, which guarantees
+    * suppression only for duplicates arriving within the watermark delay
+    * and lets the state store evict older fingerprints (bounded state —
+    * the exactness/recall trade every streaming dedup makes).
+    *
+    * Scale shape: one shuffle by fingerprint; state is partitioned in
+    * the state store with no driver involvement, so the dedup set can
+    * exceed any single executor's memory.
+    */
+  def dedupStream(
+      stream: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "timestamp",
+      withinWatermark: Option[String] = None): DataFrame = {
+    val withFp = stream.withColumn(
+      "fingerprint",
+      graft.functions.Hashing.md5Long60(lower(trim(col(textCol)))))
+    withinWatermark match {
+      case Some(lateness) =>
+        withFp
+          .withWatermark(tsCol, lateness)
+          .dropDuplicatesWithinWatermark("fingerprint")
+      case None =>
+        withFp.dropDuplicates("fingerprint")
+    }
+  }
+
   /** Continuously-maintained latest-row-per-entity — the streaming twin
     * of [[graft.store.PointInTime.latestPerEntity]] and the online-
     * serving materialization: each micro-batch emits only entities whose

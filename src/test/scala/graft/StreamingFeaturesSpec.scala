@@ -86,6 +86,64 @@ class StreamingFeaturesSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("dedupStream keeps first arrival per fingerprint across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val query = StreamingFeatures
+      .dedupStream(source.toDF().toDF("doc_id", "timestamp", "text"))
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      source.addData(
+        (1L, t("2024-01-01 10:00:00"), "alpha beta"),
+        (2L, t("2024-01-01 10:01:00"), "gamma delta"),
+        (3L, t("2024-01-01 10:02:00"), "  Alpha Beta ")) // normalized dup of 1
+      query.processAllAvailable()
+      source.addData(
+        (4L, t("2024-01-01 11:00:00"), "alpha beta"), // cross-batch dup of 1
+        (5L, t("2024-01-01 11:01:00"), "epsilon zeta"))
+      query.processAllAvailable()
+      val kept = s.sql("SELECT doc_id FROM dedup_stream ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toList
+      assert(kept == List(1L, 2L, 5L))
+    } finally query.stop()
+  }
+
+  test("dedupStream withinWatermark suppresses duplicates inside the delay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val query = StreamingFeatures
+      .dedupStream(
+        source.toDF().toDF("doc_id", "timestamp", "text"),
+        withinWatermark = Some("1 hour"))
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream_wm")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      source.addData(
+        (1L, t("2024-01-01 10:00:00"), "alpha beta"),
+        (2L, t("2024-01-01 10:10:00"), "alpha beta")) // in-batch dup, within delay
+      query.processAllAvailable()
+      source.addData(
+        (3L, t("2024-01-01 10:20:00"), "alpha beta")) // cross-batch, within delay
+      query.processAllAvailable()
+      val kept = s.sql("SELECT doc_id FROM dedup_stream_wm ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toList
+      assert(kept == List(1L))
+    } finally query.stop()
+  }
+
   test("sessionWindows groups gap-separated bursts, streaming and batch alike") {
     val s = spark
     import s.implicits._
