@@ -53,6 +53,9 @@ object NorthStar {
     // char counts, alphabetic-word fraction)
     "text_gopher" -> ((s, dir) =>
       TextAnalysis.gopherStats(docs(s, dir)).orderBy("doc_id")),
+    // most characteristic term per doc by rational TF-IDF
+    "text_tfidf_top" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerm(docs(s, dir)).orderBy("doc_id")),
     // deterministic hash-bucket dataset split: stable across runs,
     // engines and cluster sizes — rerunning a pipeline reassigns nothing
     "split_assign" -> ((s, dir) =>
@@ -422,6 +425,30 @@ object NorthStar {
          |       regexp_replace(text, '${TextAnalysis.PiiPattern}',
          |                      '<REDACTED>', 'g') AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // rational TF-IDF: tf * (N+1) / (df+1) — exact-integer numerator and
+    // denominator, one double division; same ranking as the log form
+    "text_tfidf_top" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |),
+        |tfc AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2
+        |),
+        |dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.token, t.tf, d.df,
+        |         CAST(t.tf * (n.n_docs + 1) AS DOUBLE)
+        |           / CAST(d.df + 1 AS DOUBLE) AS tfidf
+        |  FROM tfc t JOIN dfc d USING (token) CROSS JOIN n
+        |)
+        |SELECT doc_id, token AS top_term, tf, df, tfidf
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY tfidf DESC, token ASC) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "text_gopher" ->
       """WITH t AS (

@@ -195,6 +195,44 @@ object TextAnalysis {
         size(toks)).as("frac_alpha_words"))
   }
 
+  /** The most characteristic term per document by a TF-IDF-style score:
+    * `tf * (N + 1) / (df + 1)` with ties broken lexicographically. The
+    * score keeps the classic shape but replaces `log` with a rational
+    * form — ranking is unchanged (log is monotone) and the arithmetic
+    * stays a single division of exact integers, so it is bit-identical
+    * across engines (a cross-engine `ln` would not be).
+    *
+    * Scale shape: token explode → (doc, token) partial-aggregated count
+    * shuffle; document frequency is a second aggregation of that result
+    * (no rescan of the corpus); the df side joins back on token (sort-
+    * merge, AQE may broadcast a small vocabulary) and the per-doc argmax
+    * is one doc-keyed window.
+    */
+  def tfIdfTopTerm(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfCounts = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val rank = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(dfCounts, "token")
+      .withColumn(
+        "tfidf",
+        (col("tf") * lit(nDocs + 1L)).cast("double") /
+          (col("df") + 1L).cast("double"))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(
+        col(idCol),
+        col("token").as("top_term"),
+        col("tf"),
+        col("df"),
+        col("tfidf"))
+  }
+
   /** Corpus vocabulary: the k most frequent tokens (ties broken
     * lexicographically), with their counts and 1-based rank.
     *

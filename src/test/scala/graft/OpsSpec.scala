@@ -77,6 +77,18 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.getAs[Double]("frac_alpha_words") == 0.5)
   }
 
+  test("tfIdfTopTerm picks the rarest-weighted term per doc") {
+    // N=2. doc 1: "a a b" → a: tf=2,df=2 → 2*3/3=2.0; b: tf=1,df=1 → 1*3/2=1.5
+    // doc 2: "a c" → a: 1*3/3=1.0; c: 1*3/2=1.5 → c wins
+    val out = TextAnalysis
+      .tfIdfTopTerm(docsDF(1L -> "a a b", 2L -> "a c"))
+      .orderBy("doc_id")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))).toList ==
+      List((1L, "a", 2L, 2L, 2.0), (2L, "c", 1L, 1L, 1.5)))
+  }
+
   test("qualityScore formula matches hand computation") {
     // "the fast table scan" — 1 stopword of 4 tokens, all distinct,
     // avg token len (19-3)/4 = 4.0 → in [3,8] band
