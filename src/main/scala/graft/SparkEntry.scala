@@ -261,6 +261,23 @@ object SparkEntry {
         .orderBy("entity_id", "timestamp", "event_id")
     }),
 
+    // as-of join with a staleness bound: matches older than 3 days
+    // before the spine timestamp are dropped (feature-freshness SLA).
+    // The 10-day spine shift makes the bound selective — entities idle
+    // in the last 3 days of each probe's window really drop out.
+    "asof_join_maxage" -> ((s, dir) => {
+      val feat = eventsFeatures(s, dir)
+      val spine = eventsRaw(s, dir)
+        .filter(col("event_id") % 13 === 0)
+        .select(
+          col("user_id").as("entity_id"),
+          (col("ts") + expr("INTERVAL 10 DAYS")).as("timestamp"))
+      PointInTime
+        .asOfJoin(spine, feat, tieBreakCols = Seq("event_id"),
+          maxAgeSeconds = Some(3L * 86400))
+        .orderBy("entity_id", "timestamp", "event_id")
+    }),
+
     // O8 + O16: as-of join with projection (training-set shape)
     "asof_join_projection" -> ((s, dir) => {
       val feat = ordersFeatures(s, dir)
@@ -415,6 +432,26 @@ object SparkEntry {
     "asof_join_native" -> OrdersAsOfOracle,
 
     "asof_join_events" -> EventsAsOfOracle,
+
+    // the staleness bound lands in the join condition: the latest row
+    // <= t is the latest within [t-3d, t] whenever any row is in range
+    "asof_join_maxage" ->
+      """WITH spine AS (
+        |  SELECT event_id AS spine_id, user_id AS e, ts + INTERVAL 10 DAY AS t
+        |  FROM events WHERE event_id % 13 = 0
+        |), j AS (
+        |  SELECT s.spine_id, f.user_id, f.ts, f.event_id, f.event_type,
+        |         f.value, f.props,
+        |         row_number() OVER (PARTITION BY s.spine_id
+        |             ORDER BY f.ts DESC, f.event_id DESC) AS rn
+        |  FROM spine s JOIN events f
+        |    ON f.user_id = s.e AND f.ts <= s.t
+        |   AND f.ts >= s.t - INTERVAL 3 DAY
+        |)
+        |SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type,
+        |       value, props
+        |FROM j WHERE rn = 1
+        |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
 
     "asof_join_projection" ->
       """WITH spine AS (

@@ -154,7 +154,12 @@ object PointInTime {
       entityCol: String = EntityIdColumn,
       tsCol: String = TimestampColumn,
       tieBreakCols: Seq[String] = Nil,
-      tableName: String = "<anonymous>"): DataFrame = {
+      tableName: String = "<anonymous>",
+      maxAgeSeconds: Option[Long] = None): DataFrame = {
+    maxAgeSeconds.foreach(a =>
+      if (a < 0)
+        throw new FeatureValidationError(
+          s"maxAgeSeconds must be >= 0, got $a"))
     val (unioned, outCols) =
       taggedUnion(spine, table, columns, entityCol, tsCol, tieBreakCols, tableName)
 
@@ -163,9 +168,26 @@ object PointInTime {
       .orderBy(col("_t").asc, col("_side").asc, col("_o").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // Staleness bound: the latest feature row at-or-before t is also the
+    // latest within [t - maxAge, t] whenever one exists there at all, so
+    // the bound is a post-window filter on the matched row's timestamp —
+    // the plan shape (one shuffle, one sort) is unchanged. Inclusive at
+    // the floor; for numeric ts columns the age is in the column's units.
+    val ageOk: Column = maxAgeSeconds match {
+      case None => lit(true)
+      case Some(age) =>
+        val floor = table.schema(tsCol).dataType match {
+          case _: org.apache.spark.sql.types.TimestampType |
+              _: org.apache.spark.sql.types.TimestampNTZType =>
+            col("_t") - expr(s"INTERVAL $age SECOND")
+          case _ => col("_t") - lit(age)
+        }
+        col("_match").getField(tsCol) >= floor
+    }
+
     val matched = unioned
       .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1 && col("_match").isNotNull)
+      .filter(col("_side") === 1 && col("_match").isNotNull && ageOk)
       .select(outCols.map(c => col("_match").getField(c).as(c)): _*)
 
     project(matched, columns, entityCol, tsCol)

@@ -109,6 +109,31 @@ class PointInTimeSpec extends AnyFunSuite with SparkTestBase {
     assert(out.head.getAs[Double]("feature_a") == 20.0)
   }
 
+  test("as-of join staleness bound drops matches older than maxAge") {
+    val s = spark
+    import s.implicits._
+    val spine = Seq(
+      ("user_1", ts("2024-01-20")), // latest match Jan 15: 5 days old
+      ("user_2", ts("2024-03-01"))) // latest match Jan 20: 41 days old
+      .toDF("entity_id", "timestamp")
+    // unbounded: both match
+    assert(PointInTime.asOfJoin(spine, sampleFeatures).count() == 2)
+    // 7-day SLA: user_2's stale match is dropped, user_1's kept
+    val bounded = PointInTime
+      .asOfJoin(spine, sampleFeatures, maxAgeSeconds = Some(7L * 86400))
+      .collect()
+    assert(bounded.map(_.getString(0)).toList == List("user_1"))
+    assert(bounded.head.getAs[Double]("feature_a") == 2.0)
+    // boundary is inclusive: exactly 5 days old still matches at 5d
+    assert(PointInTime
+      .asOfJoin(spine.filter($"entity_id" === "user_1"), sampleFeatures,
+        maxAgeSeconds = Some(5L * 86400))
+      .count() == 1)
+    intercept[FeatureValidationError] {
+      PointInTime.asOfJoin(spine, sampleFeatures, maxAgeSeconds = Some(-1L))
+    }
+  }
+
   test("as-of join preserves duplicate spine pairs") {
     val s = spark
     import s.implicits._
