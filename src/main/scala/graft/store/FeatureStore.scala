@@ -109,14 +109,16 @@ final class FeatureStore(
   def getTrainingSet(
       name: String,
       entityTimestamps: DataFrame,
-      columns: Option[Seq[String]] = None): DataFrame = {
+      columns: Option[Seq[String]] = None,
+      maxAgeSeconds: Option[Long] = None): DataFrame = {
     val meta = catalog.getOrThrow(name)
     PointInTime.asOfJoin(
       entityTimestamps,
       currentData(meta),
       columns = columns,
       tieBreakCols = Seq(IngestKeyCol),
-      tableName = name)
+      tableName = name,
+      maxAgeSeconds = maxAgeSeconds)
   }
 
   /** Windowed aggregation features over the stored table: for each

@@ -88,6 +88,21 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
       Seq("entity_id", "timestamp", "feature_a", "feature_b"))
   }
 
+  test("getTrainingSet enforces the staleness bound") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    store.register("f", sampleFeatures)
+    val spine = Seq(
+      ("user_1", ts("2024-01-20")), // match Jan 15 — 5 days old
+      ("user_2", ts("2024-03-01"))) // match Jan 20 — 41 days old
+      .toDF("entity_id", "timestamp")
+    val out = store
+      .getTrainingSet("f", spine, maxAgeSeconds = Some(7L * 86400))
+      .collect()
+    assert(out.map(_.getString(0)).toList == List("user_1"))
+  }
+
   test("getTrainingSet validates the spine") {
     val s = spark
     import s.implicits._
