@@ -56,6 +56,9 @@ object NorthStar {
     // most characteristic term per doc by rational TF-IDF
     "text_tfidf_top" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerm(docs(s, dir)).orderBy("doc_id")),
+    // symmetric int8 vector compression (4x), exact-integer checksum
+    "embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id")),
     // deterministic hash-bucket dataset split: stable across runs,
     // engines and cluster sizes — rerunning a pipeline reassigns nothing
     "split_assign" -> ((s, dir) =>
@@ -425,6 +428,32 @@ object NorthStar {
          |       regexp_replace(text, '${TextAnalysis.PiiPattern}',
          |                      '<REDACTED>', 'g') AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // floor(x*scale + 0.5) rounds identically in every engine (round()'s
+    // half-case convention does not); the integer norm is order-free
+    "embedding_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding,
+        |             x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, embedding,
+        |         CASE WHEN maxabs = 0 THEN 0.0
+        |              ELSE 127.0 / maxabs END AS q_scale
+        |  FROM v
+        |), q AS (
+        |  SELECT vec_id, q_scale,
+        |         list_transform(embedding,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) * q_scale + 0.5)
+        |                       AS BIGINT)) AS qv
+        |  FROM s
+        |)
+        |SELECT vec_id, q_scale,
+        |       array_to_string(qv, ',') AS q_vec,
+        |       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+        |         AS q_norm2
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     // rational TF-IDF: tf * (N+1) / (df+1) — exact-integer numerator and
     // denominator, one double division; same ranking as the log form

@@ -280,4 +280,34 @@ object Similarity {
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4x storage compression for vector corpora (scale = 127 / max|x|
+    * per vector, element -> floor(x * scale + 0.5)). Pure per-row map,
+    * zero shuffles.
+    *
+    * Output keeps the quantized vector as a comma-joined string plus its
+    * exact integer squared norm: both are engine-portable (the floor
+    * form rounds identically everywhere, unlike round()'s half-case
+    * conventions), and the norm doubles as a checksum that a reader can
+    * verify after parsing. All-zero vectors get scale 0 and an all-zero
+    * code.
+    */
+  def quantizeInt8(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val scale = when(maxAbs === 0d, lit(0d)).otherwise(lit(127d) / maxAbs)
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * col("q_scale") + lit(0.5d)).cast("long"))
+    emb
+      .withColumn("q_scale", scale)
+      .withColumn("_q", q)
+      .select(
+        col(idCol),
+        col("q_scale"),
+        array_join(transform(col("_q"), _.cast("string")), ",").as("q_vec"),
+        aggregate(col("_q"), lit(0L), (acc, v) => acc + v * v).as("q_norm2"))
+  }
 }

@@ -89,6 +89,23 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       List((1L, "a", 2L, 2L, 2.0), (2L, "c", 1L, 1L, 1.5)))
   }
 
+  test("quantizeInt8 maps extremes to +-127 and keeps the exact norm") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(2.0f, -1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df).orderBy("vec_id").collect()
+    // vec 1: scale 63.5 → codes 127, floor(-63.5+0.5) = -63, 0
+    assert(out(0).getAs[Double]("q_scale") == 63.5)
+    assert(out(0).getAs[String]("q_vec") == "127,-63,0")
+    assert(out(0).getAs[Long]("q_norm2") == 127L * 127 + 63L * 63)
+    // all-zero vector: scale 0, zero code
+    assert(out(1).getAs[Double]("q_scale") == 0.0)
+    assert(out(1).getAs[String]("q_vec") == "0,0,0")
+    assert(out(1).getAs[Long]("q_norm2") == 0L)
+  }
+
   test("qualityScore formula matches hand computation") {
     // "the fast table scan" — 1 stopword of 4 tokens, all distinct,
     // avg token len (19-3)/4 = 4.0 → in [3,8] band
