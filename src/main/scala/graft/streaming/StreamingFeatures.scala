@@ -101,6 +101,42 @@ object StreamingFeatures {
         col("last_event_ts"))
   }
 
+  /** Online-serving enrichment: attach each entity's LATEST feature row
+    * (from a batch snapshot) to every arriving stream row — the
+    * stream-side twin of [[graft.store.PointInTime.latestPerEntity]]
+    * and the "low-latency feature lookup" half of a feature store,
+    * expressed as a stream-static join so the same code path serves
+    * batch frames too.
+    *
+    * The snapshot's timestamp column is renamed `feature_<tsCol>` (and
+    * any other snapshot column colliding with a stream column gets the
+    * `feature_` prefix) so event time and feature time stay separate.
+    * Stream rows with no snapshot entry pass through null-extended
+    * (left join) — serving must not drop traffic.
+    *
+    * Scale: the snapshot is one row per entity; `broadcast` keeps the
+    * per-batch join shuffle-free while it fits (typical online stores),
+    * `broadcastSnapshot = false` falls back to a partitioned join for
+    * very large entity domains.
+    */
+  def enrichWithLatest(
+      stream: DataFrame,
+      featureSnapshot: DataFrame,
+      entityCol: String = "entity_id",
+      tsCol: String = "timestamp",
+      broadcastSnapshot: Boolean = true): DataFrame = {
+    val latest =
+      graft.store.PointInTime.latestPerEntity(featureSnapshot, entityCol, tsCol)
+    val streamCols = stream.columns.toSet
+    val renamed = latest.columns.foldLeft(latest) { (df, c) =>
+      if (c != entityCol && streamCols.contains(c))
+        df.withColumnRenamed(c, s"feature_$c")
+      else df
+    }
+    val right = if (broadcastSnapshot) broadcast(renamed) else renamed
+    stream.join(right, Seq(entityCol), "left")
+  }
+
   /** Streaming exact deduplication — the continuous-ingest twin of
     * [[graft.ops.Dedup.exactDuplicates]]: fingerprint the normalized
     * text (md5-derived, same hash as the batch path) and keep only the

@@ -86,6 +86,42 @@ class StreamingFeaturesSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("enrichWithLatest serves the newest feature row per entity, null-extended") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val snapshot = Seq(
+      ("u1", t("2024-01-01"), 1.0),
+      ("u1", t("2024-01-15"), 2.0), // latest for u1
+      ("u2", t("2024-01-10"), 9.0))
+      .toDF("entity_id", "timestamp", "score")
+    val source = MemoryStream[(String, Timestamp, String)]
+    val query = StreamingFeatures
+      .enrichWithLatest(
+        source.toDF().toDF("entity_id", "timestamp", "event_type"), snapshot)
+      .writeStream
+      .format("memory")
+      .queryName("enriched")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      source.addData(
+        ("u1", t("2024-02-01"), "click"),
+        ("u3", t("2024-02-01"), "view")) // no snapshot entry
+      query.processAllAvailable()
+      val rows = s.sql(
+        "SELECT entity_id, event_type, feature_timestamp, score " +
+          "FROM enriched ORDER BY entity_id").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getString(0) == "u1")
+      assert(rows(0).getAs[Timestamp]("feature_timestamp") == t("2024-01-15"))
+      assert(rows(0).getAs[Double]("score") == 2.0)
+      assert(rows(1).getString(0) == "u3")
+      assert(rows(1).isNullAt(rows(1).fieldIndex("score"))) // null-extended
+    } finally query.stop()
+  }
+
   test("dedupStream keeps first arrival per fingerprint across micro-batches") {
     val s = spark
     import s.implicits._
