@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.ops.{Similarity, TextAnalysis}
+
+/** Model-based properties for the corpus-quality operators: the
+  * distributed plans must equal straightforward sequential in-memory
+  * models EXACTLY (including double results — the operators are built so
+  * their floating-point expression trees match a left-to-right model).
+  */
+object TextAnalysisProps extends Properties("TextAnalysis") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxSize(40)
+
+  private lazy val spark = SparkTestBase.session
+
+  private val genDocs: Gen[List[(Long, List[String])]] = for {
+    n <- Gen.choose(1, 12)
+    docs <- Gen.listOfN(
+      n,
+      Gen.choose(1, 18).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "dd", "e1"))))
+  } yield docs.zipWithIndex.map { case (toks, i) => (i.toLong, toks) }
+
+  private def toDF(docs: List[(Long, List[String])]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    docs.map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+  }
+
+  property("bigramRepetition equals sliding-window model") = forAll(genDocs) { docs =>
+    val got = TextAnalysis
+      .bigramRepetition(toDF(docs))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getDouble(5))))
+      .toMap
+    val want = docs.flatMap { case (id, toks) =>
+      val grams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toList
+      if (grams.isEmpty) None
+      else {
+        val counts = grams.groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+        val total = grams.size.toLong
+        val (gram, n) = counts.toList.sortBy { case (g, c) => (-c, g) }.head
+        Some(id -> ((total, counts.size.toLong, gram, n, n.toDouble / total)))
+      }
+    }.toMap
+    got == want
+  }
+
+  property("tfIdfTopTerm equals sequential tf/df model") = forAll(genDocs) { docs =>
+    val got = TextAnalysis
+      .tfIdfTopTerm(toDF(docs))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val nDocs = docs.size.toLong
+    val tf = docs.map { case (id, toks) =>
+      id -> toks.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    }.toMap
+    val df = docs.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    val want = tf.map { case (id, counts) =>
+      val scored = counts.toList.map { case (t, c) =>
+        (t, c, df(t), (c * (nDocs + 1)).toDouble / (df(t) + 1).toDouble)
+      }
+      id -> {
+        val (t, c, d, s) = scored.sortBy { case (tok, _, _, sc) => (-sc, tok) }.head
+        (t, c, d, s)
+      }
+    }
+    got == want
+  }
+
+  private val genVecs: Gen[List[(Long, List[Float])]] = for {
+    n <- Gen.choose(1, 10)
+    vecs <- Gen.listOfN(
+      n,
+      Gen.choose(1, 8).flatMap(d =>
+        Gen.listOfN(d, Gen.oneOf(0.0f, 1.5f, -2.25f, 0.1f, -0.0039f, 7.75f))))
+  } yield vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+
+  property("quantizeInt8 equals per-element model") = forAll(genVecs) { vecs =>
+    val s = spark
+    import s.implicits._
+    val got = Similarity
+      .quantizeInt8(vecs.map { case (id, v) => (id, v.toArray) }
+        .toDF("vec_id", "embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2), r.getLong(3))))
+      .toMap
+    val want = vecs.map { case (id, v) =>
+      val maxAbs = v.map(x => math.abs(x.toDouble)).max
+      val scale = if (maxAbs == 0d) 0d else 127d / maxAbs
+      val codes = v.map(x => math.floor(x.toDouble * scale + 0.5d).toLong)
+      id -> ((scale, codes.mkString(","), codes.foldLeft(0L)((a, c) => a + c * c)))
+    }.toMap
+    got == want
+  }
+}
