@@ -26,6 +26,21 @@ object NorthStar {
 
   private val AnnQueryIds: Seq[Long] = 0L to 9L
 
+  /** Memoized on-disk IVF index per sf dir: built once per JVM, written
+    * partitioned by inverted list so probe queries prune at the scan.
+    */
+  private val ivfIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfIndexDir(s: SparkSession, dir: String): String =
+    ivfIndexDirs.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      Similarity.buildIvfIndex(emb(s, dir))
+        .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+      path
+    })
+
   private def utc(v: String) =
     lit(graft.store.FeatureStore.normalizeTimestamp(v))
 
@@ -59,6 +74,15 @@ object NorthStar {
     // symmetric int8 vector compression (4x), exact-integer checksum
     "embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id")),
+    // ANN over a PERSISTED inverted-file index: the coarse probe filter
+    // is a literal IN on the partition column — pruned at the scan
+    "ann_ivf_indexed" -> ((s, dir) =>
+      Similarity
+        .ivfTopKIndexed(
+          s.read.parquet(ivfIndexDir(s, dir)),
+          Similarity.ivfCentroids(emb(s, dir)),
+          AnnQueryIds, k = 3)
+        .orderBy("query_id", "rank")),
     // deterministic hash-bucket dataset split: stable across runs,
     // engines and cluster sizes — rerunning a pipeline reassigns nothing
     "split_assign" -> ((s, dir) =>
@@ -313,7 +337,12 @@ object NorthStar {
   private val Md5Long60 = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
   private val StopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql +
+    // the indexed IVF path must return exactly what the one-shot plan
+    // returns — same oracle, proving the parquet round-trip is lossless
+    ("ann_ivf_indexed" -> baseOracleSql("ann_ivf_topk"))
+
+  private def baseOracleSql: Map[String, String] = Map(
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS n_tokens,

@@ -21,7 +21,7 @@ import graft.functions.Hashing
   * derived from the md5 hash family, so they are deterministic and
   * reproducible anywhere.
   */
-object Similarity {
+object Similarity extends Serializable {
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
@@ -188,6 +188,40 @@ object Similarity {
     * stored corpus by list id turns each probe into a partition-pruned
     * read.
     */
+  /** Deterministic IVF coarse centroids: the first `numCentroids`
+    * vectors in id order, double-widened. (A production build would
+    * k-means these; determinism matters more than recall here and the
+    * probe math is identical either way.)
+    */
+  def ivfCentroids(
+      emb: DataFrame,
+      numCentroids: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .orderBy(col(idCol))
+      .limit(numCentroids)
+      .collect()
+      .map(_._2.map(_.toDouble))
+  }
+
+  /** Dot products of one vector against every centroid — the shared
+    * kernel of index build (argmax list assignment) and query-side probe
+    * selection; sequential fold per centroid keeps it oracle-exact.
+    */
+  private def centroidDots(cs: Array[Array[Double]], v: Seq[Float]): Array[Double] =
+    Array.tabulate(cs.length) { c =>
+      val w = cs(c)
+      var s = 0.0; var i = 0
+      val n = math.min(w.length, v.length)
+      while (i < n) { s += v(i).toDouble * w(i); i += 1 }
+      s
+    }
+
   def ivfTopK(
       emb: DataFrame,
       queryIds: Seq[Long],
@@ -197,25 +231,10 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
-    import spark.implicits._
-    val cents: Array[Array[Double]] = emb
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .as[(Long, Array[Float])]
-      .orderBy(col(idCol))
-      .limit(numCentroids)
-      .collect()
-      .map(_._2.map(_.toDouble))
+    val cents = ivfCentroids(emb, numCentroids, idCol, vecCol)
     val bCents = spark.sparkContext.broadcast(cents)
-    def centroidScores(v: Seq[Float]): Array[Double] = {
-      val cs = bCents.value
-      Array.tabulate(cs.length) { c =>
-        val w = cs(c)
-        var s = 0.0; var i = 0
-        val n = math.min(w.length, v.length)
-        while (i < n) { s += v(i).toDouble * w(i); i += 1 }
-        s
-      }
-    }
+    def centroidScores(v: Seq[Float]): Array[Double] =
+      centroidDots(bCents.value, v)
     val assignUdf = udf { (v: Seq[Float]) =>
       val s = centroidScores(v)
       var best = 0; var c = 1
@@ -245,6 +264,87 @@ object Similarity {
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Build a persistable IVF index: every vector tagged with its
+    * inverted-list id (`ivf_list` — argmax centroid dot, first-best on
+    * ties) and its norm (`ivf_norm`). Persist with
+    * `.write.partitionBy("ivf_list").parquet(...)` — the index is then a
+    * plain partitioned table, and [[ivfTopKIndexed]]'s coarse filter
+    * prunes whole partitions at the scan. Build cost (one UDF pass) is
+    * paid once and amortized over every subsequent query — the
+    * standard index/query split the one-shot [[ivfTopK]] cannot give.
+    */
+  def buildIvfIndex(
+      emb: DataFrame,
+      numCentroids: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val bCents = emb.sparkSession.sparkContext
+      .broadcast(ivfCentroids(emb, numCentroids, idCol, vecCol))
+    val assignUdf = udf { (v: Seq[Float]) =>
+      val s = centroidDots(bCents.value, v)
+      var best = 0; var c = 1
+      while (c < s.length) { if (s(c) > s(best)) best = c; c += 1 }
+      best
+    }
+    emb
+      .withColumn("ivf_norm", sqrt(dotFast(col(vecCol), col(vecCol))))
+      .withColumn("ivf_list", assignUdf(col(vecCol)))
+  }
+
+  /** Top-k cosine search over a built (typically parquet-round-tripped)
+    * IVF index. Probe lists are computed driver-side from the queries'
+    * own index rows against the (small, broadcastable) centroid set, so
+    * the coarse `ivf_list IN (...)` filter is a LITERAL predicate that
+    * reaches a partitioned scan as partition pruning — only ~nProbe of
+    * numCentroids of the corpus is read, the scale win of an inverted
+    * index. Fine scoring then joins the pruned lists against the
+    * broadcast query set; results are identical to [[ivfTopK]] with the
+    * same centroids.
+    */
+  def ivfTopKIndexed(
+      index: DataFrame,
+      centroids: Array[Array[Double]],
+      queryIds: Seq[Long],
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qRows = index
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(
+        col(idCol).cast("long"),
+        col(vecCol).cast("array<float>"),
+        col("ivf_norm").cast("double"))
+      .as[(Long, Array[Float], Double)]
+      .collect()
+    val probes = qRows.map { case (id, v, n) =>
+      val s = centroidDots(centroids, v)
+      val pr = s.zipWithIndex.sortBy { case (sc, i) => (-sc, i) }
+        .take(nProbe).map(_._2)
+      (id, v, n, pr)
+    }
+    val allProbes: Seq[Any] = probes.flatMap(_._4).distinct.sorted.toSeq
+    val pruned = index.filter(col("ivf_list").isin(allProbes: _*))
+    val qDf = probes.toSeq.toDF("query_id", "_qv", "_qn", "_probes")
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    pruned
+      .join(
+        broadcast(qDf),
+        array_contains(col("_probes"), col("ivf_list")) &&
+          col(idCol) =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col(idCol).as("neighbor_id"),
+        (dotFast(col("_qv"), col(vecCol)) / (col("_qn") * col("ivf_norm")))
+          .as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Approximate top-k: score only candidates sharing the query's LSH

@@ -255,6 +255,34 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.4) // deterministic given the fixed centroid seed
   }
 
+  test("IVF indexed path equals one-shot IVF and prunes index partitions") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfCentroids(e)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_test").toString
+    Similarity.buildIvfIndex(e)
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val ids = 0L to 9L
+    val got = Similarity.ivfTopKIndexed(idx, cents, ids, k = 3)
+    // the coarse probe filter must reach the index scan as partition
+    // pruning — the whole point of persisting the inverted lists.
+    // Inspect BEFORE executing: after a run AQE wraps leaf stages in
+    // QueryStageExec nodes that plain collect does not descend into.
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collectWithSubqueries {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      }.flatten
+    assert(scans(got.queryExecution.executedPlan).exists(
+      _.partitionFilters.exists(_.toString.contains("ivf_list"))))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSet
+    assert(key(got) == key(Similarity.ivfTopK(e, ids, k = 3)))
+  }
+
   test("multimodal: meta + stub feature extraction plumbing") {
     val media = Multimodal.asMedia(docsDF(1L -> "abcd"))
     val meta = Multimodal.mediaMeta(media).collect().head
