@@ -90,6 +90,16 @@ object NorthStar {
         .hashSplit(docs(s, dir), Seq("train" -> 80, "valid" -> 10, "test" -> 10))
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
+    // per-stratum hash-quota sample: 20% of each source, id-stable
+    "sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling
+        .stratifiedSample(docs(s, dir), percent = 20)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+    // fixed-token-budget sequence packing per source shard
+    "pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), budgetTokens = 256L)
+        .orderBy("source", "doc_id")),
     "doc_stats_by_source" -> ((s, dir) =>
       docs(s, dir)
         .groupBy("source")
@@ -522,6 +532,44 @@ object NorthStar {
         |       CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
         |            AS DOUBLE) / len(toks) AS frac_alpha_words
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // per-source quota = ceil(n*20/100) of the hash-smallest ids; hashes
+    // are distinct per id so the rank order is total
+    "sample_stratified" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) AS hh
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY hh ASC, doc_id ASC) AS rk,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM h
+        |)
+        |SELECT doc_id, source FROM r
+        |WHERE rk <= (n * 20 + 99) // 100
+        |ORDER BY doc_id""".stripMargin,
+
+    // exclusive running token total per source shard; a doc joins the
+    // pack where it starts
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (
+        |              PARTITION BY source ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS tokens_before
+        |  FROM t
+        |)
+        |SELECT source, doc_id, n_tokens, tokens_before,
+        |       tokens_before // 256 AS pack_id
+        |FROM c ORDER BY source, doc_id""".stripMargin,
 
     "split_assign" ->
       """SELECT doc_id,

@@ -56,4 +56,33 @@ object Sampling {
     }
     df.withColumn(splitCol, assigned)
   }
+
+  /** Stratified sample: within each stratum (e.g. source), keep the
+    * `percent`% of rows with the smallest id hashes — per-stratum
+    * quotas survive however skewed the strata are, and the selection is
+    * still id-stable across runs and engines. Quota is
+    * ceil(n * percent / 100) (never empties a non-empty stratum).
+    *
+    * Scale shape: one shuffle by stratum; the rank window gets a
+    * map-side WindowGroupLimit only when percent bounds a constant k,
+    * so for very hot strata prefer [[deterministicSample]]'s quota-free
+    * per-row filter. Hash ties cannot happen within a stratum (distinct
+    * ids), so the order is total and the pick deterministic.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      percent: Int,
+      stratumCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(percent > 0 && percent < 100, s"percent must be in (0,100), got $percent")
+    import org.apache.spark.sql.expressions.Window
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val rank = byStratum.orderBy(idHash(col(idCol)).asc, col(idCol).asc)
+    df
+      .withColumn("_rk", row_number().over(rank))
+      .withColumn("_n", count(lit(1)).over(byStratum))
+      // ceil(n*p/100) via integer arithmetic: (n*p + 99) div 100
+      .filter(col("_rk") <= expr(s"(_n * $percent + 99) div 100"))
+      .drop("_rk", "_n")
+  }
 }

@@ -233,6 +233,37 @@ object TextAnalysis {
         col("tfidf"))
   }
 
+  /** Sequential sequence packing — the standard pretraining step that
+    * concatenates documents into fixed-token-budget training rows. Docs
+    * are taken in id order within each shard and a doc joins the pack
+    * where it starts (`pack_id = tokens-before-it div budget`); packs
+    * never reorder, so the assignment is deterministic and re-runs
+    * reassign nothing.
+    *
+    * Scale shape: one shuffle by shard; the exclusive running total is a
+    * ROWS-frame window per shard, so shards pack in parallel and a shard
+    * is the natural unit real pipelines pack within anyway (a single
+    * global order would serialize the scan).
+    */
+  def packSequences(
+      docs: DataFrame,
+      budgetTokens: Long,
+      shardCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(shardCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn(
+        "tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"tokens_before div $budgetTokens"))
+  }
+
   /** Corpus vocabulary: the k most frequent tokens (ties broken
     * lexicographically), with their counts and 1-based rank.
     *

@@ -345,6 +345,41 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq(("a", 3L, 1), ("b", 3L, 2)))
   }
 
+  test("stratifiedSample keeps a per-stratum ceil quota of hash-smallest ids") {
+    val s = spark
+    import s.implicits._
+    // stratum A: 6 rows → ceil(6*20/100)=2; B: 1 row → ceil(0.2)=1
+    val df = ((1L to 6L).map(i => (i, "A")) :+ (7L, "B"))
+      .toDF("doc_id", "source")
+    val kept = graft.ops.Sampling
+      .stratifiedSample(df, percent = 20)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept.count(_._2 == "A") == 2)
+    assert(kept.count(_._2 == "B") == 1)
+    // deterministic: same pick on a rerun
+    val again = graft.ops.Sampling.stratifiedSample(df, percent = 20)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == again)
+  }
+
+  test("packSequences assigns docs to the pack where they start") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "A", "a b c"), // 3 tokens, before=0 → pack 0
+      (2L, "A", "d e f g"), // before=3 → pack 0
+      (3L, "A", "h i"), // before=7 → pack 1
+      (4L, "B", "x y z")) // own shard: before=0 → pack 0
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.packSequences(df, budgetTokens = 5L)
+      .orderBy("source", "doc_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList
+    assert(out == List((1L, 3L, 0L, 0L), (2L, 4L, 3L, 0L),
+      (3L, 2L, 7L, 1L), (4L, 3L, 0L, 0L)))
+  }
+
   test("hashSplit is a deterministic total assignment with correct buckets") {
     val docs = docsDF((1L to 200L).map(i => i -> s"doc $i"): _*)
     val w = Seq("train" -> 80, "valid" -> 10, "test" -> 10)
