@@ -275,6 +275,12 @@ object NorthStar {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 2)
         .orderBy("id_a", "id_b")),
+    // candidate pairs → dedup GROUPS: min-reachable-id components
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup
+        .connectedComponents(
+          Dedup.lshCandidatePairs(docs(s, dir), numPerms = 16, rowsPerBand = 4))
+        .orderBy("doc_id")),
     // cross-source contamination check: n-gram overlap between corpus
     // sources (the benchmark-leakage question "how much of source B is
     // in source A?"), which is exactly source-granularity Jaccard — the
@@ -345,6 +351,41 @@ object NorthStar {
   // ------------------------------------------------------------ oracles
 
   private val Md5Long60 = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
+
+  /** CTE chain ending in `pairs(id_a, id_b)` — the MinHash+LSH candidate
+    * pairs, shared by the pair listing and the cluster-closure oracles.
+    */
+  private lazy val MinhashPairCtes: String = {
+    val h = Md5Long60.format("s")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, tok[CAST(i AS INT)] || ' ' || tok[CAST(i AS INT)+1]
+       |         || ' ' || tok[CAST(i AS INT)+2] AS s
+       |  FROM (SELECT doc_id, tok, unnest(generate_series(1, len(tok) - 2)) AS i
+       |        FROM toks)
+       |),
+       |h AS (SELECT doc_id, $h % 4294967311 AS hv FROM sh),
+       |perms AS (
+       |  SELECT CAST(i AS INT) AS perm, 1 + 37 * i AS a,
+       |         (1000003 * i + 12345) % 4294967311 AS b
+       |  FROM range(0, 16) t(i)
+       |),
+       |mh AS (
+       |  SELECT doc_id, perm,
+       |         CAST(min((a * hv + b) % 4294967311) AS BIGINT) AS minhash
+       |  FROM h CROSS JOIN perms GROUP BY 1, 2
+       |),
+       |sig AS (
+       |  SELECT doc_id, perm // 4 AS band,
+       |         string_agg(minhash::VARCHAR, ',' ORDER BY perm) AS sig
+       |  FROM mh GROUP BY 1, 2
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sig a JOIN sig b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
   private val StopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
 
   def oracleSql: Map[String, String] = baseOracleSql +
@@ -787,36 +828,30 @@ object NorthStar {
         |JOIN sizes sb ON sb.source = source_b
         |ORDER BY source_a, source_b""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      val h = Md5Long60.format("s")
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, tok[CAST(i AS INT)] || ' ' || tok[CAST(i AS INT)+1]
-         |         || ' ' || tok[CAST(i AS INT)+2] AS s
-         |  FROM (SELECT doc_id, tok, unnest(generate_series(1, len(tok) - 2)) AS i
-         |        FROM toks)
-         |),
-         |h AS (SELECT doc_id, $h % 4294967311 AS hv FROM sh),
-         |perms AS (
-         |  SELECT CAST(i AS INT) AS perm, 1 + 37 * i AS a,
-         |         (1000003 * i + 12345) % 4294967311 AS b
-         |  FROM range(0, 16) t(i)
-         |),
-         |mh AS (
-         |  SELECT doc_id, perm,
-         |         CAST(min((a * hv + b) % 4294967311) AS BIGINT) AS minhash
-         |  FROM h CROSS JOIN perms GROUP BY 1, 2
-         |),
-         |sig AS (
-         |  SELECT doc_id, perm // 4 AS band,
-         |         string_agg(minhash::VARCHAR, ',' ORDER BY perm) AS sig
-         |  FROM mh GROUP BY 1, 2
-         |)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM sig a JOIN sig b
-         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    // NOTE: MinhashPairCtes is already margin-stripped — assemble with
+    // plain concatenation (a second stripMargin would eat the leading
+    // pipe of any '||' concat starting a line)
+    "dedup_minhash_lsh" ->
+      (s"WITH $MinhashPairCtes\n" +
+        "SELECT id_a, id_b FROM pairs\nORDER BY id_a, id_b"),
+
+    // pairs → components: cluster id = min doc id reachable in the
+    // undirected candidate graph (recursive reachability closure — the
+    // SQL mirror of the engine's min-label propagation loop)
+    "dedup_clusters" ->
+      (s"WITH RECURSIVE $MinhashPairCtes,\n" +
+        """edges AS (
+          |  SELECT id_a AS u, id_b AS v FROM pairs
+          |  UNION
+          |  SELECT id_b, id_a FROM pairs
+          |),
+          |reach(u, v) AS (
+          |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+          |)
+          |SELECT u AS doc_id, min(v) AS cluster_id
+          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin),
 
     "dedup_simhash" -> {
       val h32 = "CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)"

@@ -260,4 +260,58 @@ object Dedup {
         bit_count(col("_sa").bitwiseXOR(col("_sb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over an undirected near-duplicate pair list —
+    * the step that turns candidate PAIRS into actionable dedup GROUPS
+    * (keep `cluster_id`, drop the rest). Deterministic: a node's cluster
+    * id is the smallest id reachable from it.
+    *
+    * Iterative min-label propagation: each round pushes every node's
+    * current label across its edges and keeps the minimum — one shuffle
+    * join plus one aggregation per round, converging within the largest
+    * component's diameter (near-dup clusters are shallow; genuinely deep
+    * chains converge in diameter rounds, and `maxIters` guards the
+    * pathological case rather than returning a half-propagated answer).
+    * `localCheckpoint` truncates the growing lineage each round — the
+    * standard discipline for iterative DataFrame algorithms. Only nodes
+    * appearing in some pair are labeled; singletons need no dedup.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges
+      .select(col("u").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges
+        .join(labels, edges("u") === labels("doc_id"))
+        .select(edges("v").as("doc_id"), labels("cluster_id"))
+      val next = labels
+        .union(prop)
+        .groupBy("doc_id")
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("cluster_id", "_old"), "doc_id")
+        .filter(col("cluster_id") < col("_old"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds")
+    labels
+  }
 }

@@ -185,6 +185,21 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("connectedComponents labels each node with its min reachable id") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4-5 (diameter 4, needs multiple rounds), pair {10,11},
+    // triangle-ish {20,21},{21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("simhash: identical text → hamming 0, different text > 0") {
     val pairs = Dedup
       .simhashPairs(
