@@ -291,25 +291,38 @@ object Dedup {
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
-    var changed = 1L
+    // Labels only ever DECREASE, so sum(cluster_id) is a strictly
+    // decreasing fixpoint witness: one cheap aggregation per round
+    // replaces a join-and-count convergence test.
+    def checksum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("cluster_id"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = checksum(labels)
+    var converged = labels.isEmpty
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val prop = edges
+    while (!converged && iter < maxIters) {
+      val viaEdges = edges
         .join(labels, edges("u") === labels("doc_id"))
         .select(edges("v").as("doc_id"), labels("cluster_id"))
+      // pointer jump (label-of-label): collapses long chains in
+      // O(log diameter) rounds instead of O(diameter)
+      val viaPointer = labels.as("x")
+        .join(labels.as("y"), col("x.cluster_id") === col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"))
       val next = labels
-        .union(prop)
+        .union(viaEdges)
+        .union(viaPointer)
         .groupBy("doc_id")
         .agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("cluster_id", "_old"), "doc_id")
-        .filter(col("cluster_id") < col("_old"))
-        .count()
+      val nextSum = checksum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       iter += 1
     }
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds")
     labels

@@ -210,7 +210,9 @@ object TextAnalysis {
     */
   def tfIdfTopTerm(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = docs.count()
+    // corpus size stays IN the plan (broadcast 1-row cross join) — no
+    // eager count() action, so the whole thing is one lazy plan
+    val nDocs = docs.agg(count(lit(1)).as("_n_docs"))
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
@@ -219,9 +221,10 @@ object TextAnalysis {
     val rank = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("token").asc)
     tf.join(dfCounts, "token")
+      .crossJoin(broadcast(nDocs))
       .withColumn(
         "tfidf",
-        (col("tf") * lit(nDocs + 1L)).cast("double") /
+        (col("tf") * (col("_n_docs") + 1L)).cast("double") /
           (col("df") + 1L).cast("double"))
       .withColumn("rn", row_number().over(rank))
       .filter(col("rn") === 1)
