@@ -238,6 +238,12 @@ object NorthStar {
         .orderBy("bin")),
     // total-variation drift score — exact integer numerator, single
     // final division (cross-engine bit-identical)
+    // per-type value-vs-time Pearson r from exact 128-bit sums
+    "feature_trend" -> ((s, dir) =>
+      Profiling
+        .trendCorrelation(
+          SparkEntry.eventsForNorthStar(s, dir), "event_type", "ts", "value")
+        .orderBy("event_type")),
     "drift_tvd" -> ((s, dir) =>
       Profiling.totalVariation(
         Profiling.driftHistogram(
@@ -742,6 +748,33 @@ object NorthStar {
         |       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
         |                     THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
         |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // date_part('epoch') is a fractional DOUBLE in DuckDB — floor to
+    // whole seconds to mirror Spark's unix_timestamp truncation; all
+    // six sufficient statistics stay exact in HUGEINT
+    "feature_trend" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(floor(date_part('epoch', ts)) AS BIGINT) AS x,
+        |         CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events
+        |), a AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(x) AS HUGEINT) AS sx,
+        |         CAST(sum(y) AS HUGEINT) AS sy,
+        |         CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |         CAST(sum(y * y) AS HUGEINT) AS syy,
+        |         CAST(sum(x * y) AS HUGEINT) AS sxy
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS trend_r
+        |FROM a
+        |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |ORDER BY event_type""".stripMargin,
 
     "drift_tvd" ->
       """WITH hist AS (

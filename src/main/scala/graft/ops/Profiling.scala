@@ -194,4 +194,47 @@ object Profiling {
       .groupBy("days_stale")
       .agg(count(lit(1)).as("n_entities"))
   }
+
+  /** Per-group trend monitor: Pearson correlation between a feature's
+    * integer units and event time ("is this feature drifting over
+    * time?"). All six sufficient statistics accumulate as EXACT 128-bit
+    * integers (decimal(38,0) here, HUGEINT in the oracle) — a plain
+    * double `corr()` is order-dependent across engines and partition
+    * counts, this is not: the only floating-point steps are the final
+    * casts and one division, an identical expression tree everywhere.
+    * Groups without variance on either axis are dropped (exact integer
+    * predicate, so the cut is deterministic too).
+    *
+    * Scale shape: one partial-aggregated shuffle, six numbers per group.
+    */
+  def trendCorrelation(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String = "timestamp",
+      valueCol: String = "value"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = unix_timestamp(col(tsCol))
+    val y = round(col(valueCol) * 100).cast("long")
+    val a = df
+      .select(col(groupCol), x.as("_x"), y.as("_y"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_x").cast(dec)).as("_sx"),
+        sum(col("_y").cast(dec)).as("_sy"),
+        sum((col("_x") * col("_x")).cast(dec)).as("_sxx"),
+        sum((col("_y") * col("_y")).cast(dec)).as("_syy"),
+        sum((col("_x") * col("_y")).cast(dec)).as("_sxy"))
+    val nD = col("n").cast(dec)
+    val num = nD * col("_sxy") - col("_sx") * col("_sy")
+    val d1 = nD * col("_sxx") - col("_sx") * col("_sx")
+    val d2 = nD * col("_syy") - col("_sy") * col("_sy")
+    a.filter(d1 > 0 && d2 > 0)
+      .select(
+        col(groupCol),
+        col("n"),
+        (num.cast("double") /
+          (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))))
+          .as("trend_r"))
+  }
 }

@@ -15,6 +15,27 @@ import graft.store.FeatureValidationError
   */
 class ProfilingSpec extends AnyFunSuite with SparkTestBase {
 
+  test("trendCorrelation: perfect linear trend gives r = 1, constants drop") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", new Timestamp(1000L), 0.01), // x=1s, y=1 cent
+      ("a", new Timestamp(2000L), 0.02),
+      ("a", new Timestamp(3000L), 0.03),
+      ("b", new Timestamp(1000L), 5.0), // zero value variance → dropped
+      ("b", new Timestamp(2000L), 5.0))
+      .toDF("g", "timestamp", "value")
+    val out = Profiling.trendCorrelation(df, "g").collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "a")
+    assert(out.head.getAs[Long]("n") == 3L)
+    // num = 3*14-6*6 = 6 = d1 = d2; the engine's exact expression tree
+    // is 6/(sqrt(6)*sqrt(6)) — one ulp off algebraic 1.0, and must be
+    // exactly THAT double (the oracle computes the identical tree)
+    assert(out.head.getAs[Double]("trend_r") ==
+      6.0 / (math.sqrt(6.0) * math.sqrt(6.0)))
+  }
+
   private def ev(rows: (String, String, java.lang.Double)*) = {
     val s = spark
     import s.implicits._
