@@ -328,6 +328,33 @@ object SparkEntry {
             (lit(100L) - round(col("l_discount") * 100).cast("long")))
             .as("sum_disc_units"))
         .orderBy("l_returnflag", "l_linestatus"))
+    ,
+
+    // TPC-H Q3-shaped star join: fact lineitem filtered then joined to
+    // orders (shuffle, both large) and broadcast customer dim; AQE is
+    // free to reorder/replan. Integer-cents revenue keeps the hash
+    // compare exact; deterministic top-10 via (revenue, orderkey).
+    "star_revenue" -> ((s, dir) => {
+      val cust = read(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = read(s, dir, "orders")
+        .filter(col("o_orderdate") < lit(utcTs("1995-03-15 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = read(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit(utcTs("1995-03-15 00:00:00")))
+        .select(
+          col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("disc_units"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("disc_units")).as("revenue_units"))
+        .orderBy(col("revenue_units").desc, col("l_orderkey").asc)
+        .limit(10)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -468,6 +495,21 @@ object SparkEntry {
         |SELECT o_custkey AS entity_id, o_orderdate AS "timestamp", o_totalprice
         |FROM j WHERE rn = 1
         |ORDER BY entity_id, "timestamp", o_totalprice""".stripMargin,
+
+    "star_revenue" ->
+      """SELECT l_orderkey, o_orderdate,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |         AS BIGINT) AS revenue_units
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue_units DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
 
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
