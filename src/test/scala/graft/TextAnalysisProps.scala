@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
-import graft.ops.{Similarity, TextAnalysis}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
 
 /** Model-based properties for the corpus-quality operators: the
   * distributed plans must equal straightforward sequential in-memory
@@ -76,6 +76,36 @@ object TextAnalysisProps extends Properties("TextAnalysis") {
         (t, c, d, s)
       }
     }
+    got == want
+  }
+
+  private val genPairs: Gen[List[(Long, Long)]] =
+    Gen.listOf(for {
+      a <- Gen.choose(0L, 15L)
+      b <- Gen.choose(0L, 15L).suchThat(_ != a)
+    } yield (math.min(a, b), math.max(a, b)))
+
+  property("connectedComponents equals union-find model") = forAll(genPairs) { pairs =>
+    val s = spark
+    import s.implicits._
+    val got =
+      if (pairs.isEmpty) Map.empty[Long, Long]
+      else Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // union-find with min-id representatives
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        parent(hi) = lo
+      }
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
     got == want
   }
 
