@@ -769,9 +769,10 @@ object NorthStar {
         |  FROM b GROUP BY 1
         |)
         |SELECT event_type, CAST(n AS BIGINT) AS n,
-        |       CAST(n * sxy - sx * sy AS DOUBLE)
-        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS trend_r
+        |       CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        |         / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+        |            * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+        |         AS trend_r
         |FROM a
         |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
         |ORDER BY event_type""".stripMargin,

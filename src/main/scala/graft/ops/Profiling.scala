@@ -229,12 +229,15 @@ object Profiling {
     val num = nD * col("_sxy") - col("_sx") * col("_sy")
     val d1 = nD * col("_sxx") - col("_sx") * col("_sx")
     val d2 = nD * col("_syy") - col("_sy") * col("_sy")
+    // 128-bit integer → double must go through the exact decimal STRING:
+    // Spark's direct decimal→double cast is not correctly rounded above
+    // 2^53 (one-ulp drift vs DuckDB's hugeint→double), but both engines
+    // parse a digit string correctly rounded.
+    def toD(c: Column): Column = c.cast("string").cast("double")
     a.filter(d1 > 0 && d2 > 0)
       .select(
         col(groupCol),
         col("n"),
-        (num.cast("double") /
-          (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))))
-          .as("trend_r"))
+        (toD(num) / (sqrt(toD(d1)) * sqrt(toD(d2)))).as("trend_r"))
   }
 }
