@@ -100,6 +100,21 @@ object NorthStar {
     "pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(docs(s, dir), budgetTokens = 256L)
         .orderBy("source", "doc_id")),
+    // grouping-sets breadth: source × lang rollup with subtotal rows;
+    // group keys coalesced to a sentinel so neither engine's NULL sort
+    // order matters
+    "doc_stats_rollup" -> ((s, dir) =>
+      docs(s, dir)
+        .rollup(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(
+          coalesce(col("source"), lit("<all>")).as("source"),
+          coalesce(col("lang"), lit("<all>")).as("lang"),
+          col("n_docs"),
+          col("total_chars"))
+        .orderBy("source", "lang")),
     "doc_stats_by_source" -> ((s, dir) =>
       docs(s, dir)
         .groupBy("source")
@@ -630,6 +645,14 @@ object NorthStar {
         |  FROM documents
         |)
         |ORDER BY doc_id""".stripMargin,
+
+    "doc_stats_rollup" ->
+      """SELECT coalesce(source, '<all>') AS source,
+        |       coalesce(lang, '<all>') AS lang,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)
+        |ORDER BY source, lang""".stripMargin,
 
     "doc_stats_by_source" ->
       """SELECT source, count(*) AS n_docs,
