@@ -126,6 +126,36 @@ object NorthStar {
         .orderBy("source")),
 
     // ---- relational breadth: broadcast dim join + windowed analytics ----
+    // anti-join coverage, churn-shaped: customers with NO orders since
+    // the cutoff (left_anti plans as an anti hash join — no null-padded
+    // outer blowup; the date filter pushes to the orders scan first)
+    "customers_without_orders" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lit(
+          graft.store.FeatureStore.normalizeTimestamp("1998-01-01 00:00:00")))
+        .select(col("o_custkey"))
+      s.read.parquet(s"$dir/customer.parquet")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+    // method agreement: near-dup pairs found by BOTH MinHash-LSH and
+    // SimHash vs by exactly one — the intersect/except sets computed as
+    // ONE plan (tag each method, sum tags per pair, count by class)
+    // instead of three separate set-op jobs
+    "dedup_method_overlap" -> ((s, dir) => {
+      val mh = Dedup.lshCandidatePairs(docs(s, dir), numPerms = 16, rowsPerBand = 4)
+        .select(col("id_a"), col("id_b"), lit(1L).as("m"))
+      val sh = Dedup.simhashPairs(docs(s, dir), maxHamming = 2)
+        .select(col("id_a"), col("id_b"), lit(2L).as("m"))
+      mh.unionByName(sh)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(col("m")).as("cls")) // 1 = minhash only, 2 = simhash only, 3 = both
+        .agg(
+          count(when(col("cls") === 3, 1)).as("n_both"),
+          count(when(col("cls") === 1, 1)).as("n_minhash_only"),
+          count(when(col("cls") === 2, 1)).as("n_simhash_only"))
+    }),
     "join_customer_orders" -> ((s, dir) => {
       val cust = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey"), col("c_mktsegment"))
@@ -405,6 +435,36 @@ object NorthStar {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM sig a JOIN sig b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
+  /** CTE chain ending in `spairs(id_a, id_b, hamming)` — the SimHash
+    * near-dup pairs; names are disjoint from [[MinhashPairCtes]] so the
+    * two chains compose in one WITH clause.
+    */
+  private lazy val SimhashPairCtes: String = {
+    val h32 = "CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)"
+    s"""stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |sth AS (SELECT doc_id, $h32 AS h FROM stok),
+       |sbits AS (
+       |  SELECT CAST(i AS INT) AS bit, CAST(pow(2, i) AS BIGINT) AS shift
+       |  FROM range(0, 32) t(i)
+       |),
+       |ssgn AS (
+       |  SELECT doc_id, bit, shift,
+       |         sum(((h // shift) % 2) * 2 - 1) AS sgn
+       |  FROM sth CROSS JOIN sbits GROUP BY 1, 2, 3
+       |),
+       |ssig AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN sgn > 0 THEN shift ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM ssgn GROUP BY 1
+       |),
+       |spairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
        |)""".stripMargin
   }
   private val StopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
@@ -910,30 +970,33 @@ object NorthStar {
           |SELECT u AS doc_id, min(v) AS cluster_id
           |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin),
 
-    "dedup_simhash" -> {
-      val h32 = "CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)"
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-         |th AS (SELECT doc_id, $h32 AS h FROM tok),
-         |bits AS (
-         |  SELECT CAST(i AS INT) AS bit, CAST(pow(2, i) AS BIGINT) AS shift
-         |  FROM range(0, 32) t(i)
-         |),
-         |s AS (
-         |  SELECT doc_id, bit, shift,
-         |         sum(((h // shift) % 2) * 2 - 1) AS sgn
-         |  FROM th CROSS JOIN bits GROUP BY 1, 2, 3
-         |),
-         |sig AS (
-         |  SELECT doc_id,
-         |         CAST(sum(CASE WHEN sgn > 0 THEN shift ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM s GROUP BY 1
-         |)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "dedup_simhash" ->
+      (s"WITH $SimhashPairCtes\n" +
+        "SELECT id_a, id_b, hamming FROM spairs\nORDER BY id_a, id_b"),
+
+    // count FILTER over the tag-sum classes — the one-plan mirror of
+    // the engine's union/groupBy/sum formulation of intersect/except
+    "dedup_method_overlap" ->
+      (s"WITH $MinhashPairCtes,\n$SimhashPairCtes,\n" +
+        """tagged AS (
+          |  SELECT id_a, id_b, 1 AS m FROM pairs
+          |  UNION ALL
+          |  SELECT id_a, id_b, 2 AS m FROM spairs
+          |),
+          |cls AS (SELECT id_a, id_b, sum(m) AS c FROM tagged GROUP BY 1, 2)
+          |SELECT count(*) FILTER (WHERE c = 3) AS n_both,
+          |       count(*) FILTER (WHERE c = 1) AS n_minhash_only,
+          |       count(*) FILTER (WHERE c = 2) AS n_simhash_only
+          |FROM cls""".stripMargin),
+
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
 
     "dedup_embedding" ->
       """WITH v AS (
