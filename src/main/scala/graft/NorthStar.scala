@@ -283,6 +283,24 @@ object NorthStar {
         .orderBy("bin")),
     // total-variation drift score — exact integer numerator, single
     // final division (cross-engine bit-identical)
+    // attribution-shaped interval join: clicks within the hour before
+    // each purchase by the same user
+    "interval_join_events" -> ((s, dir) => {
+      val ev = SparkEntry.eventsForNorthStar(s, dir)
+      def side(t: String) = ev
+        .filter(col("event_type") === t)
+        .select(
+          col("user_id").as("entity_id"),
+          col("ts").as("timestamp"),
+          col("event_id"))
+      WindowFeatures
+        .intervalJoin(side("purchase"), side("click"), maxGapSeconds = 3600L)
+        .select(
+          col("entity_id"),
+          col("l_timestamp"), col("l_event_id"),
+          col("r_timestamp"), col("r_event_id"))
+        .orderBy("entity_id", "l_event_id", "r_event_id")
+    }),
     // per-type value-vs-time Pearson r from exact 128-bit sums
     "feature_trend" -> ((s, dir) =>
       Profiling
@@ -831,6 +849,16 @@ object NorthStar {
         |       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
         |                     THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
         |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "interval_join_events" ->
+      """SELECT l.user_id AS entity_id,
+        |       l.ts AS l_timestamp, l.event_id AS l_event_id,
+        |       r.ts AS r_timestamp, r.event_id AS r_event_id
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'purchase' AND r.event_type = 'click'
+        | AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 HOUR
+        |ORDER BY entity_id, l_event_id, r_event_id""".stripMargin,
 
     // date_part('epoch') is a fractional DOUBLE in DuckDB — floor to
     // whole seconds to mirror Spark's unix_timestamp truncation; all

@@ -37,7 +37,10 @@ object Validation {
     if (missing.nonEmpty)
       throw new FeatureValidationError(
         s"entity_timestamps is missing required columns: ${missing.mkString(", ")}")
-    if (df.select(Seq(entityCol, tsCol).map(org.apache.spark.sql.functions.col): _*).isEmpty)
+    // emptiness is a batch concept — probing it is an action, which is
+    // both illegal and meaningless on a streaming frame
+    if (!df.isStreaming &&
+      df.select(Seq(entityCol, tsCol).map(org.apache.spark.sql.functions.col): _*).isEmpty)
       throw new FeatureValidationError("entity_timestamps must not be empty")
   }
 

@@ -394,6 +394,50 @@ object WindowFeatures {
     }
   }
 
+  /** Interval (range) join: every (left, right) pair of the same entity
+    * with the right timestamp inside `[left.ts − maxGapSeconds,
+    * left.ts]` — the attribution shape ("clicks in the hour before each
+    * purchase"), sensor alignment, and the general bounded-lookback
+    * pairing the as-of join's latest-only rule cannot express.
+    *
+    * Columns come back prefixed (`l_` / `r_`, entity once, unprefixed)
+    * so both sides' payloads survive. Plan: equi-join on entity with the
+    * range predicate evaluated inside the join — one shuffle per side,
+    * output bounded by true match multiplicity, never an entity-wide
+    * cross product. The same function runs STREAM-STREAM: apply
+    * `withWatermark` to both inputs first and Spark uses the range
+    * bounds in the condition to expire join state.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      maxGapSeconds: Long,
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn): DataFrame = {
+    if (maxGapSeconds < 0)
+      throw new FeatureValidationError(
+        s"maxGapSeconds must be >= 0, got $maxGapSeconds")
+    Validation.validateSpine(left, entityCol, tsCol)
+    Validation.validateSpine(right, entityCol, tsCol)
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
+    val l = prefixed(left, "l_")
+    val r = prefixed(right, "r_")
+    val lTs = col(s"l_$tsCol")
+    val rTs = col(s"r_$tsCol")
+    val floor = left.schema(tsCol).dataType match {
+      case _: TimestampType | _: TimestampNTZType =>
+        lTs - expr(s"INTERVAL $maxGapSeconds SECOND")
+      case _ => lTs - lit(maxGapSeconds)
+    }
+    l.join(
+        r,
+        col(s"l_$entityCol") === col(s"r_$entityCol") &&
+          rTs <= lTs && rTs >= floor)
+      .withColumn(entityCol, col(s"l_$entityCol"))
+      .drop(s"l_$entityCol", s"r_$entityCol")
+  }
+
   /** Batch sessionization: split each entity's event stream into
     * sessions separated by gaps strictly greater than `gapSeconds`,
     * returning one row per session with its bounds and event count —

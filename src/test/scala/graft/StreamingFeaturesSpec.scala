@@ -86,6 +86,36 @@ class StreamingFeaturesSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("intervalJoin runs stream-stream with watermarks (train/serve symmetry)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val purchases = MemoryStream[(String, Timestamp, Long)]
+    val clicks = MemoryStream[(String, Timestamp, Long)]
+    val joined = graft.store.WindowFeatures.intervalJoin(
+      purchases.toDF().toDF("entity_id", "timestamp", "pid")
+        .withWatermark("timestamp", "1 hour"),
+      clicks.toDF().toDF("entity_id", "timestamp", "cid")
+        .withWatermark("timestamp", "2 hours"),
+      maxGapSeconds = 3600L)
+    val query = joined.writeStream
+      .format("memory")
+      .queryName("interval_join")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      clicks.addData(
+        ("u1", t("2024-01-10 11:30:00"), 1L),
+        ("u1", t("2024-01-10 09:00:00"), 2L)) // too old for the purchase
+      purchases.addData(("u1", t("2024-01-10 12:00:00"), 100L))
+      query.processAllAvailable()
+      val rows = s.sql("SELECT entity_id, l_pid, r_cid FROM interval_join")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+      assert(rows == List(("u1", 100L, 1L)))
+    } finally query.stop()
+  }
+
   test("enrichWithLatest serves the newest feature row per entity, null-extended") {
     val s = spark
     import s.implicits._

@@ -26,6 +26,30 @@ class WindowFeaturesSpec extends AnyFunSuite with SparkTestBase {
     assert(out == List((14L, 1L, 1L), (20L, 2L, 6L)))
   }
 
+  test("intervalJoin pairs rows inside the inclusive lookback only") {
+    val s = spark
+    import s.implicits._
+    val purchases = Seq(("u1", ts("2024-01-10 12:00:00"), 100L))
+      .toDF("entity_id", "timestamp", "pid")
+    val clicks = Seq(
+      ("u1", ts("2024-01-10 11:00:00"), 1L), // exactly 1h before: kept
+      ("u1", ts("2024-01-10 11:30:00"), 2L), // inside: kept
+      ("u1", ts("2024-01-10 12:00:00"), 3L), // same instant: kept
+      ("u1", ts("2024-01-10 10:59:59"), 4L), // 1s too old: dropped
+      ("u1", ts("2024-01-10 12:00:01"), 5L), // future: dropped
+      ("u2", ts("2024-01-10 11:30:00"), 6L)) // other entity: dropped
+      .toDF("entity_id", "timestamp", "cid")
+    val out = WindowFeatures
+      .intervalJoin(purchases, clicks, maxGapSeconds = 3600L)
+      .select("entity_id", "l_pid", "r_cid")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList.sorted
+    assert(out == List(("u1", 100L, 1L), ("u1", 100L, 2L), ("u1", 100L, 3L)))
+    intercept[FeatureValidationError] {
+      WindowFeatures.intervalJoin(purchases, clicks, maxGapSeconds = -1L)
+    }
+  }
+
   test("sessionize on a numeric ts column splits on strictly-greater gaps") {
     val s = spark
     import s.implicits._
