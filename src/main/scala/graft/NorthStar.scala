@@ -100,6 +100,15 @@ object NorthStar {
     "pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(docs(s, dir), budgetTokens = 256L)
         .orderBy("source", "doc_id")),
+    // pivot breadth: doc counts, langs as columns (explicit value list
+    // keeps the output schema deterministic — never inferred by a scan)
+    "pivot_lang_counts" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"))
+        .pivot("lang", Seq("en", "de", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("source")),
     // grouping-sets breadth: source × lang rollup with subtotal rows;
     // group keys coalesced to a sentinel so neither engine's NULL sort
     // order matters
@@ -301,6 +310,15 @@ object NorthStar {
           col("r_timestamp"), col("r_event_id"))
         .orderBy("entity_id", "l_event_id", "r_event_id")
     }),
+    // Tukey-fence outliers per type over integer cents
+    "value_outliers" -> ((s, dir) =>
+      Profiling
+        .valueOutliers(
+          SparkEntry.eventsForNorthStar(s, dir)
+            .select(col("event_type"),
+              round(col("value") * 100).cast("long").as("cents")),
+          "cents", "event_type")
+        .orderBy("event_type")),
     // per-type value-vs-time Pearson r from exact 128-bit sums
     "feature_trend" -> ((s, dir) =>
       Profiling
@@ -724,6 +742,15 @@ object NorthStar {
         |)
         |ORDER BY doc_id""".stripMargin,
 
+    "pivot_lang_counts" ->
+      """SELECT source,
+        |       count(*) FILTER (WHERE lang = 'en') AS en,
+        |       count(*) FILTER (WHERE lang = 'de') AS de,
+        |       count(*) FILTER (WHERE lang = 'es') AS es,
+        |       count(*) FILTER (WHERE lang = 'fr') AS fr,
+        |       count(*) FILTER (WHERE lang = 'zh') AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "doc_stats_rollup" ->
       """SELECT coalesce(source, '<all>') AS source,
         |       coalesce(lang, '<all>') AS lang,
@@ -849,6 +876,28 @@ object NorthStar {
         |       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
         |                     THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
         |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "value_outliers" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), q AS (
+        |  SELECT event_type,
+        |         quantile_cont(cents, 0.25) AS q1,
+        |         quantile_cont(cents, 0.75) AS q3
+        |  FROM c GROUP BY 1
+        |), b AS (
+        |  SELECT event_type,
+        |         q1 - 1.5 * (q3 - q1) AS lo,
+        |         q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM q
+        |)
+        |SELECT c.event_type, count(*) AS n_rows,
+        |       count(*) FILTER (WHERE cents < lo OR cents > hi) AS n_outliers,
+        |       lo AS lo_bound, hi AS hi_bound
+        |FROM c JOIN b USING (event_type)
+        |GROUP BY c.event_type, lo, hi
+        |ORDER BY event_type""".stripMargin,
 
     "interval_join_events" ->
       """SELECT l.user_id AS entity_id,

@@ -195,6 +195,33 @@ object Profiling {
       .agg(count(lit(1)).as("n_entities"))
   }
 
+  /** Tukey-fence outlier monitor: per group, how many values fall
+    * outside [q1 − 1.5·IQR, q3 + 1.5·IQR], with the bounds. Quartiles
+    * come from the exact percentile (bit-identical to the oracle's
+    * quantile_cont on integral inputs) evaluated as a window over the
+    * group — one shuffle serves both the quartiles and the counting
+    * pass, no self-join.
+    */
+  def valueOutliers(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+    val q1 = percentile(col(valueCol), lit(0.25)).over(w)
+    val q3 = percentile(col(valueCol), lit(0.75)).over(w)
+    df.select(col(groupCol), col(valueCol).as("_v"), q1.as("_q1"), q3.as("_q3"))
+      .withColumn("_lo", col("_q1") - lit(1.5) * (col("_q3") - col("_q1")))
+      .withColumn("_hi", col("_q3") + lit(1.5) * (col("_q3") - col("_q1")))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("_v") < col("_lo") || col("_v") > col("_hi"), 1))
+          .as("n_outliers"),
+        first(col("_lo")).as("lo_bound"),
+        first(col("_hi")).as("hi_bound"))
+  }
+
   /** Per-group trend monitor: Pearson correlation between a feature's
     * integer units and event time ("is this feature drifting over
     * time?"). All six sufficient statistics accumulate as EXACT 128-bit
