@@ -292,6 +292,45 @@ object NorthStar {
         .orderBy("bin")),
     // total-variation drift score — exact integer numerator, single
     // final division (cross-engine bit-identical)
+    // multi-table feature view: latest purchase state AND latest click
+    // state as-of each spine timestamp, spine rows null-extended — two
+    // chained left as-of joins, one entity shuffle each
+    "feature_view_multi" -> ((s, dir) => {
+      val ev = SparkEntry.eventsForNorthStar(s, dir)
+      val spine = ev
+        .filter(col("event_id") % 13 === 0)
+        .select(
+          col("user_id").as("entity_id"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("timestamp"))
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id").as("entity_id"),
+        col("ts").as("timestamp"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id").as("entity_id"),
+        col("ts").as("timestamp"),
+        col("event_id"))
+      val step1 = PointInTime.asOfJoinLeft(
+        spine, purchases, "purchase_", tieBreakCols = Seq("event_id"))
+      val epoch = lit(graft.store.FeatureStore
+        .normalizeTimestamp("1970-01-01 00:00:00"))
+      // the DRIVER's value compare cannot represent SQL NULL vs NaN
+      // consistently across engines, so the oracle-facing projection
+      // coalesces to sentinels; the null-extension semantics themselves
+      // are pinned by PointInTimeSpec/FeatureStoreSpec
+      PointInTime
+        .asOfJoinLeft(step1, clicks, "click_", tieBreakCols = Seq("event_id"))
+        .select(
+          col("entity_id"),
+          col("timestamp"),
+          coalesce(col("purchase_timestamp"), epoch).as("purchase_timestamp"),
+          coalesce(col("purchase_value_cents"), lit(-1L)).as("purchase_value_cents"),
+          coalesce(col("purchase_event_id"), lit(-1L)).as("purchase_event_id"),
+          coalesce(col("click_timestamp"), epoch).as("click_timestamp"),
+          coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"))
+        .orderBy("entity_id", "timestamp")
+    }),
     // attribution-shaped interval join: clicks within the hour before
     // each purchase by the same user
     "interval_join_events" -> ((s, dir) => {
@@ -898,6 +937,39 @@ object NorthStar {
         |FROM c JOIN b USING (event_type)
         |GROUP BY c.event_type, lo, hi
         |ORDER BY event_type""".stripMargin,
+
+    "feature_view_multi" ->
+      """WITH spine AS (
+        |  SELECT event_id AS sid, user_id AS e, ts + INTERVAL 1 HOUR AS t
+        |  FROM events WHERE event_id % 13 = 0
+        |),
+        |p AS (
+        |  SELECT s.sid, f.ts, CAST(round(f.value * 100) AS BIGINT) AS vc,
+        |         f.event_id,
+        |         row_number() OVER (PARTITION BY s.sid
+        |             ORDER BY f.ts DESC, f.event_id DESC) AS rn
+        |  FROM spine s JOIN events f
+        |    ON f.user_id = s.e AND f.ts <= s.t AND f.event_type = 'purchase'
+        |),
+        |c AS (
+        |  SELECT s.sid, f.ts, f.event_id,
+        |         row_number() OVER (PARTITION BY s.sid
+        |             ORDER BY f.ts DESC, f.event_id DESC) AS rn
+        |  FROM spine s JOIN events f
+        |    ON f.user_id = s.e AND f.ts <= s.t AND f.event_type = 'click'
+        |)
+        |SELECT s.e AS entity_id, s.t AS "timestamp",
+        |       coalesce(p.ts, TIMESTAMP '1970-01-01 00:00:00')
+        |         AS purchase_timestamp,
+        |       coalesce(p.vc, -1) AS purchase_value_cents,
+        |       coalesce(p.event_id, -1) AS purchase_event_id,
+        |       coalesce(c.ts, TIMESTAMP '1970-01-01 00:00:00')
+        |         AS click_timestamp,
+        |       coalesce(c.event_id, -1) AS click_event_id
+        |FROM spine s
+        |LEFT JOIN (SELECT * FROM p WHERE rn = 1) p ON p.sid = s.sid
+        |LEFT JOIN (SELECT * FROM c WHERE rn = 1) c ON c.sid = s.sid
+        |ORDER BY entity_id, "timestamp"""".stripMargin,
 
     "interval_join_events" ->
       """SELECT l.user_id AS entity_id,

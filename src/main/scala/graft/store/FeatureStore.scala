@@ -121,6 +121,25 @@ final class FeatureStore(
       maxAgeSeconds = maxAgeSeconds)
   }
 
+  /** Multi-table training view: left as-of join each named table onto
+    * the spine in order, feature columns prefixed `<table>_`. Every
+    * spine row survives (entities with no history in some table get
+    * nulls there — the trainer decides the imputation, not the store).
+    * Cost is one entity-keyed shuffle per table.
+    */
+  def getFeatureView(spine: DataFrame, names: Seq[String]): DataFrame = {
+    if (names.isEmpty)
+      throw new FeatureValidationError("getFeatureView needs at least one table")
+    names.foldLeft(spine) { (acc, name) =>
+      val meta = catalog.getOrThrow(name)
+      PointInTime.asOfJoinLeft(
+        acc,
+        currentData(meta),
+        prefix = s"${name}_",
+        tieBreakCols = Seq(IngestKeyCol))
+    }
+  }
+
   /** Windowed aggregation features over the stored table: for each
     * spine row (entity, t), aggregates of the table's rows inside
     * (t − window, t] — see [[WindowFeatures.windowAggJoin]]. The

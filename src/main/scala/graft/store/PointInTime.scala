@@ -193,6 +193,72 @@ object PointInTime {
     project(matched, columns, entityCol, tsCol)
   }
 
+  /** LEFT as-of join for feature views: every spine row survives
+    * (null-extended where the entity has no history at or before t),
+    * the spine's own columns — including any features appended by a
+    * previous view join — pass through untouched, and the matched
+    * feature row's columns come back `prefix`ed. Chain one call per
+    * feature table to assemble a multi-table training view
+    * ([[FeatureStore.getFeatureView]]); each link is the same
+    * one-shuffle union + running-`last` plan as [[asOfJoin]], so an
+    * n-table view costs n entity-keyed shuffles and no pairwise blowup.
+    * Internal (underscore) table columns are ordering keys only and do
+    * not appear in the output.
+    */
+  def asOfJoinLeft(
+      spine: DataFrame,
+      table: DataFrame,
+      prefix: String,
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    Validation.validateSpine(spine, entityCol, tsCol)
+    val featOut = dropInternal(table.columns.toSeq).filterNot(_ == entityCol)
+    val spineExtra =
+      spine.columns.toSeq.filterNot(c => c == entityCol || c == tsCol)
+
+    val fPayload = struct(table.columns.toSeq.map(col): _*)
+    val fPayloadType = table.select(fPayload.as("_p")).schema.head.dataType
+    val sPayload =
+      if (spineExtra.isEmpty) struct(lit(0)) else struct(spineExtra.map(col): _*)
+    val sPayloadType = spine.select(sPayload.as("_sp")).schema.head.dataType
+    val ord =
+      if (tieBreakCols.isEmpty) struct(lit(0))
+      else struct(tieBreakCols.map(col): _*)
+    val ordType = table.select(ord.as("_o")).schema.head.dataType
+    val entityType = table.schema(entityCol).dataType
+    val tsType = table.schema(tsCol).dataType
+
+    val featSide = table.select(
+      col(entityCol).as("_e"),
+      col(tsCol).as("_t"),
+      lit(0).as("_side"),
+      fPayload.as("_p"),
+      lit(null).cast(sPayloadType).as("_sp"),
+      ord.as("_o"))
+    val spineSide = spine.select(
+      col(entityCol).cast(entityType).as("_e"),
+      col(tsCol).cast(tsType).as("_t"),
+      lit(1).as("_side"),
+      lit(null).cast(fPayloadType).as("_p"),
+      sPayload.as("_sp"),
+      lit(null).cast(ordType).as("_o"))
+
+    val w = Window
+      .partitionBy(col("_e"))
+      .orderBy(col("_t").asc, col("_side").asc, col("_o").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    featSide.unionByName(spineSide)
+      .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(
+        col("_e").as(entityCol) +:
+          col("_t").as(tsCol) +:
+          (spineExtra.map(c => col("_sp").getField(c).as(c)) ++
+            featOut.map(c => col("_match").getField(c).as(prefix + c))): _*)
+  }
+
   /** Shared front half of the as-of formulations: validate, then union
     * feature rows (side 0, full payload + tie-break ord) with spine
     * probes (side 1, null payload). Side 0 sorting before side 1 at

@@ -103,6 +103,24 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_.getString(0)).toList == List("user_1"))
   }
 
+  test("getFeatureView joins several tables with prefixed columns") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    store.register("fa", sampleFeatures)
+    store.register("fb", sampleFeatures)
+    val spine = Seq(("user_1", ts("2024-01-20"))).toDF("entity_id", "timestamp")
+    val out = store.getFeatureView(spine, Seq("fa", "fb"))
+    assert(out.columns.toSeq ==
+      Seq("entity_id", "timestamp",
+        "fa_timestamp", "fa_feature_a", "fa_feature_b",
+        "fb_timestamp", "fb_feature_a", "fb_feature_b"))
+    val r = out.collect().head
+    assert(r.getAs[Double]("fa_feature_a") == 2.0)
+    assert(r.getAs[Double]("fb_feature_a") == 2.0)
+    intercept[FeatureValidationError](store.getFeatureView(spine, Nil))
+  }
+
   test("getTrainingSet validates the spine") {
     val s = spark
     import s.implicits._

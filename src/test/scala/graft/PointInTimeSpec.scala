@@ -134,6 +134,30 @@ class PointInTimeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("left as-of join keeps unmatched spine rows and chains for views") {
+    val s = spark
+    import s.implicits._
+    val spine = Seq(
+      ("user_1", ts("2024-01-20")),
+      ("ghost", ts("2024-06-01"))) // no history → null-extended, kept
+      .toDF("entity_id", "timestamp")
+    val one = PointInTime.asOfJoinLeft(spine, sampleFeatures, "f_")
+    assert(one.count() == 2)
+    val byEntity = one.collect().map(r => r.getString(0) -> r).toMap
+    assert(byEntity("user_1").getAs[Double]("f_feature_a") == 2.0)
+    assert(byEntity("user_1").getAs[java.sql.Timestamp]("f_timestamp") == ts("2024-01-15"))
+    assert(byEntity("ghost").isNullAt(one.columns.indexOf("f_feature_a")))
+    // chaining: previous view columns ride through the next join
+    val two = PointInTime.asOfJoinLeft(one, sampleFeatures, "g_")
+    assert(two.columns.toSeq ==
+      Seq("entity_id", "timestamp",
+        "f_timestamp", "f_feature_a", "f_feature_b",
+        "g_timestamp", "g_feature_a", "g_feature_b"))
+    val u1 = two.filter($"entity_id" === "user_1").collect().head
+    assert(u1.getAs[Double]("f_feature_a") == 2.0)
+    assert(u1.getAs[Double]("g_feature_a") == 2.0)
+  }
+
   test("as-of join preserves duplicate spine pairs") {
     val s = spark
     import s.implicits._
