@@ -122,6 +122,32 @@ object PointInTimeProps extends Properties("PointInTime") {
     (got == want) && got.length <= effSpine.length
   }
 
+  property("asOfJoinLeft equals null-extending per-spine-row model") = forAll(
+    genRows, genSpine) { (rows, spine) =>
+    val s = spark
+    import s.implicits._
+    val effSpine = if (spine.isEmpty) List(("z", 1)) else spine
+    val spineDf = effSpine.map { case (e, d) => (e, ts(d)) }
+      .toDF("entity_id", "timestamp")
+    val got = PointInTime
+      .asOfJoinLeft(spineDf, toDF(rows), "f_", tieBreakCols = Seq("seq"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1),
+        Option(r.get(r.fieldIndex("f_v"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("f_seq"))).map(_.asInstanceOf[Long])))
+      .toList
+      .sorted
+    val want = effSpine
+      .map { case (e, d) =>
+        val eligible = rows.filter(r => r.e == e && r.day <= d)
+        val m = if (eligible.isEmpty) None
+          else Some(eligible.maxBy(r => (r.day, r.seq)))
+        (e, ts(d), m.map(_.v), m.map(_.seq))
+      }
+      .sorted
+    got == want // every spine row present exactly once, matched or null
+  }
+
   property("asOfJoinBucketed (skew-aware) equals asOfJoin") = forAll(
     genRows, genSpine, Gen.oneOf(3600L, 86400L, 86400L * 7)) { (rows, spine, bucketSec) =>
     val s = spark
