@@ -280,12 +280,21 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     val edges = pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
       .localCheckpoint()
+    // Size-adaptive: after LSH banding the candidate graph is tiny
+    // relative to the corpus — when the (deduped, symmetric) edge list
+    // fits comfortably on the driver, a sequential union-find beats
+    // several distributed rounds outright; past the threshold the
+    // iterative path below takes over. Both produce the identical
+    // min-reachable-id labeling (property-tested against each other).
+    if (edges.count() <= localEdgeThreshold)
+      return localComponents(pairs.sparkSession, edges, pairs.schema(aCol).dataType)
     var labels = edges
       .select(col("u").as("doc_id"))
       .distinct()
@@ -326,5 +335,37 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds")
     labels
+  }
+
+  /** Driver-side union-find over a collected edge list, min-id
+    * representatives — the small-graph path of [[connectedComponents]].
+    * Ids may be any mutually comparable atomic type.
+    */
+  private def localComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val es = edges.collect().map(r => (r.get(0), r.get(1)))
+    val parent = scala.collection.mutable.Map[Any, Any]()
+    def find(x: Any): Any = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val rows = parent.keys.toSeq.map(k =>
+      org.apache.spark.sql.Row(k, find(k)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType))))
   }
 }

@@ -85,12 +85,16 @@ object TextAnalysisProps extends Properties("TextAnalysis") {
       b <- Gen.choose(0L, 15L).suchThat(_ != a)
     } yield (math.min(a, b), math.max(a, b)))
 
-  property("connectedComponents equals union-find model") = forAll(genPairs) { pairs =>
+  property("connectedComponents equals union-find model (both paths)") = forAll(
+    genPairs, Gen.oneOf(0L, Long.MaxValue)) { (pairs, threshold) =>
+    // threshold 0 forces the distributed iterative path, MaxValue the
+    // driver union-find path — both must match the model
     val s = spark
     import s.implicits._
     val got =
       if (pairs.isEmpty) Map.empty[Long, Long]
-      else Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      else Dedup.connectedComponents(pairs.toDF("id_a", "id_b"),
+          localEdgeThreshold = threshold)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // union-find with min-id representatives
     val parent = scala.collection.mutable.Map[Long, Long]()
