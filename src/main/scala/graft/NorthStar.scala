@@ -993,11 +993,11 @@ object NorthStar {
         |), a AS (
         |  SELECT event_type,
         |         CAST(count(*) AS HUGEINT) AS n,
-        |         CAST(sum(x) AS HUGEINT) AS sx,
-        |         CAST(sum(y) AS HUGEINT) AS sy,
-        |         CAST(sum(x * x) AS HUGEINT) AS sxx,
-        |         CAST(sum(y * y) AS HUGEINT) AS syy,
-        |         CAST(sum(x * y) AS HUGEINT) AS sxy
+        |         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
         |  FROM b GROUP BY 1
         |)
         |SELECT event_type, CAST(n AS BIGINT) AS n,

@@ -36,12 +36,14 @@ object CurationDemo {
     val quality = TextAnalysis.qualityScore(docs)
       .filter(col("quality_score") >= 0.5)
       .select("doc_id")
-    val lowRepetition = TextAnalysis.bigramRepetition(docs)
-      .filter(col("top_bigram_frac") <= 0.2)
+    // the repetition fence REMOVES offenders — docs too short to have a
+    // bigram verdict pass through (anti-join, not an inner join)
+    val highRepetition = TextAnalysis.bigramRepetition(docs)
+      .filter(col("top_bigram_frac") > 0.2)
       .select("doc_id")
     val gated = docs
       .join(quality, "doc_id")
-      .join(lowRepetition, "doc_id")
+      .join(highRepetition, Seq("doc_id"), "left_anti")
     val afterGate = gated.count()
 
     // 2. near-dup removal: cluster LSH candidates, keep each cluster's

@@ -300,14 +300,26 @@ object Dedup {
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
-    // Labels only ever DECREASE, so sum(cluster_id) is a strictly
-    // decreasing fixpoint witness: one cheap aggregation per round
-    // replaces a join-and-count convergence test.
-    def checksum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("cluster_id"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // Labels only ever DECREASE, so for integral ids an exact decimal
+    // sum is a sound fixpoint witness (one cheap aggregation per round,
+    // no 64-bit wrap); for any other id type fall back to the exact
+    // join-and-count change test.
+    val integralIds = pairs.schema(aCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType |
+          _: org.apache.spark.sql.types.ShortType |
+          _: org.apache.spark.sql.types.IntegerType |
+          _: org.apache.spark.sql.types.LongType => true
+      case _ => false
     }
-    var prevSum = checksum(labels)
+    def checksum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    def changedCount(next: DataFrame, prev: DataFrame): Long = next
+      .join(prev.withColumnRenamed("cluster_id", "_old"), "doc_id")
+      .filter(col("cluster_id") =!= col("_old"))
+      .count()
+    var prevSum = if (integralIds) checksum(labels) else null
     var converged = labels.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -325,9 +337,13 @@ object Dedup {
         .groupBy("doc_id")
         .agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      val nextSum = checksum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      if (integralIds) {
+        val nextSum = checksum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else {
+        converged = changedCount(next, labels) == 0
+      }
       labels = next
       iter += 1
     }
@@ -347,10 +363,19 @@ object Dedup {
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val es = edges.collect().map(r => (r.get(0), r.get(1)))
     val parent = scala.collection.mutable.Map[Any, Any]()
+    // iterative find with full path compression — min-union (no rank)
+    // can build O(n)-deep chains, which a recursive find would blow the
+    // stack on at the default 2^20-edge threshold
     def find(x: Any): Any = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
+      var root = parent.getOrElseUpdate(x, x)
+      while (parent(root) != root) root = parent(root)
+      var cur = x
+      while (parent(cur) != root) {
+        val nxt = parent(cur)
+        parent(cur) = root
+        cur = nxt
+      }
+      root
     }
     def lt(x: Any, y: Any): Boolean =
       x.asInstanceOf[Comparable[Any]].compareTo(y) < 0

@@ -242,16 +242,19 @@ object Profiling {
     val dec = "decimal(38,0)"
     val x = unix_timestamp(col(tsCol))
     val y = round(col(valueCol) * 100).cast("long")
+    // widen BEFORE multiplying: a 64-bit x*x / y*y product can already
+    // overflow per row (big cents values, far-future epochs) — the
+    // oracle widens to HUGEINT the same way
     val a = df
-      .select(col(groupCol), x.as("_x"), y.as("_y"))
+      .select(col(groupCol), x.cast(dec).as("_x"), y.cast(dec).as("_y"))
       .groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("_x").cast(dec)).as("_sx"),
-        sum(col("_y").cast(dec)).as("_sy"),
-        sum((col("_x") * col("_x")).cast(dec)).as("_sxx"),
-        sum((col("_y") * col("_y")).cast(dec)).as("_syy"),
-        sum((col("_x") * col("_y")).cast(dec)).as("_sxy"))
+        sum(col("_x")).as("_sx"),
+        sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"),
+        sum(col("_x") * col("_y")).as("_sxy"))
     val nD = col("n").cast(dec)
     val num = nD * col("_sxy") - col("_sx") * col("_sy")
     val d1 = nD * col("_sxx") - col("_sx") * col("_sx")

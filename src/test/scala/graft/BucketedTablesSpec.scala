@@ -47,7 +47,11 @@ class BucketedTablesSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("latest-k over a bucketed table also skips its shuffle") {
-    val t = BucketedTables.table(spark, "bucketed_feats")
+    // register independently — tests must not rely on suite ordering
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed_k").toString
+    BucketedTables.register(
+      sampleFeatures, "bucketed_feats_k", s"$dir/feats", numBuckets = 4)
+    val t = BucketedTables.table(spark, "bucketed_feats_k")
     val topk = PointInTime.latestKPerEntity(t, k = 2)
     assert(shuffles(topk.queryExecution.executedPlan).isEmpty)
     assert(topk.count() > 0)
