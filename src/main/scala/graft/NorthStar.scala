@@ -401,6 +401,10 @@ object NorthStar {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 2)
         .orderBy("id_a", "id_b")),
+    // two-stage near-dup: exact Jaccard on LSH candidates ONLY
+    "dedup_lsh_verified" -> ((s, dir) =>
+      Dedup.verifiedNearDupPairs(docs(s, dir), threshold = 0.5)
+        .orderBy("id_a", "id_b")),
     // candidate pairs → dedup GROUPS: min-reachable-id components
     "dedup_clusters" -> ((s, dir) =>
       Dedup
@@ -1100,6 +1104,30 @@ object NorthStar {
     "dedup_minhash_lsh" ->
       (s"WITH $MinhashPairCtes\n" +
         "SELECT id_a, id_b FROM pairs\nORDER BY id_a, id_b"),
+
+    // exact Jaccard on the LSH candidates only, over the UNREDUCED
+    // 60-bit shingle hashes (the mod-4294967311 hv exists only for the
+    // MinHash permutation arithmetic — intersecting on it could merge
+    // distinct shingles)
+    "dedup_lsh_verified" ->
+      (s"WITH $MinhashPairCtes,\n" +
+        s"""hraw AS (SELECT doc_id, ${Md5Long60.format("s")} AS hw FROM sh),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           |          FROM hraw GROUP BY 1),
+           |inter AS (
+           |  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS i
+           |  FROM pairs p
+           |  JOIN hraw a ON a.doc_id = p.id_a
+           |  JOIN hraw b ON b.doc_id = p.id_b AND b.hw = a.hw
+           |  GROUP BY 1, 2
+           |)
+           |SELECT i.id_a, i.id_b,
+           |       CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+           |FROM inter i
+           |JOIN sizes sa ON sa.doc_id = i.id_a
+           |JOIN sizes sb ON sb.doc_id = i.id_b
+           |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin),
 
     // pairs → components: cluster id = min doc id reachable in the
     // undirected candidate graph (recursive reachability closure — the

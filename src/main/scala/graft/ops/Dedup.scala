@@ -261,6 +261,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Two-stage near-dup detection — the production shape at corpus
+    * scale: LSH banding proposes candidates (cheap, high recall, some
+    * false positives), then EXACT shingle Jaccard is computed on the
+    * candidates ONLY and thresholded. All-pairs exact Jaccard touches
+    * O(n²) pairs; this touches O(|candidates|): the shingle sets join
+    * onto the (small) candidate list and the intersection is a per-row
+    * array op, no second pairwise shuffle.
+    */
+  def verifiedNearDupPairs(
+      docs: DataFrame,
+      threshold: Double,
+      numPerms: Int = 16,
+      rowsPerBand: Int = 4,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cands = lshCandidatePairs(
+      docs, numPerms, rowsPerBand, shingleWidth = n,
+      idCol = idCol, textCol = textCol)
+    val sets = shingleHashSets(docs, n, idCol, textCol)
+    cands
+      .join(sets.select(
+        col(idCol).as("id_a"), col("_set").as("_sa"), col("_n").as("_na")), "id_a")
+      .join(sets.select(
+        col(idCol).as("id_b"), col("_set").as("_sb"), col("_n").as("_nb")), "id_b")
+      .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (col("_inter").cast("double") /
+          (col("_na") + col("_nb") - col("_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected components over an undirected near-duplicate pair list —
     * the step that turns candidate PAIRS into actionable dedup GROUPS
     * (keep `cluster_id`, drop the rest). Deterministic: a node's cluster

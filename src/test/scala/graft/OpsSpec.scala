@@ -185,6 +185,25 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("verifiedNearDupPairs = exact Jaccard restricted to LSH candidates") {
+    val s = spark
+    import s.implicits._
+    // two identical docs (J=1), one unrelated
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "z y x w v u t s"))
+      .toDF("doc_id", "text")
+    val out = Dedup.verifiedNearDupPairs(df, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(out == List((1L, 2L, 1.0)))
+    // agreement with the all-pairs exact op on its own candidates: every
+    // verified pair must appear in ngramJaccardPairs with the same score
+    val allPairs = Dedup.ngramJaccardPairs(df, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out.toSet.subsetOf(allPairs))
+  }
+
   test("connectedComponents labels each node with its min reachable id") {
     val s = spark
     import s.implicits._
