@@ -90,6 +90,14 @@ object NorthStar {
         .hashSplit(docs(s, dir), Seq("train" -> 80, "valid" -> 10, "test" -> 10))
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
+    // dataset mixing: src0 kept whole, src1 heavily down-weighted,
+    // everything else at 50% — stable per-mille hash cut
+    "sample_mixture" -> ((s, dir) =>
+      graft.ops.Sampling
+        .mixtureSample(docs(s, dir),
+          Map("src0" -> 1000, "src1" -> 100), defaultPermille = 500)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
     // per-stratum hash-quota sample: 20% of each source, id-stable
     "sample_stratified" -> ((s, dir) =>
       graft.ops.Sampling
@@ -733,6 +741,20 @@ object NorthStar {
         |       CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
         |            AS DOUBLE) / len(toks) AS frac_alpha_words
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "sample_mixture" ->
+      """SELECT doc_id, source
+        |FROM (
+        |  SELECT doc_id, source,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) % 1000 AS h,
+        |         CASE WHEN source = 'src0' THEN 1000
+        |              WHEN source = 'src1' THEN 100
+        |              ELSE 500 END AS rate
+        |  FROM documents
+        |)
+        |WHERE h < rate
+        |ORDER BY doc_id""".stripMargin,
 
     // per-source quota = ceil(n*20/100) of the hash-smallest ids; hashes
     // are distinct per id so the rank order is total

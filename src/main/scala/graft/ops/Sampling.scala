@@ -57,6 +57,28 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Dataset mixing: keep each stratum (source) at its own rate — the
+    * pretraining-mix step ("3x down-weight crawl, keep books whole")
+    * as a pure per-row filter. Rates are per-mille so the cut is exact
+    * integer arithmetic; rows keep/drop by id hash, so the mix is
+    * stable across runs, engines, and repartitioning, and a row kept at
+    * rate r stays kept at any rate >= r (nested samples for ablations).
+    */
+  def mixtureSample(
+      df: DataFrame,
+      ratesPermille: Map[String, Int],
+      defaultPermille: Int,
+      stratumCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    (ratesPermille.values.toSeq :+ defaultPermille).foreach(r =>
+      require(r >= 0 && r <= 1000, s"rate must be in [0,1000] permille, got $r"))
+    val rate = ratesPermille.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPermille)) { case (acc, (s, r)) =>
+        when(col(stratumCol) === s, lit(r)).otherwise(acc)
+      }
+    df.filter(idHash(col(idCol)) % 1000 < rate)
+  }
+
   /** Stratified sample: within each stratum (e.g. source), keep the
     * `percent`% of rows with the smallest id hashes — per-stratum
     * quotas survive however skewed the strata are, and the selection is

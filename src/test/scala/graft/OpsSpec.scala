@@ -379,6 +379,28 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq(("a", 3L, 1), ("b", 3L, 2)))
   }
 
+  test("mixtureSample applies per-stratum rates, nested across rates") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "A" else "B"))
+      .toDF("doc_id", "source")
+    val kept = graft.ops.Sampling
+      .mixtureSample(df, Map("A" -> 1000), defaultPermille = 0)
+      .collect().map(_.getString(1)).toSet
+    assert(kept == Set("A")) // rate 1000 keeps all A, rate 0 drops all B
+    // nesting: a row kept at rate 300 is kept at any higher rate
+    val at300 = graft.ops.Sampling
+      .mixtureSample(df, Map.empty, defaultPermille = 300)
+      .collect().map(_.getLong(0)).toSet
+    val at700 = graft.ops.Sampling
+      .mixtureSample(df, Map.empty, defaultPermille = 700)
+      .collect().map(_.getLong(0)).toSet
+    assert(at300.subsetOf(at700))
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.mixtureSample(df, Map("A" -> 1001), 0)
+    }
+  }
+
   test("stratifiedSample keeps a per-stratum ceil quota of hash-smallest ids") {
     val s = spark
     import s.implicits._
