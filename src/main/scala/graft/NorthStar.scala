@@ -98,6 +98,12 @@ object NorthStar {
           Map("src0" -> 1000, "src1" -> 100), defaultPermille = 500)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
+    // the up-weighting half: src0 at 2.5 epochs, src1 halved, rest 1x
+    "sample_epochs" -> ((s, dir) =>
+      graft.ops.Sampling
+        .epochRepeat(docs(s, dir), Map("src0" -> 2500, "src1" -> 500))
+        .select(col("doc_id"), col("source"), col("copy_id"))
+        .orderBy("doc_id", "copy_id")),
     // per-stratum hash-quota sample: 20% of each source, id-stable
     "sample_stratified" -> ((s, dir) =>
       graft.ops.Sampling
@@ -741,6 +747,28 @@ object NorthStar {
         |       CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
         |            AS DOUBLE) / len(toks) AS frac_alpha_words
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // generate_series(1, 0) is empty in DuckDB, so zero-copy rows drop
+    // without an explicit filter (the engine filters before its explode
+    // because Spark's sequence() would DESCEND for start > stop)
+    "sample_epochs" ->
+      """SELECT doc_id, source,
+        |       unnest(generate_series(1, CAST(copies AS BIGINT))) AS copy_id
+        |FROM (
+        |  SELECT doc_id, source,
+        |         (rate // 1000)
+        |           + CASE WHEN h < rate % 1000 THEN 1 ELSE 0 END AS copies
+        |  FROM (
+        |    SELECT doc_id, source,
+        |           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |                AS BIGINT) % 1000 AS h,
+        |           CASE WHEN source = 'src0' THEN 2500
+        |                WHEN source = 'src1' THEN 500
+        |                ELSE 1000 END AS rate
+        |    FROM documents
+        |  )
+        |)
+        |ORDER BY doc_id, copy_id""".stripMargin,
 
     "sample_mixture" ->
       """SELECT doc_id, source

@@ -79,6 +79,35 @@ object Sampling {
     df.filter(idHash(col(idCol)) % 1000 < rate)
   }
 
+  /** The up-weighting half of dataset mixing: repeat each stratum by a
+    * fractional epoch factor (per-mille — 2500 = 2.5 epochs: every row
+    * twice, the hash-chosen half a third time). Emitted rows carry a
+    * `copy_id` (1-based) so downstream shuffling/packing can
+    * distinguish copies. Deterministic like [[mixtureSample]]; factors
+    * under 1000 double as down-sampling, so one call expresses a whole
+    * mix. Per-row explode of a tiny sequence — no shuffle, output
+    * volume is exactly the mix's token budget.
+    */
+  def epochRepeat(
+      df: DataFrame,
+      factorsPermille: Map[String, Int],
+      defaultPermille: Int = 1000,
+      stratumCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    (factorsPermille.values.toSeq :+ defaultPermille).foreach(r =>
+      require(r >= 0, s"factor must be >= 0 permille, got $r"))
+    val factor = factorsPermille.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPermille)) { case (acc, (s, r)) =>
+        when(col(stratumCol) === s, lit(r)).otherwise(acc)
+      }
+    val copies = (factor / 1000).cast("int") +
+      when(idHash(col(idCol)) % 1000 < factor % 1000, 1).otherwise(0)
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") > 0) // Spark sequence() DESCENDS for start > stop
+      .withColumn("copy_id", explode(sequence(lit(1), col("_copies"))))
+      .drop("_copies")
+  }
+
   /** Stratified sample: within each stratum (e.g. source), keep the
     * `percent`% of rows with the smallest id hashes — per-stratum
     * quotas survive however skewed the strata are, and the selection is

@@ -401,6 +401,23 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("epochRepeat emits fractional copies with copy ids") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i => (i, "A")).toDF("doc_id", "source")
+    val out = graft.ops.Sampling
+      .epochRepeat(df, Map("A" -> 2500))
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    val copies = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    // every doc appears 2 or 3 times, copy ids dense from 1
+    assert(copies.values.forall(c => c == List(1, 2) || c == List(1, 2, 3)))
+    // ~half get the third copy (hash-chosen); exact count is stable
+    val third = copies.values.count(_.size == 3)
+    assert(third > 60 && third < 140)
+    // zero factor drops everything
+    assert(graft.ops.Sampling.epochRepeat(df, Map("A" -> 0)).isEmpty)
+  }
+
   test("stratifiedSample keeps a per-stratum ceil quota of hash-smallest ids") {
     val s = spark
     import s.implicits._
