@@ -489,7 +489,72 @@ object NorthStar {
           col("doc_id"),
           col("frame_idx"),
           decode(col("frame"), "UTF-8").as("frame_text"))
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // benchmark decontamination: drop training docs sharing any word
+    // 4-gram with the held-out eval slice (source src19); the eval gram
+    // set broadcasts, the corpus is scanned once
+    "decontaminate_eval" -> ((s, dir) =>
+      TextAnalysis
+        .decontaminate(
+          docs(s, dir).filter(col("source") =!= "src19"),
+          docs(s, dir).filter(col("source") === "src19"),
+          n = 4)
+        .select(col("doc_id"), col("source"), col("n_hit_grams"), col("keep"))
+        .orderBy("doc_id")),
+
+    // k-NN majority-label vote over exact cosine neighbors — the
+    // embedding-space classifier / label-quality probe
+    "knn_label_vote" -> ((s, dir) =>
+      Similarity.knnClassify(emb(s, dir), AnnQueryIds, k = 5)
+        .orderBy("query_id")),
+
+    // per-label centroids as exact integer sums (order-independent —
+    // cross-engine double sums are not); consumers divide by n/1e6
+    "embedding_centroids" -> ((s, dir) =>
+      Similarity.labelCentroidSums(emb(s, dir))
+        .orderBy("label", "dim")),
+
+    // per-entity lag/delta features: previous value, change, and
+    // inter-arrival seconds in one entity-keyed window pass. Only rows
+    // WITH a predecessor face the oracle: each entity's first event
+    // carries NULL doubles, and NULL→NaN float columns defeat exact
+    // cross-engine equality (NaN != NaN)
+    "feature_lag_delta" -> ((s, dir) =>
+      WindowFeatures
+        .lagDelta(
+          SparkEntry.eventsForNorthStar(s, dir).select("user_id", "ts", "event_id", "value"),
+          valueCol = "value", entityCol = "user_id", tsCol = "ts",
+          tieBreakCols = Seq("event_id"))
+        .filter(col("prev_value").isNotNull)
+        .orderBy("user_id", "ts", "event_id")),
+
+    // top-3 docs per source by quality score — per-group top-k with a
+    // map-side WindowGroupLimit under the rank filter
+    "top_docs_per_source" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(docs(s, dir))
+        .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      q.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("source"), col("rank"), col("doc_id"), col("quality_score"))
+        .orderBy("source", "rank")
+    }),
+
+    // token-budget curation: per source, best-quality docs first until
+    // 400 tokens are taken (prefix cutoff, deterministic order)
+    "token_budget_subset" -> ((s, dir) =>
+      graft.ops.Sampling
+        .takeUntilBudget(
+          TextAnalysis.qualityScore(docs(s, dir))
+            .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+            .select(col("doc_id"), col("source"),
+              col("quality_score"), col("n_tokens").cast("long").as("n_tokens")),
+          budget = 400L,
+          costCol = "n_tokens",
+          priority = Seq(col("quality_score").desc, col("doc_id").asc))
+        .orderBy("source", "doc_id"))
   )
 
   // ------------------------------------------------------------ oracles
@@ -561,6 +626,29 @@ object NorthStar {
        |)""".stripMargin
   }
   private val StopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Shared quality-score CTE chain (same arithmetic as the
+    * `text_quality` oracle) for the quality-ranked curation oracles.
+    */
+  private lazy val QualityCte: String =
+    s"""t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS nc
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(toks, x -> x IN ($StopList))) AS DOUBLE)
+       |             / len(toks) AS stopword_ratio,
+       |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+       |         (nc - len(toks) + 1) / len(toks) AS avg_token_len,
+       |         len(toks) AS n_tokens
+       |  FROM t
+       |), q AS (
+       |  SELECT doc_id, n_tokens,
+       |         0.3 * stopword_ratio + 0.5 * distinct_ratio
+       |           + 0.2 * (CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0
+       |                         THEN 1.0 ELSE 0.0 END) AS quality_score
+       |  FROM m
+       |)""".stripMargin
 
   def oracleSql: Map[String, String] = baseOracleSql +
     // the indexed IVF path must return exactly what the one-shot plan
@@ -1423,6 +1511,121 @@ object NorthStar {
         |SELECT doc_id, CAST(nb AS INT) AS n_bytes, b AS bucket,
         |       c / greatest(nb, 1) AS feature
         |FROM hist
-        |ORDER BY doc_id, bucket""".stripMargin
+        |ORDER BY doc_id, bucket""".stripMargin,
+
+    // word 4-grams built with the same slice arithmetic on both sides;
+    // DuckDB generate_series(1, n) is empty when n < 1, mirroring the
+    // engine's short-document guard
+    "decontaminate_eval" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(toks) - 3),
+        |                   i -> array_to_string(toks[i:i+3], ' '))) AS gram
+        |  FROM (SELECT string_split(text, ' ') AS toks
+        |        FROM documents WHERE source = 'src19')
+        |),
+        |tg AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(generate_series(1, len(toks) - 3),
+        |                   i -> array_to_string(toks[i:i+3], ' ')))) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE source != 'src19')
+        |),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM tg JOIN ev USING (gram) GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.source,
+        |       coalesce(h.n_hit, 0) AS n_hit_grams,
+        |       coalesce(h.n_hit, 0) = 0 AS keep
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.source != 'src19'
+        |ORDER BY doc_id""".stripMargin,
+
+    "knn_label_vote" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        |         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |           / (q.nrm * c.nrm) AS score
+        |  FROM v q JOIN v c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id IN (0,1,2,3,4,5,6,7,8,9)
+        |),
+        |topk AS (
+        |  SELECT query_id, neighbor_label,
+        |         row_number() OVER (PARTITION BY query_id
+        |             ORDER BY score DESC, neighbor_id ASC) AS rnk
+        |  FROM scored
+        |),
+        |votes AS (
+        |  SELECT query_id, neighbor_label AS predicted_label,
+        |         CAST(count(*) AS BIGINT) AS n_votes
+        |  FROM topk WHERE rnk <= 5 GROUP BY 1, 2
+        |)
+        |SELECT query_id, predicted_label, n_votes
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY n_votes DESC, predicted_label ASC) AS vr FROM votes)
+        |WHERE vr = 1
+        |ORDER BY query_id""".stripMargin,
+
+    // floor(x*1e6 + 0.5) rounds identically in both engines (round()'s
+    // half-case conventions differ); sums of exact integers are
+    // aggregation-order-independent, which double sums are not
+    "embedding_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS sum_q
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |             unnest(generate_series(1, len(embedding))) AS i
+        |      FROM embeddings)
+        |GROUP BY 1, 2
+        |ORDER BY label, dim""".stripMargin,
+
+    "feature_lag_delta" ->
+      """SELECT * FROM (
+        |  SELECT user_id, ts, event_id, value,
+        |         lag(value) OVER w AS prev_value,
+        |         value - lag(value) OVER w AS value_delta,
+        |         (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000 AS secs_since_prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |WHERE prev_value IS NOT NULL
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "top_docs_per_source" ->
+      s"""WITH $QualityCte,
+         |r AS (
+         |  SELECT d.source, q.doc_id, q.quality_score,
+         |         CAST(row_number() OVER (PARTITION BY d.source
+         |             ORDER BY q.quality_score DESC, q.doc_id ASC) AS INT) AS rank
+         |  FROM q JOIN documents d USING (doc_id)
+         |)
+         |SELECT source, rank, doc_id, quality_score
+         |FROM r WHERE rank <= 3
+         |ORDER BY source, rank""".stripMargin,
+
+    "token_budget_subset" ->
+      s"""WITH $QualityCte,
+         |s AS (
+         |  SELECT q.doc_id, d.source, q.quality_score,
+         |         CAST(q.n_tokens AS BIGINT) AS n_tokens
+         |  FROM q JOIN documents d USING (doc_id)
+         |),
+         |c AS (
+         |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |             ORDER BY quality_score DESC, doc_id ASC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS cost_before
+         |  FROM s
+         |)
+         |SELECT doc_id, source, quality_score, n_tokens, cost_before
+         |FROM c WHERE cost_before + n_tokens <= 400
+         |ORDER BY source, doc_id""".stripMargin
   )
 }

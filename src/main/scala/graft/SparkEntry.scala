@@ -232,6 +232,26 @@ object SparkEntry {
         .orderBy("entity_id", "timestamp", "o_orderkey")
     }),
 
+    // O8 skew-routing strategy: entities with feature rows at or above
+    // the hot threshold take the bucketed two-pass path, the long tail
+    // takes the plain window merge — same semantics and oracle as every
+    // other as-of strategy (threshold chosen so both routes carry rows
+    // at every test scale factor)
+    "asof_join_skewhybrid" -> ((s, dir) => {
+      val feat = ordersFeatures(s, dir)
+      val spine = read(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(
+          col("o_custkey").as("entity_id"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("timestamp"))
+      PointInTime
+        .asOfJoinSkewHybrid(
+          spine, feat, bucketSeconds = 90L * 86400,
+          hotRowThreshold = 16L,
+          tieBreakCols = Seq("o_orderkey"))
+        .orderBy("entity_id", "timestamp", "o_orderkey")
+    }),
+
     // O8 as a first-class Catalyst operator: custom LogicalPlan +
     // Strategy + merge-join SparkPlan (graft.plans.AsOfJoinExec),
     // registered via SparkSessionExtensions; same semantics and oracle
@@ -455,6 +475,8 @@ object SparkEntry {
     "asof_join_via_join" -> OrdersAsOfOracle,
 
     "asof_join_bucketed" -> OrdersAsOfOracle,
+
+    "asof_join_skewhybrid" -> OrdersAsOfOracle,
 
     "asof_join_native" -> OrdersAsOfOracle,
 

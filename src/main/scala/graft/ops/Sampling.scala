@@ -136,4 +136,30 @@ object Sampling {
       .filter(col("_rk") <= expr(s"(_n * $percent + 99) div 100"))
       .drop("_rk", "_n")
   }
+
+  /** Budgeted selection: within each stratum, take rows in priority
+    * order while the running cost stays within budget — the "best docs
+    * until the token budget runs out" curation step. A row is kept iff
+    * the total cost of ALL higher-priority rows plus its own fits the
+    * budget (prefix cutoff, not first-fit: one oversized row ends the
+    * stratum's intake, matching how sequential pipelines consume a
+    * ranked list). Deterministic given a total priority order.
+    *
+    * Scale shape: one shuffle by stratum; the running total is a
+    * ROWS-frame window, so each stratum fills in parallel in one pass.
+    */
+  def takeUntilBudget(
+      df: DataFrame,
+      budget: Long,
+      costCol: String,
+      priority: Seq[Column],
+      stratumCol: String = "source"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol)).orderBy(priority: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df
+      .withColumn("cost_before", coalesce(sum(col(costCol)).over(w), lit(0L)))
+      .filter(col("cost_before") + col(costCol) <= budget)
+  }
 }

@@ -381,6 +381,61 @@ object Similarity extends Serializable {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** k-NN label vote — the classic embedding-space classifier/eval:
+    * for each query vector, take the k nearest neighbors by cosine
+    * (exact, via [[bruteForceTopK]]) and return the majority label,
+    * ties broken by (votes desc, label asc) so the prediction is
+    * deterministic. Output: (query_id, predicted_label, n_votes).
+    *
+    * Scale shape: inherits the broadcast-join + per-query window from
+    * [[bruteForceTopK]]; the vote is a partial-aggregated count over at
+    * most |queries| * k rows — negligible next to the scoring pass.
+    */
+  def knnClassify(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val topk = bruteForceTopK(emb, queryIds, k, idCol, vecCol)
+    val labels = emb.select(col(idCol).as("neighbor_id"), col(labelCol))
+    val votes = topk
+      .join(labels, "neighbor_id")
+      .groupBy(col("query_id"), col(labelCol).as("predicted_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("predicted_label").asc)
+    votes
+      .withColumn("_vr", row_number().over(w))
+      .filter(col("_vr") === 1)
+      .drop("_vr")
+  }
+
+  /** Per-label centroid sums in exact integer arithmetic: each float
+    * element is widened to double, scaled by 1e6 and floor(x+0.5)
+    * rounded to a BIGINT — so the per-(label, dim) sums are exact
+    * integers whose value is independent of aggregation order, the one
+    * property cross-engine double sums cannot give (a centroid is then
+    * `sum_q / n / 1e6` on the consumer side, to quantization precision).
+    *
+    * Scale shape: posexplode fans each vector into (label, dim, x) rows
+    * but the count/sum aggregate combines map-side, so the shuffle
+    * carries at most |labels| x dims rows per input partition —
+    * bounded by cardinality, not corpus size.
+    */
+  def labelCentroidSums(
+      emb: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    emb
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "_x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("_x").cast("double") * 1e6 + 0.5).cast("long")).as("sum_q"))
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4x storage compression for vector corpora (scale = 127 / max|x|
     * per vector, element -> floor(x * scale + 0.5)). Pure per-row map,

@@ -267,6 +267,56 @@ object TextAnalysis {
       .withColumn("pack_id", expr(s"tokens_before div $budgetTokens"))
   }
 
+  /** Word-level n-grams as space-joined strings, empty array for
+    * documents shorter than n tokens (guarded — `sequence(1, 0)` would
+    * otherwise count DOWN). Built array-side per row (codegen'd), so
+    * n-gram generation itself never shuffles.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination — the standard pretraining hygiene step:
+    * flag every corpus document sharing at least one word n-gram with a
+    * held-out evaluation set, so contaminated documents can be dropped
+    * before training. Returns one row per corpus document with the
+    * count of its distinct n-grams that appear anywhere in the eval set
+    * and a `keep` flag (no hits).
+    *
+    * Scale shape: the eval side reduces to a DISTINCT gram set — tiny
+    * relative to the corpus (eval benchmarks are MBs, corpora are TBs) —
+    * so the probe is a broadcast join against exploded corpus grams,
+    * partially aggregated back to one row per document before the
+    * doc-keyed merge. The corpus is scanned once; nothing shuffles at
+    * corpus scale except the per-doc hit counts.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      n: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(wordNgrams(col(textCol), n)).as("_gram"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("_gram"))
+      .join(broadcast(evalGrams), "_gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n_hit"))
+    corpus
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hit_grams", coalesce(col("_n_hit"), lit(0L)))
+      .withColumn("keep", col("n_hit_grams") === 0L)
+      .drop("_n_hit")
+  }
+
   /** Corpus vocabulary: the k most frequent tokens (ties broken
     * lexicographically), with their counts and 1-based rank.
     *

@@ -492,4 +492,31 @@ object WindowFeatures {
       .select(col(entityCol), col("session_seq"), col("session_start"),
         col("session_end"), col("n_events"))
   }
+
+  /** Per-entity lag/delta features: each event row annotated with the
+    * previous event's value and the difference — the standard
+    * "change-since-last-observation" feature family (and, shifted to
+    * timestamps, inter-arrival time in seconds).
+    *
+    * Plan: ONE entity-keyed shuffle serves every lag column (all lags
+    * share the same window sort); the subtraction operates on the same
+    * two doubles in both engines, so deltas are bit-deterministic.
+    */
+  def lagDelta(
+      events: DataFrame,
+      valueCol: String,
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    Validation.validateSpine(events, entityCol, tsCol)
+    val order = (col(tsCol) +: tieBreakCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(entityCol)).orderBy(order: _*)
+    events
+      .withColumn("prev_value", lag(col(valueCol), 1).over(w))
+      .withColumn("value_delta", col(valueCol) - col("prev_value"))
+      .withColumn(
+        "secs_since_prev",
+        (unix_micros(col(tsCol).cast(TimestampType)) -
+          unix_micros(lag(col(tsCol), 1).over(w).cast(TimestampType))) / 1000000L)
+  }
 }

@@ -479,4 +479,78 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == (1L to 100L).filter(i =>
       graft.functions.Hashing.md5Long60Jvm(i.toString) % 100 < 20).toSet)
   }
+
+  test("wordNgrams slides a window and guards short documents") {
+    val s = spark
+    import s.implicits._
+    val out = Seq("a b c d", "a b").toDF("text")
+      .select(TextAnalysis.wordNgrams(col("text"), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty) // 2 tokens < n=3: no counting-down sequence
+  }
+
+  test("decontaminate flags docs sharing an n-gram with the eval set") {
+    val corpus = docsDF(
+      1L -> "p q r s t",       // shares "q r s" with eval
+      2L -> "u v w x y",       // clean
+      3L -> "q r s")           // exactly the contaminated gram
+    val eval = docsDF(100L -> "a q r s b")
+    val out = TextAnalysis.decontaminate(corpus, eval, n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hit_grams"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(1L) == ((1L, false)))
+    assert(out(2L) == ((0L, true)))
+    assert(out(3L) == ((1L, false)))
+  }
+
+  test("knnClassify takes the majority label with deterministic ties") {
+    val s = spark
+    import s.implicits._
+    // query 0 at origin+x; neighbors: two label-7 vectors nearer than
+    // the two label-2 ones → k=3 picks labels (7, 7, 2) → majority 7
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 9),
+      (1L, Array(1.0f, 0.1f), 7),
+      (2L, Array(1.0f, 0.2f), 7),
+      (3L, Array(0.5f, 0.9f), 2),
+      (4L, Array(0.1f, 1.0f), 2)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, Seq(0L), k = 3).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Int]("predicted_label") == 7)
+    assert(out.head.getAs[Long]("n_votes") == 2L)
+  }
+
+  test("labelCentroidSums aggregates exact scaled integers per (label, dim)") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(0.5f, -0.25f), 1),
+      (1L, Array(0.5f, 0.75f), 1),
+      (2L, Array(1.0f, 1.0f), 2)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidSums(emb)
+      .collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sum_q")))).toMap
+    assert(out((1, 0)) == ((2L, 1000000L)))   // 0.5 + 0.5
+    assert(out((1, 1)) == ((2L, 500000L)))    // -0.25 + 0.75
+    assert(out((2, 0)) == ((1L, 1000000L)))
+  }
+
+  test("takeUntilBudget fills each stratum in priority order, prefix cutoff") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // (id, stratum, cost, prio): picked in prio order within stratum
+      (1L, "a", 3L, 1), (2L, "a", 3L, 2), (3L, "a", 3L, 3),
+      (4L, "b", 10L, 1)).toDF("doc_id", "source", "cost", "prio")
+    val kept = graft.ops.Sampling
+      .takeUntilBudget(df, budget = 6L, costCol = "cost",
+        priority = Seq(col("prio").asc))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cost_before")).toMap
+    // stratum a: ids 1 (before=0) and 2 (before=3) fit; 3 would total 9
+    // stratum b: one 10-cost row exceeds the budget outright
+    assert(kept == Map(1L -> 0L, 2L -> 3L))
+  }
 }

@@ -63,6 +63,26 @@ class WindowFeaturesSpec extends AnyFunSuite with SparkTestBase {
     assert(out == List((1L, 1L, 7L, 3L), (2L, 20L, 20L, 1L)))
   }
 
+  test("lagDelta emits prev value, delta, and inter-arrival seconds per entity") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      ("u1", ts("2024-01-10 11:00:00"), 1L, 10.0),
+      ("u1", ts("2024-01-10 11:00:30"), 2L, 14.5),
+      ("u2", ts("2024-01-10 11:00:10"), 3L, 7.0))
+      .toDF("entity_id", "timestamp", "eid", "value")
+    val out = WindowFeatures
+      .lagDelta(ev, valueCol = "value", tieBreakCols = Seq("eid"))
+      .collect()
+      .map(r => r.getAs[Long]("eid") ->
+        ((Option(r.getAs[java.lang.Double]("prev_value")),
+          Option(r.getAs[java.lang.Double]("value_delta")),
+          Option(r.getAs[java.lang.Double]("secs_since_prev"))))).toMap
+    assert(out(1L) == ((None, None, None)))              // first per entity
+    assert(out(2L) == ((Some(10.0), Some(4.5), Some(30.0))))
+    assert(out(3L) == ((None, None, None)))              // u2's first
+  }
+
   test("windowAggJoin validation: bad fn, bad column, dup outputs, bad window") {
     val s = spark
     import s.implicits._
