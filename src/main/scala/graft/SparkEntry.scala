@@ -232,6 +232,33 @@ object SparkEntry {
         .orderBy("entity_id", "timestamp", "o_orderkey")
     }),
 
+    // SCD2 validity intervals over the event stream: each feature row
+    // with its [timestamp, valid_to) window; the open current row's
+    // bound is a far-future sentinel so the oracle compare never sees
+    // a NULL timestamp (NaT defeats exact equality)
+    "scd2_intervals" -> ((s, dir) =>
+      PointInTime
+        .scd2(eventsFeatures(s, dir), tieBreakCols = Seq("event_id"))
+        .withColumn("valid_to",
+          coalesce(col("valid_to"), lit(utcTs("2100-01-01 00:00:00"))))
+        .orderBy("entity_id", "timestamp", "event_id")),
+
+    // O8 as interval containment over the SCD2 view: equi-join on
+    // entity + range filter, each probe matching exactly one interval —
+    // no post-join dedup window; same semantics and oracle as every
+    // other as-of strategy
+    "asof_join_via_scd2" -> ((s, dir) => {
+      val feat = ordersFeatures(s, dir)
+      val spine = read(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(
+          col("o_custkey").as("entity_id"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("timestamp"))
+      PointInTime
+        .asOfJoinViaScd2(spine, feat, tieBreakCols = Seq("o_orderkey"))
+        .orderBy("entity_id", "timestamp", "o_orderkey")
+    }),
+
     // O8 skew-routing strategy: entities with feature rows at or above
     // the hot threshold take the bucketed two-pass path, the long tail
     // takes the plain window merge — same semantics and oracle as every
@@ -477,6 +504,17 @@ object SparkEntry {
     "asof_join_bucketed" -> OrdersAsOfOracle,
 
     "asof_join_skewhybrid" -> OrdersAsOfOracle,
+
+    "asof_join_via_scd2" -> OrdersAsOfOracle,
+
+    "scd2_intervals" ->
+      """SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type,
+        |       value, props,
+        |       coalesce(lead(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id),
+        |         TIMESTAMP '2100-01-01 00:00:00') AS valid_to
+        |FROM events
+        |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
 
     "asof_join_native" -> OrdersAsOfOracle,
 

@@ -557,6 +557,67 @@ object PointInTime {
     project(expanded, columns, entityCol, tsCol)
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) view of a feature table:
+    * every row annotated with its validity interval — `valid_to` is the
+    * next row's timestamp for the same entity in (ts, tieBreak...)
+    * order, NULL for the entity's current row. Turns the PIT argmax
+    * into interval containment: a probe at time t matches exactly the
+    * row with `ts <= t < valid_to`. Duplicate (entity, ts) rows get
+    * empty intervals for all but the tie-break winner, so containment
+    * picks the same row the argmax kernels pick.
+    *
+    * One entity-keyed window pass (`lead`); the output stays
+    * partitioned by entity, which a following entity-keyed join reuses.
+    */
+  def scd2(
+      table: DataFrame,
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    Validation.validateSpine(table, entityCol, tsCol)
+    val order = (tsCol +: tieBreakCols).map(c => col(c).asc)
+    val w = Window.partitionBy(col(entityCol)).orderBy(order: _*)
+    table.withColumn("valid_to", lead(col(tsCol), 1).over(w))
+  }
+
+  /** As-of join via [[scd2]] interval containment: each probe joins the
+    * ONE feature row whose validity interval contains it — so the plan
+    * is an equi-join on entity with a range filter and NO post-join
+    * dedup (the window/argmax step every other strategy needs after
+    * pairing). Intermediate size equals output size by construction.
+    *
+    * Scale shape: the scd2 window and the join share the entity
+    * partitioning (one exchange each side, reused); where the interval
+    * view is precomputed and stored, probing it costs a single join.
+    */
+  def asOfJoinViaScd2(
+      spine: DataFrame,
+      table: DataFrame,
+      columns: Option[Seq[String]] = None,
+      entityCol: String = EntityIdColumn,
+      tsCol: String = TimestampColumn,
+      tieBreakCols: Seq[String] = Nil,
+      tableName: String = "<anonymous>"): DataFrame = {
+    Validation.validateSpine(spine, entityCol, tsCol)
+    columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
+    val pruned = pruneFor(table, columns, entityCol, tsCol, tieBreakCols)
+    val entityType = pruned.schema(entityCol).dataType
+    val tsType = pruned.schema(tsCol).dataType
+    val intervals = scd2(pruned, entityCol, tsCol, tieBreakCols)
+    val probes = spine.select(
+      col(entityCol).cast(entityType).as("_e"),
+      col(tsCol).cast(tsType).as("_t"))
+    // null-safe entity equality for parity with the window strategies;
+    // null-ts probes never match (t < nothing), same as the reference
+    val joined = probes
+      .join(
+        intervals,
+        col("_e") <=> intervals(entityCol) && intervals(tsCol) <= col("_t") &&
+          (col("valid_to").isNull || col("_t") < col("valid_to")))
+      .select(pruned.columns.map(col): _*)
+    project(joined, columns, entityCol, tsCol)
+  }
+
   /** π [entity, ts] ++ columns (reference: store.py:250-253, 303-306);
     * None keeps the table's registration column order minus internal cols.
     */

@@ -203,6 +203,41 @@ class PointInTimeSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("scd2 assigns validity intervals; duplicates get empty intervals") {
+    val s = spark
+    import s.implicits._
+    val t = Seq(
+      ("u", ts("2024-01-01"), "old", 1L),
+      ("u", ts("2024-01-01"), "winner", 2L), // dup ts: empty interval for "old"
+      ("u", ts("2024-01-10"), "next", 3L)).toDF("entity_id", "timestamp", "tag", "seq")
+    val out = PointInTime.scd2(t, tieBreakCols = Seq("seq"))
+      .collect()
+      .map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.sql.Timestamp]("valid_to"))).toMap
+    assert(out("old") == Some(ts("2024-01-01")))    // [t, t) — never matches
+    assert(out("winner") == Some(ts("2024-01-10")))
+    assert(out("next") == None)                     // current row, open interval
+  }
+
+  test("interval-containment as-of plan agrees with merge plan") {
+    val s = spark
+    import s.implicits._
+    val spine = Seq(
+      ("user_1", ts("2024-01-20")),
+      ("user_1", ts("2024-01-20")), // duplicate preserved
+      ("user_2", ts("2024-01-15")), // exact boundary inclusive
+      ("ghost", ts("2024-06-01"))).toDF("entity_id", "timestamp")
+    val a = PointInTime.asOfJoin(spine, sampleFeatures)
+      .orderBy("entity_id", "timestamp").collect().toSeq
+    val b = PointInTime.asOfJoinViaScd2(spine, sampleFeatures)
+      .orderBy("entity_id", "timestamp").collect().toSeq
+    assert(a == b)
+    // projection contract matches too
+    val p = PointInTime.asOfJoinViaScd2(spine, sampleFeatures,
+      columns = Some(Seq("feature_a")))
+    assert(p.columns.toSeq == Seq("entity_id", "timestamp", "feature_a"))
+  }
+
   test("deterministic tie-break among duplicate (entity, ts) rows") {
     val s = spark
     import s.implicits._
