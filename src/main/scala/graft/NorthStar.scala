@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Profiling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, FeatureEncoding, Multimodal, Profiling, Similarity, TextAnalysis}
 import graft.store.{PointInTime, WindowFeatures}
 
 /** North-star extension queries (SURVEY.md §7.4): dedup, similarity
@@ -554,7 +554,38 @@ object NorthStar {
           budget = 400L,
           costCol = "n_tokens",
           priority = Seq(col("quality_score").desc, col("doc_id").asc))
-        .orderBy("source", "doc_id"))
+        .orderBy("source", "doc_id")),
+
+    // smoothed target encoding of event_type by mean value (exact-cent
+    // sums; the smoothing is a fixed division tree over integers)
+    "target_encoding" -> ((s, dir) =>
+      FeatureEncoding
+        .targetEncode(SparkEntry.eventsForNorthStar(s, dir), "event_type", "value")
+        .orderBy("event_type")),
+
+    // quantile binning + rank normalization per event type: ntile /
+    // percent_rank / cume_dist share one window sort
+    "feature_binning" -> ((s, dir) =>
+      FeatureEncoding
+        .quantileBin(
+          SparkEntry.eventsForNorthStar(s, dir)
+            .select("event_type", "event_id", "value"),
+          valueCol = "value", nBins = 10, groupCol = "event_type",
+          tieBreakCols = Seq("event_id"))
+        .select("event_type", "event_id", "value", "bin", "pct_rank", "cume_dist")
+        .orderBy("event_type", "event_id")),
+
+    // hashing-trick featurizer: token counts folded into 32 portable
+    // md5 buckets per document — capped dimensionality, no vocabulary
+    "feature_hashing" -> ((s, dir) =>
+      FeatureEncoding.hashFeatures(docs(s, dir), nBuckets = 32)
+        .orderBy("doc_id", "bucket")),
+
+    // embedding-space mislabel audit: vectors whose 5-NN out-vote
+    // their own label
+    "knn_label_noise" -> ((s, dir) =>
+      Similarity.knnLabelNoise(emb(s, dir), k = 5)
+        .orderBy("vec_id"))
   )
 
   // ------------------------------------------------------------ oracles
@@ -1609,6 +1640,77 @@ object NorthStar {
          |SELECT source, rank, doc_id, quality_score
          |FROM r WHERE rank <= 3
          |ORDER BY source, rank""".stripMargin,
+
+    "target_encoding" ->
+      """WITH g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS gn,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS gsum
+        |  FROM events
+        |),
+        |c AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_type, n, sum_cents,
+        |       (CAST(sum_cents AS DOUBLE) + 10.0 * (CAST(gsum AS DOUBLE) / gn))
+        |         / (n + 10.0) / 100.0 AS encoded
+        |FROM c, g
+        |ORDER BY event_type""".stripMargin,
+
+    "feature_binning" ->
+      """SELECT event_type, event_id, value,
+        |       CAST(ntile(10) OVER w AS INT) AS bin,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume_dist
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "feature_hashing" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+         |)
+         |SELECT doc_id, CAST(${Md5Long60.format("t")} % 32 AS INT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM tok GROUP BY 1, 2
+         |ORDER BY doc_id, bucket""".stripMargin,
+
+    "knn_label_noise" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        |         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |           / (q.nrm * c.nrm) AS score
+        |  FROM v q JOIN v c ON c.vec_id != q.vec_id
+        |),
+        |topk AS (
+        |  SELECT query_id, neighbor_label,
+        |         row_number() OVER (PARTITION BY query_id
+        |             ORDER BY score DESC, neighbor_id ASC) AS rnk
+        |  FROM scored
+        |),
+        |votes AS (
+        |  SELECT query_id, neighbor_label AS predicted_label,
+        |         CAST(count(*) AS BIGINT) AS n_votes
+        |  FROM topk WHERE rnk <= 5 GROUP BY 1, 2
+        |),
+        |pred AS (
+        |  SELECT query_id, predicted_label, n_votes
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY n_votes DESC, predicted_label ASC) AS vr FROM votes)
+        |  WHERE vr = 1
+        |)
+        |SELECT e.vec_id, e.label, p.predicted_label, p.n_votes
+        |FROM embeddings e JOIN pred p ON p.query_id = e.vec_id
+        |WHERE p.predicted_label != e.label
+        |ORDER BY vec_id""".stripMargin,
 
     "token_budget_subset" ->
       s"""WITH $QualityCte,

@@ -10,10 +10,12 @@ import graft.ops.{Dedup, Sampling, TextAnalysis}
   * operators, chained as lazy DataFrame transforms (one pipeline, no
   * intermediate materialization except the dedup cluster map).
   *
-  *   1. quality gate  — stopword/diversity score + repetition fence
-  *   2. near-dup dedup — MinHash/LSH pairs → components → keep min id
-  *   3. split         — deterministic hash buckets (train/valid/test)
-  *   4. pack          — fixed-token-budget sequences per source shard
+  *   1. quality gate    — stopword/diversity score + repetition fence
+  *   2. decontamination — drop docs sharing word 4-grams with the
+  *                        held-out eval slice
+  *   3. near-dup dedup  — MinHash/LSH pairs → components → keep min id
+  *   4. split           — deterministic hash buckets (train/valid/test)
+  *   5. pack            — fixed-token-budget sequences per source shard
   *
   * Run: sbt 'runMain graft.examples.CurationDemo [sfDir]'
   */
@@ -46,16 +48,27 @@ object CurationDemo {
       .join(highRepetition, Seq("doc_id"), "left_anti")
     val afterGate = gated.count()
 
-    // 2. near-dup removal: cluster LSH candidates, keep each cluster's
+    // 2. decontamination: the src19 slice stands in for a held-out
+    // eval benchmark; any train doc sharing a word 4-gram with it goes
+    val cleaned = TextAnalysis
+      .decontaminate(
+        gated.filter(col("source") =!= "src19"),
+        docs.filter(col("source") === "src19"),
+        n = 4)
+      .filter(col("keep"))
+      .drop("n_hit_grams", "keep")
+    val afterDecontam = cleaned.count()
+
+    // 3. near-dup removal: cluster LSH candidates, keep each cluster's
     // min id (singletons have no pair and pass through)
     val clusters = Dedup.connectedComponents(
-      Dedup.lshCandidatePairs(gated, numPerms = 16, rowsPerBand = 4))
+      Dedup.lshCandidatePairs(cleaned, numPerms = 16, rowsPerBand = 4))
     val dropIds = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
-    val deduped = gated.join(dropIds, Seq("doc_id"), "left_anti")
+    val deduped = cleaned.join(dropIds, Seq("doc_id"), "left_anti")
     val afterDedup = deduped.count()
 
-    // 3 + 4. deterministic split, then pack each split's sources
+    // 4 + 5. deterministic split, then pack each split's sources
     val split = Sampling.hashSplit(
       deduped, Seq("train" -> 90, "valid" -> 5, "test" -> 5))
     val packed = TextAnalysis.packSequences(
@@ -64,7 +77,8 @@ object CurationDemo {
       .head().getLong(0)
 
     println(s"[curation] total=$total afterQualityGate=$afterGate " +
-      s"afterDedup=$afterDedup trainPacks=$trainPacks")
+      s"afterDecontam=$afterDecontam afterDedup=$afterDedup " +
+      s"trainPacks=$trainPacks")
     spark.stop()
   }
 }

@@ -56,13 +56,25 @@ object Similarity extends Serializable {
       queryIds: Seq[Long],
       k: Int,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    bruteForceTopKFor(emb, Some(queryIds), k, idCol, vecCol)
+
+  /** [[bruteForceTopK]] generalized to an optional query-id set: None
+    * scores EVERY vector against every other (the query side still
+    * broadcasts — ids + vectors + norms are small even when the
+    * pairwise score matrix is not).
+    */
+  def bruteForceTopKFor(
+      emb: DataFrame,
+      queryIds: Option[Seq[Long]],
+      k: Int,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val withNorm = emb.select(
       col(idCol),
       col(vecCol),
       sqrt(dotFast(col(vecCol), col(vecCol))).as("_nrm"))
-    val q = withNorm
-      .filter(col(idCol).isin(queryIds: _*))
+    val q = queryIds.fold(withNorm)(ids => withNorm.filter(col(idCol).isin(ids: _*)))
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("_nrm").as("_qn"))
     val scored = withNorm
       .join(broadcast(q), col(idCol) =!= col("query_id"))
@@ -397,8 +409,18 @@ object Similarity extends Serializable {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
-    val topk = bruteForceTopK(emb, queryIds, k, idCol, vecCol)
+      labelCol: String = "label"): DataFrame =
+    majorityVote(
+      bruteForceTopK(emb, queryIds, k, idCol, vecCol), emb, idCol, labelCol)
+
+  /** Deterministic majority vote over a top-k neighbor list: (votes
+    * desc, label asc) rank-1 per query.
+    */
+  private def majorityVote(
+      topk: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      labelCol: String): DataFrame = {
     val labels = emb.select(col(idCol).as("neighbor_id"), col(labelCol))
     val votes = topk
       .join(labels, "neighbor_id")
@@ -411,6 +433,33 @@ object Similarity extends Serializable {
       .withColumn("_vr", row_number().over(w))
       .filter(col("_vr") === 1)
       .drop("_vr")
+  }
+
+  /** Label-noise audit: run the k-NN vote for EVERY vector and keep
+    * the ones whose neighbors out-vote their own label — the standard
+    * embedding-space mislabel detector (suspects are candidates for
+    * relabeling or exclusion, not proof of error).
+    *
+    * Scale shape: the all-pairs scoring pass dominates (same cost
+    * class as [[cosineNearDupPairs]]); the vote and the label
+    * comparison are partial-aggregated shuffles bounded by |vectors|.
+    * Past broadcastable corpus size, generate candidates with LSH or
+    * the IVF index first and vote only within buckets.
+    */
+  def knnLabelNoise(
+      emb: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val voted = majorityVote(
+      bruteForceTopKFor(emb, None, k, idCol, vecCol), emb, idCol, labelCol)
+    emb
+      .select(col(idCol).as("query_id"), col(labelCol).as("label"))
+      .join(voted, "query_id")
+      .filter(col("predicted_label") =!= col("label"))
+      .select(col("query_id").as(idCol), col("label"),
+        col("predicted_label"), col("n_votes"))
   }
 
   /** Per-label centroid sums in exact integer arithmetic: each float

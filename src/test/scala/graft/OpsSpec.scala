@@ -537,6 +537,62 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out((2, 0)) == ((1L, 1000000L)))
   }
 
+  test("targetEncode shrinks category means toward the global mean") {
+    val s = spark
+    import s.implicits._
+    // cat a: values 1.00, 3.00 (mean 2.00); cat b: 10.00; global mean 14/3
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("cat", "value")
+    val out = graft.ops.FeatureEncoding.targetEncode(df, "cat", "value", priorWeight = 1.0)
+      .collect().map(r => r.getAs[String]("cat") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sum_cents"), r.getAs[Double]("encoded")))).toMap
+    assert(out("a")._1 == 2L && out("a")._2 == 400L)
+    val gMean = 1400.0 / 3
+    assert(math.abs(out("a")._3 - (400.0 + gMean) / 3.0 / 100.0) < 1e-12)
+    assert(math.abs(out("b")._3 - (1000.0 + gMean) / 2.0 / 100.0) < 1e-12)
+  }
+
+  test("quantileBin assigns ntile buckets and rank stats over a total order") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", 1L, 5.0), ("g", 2L, 1.0), ("g", 3L, 3.0), ("g", 4L, 7.0))
+      .toDF("grp", "id", "value")
+    val out = graft.ops.FeatureEncoding
+      .quantileBin(df, "value", nBins = 2, groupCol = "grp", tieBreakCols = Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("bin"), r.getAs[Double]("pct_rank")))).toMap
+    assert(out(2L) == ((1, 0.0)))          // smallest value
+    assert(out(3L) == ((1, 1.0 / 3)))
+    assert(out(1L) == ((2, 2.0 / 3)))
+    assert(out(4L) == ((2, 1.0)))          // largest
+  }
+
+  test("hashFeatures folds token counts into stable md5 buckets") {
+    val out = graft.ops.FeatureEncoding
+      .hashFeatures(docsDF(1L -> "x y x"), nBuckets = 32)
+      .collect().map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("n"))).toMap
+    val bx = (graft.functions.Hashing.md5Long60Jvm("x") % 32).toInt
+    val by = (graft.functions.Hashing.md5Long60Jvm("y") % 32).toInt
+    if (bx == by) assert(out == Map(bx -> 3L))
+    else assert(out == Map(bx -> 2L, by -> 1L))
+  }
+
+  test("knnLabelNoise flags vectors out-voted by their neighbors") {
+    val s = spark
+    import s.implicits._
+    // vec 0 labeled 9 but its 3 nearest all agree on 7/2 → flagged
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 9),
+      (1L, Array(1.0f, 0.1f), 7),
+      (2L, Array(1.0f, 0.2f), 7),
+      (3L, Array(0.9f, 0.3f), 7),
+      (4L, Array(0.8f, 0.4f), 7)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelNoise(emb, k = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Int]("predicted_label")).toMap
+    assert(out(0L) == 7)        // mislabeled vector caught
+    assert(!out.contains(1L))   // correctly-labeled ones are not flagged
+  }
+
   test("takeUntilBudget fills each stratum in priority order, prefix cutoff") {
     val s = spark
     import s.implicits._
