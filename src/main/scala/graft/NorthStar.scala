@@ -585,7 +585,25 @@ object NorthStar {
     // their own label
     "knn_label_noise" -> ((s, dir) =>
       Similarity.knnLabelNoise(emb(s, dir), k = 5)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // ---- sketches (cardinality / frequency at 100 TB) ----
+    // deterministic HyperLogLog: per-source distinct-token estimate from
+    // 64 md5-derived registers, alongside the exact answer; the register
+    // sum is an exact integer so the oracle bit-matches the whole sketch
+    "sketch_hll_distinct" -> ((s, dir) =>
+      graft.ops.Sketches
+        .hllDistinct(
+          docs(s, dir).select(col("source"),
+            explode(split(col("text"), " ")).as("tok")),
+          valueCol = "tok", groupCols = Seq("source"))
+        .orderBy("source")),
+    // Count-Min heavy hitters: true top-20 tokens with their sketch
+    // estimate from a 4x64 md5-hashed counter grid (overcount-only)
+    "sketch_cms_topk" -> ((s, dir) =>
+      graft.ops.Sketches
+        .cmsHeavyHitters(docs(s, dir), depth = 4, width = 64, k = 20)
+        .orderBy(col("n_exact").desc, col("token").asc))
   )
 
   // ------------------------------------------------------------ oracles
@@ -1728,6 +1746,74 @@ object NorthStar {
          |)
          |SELECT doc_id, source, quality_score, n_tokens, cost_before
          |FROM c WHERE cost_before + n_tokens <= 400
-         |ORDER BY source, doc_id""".stripMargin
+         |ORDER BY source, doc_id""".stripMargin,
+
+    // same register arithmetic as Sketches.hllDistinct: 60-bit md5 hash,
+    // top 6 bits pick the bucket, rank = leading zeros of the low 54
+    // bits + 1 (via bin() bitlength — identical semantics both engines),
+    // estimate = alpha*m^2*2^55 / exact integer register sum
+    "sketch_hll_distinct" -> {
+      val h = Md5Long60.format("tok")
+      val alphaNum = graft.ops.Sketches.alphaNumerator(6)
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+         |),
+         |h AS (SELECT source, $h AS hv FROM toks),
+         |br AS (
+         |  SELECT source, hv // 18014398509481984 AS bucket,
+         |         hv % 18014398509481984 AS rem
+         |  FROM h
+         |),
+         |rk AS (
+         |  SELECT source, bucket,
+         |         CASE WHEN rem = 0 THEN 55
+         |              ELSE 55 - length(bin(rem)) END AS rank
+         |  FROM br
+         |),
+         |reg AS (SELECT source, bucket, max(rank) AS maxr FROM rk GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT source,
+         |         CAST(sum(1::BIGINT << (55 - maxr)) AS BIGINT) AS sum_present,
+         |         count(*) AS n_buckets
+         |  FROM reg GROUP BY 1
+         |),
+         |ex AS (
+         |  SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+         |  FROM toks GROUP BY 1
+         |)
+         |SELECT ex.source, ex.exact_distinct,
+         |       CAST(agg.sum_present + (64 - agg.n_buckets) * (1::BIGINT << 55)
+         |         AS BIGINT) AS hll_sum_scaled,
+         |       CAST(64 - agg.n_buckets AS BIGINT) AS n_empty_buckets,
+         |       $alphaNum / (agg.sum_present
+         |           + (64 - agg.n_buckets) * (1::BIGINT << 55)) AS hll_estimate
+         |FROM ex JOIN agg USING (source)
+         |ORDER BY source""".stripMargin
+    },
+
+    "sketch_cms_topk" -> {
+      val bucketOf = Md5Long60.format("r::VARCHAR || '|' || tok")
+      val candBucketOf = Md5Long60.format("r.r::VARCHAR || '|' || c.tok")
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY 1),
+         |cand AS (SELECT tok, n_exact FROM exact
+         |         ORDER BY n_exact DESC, tok ASC LIMIT 20),
+         |rws AS (SELECT CAST(i AS INT) AS r FROM range(0, 4) t(i)),
+         |cells AS (
+         |  SELECT r, $bucketOf % 64 AS bucket,
+         |         CAST(count(*) AS BIGINT) AS cell_n
+         |  FROM toks CROSS JOIN rws GROUP BY 1, 2
+         |),
+         |cb AS (
+         |  SELECT c.tok, c.n_exact, r.r,
+         |         $candBucketOf % 64 AS bucket
+         |  FROM cand c CROSS JOIN rws r
+         |)
+         |SELECT cb.tok AS token, cb.n_exact,
+         |       CAST(min(cells.cell_n) AS BIGINT) AS n_cms
+         |FROM cb JOIN cells ON cells.r = cb.r AND cells.bucket = cb.bucket
+         |GROUP BY 1, 2
+         |ORDER BY n_exact DESC, token ASC""".stripMargin
+    }
   )
 }

@@ -401,6 +401,36 @@ object SparkEntry {
         .agg(sum(col("disc_units")).as("revenue_units"))
         .orderBy(col("revenue_units").desc, col("l_orderkey").asc)
         .limit(10)
+    }),
+
+    // TPC-H Q4-shaped EXISTS: orders with at least one returned item,
+    // counted by priority. left_semi plans as a semi hash join — the
+    // probe side never duplicates orders no matter how many lineitems
+    // match (an inner join + distinct would materialize the blowup)
+    "orders_returned_semijoin" -> ((s, dir) => {
+      val returned = read(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      read(s, dir, "orders")
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q13-shaped distribution: orders-per-customer including the
+    // zero-order customers (left outer keeps them; an inner join would
+    // silently drop the most interesting bucket), then the histogram
+    "customer_order_distribution" -> ((s, dir) => {
+      val ord = read(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+      read(s, dir, "customer")
+        .select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders")
     })
   )
 
@@ -581,6 +611,24 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "orders_returned_semijoin" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE o_orderkey IN
+        |  (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "customer_order_distribution" ->
+      """SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY c_custkey
+        |)
+        |GROUP BY n_orders
+        |ORDER BY n_orders""".stripMargin
   )
 }

@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Probabilistic sketches for cardinality and frequency at corpus scale.
+  *
+  * The reference has no sketches (its whole store is in-memory pandas,
+  * `/root/reference/src/ml_feature_store/store.py:112`); these are
+  * north-star extensions for the 100 TB profile where exact
+  * `count(DISTINCT)` / full frequency tables stop being feasible as
+  * intermediate state. Both sketches here are *deterministic*: the hash
+  * family is md5-derived ([[Hashing.md5Long60]]), so the DuckDB oracle
+  * reproduces every register and cell bit-for-bit — the driver's hash
+  * compare verifies the sketch pipeline itself, while the accuracy
+  * guarantees (HLL ±~13% at m=64, CMS overcount-only) are asserted in
+  * SketchesSpec against the exact answers.
+  *
+  * Scale shape: both sketches reduce to `groupBy(...).agg(max/count)`
+  * with map-side partial aggregation, so the shuffle carries at most
+  * (groups × m) register rows / (depth × width) cells per map partition —
+  * bounded by sketch size, not data volume. That is the entire point:
+  * the 100 TB input compresses to kilobytes before the exchange.
+  */
+object Sketches {
+
+  /** Registers live on the low `60 - p` bits; rank is leading-zero count
+    * within those bits plus one, so values fall in [1, remBits + 1].
+    */
+  private def remBits(p: Int): Int = 60 - p
+
+  private def alpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** The estimate's constant numerator `alpha(m) * m^2 * 2^scale`,
+    * computed once on the JVM and inlined verbatim into the oracle SQL
+    * (double literals round-trip through toString), so both engines
+    * perform the identical single division by the exact integer
+    * register sum.
+    */
+  def alphaNumerator(p: Int): Double = {
+    val m = 1 << p
+    alpha(m) * m.toDouble * m.toDouble * math.pow(2.0, (remBits(p) + 1).toDouble)
+  }
+
+  /** Flajolet's small-range correction (linear counting), applied on the
+    * driver/consumer side: the raw estimate is the oracle-facing value
+    * (bit-exact across engines) because ln()'s last-ulp behavior is
+    * libm-specific; callers that want the corrected number apply this to
+    * the (hll_estimate, n_empty_buckets) pair the query already emits.
+    */
+  def correctedEstimate(rawEstimate: Double, nEmptyBuckets: Long, p: Int): Double = {
+    val m = 1 << p
+    if (rawEstimate <= 2.5 * m && nEmptyBuckets > 0)
+      m * math.log(m.toDouble / nEmptyBuckets)
+    else rawEstimate
+  }
+
+  /** Deterministic HyperLogLog distinct-count per group.
+    *
+    * Output: one row per group with
+    *   - `exact_distinct`  — exact `count(DISTINCT value)` for comparison
+    *   - `hll_sum_scaled`  — Σ_buckets 2^(scale − M_b) as an exact long
+    *                         (empty buckets contribute 2^scale), the
+    *                         engine-portable register summary
+    *   - `n_empty_buckets` — buckets never touched by any value
+    *   - `hll_estimate`    — alpha·m²·2^scale / hll_sum_scaled, the raw
+    *                         HLL estimate (no small-range correction: the
+    *                         correction needs ln(), whose last-ulp
+    *                         behavior is libm-specific; accuracy at small
+    *                         cardinalities is asserted in the spec, not
+    *                         the oracle)
+    *
+    * Registers aggregate as `max(rank)` per (group, bucket) — partially
+    * map-side, so the exchange carries ≤ m rows per group per partition
+    * regardless of input size.
+    */
+  def hllDistinct(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val rem = remBits(p)
+    val scale = rem + 1
+    val remMod = 1L << rem
+
+    val gcols = groupCols.map(col)
+    val h = Hashing.md5Long60(col(valueCol))
+    val bucket = shiftright(h, rem).as("bucket")
+    val r = (h % lit(remMod)).as("rem")
+    // bitlength(rem) = length(bin(rem)) for rem > 0 (no leading zeros in
+    // either engine's bin); rank = scale - bitlength, rem=0 → scale
+    val rank = when(col("rem") === 0, lit(scale))
+      .otherwise(lit(scale) - length(bin(col("rem"))))
+      .as("rank")
+
+    val registers = df
+      .select(gcols :+ bucket :+ r: _*)
+      .select(gcols :+ col("bucket") :+ rank: _*)
+      .groupBy(gcols :+ col("bucket"): _*)
+      .agg(max(col("rank")).as("maxr"))
+
+    val summed = registers
+      .groupBy(gcols: _*)
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - maxr)"))
+          .as("sum_present"),
+        count(lit(1)).as("n_buckets"))
+      .select(
+        gcols :+
+          (col("sum_present") +
+            (lit(m.toLong) - col("n_buckets")) * lit(1L << scale))
+            .as("hll_sum_scaled") :+
+          (lit(m.toLong) - col("n_buckets")).as("n_empty_buckets"): _*)
+
+    val exact = df
+      .groupBy(gcols: _*)
+      .agg(countDistinct(col(valueCol)).as("exact_distinct"))
+
+    exact
+      .join(summed, groupCols)
+      .withColumn(
+        "hll_estimate",
+        lit(alphaNumerator(p)) / col("hll_sum_scaled"))
+  }
+
+  /** Token bucket for Count-Min row `i`: md5 of `"i|token"` mod width.
+    * Exposed so query and oracle derive candidate buckets identically.
+    */
+  private def cmsBucket(i: Int, tok: Column, width: Int): Column =
+    Hashing.md5Long60(concat(lit(s"$i|"), tok)) % width
+
+  /** Count-Min heavy hitters over whitespace tokens of `textCol`.
+    *
+    * Builds a depth×width Count-Min sketch of token frequencies (each of
+    * the `depth` rows hashes with an independent md5-derived function),
+    * then reports the true top-k tokens (exact count, deterministic
+    * (count desc, token asc) tie-break) alongside their sketch estimate
+    * `min_i cells[i][h_i(tok)]`. CMS never undercounts, so
+    * `n_cms >= n_exact` always — asserted in the spec; the oracle
+    * verifies the exact cell arithmetic.
+    *
+    * Scale shape: the cells table is the sketch (depth × width counters,
+    * aggregated with map-side partial combine) and broadcasts to the
+    * candidate probe — at 100 TB the only full-data pass is the one
+    * token scan.
+    */
+  def cmsHeavyHitters(
+      docs: DataFrame,
+      textCol: String = "text",
+      depth: Int = 4,
+      width: Int = 64,
+      k: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch dims $depth x $width")
+    val toks = docs.select(explode(split(col(textCol), " ")).as("tok"))
+
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+    val cand = exact
+      .orderBy(col("n_exact").desc, col("tok").asc)
+      .limit(k)
+
+    // (row, bucket) per token occurrence, all depth rows in one pass
+    val rowBuckets = (0 until depth).map { i =>
+      struct(lit(i).as("r"), cmsBucket(i, col("tok"), width).as("bucket"))
+    }
+    val cells = toks
+      .select(explode(array(rowBuckets: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+
+    val candBuckets = cand.select(
+      col("tok"),
+      col("n_exact"),
+      explode(array((0 until depth).map { i =>
+        struct(lit(i).as("r"), cmsBucket(i, col("tok"), width).as("bucket"))
+      }: _*)).as("rb"))
+
+    candBuckets
+      .join(
+        broadcast(cells),
+        col("rb.r") === cells("r") && col("rb.bucket") === cells("bucket"))
+      .groupBy(col("tok").as("token"), col("n_exact"))
+      .agg(min(col("cell_n")).as("n_cms"))
+      .select(col("token"), col("n_exact"), col("n_cms"))
+  }
+}

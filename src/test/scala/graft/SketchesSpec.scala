@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sketches
+
+/** Accuracy contracts of the probabilistic sketches — the properties the
+  * DuckDB oracle cannot express (it only bit-checks the deterministic
+  * pipeline): HLL's relative-error envelope and CMS's one-sided error.
+  */
+class SketchesSpec extends AnyFunSuite with SparkTestBase {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  private lazy val docs = spark.read.parquet(s"$Sf/documents.parquet")
+
+  private lazy val tokens = docs.select(
+    col("source"),
+    explode(split(col("text"), " ")).as("tok"))
+
+  test("hllDistinct: estimate within the m=64 error envelope per source") {
+    val rows = Sketches
+      .hllDistinct(tokens, "tok", Seq("source"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val est = Sketches.correctedEstimate(
+        r.getAs[Double]("hll_estimate"),
+        r.getAs[Long]("n_empty_buckets"),
+        p = 6)
+      // 1.04/sqrt(64) = 13% standard error; allow ~3 sigma (linear
+      // counting handles the small-cardinality regime)
+      assert(est > 0.0, s"non-positive estimate for ${r.getAs[String]("source")}")
+      assert(
+        math.abs(est - exact) / exact < 0.5,
+        s"source ${r.getAs[String]("source")}: est $est vs exact $exact")
+    }
+  }
+
+  test("hllDistinct: register sum consistent with empty-bucket count") {
+    val r = Sketches
+      .hllDistinct(tokens.drop("source").withColumn("g", lit(1)), "tok", Seq("g"))
+      .head()
+    val sumScaled = r.getAs[Long]("hll_sum_scaled")
+    val nEmpty = r.getAs[Long]("n_empty_buckets")
+    // each empty bucket contributes exactly 2^55; occupied buckets less
+    assert(sumScaled >= nEmpty * (1L << 55))
+    assert(sumScaled < 64L * (1L << 55))
+    assert(nEmpty >= 0 && nEmpty <= 64)
+  }
+
+  test("hllDistinct: insensitive to duplication (sketch of a set)") {
+    val once = Sketches.hllDistinct(tokens, "tok", Seq("source"))
+      .select("source", "hll_sum_scaled")
+    val twice = Sketches.hllDistinct(tokens.union(tokens), "tok", Seq("source"))
+      .select("source", "hll_sum_scaled")
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("cmsHeavyHitters: never undercounts, and is exact when unambiguous") {
+    val rows = Sketches
+      .cmsHeavyHitters(docs, depth = 4, width = 64, k = 20)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("n_cms")
+      assert(est >= exact, s"token ${r.getAs[String]("token")} undercounted")
+    }
+    // heavy hitters dominate their cells: the top token's estimate should
+    // not be wildly inflated by collisions at this corpus size
+    val top = rows.maxBy(_.getAs[Long]("n_exact"))
+    assert(top.getAs[Long]("n_cms") < top.getAs[Long]("n_exact") * 3)
+  }
+
+  test("cmsHeavyHitters: wider sketch never increases estimates") {
+    val narrow = Sketches.cmsHeavyHitters(docs, depth = 4, width = 16, k = 10)
+      .select(col("token"), col("n_cms").as("n_narrow"))
+    val wide = Sketches.cmsHeavyHitters(docs, depth = 4, width = 256, k = 10)
+      .select(col("token"), col("n_cms").as("n_wide"))
+    val joined = narrow.join(wide, "token").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_wide") <= r.getAs[Long]("n_narrow"))
+    }
+  }
+}
