@@ -60,34 +60,123 @@ object Similarity extends Serializable {
     bruteForceTopKFor(emb, Some(queryIds), k, idCol, vecCol)
 
   /** [[bruteForceTopK]] generalized to an optional query-id set: None
-    * scores EVERY vector against every other (the query side still
-    * broadcasts — ids + vectors + norms are small even when the
-    * pairwise score matrix is not).
+    * scores EVERY vector against every other.
+    *
+    * Two physical strategies, same semantics and bit-identical scores:
+    * a small explicit query set uses a broadcast join + window rank
+    * (the window input is |queries| x |corpus| — fine when queries are
+    * few); the all-queries case instead distributes the QUERY side and
+    * broadcasts the corpus, selecting each query's top k inside the
+    * partition with a bounded buffer — the n^2 score matrix is never
+    * materialized as rows, so no shuffle ever carries it (the window
+    * form would exchange all n^2 scored rows before ranking).
     */
   def bruteForceTopKFor(
       emb: DataFrame,
       queryIds: Option[Seq[Long]],
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val withNorm = emb.select(
-      col(idCol),
-      col(vecCol),
-      sqrt(dotFast(col(vecCol), col(vecCol))).as("_nrm"))
-    val q = queryIds.fold(withNorm)(ids => withNorm.filter(col(idCol).isin(ids: _*)))
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("_nrm").as("_qn"))
-    val scored = withNorm
-      .join(broadcast(q), col(idCol) =!= col("query_id"))
-      .select(
-        col("query_id"),
-        col(idCol).as("neighbor_id"),
-        (dotFast(col("_qv"), col(vecCol)) / (col("_qn") * col("_nrm"))).as("score"))
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      vecCol: String = "embedding"): DataFrame = queryIds match {
+    case Some(ids) =>
+      val withNorm = emb.select(
+        col(idCol),
+        col(vecCol),
+        sqrt(dotFast(col(vecCol), col(vecCol))).as("_nrm"))
+      val q = withNorm.filter(col(idCol).isin(ids: _*))
+        .select(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("_nrm").as("_qn"))
+      val scored = withNorm
+        .join(broadcast(q), col(idCol) =!= col("query_id"))
+        .select(
+          col("query_id"),
+          col(idCol).as("neighbor_id"),
+          (dotFast(col("_qv"), col(vecCol)) / (col("_qn") * col("_nrm"))).as("score"))
+      val w = Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    case None => allPairsTopK(emb, k, idCol, vecCol)
+  }
+
+  /** All-queries exact top-k: corpus broadcast (ids + widened vectors +
+    * norms — the same fits-in-memory envelope [[cosineNearDupPairs]]
+    * already assumes; past it, generate candidates with LSH/IVF), query
+    * rows partitioned, per-query selection in a k-bounded buffer.
+    * Scores use the identical widen-then-fold arithmetic as
+    * [[graft.functions.FloatVectorDot]]; ties and NaNs order exactly as
+    * the window form's (score desc, neighbor_id asc) via Double.compare
+    * (NaN greatest, matching Spark sort semantics).
+    */
+  private def allPairsTopK(
+      emb: DataFrame,
+      k: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val side = rows.collect().sortBy(_._1)
+    val ids = side.map(_._1)
+    val vecs = side.map(_._2.map(_.toDouble))
+    val norms = vecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bIds = spark.sparkContext.broadcast(ids)
+    val bVecs = spark.sparkContext.broadcast(vecs)
+    val bNorms = spark.sparkContext.broadcast(norms)
+    rows
+      .repartition(spark.sparkContext.defaultParallelism)
+      .flatMap { case (qid, qvf) =>
+        val oIds = bIds.value; val oVecs = bVecs.value; val oNorms = bNorms.value
+        val qv = qvf.map(_.toDouble)
+        var sq = 0.0; var i = 0
+        while (i < qv.length) { sq += qv(i) * qv(i); i += 1 }
+        val qn = math.sqrt(sq)
+        // k-bounded selection: sel* hold the current top rows, worst last
+        val m = math.min(k, math.max(0, oIds.length - 1))
+        val selScore = new Array[Double](m)
+        val selId = new Array[Long](m)
+        var filled = 0
+        var j = 0
+        while (j < oIds.length) {
+          if (oIds(j) != qid) {
+            val vb = oVecs(j)
+            var d = 0.0; var t = 0
+            val n = math.min(qv.length, vb.length)
+            while (t < n) { d += qv(t) * vb(t); t += 1 }
+            val score = d / (qn * oNorms(j))
+            val nid = oIds(j)
+            // better-than: (score desc, id asc) with NaN greatest
+            def beats(s: Double, id: Long, s2: Double, id2: Long): Boolean = {
+              val c = java.lang.Double.compare(s, s2)
+              c > 0 || (c == 0 && id < id2)
+            }
+            if (filled < m) {
+              // insertion sort into the prefix
+              var p = filled
+              while (p > 0 && beats(score, nid, selScore(p - 1), selId(p - 1))) {
+                selScore(p) = selScore(p - 1); selId(p) = selId(p - 1); p -= 1
+              }
+              selScore(p) = score; selId(p) = nid
+              filled += 1
+            } else if (m > 0 && beats(score, nid, selScore(m - 1), selId(m - 1))) {
+              var p = m - 1
+              while (p > 0 && beats(score, nid, selScore(p - 1), selId(p - 1))) {
+                selScore(p) = selScore(p - 1); selId(p) = selId(p - 1); p -= 1
+              }
+              selScore(p) = score; selId(p) = nid
+            }
+          }
+          j += 1
+        }
+        (0 until filled).map(r => (qid, selId(r), selScore(r), r + 1))
+      }
+      .toDF("query_id", "neighbor_id", "score", "rank")
   }
 
   /** All near-duplicate vector pairs (a < b) with cosine >= threshold.
