@@ -603,7 +603,33 @@ object NorthStar {
     "sketch_cms_topk" -> ((s, dir) =>
       graft.ops.Sketches
         .cmsHeavyHitters(docs(s, dir), depth = 4, width = 64, k = 20)
-        .orderBy(col("n_exact").desc, col("token").asc))
+        .orderBy(col("n_exact").desc, col("token").asc)),
+
+    // sliding token-window chunker (context-length split): 32-token
+    // windows every 24 tokens; short docs emit nothing (they pack via
+    // pack_sequences instead)
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(docs(s, dir), chunk = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // set-operation coverage: per (source pair) token-vocabulary
+    // INTERSECT / EXCEPT cardinalities for the two largest sources —
+    // planned as distinct-aggregated joins, not row-wise set ops
+    "vocab_set_ops" -> ((s, dir) => {
+      val voc = docs(s, dir)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val a = voc.filter(col("source") === "src0").select(col("tok"))
+      val b = voc.filter(col("source") === "src1").select(col("tok"))
+      val inter = a.intersect(b).agg(count(lit(1)).as("n")).select(
+        lit("intersect").as("op"), col("n"))
+      val onlyA = a.except(b).agg(count(lit(1)).as("n")).select(
+        lit("only_src0").as("op"), col("n"))
+      val onlyB = b.except(a).agg(count(lit(1)).as("n")).select(
+        lit("only_src1").as("op"), col("n"))
+      inter.unionByName(onlyA).unionByName(onlyB).orderBy("op")
+    })
   )
 
   // ------------------------------------------------------------ oracles
@@ -1814,6 +1840,37 @@ object NorthStar {
          |FROM cb JOIN cells ON cells.r = cb.r AND cells.bucket = cb.bucket
          |GROUP BY 1, 2
          |ORDER BY n_exact DESC, token ASC""".stripMargin
-    }
+    },
+
+    // list slice arithmetic mirrors the engine: window i covers tokens
+    // [i*24+1, i*24+32] (1-based inclusive), i in 0..(n-32)//24
+    "text_chunks" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |       array_to_string(
+        |         toks[CAST(i AS INT) * 24 + 1 : CAST(i AS INT) * 24 + 32],
+        |         ' ') AS chunk_text
+        |FROM (
+        |  SELECT doc_id, toks, unnest(generate_series(0, (len(toks) - 32) // 24)) AS i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 32
+        |)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "vocab_set_ops" ->
+      """WITH voc AS (
+        |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE source IN ('src0', 'src1')
+        |),
+        |a AS (SELECT tok FROM voc WHERE source = 'src0'),
+        |b AS (SELECT tok FROM voc WHERE source = 'src1')
+        |SELECT 'intersect' AS op,
+        |       CAST((SELECT count(*) FROM (SELECT tok FROM a INTERSECT SELECT tok FROM b)) AS BIGINT) AS n
+        |UNION ALL
+        |SELECT 'only_src0',
+        |       CAST((SELECT count(*) FROM (SELECT tok FROM a EXCEPT SELECT tok FROM b)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'only_src1',
+        |       CAST((SELECT count(*) FROM (SELECT tok FROM b EXCEPT SELECT tok FROM a)) AS BIGINT)
+        |ORDER BY op""".stripMargin
   )
 }

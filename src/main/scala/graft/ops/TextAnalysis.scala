@@ -267,6 +267,36 @@ object TextAnalysis {
       .withColumn("pack_id", expr(s"tokens_before div $budgetTokens"))
   }
 
+  /** Sliding token-window chunker — the standard context-length split
+    * for training corpora: each document with at least `chunk` tokens
+    * yields windows of `chunk` tokens starting every `stride` tokens
+    * (overlap = chunk - stride). Documents shorter than one chunk emit
+    * nothing; real pipelines route those through [[packSequences]]
+    * instead (pack short docs, slide long ones).
+    *
+    * Pure per-row array arithmetic (sequence/transform/slice — all
+    * codegen'd): chunking never shuffles, and at 100 TB the output
+    * inherits the input's partitioning.
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      chunk: Int,
+      stride: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunk >= 1 && stride >= 1, s"bad chunk/stride $chunk/$stride")
+    val toks = tokens(col(textCol))
+    docs
+      .filter(size(toks) >= chunk)
+      .select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0), floor((size(toks) - chunk) / lit(stride)).cast("int")),
+            i => array_join(slice(toks, i * stride + 1, lit(chunk)), " ")))
+          .as(Seq("chunk_idx", "chunk_text")))
+  }
+
   /** Word-level n-grams as space-joined strings, empty array for
     * documents shorter than n tokens (guarded — `sequence(1, 0)` would
     * otherwise count DOWN). Built array-side per row (codegen'd), so

@@ -593,6 +593,27 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.contains(1L))   // correctly-labeled ones are not flagged
   }
 
+  test("chunkTokens slides fixed windows and drops short documents") {
+    val s = spark
+    import s.implicits._
+    // 10 tokens a0..a9: chunk=4 stride=3 → starts 0,3,6 (start 7+ would
+    // not fit a full window); a 3-token doc emits nothing
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"a$i").mkString(" ")),
+      (2L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, chunk = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[String]("chunk_text")))
+    assert(out.toSeq == Seq(
+      (1L, 0, "a0 a1 a2 a3"),
+      (1L, 1, "a3 a4 a5 a6"),
+      (1L, 2, "a6 a7 a8 a9")))
+    // every chunk is exactly `chunk` tokens — no ragged tail windows
+    assert(out.forall(_._3.split(" ").length == 4))
+  }
+
   test("takeUntilBudget fills each stratum in priority order, prefix cutoff") {
     val s = spark
     import s.implicits._
