@@ -612,6 +612,30 @@ object NorthStar {
       TextAnalysis.chunkTokens(docs(s, dir), chunk = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")),
 
+    // pairwise Pearson matrix over lineitem's numeric features from ONE
+    // exact-integer aggregation pass (128-bit sums; see feature_trend)
+    "feature_correlations" -> ((s, dir) =>
+      Profiling
+        .correlationMatrix(
+          s.read.parquet(s"$dir/lineitem.parquet").select(
+            round(col("l_quantity")).cast("long").as("qty"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+            round(col("l_discount") * 100).cast("long").as("disc_pct"),
+            round(col("l_tax") * 100).cast("long").as("tax_pct")),
+          Seq("qty", "price_cents", "disc_pct", "tax_pct"))
+        .orderBy("col_a", "col_b")),
+
+    // per-type z-score + min-max scaling of event values — exact
+    // window statistics, fixed double tree (cross-engine bit-equal)
+    "feature_standardize" -> ((s, dir) =>
+      FeatureEncoding
+        .standardize(
+          SparkEntry.eventsForNorthStar(s, dir)
+            .select(col("event_type"), col("event_id"),
+              round(col("value") * 100).cast("long").as("cents")),
+          valueCol = "cents", groupCol = "event_type")
+        .orderBy("event_type", "event_id")),
+
     // set-operation coverage: per (source pair) token-vocabulary
     // INTERSECT / EXCEPT cardinalities for the two largest sources —
     // planned as distinct-aggregated joins, not row-wise set ops
@@ -1841,6 +1865,69 @@ object NorthStar {
          |GROUP BY 1, 2
          |ORDER BY n_exact DESC, token ASC""".stripMargin
     },
+
+    // same one-pass sufficient statistics as the engine: HUGEINT sums,
+    // 128-bit→double via the VARCHAR round-trip, one division per pair
+    "feature_correlations" -> {
+      val cols = Seq("qty", "price_cents", "disc_pct", "tax_pct")
+      val idx = cols.indices
+      val sumDefs = cols.zipWithIndex.map { case (c, i) =>
+        s"CAST(sum(CAST($c AS HUGEINT)) AS HUGEINT) AS s$i"
+      }
+      val prodDefs = for { i <- idx; j <- idx if i <= j } yield
+        s"CAST(sum(CAST(${cols(i)} AS HUGEINT) * ${cols(j)}) AS HUGEINT) AS p${i}_$j"
+      val pairSelects = for { i <- idx; j <- idx if i < j } yield
+        s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
+           |       CAST(n AS BIGINT) AS n,
+           |       CAST(CAST(n * p${i}_$j - s$i * s$j AS VARCHAR) AS DOUBLE)
+           |         / (sqrt(CAST(CAST(n * p${i}_$i - s$i * s$i AS VARCHAR) AS DOUBLE))
+           |            * sqrt(CAST(CAST(n * p${j}_$j - s$j * s$j AS VARCHAR) AS DOUBLE)))
+           |         AS corr_r
+           |FROM a
+           |WHERE n * p${i}_$i - s$i * s$i > 0
+           |  AND n * p${j}_$j - s$j * s$j > 0""".stripMargin
+      s"""WITH b AS (
+         |  SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+         |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         |         CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+         |         CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+         |  FROM lineitem
+         |), a AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |         ${sumDefs.mkString(",\n         ")},
+         |         ${prodDefs.mkString(",\n         ")}
+         |  FROM b
+         |)
+         |${pairSelects.mkString("\nUNION ALL\n")}
+         |ORDER BY col_a, col_b""".stripMargin
+    },
+
+    "feature_standardize" ->
+      """WITH b AS (
+        |  SELECT event_type, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), s AS (
+        |  SELECT event_type, event_id, cents,
+        |         CAST(count(*) OVER w AS HUGEINT) AS n,
+        |         CAST(sum(CAST(cents AS HUGEINT)) OVER w AS HUGEINT) AS sm,
+        |         CAST(sum(CAST(cents AS HUGEINT) * cents) OVER w AS HUGEINT) AS ss,
+        |         min(cents) OVER w AS mn,
+        |         max(cents) OVER w AS mx
+        |  FROM b WINDOW w AS (PARTITION BY event_type)
+        |)
+        |SELECT event_type, event_id, cents,
+        |       CASE WHEN n > 1 AND n * ss - sm * sm > 0 THEN
+        |         CAST(CAST(cents * n - sm AS VARCHAR) AS DOUBLE)
+        |           / (CAST(CAST(n AS VARCHAR) AS DOUBLE)
+        |              * sqrt(CAST(CAST(n * ss - sm * sm AS VARCHAR) AS DOUBLE)
+        |                     / CAST(CAST(n * (n - 1) AS VARCHAR) AS DOUBLE)))
+        |       END AS z_score,
+        |       CASE WHEN mx > mn THEN
+        |         CAST(cents - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+        |       END AS min_max
+        |FROM s
+        |ORDER BY event_type, event_id""".stripMargin,
 
     // list slice arithmetic mirrors the engine: window i covers tokens
     // [i*24+1, i*24+32] (1-based inclusive), i in 0..(n-32)//24

@@ -84,6 +84,50 @@ object FeatureEncoding {
       .withColumn("cume_dist", cume_dist().over(w))
   }
 
+  /** Per-group standardization: z-score (sample std) and min-max
+    * scaling of an integer-valued column, appended as `z_score` /
+    * `min_max` to the input rows.
+    *
+    * Determinism: sufficient statistics (n, Σx, Σx²) accumulate as
+    * exact 128-bit integers over the group window, so they are
+    * aggregation-order-independent; each output value is then a fixed
+    * double expression tree over those integers — 128-bit→double goes
+    * through the decimal string (correctly rounded in both engines,
+    * unlike Spark's direct decimal→double cast above 2^53). Groups
+    * without variance emit null z_score (exact integer predicate);
+    * min_max is null when max == min.
+    *
+    * Scale shape: one shuffle by group — the window computes all five
+    * statistics in a single pass, no self-join against a stats table.
+    */
+  def standardize(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col(groupCol))
+    val v = col(valueCol).cast(dec)
+    def toD(c: Column): Column = c.cast("string").cast("double")
+    val withStats = df
+      .withColumn("_n", count(lit(1)).over(w).cast(dec))
+      .withColumn("_s", sum(v).over(w))
+      .withColumn("_ss", sum(v * v).over(w))
+      .withColumn("_mn", min(col(valueCol)).over(w))
+      .withColumn("_mx", max(col(valueCol)).over(w))
+    val d = col("_n") * col("_ss") - col("_s") * col("_s")
+    val nn1 = col("_n") * (col("_n") - lit(1))
+    val z = when(col("_n") > 1 && d > 0,
+      toD(v * col("_n") - col("_s")) /
+        (toD(col("_n")) * sqrt(toD(d) / toD(nn1))))
+    val mm = when(col("_mx") > col("_mn"),
+      (col(valueCol) - col("_mn")).cast("double") /
+        (col("_mx") - col("_mn")).cast("double"))
+    withStats
+      .withColumn("z_score", z)
+      .withColumn("min_max", mm)
+      .drop("_n", "_s", "_ss", "_mn", "_mx")
+  }
+
   /** The hashing trick: token counts folded into a fixed number of
     * hash buckets per document — the unbounded-vocabulary featurizer
     * (buckets collide by design; dimensionality is capped at

@@ -222,6 +222,56 @@ object Profiling {
         first(col("_hi")).as("hi_bound"))
   }
 
+  /** Pairwise Pearson correlation matrix over pre-integerized feature
+    * columns, in ONE aggregation pass: all p sums, p squares and
+    * p·(p−1)/2 cross-products accumulate as exact 128-bit integers
+    * (decimal(38,0) / HUGEINT in the oracle), so the result is
+    * independent of aggregation order; the only floating-point steps
+    * are the final casts, two sqrts and one division per pair — an
+    * identical expression tree in both engines (see [[trendCorrelation]]
+    * for the widening/rounding rationale). Pairs without variance on
+    * either axis are dropped by an exact integer predicate.
+    *
+    * Output: one row per unordered pair (col_a < col_b by argument
+    * order) with n and corr_r.
+    *
+    * Scale shape: one partial-aggregated shuffle carrying
+    * p·(p+3)/2 + 1 numbers total — the input is scanned once no matter
+    * how many features are correlated.
+    */
+  def correlationMatrix(df: DataFrame, valueCols: Seq[String]): DataFrame = {
+    if (valueCols.size < 2)
+      throw new FeatureValidationError(
+        s"correlationMatrix needs >= 2 columns, got $valueCols")
+    val dec = "decimal(38,0)"
+    val idx = valueCols.indices
+    val prepared = df.select(
+      valueCols.map(c => col(c).cast(dec).as(c)): _*)
+    val sums = valueCols.map(c => sum(col(c)).as(s"_s_$c"))
+    val prods = for { i <- idx; j <- idx if i <= j } yield
+      sum(col(valueCols(i)) * col(valueCols(j)))
+        .as(s"_p_${i}_$j")
+    val aggs = (count(lit(1)).cast(dec).as("_n") +: sums) ++ prods
+    val a = prepared.agg(aggs.head, aggs.tail: _*)
+
+    def toD(c: Column): Column = c.cast("string").cast("double")
+    val pairRows = for { i <- idx; j <- idx if i < j } yield {
+      val (ci, cj) = (valueCols(i), valueCols(j))
+      val num = col("_n") * col(s"_p_${i}_$j") - col(s"_s_$ci") * col(s"_s_$cj")
+      val d1 = col("_n") * col(s"_p_${i}_$i") - col(s"_s_$ci") * col(s"_s_$ci")
+      val d2 = col("_n") * col(s"_p_${j}_$j") - col(s"_s_$cj") * col(s"_s_$cj")
+      struct(
+        lit(ci).as("col_a"),
+        lit(cj).as("col_b"),
+        when(d1 > 0 && d2 > 0,
+          toD(num) / (sqrt(toD(d1)) * sqrt(toD(d2)))).as("corr_r"))
+    }
+    a.select(col("_n").cast("long").as("n"), explode(array(pairRows: _*)).as("_pr"))
+      .select(col("_pr.col_a").as("col_a"), col("_pr.col_b").as("col_b"),
+        col("n"), col("_pr.corr_r").as("corr_r"))
+      .filter(col("corr_r").isNotNull)
+  }
+
   /** Per-group trend monitor: Pearson correlation between a feature's
     * integer units and event time ("is this feature drifting over
     * time?"). All six sufficient statistics accumulate as EXACT 128-bit

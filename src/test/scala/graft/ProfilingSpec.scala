@@ -36,6 +36,52 @@ class ProfilingSpec extends AnyFunSuite with SparkTestBase {
       6.0 / (math.sqrt(6.0) * math.sqrt(6.0)))
   }
 
+  test("correlationMatrix: exact ±1 for linear pairs, no-variance pairs drop") {
+    val s = spark
+    import s.implicits._
+    // y = 2x (r=1), z = -x (r=-1), c constant (dropped from every pair)
+    val df = Seq((1L, 2L, -1L, 7L), (2L, 4L, -2L, 7L), (3L, 6L, -3L, 7L))
+      .toDF("x", "y", "z", "c")
+    val out = Profiling.correlationMatrix(df, Seq("x", "y", "z", "c"))
+      .collect()
+      .map(r => (r.getAs[String]("col_a"), r.getAs[String]("col_b")) ->
+        r.getAs[Double]("corr_r"))
+      .toMap
+    assert(out.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
+    // the engine's tree is num/(sqrt(d1)*sqrt(d2)) over exact ints:
+    // (x,y): 3*28-6*12=12, d1=3*14-36=6, d2=3*56-144=24
+    assert(out(("x", "y")) == 12.0 / (math.sqrt(6.0) * math.sqrt(24.0)))
+    assert(out(("x", "z")) == -6.0 / (math.sqrt(6.0) * math.sqrt(6.0)))
+    assert(out(("y", "z")) < 0)
+    assert(Profiling.correlationMatrix(df, Seq("x", "y")).head()
+      .getAs[Long]("n") == 3L)
+  }
+
+  test("standardize: z-scores from sample std, min-max in [0,1], constants null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 4L, 5L), ("b", 5L, 5L)) // constant group
+      .toDF("g", "id", "cents")
+    val out = graft.ops.FeatureEncoding
+      .standardize(df, "cents", "g")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[java.lang.Double]("z_score")),
+          Option(r.getAs[java.lang.Double]("min_max"))))
+      .toMap
+    // group a: mean 20, sample std 10 → z = -1, 0, 1 (exact: the tree
+    // divides exact integers and sqrt(100))
+    assert(out(1L)._1.exists(z => math.abs(z + 1.0) < 1e-12))
+    assert(out(2L)._1.exists(z => math.abs(z) < 1e-12))
+    assert(out(3L)._1.exists(z => math.abs(z - 1.0) < 1e-12))
+    assert(out(1L)._2.contains(0.0) && out(3L)._2.contains(1.0))
+    assert(out(2L)._2.contains(0.5))
+    // constant group: no variance, no range → both null
+    assert(out(4L) == ((None, None)) && out(5L) == ((None, None)))
+  }
+
   private def ev(rows: (String, String, java.lang.Double)*) = {
     val s = spark
     import s.implicits._
