@@ -236,29 +236,55 @@ object Dedup {
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance <= maxHamming.
-    * All-pairs here (fine for eval corpora); at scale feed LSH buckets
-    * or band the simhash bytes first.
+    *
+    * Pigeonhole banding instead of all-pairs: the 32 signature bits
+    * split into `maxHamming + 1` chunks, and two signatures within the
+    * Hamming budget MUST agree exactly on at least one chunk (at most
+    * `maxHamming` chunks can contain a differing bit) — so candidates
+    * come from an equi-join on (chunk index, chunk bits) and only
+    * candidates pay the exact `bit_count(xor)` check. Recall is exact
+    * (no false negatives by the pigeonhole argument), and the O(n²)
+    * theta-join this replaces never forms: shuffle volume is
+    * |signatures| × chunks plus the (sparse) candidate pairs.
     */
   def simhashPairs(
       docs: DataFrame,
       maxHamming: Int,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"bad maxHamming $maxHamming")
     val sig = simhash(docs, idCol, textCol)
-    // The signature table is tiny, so AQE coalesces it to one partition —
-    // which would serialize the O(n²) nested-loop pair scan on a single
-    // core. Spread the streamed side across the full parallelism.
-    val nPart = docs.sparkSession.sparkContext.defaultParallelism
-    val a = sig
-      .repartition(nPart)
-      .select(col(idCol).as("id_a"), col("simhash").as("_sa"))
-    val b = sig.select(col(idCol).as("id_b"), col("simhash").as("_sb"))
-    a.join(b, col("id_a") < col("id_b"))
+    val nChunks = maxHamming + 1
+    val base = 32 / nChunks
+    val extra = 32 % nChunks // first `extra` chunks get one more bit
+    val bounds = (0 until nChunks).scanLeft(0) { (acc, c) =>
+      acc + base + (if (c < extra) 1 else 0)
+    }
+    val chunkCols = (0 until nChunks).map { c =>
+      val shift = bounds(c)
+      val width = bounds(c + 1) - shift
+      val mask = (1L << width) - 1
+      struct(
+        lit(c).as("ck"),
+        (shiftright(col("simhash"), shift).bitwiseAND(lit(mask))).as("cv"))
+    }
+    val exploded = sig.select(
+      col(idCol),
+      col("simhash"),
+      explode(array(chunkCols: _*)).as("_ch"))
+    val a = exploded.select(
+      col(idCol).as("id_a"), col("simhash").as("_sa"), col("_ch"))
+    val b = exploded.select(
+      col(idCol).as("id_b"), col("simhash").as("_sb"), col("_ch"))
+    a.join(b, Seq("_ch"))
+      .filter(col("id_a") < col("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
         bit_count(col("_sa").bitwiseXOR(col("_sb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      // a pair can agree on several chunks — one row per pair
+      .distinct()
   }
 
   /** Two-stage near-dup detection — the production shape at corpus
