@@ -612,6 +612,29 @@ object NorthStar {
       TextAnalysis.chunkTokens(docs(s, dir), chunk = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")),
 
+    // vocabulary-free quality proxy: mean corpus frequency of each
+    // document's tokens (rare-token docs score low) — exact integers,
+    // one final division
+    "text_rarity" -> ((s, dir) =>
+      TextAnalysis.tokenRarity(docs(s, dir)).orderBy("doc_id")),
+
+    // incremental maintenance: stats of (ts < cutoff) and (ts >= cutoff)
+    // computed separately, then MERGED without rescanning — the oracle
+    // aggregates the union directly, so a hash match proves
+    // merge(partial(A), partial(B)) == partial(A ∪ B) exactly
+    "incremental_stats" -> ((s, dir) => {
+      val ev = SparkEntry.eventsForNorthStar(s, dir)
+        .select(col("event_type"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val cutoff = utc("2024-01-16 00:00:00")
+      val before = Profiling.partialStats(
+        ev.filter(col("ts") < cutoff), "event_type", "cents")
+      val after = Profiling.partialStats(
+        ev.filter(col("ts") >= cutoff), "event_type", "cents")
+      Profiling.mergeStats(before, after, "event_type")
+        .orderBy("event_type")
+    }),
+
     // pairwise Pearson matrix over lineitem's numeric features from ONE
     // exact-integer aggregation pass (128-bit sums; see feature_trend)
     "feature_correlations" -> ((s, dir) =>
@@ -1865,6 +1888,31 @@ object NorthStar {
          |GROUP BY 1, 2
          |ORDER BY n_exact DESC, token ASC""".stripMargin
     },
+
+    "text_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(f) AS BIGINT) AS freq_sum,
+        |       CAST(CAST(sum(f) AS BIGINT) AS DOUBLE) / count(*) AS mean_token_freq
+        |FROM toks JOIN freq USING (tok)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // the oracle aggregates the union DIRECTLY — matching it proves the
+    // engine's two-slice merge is exact
+    "incremental_stats" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v,
+        |       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_v,
+        |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_v
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // same one-pass sufficient statistics as the engine: HUGEINT sums,
     // 128-bit→double via the VARCHAR round-trip, one division per pair

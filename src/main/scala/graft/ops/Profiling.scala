@@ -222,6 +222,43 @@ object Profiling {
         first(col("_hi")).as("hi_bound"))
   }
 
+  /** Mergeable per-group statistics — the incremental-maintenance
+    * primitive: [[partialStats]] summarizes any slice of the data into
+    * (n, sum, min, max) per group, and [[mergeStats]] combines two such
+    * summaries into the summary of the union WITHOUT rescanning either
+    * slice. `merge(partial(A), partial(B)) == partial(A ∪ B)` exactly
+    * (integer arithmetic — asserted against the oracle's direct full
+    * aggregation), which is what lets a 100 TB pipeline aggregate each
+    * new day/batch alone and fold it into yesterday's state, and is the
+    * same algebra Spark's own partial aggregation uses inside one job.
+    */
+  def partialStats(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol)).as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Merge two [[partialStats]] summaries (full outer by group: a group
+    * present in only one side passes through unchanged).
+    */
+  def mergeStats(a: DataFrame, b: DataFrame, groupCol: String): DataFrame = {
+    val bb = b.columns.foldLeft(b)((d, c) =>
+      if (c == groupCol) d else d.withColumnRenamed(c, s"_b_$c"))
+    a.join(bb, Seq(groupCol), "full_outer")
+      .select(
+        col(groupCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_b_n"), lit(0L))).as("n"),
+        (coalesce(col("sum_v"), lit(0L)) + coalesce(col("_b_sum_v"), lit(0L)))
+          .as("sum_v"),
+        least(col("min_v"), col("_b_min_v")).as("min_v"),
+        greatest(col("max_v"), col("_b_max_v")).as("max_v"))
+  }
+
   /** Pairwise Pearson correlation matrix over pre-integerized feature
     * columns, in ONE aggregation pass: all p sums, p squares and
     * p·(p−1)/2 cross-products accumulate as exact 128-bit integers

@@ -267,6 +267,37 @@ object TextAnalysis {
       .withColumn("pack_id", expr(s"tokens_before div $budgetTokens"))
   }
 
+  /** Corpus-frequency rarity score: each document's mean corpus
+    * frequency over its token occurrences — the vocabulary-free quality
+    * proxy (documents of rare tokens score low, boilerplate of common
+    * tokens scores high) that stands in for LM perplexity when log-prob
+    * arithmetic would not be engine-portable. Exact integers plus ONE
+    * final division, so the score is bit-identical everywhere.
+    *
+    * Scale shape: one partial-aggregated shuffle builds the frequency
+    * table (vocabulary-sized); it broadcasts back onto the token stream
+    * and the per-doc sum partial-aggregates again — the corpus is
+    * scanned twice, nothing pairwise. For open vocabularies past
+    * broadcast size, drop the hint and the probe becomes a token-keyed
+    * shuffle join.
+    */
+  def tokenRarity(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+    val freq = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_f"))
+    toks
+      .join(broadcast(freq), "_tok")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("_f")).as("freq_sum"))
+      .withColumn(
+        "mean_token_freq",
+        col("freq_sum").cast("double") / col("n_tokens"))
+  }
+
   /** Sliding token-window chunker — the standard context-length split
     * for training corpora: each document with at least `chunk` tokens
     * yields windows of `chunk` tokens starting every `stride` tokens

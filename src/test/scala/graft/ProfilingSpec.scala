@@ -82,6 +82,36 @@ class ProfilingSpec extends AnyFunSuite with SparkTestBase {
     assert(out(4L) == ((None, None)) && out(5L) == ((None, None)))
   }
 
+  test("mergeStats: merge of partials equals stats of the union") {
+    val s = spark
+    import s.implicits._
+    val all = Seq(
+      ("a", 1L), ("a", 5L), ("a", -2L),
+      ("b", 10L), ("c", 7L))
+      .toDF("g", "v")
+    // split so group b lives only in the left slice and c only in the
+    // right — the outer-join pass-through paths are exercised
+    val left = all.filter(col("v") < 7)
+    val right = all.filter(col("v") >= 7)
+    val merged = Profiling
+      .mergeStats(
+        Profiling.partialStats(left, "g", "v"),
+        Profiling.partialStats(right, "g", "v"),
+        "g")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sum_v"),
+          r.getAs[Long]("min_v"), r.getAs[Long]("max_v"))))
+      .toMap
+    val direct = Profiling.partialStats(all, "g", "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sum_v"),
+          r.getAs[Long]("min_v"), r.getAs[Long]("max_v"))))
+      .toMap
+    assert(merged == direct)
+  }
+
   private def ev(rows: (String, String, java.lang.Double)*) = {
     val s = spark
     import s.implicits._
