@@ -97,23 +97,29 @@ object FeatureEncoding {
     * without variance emit null z_score (exact integer predicate);
     * min_max is null when max == min.
     *
-    * Scale shape: one shuffle by group — the window computes all five
-    * statistics in a single pass, no self-join against a stats table.
+    * Scale shape: the five statistics come from a partial-aggregated
+    * groupBy (NOT a group window — a window partitioned by a
+    * low-cardinality group column would collapse each group onto one
+    * task, capping parallelism at |groups| regardless of cluster size)
+    * and broadcast-join back onto the rows: the full-size side never
+    * shuffles at all.
     */
   def standardize(
       df: DataFrame,
       valueCol: String,
       groupCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val w = Window.partitionBy(col(groupCol))
     val v = col(valueCol).cast(dec)
     def toD(c: Column): Column = c.cast("string").cast("double")
-    val withStats = df
-      .withColumn("_n", count(lit(1)).over(w).cast(dec))
-      .withColumn("_s", sum(v).over(w))
-      .withColumn("_ss", sum(v * v).over(w))
-      .withColumn("_mn", min(col(valueCol)).over(w))
-      .withColumn("_mx", max(col(valueCol)).over(w))
+    val stats = df
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast(dec).as("_n"),
+        sum(v).as("_s"),
+        sum(v * v).as("_ss"),
+        min(col(valueCol)).as("_mn"),
+        max(col(valueCol)).as("_mx"))
+    val withStats = df.join(broadcast(stats), Seq(groupCol))
     val d = col("_n") * col("_ss") - col("_s") * col("_s")
     val nn1 = col("_n") * (col("_n") - lit(1))
     val z = when(col("_n") > 1 && d > 0,
