@@ -425,6 +425,31 @@ object NorthStar {
         .connectedComponents(
           Dedup.lshCandidatePairs(docs(s, dir), numPerms = 16, rowsPerBand = 4))
         .orderBy("doc_id")),
+    // the dedup pipeline's last mile: candidate pairs → components →
+    // canonical survivor per cluster (min doc id) → per-source keep/drop
+    // accounting. The drop list is an anti-join — the corpus is never
+    // rewritten, only filtered
+    "dedup_survivors" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val comp = Dedup.connectedComponents(
+        Dedup.lshCandidatePairs(d, numPerms = 16, rowsPerBand = 4))
+      val dropped = comp
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      val kept = d.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("source"))
+        .select(
+          col("source"),
+          col("n_docs"),
+          col("n_kept"),
+          (col("n_docs") - col("n_kept")).as("n_dropped"))
+        .orderBy("source")
+    }),
+
     // cross-source contamination check: n-gram overlap between corpus
     // sources (the benchmark-leakage question "how much of source B is
     // in source A?"), which is exactly source-granularity Jaccard — the
@@ -1410,6 +1435,29 @@ object NorthStar {
     "dedup_simhash" ->
       (s"WITH $SimhashPairCtes\n" +
         "SELECT id_a, id_b, hamming FROM spairs\nORDER BY id_a, id_b"),
+
+    "dedup_survivors" ->
+      (s"WITH RECURSIVE $MinhashPairCtes,\n" +
+        """edges AS (
+          |  SELECT id_a AS u, id_b AS v FROM pairs
+          |  UNION
+          |  SELECT id_b, id_a FROM pairs
+          |),
+          |reach(u, v) AS (
+          |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+          |),
+          |dropped AS (
+          |  SELECT u AS doc_id FROM reach GROUP BY u HAVING min(v) != u
+          |)
+          |SELECT source,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(count(*) FILTER (WHERE doc_id NOT IN
+          |         (SELECT doc_id FROM dropped)) AS BIGINT) AS n_kept,
+          |       CAST(count(*) FILTER (WHERE doc_id IN
+          |         (SELECT doc_id FROM dropped)) AS BIGINT) AS n_dropped
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin),
 
     // count FILTER over the tag-sum classes — the one-plan mirror of
     // the engine's union/groupBy/sum formulation of intersect/except
