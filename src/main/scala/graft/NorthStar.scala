@@ -1912,22 +1912,24 @@ object NorthStar {
          |ORDER BY source""".stripMargin
     },
 
+    // same bit-slicing as Sketches.cmsBucket: row i's bucket is bits
+    // [15i, 15i+15) of one 60-bit md5, reduced mod width
     "sketch_cms_topk" -> {
-      val bucketOf = Md5Long60.format("r::VARCHAR || '|' || tok")
-      val candBucketOf = Md5Long60.format("r.r::VARCHAR || '|' || c.tok")
+      val h = Md5Long60.format("tok")
+      val candH = Md5Long60.format("c.tok")
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY 1),
          |cand AS (SELECT tok, n_exact FROM exact
          |         ORDER BY n_exact DESC, tok ASC LIMIT 20),
          |rws AS (SELECT CAST(i AS INT) AS r FROM range(0, 4) t(i)),
          |cells AS (
-         |  SELECT r, $bucketOf % 64 AS bucket,
+         |  SELECT r, (($h // (1::BIGINT << (15 * r))) & 32767) % 64 AS bucket,
          |         CAST(count(*) AS BIGINT) AS cell_n
          |  FROM toks CROSS JOIN rws GROUP BY 1, 2
          |),
          |cb AS (
          |  SELECT c.tok, c.n_exact, r.r,
-         |         $candBucketOf % 64 AS bucket
+         |         (($candH // (1::BIGINT << (15 * r.r))) & 32767) % 64 AS bucket
          |  FROM cand c CROSS JOIN rws r
          |)
          |SELECT cb.tok AS token, cb.n_exact,

@@ -132,11 +132,15 @@ object Sketches {
         lit(alphaNumerator(p)) / col("hll_sum_scaled"))
   }
 
-  /** Token bucket for Count-Min row `i`: md5 of `"i|token"` mod width.
-    * Exposed so query and oracle derive candidate buckets identically.
+  /** Token bucket for Count-Min row `i`: a disjoint 15-bit slice of ONE
+    * md5 per token, reduced mod width — depth independent hash rows for
+    * the price of a single digest (the md5 is the dominant cost of the
+    * cells pass; distinct bit ranges of a cryptographic hash are
+    * independent for counting purposes). Caps depth at 4 (60 bits / 15)
+    * and width at 2^15.
     */
-  private def cmsBucket(i: Int, tok: Column, width: Int): Column =
-    Hashing.md5Long60(concat(lit(s"$i|"), tok)) % width
+  private def cmsBucket(h: Column, i: Int, width: Int): Column =
+    shiftright(h, 15 * i).bitwiseAND(lit(32767L)) % width
 
   /** Count-Min heavy hitters over whitespace tokens of `textCol`.
     *
@@ -159,7 +163,8 @@ object Sketches {
       depth: Int = 4,
       width: Int = 64,
       k: Int = 20): DataFrame = {
-    require(depth >= 1 && width >= 2, s"bad sketch dims $depth x $width")
+    require(depth >= 1 && depth <= 4, s"depth must be in [1,4], got $depth")
+    require(width >= 2 && width <= 32768, s"width must be in [2,32768], got $width")
     val toks = docs.select(explode(split(col(textCol), " ")).as("tok"))
 
     val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
@@ -167,21 +172,22 @@ object Sketches {
       .orderBy(col("n_exact").desc, col("tok").asc)
       .limit(k)
 
-    // (row, bucket) per token occurrence, all depth rows in one pass
-    val rowBuckets = (0 until depth).map { i =>
-      struct(lit(i).as("r"), cmsBucket(i, col("tok"), width).as("bucket"))
+    // (row, bucket) per token occurrence, all depth rows from one md5
+    def rowBuckets(tok: Column) = {
+      val h = Hashing.md5Long60(tok)
+      (0 until depth).map { i =>
+        struct(lit(i).as("r"), cmsBucket(h, i, width).as("bucket"))
+      }
     }
     val cells = toks
-      .select(explode(array(rowBuckets: _*)).as("rb"))
+      .select(explode(array(rowBuckets(col("tok")): _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cell_n"))
 
     val candBuckets = cand.select(
       col("tok"),
       col("n_exact"),
-      explode(array((0 until depth).map { i =>
-        struct(lit(i).as("r"), cmsBucket(i, col("tok"), width).as("bucket"))
-      }: _*)).as("rb"))
+      explode(array(rowBuckets(col("tok")): _*)).as("rb"))
 
     candBuckets
       .join(
