@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, FeatureEncoding, Profiling}
+
+/** Physical-plan shape assertions for the round-2 kernels: these
+  * properties are invisible to value-level tests but are exactly what
+  * breaks at 1000 executors — a theta-join reappearing in SimHash, the
+  * standardization stats degrading to a per-group window, or the
+  * correlation matrix multiplying scans with the feature count.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      // materialized AQE stages hold their subtree as a field, not a child
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: nodes(q.plan)
+      case n => Seq(n)
+    }.flatten
+
+  /** Materialize (AQE finalizes the plan on execute) then collect nodes. */
+  private def executedNodes(df: DataFrame): Seq[SparkPlan] = {
+    df.collect()
+    nodes(df.queryExecution.executedPlan)
+  }
+
+  private lazy val docsDf: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0L until 40L).map(i =>
+      (i, s"tok${i % 7} tok${i % 11} tok${i % 3} shared common words here"))
+      .toDF("doc_id", "text")
+  }
+
+  test("simhashPairs plans as equi-joins — the all-pairs theta-join is gone") {
+    val ns = executedNodes(Dedup.simhashPairs(docsDf, maxHamming = 2))
+    assert(!ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "pigeonhole banding must not plan a nested-loop join")
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+      "pigeonhole banding must not plan a cartesian product")
+  }
+
+  test("standardize stats ride a broadcast join, not a per-group window") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 100L).map(i => (s"g${i % 3}", i, i * 7 % 50))
+      .toDF("g", "id", "cents")
+    val plan = FeatureEncoding.standardize(df, "cents", "g")
+    val ns = executedNodes(plan)
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "group statistics must broadcast back onto the rows")
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "a window partitioned by a low-cardinality group caps parallelism at |groups|")
+  }
+
+  test("correlationMatrix aggregates in one pass: one shuffle, one scan subtree") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 100L).map(i => (i, i * 2, 100 - i, i % 13))
+      .toDF("a", "b", "c", "d")
+    val plan = Profiling.correlationMatrix(df, Seq("a", "b", "c", "d"))
+    val ns = executedNodes(plan)
+    val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 1,
+      s"expected the single final-aggregation exchange, saw $shuffles")
+  }
+}
