@@ -345,6 +345,37 @@ object NorthStar {
           coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"))
         .orderBy("entity_id", "timestamp")
     }),
+    // fixed-grid resampling with forward fill: every (user, day) cell of
+    // a 10-day grid carries the user's latest event state as of that day
+    // — the time-series regularization every training pipeline needs
+    // (grid built by sequence+explode, filled by ONE left as-of join;
+    // null cells coalesced to sentinels for the oracle's NaN-free compare)
+    "resample_daily_ffill" -> ((s, dir) => {
+      val ev = SparkEntry.eventsForNorthStar(s, dir)
+      val feat = ev.select(
+        col("user_id").as("entity_id"),
+        col("ts").as("timestamp"),
+        col("event_id"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      val spine = ev
+        .select(col("user_id").as("entity_id")).distinct()
+        .select(col("entity_id"), explode(expr(
+          "sequence(timestamp '2024-01-10 00:00:00'," +
+            " timestamp '2024-01-19 00:00:00', interval 1 day)"))
+          .as("timestamp"))
+      val epoch = lit(graft.store.FeatureStore
+        .normalizeTimestamp("1970-01-01 00:00:00"))
+      PointInTime
+        .asOfJoinLeft(spine, feat, "last_", tieBreakCols = Seq("event_id"))
+        .select(
+          col("entity_id"),
+          col("timestamp").as("day"),
+          coalesce(col("last_timestamp"), epoch).as("last_event_ts"),
+          coalesce(col("last_event_id"), lit(-1L)).as("last_event_id"),
+          coalesce(col("last_value_cents"), lit(-1L)).as("last_value_cents"))
+        .orderBy("entity_id", "day")
+    }),
+
     // attribution-shaped interval join: clicks within the hour before
     // each purchase by the same user
     "interval_join_events" -> ((s, dir) => {
@@ -1259,6 +1290,29 @@ object NorthStar {
         |LEFT JOIN (SELECT * FROM p WHERE rn = 1) p ON p.sid = s.sid
         |LEFT JOIN (SELECT * FROM c WHERE rn = 1) c ON c.sid = s.sid
         |ORDER BY entity_id, "timestamp"""".stripMargin,
+
+    "resample_daily_ffill" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |days AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 00:00:00',
+        |         TIMESTAMP '2024-01-19 00:00:00', INTERVAL 1 DAY)) AS d
+        |),
+        |spine AS (SELECT user_id, d FROM users CROSS JOIN days),
+        |j AS (
+        |  SELECT s.user_id, s.d, f.ts, f.event_id,
+        |         CAST(round(f.value * 100) AS BIGINT) AS value_cents,
+        |         row_number() OVER (PARTITION BY s.user_id, s.d
+        |             ORDER BY f.ts DESC, f.event_id DESC) AS rn
+        |  FROM spine s JOIN events f
+        |    ON f.user_id = s.user_id AND f.ts <= s.d
+        |)
+        |SELECT u.user_id AS entity_id, u.d AS day,
+        |       coalesce(j.ts, TIMESTAMP '1970-01-01 00:00:00') AS last_event_ts,
+        |       coalesce(j.event_id, -1) AS last_event_id,
+        |       coalesce(j.value_cents, -1) AS last_value_cents
+        |FROM spine u LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+        |  ON j.user_id = u.user_id AND j.d = u.d
+        |ORDER BY entity_id, day""".stripMargin,
 
     "interval_join_events" ->
       """SELECT l.user_id AS entity_id,
