@@ -345,6 +345,25 @@ object NorthStar {
           coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"))
         .orderBy("entity_id", "timestamp")
     }),
+    // semi-structured properties: parse the JSON props column, extract
+    // the numeric field, aggregate per event type — the schema-on-read
+    // path every event pipeline needs (get_json_object is codegen'd;
+    // at scale prefer from_json with an explicit schema once the shape
+    // stabilizes, which also enables pruning)
+    "json_props_stats" -> ((s, dir) =>
+      SparkEntry.eventsForNorthStar(s, dir)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     // fixed-grid resampling with forward fill: every (user, day) cell of
     // a 10-day grid carries the user's latest event state as of that day
     // — the time-series regularization every training pipeline needs
@@ -1290,6 +1309,20 @@ object NorthStar {
         |LEFT JOIN (SELECT * FROM p WHERE rn = 1) p ON p.sid = s.sid
         |LEFT JOIN (SELECT * FROM c WHERE rn = 1) c ON c.sid = s.sid
         |ORDER BY entity_id, "timestamp"""".stripMargin,
+
+    "json_props_stats" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(k) AS BIGINT) AS n_with_k,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(min(k) AS BIGINT) AS min_k,
+        |       CAST(max(k) AS BIGINT) AS max_k
+        |FROM (
+        |  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events
+        |)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "resample_daily_ffill" ->
       """WITH users AS (SELECT DISTINCT user_id FROM events),
