@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -345,6 +345,48 @@ object NorthStar {
           coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"))
         .orderBy("entity_id", "timestamp")
     }),
+    // fuzzy-match pairs over the corpus vocabulary: distinct tokens
+    // within edit distance 2, keyed by up-to-2-deletion neighborhoods
+    // (the SymSpell invariant: tokens within edit distance d share at
+    // least one ≤d-deletion form) — candidates come from an equi-join
+    // on the deletion forms and only candidates pay the levenshtein DP;
+    // the all-pairs scan the oracle runs never forms in the engine
+    "vocab_fuzzy_pairs" -> ((s, dir) => {
+      val tok = col("tok")
+      val n = length(tok)
+      def cut(from: Column, len: Column) = tok.substr(from, greatest(len, lit(0)))
+      val del1 = transform(
+        sequence(lit(1), n),
+        i => concat(cut(lit(1), i - 1), cut(i + 1, n)))
+      val idxPairs = filter(
+        flatten(transform(
+          sequence(lit(1), n),
+          i => transform(sequence(lit(1), n),
+            j => struct(i.as("i"), j.as("j"))))),
+        p => p("j") > p("i"))
+      val del2 = transform(
+        idxPairs,
+        p => concat(
+          cut(lit(1), p("i") - 1),
+          cut(p("i") + 1, p("j") - p("i") - 1),
+          cut(p("j") + 1, n)))
+      val vocab = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val keyed = vocab
+        .select(tok, explode(array_distinct(
+          concat(array(tok), del1, del2))).as("del"))
+      val a = keyed.select(tok.as("tok_a"), col("del"))
+      val b = keyed.select(tok.as("tok_b"), col("del"))
+      a.join(b, Seq("del"))
+        .filter(col("tok_a") < col("tok_b"))
+        .select(col("tok_a"), col("tok_b"))
+        .distinct()
+        .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+        .filter(col("dist") <= 2)
+        .orderBy("tok_a", "tok_b")
+    }),
+
     // semi-structured properties: parse the JSON props column, extract
     // the numeric field, aggregate per event type — the schema-on-read
     // path every event pipeline needs (get_json_object is codegen'd;
@@ -1309,6 +1351,18 @@ object NorthStar {
         |LEFT JOIN (SELECT * FROM p WHERE rn = 1) p ON p.sid = s.sid
         |LEFT JOIN (SELECT * FROM c WHERE rn = 1) c ON c.sid = s.sid
         |ORDER BY entity_id, "timestamp"""".stripMargin,
+
+    // the oracle is the naive all-pairs definition — matching it proves
+    // the deletion-neighborhood candidate generation loses no pair
+    "vocab_fuzzy_pairs" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+        |)
+        |SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |       CAST(levenshtein(a.tok, b.tok) AS INT) AS dist
+        |FROM vocab a JOIN vocab b ON a.tok < b.tok
+        |WHERE levenshtein(a.tok, b.tok) <= 2
+        |ORDER BY tok_a, tok_b""".stripMargin,
 
     "json_props_stats" ->
       """SELECT event_type,
