@@ -715,6 +715,15 @@ object NorthStar {
             explode(split(col("text"), " ")).as("tok")),
           valueCol = "tok", groupCols = Seq("source"))
         .orderBy("source")),
+    // same sketch through the typed Aggregator (register array as the
+    // aggregation buffer — ONE exchange); shares the column path's oracle
+    "sketch_hll_agg" -> ((s, dir) =>
+      graft.ops.Sketches
+        .hllDistinctAgg(
+          docs(s, dir).select(col("source"),
+            explode(split(col("text"), " ")).as("tok")),
+          valueCol = "tok", groupCols = Seq("source"))
+        .orderBy("source")),
     // Count-Min heavy hitters: true top-20 tokens with their sketch
     // estimate from a 4x64 md5-hashed counter grid (overcount-only)
     "sketch_cms_topk" -> ((s, dir) =>
@@ -892,7 +901,10 @@ object NorthStar {
   def oracleSql: Map[String, String] = baseOracleSql +
     // the indexed IVF path must return exactly what the one-shot plan
     // returns — same oracle, proving the parquet round-trip is lossless
-    ("ann_ivf_indexed" -> baseOracleSql("ann_ivf_topk"))
+    ("ann_ivf_indexed" -> baseOracleSql("ann_ivf_topk")) +
+    // the Aggregator-based HLL must return exactly what the column
+    // formulation returns — same registers, same estimate
+    ("sketch_hll_agg" -> baseOracleSql("sketch_hll_distinct"))
 
   private def baseOracleSql: Map[String, String] = Map(
     "text_stats" ->

@@ -142,6 +142,40 @@ object Sketches {
   private def cmsBucket(h: Column, i: Int, width: Int): Column =
     shiftright(h, 15 * i).bitwiseAND(lit(32767L)) % width
 
+  /** [[hllDistinct]] as a single aggregation pass via the typed
+    * [[graft.functions.HllAggregator]]: the register array IS the
+    * aggregation buffer, so the exchange carries one m-byte array per
+    * group per partition and no second exchange is needed to sum
+    * registers. Identical output (same hash, same register arithmetic,
+    * same estimate tree) — both formulations face the same oracle.
+    */
+  def hllDistinctAgg(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      p: Int = 6): DataFrame = {
+    val gcols = groupCols.map(col)
+    val sketch = udaf(new graft.functions.HllAggregator(p))
+    val summed = df
+      .select(gcols :+ Hashing.md5Long60(col(valueCol)).as("_h"): _*)
+      .groupBy(gcols: _*)
+      .agg(sketch(col("_h")).as("_sk"))
+      .select(gcols :+
+        col("_sk.hll_sum_scaled").as("hll_sum_scaled") :+
+        col("_sk.n_empty_buckets").as("n_empty_buckets"): _*)
+    val exact = df
+      .groupBy(gcols: _*)
+      .agg(countDistinct(col(valueCol)).as("exact_distinct"))
+    exact
+      .join(summed, groupCols)
+      .withColumn(
+        "hll_estimate",
+        lit(alphaNumerator(p)) / col("hll_sum_scaled"))
+      .select(groupCols.map(col) :+ col("exact_distinct") :+
+        col("hll_sum_scaled") :+ col("n_empty_buckets") :+
+        col("hll_estimate"): _*)
+  }
+
   /** Count-Min heavy hitters over whitespace tokens of `textCol`.
     *
     * Builds a depth×width Count-Min sketch of token frequencies (each of

@@ -59,6 +59,13 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 
+  test("hllDistinctAgg (typed Aggregator) equals the column formulation") {
+    val a = Sketches.hllDistinct(tokens, "tok", Seq("source"))
+    val b = Sketches.hllDistinctAgg(tokens, "tok", Seq("source"))
+    assert(a.columns.toSeq == b.columns.toSeq)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("cmsHeavyHitters: never undercounts, and is exact when unambiguous") {
     val rows = Sketches
       .cmsHeavyHitters(docs, depth = 4, width = 64, k = 20)
