@@ -62,6 +62,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "a window partitioned by a low-cardinality group caps parallelism at |groups|")
   }
 
+  test("store PIT read prunes time partitions at the scan") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_prune_spec").toString
+    val store = new graft.store.FeatureStore(spark, root)
+    store.register("t", sampleFeatures) // spans 2024-01 and 2024-02
+    val df = store.get("t", Seq("user_1", "user_2"), ts("2024-01-20"))
+    val scans = executedNodes(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val partitioned = scans.filter(_.partitionFilters.nonEmpty)
+    assert(partitioned.nonEmpty, "expected a partition filter on the version scan")
+    assert(partitioned.exists(_.partitionFilters.exists(_.toString.contains("_ts_date"))),
+      "the derived period bound must reach PartitionFilters")
+    // the 2024-02 partition is pruned: only January files are read
+    assert(partitioned.forall(_.selectedPartitions.partitionCount == 1),
+      "cutoff 2024-01-20 must prune the February partition")
+    // and the values are still the right PIT answer
+    val rows = df.collect().map(r =>
+      r.getAs[String]("entity_id") -> r.getAs[Double]("feature_a")).toMap
+    // inclusive cutoff: user_2's row ON 2024-01-20 wins
+    assert(rows == Map("user_1" -> 2.0, "user_2" -> 20.0))
+  }
+
   test("correlationMatrix aggregates in one pass: one shuffle, one scan subtree") {
     val s = spark
     import s.implicits._
