@@ -361,6 +361,44 @@ object SparkEntry {
         .orderBy("entity_id", "timestamp", "event_id")
     }),
 
+    // O8 extension through the storage layer: multi-table feature view
+    // assembled by the catalog (register purchase/click event subsets as
+    // feature tables, then chain left as-of joins) — same oracle as the
+    // kernel-level feature_view_multi, proving the store adds nothing
+    "store_feature_view_roundtrip" -> ((s, dir) => {
+      val store = demoStore(s, dir)
+      val ev = eventsRaw(s, dir)
+      if (!store.tableNames.contains("purchase"))
+        store.register("purchase", ev.filter(col("event_type") === "purchase")
+          .select(
+            col("user_id").as("entity_id"),
+            col("ts").as("timestamp"),
+            round(col("value") * 100).cast("long").as("value_cents"),
+            col("event_id")))
+      if (!store.tableNames.contains("click"))
+        store.register("click", ev.filter(col("event_type") === "click")
+          .select(
+            col("user_id").as("entity_id"),
+            col("ts").as("timestamp"),
+            col("event_id")))
+      val spine = ev
+        .filter(col("event_id") % 13 === 0)
+        .select(
+          col("user_id").as("entity_id"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("timestamp"))
+      val epoch = lit(utcTs("1970-01-01 00:00:00"))
+      store.getFeatureView(spine, Seq("purchase", "click"))
+        .select(
+          col("entity_id"),
+          col("timestamp"),
+          coalesce(col("purchase_timestamp"), epoch).as("purchase_timestamp"),
+          coalesce(col("purchase_value_cents"), lit(-1L)).as("purchase_value_cents"),
+          coalesce(col("purchase_event_id"), lit(-1L)).as("purchase_event_id"),
+          coalesce(col("click_timestamp"), epoch).as("click_timestamp"),
+          coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"))
+        .orderBy("entity_id", "timestamp")
+    }),
+
     // Aggregation showcase (integer-cents arithmetic so the hash compare
     // is exact across engines — double sums are order-dependent)
     "agg_pricing_summary" -> ((s, dir) =>
@@ -496,6 +534,9 @@ object SparkEntry {
     "store_pit_roundtrip" -> EventsPitOracle,
 
     "store_asof_roundtrip" -> EventsAsOfOracle,
+
+    // the storage layer must be value-invisible for views too
+    "store_feature_view_roundtrip" -> NorthStar.oracleSql("feature_view_multi"),
 
     "pit_snapshot_projection" ->
       s"""SELECT user_id AS entity_id, ts AS "timestamp", value
