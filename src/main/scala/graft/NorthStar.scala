@@ -345,6 +345,22 @@ object NorthStar {
           coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"))
         .orderBy("entity_id", "timestamp")
     }),
+    // cross-modal training-example assembly: text-side quality features
+    // joined to embedding-side label + quantized norm on the shared id —
+    // the fused row a multimodal trainer consumes (equi-join on the id;
+    // at scale both sides co-partition by the key)
+    "multimodal_fusion" -> ((s, dir) => {
+      val text = TextAnalysis.qualityScore(docs(s, dir))
+        .join(docs(s, dir).select("doc_id", "source", "lang"), "doc_id")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_tokens"), col("quality_score"))
+      val vec = Similarity.quantizeInt8(emb(s, dir))
+        .join(emb(s, dir).select("vec_id", "label"), "vec_id")
+        .select(col("vec_id").as("doc_id"), col("label"),
+          col("q_scale"), col("q_norm2"))
+      text.join(vec, "doc_id").orderBy("doc_id")
+    }),
+
     // fuzzy-match pairs over the corpus vocabulary: distinct tokens
     // within edit distance 2, keyed by up-to-2-deletion neighborhoods
     // (the SymSpell invariant: tokens within edit distance d share at
@@ -1363,6 +1379,40 @@ object NorthStar {
         |LEFT JOIN (SELECT * FROM p WHERE rn = 1) p ON p.sid = s.sid
         |LEFT JOIN (SELECT * FROM c WHERE rn = 1) c ON c.sid = s.sid
         |ORDER BY entity_id, "timestamp"""".stripMargin,
+
+    // text-side quality CTE + embedding-side quantize CTEs, fused on the
+    // shared id — arithmetic identical to text_quality / embedding_quantize
+    "multimodal_fusion" ->
+      s"""WITH $QualityCte,
+         |ev AS (
+         |  SELECT vec_id, embedding,
+         |         list_max(list_transform(embedding,
+         |             x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+         |  FROM embeddings
+         |), es AS (
+         |  SELECT vec_id, embedding,
+         |         CASE WHEN maxabs = 0 THEN 0.0
+         |              ELSE 127.0 / maxabs END AS q_scale
+         |  FROM ev
+         |), eq AS (
+         |  SELECT vec_id, q_scale,
+         |         list_transform(embedding,
+         |             x -> CAST(floor(CAST(x AS DOUBLE) * q_scale + 0.5)
+         |                       AS BIGINT)) AS qv
+         |  FROM es
+         |), vecf AS (
+         |  SELECT vec_id, q_scale,
+         |         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+         |           AS q_norm2
+         |  FROM eq
+         |)
+         |SELECT q.doc_id, d.source, d.lang, q.n_tokens, q.quality_score,
+         |       e.label, vecf.q_scale, vecf.q_norm2
+         |FROM q
+         |JOIN documents d USING (doc_id)
+         |JOIN vecf ON vecf.vec_id = q.doc_id
+         |JOIN embeddings e ON e.vec_id = q.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // the oracle is the naive all-pairs definition — matching it proves
     // the deletion-neighborhood candidate generation loses no pair
