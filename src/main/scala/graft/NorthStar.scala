@@ -731,6 +731,19 @@ object NorthStar {
             explode(split(col("text"), " ")).as("tok")),
           valueCol = "tok", groupCols = Seq("source"))
         .orderBy("source")),
+    // rolling 7-day distinct users from MERGED daily sketches: raw data
+    // scanned once into per-day registers, each day's window rolled up
+    // register-wise (sketch merge is lossless) — the trailing-N-days
+    // distinct-count production pattern; exact side rides along for the
+    // oracle only
+    "sketch_hll_rolling" -> ((s, dir) =>
+      graft.ops.Sketches
+        .hllRollingDistinct(
+          SparkEntry.eventsForNorthStar(s, dir),
+          valueCol = "user_id", tsCol = "ts",
+          startDay = "2024-01-10", endDay = "2024-01-19",
+          windowDays = 7)
+        .orderBy("day")),
     // same sketch through the typed Aggregator (register array as the
     // aggregation buffer — ONE exchange); shares the column path's oracle
     "sketch_hll_agg" -> ((s, dir) =>
@@ -2117,6 +2130,58 @@ object NorthStar {
 
     // same bit-slicing as Sketches.cmsBucket: row i's bucket is bits
     // [15i, 15i+15) of one 60-bit md5, reduced mod width
+    // same register arithmetic as the base HLL oracle, rolled up per
+    // grid day with a register-wise max over the trailing window
+    "sketch_hll_rolling" -> {
+      val h = Md5Long60.format("CAST(user_id AS VARCHAR)")
+      val alphaNum = graft.ops.Sketches.alphaNumerator(6)
+      s"""WITH days AS (
+         |  SELECT CAST(unnest(generate_series(DATE '2024-01-10',
+         |         DATE '2024-01-19', INTERVAL 1 DAY)) AS DATE) AS day
+         |),
+         |h AS (
+         |  SELECT CAST(ts AS DATE) AS d, CAST(user_id AS VARCHAR) AS v,
+         |         $h AS hv
+         |  FROM events
+         |),
+         |br AS (
+         |  SELECT d, v, hv // 18014398509481984 AS bucket,
+         |         hv % 18014398509481984 AS rm
+         |  FROM h
+         |),
+         |rk AS (
+         |  SELECT d, bucket,
+         |         CASE WHEN rm = 0 THEN 55
+         |              ELSE 55 - length(bin(rm)) END AS rank
+         |  FROM br
+         |),
+         |daily AS (SELECT d, bucket, max(rank) AS maxr FROM rk GROUP BY 1, 2),
+         |rolled AS (
+         |  SELECT day, bucket, max(maxr) AS maxr
+         |  FROM days JOIN daily ON daily.d >= day - 6 AND daily.d <= day
+         |  GROUP BY 1, 2
+         |),
+         |agg AS (
+         |  SELECT day,
+         |         CAST(sum(1::BIGINT << (55 - maxr)) AS BIGINT) AS sum_present,
+         |         count(*) AS n_buckets
+         |  FROM rolled GROUP BY 1
+         |),
+         |ex AS (
+         |  SELECT day, CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
+         |  FROM days JOIN br ON br.d >= day - 6 AND br.d <= day
+         |  GROUP BY 1
+         |)
+         |SELECT ex.day, ex.exact_distinct,
+         |       CAST(agg.sum_present + (64 - agg.n_buckets) * (1::BIGINT << 55)
+         |         AS BIGINT) AS hll_sum_scaled,
+         |       CAST(64 - agg.n_buckets AS BIGINT) AS n_empty_buckets,
+         |       $alphaNum / (agg.sum_present
+         |           + (64 - agg.n_buckets) * (1::BIGINT << 55)) AS hll_estimate
+         |FROM ex JOIN agg USING (day)
+         |ORDER BY day""".stripMargin
+    },
+
     "sketch_cms_topk" -> {
       val h = Md5Long60.format("tok")
       val candH = Md5Long60.format("c.tok")

@@ -142,6 +142,83 @@ object Sketches {
   private def cmsBucket(h: Column, i: Int, width: Int): Column =
     shiftright(h, 15 * i).bitwiseAND(lit(32767L)) % width
 
+  /** Rolling window distinct counts from MERGED daily HLL sketches —
+    * the production shape for "distinct users in the trailing N days":
+    * raw data is scanned once into per-day register tables (tiny:
+    * days × m rows), and each target day's sketch is the register-wise
+    * max over its window — sketches merge losslessly, so the rolled-up
+    * registers equal the registers of the union, no rescan of raw data
+    * per window. The exact `count(DISTINCT)` per window rides along for
+    * the oracle/accuracy checks only (it's the expensive side a
+    * production run drops).
+    *
+    * Output per grid day: (day, exact_distinct, hll_sum_scaled,
+    * n_empty_buckets, hll_estimate) — same register summary contract as
+    * [[hllDistinct]].
+    */
+  def hllRollingDistinct(
+      df: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      startDay: String,
+      endDay: String,
+      windowDays: Int,
+      p: Int = 6): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val m = 1 << p
+    val rem = remBits(p)
+    val scale = rem + 1
+    val remMod = 1L << rem
+    val spark = df.sparkSession
+
+    val days = spark.range(1).select(explode(expr(
+      s"sequence(date '$startDay', date '$endDay', interval 1 day)")).as("day"))
+
+    val h = Hashing.md5Long60(col(valueCol).cast("string"))
+    val hashed = df.select(
+      to_date(col(tsCol)).as("d"),
+      col(valueCol).cast("string").as("_v"),
+      shiftright(h, rem).as("bucket"),
+      (h % lit(remMod)).as("rm"))
+    val ranked = hashed.select(
+      col("d"), col("bucket"),
+      when(col("rm") === 0, lit(scale))
+        .otherwise(lit(scale) - length(bin(col("rm")))).as("rank"))
+    val daily = ranked
+      .groupBy(col("d"), col("bucket"))
+      .agg(max(col("rank")).as("maxr"))
+
+    // register-wise max over each day's window = the union's registers
+    val rolled = days
+      .join(daily,
+        daily("d") >= date_sub(col("day"), windowDays - 1) &&
+          daily("d") <= col("day"))
+      .groupBy(col("day"), col("bucket"))
+      .agg(max(col("maxr")).as("maxr"))
+      .groupBy(col("day"))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - maxr)"))
+          .as("sum_present"),
+        count(lit(1)).as("n_buckets"))
+      .select(
+        col("day"),
+        (col("sum_present") +
+          (lit(m.toLong) - col("n_buckets")) * lit(1L << scale))
+          .as("hll_sum_scaled"),
+        (lit(m.toLong) - col("n_buckets")).as("n_empty_buckets"))
+
+    val exact = days
+      .join(hashed,
+        col("d") >= date_sub(col("day"), windowDays - 1) &&
+          col("d") <= col("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("_v")).as("exact_distinct"))
+
+    exact
+      .join(rolled, Seq("day"))
+      .withColumn("hll_estimate", lit(alphaNumerator(p)) / col("hll_sum_scaled"))
+  }
+
   /** [[hllDistinct]] as a single aggregation pass via the typed
     * [[graft.functions.HllAggregator]]: the register array IS the
     * aggregation buffer, so the exchange carries one m-byte array per

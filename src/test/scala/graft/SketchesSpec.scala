@@ -66,6 +66,27 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("hllRollingDistinct: merged daily registers equal the union's registers") {
+    val ev = SparkEntry.eventsForNorthStar(spark, Sf)
+    val rolled = Sketches
+      .hllRollingDistinct(ev, "user_id", "ts",
+        startDay = "2024-01-15", endDay = "2024-01-15", windowDays = 7)
+      .head()
+    // the same window sliced directly and sketched in one shot
+    val direct = Sketches
+      .hllDistinct(
+        ev.filter(to_date(col("ts")).between("2024-01-09", "2024-01-15"))
+          .select(lit(1).as("g"), col("user_id").cast("string").as("v")),
+        "v", Seq("g"))
+      .head()
+    assert(rolled.getAs[Long]("hll_sum_scaled") ==
+      direct.getAs[Long]("hll_sum_scaled"))
+    assert(rolled.getAs[Long]("n_empty_buckets") ==
+      direct.getAs[Long]("n_empty_buckets"))
+    assert(rolled.getAs[Long]("exact_distinct") ==
+      direct.getAs[Long]("exact_distinct"))
+  }
+
   test("cmsHeavyHitters: never undercounts, and is exact when unambiguous") {
     val rows = Sketches
       .cmsHeavyHitters(docs, depth = 4, width = 64, k = 20)
