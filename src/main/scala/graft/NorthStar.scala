@@ -19,10 +19,10 @@ import graft.store.{PointInTime, WindowFeatures}
 object NorthStar {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Tables.parquet(s, s"$dir/documents.parquet")
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Tables.parquet(s, s"$dir/embeddings.parquet")
 
   private val AnnQueryIds: Seq[Long] = 0L to 9L
 
@@ -79,7 +79,7 @@ object NorthStar {
     "ann_ivf_indexed" -> ((s, dir) =>
       Similarity
         .ivfTopKIndexed(
-          s.read.parquet(ivfIndexDir(s, dir)),
+          Tables.parquet(s, ivfIndexDir(s, dir)),
           Similarity.ivfCentroids(emb(s, dir)),
           AnnQueryIds, k = 3)
         .orderBy("query_id", "rank")),
@@ -153,11 +153,11 @@ object NorthStar {
     // the cutoff (left_anti plans as an anti hash join — no null-padded
     // outer blowup; the date filter pushes to the orders scan first)
     "customers_without_orders" -> ((s, dir) => {
-      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val ord = Tables.parquet(s, s"$dir/orders.parquet")
         .filter(col("o_orderdate") >= lit(
           graft.store.FeatureStore.normalizeTimestamp("1998-01-01 00:00:00")))
         .select(col("o_custkey"))
-      s.read.parquet(s"$dir/customer.parquet")
+      Tables.parquet(s, s"$dir/customer.parquet")
         .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_mktsegment"))
         .orderBy("c_custkey")
@@ -180,9 +180,9 @@ object NorthStar {
           count(when(col("cls") === 2, 1)).as("n_simhash_only"))
     }),
     "join_customer_orders" -> ((s, dir) => {
-      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val cust = Tables.parquet(s, s"$dir/customer.parquet")
         .select(col("c_custkey"), col("c_mktsegment"))
-      s.read.parquet(s"$dir/orders.parquet")
+      Tables.parquet(s, s"$dir/orders.parquet")
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
@@ -407,7 +407,12 @@ object NorthStar {
     // the numeric field, aggregate per event type — the schema-on-read
     // path every event pipeline needs (get_json_object is codegen'd;
     // at scale prefer from_json with an explicit schema once the shape
-    // stabilizes, which also enables pruning)
+    // stabilizes, which also enables pruning).
+    // Oracle-pairing assumption: $.k is INTEGRAL in the generated data.
+    // Spark's string→long cast truncates/nulls on non-integral text
+    // while DuckDB's json_extract→BIGINT rounds through double, so the
+    // engines would diverge if the generator ever emitted k=1.5 —
+    // integral k keeps both casts exact.
     "json_props_stats" -> ((s, dir) =>
       SparkEntry.eventsForNorthStar(s, dir)
         .select(
@@ -547,21 +552,27 @@ object NorthStar {
       val kept = d.join(dropped, Seq("doc_id"), "left_anti")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"))
+      // left join: a source whose every document is a cluster non-root
+      // has NO kept rows, but must still appear (n_kept = 0) — the
+      // oracle aggregates per source unconditionally
       d.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"))
-        .join(kept, Seq("source"))
+        .join(kept, Seq("source"), "left")
         .select(
           col("source"),
           col("n_docs"),
-          col("n_kept"),
-          (col("n_docs") - col("n_kept")).as("n_dropped"))
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
         .orderBy("source")
     }),
 
     // cross-source contamination check: n-gram overlap between corpus
     // sources (the benchmark-leakage question "how much of source B is
     // in source A?"), which is exactly source-granularity Jaccard — the
-    // per-doc kernel pools shingles per source via its id column
+    // per-doc kernel pools shingles per source via its id column (a
+    // flat-distinct + broadcast-sizes variant was measured 40% slower
+    // here: the extra distinct exchange costs more than the 20 per-source
+    // collect_set buffers save at this group count)
     "source_overlap" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.0, idCol = "source")
         .select(
@@ -623,6 +634,28 @@ object NorthStar {
           col("frame_idx"),
           decode(col("frame"), "UTF-8").as("frame_text"))
         .orderBy("doc_id", "frame_idx")),
+
+    // REAL codec round-trip, audio: synthesize a canonical PCM WAV per
+    // document (samples from token lengths), then decode it with the
+    // registry codec and aggregate the decoded samples. The oracle
+    // computes the same features straight from the text, so a hash
+    // match proves the encoder writes and the decoder parses the actual
+    // RIFF/PCM16 byte format — not that two stubs agree.
+    "multimodal_wav_roundtrip" -> ((s, dir) =>
+      Multimodal
+        .decodeAudioFeatures(Multimodal.encodeWavFromTokens(docs(s, dir)))
+        .toDF()
+        .orderBy("doc_id")),
+
+    // REAL codec round-trip, image: text bytes → 16px-wide 24bpp BMP
+    // (complete rows only) → registry decode → exact per-channel sums.
+    // Bottom-up row storage and stride padding are exercised for real;
+    // the oracle sums the same bytes by position from the text.
+    "multimodal_bmp_roundtrip" -> ((s, dir) =>
+      Multimodal
+        .decodeImageFeatures(Multimodal.encodeBmpFromText(docs(s, dir), width = 16))
+        .toDF()
+        .orderBy("doc_id")),
 
     // benchmark decontamination: drop training docs sharing any word
     // 4-gram with the held-out eval slice (source src19); the eval gram
@@ -795,7 +828,7 @@ object NorthStar {
     "feature_correlations" -> ((s, dir) =>
       Profiling
         .correlationMatrix(
-          s.read.parquet(s"$dir/lineitem.parquet").select(
+          Tables.parquet(s, s"$dir/lineitem.parquet").select(
             round(col("l_quantity")).cast("long").as("qty"),
             round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
             round(col("l_discount") * 100).cast("long").as("disc_pct"),
@@ -1876,6 +1909,36 @@ object NorthStar {
         |)
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // features recomputed straight from the text the WAV was built
+    // from: sample_i = len(token_i)*1000 - 5000 (mono, 16 kHz)
+    "multimodal_wav_roundtrip" ->
+      """SELECT doc_id,
+        |       CAST(16000 AS BIGINT) AS sample_rate,
+        |       CAST(1 AS BIGINT) AS n_channels,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(abs(length(tok) * 1000 - 5000)) AS BIGINT) AS sum_abs,
+        |       CAST(max(length(tok) * 1000 - 5000) AS BIGINT) AS max_sample
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // channel sums by byte position: pixel p of a 16px-wide row grid
+    // takes bytes (3p, 3p+1, 3p+2) as (B, G, R); ASCII corpus, so
+    // char position == byte position
+    "multimodal_bmp_roundtrip" ->
+      """SELECT doc_id,
+        |       CAST(16 AS BIGINT) AS width,
+        |       CAST(h AS BIGINT) AS height,
+        |       CAST(list_sum(list_transform(range(0, h * 16),
+        |           p -> ascii(substr(text, 3 * CAST(p AS INT) + 1, 1)))) AS BIGINT) AS sum_b,
+        |       CAST(list_sum(list_transform(range(0, h * 16),
+        |           p -> ascii(substr(text, 3 * CAST(p AS INT) + 2, 1)))) AS BIGINT) AS sum_g,
+        |       CAST(list_sum(list_transform(range(0, h * 16),
+        |           p -> ascii(substr(text, 3 * CAST(p AS INT) + 3, 1)))) AS BIGINT) AS sum_r
+        |FROM (SELECT doc_id, text, length(text) // 48 AS h
+        |      FROM documents WHERE length(text) >= 48)
+        |ORDER BY doc_id""".stripMargin,
+
     "multimodal_features" ->
       """WITH ch AS (
         |  SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) // 16 AS bucket
@@ -2075,10 +2138,10 @@ object NorthStar {
          |  FROM q JOIN documents d USING (doc_id)
          |),
          |c AS (
-         |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
          |             ORDER BY quality_score DESC, doc_id ASC
          |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |           AS cost_before
+         |           AS BIGINT) AS cost_before
          |  FROM s
          |)
          |SELECT doc_id, source, quality_score, n_tokens, cost_before

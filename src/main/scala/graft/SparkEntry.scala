@@ -17,7 +17,7 @@ object SparkEntry {
   // -------------------------------------------------------------- helpers
 
   private def read(s: SparkSession, dir: String, table: String): DataFrame =
-    s.read.parquet(s"$dir/$table.parquet")
+    Tables.parquet(s, s"$dir/$table.parquet")
 
   /** Timestamp literal parsed as UTC regardless of the JVM default zone
     * (java.sql.Timestamp.valueOf would use the host zone — a latent
@@ -31,9 +31,13 @@ object SparkEntry {
     * TIMESTAMP(NANOS), which Spark's parquet reader rejects by default —
     * read nanos as long and floor-divide to micros, the exact truncation
     * DuckDB applies when casting ns→us (FIXTURES.md B, precision note).
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, which every
+    * session owner (Bench, Verify, SparkTestBase, examples) sets at
+    * build time — a session-construction concern, not a query concern,
+    * so this helper never mutates conf.
     */
   private def eventsRaw(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, dir, "events")
     val tsCol = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")

@@ -25,6 +25,7 @@ object SkewDemo {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .getOrCreate()

@@ -15,9 +15,12 @@ object TimeOne {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // mirror Bench's session exactly, or timings are not comparable
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "131072")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
       _.split(';').iterator.map(_.trim).filter(_.nonEmpty).foreach { kv =>
         kv.split("=", 2) match {

@@ -7,12 +7,12 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with a typed metadata struct; decode /
   * feature-extraction runs distributed via `mapPartitions`.
   *
-  * The actual image/audio decode is STUBBED (no codec libraries in this
-  * environment): [[extractFeatures]] computes a deterministic 16-bucket
-  * byte histogram as the stand-in "decoded features". The Spark-side
-  * plumbing — binary schema, partition-wise batch iteration, typed
-  * output schema — is real and is what a production decoder would plug
-  * into (swap [[decodeStub]] for the codec call).
+  * Decoding is PLUGGABLE via [[MediaCodec]]: two real pure-JVM codecs
+  * ship in [[MediaCodecs.registry]] (canonical PCM WAV and uncompressed
+  * 24-bit BMP — [[decodeAudioFeatures]] / [[decodeImageFeatures]] run
+  * them distributed), and production formats slot in beside them. The
+  * 16-bucket byte histogram of [[extractFeatures]] remains as the
+  * codec-free fallback for payloads no registered codec recognizes.
   */
 object Multimodal {
 
@@ -100,6 +100,142 @@ object Multimodal {
           var i = 0
           while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
           ResizedMedia(id, bytes.length, out)
+        }
+      }
+  }
+
+  // ------------------------------------------------------ real codecs
+
+  /** Decoded-audio features: everything integral so cross-engine
+    * compares are exact.
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Long,
+      n_channels: Long,
+      n_samples: Long,
+      sum_abs: Long,
+      max_sample: Long)
+
+  /** Decoded-image features: dimensions plus exact per-channel sums of
+    * the unsigned byte values (top-down pixel order — orientation
+    * doesn't change a sum, but the decoder normalizes it anyway).
+    */
+  final case class ImageFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      sum_b: Long,
+      sum_g: Long,
+      sum_r: Long)
+
+  /** Synthesize a PCM WAV payload per document from its token lengths
+    * (sample_i = len(token_i)·1000 − 5000, mono) — the deterministic
+    * payload generator for codec round-trip pipelines: the expected
+    * decoded features are computable straight from the text, so an
+    * independent engine can verify the encode→decode path end to end.
+    */
+  def encodeWavFromTokens(docs: DataFrame, sampleRate: Int = 16000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val samples = text.split(" ").map(t => (t.length * 1000 - 5000).toShort)
+          MediaRow(id, WavCodec.encode(samples, sampleRate, channels = 1), WavCodec.contentType)
+        }
+      }
+      .toDF()
+  }
+
+  /** Distributed REAL audio decode: parse each payload with the codec
+    * registry and reduce the decoded samples to exact integral
+    * features. Payloads no codec accepts are dropped (at corpus scale
+    * corrupt rows are data, not exceptions — count them upstream via
+    * [[mediaMeta]] if the drop rate matters). Shuffle-free.
+    */
+  def decodeAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          MediaCodecs.decode(bytes) match {
+            case Some(DecodedAudio(rate, channels, samples)) =>
+              var sumAbs = 0L
+              var maxS = Long.MinValue
+              var i = 0
+              while (i < samples.length) {
+                sumAbs += math.abs(samples(i).toLong)
+                if (samples(i) > maxS) maxS = samples(i).toLong
+                i += 1
+              }
+              Some(AudioFeatures(
+                id, rate.toLong, channels.toLong, samples.length.toLong,
+                sumAbs, if (samples.isEmpty) 0L else maxS))
+            case _ => None
+          }
+        }
+      }
+  }
+
+  /** Synthesize a 24-bit BMP payload per document: the text's first
+    * `width·3·rows` UTF-8 bytes become interleaved B,G,R pixels
+    * (`rows = n_bytes div (width·3)`, complete rows only); documents
+    * shorter than one row emit nothing. Deterministic counterpart of
+    * [[encodeWavFromTokens]] for the image path.
+    */
+  def encodeBmpFromText(docs: DataFrame, width: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val rowBytes = width * 3
+          val h = bytes.length / rowBytes
+          if (h < 1) None
+          else Some(MediaRow(
+            id,
+            BmpCodec.encode(width, h, java.util.Arrays.copyOf(bytes, rowBytes * h)),
+            BmpCodec.contentType))
+        }
+      }
+      .toDF()
+  }
+
+  /** Distributed REAL image decode: codec-registry parse + exact
+    * per-channel sums. Undecodable payloads are dropped (see
+    * [[decodeAudioFeatures]]). Shuffle-free.
+    */
+  def decodeImageFeatures(media: DataFrame): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          MediaCodecs.decode(bytes) match {
+            case Some(DecodedImage(w, h, channels, px)) if channels == 3 =>
+              val sums = new Array[Long](3)
+              var i = 0
+              while (i < px.length) {
+                sums(i % 3) += px(i) & 0xff
+                i += 1
+              }
+              Some(ImageFeatures(id, w.toLong, h.toLong, sums(0), sums(1), sums(2)))
+            case _ => None
+          }
         }
       }
   }

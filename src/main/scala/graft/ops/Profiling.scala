@@ -260,21 +260,33 @@ object Profiling {
   }
 
   /** Pairwise Pearson correlation matrix over pre-integerized feature
-    * columns, in ONE aggregation pass: all p sums, p squares and
-    * p·(p−1)/2 cross-products accumulate as exact 128-bit integers
-    * (decimal(38,0) / HUGEINT in the oracle), so the result is
-    * independent of aggregation order; the only floating-point steps
-    * are the final casts, two sqrts and one division per pair — an
-    * identical expression tree in both engines (see [[trendCorrelation]]
-    * for the widening/rounding rationale). Pairs without variance on
-    * either axis are dropped by an exact integer predicate.
+    * columns, in ONE aggregation pass over the data: all p sums, p
+    * squares and p·(p−1)/2 cross-products accumulate as EXACT integers,
+    * so the result is independent of aggregation order; the only
+    * floating-point steps are the final casts, two sqrts and one
+    * division per pair — an identical expression tree in both engines
+    * (see [[trendCorrelation]] for the widening/rounding rationale).
+    * Pairs without variance on either axis are dropped by an exact
+    * integer predicate.
+    *
+    * Width gating: a cheap preliminary range scan (per-column max |x|
+    * and count — one map-side-combined aggregate returning p+1 numbers)
+    * decides PER PRODUCT whether its sum provably fits in int64
+    * (maxAbs_i · maxAbs_j · n < 2^62) — those accumulate as plain long
+    * arithmetic (~10× cheaper per row than BigDecimal); only products
+    * that could overflow pay decimal(38,0). The final n·Σxy − Σx·Σy
+    * combination always runs in decimal(38,0), but on ONE row, so the
+    * cost is nil and the value is bit-identical to the all-decimal
+    * formulation either way (exact integers are exact integers).
     *
     * Output: one row per unordered pair (col_a < col_b by argument
     * order) with n and corr_r.
     *
-    * Scale shape: one partial-aggregated shuffle carrying
-    * p·(p+3)/2 + 1 numbers total — the input is scanned once no matter
-    * how many features are correlated.
+    * Scale shape: two partial-aggregated shuffles each carrying a few
+    * numbers total (ranges, then moments) — the input is scanned twice,
+    * never materialized. At 1000× the rows the range products grow past
+    * 2^62 and every sum silently upgrades itself to decimal — the gate
+    * re-derives from the data, not from a tuned constant.
     */
   def correlationMatrix(df: DataFrame, valueCols: Seq[String]): DataFrame = {
     if (valueCols.size < 2)
@@ -282,14 +294,49 @@ object Profiling {
         s"correlationMatrix needs >= 2 columns, got $valueCols")
     val dec = "decimal(38,0)"
     val idx = valueCols.indices
-    val prepared = df.select(
-      valueCols.map(c => col(c).cast(dec).as(c)): _*)
-    val sums = valueCols.map(c => sum(col(c)).as(s"_s_$c"))
-    val prods = for { i <- idx; j <- idx if i <= j } yield
-      sum(col(valueCols(i)) * col(valueCols(j)))
-        .as(s"_p_${i}_$j")
-    val aggs = (count(lit(1)).cast(dec).as("_n") +: sums) ++ prods
+    // contract: pre-integerized feature columns (integer units in long
+    // range — cents, counts); the long cast is a no-op for integral
+    // values and pins the arithmetic type the width gate reasons about
+    val prepared = df.select(valueCols.map(c => col(c).cast("long").as(c)): _*)
+
+    // Range scan: bounded driver fetch (p maxes + a count), the same
+    // "classify then route" pattern as the skew-hybrid as-of join.
+    val rangeRow = prepared
+      .agg(
+        count(lit(1)).as("_n"),
+        valueCols.map(c => max(abs(col(c))).as(s"_m_$c")): _*)
+      .head()
+    val n = rangeRow.getLong(0)
+    val maxAbs = valueCols.indices
+      .map(i => if (rangeRow.isNullAt(i + 1)) 0L else rangeRow.getLong(i + 1))
+    def fitsLong(i: Int, j: Int): Boolean = {
+      val bound = BigInt(maxAbs(i)) * BigInt(maxAbs(j)) * BigInt(n.max(1L))
+      bound < (BigInt(1) << 62)
+    }
+
+    val sums = valueCols.map { c =>
+      // Σx: |Σx| <= maxAbs·n — same gate with j as "1"
+      val fits = BigInt(maxAbs(valueCols.indexOf(c))) * BigInt(n.max(1L)) < (BigInt(1) << 62)
+      val s = if (fits) sum(col(c)) else sum(col(c).cast(dec))
+      s.as(s"_s_$c")
+    }
+    val prods = for { i <- idx; j <- idx if i <= j } yield {
+      val x = col(valueCols(i))
+      val y = col(valueCols(j))
+      val s =
+        if (fitsLong(i, j)) sum(x * y)
+        else sum(x.cast(dec) * y.cast(dec))
+      s.as(s"_p_${i}_$j")
+    }
+    val aggs = (count(lit(1)).as("_n") +: sums) ++ prods
     val a = prepared.agg(aggs.head, aggs.tail: _*)
+      // one row: re-widen every moment to decimal for the exact
+      // combination step, whatever width it accumulated at
+      .select(col("_n").cast("long").as("_nl") +:
+        (valueCols.map(c => col(s"_s_$c").cast(dec).as(s"_s_$c")) ++
+          (for { i <- idx; j <- idx if i <= j }
+            yield col(s"_p_${i}_$j").cast(dec).as(s"_p_${i}_$j")) :+
+          col("_n").cast(dec).as("_n")): _*)
 
     def toD(c: Column): Column = c.cast("string").cast("double")
     val pairRows = for { i <- idx; j <- idx if i < j } yield {
@@ -303,7 +350,7 @@ object Profiling {
         when(d1 > 0 && d2 > 0,
           toD(num) / (sqrt(toD(d1)) * sqrt(toD(d2)))).as("corr_r"))
     }
-    a.select(col("_n").cast("long").as("n"), explode(array(pairRows: _*)).as("_pr"))
+    a.select(col("_nl").as("n"), explode(array(pairRows: _*)).as("_pr"))
       .select(col("_pr.col_a").as("col_a"), col("_pr.col_b").as("col_b"),
         col("n"), col("_pr.corr_r").as("corr_r"))
       .filter(col("corr_r").isNotNull)

@@ -137,7 +137,10 @@ object Sketches {
     * the price of a single digest (the md5 is the dominant cost of the
     * cells pass; distinct bit ranges of a cryptographic hash are
     * independent for counting purposes). Caps depth at 4 (60 bits / 15)
-    * and width at 2^15.
+    * and width at 2^15. Width must be a power of two: `% width` on a
+    * uniform 15-bit slice is only uniform when width divides 2^15 — any
+    * other width biases low buckets (overcount-only still holds, but
+    * accuracy quietly degrades), so non-power widths are rejected.
     */
   private def cmsBucket(h: Column, i: Int, width: Int): Column =
     shiftright(h, 15 * i).bitwiseAND(lit(32767L)) % width
@@ -152,9 +155,11 @@ object Sketches {
     * the oracle/accuracy checks only (it's the expensive side a
     * production run drops).
     *
-    * Output per grid day: (day, exact_distinct, hll_sum_scaled,
-    * n_empty_buckets, hll_estimate) — same register summary contract as
-    * [[hllDistinct]].
+    * Output: one row per grid day WHOSE TRAILING WINDOW CONTAINS AT
+    * LEAST ONE EVENT — a day with an empty window is omitted, not
+    * emitted as an empty sketch (both the rolled and exact sides join
+    * inner on the day spine, and the oracle matches that shape). Same
+    * register summary contract as [[hllDistinct]] otherwise.
     */
   def hllRollingDistinct(
       df: DataFrame,
@@ -275,7 +280,9 @@ object Sketches {
       width: Int = 64,
       k: Int = 20): DataFrame = {
     require(depth >= 1 && depth <= 4, s"depth must be in [1,4], got $depth")
-    require(width >= 2 && width <= 32768, s"width must be in [2,32768], got $width")
+    require(
+      width >= 2 && width <= 32768 && (width & (width - 1)) == 0,
+      s"width must be a power of two in [2,32768], got $width (see cmsBucket)")
     val toks = docs.select(explode(split(col(textCol), " ")).as("tok"))
 
     val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
@@ -283,17 +290,23 @@ object Sketches {
       .orderBy(col("n_exact").desc, col("tok").asc)
       .limit(k)
 
-    // (row, bucket) per token occurrence, all depth rows from one md5
+    // (row, bucket) rows for one token, all depth rows from one md5
     def rowBuckets(tok: Column) = {
       val h = Hashing.md5Long60(tok)
       (0 until depth).map { i =>
         struct(lit(i).as("r"), cmsBucket(h, i, width).as("bucket"))
       }
     }
-    val cells = toks
-      .select(explode(array(rowBuckets(col("tok")): _*)).as("rb"))
+    // Cells fold the EXACT counts, not raw occurrences: a cell's counter
+    // is Σ n_exact over the tokens hashing into it — identical to
+    // counting occurrences directly, but the corpus is scanned ONCE
+    // (for `exact`) and the md5 family runs per distinct token
+    // (vocabulary-sized) instead of per occurrence.
+    val cells = exact
+      .select(col("n_exact"),
+        explode(array(rowBuckets(col("tok")): _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cell_n"))
+      .agg(sum(col("n_exact")).as("cell_n"))
 
     val candBuckets = cand.select(
       col("tok"),

@@ -121,12 +121,13 @@ object TextAnalysis {
     *
     * Scale shape: bigrams are built array-side per row (slice +
     * arrays_zip, codegen'd — no self-join, no pre-shuffle), then one
-    * partial-aggregated shuffle counts (doc, gram) pairs and one
-    * doc-keyed exchange serves BOTH windows (totals and rank share the
-    * partitioning). Documents shorter than two tokens produce no row.
+    * partial-aggregated shuffle counts (doc, gram) pairs and ONE more
+    * partial-aggregated doc-keyed aggregation produces totals and the
+    * argmax together (`min_by` over (-n, gram) is "highest count, then
+    * lexicographically first gram") — no per-doc sort, no window pass.
+    * Documents shorter than two tokens produce no row.
     */
   def bigramRepetition(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = tokens(col(textCol))
     val n = size(toks)
     val grams = docs
@@ -137,17 +138,13 @@ object TextAnalysis {
           slice(toks, lit(2), n - 1).as("w2"))).as("g"))
       .select(col(idCol), concat_ws(" ", col("g.w1"), col("g.w2")).as("gram"))
     val counts = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("n"))
-    val byDoc = Window.partitionBy(col(idCol))
-    val rank = byDoc.orderBy(col("n").desc, col("gram").asc)
     counts
-      .select(
-        col(idCol),
-        col("gram").as("top_bigram"),
-        col("n").as("top_bigram_n"),
-        sum(col("n")).over(byDoc).as("n_bigrams"),
-        count(lit(1)).over(byDoc).as("n_distinct_bigrams"),
-        row_number().over(rank).as("rn"))
-      .filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        min_by(col("gram"), struct((-col("n")).as("negn"), col("gram"))).as("top_bigram"),
+        max(col("n")).as("top_bigram_n"))
       .select(
         col(idCol),
         col("n_bigrams"),
@@ -204,12 +201,14 @@ object TextAnalysis {
     *
     * Scale shape: token explode → (doc, token) partial-aggregated count
     * shuffle; document frequency is a second aggregation of that result
-    * (no rescan of the corpus); the df side joins back on token (sort-
-    * merge, AQE may broadcast a small vocabulary) and the per-doc argmax
-    * is one doc-keyed window.
+    * (no rescan of the corpus), broadcast back onto the (doc, token)
+    * stream — the big side is never re-sorted or re-shuffled for the
+    * join — and the per-doc argmax is one more partial-aggregated
+    * `min_by` over (-tfidf, token), no window sort. For open
+    * vocabularies past broadcast size, drop the hint and the join
+    * becomes a token-keyed shuffle (same semantics).
     */
   def tfIdfTopTerm(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // corpus size stays IN the plan (broadcast 1-row cross join) — no
     // eager count() action, so the whole thing is one lazy plan
     val nDocs = docs.agg(count(lit(1)).as("_n_docs"))
@@ -218,22 +217,23 @@ object TextAnalysis {
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
     val dfCounts = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val rank = Window.partitionBy(col(idCol))
-      .orderBy(col("tfidf").desc, col("token").asc)
-    tf.join(dfCounts, "token")
+    val scored = tf.join(broadcast(dfCounts), "token")
       .crossJoin(broadcast(nDocs))
       .withColumn(
         "tfidf",
         (col("tf") * (col("_n_docs") + 1L)).cast("double") /
           (col("df") + 1L).cast("double"))
-      .withColumn("rn", row_number().over(rank))
-      .filter(col("rn") === 1)
+    scored
+      .groupBy(col(idCol))
+      .agg(min_by(
+        struct(col("token"), col("tf"), col("df"), col("tfidf")),
+        struct((-col("tfidf")).as("negs"), col("token"))).as("_top"))
       .select(
         col(idCol),
-        col("token").as("top_term"),
-        col("tf"),
-        col("df"),
-        col("tfidf"))
+        col("_top.token").as("top_term"),
+        col("_top.tf").as("tf"),
+        col("_top.df").as("df"),
+        col("_top.tfidf").as("tfidf"))
   }
 
   /** Sequential sequence packing — the standard pretraining step that

@@ -19,6 +19,15 @@ final case class FeatureTableInfo(
   * (reference: store.py:51-69): current version pointer plus the retained
   * versions (each with its own column list — schema drift across versions
   * is allowed, reference README.md:144), over on-disk parquet snapshots.
+  *
+  * `segments` is the per-version MANIFEST for incremental registration:
+  * version v's data is the union of the listed segment directories
+  * (each segment is the `v=<k>` dir written by the register that
+  * created version k). A full-snapshot register has `segments(v) =
+  * Seq(v)`; an append register reuses the previous manifest plus its
+  * own delta segment — O(delta) bytes written per version instead of
+  * O(table). Manifests default to the snapshot form so pre-manifest
+  * catalogs load unchanged.
   */
 final case class TableMeta(
     name: String,
@@ -26,8 +35,11 @@ final case class TableMeta(
     rowCount: Long,
     registeredAt: Long,
     updatedAt: Long,
-    versions: SortedMap[Int, Seq[String]]) {
+    versions: SortedMap[Int, Seq[String]],
+    segments: SortedMap[Int, Seq[Int]] = SortedMap.empty) {
   def columns: Seq[String] = versions(version)
+  /** Manifest for `v`: explicit entry, else the single-snapshot default. */
+  def segmentsOf(v: Int): Seq[Int] = segments.getOrElse(v, Seq(v))
   def info: FeatureTableInfo =
     FeatureTableInfo(name, columns, version, rowCount, registeredAt, updatedAt)
 }
@@ -66,14 +78,24 @@ final class Catalog {
 }
 
 /** Durable catalog state: a tiny line-based metadata file under the
-  * storage root, rewritten atomically on every mutation, so a new
-  * session can reopen a store from disk (the reference is ephemeral by
-  * design; persistence is what makes versioned parquet storage usable
-  * across processes). Format, one record per line, tab-separated with
-  * URL-encoded fields:
+  * storage root, rewritten atomically (unique temp file + atomic rename)
+  * on every mutation, so a new session can reopen a store from disk
+  * (the reference is ephemeral by design; persistence is what makes
+  * versioned parquet storage usable across processes). Format, one
+  * record per line, tab-separated with URL-encoded fields:
   *
   *   T <name> <version> <rowCount> <registeredAt> <updatedAt>
   *   V <name> <version> <col1> <col2> ...
+  *   S <name> <version> <seg1> <seg2> ...      (manifest; absent = [version])
+  *
+  * Multi-writer stance: [[save]] MERGES with the on-disk file at table
+  * granularity (tables this session never touched are preserved, tables
+  * in `removed` are dropped), so two single-writer-per-table sessions
+  * sharing a root don't clobber each other's tables. Concurrent writers
+  * of the SAME table are detected by [[FeatureStore.register]]'s
+  * version check and rejected — serializing them properly needs a real
+  * metastore/lock service, which is out of scope by the reference's
+  * zero-infrastructure stance.
   */
 object CatalogPersistence {
   import java.net.{URLDecoder, URLEncoder}
@@ -85,14 +107,25 @@ object CatalogPersistence {
 
   def catalogFile(root: String): Path = Paths.get(root, "_catalog.tsv")
 
-  def save(root: String, metas: Seq[TableMeta]): Unit = {
-    val lines = metas.flatMap { m =>
+  def save(
+      root: String,
+      metas: Seq[TableMeta],
+      removed: Seq[String] = Seq.empty): Unit = {
+    // table-granular merge: on-disk tables unknown to this session
+    // survive; this session's entries win for tables it owns
+    val ours = metas.map(_.name).toSet
+    val kept = load(root).filterNot(m =>
+      ours.contains(m.name) || removed.contains(m.name))
+    val lines = (kept ++ metas).sortBy(_.name).flatMap { m =>
       val head =
         s"T\t${enc(m.name)}\t${m.version}\t${m.rowCount}\t${m.registeredAt}\t${m.updatedAt}"
       val versions = m.versions.toSeq.map { case (v, cols) =>
         (s"V\t${enc(m.name)}\t$v" +: cols.map(enc)).mkString("\t")
       }
-      head +: versions
+      val manifests = m.segments.toSeq.map { case (v, segs) =>
+        (s"S\t${enc(m.name)}\t$v" +: segs.map(_.toString)).mkString("\t")
+      }
+      (head +: versions) ++ manifests
     }
     val path = catalogFile(root)
     Files.createDirectories(path.getParent)
@@ -121,10 +154,19 @@ object CatalogPersistence {
           (dec(f(1)), f(2).toInt, f.drop(3).toSeq.map(dec))
       }
       .groupBy(_._1)
+    val manifests = lines
+      .collect {
+        case l if l.startsWith("S\t") =>
+          val f = l.split("\t")
+          (dec(f(1)), f(2).toInt, f.drop(3).toSeq.map(_.toInt))
+      }
+      .groupBy(_._1)
     heads.toSeq.map { case (name, (version, rowCount, reg, upd)) =>
       val vs = scala.collection.immutable.SortedMap(
         versions.getOrElse(name, Seq.empty).map(v => v._2 -> v._3): _*)
-      TableMeta(name, version, rowCount, reg, upd, vs)
+      val segs = scala.collection.immutable.SortedMap(
+        manifests.getOrElse(name, Seq.empty).map(s => s._2 -> s._3): _*)
+      TableMeta(name, version, rowCount, reg, upd, vs, segs)
     }
   }
 }

@@ -61,12 +61,14 @@ final class FeatureStore(
       df: DataFrame,
       description: String = ""): FeatureTableInfo = this.synchronized {
     Validation.validateDataFrame(df, name)
+    detectForeignWriter(name)
     val prepared = prepare(df)
     val now = System.currentTimeMillis()
     val meta = catalog.get(name) match {
       case None =>
         val rows = storage.write(name, 1, prepared, EntityIdColumn, TimestampColumn)
-        TableMeta(name, 1, rows, now, now, SortedMap(1 -> df.columns.toSeq))
+        TableMeta(name, 1, rows, now, now, SortedMap(1 -> df.columns.toSeq),
+          SortedMap(1 -> Seq(1)))
       case Some(cur) =>
         val v = cur.version + 1
         val rows = storage.write(name, v, prepared, EntityIdColumn, TimestampColumn)
@@ -74,12 +76,90 @@ final class FeatureStore(
           version = v,
           rowCount = rows,
           updatedAt = now,
-          versions = cur.versions + (v -> df.columns.toSeq))
+          versions = cur.versions + (v -> df.columns.toSeq),
+          segments = cur.segments + (v -> Seq(v)))
         prune(withNew)
     }
     catalog.put(meta)
     CatalogPersistence.save(root, catalog.all)
     meta.info
+  }
+
+  /** Incremental register (engine extension — SURVEY.md §7.4 risk 5):
+    * creates a new version whose data is the previous version PLUS
+    * `df`, but writes ONLY `df` to storage — O(delta) bytes and files
+    * per version instead of a full O(table) snapshot, which is the
+    * difference between a feasible and an infeasible daily register at
+    * 100 TB. The new version's manifest chains the previous segments;
+    * [[getVersion]] and every PIT read reproduce exact snapshots for
+    * ALL versions. Falls back to a plain [[register]] for new tables.
+    *
+    * Append semantics (immutable-observations model): rows are added,
+    * never replaced — the natural shape for event-sourced features.
+    * The delta must carry exactly the current columns (schema drift
+    * needs a full snapshot register, where drift is explicit).
+    *
+    * When a manifest would exceed `maxSegments`, the version is written
+    * as a COMPACTED full snapshot instead (read amplification stays
+    * bounded: every read unions at most `maxSegments` segment scans) —
+    * the standard log-plus-compaction discipline.
+    */
+  def registerAppend(
+      name: String,
+      df: DataFrame,
+      maxSegments: Int = 16,
+      description: String = ""): FeatureTableInfo = this.synchronized {
+    if (maxSegments < 1)
+      throw new IllegalArgumentException(s"maxSegments must be >= 1, got $maxSegments")
+    catalog.get(name) match {
+      case None => register(name, df, description)
+      case Some(cur) =>
+        Validation.validateDataFrame(df, name)
+        detectForeignWriter(name)
+        if (df.columns.toSeq != cur.columns)
+          throw new FeatureValidationError(
+            s"registerAppend('$name') requires the current schema " +
+              s"${cur.columns.mkString("[", ", ", "]")}, got " +
+              s"${df.columns.toSeq.mkString("[", ", ", "]")}; use register() for schema changes")
+        val prepared = prepare(df)
+        val now = System.currentTimeMillis()
+        val v = cur.version + 1
+        val chained = cur.segmentsOf(cur.version) :+ v
+        val meta =
+          if (chained.size > maxSegments) {
+            // compact: materialize previous ∪ delta as one snapshot
+            val full = currentData(cur).select(cur.columns.map(col): _*)
+              .unionByName(df.select(cur.columns.map(col): _*))
+            val rows = storage.write(name, v, prepare(full), EntityIdColumn, TimestampColumn)
+            cur.copy(version = v, rowCount = rows, updatedAt = now,
+              versions = cur.versions + (v -> cur.columns),
+              segments = cur.segments + (v -> Seq(v)))
+          } else {
+            val deltaRows =
+              storage.write(name, v, prepared, EntityIdColumn, TimestampColumn)
+            cur.copy(version = v, rowCount = cur.rowCount + deltaRows, updatedAt = now,
+              versions = cur.versions + (v -> cur.columns),
+              segments = cur.segments + (v -> chained))
+          }
+        val pruned = prune(meta)
+        catalog.put(pruned)
+        CatalogPersistence.save(root, catalog.all)
+        pruned.info
+    }
+  }
+
+  /** Optimistic concurrency check: if the shared on-disk catalog knows a
+    * newer version of `name` than this session does, another writer owns
+    * the table now — fail fast instead of silently forking history.
+    */
+  private def detectForeignWriter(name: String): Unit = {
+    val diskVersion = CatalogPersistence.load(root)
+      .find(_.name == name).map(_.version).getOrElse(0)
+    val ours = catalog.get(name).map(_.version).getOrElse(0)
+    if (diskVersion > ours)
+      throw new FeatureConcurrencyError(
+        s"Table '$name' was advanced to version $diskVersion by another writer " +
+          s"(this session knows $ours); reopen the store to continue")
   }
 
   /** PIT snapshot read (reference: store.py:218-259): latest row per
@@ -220,7 +300,7 @@ final class FeatureStore(
       throw new FeatureTableNotFoundError(
         s"Version $version of table '$name' not found. " +
           s"Available versions: ${meta.versions.keys.mkString(", ")}"))
-    storage.read(name, version, cols)
+    storage.readSegments(name, meta.segmentsOf(version), cols)
   }
 
   def listTables(): Seq[FeatureTableInfo] = catalog.all.map(_.info)
@@ -235,7 +315,9 @@ final class FeatureStore(
     catalog.remove(name) match {
       case Some(_) =>
         storage.deleteTable(name)
-        CatalogPersistence.save(root, catalog.all)
+        // tombstone: merge-on-save would otherwise resurrect the table
+        // from the shared on-disk catalog
+        CatalogPersistence.save(root, catalog.all, removed = Seq(name))
         true
       case None => false
     }
@@ -249,7 +331,8 @@ final class FeatureStore(
   private def currentData(
       meta: TableMeta,
       asOf: Option[Timestamp] = None): DataFrame =
-    storage.read(meta.name, meta.version, meta.columns :+ IngestKeyCol, asOf)
+    storage.readSegments(
+      meta.name, meta.segmentsOf(meta.version), meta.columns :+ IngestKeyCol, asOf)
 
   /** Cast timestamp + attach the deterministic ingest key
     * (reference: store.py:472-486 casts and sorts; the physical sort
@@ -278,12 +361,23 @@ final class FeatureStore(
   }
 
   /** Keep the newest `maxVersions` snapshots, current counting as one
-    * (reference: store.py:585-599).
+    * (reference: store.py:585-599). Segment-aware: a dropped VERSION
+    * only frees its storage directory when no RETAINED version's
+    * manifest still references that segment — an append lineage shares
+    * its base segments across versions, and deleting a shared segment
+    * would corrupt every retained version built on it.
     */
   private def prune(meta: TableMeta): TableMeta = {
-    val excess = meta.versions.keys.toSeq.sorted.dropRight(maxVersions)
-    excess.foreach(v => storage.deleteVersion(meta.name, v))
-    meta.copy(versions = meta.versions -- excess)
+    val all = meta.versions.keys.toSeq.sorted
+    val excess = all.dropRight(maxVersions)
+    val retained = all.takeRight(maxVersions)
+    // a segment is freed exactly when its LAST referencing version
+    // leaves the window: referenced-before minus referenced-after
+    val before = all.flatMap(meta.segmentsOf).toSet
+    val after = retained.flatMap(meta.segmentsOf).toSet
+    (before -- after).toSeq.sorted
+      .foreach(v => storage.deleteVersion(meta.name, v))
+    meta.copy(versions = meta.versions -- excess, segments = meta.segments -- excess)
   }
 }
 

@@ -86,6 +86,20 @@ final class Storage(
     pruned.select(columns.map(col): _*)
   }
 
+  /** Read the union of a version MANIFEST's segments (incremental
+    * registration): each segment is one version directory; per-segment
+    * as-of pruning applies before the union, so partition pruning works
+    * exactly as in the single-snapshot read. Segments are append deltas
+    * of one table version lineage, so their schemas match by
+    * construction ([[FeatureStore.registerAppend]] enforces it).
+    */
+  def readSegments(
+      name: String,
+      segments: Seq[Int],
+      columns: Seq[String],
+      asOf: Option[java.sql.Timestamp] = None): DataFrame =
+    segments.map(read(name, _, columns, asOf)).reduce(_.unionByName(_))
+
   def deleteVersion(name: String, version: Int): Unit =
     delete(versionPath(name, version))
 

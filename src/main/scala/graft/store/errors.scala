@@ -14,3 +14,10 @@ final class FeatureTableNotFoundError(message: String) extends FeatureStoreError
   * (reference: store.py:79-81, 422-470).
   */
 final class FeatureValidationError(message: String) extends FeatureStoreError(message)
+
+/** Raised when a register detects that another writer advanced the same
+  * table on the shared storage root (engine extension — the reference
+  * is single-process and cannot race). The losing writer must reopen
+  * the store and retry on top of the new version.
+  */
+final class FeatureConcurrencyError(message: String) extends FeatureStoreError(message)

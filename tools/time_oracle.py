@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Paired DuckDB timing for the bench gate: runs every oracle SQL from a
+Verify dump's oracle_sql.json over the given sf dir, per-query min over
+three interleaved passes (the same estimator graft.Bench uses), and
+prints one JSON line {"total": s, "queries": {...}}.
+
+Dev-only tool (the library never depends on DuckDB).
+Usage: python3 tools/time_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    names = sorted(oracle)
+    for n in names:  # warm pass (buffer cache, plan cache)
+        try:
+            con.execute(oracle[n]).fetchall()
+        except Exception:
+            pass
+    passes = []
+    for _ in range(3):
+        t = {}
+        for n in names:
+            t0 = time.perf_counter()
+            try:
+                con.execute(oracle[n]).fetchall()
+            except Exception:
+                pass
+            t[n] = time.perf_counter() - t0
+        passes.append(t)
+    best = {n: min(p[n] for p in passes) for n in names}
+    print(json.dumps({"total": sum(best.values()), "queries": best}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
