@@ -601,6 +601,19 @@ object NorthStar {
       Similarity.ivfTopK(emb(s, dir), AnnQueryIds, k = 3, numCentroids = 16, nProbe = 4)
         .orderBy("query_id", "rank")),
 
+    // IVF with LEARNED centroids: one deterministic Lloyd iteration on
+    // the seed, centroid update in exact quantized-integer arithmetic
+    // (order-independent sums → bit-identical centroids in both
+    // engines), so even the learned-quantizer pipeline hash-matches its
+    // SQL oracle; recall vs brute force measured in OpsSpec
+    "ann_ivf_kmeans" -> ((s, dir) =>
+      Similarity
+        .ivfTopKWith(
+          emb(s, dir),
+          Similarity.ivfCentroidsKMeans(emb(s, dir), numCentroids = 16, iters = 1),
+          AnnQueryIds, k = 3, nProbe = 4)
+        .orderBy("query_id", "rank")),
+
     // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(Multimodal.asMedia(docs(s, dir))).orderBy("doc_id")),
@@ -1847,6 +1860,91 @@ object NorthStar {
         |         list_sum(list_transform(list_zip(v.embedding, ct.cv),
         |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS s
         |  FROM v CROSS JOIN cents ct
+        |),
+        |rankedc AS (
+        |  SELECT vec_id, c,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |  FROM cscore
+        |),
+        |assign AS (SELECT vec_id, c AS lst FROM rankedc WHERE rn = 1),
+        |probes AS (SELECT vec_id, c FROM rankedc WHERE rn <= 4),
+        |cand AS (SELECT v.vec_id, v.embedding, v.nrm, a.lst
+        |         FROM v JOIN assign a USING (vec_id)),
+        |q AS (
+        |  SELECT v.vec_id AS query_id, v.embedding AS qv, v.nrm AS qn, p.c
+        |  FROM v JOIN probes p USING (vec_id)
+        |  WHERE v.vec_id IN (0,1,2,3,4,5,6,7,8,9)
+        |),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         list_sum(list_transform(list_zip(q.qv, c.embedding),
+        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |           / (q.qn * c.nrm) AS score
+        |  FROM q JOIN cand c ON c.lst = q.c AND c.vec_id != q.query_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, score, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // one Lloyd iteration on the seed centroids; the update is exact:
+    // element -> floor(x*1e6 + 0.5) summed as BIGINT per (cluster, dim)
+    // (order-independent), new coordinate = sum/n/1e6 — identical
+    // arithmetic to Similarity.ivfCentroidsKMeans. 64 = embedding dim
+    // (data contract, TESTDATA.md). Empty clusters keep their seed.
+    "ann_ivf_kmeans" ->
+      """WITH cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+        |         embedding AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 16
+        |),
+        |v AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |cscore0 AS (
+        |  SELECT v.vec_id, ct.c,
+        |         list_sum(list_transform(list_zip(v.embedding, ct.cv),
+        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS s
+        |  FROM v CROSS JOIN cents ct
+        |),
+        |assign0 AS (
+        |  SELECT vec_id, c AS lst FROM (
+        |    SELECT vec_id, c,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |    FROM cscore0) WHERE rn = 1
+        |),
+        |upd AS (
+        |  SELECT a.lst AS c, CAST(r.d AS INT) AS d,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(floor(CAST(e.embedding[CAST(r.d AS INT) + 1] AS DOUBLE)
+        |              * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM embeddings e JOIN assign0 a USING (vec_id)
+        |  CROSS JOIN range(0, 64) r(d)
+        |  GROUP BY 1, 2
+        |),
+        |cents1 AS (
+        |  SELECT s.c,
+        |         list(COALESCE(CAST(u.sq AS DOUBLE) / u.n / 1000000.0,
+        |                       CAST(s.cv[CAST(r.d AS INT) + 1] AS DOUBLE))
+        |              ORDER BY r.d) AS cv
+        |  FROM cents s
+        |  CROSS JOIN range(0, 64) r(d)
+        |  LEFT JOIN upd u ON u.c = s.c AND u.d = CAST(r.d AS INT)
+        |  GROUP BY s.c
+        |),
+        |cscore AS (
+        |  SELECT v.vec_id, ct.c,
+        |         list_sum(list_transform(list_zip(v.embedding, ct.cv),
+        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS s
+        |  FROM v CROSS JOIN cents1 ct
         |),
         |rankedc AS (
         |  SELECT vec_id, c,

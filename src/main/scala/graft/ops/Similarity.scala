@@ -278,21 +278,20 @@ object Similarity extends Serializable {
 
   /** IVF (inverted-file) approximate top-k: a deterministic coarse
     * quantizer assigns every vector to its nearest centroid (one
-    * broadcast pass — the centroid set here is the `numCentroids`
-    * lowest-id vectors; at real scale it would come from a k-means
-    * sample, the plumbing is identical), and a query scores only the
-    * `nProbe` centroid lists nearest to it. Recall measured against
-    * [[bruteForceTopK]] in the test suite.
+    * broadcast pass — seed centroids by default, learned k-means
+    * centroids via [[ivfTopKWith]] + [[ivfCentroidsKMeans]]), and a
+    * query scores only the `nProbe` centroid lists nearest to it.
+    * Recall measured against [[bruteForceTopK]] in the test suite.
     *
     * Scale shape: the corpus is scanned once for assignment; per query
     * the candidate set shrinks by ~numCentroids/nProbe. Partitioning the
     * stored corpus by list id turns each probe into a partition-pruned
     * read.
     */
-  /** Deterministic IVF coarse centroids: the first `numCentroids`
-    * vectors in id order, double-widened. (A production build would
-    * k-means these; determinism matters more than recall here and the
-    * probe math is identical either way.)
+  /** Deterministic IVF SEED centroids: the first `numCentroids` vectors
+    * in id order, double-widened — the zero-iteration baseline and the
+    * initialization of [[ivfCentroidsKMeans]] (which beats it on
+    * recall@k; measured in OpsSpec).
     */
   def ivfCentroids(
       emb: DataFrame,
@@ -308,6 +307,62 @@ object Similarity extends Serializable {
       .limit(numCentroids)
       .collect()
       .map(_._2.map(_.toDouble))
+  }
+
+  /** Learned IVF coarse centroids: deterministic Lloyd iterations on
+    * top of the [[ivfCentroids]] seed, with the centroid UPDATE in
+    * EXACT integer arithmetic — each element contributes
+    * `floor(x·10^6 + 0.5)` as a 64-bit integer, the per-(cluster, dim)
+    * sums are order-independent, and the new coordinate is one double
+    * division `sum/n/10^6` — so the learned centroids are bit-identical
+    * across partitionings, cluster sizes AND engines (a plain double
+    * mean would drift with aggregation order and break the oracle
+    * pairing; quantization error of 10^-6 per element is far below any
+    * recall effect). Empty clusters keep their previous centroid.
+    *
+    * Scale shape per iteration: one broadcast of k·d doubles out, one
+    * posexplode + partial-aggregated shuffle back carrying at most
+    * k·d rows per partition — the corpus is scanned `iters` times and
+    * nothing else moves. Seeding from the first k vectors (not a
+    * random sample) keeps runs reproducible; k-means|| style sampling
+    * would drop in here if seed diversity ever matters more than
+    * reproducibility.
+    */
+  def ivfCentroidsKMeans(
+      emb: DataFrame,
+      numCentroids: Int = 16,
+      iters: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Double]] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = emb.sparkSession
+    var cents = ivfCentroids(emb, numCentroids, idCol, vecCol)
+    for (_ <- 0 until iters) {
+      val bCents = spark.sparkContext.broadcast(cents)
+      val assignUdf = udf { (v: Seq[Float]) =>
+        val s = centroidDots(bCents.value, v)
+        var best = 0; var c = 1
+        while (c < s.length) { if (s(c) > s(best)) best = c; c += 1 }
+        best
+      }
+      val sums = emb
+        .select(assignUdf(col(vecCol)).as("_c"),
+          posexplode(col(vecCol)).as(Seq("_dim", "_x")))
+        .groupBy(col("_c"), col("_dim"))
+        .agg(
+          count(lit(1)).as("_n"),
+          sum(floor(col("_x").cast("double") * 1e6 + 0.5).cast("long")).as("_sq"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        val n = r.getLong(2); val sq = r.getLong(3)
+        if (c < next.length && d < next(c).length)
+          next(c)(d) = sq.toDouble / n / 1e6
+      }
+      cents = next
+    }
+    cents
   }
 
   /** Dot products of one vector against every centroid — the shared
@@ -330,9 +385,24 @@ object Similarity extends Serializable {
       numCentroids: Int = 16,
       nProbe: Int = 4,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    ivfTopKWith(
+      emb, ivfCentroids(emb, numCentroids, idCol, vecCol),
+      queryIds, k, nProbe, idCol, vecCol)
+
+  /** [[ivfTopK]] against an explicit centroid set (seeded or learned —
+    * [[ivfCentroidsKMeans]]); the probe/score/rank pipeline is
+    * identical for any coarse quantizer.
+    */
+  def ivfTopKWith(
+      emb: DataFrame,
+      cents: Array[Array[Double]],
+      queryIds: Seq[Long],
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
-    val cents = ivfCentroids(emb, numCentroids, idCol, vecCol)
     val bCents = spark.sparkContext.broadcast(cents)
     def centroidScores(v: Seq[Float]): Array[Double] =
       centroidDots(bCents.value, v)

@@ -395,14 +395,23 @@ object PointInTime {
     * [[asOfJoinBucketed]] splits every entity's window into time
     * buckets — right for a hot entity, wasteful for the long tail: when
     * an entity has fewer rows than buckets, the carry relation degrades
-    * to ~one row per input row and the carry join dominates (measured 8x
-    * slower than the plain window on a 5M-row long-tail-heavy synthetic).
-    * This operator therefore classifies entities by their feature-row
-    * count (one map-side-combined aggregation) and routes ONLY entities
-    * above `hotRowThreshold` through the bucketed two-pass; everything
-    * else takes the plain window. As-of results are per-entity
-    * independent, so the disjoint union is exactly [[asOfJoin]]'s
-    * answer — property-tested equivalent.
+    * to ~one row per input row and the carry join dominates. This
+    * operator therefore classifies entities by their feature-row count
+    * (one map-side-combined aggregation) and routes ONLY entities above
+    * `hotRowThreshold` through the bucketed two-pass; everything else
+    * takes the plain window. As-of results are per-entity independent,
+    * so the disjoint union is exactly [[asOfJoin]]'s answer —
+    * property-tested equivalent.
+    *
+    * Committed evidence (examples/SkewDemo, 20M rows, one entity owning
+    * 50%, 32 cores — full numbers in PLANS.md "skew routing evidence"):
+    * the hot entity alone runs 25.5s under the indivisible window
+    * partition vs 4.4s bucketed (5.9x), and the hybrid wins the full
+    * workload 6.1s vs the window's 13.1s (2.2x) while all-bucketed
+    * LOSES at 16.3s — routing, not bucketing, is the win. Below the
+    * crossover (the same demo at 5M rows) the window wins outright,
+    * which is what the threshold encodes: with no hot entities the
+    * hybrid IS the plain window.
     *
     * The hot set is collected to the driver: it is bounded above by
     * totalRows / hotRowThreshold (e.g. a 10^12-row table at the default

@@ -289,6 +289,27 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.4) // deterministic given the fixed centroid seed
   }
 
+  test("learned (k-means) centroids beat first-N seed recall, deterministically") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ids = (0L until 50L).toSeq
+    val k = 5
+    def topkSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = topkSet(Similarity.bruteForceTopK(e, ids, k))
+    val learned = Similarity.ivfCentroidsKMeans(e, numCentroids = 16, iters = 1)
+    for (nProbe <- Seq(2, 4)) {
+      val seedR = topkSet(Similarity.ivfTopK(e, ids, k, numCentroids = 16, nProbe = nProbe))
+        .intersect(exact).size.toDouble / exact.size
+      val kmR = topkSet(Similarity.ivfTopKWith(e, learned, ids, k, nProbe = nProbe))
+        .intersect(exact).size.toDouble / exact.size
+      info(f"recall@$k nProbe=$nProbe: seed=$seedR%.3f kmeans=$kmR%.3f")
+      assert(kmR > seedR) // measured 0.516 vs 0.484 (probe 2), 0.656 vs 0.620 (probe 4)
+    }
+    // exact-arithmetic update ⇒ training is reproducible bit-for-bit
+    val again = Similarity.ivfCentroidsKMeans(e, numCentroids = 16, iters = 1)
+    assert(learned.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("IVF indexed path equals one-shot IVF and prunes index partitions") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Similarity.ivfCentroids(e)
