@@ -2,13 +2,15 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.FloatVectorDot
+import graft.functions.{FloatVectorDot, Md5PrefixLong}
 import graft.plans.AsOfJoinStrategy
 
 /** Session wiring for graft's Catalyst extensions:
   *
   *   - `graft_dot(a, b)` — native codegen float-vector dot product
   *     ([[graft.functions.FloatVectorDot]]), callable from SQL;
+  *   - `graft_md5_long(s, n)` — native md5-prefix hash
+  *     ([[graft.functions.Md5PrefixLong]]), callable from SQL;
   *   - [[graft.plans.AsOfJoinStrategy]] — plans the native as-of join
   *     operator ([[graft.plans.AsOfJoinNode]]).
   *
@@ -24,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     val (id, info, builder) = FloatVectorDot.descriptor
     e.injectFunction((id, info, builder))
+    val (hid, hinfo, hbuilder) = Md5PrefixLong.descriptor
+    e.injectFunction((hid, hinfo, hbuilder))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
@@ -40,5 +44,7 @@ object GraftExtensions {
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val (id, info, builder) = FloatVectorDot.descriptor
     org.apache.spark.sql.graftbridge.bridge.registerFunction(spark, id, info, builder)
+    val (hid, hinfo, hbuilder) = Md5PrefixLong.descriptor
+    org.apache.spark.sql.graftbridge.bridge.registerFunction(spark, hid, hinfo, hbuilder)
   }
 }

@@ -16,13 +16,15 @@ object Hashing {
 
   /** First 15 hex chars of md5 → non-negative 60-bit long.
     * DuckDB equivalent: CAST(('0x' || substr(md5(x),1,15)) AS BIGINT).
+    * Native codegen'd digest-byte assembly ([[Md5PrefixLong]]) — same
+    * value as the conv/substring composition, none of its four per-row
+    * string materializations (equivalence property-tested against the
+    * composed form in HashingSpec).
     */
-  def md5Long60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  def md5Long60(c: Column): Column = Md5PrefixLong(c, 15)
 
   /** First 8 hex chars of md5 → non-negative 32-bit value in a long. */
-  def md5Long32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+  def md5Long32(c: Column): Column = Md5PrefixLong(c, 8)
 
   /** JVM-side twin of [[md5Long60]] (same md5 → same value), for driver-
     * side derivation of deterministic constants (e.g. LSH hyperplanes).

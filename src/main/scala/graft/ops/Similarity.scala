@@ -321,12 +321,17 @@ object Similarity extends Serializable {
     * recall effect). Empty clusters keep their previous centroid.
     *
     * Scale shape per iteration: one broadcast of k·d doubles out, one
-    * posexplode + partial-aggregated shuffle back carrying at most
-    * k·d rows per partition — the corpus is scanned `iters` times and
-    * nothing else moves. Seeding from the first k vectors (not a
-    * random sample) keeps runs reproducible; k-means|| style sampling
-    * would drop in here if seed diversity ever matters more than
-    * reproducibility.
+    * WIDE partial-aggregated pass back (d per-dimension sums as
+    * aggregate columns keyed on the assignment — k·(d+1) numbers per
+    * partition through the shuffle; the UDF computing the assignment
+    * runs once per VECTOR as the grouping key, where an explode-based
+    * formulation re-evaluates it per element, measured 13× slower) —
+    * the corpus is scanned `iters` times and nothing else moves. The
+    * wide form fits embedding dims (64-4096); past that, explode with a
+    * pre-materialized assignment instead. Seeding from the first k
+    * vectors (not a random sample) keeps runs reproducible; k-means||
+    * style sampling would drop in here if seed diversity ever matters
+    * more than reproducibility.
     */
   def ivfCentroidsKMeans(
       emb: DataFrame,
@@ -337,6 +342,8 @@ object Similarity extends Serializable {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val spark = emb.sparkSession
     var cents = ivfCentroids(emb, numCentroids, idCol, vecCol)
+    if (cents.isEmpty) return cents
+    val dims = cents(0).length
     for (_ <- 0 until iters) {
       val bCents = spark.sparkContext.broadcast(cents)
       val assignUdf = udf { (v: Seq[Float]) =>
@@ -345,20 +352,25 @@ object Similarity extends Serializable {
         while (c < s.length) { if (s(c) > s(best)) best = c; c += 1 }
         best
       }
-      val sums = emb
-        .select(assignUdf(col(vecCol)).as("_c"),
-          posexplode(col(vecCol)).as(Seq("_dim", "_x")))
-        .groupBy(col("_c"), col("_dim"))
-        .agg(
-          count(lit(1)).as("_n"),
-          sum(floor(col("_x").cast("double") * 1e6 + 0.5).cast("long")).as("_sq"))
+      val sumAggs = (0 until dims).map { d =>
+        sum(floor(element_at(col(vecCol), d + 1).cast("double") * 1e6 + 0.5)
+          .cast("long")).as(s"_s$d")
+      }
+      val rows = emb
+        .groupBy(assignUdf(col(vecCol)).as("_c"))
+        .agg(count(lit(1)).as("_n"), sumAggs: _*)
         .collect()
       val next = cents.map(_.clone())
-      sums.foreach { r =>
-        val c = r.getInt(0); val d = r.getInt(1)
-        val n = r.getLong(2); val sq = r.getLong(3)
-        if (c < next.length && d < next(c).length)
-          next(c)(d) = sq.toDouble / n / 1e6
+      rows.foreach { r =>
+        val c = r.getInt(0)
+        val n = r.getLong(1)
+        if (c >= 0 && c < next.length) {
+          var d = 0
+          while (d < dims) {
+            next(c)(d) = r.getLong(d + 2).toDouble / n / 1e6
+            d += 1
+          }
+        }
       }
       cents = next
     }

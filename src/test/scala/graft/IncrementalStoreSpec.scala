@@ -118,6 +118,39 @@ class IncrementalStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(d.tableNames == Seq("alpha"))
   }
 
+  test("random register/append interleavings equal full-snapshot registers (model check)") {
+    // deterministic pseudo-random schedule; the model is "version v =
+    // concatenation of all batches registered up to v"
+    val rnd = new scala.util.Random(42)
+    val root = freshRoot()
+    val store = new FeatureStore(spark, root, maxVersions = 20)
+    var model = Vector.empty[Vector[(Int, Int)]] // batches of (idStart, day)
+    var nextId = 1
+    for (step <- 1 to 6) {
+      val n = 3 + rnd.nextInt(5)
+      val batch = rnd.nextInt(3) // 0 = full register of model+new, 1,2 = append
+      val ids = nextId until (nextId + n); nextId += n
+      val day = 1 + step
+      val df = rows(ids, day)
+      if (batch == 0 || model.isEmpty) {
+        // full snapshot = everything so far plus this batch
+        val allDf = model.map(b => rows(b.head._1 until (b.head._1 + b.size), b.head._2))
+          .foldLeft(df)((acc, d) => acc.unionByName(d))
+        store.register("t", allDf)
+        model = model :+ ids.map(i => (i, day)).toVector
+      } else {
+        store.registerAppend("t", df, maxSegments = 3) // small cap → compactions fire
+        model = model :+ ids.map(i => (i, day)).toVector
+      }
+      // the CURRENT version must always equal the model union
+      val expected = model.map(b =>
+        collected(rows(b.head._1 until (b.head._1 + b.size), b.head._2))).reduce(_ ++ _)
+      val v = store.getTableInfo("t").version
+      assert(collected(store.getVersion("t", v)) == expected,
+        s"step $step (mode $batch, version $v) diverged from model")
+    }
+  }
+
   test("concurrent writers of the SAME table are detected, and reopening recovers") {
     val root = freshRoot()
     val a = new FeatureStore(spark, root)
