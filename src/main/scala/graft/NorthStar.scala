@@ -532,6 +532,18 @@ object NorthStar {
     "dedup_lsh_verified" -> ((s, dir) =>
       Dedup.verifiedNearDupPairs(docs(s, dir), threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // incremental (batch-vs-corpus) near-dup: a simulated daily batch
+    // (doc_id % 7 = 0) verified against the rest of the corpus — LSH
+    // band join across the two sides, never a corpus self-join
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup
+        .incrementalNearDupPairs(
+          d.filter(col("doc_id") % 7 === 0),
+          d.filter(col("doc_id") % 7 =!= 0),
+          threshold = 0.5)
+        .orderBy("new_id", "corpus_id")
+    }),
     // candidate pairs → dedup GROUPS: min-reachable-id components
     "dedup_clusters" -> ((s, dir) =>
       Dedup
@@ -1651,6 +1663,35 @@ object NorthStar {
     "dedup_minhash_lsh" ->
       (s"WITH $MinhashPairCtes\n" +
         "SELECT id_a, id_b FROM pairs\nORDER BY id_a, id_b"),
+
+    // batch-vs-corpus candidates: same signature chain, pairs joined
+    // ACROSS the doc_id%7 split (no a<b cut — the sides are disjoint),
+    // then the same exact-Jaccard verification as dedup_lsh_verified
+    "dedup_incremental" ->
+      (s"WITH $MinhashPairCtes,\n" +
+        s"""xp AS (
+           |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+           |  FROM sig a JOIN sig b
+           |    ON a.band = b.band AND a.sig = b.sig
+           |   AND a.doc_id % 7 = 0 AND b.doc_id % 7 != 0
+           |),
+           |ihraw AS (SELECT doc_id, ${Md5Long60.format("s")} AS hw FROM sh),
+           |isizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           |           FROM ihraw GROUP BY 1),
+           |iinter AS (
+           |  SELECT p.new_id, p.corpus_id, CAST(count(*) AS BIGINT) AS i
+           |  FROM xp p
+           |  JOIN ihraw a ON a.doc_id = p.new_id
+           |  JOIN ihraw b ON b.doc_id = p.corpus_id AND b.hw = a.hw
+           |  GROUP BY 1, 2
+           |)
+           |SELECT i.new_id, i.corpus_id,
+           |       CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+           |FROM iinter i
+           |JOIN isizes sa ON sa.doc_id = i.new_id
+           |JOIN isizes sb ON sb.doc_id = i.corpus_id
+           |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+           |ORDER BY new_id, corpus_id""".stripMargin),
 
     // exact Jaccard on the LSH candidates only, over the UNREDUCED
     // 60-bit shingle hashes (the mod-4294967311 hv exists only for the

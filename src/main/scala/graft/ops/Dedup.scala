@@ -175,6 +175,27 @@ object Dedup {
       shingleWidth: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val banded = minhashBandSignatures(docs, numPerms, rowsPerBand, shingleWidth, idCol, textCol)
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Banded MinHash signatures: one row per (id, band, sig) — the
+    * persistable LSH index form. In a production pipeline the corpus's
+    * signatures are computed once at ingest and STORED (partitioned by
+    * band); incremental dedup then hashes only the incoming batch.
+    */
+  def minhashBandSignatures(
+      docs: DataFrame,
+      numPerms: Int,
+      rowsPerBand: Int,
+      shingleWidth: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     if (rowsPerBand < 1 || numPerms % rowsPerBand != 0)
       throw new graft.store.FeatureValidationError(
         s"rowsPerBand ($rowsPerBand) must be >= 1 and divide numPerms ($numPerms)")
@@ -197,15 +218,86 @@ object Dedup {
         (b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => col(s"_mh$i").cast("string")): _*)
     }
-    val banded = sigWide.select(
+    sigWide.select(
       col(idCol),
       posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
-    val b = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+  }
+
+  /** Incremental near-dup detection — the daily-ingest production
+    * shape: verify each INCOMING document against the EXISTING corpus
+    * without ever self-joining the corpus. Candidates come from an
+    * equi-join of the batch's band signatures against the corpus's
+    * (at scale the corpus side is the stored [[minhashBandSignatures]]
+    * index, partitioned by band — only matching bands are read, and
+    * the work per day is O(batch), not O(corpus)); exact shingle
+    * Jaccard is computed on candidates only. Output: one row per
+    * (new_id, corpus_id) pair at or above `threshold`.
+    */
+  def incrementalNearDupPairs(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      numPerms: Int = 16,
+      rowsPerBand: Int = 4,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    incrementalNearDupPairs(
+      incoming,
+      buildNearDupIndex(corpus, numPerms, rowsPerBand, n, idCol, textCol),
+      threshold, numPerms, rowsPerBand, n, idCol, textCol)
+
+  /** The corpus side of incremental dedup, as a value a pipeline builds
+    * ONCE (and persists/caches): banded signatures for candidate
+    * generation plus shingle-hash sets for exact verification. Both
+    * components are plain DataFrames — write them partitioned by band /
+    * bucketed by id and every future batch reads only what it probes.
+    */
+  final case class NearDupIndex(signatures: DataFrame, shingleSets: DataFrame)
+
+  def buildNearDupIndex(
+      corpus: DataFrame,
+      numPerms: Int = 16,
+      rowsPerBand: Int = 4,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): NearDupIndex =
+    NearDupIndex(
+      minhashBandSignatures(corpus, numPerms, rowsPerBand, n, idCol, textCol)
+        .select(col(idCol).as("corpus_id"), col("band"), col("sig")),
+      shingleHashSets(corpus, n, idCol, textCol)
+        .select(col(idCol).as("corpus_id"), col("_set").as("_sb"), col("_n").as("_nb")))
+
+  /** [[incrementalNearDupPairs]] against a prebuilt corpus index — the
+    * form a daily/streaming pipeline actually runs: only the incoming
+    * batch is shingled and hashed here.
+    */
+  def incrementalNearDupPairs(
+      incoming: DataFrame,
+      index: NearDupIndex,
+      threshold: Double,
+      numPerms: Int,
+      rowsPerBand: Int,
+      n: Int,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val sigNew = minhashBandSignatures(incoming, numPerms, rowsPerBand, n, idCol, textCol)
+      .select(col(idCol).as("new_id"), col("band"), col("sig"))
+    val cands = sigNew.join(index.signatures, Seq("band", "sig"))
+      .select("new_id", "corpus_id")
       .distinct()
+    val setsNew = shingleHashSets(incoming, n, idCol, textCol)
+      .select(col(idCol).as("new_id"), col("_set").as("_sa"), col("_n").as("_na"))
+    cands
+      .join(setsNew, "new_id")
+      .join(index.shingleSets, "corpus_id")
+      .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))))
+      .select(
+        col("new_id"),
+        col("corpus_id"),
+        (col("_inter").cast("double") /
+          (col("_na") + col("_nb") - col("_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 32-bit SimHash per document over tokens (with multiplicity):

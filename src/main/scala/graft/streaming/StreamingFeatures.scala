@@ -172,6 +172,40 @@ object StreamingFeatures {
     }
   }
 
+  /** Streaming incremental near-dup — the in-flight "does today's crawl
+    * duplicate the corpus?" check: each micro-batch of incoming
+    * documents is verified against a PREBUILT corpus index
+    * ([[graft.ops.Dedup.buildNearDupIndex]], persisted/cached once) via
+    * `foreachBatch` reusing the EXACT batch kernel
+    * ([[graft.ops.Dedup.incrementalNearDupPairs]]) — batch/stream
+    * symmetry by construction, the same stance as [[StreamingIngest]].
+    * Per batch the handler receives the (new_id, corpus_id, jaccard)
+    * pairs at or above `threshold`.
+    *
+    * Scale shape per micro-batch: the batch (small) is shingled and
+    * hashed fresh; the corpus index is only probed at matching bands —
+    * work is O(batch), never O(corpus).
+    */
+  def incrementalDedupStream(
+      stream: DataFrame,
+      index: graft.ops.Dedup.NearDupIndex,
+      threshold: Double,
+      numPerms: Int = 16,
+      rowsPerBand: Int = 4,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text")(
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.ops.Dedup.incrementalNearDupPairs(
+            batch, index, threshold, numPerms, rowsPerBand, n, idCol, textCol),
+          batchId)
+      }
+      .start()
+
   /** Continuously-maintained latest-row-per-entity — the streaming twin
     * of [[graft.store.PointInTime.latestPerEntity]] and the online-
     * serving materialization: each micro-batch emits only entities whose

@@ -204,6 +204,27 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSet.subsetOf(allPairs))
   }
 
+  test("incrementalNearDupPairs verifies batch docs against the corpus only") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "z y x w v u t s"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "a b c d e f g h"), // dup of corpus doc 1
+      (11L, "totally novel content never seen anywhere")).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDupPairs(incoming, corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(out == List((10L, 1L, 1.0)))
+    // corpus-internal duplicates must NOT appear (no corpus self-join)
+    val corpusWithDup = corpus.unionByName(
+      Seq((4L, "a b c d e f g h")).toDF("doc_id", "text"))
+    val out2 = Dedup.incrementalNearDupPairs(incoming, corpusWithDup, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out2 == Set((10L, 1L), (10L, 4L)))
+  }
+
   test("connectedComponents labels each node with its min reachable id") {
     val s = spark
     import s.implicits._

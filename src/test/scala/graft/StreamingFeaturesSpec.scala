@@ -16,6 +16,37 @@ class StreamingFeaturesSpec extends AnyFunSuite with SparkTestBase {
 
   private def t(s: String): Timestamp = ts(s)
 
+  test("streaming incremental dedup flags batch docs against a static corpus index") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "z y x w v u t s")).toDF("doc_id", "text")
+    val index = graft.ops.Dedup.buildNearDupIndex(corpus)
+    index.signatures.cache(); index.shingleSets.cache()
+    val source = MemoryStream[(Long, String)]
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val query = StreamingFeatures.incrementalDedupStream(
+      source.toDF().toDF("doc_id", "text"), index, threshold = 0.5) { (pairs, _) =>
+      flagged.synchronized {
+        flagged ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try {
+      source.addData((10L, "a b c d e f g h")) // dup of corpus doc 1
+      query.processAllAvailable()
+      source.addData((11L, "nothing like anything stored before now"))
+      source.addData((12L, "z y x w v u t s")) // dup of corpus doc 2
+      query.processAllAvailable()
+      assert(flagged.synchronized(flagged.toSet) ==
+        Set((10L, 1L, 1.0), (12L, 2L, 1.0)))
+    } finally {
+      query.stop()
+      index.signatures.unpersist(); index.shingleSets.unpersist()
+    }
+  }
+
   test("windowed aggregates per entity with sliding windows") {
     val s = spark
     import s.implicits._
