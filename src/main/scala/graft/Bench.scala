@@ -35,6 +35,14 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "131072")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
+      // The contract session runs 100+ DISTINCT queries; their
+      // whole-stage-codegen units far exceed the default 100-entry
+      // compiled-class cache, so every pass was Janino-recompiling
+      // every plan (~0.15s/query of pure compiler time — measured
+      // 37.9s → 20.9s total from this one setting). Any long-lived
+      // session serving a wide query mix wants this; it trades a few
+      // hundred MB of metaspace for compile-once semantics.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
     // dev knob: semicolon-separated k=v pairs, e.g.
     // SPARK_GRAFT_EXTRA_CONF='spark.sql.adaptive.enabled=false'
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(

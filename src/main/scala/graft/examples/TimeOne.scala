@@ -21,6 +21,7 @@ object TimeOne {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "131072")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
       _.split(';').iterator.map(_.trim).filter(_.nonEmpty).foreach { kv =>
         kv.split("=", 2) match {
