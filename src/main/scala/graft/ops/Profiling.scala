@@ -271,13 +271,17 @@ object Profiling {
     *
     * Width gating: a cheap preliminary range scan (per-column max |x|
     * and count — one map-side-combined aggregate returning p+1 numbers)
-    * decides PER PRODUCT whether its sum provably fits in int64
-    * (maxAbs_i · maxAbs_j · n < 2^62) — those accumulate as plain long
-    * arithmetic (~10× cheaper per row than BigDecimal); only products
-    * that could overflow pay decimal(38,0). The final n·Σxy − Σx·Σy
-    * combination always runs in decimal(38,0), but on ONE row, so the
-    * cost is nil and the value is bit-identical to the all-decimal
-    * formulation either way (exact integers are exact integers).
+    * decides PER PRODUCT among three accumulation tiers: (1) plain long
+    * when maxAbs_i · maxAbs_j · n < 2^62; (2) split accumulators when
+    * the product overflows int64 but both factors fit 32 bits — the
+    * factors split at 2^16 and three long sums reassemble the exact
+    * 128-bit total on the final row (see inline comment); (3)
+    * decimal(38,0) only when even the split components could overflow.
+    * Tiers 1-2 are pure long arithmetic per row (~10× cheaper than
+    * BigDecimal). The final n·Σxy − Σx·Σy combination always runs in
+    * decimal(38,0), but on ONE row, so the cost is nil and the value is
+    * bit-identical to the all-decimal formulation in every tier (exact
+    * integers are exact integers).
     *
     * Output: one row per unordered pair (col_a < col_b by argument
     * order) with n and corr_r.
@@ -320,22 +324,55 @@ object Profiling {
       val s = if (fits) sum(col(c)) else sum(col(c).cast(dec))
       s.as(s"_s_$c")
     }
-    val prods = for { i <- idx; j <- idx if i <= j } yield {
+    // Middle tier for products that overflow int64 as a whole but whose
+    // FACTORS fit 32 bits: split each factor at 2^16 (a = x >> 16
+    // arithmetic, b = x & 0xFFFF — exact for negatives too, since
+    // x = a·2^16 + b under floor division), accumulate the three
+    // component sums Σaa', Σ(ab'+a'b), Σbb' as plain longs, and
+    // reassemble Σxy = Σaa'·2^32 + Σ(ab'+a'b)·2^16 + Σbb' in decimal on
+    // the ONE aggregated row. Per-row cost: three long multiplies
+    // instead of a BigDecimal multiply (~10× cheaper); the value is
+    // identical — exact integers compose exactly.
+    def fitsSplit(i: Int, j: Int): Boolean = {
+      val nn = BigInt(n.max(1L))
+      val lim = BigInt(1) << 62
+      val hiI = BigInt(maxAbs(i) >> 16) + 1
+      val hiJ = BigInt(maxAbs(j) >> 16) + 1
+      val lo = BigInt(65535)
+      maxAbs(i) < (1L << 31) && maxAbs(j) < (1L << 31) &&
+        nn * hiI * hiJ < lim &&
+        nn * (hiI * lo + hiJ * lo) < lim &&
+        nn * lo * lo < lim
+    }
+    def hiOf(c: Column) = shiftright(c, 16)
+    def loOf(c: Column) = c.bitwiseAND(lit(0xFFFFL))
+
+    val prodAggs = (for { i <- idx; j <- idx if i <= j } yield {
       val x = col(valueCols(i))
       val y = col(valueCols(j))
-      val s =
-        if (fitsLong(i, j)) sum(x * y)
-        else sum(x.cast(dec) * y.cast(dec))
-      s.as(s"_p_${i}_$j")
+      val base = s"_p_${i}_$j"
+      if (fitsLong(i, j)) Seq(sum(x * y).as(base))
+      else if (fitsSplit(i, j)) Seq(
+        sum(hiOf(x) * hiOf(y)).as(s"${base}_hh"),
+        sum(hiOf(x) * loOf(y) + hiOf(y) * loOf(x)).as(s"${base}_hl"),
+        sum(loOf(x) * loOf(y)).as(s"${base}_ll"))
+      else Seq(sum(x.cast(dec) * y.cast(dec)).as(base))
+    }).flatten
+    // one-row reassembly: whatever width/shape each moment accumulated
+    // at, it re-enters the exact combination step as decimal(38,0)
+    def prodDecimal(i: Int, j: Int): Column = {
+      val base = s"_p_${i}_$j"
+      if (fitsSplit(i, j) && !fitsLong(i, j))
+        (col(s"${base}_hh").cast(dec) * lit(4294967296L).cast(dec) +
+          col(s"${base}_hl").cast(dec) * lit(65536L).cast(dec) +
+          col(s"${base}_ll").cast(dec)).as(base)
+      else col(base).cast(dec).as(base)
     }
-    val aggs = (count(lit(1)).as("_n") +: sums) ++ prods
+    val aggs = (count(lit(1)).as("_n") +: sums) ++ prodAggs
     val a = prepared.agg(aggs.head, aggs.tail: _*)
-      // one row: re-widen every moment to decimal for the exact
-      // combination step, whatever width it accumulated at
       .select(col("_n").cast("long").as("_nl") +:
         (valueCols.map(c => col(s"_s_$c").cast(dec).as(s"_s_$c")) ++
-          (for { i <- idx; j <- idx if i <= j }
-            yield col(s"_p_${i}_$j").cast(dec).as(s"_p_${i}_$j")) :+
+          (for { i <- idx; j <- idx if i <= j } yield prodDecimal(i, j)) :+
           col("_n").cast(dec).as("_n")): _*)
 
     def toD(c: Column): Column = c.cast("string").cast("double")

@@ -57,6 +57,42 @@ class ProfilingSpec extends AnyFunSuite with SparkTestBase {
       .getAs[Long]("n") == 3L)
   }
 
+  test("correlationMatrix: all three accumulation tiers agree with exact BigInt Pearson") {
+    val s = spark
+    import s.implicits._
+    // one BigInt-exact reference for any pair of columns
+    def refCorr(xs: Seq[Long], ys: Seq[Long]): Double = {
+      val n = BigInt(xs.size)
+      val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+      val sxx = xs.map(v => BigInt(v) * v).sum
+      val syy = ys.map(v => BigInt(v) * v).sum
+      val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+      val num = n * sxy - sx * sy
+      val d1 = n * sxx - sx * sx
+      val d2 = n * syy - sy * sy
+      // the engine's exact tree: double(num) / (sqrt(d1) * sqrt(d2))
+      num.toDouble / (math.sqrt(d1.toDouble) * math.sqrt(d2.toDouble))
+    }
+    def check(rows: Seq[(Long, Long)]): Unit = {
+      val df = rows.toDF("x", "y")
+      val got = Profiling.correlationMatrix(df, Seq("x", "y")).head()
+      val want = refCorr(rows.map(_._1), rows.map(_._2))
+      assert(got.getAs[Double]("corr_r") == want, s"rows=$rows")
+    }
+    // tier 1 (fits long): small values
+    check(Seq((1L, 5L), (2L, 9L), (3L, 10L), (4L, 21L)))
+    // tier 2 (split accumulators): |x| ~ 2e9 < 2^31 but x*y*n >= 2^62,
+    // negatives included to exercise the arithmetic-shift decomposition
+    check(Seq(
+      (2000000000L, 1999999999L), (-1999999998L, 1500000007L),
+      (1234567890L, -1987654321L), (-1111111111L, -2000000000L),
+      (1765432109L, 1876543210L)))
+    // tier 3 (decimal): factors past 32 bits
+    check(Seq(
+      (3000000000000L, 2999999999999L), (-2999999999998L, 1500000000007L),
+      (1234567890123L, -1987654321098L), (-1111111111111L, -3000000000000L)))
+  }
+
   test("standardize: z-scores from sample std, min-max in [0,1], constants null") {
     val s = spark
     import s.implicits._
