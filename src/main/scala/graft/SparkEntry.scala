@@ -119,6 +119,37 @@ object SparkEntry {
       store
     })
 
+  /** The incremental-registration twin of [[demoStore]]: the same events
+    * table built as an initial register PLUS a [[graft.store.FeatureStore.registerAppend]]
+    * of everything after a cutoff — manifest-chained version 2 whose
+    * reads must be value-identical to a single full register (and to
+    * plain SQL over the raw table). Splitting on ts keeps both segments
+    * non-empty at every scale factor.
+    */
+  private val appendStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def appendStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    appendStores.computeIfAbsent(dir, _ => {
+      val feats = eventsFeatures(s, dir)
+      val fp = feats.agg(count(lit(1)), sum(col("event_id"))).head()
+      val rows = fp.getLong(0)
+      val idSum = fp.getLong(1)
+      val san = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root =
+        s"${sys.props("java.io.tmpdir")}/graft_store_app_v1_${san}_${rows}_$idSum"
+      val store = new graft.store.FeatureStore(s, root)
+      val fresh = !store.tableNames.contains("events") ||
+        store.getTableInfo("events").rowCount != rows
+      if (fresh) {
+        store.delete("events")
+        val cutoff = lit(utcTs("2024-01-10 00:00:00"))
+        store.register("events", feats.filter(col("timestamp") < cutoff))
+        store.registerAppend("events", feats.filter(col("timestamp") >= cutoff))
+      }
+      store
+    })
+
   // -------------------------------------------------------------- contract
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -352,6 +383,16 @@ object SparkEntry {
         .get("events", PitIds, PitAsOf)
         .orderBy("entity_id")),
 
+    // incremental-registration roundtrip: the table is version 2 of an
+    // initial register + registerAppend (manifest-chained segments);
+    // the PIT read through the chained manifest must equal the same
+    // oracle as the single-snapshot roundtrip — O(delta) storage is
+    // value-invisible
+    "store_append_roundtrip" -> ((s, dir) =>
+      appendStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
+
     // O8 through the storage layer: training-set as-of join against the
     // registered table (same oracle as asof_join_events)
     "store_asof_roundtrip" -> ((s, dir) => {
@@ -536,6 +577,9 @@ object SparkEntry {
     "pit_snapshot_events" -> EventsPitOracle,
 
     "store_pit_roundtrip" -> EventsPitOracle,
+
+    // the chained-manifest read must be value-invisible too
+    "store_append_roundtrip" -> EventsPitOracle,
 
     "store_asof_roundtrip" -> EventsAsOfOracle,
 

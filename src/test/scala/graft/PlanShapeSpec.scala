@@ -49,6 +49,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "pigeonhole banding must not plan a cartesian product")
   }
 
+  test("incrementalNearDupPairs never plans a corpus self-join or cartesian") {
+    val incoming = docsDf.filter(col("doc_id") % 5 === 0)
+    val corpus = docsDf.filter(col("doc_id") % 5 =!= 0)
+    val ns = executedNodes(
+      Dedup.incrementalNearDupPairs(incoming, corpus, threshold = 0.3))
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+      "candidate generation must stay an equi-join on (band, sig)")
+    assert(!ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "no all-pairs fallback may appear")
+  }
+
   test("standardize stats ride a broadcast join, not a per-group window") {
     val s = spark
     import s.implicits._
