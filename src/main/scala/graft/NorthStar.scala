@@ -694,6 +694,20 @@ object NorthStar {
         .toDF()
         .orderBy("doc_id")),
 
+    // the full decode → transform → encode triangle on real pixels:
+    // encode 16px-wide BMP, nearest-neighbor downsample 2x through the
+    // codec (decode, sample every 2nd pixel both axes, re-encode), then
+    // decode AGAIN for features — the oracle recomputes the kept-pixel
+    // channel sums from text positions, so the hash certifies both
+    // codec directions and the geometry of the resample
+    "multimodal_bmp_resize" -> ((s, dir) =>
+      Multimodal
+        .decodeImageFeatures(
+          Multimodal.resizeImage(
+            Multimodal.encodeBmpFromText(docs(s, dir), width = 16), factor = 2))
+        .toDF()
+        .orderBy("doc_id")),
+
     // benchmark decontamination: drop training docs sharing any word
     // 4-gram with the held-out eval slice (source src19); the eval gram
     // set broadcasts, the corpus is scanned once
@@ -2071,6 +2085,29 @@ object NorthStar {
         |       CAST(max(length(tok) * 1000 - 5000) AS BIGINT) AS max_sample
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // kept-pixel geometry of the 2x nearest-neighbor downsample: output
+    // pixel (ox, oy) of the 8px-wide result samples source pixel
+    // (2ox, 2oy) of the 16px-wide grid → source byte 3*(2*oy*16 + 2*ox)
+    "multimodal_bmp_resize" ->
+      """SELECT doc_id,
+        |       CAST(8 AS BIGINT) AS width,
+        |       CAST((h + 1) // 2 AS BIGINT) AS height,
+        |       CAST(list_sum(list_transform(range(0, ((h + 1) // 2) * 8),
+        |           p -> ascii(substr(text,
+        |               3 * (2 * (CAST(p AS INT) // 8) * 16 + 2 * (CAST(p AS INT) % 8)) + 1,
+        |               1)))) AS BIGINT) AS sum_b,
+        |       CAST(list_sum(list_transform(range(0, ((h + 1) // 2) * 8),
+        |           p -> ascii(substr(text,
+        |               3 * (2 * (CAST(p AS INT) // 8) * 16 + 2 * (CAST(p AS INT) % 8)) + 2,
+        |               1)))) AS BIGINT) AS sum_g,
+        |       CAST(list_sum(list_transform(range(0, ((h + 1) // 2) * 8),
+        |           p -> ascii(substr(text,
+        |               3 * (2 * (CAST(p AS INT) // 8) * 16 + 2 * (CAST(p AS INT) % 8)) + 3,
+        |               1)))) AS BIGINT) AS sum_r
+        |FROM (SELECT doc_id, text, length(text) // 48 AS h
+        |      FROM documents WHERE length(text) >= 48)
         |ORDER BY doc_id""".stripMargin,
 
     // channel sums by byte position: pixel p of a 16px-wide row grid

@@ -213,6 +213,46 @@ object Multimodal {
       .toDF()
   }
 
+  /** REAL image resize through the codec: decode, nearest-neighbor
+    * downsample by integer `factor` (keep every factor-th pixel in both
+    * axes), re-encode as BMP. The full decode → transform → encode
+    * triangle over actual pixel data — not the byte-skip stub of
+    * [[resize]] — still a shuffle-free per-row map. Undecodable
+    * payloads are dropped.
+    */
+  def resizeImage(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          MediaCodecs.decode(bytes) match {
+            case Some(DecodedImage(w, h, 3, px)) =>
+              val ow = (w + factor - 1) / factor
+              val oh = (h + factor - 1) / factor
+              val out = new Array[Byte](ow * oh * 3)
+              var oy = 0
+              while (oy < oh) {
+                var ox = 0
+                while (ox < ow) {
+                  val src = ((oy * factor) * w + ox * factor) * 3
+                  val dst = (oy * ow + ox) * 3
+                  out(dst) = px(src); out(dst + 1) = px(src + 1); out(dst + 2) = px(src + 2)
+                  ox += 1
+                }
+                oy += 1
+              }
+              Some(MediaRow(id, BmpCodec.encode(ow, oh, out), BmpCodec.contentType))
+            case _ => None
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Distributed REAL image decode: codec-registry parse + exact
     * per-channel sums. Undecodable payloads are dropped (see
     * [[decodeAudioFeatures]]). Shuffle-free.

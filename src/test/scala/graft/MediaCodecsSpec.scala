@@ -103,6 +103,25 @@ class MediaCodecsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == (1L, 1000L, -1000L))
   }
 
+  test("resizeImage keeps every factor-th pixel, ceil dims, odd sizes included") {
+    val s = spark
+    import s.implicits._
+    // 3x3 source (odd both axes) → 2x2 output keeping pixels (0,0),(2,0),(0,2),(2,2)
+    val w = 3; val h = 3
+    val px = Array.tabulate[Byte](w * h * 3)(i => i.toByte)
+    val media = Seq((1L, BmpCodec.encode(w, h, px), "image/bmp"))
+      .toDF("doc_id", "media", "kind")
+    val out = Multimodal.resizeImage(media, factor = 2)
+      .collect()
+    assert(out.length == 1)
+    val resized = out.head.getAs[Array[Byte]]("media")
+    val Some(DecodedImage(ow, oh, _, opx)) = BmpCodec.decode(resized)
+    assert(ow == 2 && oh == 2)
+    def srcPix(x: Int, y: Int) = (0 until 3).map(c => px((y * w + x) * 3 + c))
+    val want = Seq((0, 0), (2, 0), (0, 2), (2, 2)).flatMap { case (x, y) => srcPix(x, y) }
+    assert(opx.toSeq == want)
+  }
+
   test("distributed bmp pipeline: channel sums equal direct byte sums") {
     val s = spark
     import s.implicits._
