@@ -117,6 +117,21 @@ object NorthStar {
         .epochRepeat(docs(s, dir), Map("src0" -> 2500, "src1" -> 500))
         .select(col("doc_id"), col("source"), col("copy_id"))
         .orderBy("doc_id", "copy_id")),
+    // temperature rebalancing at T=2 (the IEEE-exact sqrt path): big
+    // strata down-sample toward uniform, the smallest keeps everything;
+    // rates derive from the per-stratum counts inside the plan. The
+    // corpus's sources are deliberately uniform, so the demo stratifies
+    // by floor(sqrt(doc_id)) — stratum k holds 2k+1 documents, a
+    // genuinely skewed size distribution (and sqrt of an exact integer
+    // is IEEE-exact in both engines)
+    "sample_temperature" -> ((s, dir) =>
+      graft.ops.Sampling
+        .temperatureSample(
+          docs(s, dir).withColumn(
+            "bucket", floor(sqrt(col("doc_id").cast("double"))).cast("long")),
+          invTempPermille = 500, stratumCol = "bucket")
+        .select(col("doc_id"), col("bucket"))
+        .orderBy("doc_id")),
     // per-stratum hash-quota sample: 20% of each source, id-stable
     "sample_stratified" -> ((s, dir) =>
       graft.ops.Sampling
@@ -1234,6 +1249,24 @@ object NorthStar {
         |  FROM documents
         |)
         |WHERE h < rate
+        |ORDER BY doc_id""".stripMargin,
+
+    // T=2 temperature rebalancing: rate = floor(1000 / sqrt(n_s/n_min))
+    // — sqrt and division are IEEE-correctly-rounded in both engines
+    "sample_temperature" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(floor(sqrt(CAST(doc_id AS DOUBLE))) AS BIGINT) AS bucket
+        |  FROM documents
+        |),
+        |c AS (SELECT bucket, count(*) AS n_s FROM d GROUP BY 1),
+        |m AS (SELECT min(n_s) AS n_min FROM c)
+        |SELECT doc_id, bucket
+        |FROM d
+        |JOIN c USING (bucket) CROSS JOIN m
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 1000
+        |  < floor(1000.0 / sqrt(CAST(n_s AS DOUBLE) / CAST(n_min AS DOUBLE)))
         |ORDER BY doc_id""".stripMargin,
 
     // per-source quota = ceil(n*20/100) of the hash-smallest ids; hashes

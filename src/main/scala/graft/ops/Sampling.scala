@@ -79,6 +79,50 @@ object Sampling {
     df.filter(idHash(col(idCol)) % 1000 < rate)
   }
 
+  /** Temperature-based mixture sampling — the XLM-R / multilingual-mix
+    * rebalancing scheme: target share of stratum s ∝ n_s^(1/T), reached
+    * by keeping each stratum at rate (n_s / n_min)^(1/T − 1). T = 1
+    * keeps everything; larger T flattens the size distribution toward
+    * uniform — the SMALLEST stratum is kept whole and bigger strata
+    * down-sample progressively. Rates derive FROM THE DATA in the same
+    * plan (stratum counts broadcast back — no collect), then the cut is
+    * the same per-mille id-hash filter as [[mixtureSample]]:
+    * deterministic, engine-portable, nested across temperatures.
+    *
+    * Cross-engine arithmetic: floor (never round) makes the per-mille
+    * threshold insensitive to half-case conventions, and the T = 2 case
+    * (`invTempPermille = 500`, the common halving temperature) routes
+    * through `1000 / sqrt(n_s / n_min)` — IEEE-754 sqrt and division
+    * are CORRECTLY ROUNDED everywhere, so that rate is bit-portable.
+    * Other temperatures use exp/ln, where engines may differ by an ulp
+    * (flapping the floor only when the rate lands within an ulp of an
+    * integer) — fine for pipelines, noted for oracle pairings.
+    *
+    * Scale shape: one partial-aggregated count per stratum (cardinality
+    * rows), broadcast-joined back; the filter stays a per-row map.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      invTempPermille: Int,
+      stratumCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(invTempPermille >= 0 && invTempPermille <= 1000,
+      s"invTempPermille must be in [0,1000] (1000 = T=1 keeps all), got $invTempPermille")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n_s"))
+    val minN = counts.agg(min(col("_n_s")).as("_n_min"))
+    val ratio = col("_n_s").cast("double") / col("_n_min").cast("double") // >= 1
+    // rate = 1000 · ratio^(1/T − 1) ∈ (0, 1000]
+    val rate =
+      if (invTempPermille == 500) floor(lit(1000.0) / sqrt(ratio))
+      else floor(lit(1000.0) *
+        exp((lit(invTempPermille / 1000.0) - lit(1.0)) * log(ratio)))
+    df.join(broadcast(counts), stratumCol)
+      .crossJoin(broadcast(minN))
+      .withColumn("_rate", rate)
+      .filter(idHash(col(idCol)) % 1000 < col("_rate"))
+      .drop("_n_s", "_n_min", "_rate")
+  }
+
   /** The up-weighting half of dataset mixing: repeat each stratum by a
     * fractional epoch factor (per-mille — 2500 = 2.5 epochs: every row
     * twice, the hash-chosen half a third time). Emitted rows carry a

@@ -421,6 +421,24 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq(("a", 3L, 1), ("b", 3L, 2)))
   }
 
+  test("temperatureSample keeps the smallest stratum whole and flattens larger ones") {
+    val s = spark
+    import s.implicits._
+    // strata A: 10 docs, B: 1000 docs → at T=2, A keeps all,
+    // B keeps ~1000/sqrt(100) = 100 per-mille
+    val df = ((1L to 10L).map(i => (i, "A")) ++ (11L to 1010L).map(i => (i, "B")))
+      .toDF("doc_id", "source")
+    val out = graft.ops.Sampling.temperatureSample(df, invTempPermille = 500)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("A") == 10L) // n_min stratum is never down-sampled
+    // expected ≈ 100 of 1000 at the exact 100-permille hash cut
+    assert(out("B") > 60L && out("B") < 140L)
+    // T=1 keeps everything
+    val all = graft.ops.Sampling.temperatureSample(df, invTempPermille = 1000).count()
+    assert(all == 1010L)
+  }
+
   test("mixtureSample applies per-stratum rates, nested across rates") {
     val s = spark
     import s.implicits._
