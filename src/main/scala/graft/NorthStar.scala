@@ -872,6 +872,13 @@ object NorthStar {
     "text_rarity" -> ((s, dir) =>
       TextAnalysis.tokenRarity(docs(s, dir)).orderBy("doc_id")),
 
+    // exact-substring duplicate spans: 8-token windows every 4 tokens,
+    // hashed and counted; spans in >= 2 distinct docs are the cut/mask
+    // list (the whole-document dedup family's span-granular sibling)
+    "text_dup_spans" -> ((s, dir) =>
+      TextAnalysis.duplicateSpans(docs(s, dir), width = 8, stride = 4)
+        .orderBy("span_hash")),
+
     // incremental maintenance: stats of (ts < cutoff) and (ts >= cutoff)
     // computed separately, then MERGED without rescanning — the oracle
     // aggregates the union directly, so a hash match proves
@@ -1250,6 +1257,27 @@ object NorthStar {
         |)
         |WHERE h < rate
         |ORDER BY doc_id""".stripMargin,
+
+    // 8-token windows every 4 tokens (DuckDB list slice is 1-based with
+    // inclusive end); spans hashed with the portable md5 family
+    "text_dup_spans" ->
+      (s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |         ${Md5Long60.format(
+             "array_to_string(tok[CAST(4 * i + 1 AS INT) : CAST(4 * i + 8 AS INT)], ' ')")}
+         |           AS span_hash
+         |  FROM (SELECT doc_id, tok,
+         |               unnest(generate_series(0, (len(tok) - 8) // 4)) AS i
+         |        FROM toks WHERE len(tok) >= 8)
+         |)
+         |SELECT span_hash,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM w
+         |GROUP BY span_hash
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY span_hash""").stripMargin,
 
     // T=2 temperature rebalancing: rate = floor(1000 / sqrt(n_s/n_min))
     // — sqrt and division are IEEE-correctly-rounded in both engines

@@ -378,6 +378,46 @@ object TextAnalysis {
       .drop("_n_hit")
   }
 
+  /** Exact-substring duplicate spans — the "deduplicating training data"
+    * primitive at span granularity: every `width`-token window (taken
+    * every `stride` tokens) is content-hashed, and windows whose hash
+    * occurs in MORE THAN ONE distinct document are reported with their
+    * document and occurrence counts. Downstream pipelines cut or mask
+    * these spans rather than dropping whole documents — the standard
+    * remedy for boilerplate shared across otherwise-distinct pages.
+    *
+    * Scale shape: per-row window generation (sequence/transform/slice,
+    * codegen'd, no self-join) → ONE partial-aggregated shuffle keyed on
+    * the 60-bit span hash carrying two counts; output is bounded by the
+    * number of DISTINCT repeated spans, never the corpus. Smaller
+    * stride raises recall (stride 1 = every position) at explode-factor
+    * cost — the standard knob.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      width: Int,
+      stride: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(width >= 1 && stride >= 1, s"bad width/stride $width/$stride")
+    val toks = tokens(col(textCol))
+    docs
+      .filter(size(toks) >= width)
+      .select(
+        col(idCol),
+        explode(
+          transform(
+            sequence(lit(0), floor((size(toks) - width) / lit(stride)).cast("int")),
+            i => Hashing.md5Long60(
+              array_join(slice(toks, i * stride + 1, lit(width)), " "))))
+          .as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Corpus vocabulary: the k most frequent tokens (ties broken
     * lexicographically), with their counts and 1-based rank.
     *

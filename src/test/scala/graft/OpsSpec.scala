@@ -204,6 +204,23 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSet.subsetOf(allPairs))
   }
 
+  test("duplicateSpans reports cross-document repeated windows only") {
+    val s = spark
+    import s.implicits._
+    val shared = "one two three four" // a full width-4 window
+    val df = Seq(
+      (1L, s"$shared alpha beta gamma delta"),
+      (2L, s"prefix word pad junk $shared"),
+      (3L, "entirely different content here now")).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicateSpans(df, width = 4, stride = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // exactly the shared window survives: 2 docs, 2 occurrences
+    assert(out.toSeq == Seq((2L, 2L)))
+    // a window repeated WITHIN one doc does not qualify
+    val within = Seq((1L, s"$shared $shared")).toDF("doc_id", "text")
+    assert(TextAnalysis.duplicateSpans(within, width = 4, stride = 4).isEmpty)
+  }
+
   test("incrementalNearDupPairs verifies batch docs against the corpus only") {
     val s = spark
     import s.implicits._
