@@ -879,6 +879,35 @@ object NorthStar {
       TextAnalysis.duplicateSpans(docs(s, dir), width = 8, stride = 4)
         .orderBy("span_hash")),
 
+    // the end-to-end curation DAG as ONE declarative plan: quality
+    // scoring, repetition filtering and exact-dup canonicalization
+    // compose into a per-document keep/drop verdict — each signal is an
+    // independently-oracle-verified kernel, and Catalyst fuses the
+    // composition (shared documents scan, three partial-aggregated
+    // branches, doc-keyed joins)
+    "curation_verdict" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = TextAnalysis.qualityScore(d)
+        .select(col("doc_id"), col("quality_score"))
+      val rep = TextAnalysis.bigramRepetition(d)
+        .select(col("doc_id"), col("top_bigram_frac"))
+      val canon = Dedup.exactDuplicates(d)
+        .select(col("keep_id").as("doc_id"), lit(true).as("is_canonical"))
+      d.select(col("doc_id"))
+        .join(q, "doc_id")
+        .join(rep, Seq("doc_id"), "left")
+        .join(canon, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("quality_score"),
+          coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+          coalesce(col("is_canonical"), lit(false)).as("is_canonical"),
+          (coalesce(col("is_canonical"), lit(false)) &&
+            col("quality_score") >= 0.42 &&
+            coalesce(col("top_bigram_frac"), lit(0.0)) <= 0.08).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // incremental maintenance: stats of (ts < cutoff) and (ts >= cutoff)
     // computed separately, then MERGED without rescanning — the oracle
     // aggregates the union directly, so a hash match proves
@@ -1257,6 +1286,43 @@ object NorthStar {
         |)
         |WHERE h < rate
         |ORDER BY doc_id""".stripMargin,
+
+    // the three verified signal pipelines re-derived and composed:
+    // QualityCte's q(doc_id, quality_score) + the repetition chain's
+    // per-doc top fraction + md5-group canonical ids
+    "curation_verdict" ->
+      (s"""WITH $QualityCte,
+         |rtoks AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(text, ' ')) AS tok,
+         |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+         |  FROM documents
+         |),
+         |rgrams AS (
+         |  SELECT doc_id,
+         |         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+         |           AS gram
+         |  FROM rtoks
+         |),
+         |rcounts AS (
+         |  SELECT doc_id, gram, count(*) AS n
+         |  FROM rgrams WHERE gram IS NOT NULL GROUP BY 1, 2
+         |),
+         |rep AS (
+         |  SELECT doc_id, CAST(max(n) AS DOUBLE) / sum(n) AS top_bigram_frac
+         |  FROM rcounts GROUP BY 1
+         |),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT d.doc_id, q.quality_score,
+         |       coalesce(rep.top_bigram_frac, 0.0) AS top_bigram_frac,
+         |       (c.doc_id IS NOT NULL) AS is_canonical,
+         |       ((c.doc_id IS NOT NULL) AND q.quality_score >= 0.42
+         |        AND coalesce(rep.top_bigram_frac, 0.0) <= 0.08) AS keep
+         |FROM documents d
+         |JOIN q ON q.doc_id = d.doc_id
+         |LEFT JOIN rep ON rep.doc_id = d.doc_id
+         |LEFT JOIN canon c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""").stripMargin,
 
     // 8-token windows every 4 tokens (DuckDB list slice is 1-based with
     // inclusive end); spans hashed with the portable md5 family
