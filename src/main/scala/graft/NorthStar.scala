@@ -69,6 +69,10 @@ object NorthStar {
       TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")),
     "text_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(docs(s, dir), k = 100).orderBy("rank")),
+    // tokenizer-training primitive: the top adjacent-char merge pairs
+    // (the first BPE iteration's candidate ranking)
+    "text_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpeTopPairs(docs(s, dir), k = 50).orderBy("rank")),
     // Gopher-style repeated-top-bigram fraction per document
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.bigramRepetition(docs(s, dir)).orderBy("doc_id")),
@@ -1143,6 +1147,26 @@ object NorthStar {
         |  FROM c
         |)
         |SELECT token, n, rank FROM r WHERE rank <= 100
+        |ORDER BY rank""".stripMargin,
+
+    // adjacent-char pairs inside every token occurrence, counted with
+    // multiplicity — substr over generate_series, per occurrence
+    "text_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |p AS (
+        |  SELECT substr(tok, CAST(i AS INT), 2) AS pair
+        |  FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i
+        |        FROM toks WHERE length(tok) >= 2)
+        |),
+        |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair),
+        |r AS (
+        |  SELECT pair, n,
+        |         CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank
+        |  FROM c
+        |)
+        |SELECT pair, n, rank FROM r WHERE rank <= 50
         |ORDER BY rank""".stripMargin,
 
     // lead() pairing over position-indexed tokens is the SQL mirror of

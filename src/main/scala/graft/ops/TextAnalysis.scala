@@ -418,6 +418,38 @@ object TextAnalysis {
       .filter(col("n_docs") >= 2)
   }
 
+  /** The first BPE-training step: count every adjacent CHARACTER pair
+    * inside every token occurrence (with multiplicity — BPE counts
+    * occurrences, not types) and return the k most frequent merge
+    * candidates with a deterministic (count desc, pair asc) tie-break.
+    * Iterating this (merge the winner, re-count) is exactly tokenizer
+    * training; one step is the corpus-statistics primitive pipelines
+    * schedule, and its output ranking is what vocabulary-size planning
+    * reads.
+    *
+    * Scale shape: per-row pair generation (sequence/substring,
+    * codegen'd) → one partial-aggregated count shuffle (alphabet²-sized
+    * output) → distributed TakeOrdered top-k; the single-partition
+    * ranking window only ever sees k rows.
+    */
+  def bpeTopPairs(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("n").desc, col("pair").asc)).cast("int"))
+  }
+
   /** Corpus vocabulary: the k most frequent tokens (ties broken
     * lexicographically), with their counts and 1-based rank.
     *

@@ -428,6 +428,16 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(r.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-15)
   }
 
+  test("bpeTopPairs counts adjacent char pairs with multiplicity") {
+    // "abab" → ab, ba, ab; "ab" → ab; "x" → nothing (too short)
+    val out = TextAnalysis
+      .bpeTopPairs(docsDF(1L -> "abab ab x"), k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_._3)
+    assert(out.toSeq == Seq(("ab", 3L, 1), ("ba", 1L, 2)))
+  }
+
   test("vocabTopK ranks by count desc then token asc") {
     val out = graft.ops.TextAnalysis
       .vocabTopK(docsDF(1L -> "b a b c a b", 2L -> "c a"), k = 2)
