@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
+import graft.functions.Hashing
 import graft.ops.{Dedup, Similarity, TextAnalysis}
 
 /** Model-based properties for the corpus-quality operators: the
@@ -77,6 +78,46 @@ object TextAnalysisProps extends Properties("TextAnalysis") {
       }
     }
     got == want
+  }
+
+  property("duplicateSpans equals sequential window-hash model") = forAll(genDocs) { docs =>
+    val width = 3; val stride = 2
+    // model: hash every width-token window at stride positions, count
+    // docs and occurrences per hash, keep hashes in >= 2 distinct docs
+    val windows = docs.flatMap { case (id, toks) =>
+      if (toks.size < width) Nil
+      else (0 to (toks.size - width) / stride).map { i =>
+        val span = toks.slice(i * stride, i * stride + width).mkString(" ")
+        (id, Hashing.md5Long60Jvm(span))
+      }
+    }
+    val model = windows.groupBy(_._2).collect {
+      case (h, occ) if occ.map(_._1).distinct.size >= 2 =>
+        h -> ((occ.map(_._1).distinct.size.toLong, occ.size.toLong))
+    }.toMap
+    val got = TextAnalysis.duplicateSpans(toDF(docs), width, stride)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got == model
+  }
+
+  property("bpeTopPairs equals sequential pair-count model") = forAll(genDocs) { docs =>
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, toks) =>
+      toks.foreach { t =>
+        (0 until t.length - 1).foreach { i =>
+          val p = t.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1
+        }
+      }
+    }
+    val k = 4
+    val model = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(k)
+      .zipWithIndex.map { case ((p, n), i) => (p, n, i + 1) }
+    val got = TextAnalysis.bpeTopPairs(toDF(docs), k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+      .sortBy(_._3)
+    got == model
   }
 
   private val genPairs: Gen[List[(Long, Long)]] =
