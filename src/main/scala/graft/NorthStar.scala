@@ -267,6 +267,29 @@ object NorthStar {
             Some(86400L))))
         .orderBy("entity_id", "timestamp")
     }),
+    // rolling DISTINCT cardinality per entity ("distinct event types in
+    // the trailing week/day") — the window form of count(DISTINCT),
+    // planned as collect_set buffers over the same single shuffle/sort
+    // as every other horizon
+    "window_distinct_counts" -> ((s, dir) => {
+      val ev = SparkEntry.eventsForNorthStar(s, dir)
+      val feat = ev.select(
+        col("user_id").as("entity_id"),
+        col("ts").as("timestamp"),
+        col("event_type"))
+      val spine = ev
+        .filter(col("event_id") % 13 === 0)
+        .select(
+          col("user_id").as("entity_id"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("timestamp"))
+      WindowFeatures
+        .windowAggJoin(spine, feat, windowSeconds = 7L * 86400, Seq(
+          WindowFeatures.WindowAgg("n_event_types_7d", "distinct", "event_type"),
+          WindowFeatures.WindowAgg("n_event_types_1d", "distinct", "event_type",
+            Some(86400L)),
+          WindowFeatures.WindowAgg("n_events_7d", "rows")))
+        .orderBy("entity_id", "timestamp")
+    }),
     // skew-aware strategy of the same operator: prefix/suffix bucket
     // decomposition (hot entity's windows spread across its time range);
     // same semantics, oracled by the same range-join SQL
@@ -1496,6 +1519,23 @@ object NorthStar {
         |       CAST(sum(CAST(round(f.value * 100) AS BIGINT))
         |              FILTER (WHERE f.ts > s.t - INTERVAL 1 DAY)
         |            AS BIGINT) AS sum_value_cents_1d
+        |FROM spine s LEFT JOIN events f
+        |  ON f.user_id = s.entity_id
+        | AND f.ts <= s.t AND f.ts > s.t - INTERVAL 7 DAY
+        |GROUP BY s.entity_id, s.t
+        |ORDER BY s.entity_id, s.t""".stripMargin,
+
+    "window_distinct_counts" ->
+      """WITH spine AS (
+        |  SELECT user_id AS entity_id, ts + INTERVAL 1 HOUR AS t
+        |  FROM events WHERE event_id % 13 = 0
+        |)
+        |SELECT s.entity_id, s.t AS "timestamp",
+        |       CAST(count(DISTINCT f.event_type) AS BIGINT) AS n_event_types_7d,
+        |       CAST(count(DISTINCT f.event_type)
+        |              FILTER (WHERE f.ts > s.t - INTERVAL 1 DAY)
+        |            AS BIGINT) AS n_event_types_1d,
+        |       CAST(count(f.event_type) AS BIGINT) AS n_events_7d
         |FROM spine s LEFT JOIN events f
         |  ON f.user_id = s.entity_id
         | AND f.ts <= s.t AND f.ts > s.t - INTERVAL 7 DAY

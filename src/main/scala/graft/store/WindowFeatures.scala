@@ -44,7 +44,7 @@ object WindowFeatures {
       input: String = "",
       windowSeconds: Option[Long] = None)
 
-  private val SupportedFns = Set("rows", "count", "sum", "min", "max")
+  private val SupportedFns = Set("rows", "count", "sum", "min", "max", "distinct")
 
   /** For each spine row (e, t): aggregates over feature rows r with
     * `r.entity == e AND t - window < r.ts <= t` (inclusive upper bound —
@@ -144,6 +144,13 @@ object WindowFeatures {
         case WindowAgg(out, "sum", in, _) => sum(featOnly(col(s"_v_$in"))).over(w).as(out)
         case WindowAgg(out, "min", in, _) => min(featOnly(col(s"_v_$in"))).over(w).as(out)
         case WindowAgg(out, "max", in, _) => max(featOnly(col(s"_v_$in"))).over(w).as(out)
+        // distinct cardinality inside the frame: collect_set ignores the
+        // null-tagged spine rows, size() reads the buffer — the window
+        // form of count(DISTINCT) Spark doesn't accept directly. State
+        // per frame is the distinct-value set; for very-high-cardinality
+        // inputs prefer an HLL sketch column upstream.
+        case WindowAgg(out, "distinct", in, _) =>
+          size(collect_set(featOnly(col(s"_v_$in"))).over(w)).cast("long").as(out)
         case WindowAgg(_, fn, _, _) =>
           throw new FeatureValidationError(s"unsupported window aggregate '$fn'")
       }
@@ -190,6 +197,11 @@ object WindowFeatures {
     if (aggs.exists(_.windowSeconds.isDefined))
       throw new FeatureValidationError(
         "windowAggJoinBucketed buckets by the join-level window; per-aggregate horizons need one pass each")
+    if (aggs.exists(_.fn == "distinct"))
+      throw new FeatureValidationError(
+        "windowAggJoinBucketed cannot compute 'distinct': |A ∪ B| does not " +
+          "decompose over the prefix/suffix halves — use windowAggJoin, or an " +
+          "HLL sketch column (register-max IS decomposable) for approximate counts")
     if (windowSeconds < 1)
       throw new FeatureValidationError(
         s"windowSeconds must be >= 1, got $windowSeconds")

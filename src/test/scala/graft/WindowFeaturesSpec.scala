@@ -26,6 +26,26 @@ class WindowFeaturesSpec extends AnyFunSuite with SparkTestBase {
     assert(out == List((14L, 1L, 1L), (20L, 2L, 6L)))
   }
 
+  test("windowAggJoin 'distinct' counts frame-distinct values; bucketed rejects it") {
+    val s = spark
+    import s.implicits._
+    val feat = Seq(("a", 10L, "x"), ("a", 15L, "y"), ("a", 20L, "x"), ("a", 2L, "z"))
+      .toDF("entity_id", "timestamp", "kind")
+    val spine = Seq(("a", 20L), ("a", 3L), ("b", 20L)).toDF("entity_id", "timestamp")
+    // window 12: (8,20] → kinds {x,y,x} → 2; (−9,3] → {z} → 1; b → empty → 0
+    val out = WindowFeatures
+      .windowAggJoin(spine, feat, windowSeconds = 12L,
+        Seq(WindowAgg("nd", "distinct", "kind")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", 20L) -> 2L, ("a", 3L) -> 1L, ("b", 20L) -> 0L))
+    // the prefix/suffix decomposition cannot express distinct — explicit error
+    val err = intercept[FeatureValidationError](
+      WindowFeatures.windowAggJoinBucketed(spine, feat, 12L,
+        Seq(WindowAgg("nd", "distinct", "kind"))))
+    assert(err.getMessage.contains("decompose"))
+  }
+
   test("intervalJoin pairs rows inside the inclusive lookback only") {
     val s = spark
     import s.implicits._
