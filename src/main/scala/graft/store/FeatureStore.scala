@@ -148,6 +148,21 @@ final class FeatureStore(
     }
   }
 
+  /** Explicit compaction: materialize the CURRENT version's chained
+    * manifest as a single-snapshot new version (data unchanged — only
+    * the physical layout). The maintenance operation an append-heavy
+    * table schedules off-peak: read amplification drops back to one
+    * segment scan, and once older versions age out of the retention
+    * window their delta segments become reclaimable. A no-op (returns
+    * current info, writes nothing) when the current version is already
+    * a single snapshot.
+    */
+  def compact(name: String): FeatureTableInfo = this.synchronized {
+    val meta = catalog.getOrThrow(name)
+    if (meta.segmentsOf(meta.version).size <= 1) meta.info
+    else register(name, currentData(meta).select(meta.columns.map(col): _*))
+  }
+
   /** Optimistic concurrency check: if the shared on-disk catalog knows a
     * newer version of `name` than this session does, another writer owns
     * the table now — fail fast instead of silently forking history.

@@ -92,6 +92,21 @@ class IncrementalStoreSpec extends AnyFunSuite with SparkTestBase {
         collected(rows(13 to 15, day = 3)))
   }
 
+  test("compact materializes a chained manifest as one snapshot, values unchanged") {
+    val root = freshRoot()
+    val store = new FeatureStore(spark, root)
+    store.register("t", rows(1 to 20, day = 1))
+    store.registerAppend("t", rows(21 to 25, day = 2)) // v2 = [1,2]
+    val before = collected(store.getVersion("t", 2))
+    val info = store.compact("t") // v3 = [3]
+    assert(info.version == 3)
+    assert(spark.read.parquet(s"$root/t/v=3").count() == 25)
+    assert(collected(store.getVersion("t", 3)) == before)
+    assert(store.getTableInfo("t").rowCount == 25)
+    // already-compacted table: no-op, no new version
+    assert(store.compact("t").version == 3)
+  }
+
   test("registerAppend rejects schema drift") {
     val s = spark
     import s.implicits._
