@@ -72,35 +72,36 @@ object Bench {
     //
     // Each pass builds a FRESH DataFrame (so every stage genuinely
     // re-executes — no AQE materialized-stage reuse across passes). The
-    // timed region is build + execution; the ONLY excluded step is the
-    // optimizer/physical-planning derivation between them — ~0.05-0.1s
-    // of driver work per query that a deployed pipeline, which plans
-    // once and runs many times, never repeats per run. Build stays
-    // timed because some operators (connected components) run eager
-    // jobs while constructing their result — that is execution, not
-    // planning. AQE runtime replanning happens inside collect() and
-    // stays timed too.
+    // timed region is build + analysis/optimization/physical planning +
+    // execution, end to end. The paired DuckDB oracle timing
+    // (tools/time_oracle.py) re-parses and re-plans every statement on
+    // every timed execute — DuckDB keeps no cross-statement plan cache —
+    // so Spark's per-pass plan derivation MUST stay inside the timed
+    // region for the comparison to be symmetric.
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      // groupBy().count() is what Dataset.count() builds internally —
-      // materializing it as a Dataset up front lets the plan be forced
-      // untimed, then collect() executes that same QueryExecution.
-      val counted =
-        try Some(SparkEntry.queries(name)(spark, sfDir).groupBy().count())
-        catch { case _: Throwable => None }
-      val buildSecs = (System.nanoTime() - t0) / 1e9
-      counted.foreach(d => d.queryExecution.executedPlan)
-      val t1 = System.nanoTime()
-      try { counted.foreach { d => d.collect(); () } }
+      // groupBy().count() is what Dataset.count() builds internally;
+      // collect() drives plan derivation + execution of that plan.
+      try { SparkEntry.queries(name)(spark, sfDir).groupBy().count().collect(); () }
       catch { case _: Throwable => () }
-      buildSecs + (System.nanoTime() - t1) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
     val passes = Seq.fill(3)(names.map(n => n -> timed(n)).toMap)
     val results = names.map(n => n -> passes.map(_(n)).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Print the line (driver contract) AND persist it to a file: the
+    // driver's log-tail capture is bounded and has truncated this line
+    // mid-object before (BENCH_r03.json "parsed": null). The file is the
+    // durable artifact; the path is printed so the driver can find it.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    println(s"bench json written to: $outPath")
     spark.stop()
   }
 }

@@ -26,7 +26,12 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     names = sorted(oracle)
-    for n in names:  # warm pass (buffer cache, plan cache)
+    # Warm pass: buffer cache + JIT only. DuckDB has NO cross-statement
+    # plan cache — every timed execute below re-parses and re-plans its
+    # SQL. graft.Bench mirrors this by keeping Spark's per-pass plan
+    # derivation inside its timed region, so both sides time
+    # plan + execute symmetrically.
+    for n in names:
         try:
             con.execute(oracle[n]).fetchall()
         except Exception:
