@@ -649,8 +649,11 @@ object NorthStar {
         .orderBy("source_a", "source_b")),
 
     // ---- embedding similarity ----
+    // size-routed: the gate measures the corpus and picks the exact
+    // broadcast kernel (bench scale fits) or banded-LSH candidates +
+    // exact rescoring past the broadcast envelope
     "dedup_embedding" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.4)
+      Similarity.cosineNearDupPairsAuto(emb(s, dir), threshold = 0.4)
         .orderBy("id_a", "id_b")),
     "ann_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), AnnQueryIds, k = 3)
@@ -841,9 +844,10 @@ object NorthStar {
         .orderBy("doc_id", "bucket")),
 
     // embedding-space mislabel audit: vectors whose 5-NN out-vote
-    // their own label
+    // their own label (size-routed like dedup_embedding: exact all-pairs
+    // inside the broadcast envelope, IVF-bucketed candidates past it)
     "knn_label_noise" -> ((s, dir) =>
-      Similarity.knnLabelNoise(emb(s, dir), k = 5)
+      Similarity.knnLabelNoiseAuto(emb(s, dir), k = 5)
         .orderBy("vec_id")),
 
     // ---- sketches (cardinality / frequency at 100 TB) ----

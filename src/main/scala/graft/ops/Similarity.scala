@@ -101,8 +101,9 @@ object Similarity extends Serializable {
 
   /** All-queries exact top-k: corpus broadcast (ids + widened vectors +
     * norms — the same fits-in-memory envelope [[cosineNearDupPairs]]
-    * already assumes; past it, generate candidates with LSH/IVF), query
-    * rows partitioned, per-query selection in a k-bounded buffer.
+    * already assumes; past it, [[knnLabelNoiseAuto]] routes to the
+    * IVF-bucketed [[allPairsTopKIvf]]), query rows partitioned,
+    * per-query selection in a k-bounded buffer.
     * Scores use the identical widen-then-fold arithmetic as
     * [[graft.functions.FloatVectorDot]]; ties and NaNs order exactly as
     * the window form's (score desc, neighbor_id asc) via Double.compare
@@ -186,9 +187,10 @@ object Similarity extends Serializable {
     * broadcast side in a tight primitive loop — a hand-rolled broadcast
     * nested-loop join with zero per-pair allocation. Right-sized when
     * one side fits in executor memory (the same condition Spark's own
-    * BroadcastNestedLoopJoin needs); for corpora past that, generate
-    * candidates with [[lshBuckets]] / [[graft.ops.Dedup.lshCandidatePairs]]
-    * first and score only candidates.
+    * BroadcastNestedLoopJoin needs). The envelope is ENFORCED by
+    * [[cosineNearDupPairsAuto]], which measures the corpus and routes
+    * past-envelope inputs to [[cosineNearDupPairsLsh]] — callers should
+    * prefer the Auto form unless they've sized the corpus themselves.
     *
     * Arithmetic is the same left-to-right double fold as [[dot]] /
     * DuckDB `list_sum`, so scores stay bit-identical to the oracle.
@@ -240,6 +242,167 @@ object Similarity extends Serializable {
       .toDF("id_a", "id_b", "cosine")
   }
 
+  // ---------------------------------------------------------------------
+  // Size-gated routing for the broadcast-envelope kernels.
+  //
+  // cosineNearDupPairs / allPairsTopK collect the corpus to the driver
+  // and broadcast it — the right plan while ids+norms+double-widened
+  // vectors fit comfortably in memory, a driver OOM past it. The gate
+  // below applies the house classify-then-route pattern
+  // (PointInTime.asOfJoinSkewHybrid): ONE bounded classification
+  // aggregate (count + max vector width — two numbers through the
+  // shuffle), then route to the exact broadcast kernel under the budget
+  // or to a bucketed candidate generator + exact rescoring over it.
+  // The routed paths never materialize an all-pairs set and never
+  // collect the corpus: every join is a shuffle join keyed on a bucket
+  // (LSH band signature / IVF list), so they survive corpora that are
+  // 1000× past the broadcast envelope.
+  // ---------------------------------------------------------------------
+
+  /** Broadcast-envelope classifier: estimated driver/executor bytes for
+    * the collected corpus (ids + norms + double-widened vectors + array
+    * overhead) vs the budget in `spark.graft.similarity.broadcastBudgetBytes`
+    * (default 512 MiB — half a typical executor's user memory; ~1M
+    * 64-dim or ~120k 512-dim vectors). Classification cost: one
+    * partial-aggregated pass carrying two numbers.
+    */
+  def fitsBroadcastEnvelope(emb: DataFrame, vecCol: String = "embedding"): Boolean = {
+    val budget = emb.sparkSession.conf
+      .getOption("spark.graft.similarity.broadcastBudgetBytes")
+      .map(_.toLong)
+      .getOrElse(512L << 20)
+    val row = emb
+      .agg(count(lit(1)).as("n"), coalesce(max(size(col(vecCol))), lit(0)).as("d"))
+      .head()
+    val n = row.getLong(0)
+    val d = row.getInt(1)
+    n * (16L + 8L * d + 48L) <= budget
+  }
+
+  /** Banded LSH signatures: `bands` independent `planesPerBand`-bit
+    * hyperplane signatures per vector (band b draws planes
+    * [b·planesPerBand, (b+1)·planesPerBand) from the md5 family, so
+    * band 0 with the default widths IS [[lshBuckets]]'s signature).
+    * Output (id, band, sig) — two near-duplicate vectors collide when
+    * ANY band's full signature matches, the cosine analogue of MinHash
+    * banding ([[Dedup]]'s near-dup shape).
+    */
+  def lshBandedSignatures(
+      emb: DataFrame,
+      bands: Int,
+      planesPerBand: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(bands > 0 && planesPerBand > 0, s"bands/planesPerBand must be positive")
+    val dims = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val fv = col(vecCol).cast("array<float>")
+    val sigCols = (0 until bands).map { b =>
+      graft.functions.FloatVectorHyperplaneSignature(
+        fv, hyperplanes(b * planesPerBand, planesPerBand, dims))
+    }
+    emb.select(
+      col(idCol).cast("long").as(idCol),
+      posexplode(array(sigCols: _*)).as(Seq("band", "sig")))
+  }
+
+  /** Beyond-envelope near-duplicate pairs: banded-LSH candidates +
+    * exact rescoring. Candidates are pairs sharing any band signature
+    * (equi-join on (band, sig) — one shuffle keyed on the signature,
+    * output bounded by colliding pairs, never all-pairs); each distinct
+    * candidate pair is then scored with the IDENTICAL widen-then-fold
+    * cosine as [[cosineNearDupPairs]] and filtered by the threshold, so
+    * false band collisions cost only a rescore and every REPORTED pair
+    * is exact. Recall is probabilistic in the standard LSH sense:
+    * a pair at angle θ survives with 1-(1-(1-θ/π)^r)^b — near-identical
+    * vectors (the near-dup regime) collide in every band.
+    */
+  def cosineNearDupPairsLsh(
+      emb: DataFrame,
+      threshold: Double,
+      bands: Int = 16,
+      planesPerBand: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sigs = lshBandedSignatures(emb, bands, planesPerBand, idCol, vecCol)
+    val cand = sigs.select(col("band"), col("sig"), col(idCol).as("_ida"))
+      .join(sigs.select(col("band"), col("sig"), col(idCol).as("_idb")), Seq("band", "sig"))
+      .filter(col("_ida") < col("_idb"))
+      .select(col("_ida"), col("_idb"))
+      .distinct()
+    val sides = emb.select(
+      col(idCol).cast("long").as("_id"),
+      col(vecCol).as("_v"),
+      sqrt(dotFast(col(vecCol), col(vecCol))).as("_n"))
+    cand
+      .join(sides.select(col("_id").as("_ida"), col("_v").as("_va"), col("_n").as("_na")), "_ida")
+      .join(sides.select(col("_id").as("_idb"), col("_v").as("_vb"), col("_n").as("_nb")), "_idb")
+      .select(
+        col("_ida").as("id_a"),
+        col("_idb").as("id_b"),
+        (dotFast(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Size-routed [[cosineNearDupPairs]]: the exact broadcast kernel
+    * inside the envelope, banded-LSH candidates + exact rescoring past
+    * it. Inside the envelope results are identical to the exact kernel;
+    * routed, every reported pair is still exactly scored (only recall
+    * is probabilistic). Routed-vs-exact agreement is property-tested on
+    * seeded corpora (OpsProps).
+    */
+  def cosineNearDupPairsAuto(
+      emb: DataFrame,
+      threshold: Double,
+      bands: Int = 16,
+      planesPerBand: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    if (fitsBroadcastEnvelope(emb, vecCol))
+      cosineNearDupPairs(emb, threshold, idCol, vecCol)
+    else cosineNearDupPairsLsh(emb, threshold, bands, planesPerBand, idCol, vecCol)
+
+  /** Beyond-envelope all-queries top-k: IVF-bucketed candidates + exact
+    * rescoring. Every vector is assigned its coarse list once
+    * (codegen'd argmax); the query side fans out to its `nProbe`
+    * nearest lists; candidates meet in ONE shuffle join keyed on the
+    * list id — the corpus is never collected or broadcast, and each
+    * (query, neighbor) pair appears at most once (a neighbor lives in
+    * exactly one list). Scores use the identical widen-then-fold
+    * arithmetic as the exact kernel; with `nProbe = numCentroids` the
+    * candidate set is total and results equal [[allPairsTopK]] exactly.
+    */
+  def allPairsTopKIvf(
+      emb: DataFrame,
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(emb, numCentroids, idCol, vecCol)
+    val fv = col(vecCol).cast("array<float>")
+    val corpus = emb.select(
+      graft.functions.FloatVectorArgmaxDot(fv, cents).as("_list"),
+      col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("_v"),
+      sqrt(dotFast(col(vecCol), col(vecCol))).as("_nrm"))
+    val queries = emb.select(
+      col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("_qv"),
+      sqrt(dotFast(col(vecCol), col(vecCol))).as("_qn"),
+      explode(graft.functions.FloatVectorTopCentroids(fv, cents, nProbe)).as("_list"))
+    val scored = corpus
+      .join(queries, Seq("_list"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (dotFast(col("_qv"), col("_v")) / (col("_qn") * col("_nrm"))).as("score"))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic random-hyperplane signature: `numPlanes` sign bits,
     * plane p's weight for dimension d derived from md5(p:d) mapped to
     * [-1, 1). Returns (id, bucket) where bucket packs the sign bits.
@@ -249,32 +412,27 @@ object Similarity extends Serializable {
       numPlanes: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
     val dims = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
     // Hyperplanes derived on the driver from the portable md5 family
-    // (plane p, dim d ← md5("p:d") mapped to [-1, 1)) and broadcast;
-    // each vector's signature is one tight-loop pass, no explode/join.
-    val planes: Array[Array[Double]] = Array.tabulate(numPlanes, dims) {
-      (p, d) => Hashing.md5Long60Jvm(s"$p:$d").toDouble / math.pow(2, 59) - 1.0
-    }
-    val bPlanes = spark.sparkContext.broadcast(planes)
-    val bucketUdf = udf { (v: Seq[Float]) =>
-      val ps = bPlanes.value
-      var bucket = 0L
-      var p = 0
-      while (p < ps.length) {
-        val w = ps(p)
-        var s = 0.0
-        var d = 0
-        val n = math.min(w.length, v.length)
-        while (d < n) { s += v(d).toDouble * w(d); d += 1 }
-        if (s > 0) bucket |= 1L << p
-        p += 1
-      }
-      bucket
-    }
-    emb.select(col(idCol), bucketUdf(col(vecCol)).as("bucket"))
+    // (plane p, dim d ← md5("p:d") mapped to [-1, 1)) and embedded in a
+    // codegen'd signature expression; each vector's signature is one
+    // tight generated loop, no explode/join, no Seq boxing.
+    val planes = hyperplanes(0, numPlanes, dims)
+    emb.select(
+      col(idCol),
+      graft.functions.FloatVectorHyperplaneSignature(
+        col(vecCol).cast("array<float>"), planes).as("bucket"))
   }
+
+  /** Hyperplane weights for global plane indices [first, first+count):
+    * plane p, dim d ← md5("p:d") mapped to [-1, 1). Banded callers pass
+    * `first = band * planesPerBand` so every band draws fresh planes
+    * from the same portable family.
+    */
+  private def hyperplanes(first: Int, count: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(count, dims) {
+      (p, d) => Hashing.md5Long60Jvm(s"${first + p}:$d").toDouble / math.pow(2, 59) - 1.0
+    }
 
   /** IVF (inverted-file) approximate top-k: a deterministic coarse
     * quantizer assigns every vector to its nearest centroid (one
@@ -323,9 +481,10 @@ object Similarity extends Serializable {
     * Scale shape per iteration: one broadcast of k·d doubles out, one
     * WIDE partial-aggregated pass back (d per-dimension sums as
     * aggregate columns keyed on the assignment — k·(d+1) numbers per
-    * partition through the shuffle; the UDF computing the assignment
-    * runs once per VECTOR as the grouping key, where an explode-based
-    * formulation re-evaluates it per element, measured 13× slower) —
+    * partition through the shuffle; the codegen'd argmax expression
+    * computing the assignment runs once per VECTOR as the grouping key,
+    * where an explode-based formulation re-evaluates it per element,
+    * measured 13× slower) —
     * the corpus is scanned `iters` times and nothing else moves. The
     * wide form fits embedding dims (64-4096); past that, explode with a
     * pre-materialized assignment instead. Seeding from the first k
@@ -340,24 +499,17 @@ object Similarity extends Serializable {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Array[Array[Double]] = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val spark = emb.sparkSession
     var cents = ivfCentroids(emb, numCentroids, idCol, vecCol)
     if (cents.isEmpty) return cents
     val dims = cents(0).length
     for (_ <- 0 until iters) {
-      val bCents = spark.sparkContext.broadcast(cents)
-      val assignUdf = udf { (v: Seq[Float]) =>
-        val s = centroidDots(bCents.value, v)
-        var best = 0; var c = 1
-        while (c < s.length) { if (s(c) > s(best)) best = c; c += 1 }
-        best
-      }
       val sumAggs = (0 until dims).map { d =>
         sum(floor(element_at(col(vecCol), d + 1).cast("double") * 1e6 + 0.5)
           .cast("long")).as(s"_s$d")
       }
       val rows = emb
-        .groupBy(assignUdf(col(vecCol)).as("_c"))
+        .groupBy(graft.functions.FloatVectorArgmaxDot(
+          col(vecCol).cast("array<float>"), cents).as("_c"))
         .agg(count(lit(1)).as("_n"), sumAggs: _*)
         .collect()
       val next = cents.map(_.clone())
@@ -414,27 +566,16 @@ object Similarity extends Serializable {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
-    val bCents = spark.sparkContext.broadcast(cents)
-    def centroidScores(v: Seq[Float]): Array[Double] =
-      centroidDots(bCents.value, v)
-    val assignUdf = udf { (v: Seq[Float]) =>
-      val s = centroidScores(v)
-      var best = 0; var c = 1
-      while (c < s.length) { if (s(c) > s(best)) best = c; c += 1 }
-      best
-    }
-    val probesUdf = udf { (v: Seq[Float]) =>
-      centroidScores(v).zipWithIndex.sortBy(-_._1).take(nProbe).map(_._2)
-    }
+    val fv = col(vecCol).cast("array<float>")
     val assigned = emb
-      .withColumn("_list", assignUdf(col(vecCol)))
+      .withColumn("_list", graft.functions.FloatVectorArgmaxDot(fv, cents))
       .withColumn("_nrm", sqrt(dotFast(col(vecCol), col(vecCol))))
     val q = assigned
       .filter(col(idCol).isin(queryIds: _*))
       .select(
         col(idCol).as("query_id"), col(vecCol).as("_qv"),
-        col("_nrm").as("_qn"), probesUdf(col(vecCol)).as("_probes"))
+        col("_nrm").as("_qn"),
+        graft.functions.FloatVectorTopCentroids(fv, cents, nProbe).as("_probes"))
     val scored = assigned
       .join(
         broadcast(q),
@@ -454,26 +595,21 @@ object Similarity extends Serializable {
     * ties) and its norm (`ivf_norm`). Persist with
     * `.write.partitionBy("ivf_list").parquet(...)` — the index is then a
     * plain partitioned table, and [[ivfTopKIndexed]]'s coarse filter
-    * prunes whole partitions at the scan. Build cost (one UDF pass) is
-    * paid once and amortized over every subsequent query — the
-    * standard index/query split the one-shot [[ivfTopK]] cannot give.
+    * prunes whole partitions at the scan. Build cost (one codegen'd
+    * assignment pass) is paid once and amortized over every subsequent
+    * query — the standard index/query split the one-shot [[ivfTopK]]
+    * cannot give.
     */
   def buildIvfIndex(
       emb: DataFrame,
       numCentroids: Int = 16,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val bCents = emb.sparkSession.sparkContext
-      .broadcast(ivfCentroids(emb, numCentroids, idCol, vecCol))
-    val assignUdf = udf { (v: Seq[Float]) =>
-      val s = centroidDots(bCents.value, v)
-      var best = 0; var c = 1
-      while (c < s.length) { if (s(c) > s(best)) best = c; c += 1 }
-      best
-    }
+    val cents = ivfCentroids(emb, numCentroids, idCol, vecCol)
     emb
       .withColumn("ivf_norm", sqrt(dotFast(col(vecCol), col(vecCol))))
-      .withColumn("ivf_list", assignUdf(col(vecCol)))
+      .withColumn("ivf_list", graft.functions.FloatVectorArgmaxDot(
+        col(vecCol).cast("array<float>"), cents))
   }
 
   /** Top-k cosine search over a built (typically parquet-round-tripped)
@@ -622,9 +758,41 @@ object Similarity extends Serializable {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
-    val voted = majorityVote(
+      labelCol: String = "label"): DataFrame =
+    labelNoiseFrom(
       bruteForceTopKFor(emb, None, k, idCol, vecCol), emb, idCol, labelCol)
+
+  /** Size-routed [[knnLabelNoise]]: exact all-pairs scoring inside the
+    * broadcast envelope, IVF-bucketed candidates ([[allPairsTopKIvf]])
+    * past it — the audit's vote/compare tail is identical either way.
+    * With `nProbe = numCentroids` the routed path equals the exact one;
+    * smaller probe counts trade recall for a candidate set that shrinks
+    * by ~numCentroids/nProbe (agreement property-tested in OpsProps).
+    */
+  def knnLabelNoiseAuto(
+      emb: DataFrame,
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val topk =
+      if (fitsBroadcastEnvelope(emb, vecCol)) bruteForceTopKFor(emb, None, k, idCol, vecCol)
+      else allPairsTopKIvf(emb, k, numCentroids, nProbe, idCol, vecCol)
+    labelNoiseFrom(topk, emb, idCol, labelCol)
+  }
+
+  /** Shared tail of the label-noise audit: majority-vote the given
+    * top-k neighbor list, keep rows whose neighbors out-vote their own
+    * label.
+    */
+  private def labelNoiseFrom(
+      topk: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      labelCol: String): DataFrame = {
+    val voted = majorityVote(topk, emb, idCol, labelCol)
     emb
       .select(col(idCol).as("query_id"), col(labelCol).as("label"))
       .join(voted, "query_id")

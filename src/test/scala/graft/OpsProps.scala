@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
-import graft.ops.{Dedup, Sampling}
+import graft.ops.{Dedup, Sampling, Similarity}
 
 /** Cross-operator invariants for the sampling and incremental-dedup
   * families.
@@ -69,5 +69,73 @@ object OpsProps extends Properties("Ops") {
       val all = Dedup.ngramJaccardPairs(df, n = 3, threshold = 0.0)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
       inc.forall { case (pair, j) => all.get(pair).contains(j) }
+    }
+
+  // Clustered embedding corpora for the routed-vs-exact agreement
+  // properties: cluster c owns coordinate block [4c, 4c+4) of a 16-dim
+  // vector and member m scales the block pattern by (m+1) — so
+  // within-cluster cosines are exactly 1 (identical direction: every
+  // band signature matches, every IVF probe covers) and cross-cluster
+  // cosines are exactly 0 (disjoint support), putting every true pair
+  // deterministically above a 0.9 threshold and every false one far
+  // below it.
+  private val genVecClusters: Gen[List[(Long, Array[Float], String)]] = for {
+    nClusters <- Gen.choose(2, 4)
+    sizes <- Gen.listOfN(nClusters, Gen.choose(1, 5))
+  } yield {
+    var id = -1L
+    sizes.zipWithIndex.flatMap { case (n, c) =>
+      (0 until n).map { m =>
+        id += 1
+        val v = Array.tabulate(16) { d =>
+          if (d / 4 == c) ((d % 4) + 1f) * (m + 1f) else 0f
+        }
+        (id, v, s"l$c")
+      }
+    }
+  }
+
+  private def toVecDF(rows: List[(Long, Array[Float], String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  property("cosineNearDupPairsLsh agrees with the exact broadcast kernel (values AND cosine bits)") =
+    forAll(genVecClusters) { rows =>
+      val df = toVecDF(rows)
+      def pairs(res: DataFrame) = res.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val exact = pairs(Similarity.cosineNearDupPairs(df, threshold = 0.9))
+      val routed = pairs(
+        Similarity.cosineNearDupPairsLsh(df, threshold = 0.9, bands = 8, planesPerBand = 8))
+      routed == exact
+    }
+
+  property("allPairsTopKIvf with total probe coverage equals the exact all-pairs top-k") =
+    forAll(genVecClusters, Gen.choose(1, 5)) { (rows, k) =>
+      val df = toVecDF(rows)
+      def rowsOf(res: DataFrame) = res.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val exact = rowsOf(Similarity.bruteForceTopKFor(df, None, k))
+      // nProbe = numCentroids → the candidate set is total, so the
+      // routed path must reproduce the exact kernel bit-for-bit
+      val routed = rowsOf(Similarity.allPairsTopKIvf(df, k, numCentroids = 4, nProbe = 4))
+      routed == exact
+    }
+
+  property("knnLabelNoiseAuto under a forced tiny budget equals the exact audit") =
+    forAll(genVecClusters) { rows =>
+      val df = toVecDF(rows)
+      def rowsOf(res: DataFrame) = res.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      val exact = rowsOf(Similarity.knnLabelNoise(df, k = 3))
+      val conf = spark.conf
+      conf.set("spark.graft.similarity.broadcastBudgetBytes", "1")
+      try {
+        val routed = rowsOf(
+          Similarity.knnLabelNoiseAuto(df, k = 3, numCentroids = 4, nProbe = 4))
+        routed == exact
+      } finally conf.unset("spark.graft.similarity.broadcastBudgetBytes")
     }
 }

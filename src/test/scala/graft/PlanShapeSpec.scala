@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNes
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, FeatureEncoding, Profiling}
+import graft.ops.{Dedup, FeatureEncoding, Profiling, Similarity}
 
 /** Physical-plan shape assertions for the round-2 kernels: these
   * properties are invisible to value-level tests but are exactly what
@@ -95,6 +95,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       r.getAs[String]("entity_id") -> r.getAs[Double]("feature_a")).toMap
     // inclusive cutoff: user_2's row ON 2024-01-20 wins
     assert(rows == Map("user_1" -> 2.0, "user_2" -> 20.0))
+  }
+
+  private lazy val embDf: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0L until 60L).map { i =>
+      val c = (i % 4).toInt
+      val v = Array.tabulate(16)(d =>
+        if (d / 4 == c) ((d % 4) + 1f) * (1 + i / 4).toFloat else 0f)
+      (i, v, s"l$c")
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("ANN assignment paths plan codegen'd matrix kernels, no ScalaUDF") {
+    def assertNoUdf(df: DataFrame, what: String): Unit = {
+      val udfs = executedNodes(df).flatMap(_.expressions).flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      })
+      assert(udfs.isEmpty, s"$what still plans ScalaUDF(s): ${udfs.take(3)}")
+    }
+    assertNoUdf(Similarity.lshTopK(embDf, Seq(0L, 1L), k = 3, numPlanes = 6), "lshTopK")
+    assertNoUdf(Similarity.ivfTopK(embDf, Seq(0L, 1L), k = 3, numCentroids = 4, nProbe = 2), "ivfTopK")
+    assertNoUdf(Similarity.buildIvfIndex(embDf, numCentroids = 4), "buildIvfIndex")
+    assertNoUdf(Similarity.allPairsTopKIvf(embDf, k = 3, numCentroids = 4, nProbe = 2), "allPairsTopKIvf")
+    assertNoUdf(Similarity.cosineNearDupPairsLsh(embDf, 0.9), "cosineNearDupPairsLsh")
+  }
+
+  test("routed embedding kernels stay equi-join shaped — no cartesian, no nested loop") {
+    for ((df, what) <- Seq(
+        (Similarity.cosineNearDupPairsLsh(embDf, 0.9), "cosineNearDupPairsLsh"),
+        (Similarity.allPairsTopKIvf(embDf, k = 3, numCentroids = 4, nProbe = 2), "allPairsTopKIvf"))) {
+      val ns = executedNodes(df)
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$what must not plan a cartesian product")
+      assert(!ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        s"$what must not plan a nested-loop join")
+    }
   }
 
   test("correlationMatrix aggregates in one pass: one shuffle, one scan subtree") {
