@@ -108,21 +108,24 @@ object Dedup {
     // hashes with the same md5 formula so sets stay identical.
     // One aggregation builds each doc's distinct-shingle set (and its
     // size) — a single shuffle replacing separate distinct + size
-    // passes; the re-explode is shuffle-free. Set sizes then ride along
-    // through the pair join, so the whole op is 3 shuffles total and
-    // needs no post-join broadcast jobs. Both join inputs are the same
-    // subplan, so that shuffle is planned once and reused.
-    val sh = shingleHashSets(docs, n, idCol, textCol)
-      .select(col(idCol), explode(col("_set")).as("_sh"), col("_n"))
-    val a = sh.select(col(idCol).as("id_a"), col("_sh"), col("_n").as("_na"))
-    val b = sh.select(col(idCol).as("id_b"), col("_sh"), col("_n").as("_nb"))
-    a.join(b, Seq("_sh"))
+    // passes; the re-explode is shuffle-free. Two-level form: the
+    // shared-shingle join carries ONLY (hash, id_a, id_b) — at coarse
+    // granularity (source_overlap: 20 groups, heavy fan-out) carrying
+    // the set sizes through that join was the query's dominant shuffle
+    // cost — and the tiny per-id size table (one row per id, reusing
+    // the set-aggregation subplan) joins onto the pair aggregate
+    // afterwards, where cardinality is bounded by distinct pairs.
+    val sets = shingleHashSets(docs, n, idCol, textCol)
+    val sh = sets.select(col(idCol), explode(col("_set")).as("_sh"))
+    val inter = sh.select(col(idCol).as("id_a"), col("_sh"))
+      .join(sh.select(col(idCol).as("id_b"), col("_sh")), Seq("_sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(
-        count(lit(1)).as("_inter"),
-        first(col("_na")).as("_na"),
-        first(col("_nb")).as("_nb"))
+      .agg(count(lit(1)).as("_inter"))
+    val sizes = sets.select(col(idCol), col("_n"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("_n").as("_na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("_n").as("_nb")), "id_b")
       .select(
         col("id_a"),
         col("id_b"),

@@ -267,17 +267,37 @@ object Similarity extends Serializable {
     * partial-aggregated pass carrying two numbers.
     */
   def fitsBroadcastEnvelope(emb: DataFrame, vecCol: String = "embedding"): Boolean = {
+    val (n, d) = corpusStats(emb, vecCol)
+    fitsBudget(emb, n, d)
+  }
+
+  /** The classification aggregate: (row count, max vector width) in one
+    * partial-aggregated pass.
+    */
+  private def corpusStats(emb: DataFrame, vecCol: String): (Long, Int) = {
+    val row = emb
+      .agg(count(lit(1)).as("n"), coalesce(max(size(col(vecCol))), lit(0)).as("d"))
+      .head()
+    (row.getLong(0), row.getInt(1))
+  }
+
+  private def fitsBudget(emb: DataFrame, n: Long, d: Int): Boolean = {
     val budget = emb.sparkSession.conf
       .getOption("spark.graft.similarity.broadcastBudgetBytes")
       .map(_.toLong)
       .getOrElse(512L << 20)
-    val row = emb
-      .agg(count(lit(1)).as("n"), coalesce(max(size(col(vecCol))), lit(0)).as("d"))
-      .head()
-    val n = row.getLong(0)
-    val d = row.getInt(1)
     n * (16L + 8L * d + 48L) <= budget
   }
+
+  /** Routed-path IVF width derived from the measured corpus: ~n/64
+    * vectors per list keeps the per-query candidate set (n·nProbe/lists)
+    * bounded as the corpus grows — a FIXED list count degrades the
+    * routed path back toward quadratic. Clamped to [64, 4096]: the
+    * centroid matrix (lists × dims doubles) rides the codegen'd argmax
+    * kernel and must itself stay small.
+    */
+  private def derivedListCount(n: Long): Int =
+    math.max(64L, math.min(4096L, n / 64L)).toInt
 
   /** Banded LSH signatures: `bands` independent `planesPerBand`-bit
     * hyperplane signatures per vector (band b draws planes
@@ -315,12 +335,20 @@ object Similarity extends Serializable {
     * is exact. Recall is probabilistic in the standard LSH sense:
     * a pair at angle θ survives with 1-(1-(1-θ/π)^r)^b — near-identical
     * vectors (the near-dup regime) collide in every band.
+    *
+    * Width defaults (b=16 bands × r=16 planes): r controls the false
+    * -candidate rate — two UNRELATED random high-dim vectors share a
+    * 16-bit band signature with p≈2^-16, so expected false candidates
+    * stay ~b·n²/2^r — while exact duplicates collide in every band
+    * regardless. Shrink r toward 8 to buy recall for mid-similarity
+    * pairs (θ near the threshold) on smaller corpora, at quadratic
+    * false-candidate cost.
     */
   def cosineNearDupPairsLsh(
       emb: DataFrame,
       threshold: Double,
       bands: Int = 16,
-      planesPerBand: Int = 8,
+      planesPerBand: Int = 16,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val sigs = lshBandedSignatures(emb, bands, planesPerBand, idCol, vecCol)
@@ -354,12 +382,14 @@ object Similarity extends Serializable {
       emb: DataFrame,
       threshold: Double,
       bands: Int = 16,
-      planesPerBand: Int = 8,
+      planesPerBand: Int = 16,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
-    if (fitsBroadcastEnvelope(emb, vecCol))
+      vecCol: String = "embedding"): DataFrame = {
+    val (n, d) = corpusStats(emb, vecCol)
+    if (fitsBudget(emb, n, d))
       cosineNearDupPairs(emb, threshold, idCol, vecCol)
     else cosineNearDupPairsLsh(emb, threshold, bands, planesPerBand, idCol, vecCol)
+  }
 
   /** Beyond-envelope all-queries top-k: IVF-bucketed candidates + exact
     * rescoring. Every vector is assigned its coarse list once
@@ -370,6 +400,11 @@ object Similarity extends Serializable {
     * exactly one list). Scores use the identical widen-then-fold
     * arithmetic as the exact kernel; with `nProbe = numCentroids` the
     * candidate set is total and results equal [[allPairsTopK]] exactly.
+    *
+    * Sizing: per-query candidates ≈ n·nProbe/numCentroids, so the list
+    * count must GROW with the corpus (~n/64 per [[derivedListCount]],
+    * what [[knnLabelNoiseAuto]] derives) — a fixed numCentroids turns
+    * the candidate join quadratic again at scale.
     */
   def allPairsTopKIvf(
       emb: DataFrame,
@@ -765,21 +800,27 @@ object Similarity extends Serializable {
   /** Size-routed [[knnLabelNoise]]: exact all-pairs scoring inside the
     * broadcast envelope, IVF-bucketed candidates ([[allPairsTopKIvf]])
     * past it — the audit's vote/compare tail is identical either way.
-    * With `nProbe = numCentroids` the routed path equals the exact one;
-    * smaller probe counts trade recall for a candidate set that shrinks
-    * by ~numCentroids/nProbe (agreement property-tested in OpsProps).
+    * `numCentroids = 0` (the default) derives the list count from the
+    * MEASURED corpus (~n/64 rows per list, [[derivedListCount]]), so the
+    * per-query candidate set stays bounded as the corpus grows; with an
+    * explicit `nProbe = numCentroids` the routed path equals the exact
+    * one (agreement property-tested in OpsProps).
     */
   def knnLabelNoiseAuto(
       emb: DataFrame,
       k: Int,
-      numCentroids: Int = 16,
+      numCentroids: Int = 0,
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {
+    val (n, d) = corpusStats(emb, vecCol)
     val topk =
-      if (fitsBroadcastEnvelope(emb, vecCol)) bruteForceTopKFor(emb, None, k, idCol, vecCol)
-      else allPairsTopKIvf(emb, k, numCentroids, nProbe, idCol, vecCol)
+      if (fitsBudget(emb, n, d)) bruteForceTopKFor(emb, None, k, idCol, vecCol)
+      else {
+        val lists = if (numCentroids > 0) numCentroids else derivedListCount(n)
+        allPairsTopKIvf(emb, k, lists, nProbe, idCol, vecCol)
+      }
     labelNoiseFrom(topk, emb, idCol, labelCol)
   }
 

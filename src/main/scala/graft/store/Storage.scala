@@ -44,8 +44,9 @@ final class Storage(
   def versionPath(name: String, version: Int): String =
     s"${tablePath(name)}/v=$version"
 
-  /** Write one version snapshot; returns the row count (read back from
-    * parquet footer statistics — metadata-only, no data scan).
+  /** Write one version snapshot; returns the row count, observed from
+    * the write job itself (an `Observation` rides the write plan as a
+    * CollectMetrics node) — no second footer-read job per register.
     */
   def write(
       name: String,
@@ -54,14 +55,16 @@ final class Storage(
       entityCol: String,
       tsCol: String): Long = {
     val path = versionPath(name, version)
+    val obs = org.apache.spark.sql.Observation(s"graft_write_${name}_v$version")
     df.withColumn(DateCol, period(col(tsCol)))
+      .observe(obs, count(lit(1)).as("rows"))
       .repartition(col(DateCol))
       .sortWithinPartitions(col(entityCol), col(tsCol))
       .write
       .mode("overwrite")
       .partitionBy(DateCol)
       .parquet(path)
-    spark.read.parquet(path).count()
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** Read one version snapshot with the original column order restored
