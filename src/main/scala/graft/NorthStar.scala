@@ -696,11 +696,11 @@ object NorthStar {
         .select(col("doc_id"), col("n_bytes"), posexplode(col("features")).as(Seq("bucket", "feature")))
         .orderBy("doc_id", "bucket")),
 
-    // resize / frame-sample plumbing (stub codecs, real distributed
+    // codec-FREE fallback plumbing (byte windows, real distributed
     // shape); payloads are ASCII text bytes, so the oracle can reproduce
     // the byte arithmetic with character functions exactly
-    "multimodal_resize" -> ((s, dir) =>
-      Multimodal.resize(Multimodal.asMedia(docs(s, dir)), factor = 4)
+    "multimodal_byte_downsample" -> ((s, dir) =>
+      Multimodal.byteDownsample(Multimodal.asMedia(docs(s, dir)), factor = 4)
         .toDF()
         .select(
           col("doc_id"),
@@ -708,13 +708,33 @@ object NorthStar {
           length(col("media")).as("n_bytes_out"),
           decode(col("media"), "UTF-8").as("resized_text"))
         .orderBy("doc_id")),
-    "multimodal_frames" -> ((s, dir) =>
-      Multimodal.frameSample(Multimodal.asMedia(docs(s, dir)), frameLen = 64, stride = 48)
+    "multimodal_byte_frames" -> ((s, dir) =>
+      Multimodal.byteFrames(Multimodal.asMedia(docs(s, dir)), frameLen = 64, stride = 48)
         .toDF()
         .select(
           col("doc_id"),
           col("frame_idx"),
           decode(col("frame"), "UTF-8").as("frame_text"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // REAL frame extraction through the codec registry: synthesize PCM
+    // WAV payloads, decode them, window the DECODED samples (4 samples
+    // every 3) and reduce each window to exact integral features — the
+    // oracle recomputes every window from token lengths, certifying the
+    // decode + window geometry end to end
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.encodeWavFromTokens(docs(s, dir)), frameLen = 4, stride = 3)
+        .toDF()
+        .orderBy("doc_id", "frame_idx")),
+
+    // image twin of multimodal_frames: BMP payloads band their decoded
+    // pixel rows (2 rows every 2); the oracle sums the same bytes by
+    // text position
+    "multimodal_image_bands" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.encodeBmpFromText(docs(s, dir), width = 16), frameLen = 2, stride = 2)
+        .toDF()
         .orderBy("doc_id", "frame_idx")),
 
     // REAL codec round-trip, audio: synthesize a canonical PCM WAV per
@@ -2248,7 +2268,7 @@ object NorthStar {
     // is the same operation. Bounds derive from each document (indexed
     // list lambda / per-row generate_series), never a fixed cap that a
     // longer corpus would silently overflow.
-    "multimodal_resize" ->
+    "multimodal_byte_downsample" ->
       """SELECT doc_id, length(text) AS n_bytes_in,
         |       length(r) AS n_bytes_out, r AS resized_text
         |FROM (
@@ -2259,7 +2279,7 @@ object NorthStar {
         |)
         |ORDER BY doc_id""".stripMargin,
 
-    "multimodal_frames" ->
+    "multimodal_byte_frames" ->
       """SELECT doc_id, CAST(i AS INT) AS frame_idx,
         |       substr(text, CAST(i AS INT) * 48 + 1, 64) AS frame_text
         |FROM (
@@ -2269,15 +2289,61 @@ object NorthStar {
         |)
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // decoded-sample windows recomputed from token lengths: sample_i =
+    // clamp(len(tok_i)*1000 - 5000) (the encoder clamps to the 16-bit
+    // sample range instead of wrapping), window f covers samples
+    // [3f, 3f+4) — complete windows only
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx, 'audio' AS kind,
+        |       CAST(4 AS BIGINT) AS n_units,
+        |       CAST(list_sum(list_transform(
+        |           list_slice(samples, CAST(f AS INT) * 3 + 1, CAST(f AS INT) * 3 + 4),
+        |           x -> abs(x))) AS BIGINT) AS sum_abs,
+        |       CAST(list_max(
+        |           list_slice(samples, CAST(f AS INT) * 3 + 1, CAST(f AS INT) * 3 + 4))
+        |         AS BIGINT) AS max_unit
+        |FROM (
+        |  SELECT doc_id, samples,
+        |         unnest(generate_series(0, (len(samples) - 4) // 3)) AS f
+        |  FROM (
+        |    SELECT doc_id,
+        |           list_transform(string_split(text, ' '),
+        |             t -> GREATEST(-32768, LEAST(32767, length(t) * 1000 - 5000))) AS samples
+        |    FROM documents)
+        |  WHERE len(samples) >= 4
+        |)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // decoded pixel row-bands recomputed by text position: the BMP's
+    // pixel data is the first 48·h bytes of the text (h = len // 48),
+    // band f covers rows [2f, 2f+2) = bytes [96f, 96f+96)
+    "multimodal_image_bands" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx, 'image' AS kind,
+        |       CAST(96 AS BIGINT) AS n_units,
+        |       CAST(list_sum(list_transform(range(0, 96),
+        |           p -> ascii(substr(text, CAST(f AS INT) * 96 + CAST(p AS INT) + 1, 1))))
+        |         AS BIGINT) AS sum_abs,
+        |       CAST(list_max(list_transform(range(0, 96),
+        |           p -> ascii(substr(text, CAST(f AS INT) * 96 + CAST(p AS INT) + 1, 1))))
+        |         AS BIGINT) AS max_unit
+        |FROM (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0, (length(text) // 48 - 2) // 2)) AS f
+        |  FROM documents WHERE length(text) // 48 >= 2
+        |)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     // features recomputed straight from the text the WAV was built
-    // from: sample_i = len(token_i)*1000 - 5000 (mono, 16 kHz)
+    // from: sample_i = clamp(len(token_i)*1000 - 5000) (mono, 16 kHz);
+    // the clamp mirrors the encoder's — a raw 16-bit cast would WRAP
+    // for tokens >= 38 chars while this full-width SQL would not
     "multimodal_wav_roundtrip" ->
       """SELECT doc_id,
         |       CAST(16000 AS BIGINT) AS sample_rate,
         |       CAST(1 AS BIGINT) AS n_channels,
         |       CAST(count(*) AS BIGINT) AS n_samples,
-        |       CAST(sum(abs(length(tok) * 1000 - 5000)) AS BIGINT) AS sum_abs,
-        |       CAST(max(length(tok) * 1000 - 5000) AS BIGINT) AS max_sample
+        |       CAST(sum(abs(GREATEST(-32768, LEAST(32767, length(tok) * 1000 - 5000)))) AS BIGINT) AS sum_abs,
+        |       CAST(max(GREATEST(-32768, LEAST(32767, length(tok) * 1000 - 5000))) AS BIGINT) AS max_sample
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,

@@ -82,12 +82,14 @@ object Multimodal {
   /** Resized media payload: original size + the downsampled bytes. */
   final case class ResizedMedia(doc_id: Long, n_bytes_in: Int, media: Array[Byte])
 
-  /** STUB resize: keep every `factor`-th byte — the deterministic
-    * stand-in for an image/audio downsample. Same row-wise shape a real
-    * resize has (bytes in, smaller bytes out), so swapping in a codec
-    * changes only the inner loop. No shuffle, constant memory.
+  /** Codec-FREE byte downsample: keep every `factor`-th byte. This is
+    * the fallback for payloads no registered codec recognizes (the
+    * [[extractFeatures]] stance) — real pixel-space resizing is
+    * [[resizeImage]], which decodes, samples the pixel grid and
+    * re-encodes. Same row-wise shape (bytes in, smaller bytes out), no
+    * shuffle, constant memory.
     */
-  def resize(media: DataFrame, factor: Int): Dataset[ResizedMedia] = {
+  def byteDownsample(media: DataFrame, factor: Int): Dataset[ResizedMedia] = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = media.sparkSession
     import spark.implicits._
@@ -130,10 +132,14 @@ object Multimodal {
       sum_r: Long)
 
   /** Synthesize a PCM WAV payload per document from its token lengths
-    * (sample_i = len(token_i)·1000 − 5000, mono) — the deterministic
-    * payload generator for codec round-trip pipelines: the expected
-    * decoded features are computable straight from the text, so an
-    * independent engine can verify the encode→decode path end to end.
+    * (sample_i = len(token_i)·1000 − 5000 CLAMPED to the 16-bit sample
+    * range, mono) — the deterministic payload generator for codec
+    * round-trip pipelines: the expected decoded features are computable
+    * straight from the text, so an independent engine can verify the
+    * encode→decode path end to end. The clamp (not a raw `.toShort`,
+    * which would silently WRAP for tokens ≥ 38 chars) keeps the sample
+    * arithmetic identical to the oracle's full-width integer form on
+    * any corpus; the oracle SQL applies the same clamp.
     */
   def encodeWavFromTokens(docs: DataFrame, sampleRate: Int = 16000,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -144,7 +150,10 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
-          val samples = text.split(" ").map(t => (t.length * 1000 - 5000).toShort)
+          val samples = text.split(" ").map { t =>
+            math.max(Short.MinValue.toInt,
+              math.min(Short.MaxValue.toInt, t.length * 1000 - 5000)).toShort
+          }
           MediaRow(id, WavCodec.encode(samples, sampleRate, channels = 1), WavCodec.contentType)
         }
       }
@@ -283,12 +292,13 @@ object Multimodal {
   /** One sampled frame of a media payload. */
   final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** STUB frame sampling: fixed-length windows every `stride` bytes
-    * (overlapping when stride < frameLen), complete frames only — the
-    * video/audio frame-extraction shape (one input row → N frame rows).
-    * flatMap keeps it shuffle-free; frames stream out per partition.
+  /** Codec-FREE byte-window sampling: fixed-length windows every
+    * `stride` bytes (overlapping when stride < frameLen), complete
+    * windows only. The fallback shape for unrecognized payloads —
+    * decoded-content frame extraction is [[frameSample]]. flatMap keeps
+    * it shuffle-free; frames stream out per partition.
     */
-  def frameSample(media: DataFrame, frameLen: Int, stride: Int): Dataset[MediaFrame] = {
+  def byteFrames(media: DataFrame, frameLen: Int, stride: Int): Dataset[MediaFrame] = {
     require(frameLen >= 1 && stride >= 1,
       s"frameLen/stride must be >= 1, got $frameLen/$stride")
     val spark = media.sparkSession
@@ -303,6 +313,76 @@ object Multimodal {
           .map { case (idx, start) =>
             MediaFrame(id, idx, java.util.Arrays.copyOfRange(bytes, start, start + frameLen))
           }
+      }
+  }
+
+  /** One DECODED frame with exact integral features: an audio
+    * sample-window or an image row-band, depending on what the codec
+    * registry parsed the payload as.
+    */
+  final case class DecodedFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      kind: String,
+      n_units: Long,
+      sum_abs: Long,
+      max_unit: Long)
+
+  /** REAL frame sampling through the codec registry: audio payloads
+    * window their DECODED samples (`frameLen` samples every `stride`
+    * samples), image payloads band their DECODED pixel rows (`frameLen`
+    * rows every `stride` rows) — complete frames only, one input row →
+    * N frame rows, shuffle-free. Features per frame are exact integers
+    * (unit = signed sample / unsigned pixel byte): count, Σ|unit|,
+    * max unit. Payloads no codec accepts emit nothing ([[byteFrames]]
+    * is the codec-free fallback).
+    */
+  def frameSample(media: DataFrame, frameLen: Int, stride: Int): Dataset[DecodedFrame] = {
+    require(frameLen >= 1 && stride >= 1,
+      s"frameLen/stride must be >= 1, got $frameLen/$stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        MediaCodecs.decode(bytes) match {
+          case Some(DecodedAudio(_, _, samples)) =>
+            Iterator.from(0)
+              .map(f => (f, f * stride))
+              .takeWhile { case (_, start) => start + frameLen <= samples.length }
+              .map { case (f, start) =>
+                var sumAbs = 0L
+                var maxU = Long.MinValue
+                var i = start
+                while (i < start + frameLen) {
+                  val s = samples(i).toLong
+                  sumAbs += math.abs(s)
+                  if (s > maxU) maxU = s
+                  i += 1
+                }
+                DecodedFrame(id, f, "audio", frameLen.toLong, sumAbs, maxU)
+              }
+          case Some(DecodedImage(w, h, channels, px)) =>
+            val rowBytes = w * channels
+            Iterator.from(0)
+              .map(f => (f, f * stride))
+              .takeWhile { case (_, startRow) => startRow + frameLen <= h }
+              .map { case (f, startRow) =>
+                var sumAbs = 0L
+                var maxU = Long.MinValue
+                var i = startRow * rowBytes
+                val end = (startRow + frameLen) * rowBytes
+                while (i < end) {
+                  val b = (px(i) & 0xff).toLong
+                  sumAbs += b
+                  if (b > maxU) maxU = b
+                  i += 1
+                }
+                DecodedFrame(id, f, "image", (frameLen * rowBytes).toLong, sumAbs, maxU)
+              }
+          case _ => Iterator.empty
+        }
       }
   }
 }

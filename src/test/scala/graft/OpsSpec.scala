@@ -387,26 +387,60 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(feats.features(6) == 1.0) // 'a'..'d' all in bucket 0x6
   }
 
-  test("multimodal: resize keeps every factor-th byte, factor 1 is identity") {
+  test("multimodal: byteDownsample keeps every factor-th byte, factor 1 is identity") {
     val media = Multimodal.asMedia(docsDF(1L -> "abcdefghij", 2L -> ""))
-    val byId = Multimodal.resize(media, factor = 4).collect().map(r => r.doc_id -> r).toMap
+    val byId = Multimodal.byteDownsample(media, factor = 4).collect().map(r => r.doc_id -> r).toMap
     assert(new String(byId(1L).media, "UTF-8") == "aei")
     assert(byId(1L).n_bytes_in == 10)
-    assert(byId(2L).media.isEmpty) // empty payload → empty resize
-    val id = Multimodal.resize(media, factor = 1).collect().map(r => r.doc_id -> r).toMap
+    assert(byId(2L).media.isEmpty) // empty payload → empty downsample
+    val id = Multimodal.byteDownsample(media, factor = 1).collect().map(r => r.doc_id -> r).toMap
     assert(new String(id(1L).media, "UTF-8") == "abcdefghij")
-    intercept[IllegalArgumentException](Multimodal.resize(media, factor = 0))
+    intercept[IllegalArgumentException](Multimodal.byteDownsample(media, factor = 0))
   }
 
-  test("multimodal: frameSample emits complete overlapping frames only") {
+  test("multimodal: byteFrames emits complete overlapping frames only") {
     val media = Multimodal.asMedia(docsDF(1L -> "abcdefgh", 2L -> "abc"))
-    val frames = Multimodal.frameSample(media, frameLen = 4, stride = 2)
+    val frames = Multimodal.byteFrames(media, frameLen = 4, stride = 2)
       .collect()
       .sortBy(f => (f.doc_id, f.frame_idx))
     // doc 1 (8 bytes): starts 0,2,4 → "abcd","cdef","efgh"; start 6 would
     // overrun. doc 2 (3 bytes): shorter than a frame → nothing.
     assert(frames.map(f => (f.doc_id, f.frame_idx, new String(f.frame, "UTF-8"))).toSeq ==
       Seq((1L, 0, "abcd"), (1L, 1, "cdef"), (1L, 2, "efgh")))
+  }
+
+  test("multimodal: frameSample windows DECODED audio samples") {
+    // tokens of lengths 1,2,3,4,5 → clamped samples -4000,-3000,...,0
+    val media = Multimodal.encodeWavFromTokens(docsDF(1L -> "a bb ccc dddd eeeee"))
+    val frames = Multimodal.frameSample(media, frameLen = 4, stride = 3)
+      .collect()
+      .sortBy(f => (f.doc_id, f.frame_idx))
+    // 5 samples, windows start at 0 only (start 3 → 3+4 > 5): one frame
+    // [-4000,-3000,-2000,-1000]: sum_abs 10000, max -1000
+    assert(frames.map(f =>
+      (f.doc_id, f.frame_idx, f.kind, f.n_units, f.sum_abs, f.max_unit)).toSeq ==
+      Seq((1L, 0, "audio", 4L, 10000L, -1000L)))
+  }
+
+  test("multimodal: frameSample bands DECODED image pixel rows") {
+    // 97 chars → 16px-wide BMP of h=2 rows (96 bytes kept); one band of
+    // 2 rows at stride 2 sums the first 96 byte values
+    val text = "x" * 96 + "Z"
+    val media = Multimodal.encodeBmpFromText(docsDF(1L -> text), width = 16)
+    val frames = Multimodal.frameSample(media, frameLen = 2, stride = 2).collect()
+    assert(frames.map(f =>
+      (f.doc_id, f.frame_idx, f.kind, f.n_units, f.sum_abs, f.max_unit)).toSeq ==
+      Seq((1L, 0, "image", 96L, 96L * 'x'.toLong, 'x'.toLong)))
+  }
+
+  test("multimodal: encodeWavFromTokens clamps long-token samples instead of wrapping") {
+    // 40-char token: raw 40*1000-5000 = 35000 would wrap to -30536 as a
+    // Short; the encoder must clamp to 32767
+    val media = Multimodal.encodeWavFromTokens(docsDF(1L -> ("y" * 40)))
+    val feats = Multimodal.decodeAudioFeatures(media).collect().head
+    assert(feats.n_samples == 1L)
+    assert(feats.max_sample == 32767L)
+    assert(feats.sum_abs == 32767L)
   }
 
   test("source-level jaccard pools shingles per source (contamination check)") {
