@@ -112,6 +112,9 @@ object SparkEntry {
       val san = dir.replaceAll("[^A-Za-z0-9]", "_")
       val root =
         s"${sys.props("java.io.tmpdir")}/graft_store_rt_v2_${san}_${rows}_$idSum"
+      // regenerated source data changes the fingerprint in the root
+      // name; reclaim the roots the old fingerprints stranded
+      graft.store.FeatureStore.vacuumSiblingRoots(root, s"graft_store_rt_v2_${san}_")
       val store = new graft.store.FeatureStore(s, root)
       val fresh = !store.tableNames.contains("events") ||
         store.getTableInfo("events").rowCount != rows
@@ -138,6 +141,7 @@ object SparkEntry {
       val san = dir.replaceAll("[^A-Za-z0-9]", "_")
       val root =
         s"${sys.props("java.io.tmpdir")}/graft_store_app_v1_${san}_${rows}_$idSum"
+      graft.store.FeatureStore.vacuumSiblingRoots(root, s"graft_store_app_v1_${san}_")
       val store = new graft.store.FeatureStore(s, root)
       val fresh = !store.tableNames.contains("events") ||
         store.getTableInfo("events").rowCount != rows

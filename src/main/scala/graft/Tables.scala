@@ -16,6 +16,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Sessions are held weakly so stopped test sessions can be collected;
   * the per-session map is keyed by path string.
+  *
+  * IMMUTABLE-PATH CONTRACT: a cached handle pins the file index from
+  * first resolution for the session's lifetime — there is NO
+  * invalidation. Only hand paths to this object whose contents never
+  * change in-session (the static bench/test tables, write-once index
+  * dirs like ivfIndexDir). A path that is rewritten after caching would
+  * silently serve the stale file list; for write-then-reread flows call
+  * `spark.read.parquet` directly (or [[invalidate]] first).
   */
 object Tables {
 
@@ -32,5 +40,15 @@ object Tables {
       m
     }
     perSession.computeIfAbsent(path, p => s.read.parquet(p))
+  }
+
+  /** Drop the cached handle for `path` in `s` (all sessions' entries
+    * for the path if callers share one): the escape hatch for a caller
+    * that must rewrite a previously-cached path mid-session. The next
+    * [[parquet]] call re-lists and re-reads the footer.
+    */
+  def invalidate(s: SparkSession, path: String): Unit = {
+    val m = cache.synchronized(cache.get(s))
+    if (m != null) { m.remove(path); () }
   }
 }

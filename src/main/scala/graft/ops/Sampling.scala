@@ -100,6 +100,12 @@ object Sampling {
     *
     * Scale shape: one partial-aggregated count per stratum (cardinality
     * rows), broadcast-joined back; the filter stays a per-row map.
+    *
+    * NULL strata form their own stratum: the count join is null-safe
+    * (`<=>`), so rows with a NULL `stratumCol` are counted, rated and
+    * sampled exactly like any other group — at `invTempPermille = 1000`
+    * they are all kept, honoring the "T = 1 keeps all" contract (a
+    * plain equi-join would silently drop them).
     */
   def temperatureSample(
       df: DataFrame,
@@ -116,11 +122,12 @@ object Sampling {
       if (invTempPermille == 500) floor(lit(1000.0) / sqrt(ratio))
       else floor(lit(1000.0) *
         exp((lit(invTempPermille / 1000.0) - lit(1.0)) * log(ratio)))
-    df.join(broadcast(counts), stratumCol)
+    val cc = counts.select(col(stratumCol).as("_stratum_key"), col("_n_s"))
+    df.join(broadcast(cc), df(stratumCol) <=> col("_stratum_key"))
       .crossJoin(broadcast(minN))
       .withColumn("_rate", rate)
       .filter(idHash(col(idCol)) % 1000 < col("_rate"))
-      .drop("_n_s", "_n_min", "_rate")
+      .drop("_stratum_key", "_n_s", "_n_min", "_rate")
   }
 
   /** The up-weighting half of dataset mixing: repeat each stratum by a

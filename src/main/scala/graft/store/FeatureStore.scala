@@ -318,6 +318,49 @@ final class FeatureStore(
     storage.readSegments(name, meta.segmentsOf(version), cols)
   }
 
+  /** Register the table as session TEMP VIEWS for SQL-first consumers:
+    * `name` resolves to the current version and `name_v<k>` to every
+    * retained version, all through the catalog's manifests (chained
+    * segments and schema drift included). Views capture the version
+    * that is current NOW — re-call after new registrations to refresh.
+    * The table name must be a valid SQL identifier (it is used
+    * verbatim as the view name).
+    */
+  def createOrReplaceViews(name: String): Unit = {
+    val meta = catalog.getOrThrow(name)
+    getVersion(name, meta.version).createOrReplaceTempView(name)
+    meta.versions.keys.foreach { v =>
+      getVersion(name, v).createOrReplaceTempView(s"${name}_v$v")
+    }
+  }
+
+  /** Storage hygiene: delete version directories that no RETAINED
+    * version's manifest references (stranded by crashes between a write
+    * and its catalog update) and table directories the catalog no
+    * longer knows (stranded by a crashed [[delete]]). Every retained
+    * version's data is untouched, so all [[getVersion]] / PIT reads
+    * stay exact — asserted in FeatureStoreSpec. Returns the deleted
+    * root-relative paths.
+    */
+  def vacuum(): Seq[String] = this.synchronized {
+    val known = catalog.all.map(m => m.name -> m).toMap
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    storage.listTableDirs().foreach { t =>
+      known.get(t) match {
+        case Some(meta) =>
+          val live = meta.versions.keys.toSeq.flatMap(meta.segmentsOf).toSet
+          storage.listVersionDirs(t).filterNot(live).foreach { v =>
+            storage.deleteVersion(t, v)
+            deleted += s"$t/v=$v"
+          }
+        case None =>
+          storage.deleteTable(t)
+          deleted += t
+      }
+    }
+    deleted.toSeq
+  }
+
   def listTables(): Seq[FeatureTableInfo] = catalog.all.map(_.info)
 
   def getTableInfo(name: String): FeatureTableInfo =
@@ -397,6 +440,40 @@ final class FeatureStore(
 }
 
 object FeatureStore {
+
+  /** Root-level hygiene for the fingerprint-keyed root pattern (a demo/
+    * bench store whose root NAME encodes a dataset checksum — see
+    * SparkEntry.demoStore): deletes LOCAL sibling directories of
+    * `keepRoot` whose name starts with `prefix` but differ from
+    * `keepRoot` itself — exactly the roots stranded when the source
+    * data regenerated under a new fingerprint. Local-filesystem only
+    * (java.nio) by design: fingerprint-keyed roots live in tmpdirs;
+    * durable shared roots get [[FeatureStore.vacuum]] instead. Returns
+    * deleted paths.
+    */
+  def vacuumSiblingRoots(keepRoot: String, prefix: String): Seq[String] = {
+    require(prefix.nonEmpty, "prefix must be non-empty")
+    val keep = java.nio.file.Paths.get(keepRoot).toAbsolutePath.normalize
+    val parent = keep.getParent
+    if (parent == null || !java.nio.file.Files.isDirectory(parent)) return Seq.empty
+    val stale = {
+      val s = java.nio.file.Files.list(parent)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p))
+          .filter(p => p.getFileName.toString.startsWith(prefix))
+          .filterNot(_.toAbsolutePath.normalize == keep)
+          .toList
+      } finally s.close()
+    }
+    stale.foreach { dir =>
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+    stale.map(_.toString)
+  }
 
   /** Timestamp coercion at the API boundary
     * (reference: store.py:602-611 `pd.Timestamp(ts)`): accepts

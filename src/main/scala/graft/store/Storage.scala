@@ -108,10 +108,38 @@ final class Storage(
 
   def deleteTable(name: String): Unit = delete(tablePath(name))
 
+  /** `v=<n>` version directories physically present for `name` —
+    * the storage-side truth [[FeatureStore.vacuum]] reconciles against
+    * the catalog's retained manifests.
+    */
+  def listVersionDirs(name: String): Seq[Int] = {
+    val p = new Path(tablePath(name))
+    val f = fs(p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toIntOption }
+      .flatten
+      .sorted
+  }
+
+  /** Table directories under the storage root (plain files — the
+    * catalog — are skipped).
+    */
+  def listTableDirs(): Seq[String] = {
+    val p = new Path(root)
+    val f = fs(p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+  }
+
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def delete(pathStr: String): Unit = {
     val path = new Path(pathStr)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) { fs.delete(path, true); () }
+    if (fs(path).exists(path)) { fs(path).delete(path, true); () }
   }
 }
 

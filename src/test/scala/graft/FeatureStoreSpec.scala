@@ -284,4 +284,61 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
       ("user_1", 1L, 2L), ("user_1", 2L, 1L),
       ("user_2", 1L, 1L), ("user_2", 2L, 1L)))
   }
+
+  test("createOrReplaceViews exposes current and historical versions to SQL") {
+    val store = freshStore()
+    store.register("events_view_t", singleRow(1.0))
+    store.register("events_view_t", singleRow(2.0))
+    store.createOrReplaceViews("events_view_t")
+    // current version through the catalog path
+    val cur = spark.sql(
+      "SELECT val FROM events_view_t").collect().map(_.getDouble(0)).toSeq
+    assert(cur == Seq(2.0))
+    // each retained version under its _v<k> name
+    val v1 = spark.sql(
+      "SELECT val FROM events_view_t_v1").collect().map(_.getDouble(0)).toSeq
+    assert(v1 == Seq(1.0))
+    assert(spark.sql(
+      "SELECT count(*) FROM events_view_t_v2").head().getLong(0) == 1L)
+    intercept[FeatureTableNotFoundError](store.createOrReplaceViews("nope"))
+  }
+
+  test("vacuum removes stranded version dirs and orphan tables; retained reads stay exact") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vacuum_spec").toString
+    val store = new FeatureStore(spark, root, maxVersions = 5)
+    store.register("t", singleRow(1.0))
+    store.register("t", singleRow(2.0))
+    // strand a version dir the catalog never references (crashed write)
+    val stray = java.nio.file.Paths.get(root, "t", "v=99")
+    java.nio.file.Files.createDirectories(stray)
+    // strand a whole table dir the catalog doesn't know (crashed delete)
+    val orphan = java.nio.file.Paths.get(root, "ghost", "v=1")
+    java.nio.file.Files.createDirectories(orphan)
+    val deleted = store.vacuum()
+    assert(deleted.toSet == Set("t/v=99", "ghost"))
+    assert(!java.nio.file.Files.exists(stray))
+    assert(!java.nio.file.Files.exists(orphan.getParent))
+    // every retained version still reads exactly
+    assert(store.getVersion("t", 1).collect().map(_.getAs[Double]("val")).toSeq == Seq(1.0))
+    assert(store.getVersion("t", 2).collect().map(_.getAs[Double]("val")).toSeq == Seq(2.0))
+    // idempotent: a clean store vacuums nothing
+    assert(store.vacuum().isEmpty)
+  }
+
+  test("vacuumSiblingRoots reclaims stale fingerprint-keyed roots only") {
+    val parent = java.nio.file.Files.createTempDirectory("graft_roots_spec")
+    val keep = parent.resolve("demo_ds1_AAA")
+    val stale = parent.resolve("demo_ds1_BBB")
+    val other = parent.resolve("demo_ds2_CCC")
+    Seq(keep, stale, other).foreach { r =>
+      java.nio.file.Files.createDirectories(r.resolve("sub"))
+      java.nio.file.Files.writeString(r.resolve("sub/f.txt"), "x")
+    }
+    val deleted = FeatureStore.vacuumSiblingRoots(keep.toString, "demo_ds1_")
+    assert(deleted == Seq(stale.toString))
+    assert(java.nio.file.Files.exists(keep))
+    assert(!java.nio.file.Files.exists(stale))
+    assert(java.nio.file.Files.exists(other), "a different dataset's roots must survive")
+  }
 }

@@ -500,6 +500,22 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(all == 1010L)
   }
 
+  test("temperatureSample treats a NULL stratum as its own stratum, never drops it") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq((1L, Option.empty[String]), (2L, Option.empty[String])) ++
+      (3L to 12L).map(i => (i, Some("A")))).toDF("doc_id", "source")
+    // T=1 keeps ALL rows including the NULL stratum (an equi-join on
+    // the stratum would silently drop them)
+    val all = graft.ops.Sampling.temperatureSample(df, invTempPermille = 1000)
+    assert(all.count() == 12L)
+    assert(all.filter(col("source").isNull).count() == 2L)
+    // and the NULL stratum is rated like any group: here it IS n_min,
+    // so it is kept whole at any temperature
+    val halved = graft.ops.Sampling.temperatureSample(df, invTempPermille = 500)
+    assert(halved.filter(col("source").isNull).count() == 2L)
+  }
+
   test("mixtureSample applies per-stratum rates, nested across rates") {
     val s = spark
     import s.implicits._
