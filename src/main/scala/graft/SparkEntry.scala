@@ -397,6 +397,20 @@ object SparkEntry {
         .get("events", PitIds, PitAsOf)
         .orderBy("entity_id")),
 
+    // SQL-first surface: the stored table registered as a temp view via
+    // createOrReplaceViews and consumed with plain spark.sql — the
+    // analyst's first query, resolved through the catalog/manifest
+    // path; the storage layer must be value-invisible to SQL too
+    "store_sql_view" -> ((s, dir) => {
+      demoStore(s, dir).createOrReplaceViews("events")
+      s.sql("""SELECT entity_id,
+              |       count(*) AS n_rows,
+              |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+              |FROM events
+              |GROUP BY entity_id
+              |ORDER BY entity_id""".stripMargin)
+    }),
+
     // O8 through the storage layer: training-set as-of join against the
     // registered table (same oracle as asof_join_events)
     "store_asof_roundtrip" -> ((s, dir) => {
@@ -586,6 +600,15 @@ object SparkEntry {
     "store_append_roundtrip" -> EventsPitOracle,
 
     "store_asof_roundtrip" -> EventsAsOfOracle,
+
+    // SQL over the registered view ≡ SQL over the raw events table
+    "store_sql_view" ->
+      """SELECT user_id AS entity_id,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY entity_id""".stripMargin,
 
     // the storage layer must be value-invisible for views too
     "store_feature_view_roundtrip" -> NorthStar.oracleSql("feature_view_multi"),
