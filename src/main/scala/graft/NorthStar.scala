@@ -641,7 +641,8 @@ object NorthStar {
     // here: the extra distinct exchange costs more than the 20 per-source
     // collect_set buffers save at this group count)
     "source_overlap" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.0, idCol = "source")
+      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.0, idCol = "source",
+          carrySizes = false)
         .select(
           col("id_a").as("source_a"),
           col("id_b").as("source_b"),

@@ -95,42 +95,86 @@ object Dedup {
   /** Exact n-gram Jaccard near-duplicate pairs (ids a < b with
     * J(a,b) >= threshold). Pairwise work is bounded by the
     * shared-shingle join, grouped map-side per (a, b).
+    *
+    * `carrySizes` picks the physical strategy for attaching set sizes
+    * (values identical either way):
+    *   - `true` (default, fine granularity): sizes ride along through
+    *     the shared-shingle join and come out of the pair aggregate as
+    *     `first()` — 3 shuffles total, no extra joins; the +16 bytes
+    *     per joined row is noise when ids are documents.
+    *   - `false` (coarse granularity — [[NorthStar]] `source_overlap`,
+    *     tens of groups with heavy shared-shingle fan-out): no pair
+    *     JOIN at all — each shingle aggregates its (≤|groups|) id set,
+    *     ordered pairs are generated with array ops and counted in the
+    *     same stage, and the tiny per-id size table joins onto the
+    *     bounded pair aggregate afterwards. Strategy agreement is
+    *     asserted in OpsSpec.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       n: Int,
       threshold: Double,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      carrySizes: Boolean = true): DataFrame = {
     // Join on the 60-bit shingle hash, not the shingle string: ~8 bytes
     // per key through the shuffle instead of ~20+, and cheap equality.
     // Hash collisions are immaterial at 2^-60 per pair, and the oracle
     // hashes with the same md5 formula so sets stay identical.
     // One aggregation builds each doc's distinct-shingle set (and its
     // size) — a single shuffle replacing separate distinct + size
-    // passes; the re-explode is shuffle-free. Two-level form: the
-    // shared-shingle join carries ONLY (hash, id_a, id_b) — at coarse
-    // granularity (source_overlap: 20 groups, heavy fan-out) carrying
-    // the set sizes through that join was the query's dominant shuffle
-    // cost — and the tiny per-id size table (one row per id, reusing
-    // the set-aggregation subplan) joins onto the pair aggregate
-    // afterwards, where cardinality is bounded by distinct pairs.
-    val sets = shingleHashSets(docs, n, idCol, textCol)
-    val sh = sets.select(col(idCol), explode(col("_set")).as("_sh"))
-    val inter = sh.select(col(idCol).as("id_a"), col("_sh"))
-      .join(sh.select(col(idCol).as("id_b"), col("_sh")), Seq("_sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("_inter"))
-    val sizes = sets.select(col(idCol), col("_n"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("_n").as("_na")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("_n").as("_nb")), "id_b")
-      .select(
-        col("id_a"),
-        col("id_b"),
-        (col("_inter").cast("double") / (col("_na") + col("_nb") - col("_inter")))
-          .as("jaccard"))
+    // passes; the re-explode is shuffle-free, and both join inputs are
+    // the same subplan so its shuffle is planned once and reused.
+    val jaccard =
+      (col("_inter").cast("double") / (col("_na") + col("_nb") - col("_inter")))
+        .as("jaccard")
+    val pairs =
+      if (carrySizes) {
+        val sets = shingleHashSets(docs, n, idCol, textCol)
+        val sh = sets.select(col(idCol), explode(col("_set")).as("_sh"), col("_n"))
+        sh.select(col(idCol).as("id_a"), col("_sh"), col("_n").as("_na"))
+          .join(sh.select(col(idCol).as("id_b"), col("_sh"), col("_n").as("_nb")), Seq("_sh"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(
+            count(lit(1)).as("_inter"),
+            first(col("_na")).as("_na"),
+            first(col("_nb")).as("_nb"))
+      } else {
+        // coarse path: ONE wide shuffle total, keyed on the shingle
+        // hash. [[shingleHashSets]]'s per-id collect_set would
+        // materialize multi-MB arrays (millions of shingles per group);
+        // here each SHINGLE aggregates its (≤|groups|) id set instead —
+        // collect_set dedups (id, shingle) repeats inside the aggregate,
+        // so no separate distinct pass exists. Ordered pairs are
+        // generated from each set with array ops and partial-aggregated
+        // in the same stage (the per-shingle k² fan-out never crosses a
+        // shuffle, unlike the equi-join form's join output), and the
+        // per-id set SIZES fall out of the same shuffled sets by
+        // re-exploding them — bounded follow-up stages, no second scan.
+        val bySh = shingleOccurrences(docs, n, idCol, textCol)
+          .select(col(idCol), Hashing.md5Long60(col("shingle")).as("_sh"))
+          .groupBy(col("_sh"))
+          .agg(sort_array(collect_set(col(idCol))).as("_ids"))
+        val pairsArr = flatten(transform(col("_ids"), (x, i) =>
+          transform(
+            slice(col("_ids"), i + lit(2), greatest(size(col("_ids")) - i - lit(1), lit(0))),
+            y => struct(x.as("id_a"), y.as("id_b")))))
+        val inter = bySh
+          .select(explode(pairsArr).as("_p"))
+          .select(col("_p.id_a"), col("_p.id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("_inter"))
+        val sizes = bySh
+          .select(explode(col("_ids")).as(idCol))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("_n"))
+        inter
+          .join(sizes.select(col(idCol).as("id_a"), col("_n").as("_na")), "id_a")
+          .join(sizes.select(col(idCol).as("id_b"), col("_n").as("_nb")), "id_b")
+      }
+    pairs
+      .select(col("id_a"), col("id_b"), jaccard)
       .filter(col("jaccard") >= threshold)
   }
 

@@ -460,6 +460,13 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     val r = out.head
     assert(r.getAs[String]("id_a") == "A" && r.getAs[String]("id_b") == "B")
     assert(math.abs(r.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-15)
+    // the coarse (no-pair-join) strategy must agree bit-for-bit
+    val coarse = graft.ops.Dedup
+      .ngramJaccardPairs(docs, n = 3, threshold = 0.0, idCol = "source",
+        carrySizes = false)
+      .collect()
+    assert(coarse.map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSeq ==
+      out.map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSeq)
   }
 
   test("bpeTopPairs counts adjacent char pairs with multiplicity") {
