@@ -100,6 +100,21 @@ object NorthStar {
           Similarity.ivfCentroids(emb(s, dir)),
           AnnQueryIds, k = 3)
         .orderBy("query_id", "rank")),
+    // O(delta) index maintenance: build the index on the first 256
+    // vectors, APPEND the rest under the same quantizer, query the
+    // combined index — must equal the one-shot build (same oracle),
+    // proving incremental ANN ingest is value-invisible
+    "ann_ivf_append" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val cents = Similarity.ivfCentroids(all) // ids 0-15: inside the base
+      val base = all.filter(col("vec_id") < 256)
+      val delta = all.filter(col("vec_id") >= 256)
+      Similarity
+        .ivfTopKIndexed(
+          Similarity.appendToIvfIndex(Similarity.buildIvfIndex(base), delta, cents),
+          cents, AnnQueryIds, k = 3)
+        .orderBy("query_id", "rank")
+    }),
     // deterministic hash-bucket dataset split: stable across runs,
     // engines and cluster sizes — rerunning a pipeline reassigns nothing
     "split_assign" -> ((s, dir) =>
@@ -1118,6 +1133,8 @@ object NorthStar {
     // the indexed IVF path must return exactly what the one-shot plan
     // returns — same oracle, proving the parquet round-trip is lossless
     ("ann_ivf_indexed" -> baseOracleSql("ann_ivf_topk")) +
+    // base-build + O(delta) append must equal the one-shot index
+    ("ann_ivf_append" -> baseOracleSql("ann_ivf_topk")) +
     // the Aggregator-based HLL must return exactly what the column
     // formulation returns — same registers, same estimate
     ("sketch_hll_agg" -> baseOracleSql("sketch_hll_distinct"))

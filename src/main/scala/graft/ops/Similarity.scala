@@ -647,6 +647,34 @@ object Similarity extends Serializable {
         col(vecCol).cast("array<float>"), cents))
   }
 
+  /** O(delta) IVF index maintenance — the ANN twin of the store's
+    * `registerAppend` and the dedup family's incremental `NearDupIndex`:
+    * assign ONLY the new batch against the index's EXISTING centroid
+    * set and union it on; the indexed corpus is never rescanned, so a
+    * daily ingest pays O(batch) assignment work. With a
+    * `partitionBy("ivf_list")`-persisted index, appending is writing
+    * the batch's rows into their list partitions.
+    *
+    * The centroids MUST be the ones the index was built with — they are
+    * the index's coarse quantizer, and per-row assignment is
+    * deterministic and batch-independent, so an index built in one shot
+    * and one built base+append are value-identical (oracle-checked by
+    * `ann_ivf_append`). Re-learning centroids on drifted data is a
+    * REBUILD ([[buildIvfIndex]]), not an append.
+    */
+  def appendToIvfIndex(
+      index: DataFrame,
+      batch: DataFrame,
+      centroids: Array[Array[Double]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = batch
+      .withColumn("ivf_norm", sqrt(dotFast(col(vecCol), col(vecCol))))
+      .withColumn("ivf_list", graft.functions.FloatVectorArgmaxDot(
+        col(vecCol).cast("array<float>"), centroids))
+    index.unionByName(assigned.select(index.columns.map(col): _*))
+  }
+
   /** Top-k cosine search over a built (typically parquet-round-tripped)
     * IVF index. Probe lists are computed driver-side from the queries'
     * own index rows against the (small, broadcastable) centroid set, so

@@ -387,6 +387,29 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(feats.features(6) == 1.0) // 'a'..'d' all in bucket 0x6
   }
 
+  test("appendToIvfIndex equals the one-shot index build (same quantizer)") {
+    val s = spark
+    import s.implicits._
+    val emb = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(8)(d => if (d / 2 == c) (d % 2 + 1f) * (1 + i / 4f) else 0f))
+    }.toDF("vec_id", "embedding")
+    val cents = graft.ops.Similarity.ivfCentroids(emb, numCentroids = 4)
+    val oneShot = graft.ops.Similarity.buildIvfIndex(emb, numCentroids = 4)
+    val appended = graft.ops.Similarity.appendToIvfIndex(
+      graft.ops.Similarity.buildIvfIndex(emb.filter($"vec_id" < 20), numCentroids = 4),
+      emb.filter($"vec_id" >= 20), cents)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "ivf_list", "ivf_norm").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(rows(appended) == rows(oneShot))
+    // and queries over both indexes agree bit-for-bit
+    def topk(idx: org.apache.spark.sql.DataFrame) = graft.ops.Similarity
+      .ivfTopKIndexed(idx, cents, Seq(0L, 1L), k = 3, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(topk(appended) == topk(oneShot))
+  }
+
   test("multimodal: byteDownsample keeps every factor-th byte, factor 1 is identity") {
     val media = Multimodal.asMedia(docsDF(1L -> "abcdefghij", 2L -> ""))
     val byId = Multimodal.byteDownsample(media, factor = 4).collect().map(r => r.doc_id -> r).toMap
