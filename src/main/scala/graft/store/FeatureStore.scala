@@ -29,7 +29,12 @@ final class FeatureStore(
     val spark: SparkSession,
     storageRoot: String = null,
     val maxVersions: Int = 10,
-    partitionGranularity: String = "month") {
+    partitionGranularity: String = "month",
+    // the storage seam: swap the zero-dependency parquet layout for a
+    // transactional table format by supplying a different
+    // [[VersionStorage]] for the resolved (session, root, granularity)
+    storageFactory: (SparkSession, String, String) => VersionStorage =
+      new Storage(_, _, _)) {
 
   if (maxVersions < 1)
     throw new IllegalArgumentException(
@@ -39,7 +44,8 @@ final class FeatureStore(
 
   private val root =
     Option(storageRoot).getOrElse(Storage.defaultRoot())
-  private val storage = new Storage(spark, root, partitionGranularity)
+  private val storage: VersionStorage =
+    storageFactory(spark, root, partitionGranularity)
   private val catalog = new Catalog
   // Reopen an existing store: the catalog file under the root (written
   // on every mutation) restores tables, versions and schemas.

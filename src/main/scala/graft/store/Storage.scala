@@ -5,6 +5,48 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** The STORAGE SEAM of the feature store: version-addressed table data
+  * behind a deliberately narrow contract, so the physical format is a
+  * deployment choice. The shipped implementation ([[Storage]]) is
+  * zero-dependency versioned parquet with manifest-chained segments; a
+  * transactional table format drops in behind the same seam
+  * (SURVEY.md §1.3 names the scale mapping):
+  *
+  *   - Delta Lake: [[write]] → transactional append/overwrite + commit;
+  *     version numbers → Delta versions (time travel), [[readSegments]]
+  *     → `VERSION AS OF` reads, [[deleteTable]] → DROP + VACUUM, and
+  *     [[FeatureStore.vacuum]] → Delta VACUUM.
+  *   - Iceberg: versions → snapshots, the segment manifests → Iceberg's
+  *     own manifest lists, vacuum → expire_snapshots /
+  *     remove_orphan_files.
+  *
+  * What those formats ADD over the default — multi-table transactions
+  * and snapshot-isolated readers during concurrent delete — comes from
+  * their commit protocols; the default deliberately scopes to
+  * single-writer-per-table (atomic catalog rename + foreign-writer
+  * detection, [[CatalogPersistence]]) per the reference's
+  * zero-infrastructure stance.
+  */
+trait VersionStorage {
+  /** Write one version snapshot/segment; returns the row count. */
+  def write(name: String, version: Int, df: DataFrame,
+      entityCol: String, tsCol: String): Long
+  /** Read one version segment, original column order, optional as-of
+    * pruning bound.
+    */
+  def read(name: String, version: Int, columns: Seq[String],
+      asOf: Option[java.sql.Timestamp] = None): DataFrame
+  /** Read the union of a version manifest's segments. */
+  def readSegments(name: String, segments: Seq[Int], columns: Seq[String],
+      asOf: Option[java.sql.Timestamp] = None): DataFrame
+  def deleteVersion(name: String, version: Int): Unit
+  def deleteTable(name: String): Unit
+  /** Version segments physically present (storage-side truth for vacuum). */
+  def listVersionDirs(name: String): Seq[Int]
+  /** Tables physically present under the root. */
+  def listTableDirs(): Seq[String]
+}
+
 /** Versioned parquet storage: one directory per table version,
   * `<root>/<table>/v=<n>/` — the durable analog of the reference's
   * in-memory `history: Dict[int, DataFrame]` (store.py:51-69, 204).
@@ -26,7 +68,7 @@ import org.apache.spark.sql.functions._
 final class Storage(
     spark: SparkSession,
     root: String,
-    granularity: String = "month") {
+    granularity: String = "month") extends VersionStorage {
 
   private val DateCol = "_ts_date"
 
@@ -82,7 +124,7 @@ final class Storage(
       name: String,
       version: Int,
       columns: Seq[String],
-      asOf: Option[java.sql.Timestamp] = None): DataFrame = {
+      asOf: Option[java.sql.Timestamp]): DataFrame = {
     val base = spark.read.parquet(versionPath(name, version))
     val pruned =
       asOf.fold(base)(t => base.filter(col(DateCol) <= period(lit(t))))
@@ -100,7 +142,7 @@ final class Storage(
       name: String,
       segments: Seq[Int],
       columns: Seq[String],
-      asOf: Option[java.sql.Timestamp] = None): DataFrame =
+      asOf: Option[java.sql.Timestamp]): DataFrame =
     segments.map(read(name, _, columns, asOf)).reduce(_.unionByName(_))
 
   def deleteVersion(name: String, version: Int): Unit =

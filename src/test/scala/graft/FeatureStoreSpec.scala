@@ -326,6 +326,42 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(store.vacuum().isEmpty)
   }
 
+  test("the storage seam is pluggable: a VersionStorage decorator sees every call") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_seam_spec").toString
+    val writes = new java.util.concurrent.atomic.AtomicInteger
+    val reads = new java.util.concurrent.atomic.AtomicInteger
+    val store = new FeatureStore(spark, root, storageFactory = (s, r, g) =>
+      new graft.store.VersionStorage {
+        private val inner = new graft.store.Storage(s, r, g)
+        def write(name: String, version: Int, df: org.apache.spark.sql.DataFrame,
+            entityCol: String, tsCol: String): Long = {
+          writes.incrementAndGet()
+          inner.write(name, version, df, entityCol, tsCol)
+        }
+        def read(name: String, version: Int, columns: Seq[String],
+            asOf: Option[java.sql.Timestamp]): org.apache.spark.sql.DataFrame = {
+          reads.incrementAndGet()
+          inner.read(name, version, columns, asOf)
+        }
+        def readSegments(name: String, segments: Seq[Int], columns: Seq[String],
+            asOf: Option[java.sql.Timestamp]): org.apache.spark.sql.DataFrame = {
+          reads.incrementAndGet()
+          inner.readSegments(name, segments, columns, asOf)
+        }
+        def deleteVersion(name: String, version: Int): Unit =
+          inner.deleteVersion(name, version)
+        def deleteTable(name: String): Unit = inner.deleteTable(name)
+        def listVersionDirs(name: String): Seq[Int] = inner.listVersionDirs(name)
+        def listTableDirs(): Seq[String] = inner.listTableDirs()
+      })
+    store.register("t", singleRow(1.0))
+    assert(writes.get() == 1)
+    assert(store.get("t", Seq("user_1"), ts("2024-06-01"))
+      .collect().head.getAs[Double]("val") == 1.0)
+    assert(reads.get() >= 1, "PIT reads must route through the seam")
+  }
+
   test("vacuumSiblingRoots reclaims stale fingerprint-keyed roots only") {
     val parent = java.nio.file.Files.createTempDirectory("graft_roots_spec")
     val keep = parent.resolve("demo_ds1_AAA")
