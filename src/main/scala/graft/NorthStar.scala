@@ -366,6 +366,13 @@ object NorthStar {
       Profiling
         .profile(SparkEntry.eventsForNorthStar(s, dir), Seq("event_id", "value"))
         .orderBy("col_name")),
+    // join-key skew diagnostic: exact heavy hitters + per-mille share —
+    // the pre-shuffle measurement behind the skew-hybrid routing
+    "feature_skew" -> ((s, dir) =>
+      Profiling
+        .keySkew(SparkEntry.eventsForNorthStar(s, dir),
+          Seq("user_id", "event_type"), k = 5)
+        .orderBy("col_name", "rank")),
     // value distribution split at mid-month: the integer (bin, n_a, n_b)
     // base every drift score builds on
     "drift_histogram" -> ((s, dir) =>
@@ -1646,6 +1653,30 @@ object NorthStar {
         |       CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
         |FROM events
         |ORDER BY col_name""".stripMargin,
+
+    // heavy hitters per key column; ties (n desc, value asc) on the
+    // STRING form on both sides, integer-division share
+    "feature_skew" ->
+      """WITH tot AS (SELECT count(*) AS _n_rows FROM events),
+        |uk AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS value, count(*) AS n
+        |  FROM events GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5),
+        |et AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS value, count(*) AS n
+        |  FROM events GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5)
+        |SELECT col_name, CAST(rank AS INT) AS rank, value,
+        |       CAST(n AS BIGINT) AS n,
+        |       CAST(n * 1000 // _n_rows AS BIGINT) AS share_permille
+        |FROM (
+        |  SELECT 'user_id' AS col_name,
+        |         row_number() OVER (ORDER BY n DESC, value ASC) AS rank, value, n
+        |  FROM uk
+        |  UNION ALL
+        |  SELECT 'event_type',
+        |         row_number() OVER (ORDER BY n DESC, value ASC), value, n
+        |  FROM et
+        |), tot
+        |ORDER BY col_name, rank""".stripMargin,
 
     "drift_histogram" ->
       """SELECT CAST(least(greatest(floor(value / 25), 0), 19) AS BIGINT) AS bin,

@@ -25,6 +25,49 @@ import graft.store.FeatureValidationError
   */
 object Profiling {
 
+  /** Join/groupBy-key skew diagnostic: the top-`k` heaviest values per
+    * key column with exact counts and integer per-mille share of the
+    * table — the measurement that decides whether a key needs the
+    * salted/skew-hybrid plan ([[graft.store.PointInTime]]'s routing)
+    * BEFORE a 100 TB shuffle discovers it the hard way. One
+    * partial-aggregated count per column + a distributed top-k
+    * (`orderBy.limit`, never a single-partition window over all keys);
+    * values surface as strings so one output schema fits every column
+    * type. Ties order (n desc, value asc); the share uses integer
+    * division so it is engine-exact.
+    */
+  def keySkew(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    if (cols.isEmpty)
+      throw new FeatureValidationError("keySkew needs at least one column")
+    if (k < 1)
+      throw new FeatureValidationError(s"keySkew needs k >= 1, got $k")
+    val missing = cols.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new FeatureValidationError(
+        s"keySkew columns not in table: ${missing.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val parts = cols.map { c =>
+      val topk = df
+        .groupBy(col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("value").asc)
+        .limit(k) // TakeOrdered: k-bounded per partition, then merged
+      // the window ranks only the k surviving rows — not the key space
+      topk
+        .withColumn("col_name", lit(c))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("value").asc)))
+    }
+    parts.reduce(_.unionByName(_))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("_n_rows"))))
+      .select(
+        col("col_name"),
+        col("rank"),
+        col("value"),
+        col("n"),
+        expr("n * 1000 DIV _n_rows").as("share_permille"))
+  }
+
   /** Long-format per-column profile: one row per requested column with
     * row/non-null/distinct counts and numeric min/max (null min/max for
     * non-numeric columns). The profile is a single aggregation job.

@@ -242,4 +242,27 @@ class ProfilingSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toList
     assert(out == List((0L, 1L), (1L, 1L), (8L, 1L)))
   }
+
+  test("keySkew ranks heavy hitters with exact per-mille shares") {
+    val s = spark
+    import s.implicits._
+    // 10 rows: key 'h' owns 6 (600 permille), 'm' 3, 't' 1
+    val df = (Seq.fill(6)("h") ++ Seq.fill(3)("m") ++ Seq("t"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("id", "key")
+    val out = Profiling.keySkew(df, Seq("key"), k = 2).orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toList
+    assert(out == List(
+      ("key", 1, "h", 6L, 600L),
+      ("key", 2, "m", 3L, 300L)))
+    // ties break on the STRING value ascending — "10" < "2"
+    val tied = Seq((1L, 10L), (2L, 10L), (3L, 2L), (4L, 2L)).toDF("id", "key")
+    val t = Profiling.keySkew(tied, Seq("key"), k = 2).orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getString(2))).toList
+    assert(t == List((1, "10"), (2, "2")))
+    intercept[graft.store.FeatureValidationError](Profiling.keySkew(df, Nil, 2))
+    intercept[graft.store.FeatureValidationError](Profiling.keySkew(df, Seq("key"), 0))
+    intercept[graft.store.FeatureValidationError](Profiling.keySkew(df, Seq("nope"), 2))
+  }
 }
