@@ -122,6 +122,13 @@ object NorthStar {
         .hashSplit(docs(s, dir), Seq("train" -> 80, "valid" -> 10, "test" -> 10))
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
+    // reproducible training-order shuffle: the op's OUTPUT ORDER is the
+    // contract (compared row-by-row against the oracle's ORDER BY) —
+    // same permutation on any engine at any parallelism
+    "shuffle_order" -> ((s, dir) =>
+      graft.ops.Sampling
+        .deterministicShuffle(docs(s, dir), seed = "ep0")
+        .select(col("doc_id"), col("shuffle_key"))),
     // dataset mixing: src0 kept whole, src1 heavily down-weighted,
     // everything else at 50% — stable per-mille hash cut
     "sample_mixture" -> ((s, dir) =>
@@ -1509,6 +1516,14 @@ object NorthStar {
         |  FROM documents
         |)
         |ORDER BY doc_id""".stripMargin,
+
+    // the shuffled ORDER is the contract; md5-prefix key + id tie-break
+    "shuffle_order" ->
+      """SELECT doc_id,
+        |       CAST(('0x' || substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id""".stripMargin,
 
     "pivot_lang_counts" ->
       """SELECT source,

@@ -21,6 +21,25 @@ object Sampling {
   private def idHash(idCol: Column): Column =
     Hashing.md5Long60(idCol.cast("string"))
 
+  /** Deterministic training-order shuffle: a reproducible global
+    * permutation from the portable md5 family — rows ordered by
+    * (md5(seed:id), id). The same order on any engine, at any
+    * parallelism, on any rerun, which is what makes a training run
+    * reproducible end to end; a different `seed` gives an independent
+    * permutation per epoch. Physically one total-order sort —
+    * range-partitioned by Spark's distributed sort, no single-task
+    * funnel — and the tie-break on id makes the permutation total even
+    * in the (2^-60) event of a hash collision.
+    */
+  def deterministicShuffle(
+      df: DataFrame,
+      seed: String = "",
+      idCol: String = "doc_id"): DataFrame = {
+    val key = Hashing.md5Long60(
+      concat_ws(":", lit(seed), col(idCol).cast("string")))
+    df.withColumn("shuffle_key", key).orderBy(col("shuffle_key"), col(idCol))
+  }
+
   /** Keep ~`percent`% of rows, chosen by id hash (0 < percent < 100).
     * Deterministic: the same row is kept in every run and engine.
     */

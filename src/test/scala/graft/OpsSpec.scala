@@ -530,6 +530,21 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(all == 1010L)
   }
 
+  test("deterministicShuffle is a stable total permutation; seeds are independent") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def order(seed: String) = graft.ops.Sampling
+      .deterministicShuffle(df, seed).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val a = order("ep0")
+    assert(a == order("ep0"), "same seed must reproduce the same order")
+    assert(a.sorted == (1L to 200L), "a permutation keeps every row exactly once")
+    val b = order("ep1")
+    assert(a != b, "different seeds must give different permutations")
+    assert(a != (1L to 200L), "the order must actually be shuffled")
+  }
+
   test("temperatureSample treats a NULL stratum as its own stratum, never drops it") {
     val s = spark
     import s.implicits._
