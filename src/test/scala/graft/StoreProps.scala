@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.store.{FeatureStore, FeatureTableNotFoundError}
+
+/** Model-based lifecycle properties for the versioned store: a RANDOM
+  * sequence of register / registerAppend / compact / vacuum operations
+  * must leave every RETAINED version's data exactly equal to a
+  * straightforward in-memory model (and every pruned version must
+  * raise). This is the storage layer's deepest invariant — manifest
+  * chaining, compaction, segment-aware pruning and vacuum all
+  * interleave here, and any of them freeing a segment a retained
+  * manifest still references would surface as a value diff.
+  */
+object StoreProps extends Properties("FeatureStore") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5).withMaxSize(12)
+
+  private lazy val spark = SparkTestBase.session
+
+  private sealed trait Op
+  private case class Register(nRows: Int) extends Op
+  private case class Append(nRows: Int) extends Op
+  private case object Compact extends Op
+  private case object Vacuum extends Op
+
+  private val genOp: Gen[Op] = Gen.frequency(
+    3 -> Gen.choose(1, 5).map(Register(_)),
+    4 -> Gen.choose(1, 5).map(Append(_)),
+    1 -> Gen.const(Compact),
+    2 -> Gen.const(Vacuum))
+
+  private val genOps: Gen[List[Op]] = for {
+    n <- Gen.choose(2, 6)
+    ops <- Gen.listOfN(n, genOp)
+    first <- Gen.choose(1, 5)
+  } yield Register(first) :: ops
+
+  /** Deterministic distinct rows: op k's row j is entity e<k>_<j> at a
+    * unique day offset with value 100*k + j — no (entity, ts) ties, so
+    * reads have a single right answer.
+    */
+  private def rowsFor(opIdx: Int, n: Int): Seq[(String, Timestamp, Double)] =
+    (0 until n).map { j =>
+      val day = 1 + ((opIdx * 7 + j) % 27)
+      (s"e${opIdx}_$j",
+        Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"),
+        opIdx * 100.0 + j)
+    }
+
+  private def toDF(rows: Seq[(String, Timestamp, Double)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("entity_id", "timestamp", "val")
+  }
+
+  private def readVersion(store: FeatureStore, v: Int): Set[(String, Timestamp, Double)] =
+    store.getVersion("t", v).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+
+  property("random register/append/compact/vacuum keeps every retained version exact") =
+    forAll(genOps) { ops =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_store_props").toString
+      val maxVersions = 3
+      val store = new FeatureStore(spark, root, maxVersions = maxVersions)
+      // model: version -> expected full contents
+      var model = Map.empty[Int, Set[(String, Timestamp, Double)]]
+      var current = 0
+      ops.zipWithIndex.foreach { case (op, i) =>
+        op match {
+          case Register(n) =>
+            val rows = rowsFor(i, n)
+            store.register("t", toDF(rows))
+            current += 1
+            model += current -> rows.toSet
+          case Append(n) =>
+            val rows = rowsFor(i, n)
+            if (current == 0) {
+              store.registerAppend("t", toDF(rows))
+              current = 1
+              model += 1 -> rows.toSet
+            } else {
+              // a tiny maxSegments exercises the auto-compaction branch
+              store.registerAppend("t", toDF(rows), maxSegments = 2)
+              current += 1
+              model += current -> (model(current - 1) ++ rows.toSet)
+            }
+          case Compact =>
+            if (current > 0) {
+              val before = model(current)
+              val info = store.compact("t")
+              // compact is a no-op on single-segment versions
+              current = info.version
+              model += current -> before
+            }
+          case Vacuum =>
+            store.vacuum()
+        }
+        // after EVERY op: all retained versions read exactly, pruned raise
+        val retained = model.keys.toSeq.sorted.takeRight(maxVersions)
+        retained.foreach { v =>
+          val got = readVersion(store, v)
+          if (got != model(v))
+            throw new AssertionError(
+              s"version $v mismatch after op #$i $op: got $got expected ${model(v)}")
+        }
+        model.keys.toSeq.sorted.dropRight(maxVersions).foreach { v =>
+          try {
+            store.getVersion("t", v)
+            throw new AssertionError(s"pruned version $v still readable after $op")
+          } catch { case _: FeatureTableNotFoundError => () }
+        }
+      }
+      true
+    }
+}
