@@ -675,6 +675,53 @@ object Similarity extends Serializable {
     index.unionByName(assigned.select(index.columns.map(col): _*))
   }
 
+  /** Incremental embedding near-dup: a (small) batch of new vectors
+    * against an EXISTING IVF index — the embedding twin of
+    * [[graft.ops.Dedup.incrementalNearDupPairs]], and the kernel behind
+    * [[graft.streaming.StreamingFeatures.embeddingDedupStream]].
+    * Output: (new_id, corpus_id, cosine) for candidate pairs at or
+    * above `threshold`.
+    *
+    * Scale shape: the batch's probe lists are computed with the
+    * codegen'd top-centroids kernel and collected (≤ |batch|·nProbe
+    * ints — bounded, the same driver-side literal step as
+    * [[ivfTopKIndexed]]) so the coarse `ivf_list IN (...)` filter
+    * reaches a `partitionBy("ivf_list")` index as STATIC partition
+    * pruning; the batch then broadcasts onto the pruned lists for exact
+    * widen-then-fold rescoring. Work per batch is
+    * O(batch · corpusShareOfProbedLists) — the corpus is never
+    * self-joined and never fully scanned. Recall is IVF-probabilistic
+    * (a true near-dup outside the probed lists is missed); raise
+    * `nProbe` to trade cost for recall.
+    */
+  def incrementalCosineNearDupPairs(
+      batch: DataFrame,
+      index: DataFrame,
+      centroids: Array[Array[Double]],
+      threshold: Double,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val fv = col(vecCol).cast("array<float>")
+    val q = batch.select(
+      col(idCol).cast("long").as("new_id"),
+      col(vecCol).as("_qv"),
+      sqrt(dotFast(col(vecCol), col(vecCol))).as("_qn"),
+      explode(graft.functions.FloatVectorTopCentroids(fv, centroids, nProbe))
+        .as("ivf_list"))
+    val probeLists: Seq[Any] = q.select("ivf_list").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    index
+      .filter(col("ivf_list").isin(probeLists: _*))
+      .join(broadcast(q), Seq("ivf_list"))
+      .select(
+        col("new_id"),
+        col(idCol).cast("long").as("corpus_id"),
+        (dotFast(col("_qv"), col(vecCol)) / (col("_qn") * col("ivf_norm")))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Top-k cosine search over a built (typically parquet-round-tripped)
     * IVF index. Probe lists are computed driver-side from the queries'
     * own index rows against the (small, broadcastable) centroid set, so

@@ -206,6 +206,35 @@ object StreamingFeatures {
       }
       .start()
 
+  /** Streaming embedding near-dup against a static pre-built IVF index
+    * — the vector twin of [[incrementalDedupStream]], same foreachBatch
+    * stance (batch/stream symmetry: the batch kernel IS the streaming
+    * kernel). Per micro-batch the handler receives
+    * (new_id, corpus_id, cosine) candidate pairs at or above
+    * `threshold`, produced by
+    * [[graft.ops.Similarity.incrementalCosineNearDupPairs]]: probe-list
+    * pruning against the index, exact rescoring, O(batch) work — the
+    * indexed corpus is never rescanned.
+    */
+  def embeddingDedupStream(
+      stream: DataFrame,
+      index: DataFrame,
+      centroids: Array[Array[Double]],
+      threshold: Double,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding")(
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.ops.Similarity.incrementalCosineNearDupPairs(
+            batch, index, centroids, threshold, nProbe, idCol, vecCol),
+          batchId)
+      }
+      .start()
+
   /** Continuously-maintained latest-row-per-entity — the streaming twin
     * of [[graft.store.PointInTime.latestPerEntity]] and the online-
     * serving materialization: each micro-batch emits only entities whose

@@ -16,6 +16,45 @@ class StreamingFeaturesSpec extends AnyFunSuite with SparkTestBase {
 
   private def t(s: String): Timestamp = ts(s)
 
+  test("streaming embedding dedup flags batch vectors against a static IVF index") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // 4 clusters on disjoint coordinate blocks: within-cluster cosine is
+    // exactly 1, cross-cluster exactly 0
+    def vec(c: Int, scale: Float): Array[Float] =
+      Array.tabulate(8)(d => if (d / 2 == c) (d % 2 + 1f) * scale else 0f)
+    val corpus = (0L until 16L).map(i => (i, vec((i % 4).toInt, 1f + i / 4)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.ops.Similarity.ivfCentroids(corpus, numCentroids = 4)
+    val index = graft.ops.Similarity.buildIvfIndex(corpus, numCentroids = 4).cache()
+    val source = MemoryStream[(Long, Array[Float])]
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val query = StreamingFeatures.embeddingDedupStream(
+      source.toDF().toDF("vec_id", "embedding"), index, cents,
+      threshold = 0.95, nProbe = 4) { (pairs, _) =>
+      flagged.synchronized {
+        flagged ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try {
+      source.addData((100L, vec(1, 9f))) // dup of cluster 1 (ids 1,5,9,13)
+      query.processAllAvailable()
+      // 45-degree blend of clusters 2 and 3: cosine ~0.7 to each — novel
+      val blend = Array.tabulate(8)(d => if (d >= 4) (d % 2 + 1f) else 0f)
+      source.addData((101L, blend))
+      query.processAllAvailable()
+      val got = flagged.synchronized(flagged.toList)
+      assert(got.map(p => (p._1, p._2)).toSet ==
+        Set(1L, 5L, 9L, 13L).map(c => (100L, c)))
+      // scaled-identical directions: cosine 1 up to sqrt rounding (1 ulp)
+      assert(got.forall(_._3 > 0.999999))
+    } finally {
+      query.stop()
+      index.unpersist()
+    }
+  }
+
   test("streaming incremental dedup flags batch docs against a static corpus index") {
     val s = spark
     import s.implicits._
