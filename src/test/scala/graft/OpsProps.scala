@@ -71,6 +71,18 @@ object OpsProps extends Properties("Ops") {
       inc.forall { case (pair, j) => all.get(pair).contains(j) }
     }
 
+  property("ngramJaccardPairs physical strategies agree (size-carry vs coarse one-shuffle)") =
+    forAll(genCorpus) { docs =>
+      val s = spark
+      import s.implicits._
+      val df = docs.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      def pairs(carry: Boolean) = Dedup
+        .ngramJaccardPairs(df, n = 3, threshold = 0.2, carrySizes = carry)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      pairs(carry = true) == pairs(carry = false)
+    }
+
   // Clustered embedding corpora for the routed-vs-exact agreement
   // properties: cluster c owns coordinate block [4c, 4c+4) of a 16-dim
   // vector and member m scales the block pattern by (m+1) — so
