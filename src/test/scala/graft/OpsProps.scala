@@ -136,6 +136,31 @@ object OpsProps extends Properties("Ops") {
       routed == exact
     }
 
+  property("frameSample windows DECODED audio exactly as the reference model") =
+    forAll(
+      Gen.resize(30, Gen.listOf(Gen.chooseNum(Short.MinValue, Short.MaxValue))),
+      Gen.choose(1, 5), Gen.choose(1, 5)) { (samplesL, frameLen, stride) =>
+      val s = spark
+      import s.implicits._
+      val samples = samplesL.toArray
+      val media = Seq(
+        (1L, graft.ops.WavCodec.encode(samples, 8000, 1), "audio/wav"))
+        .toDF("doc_id", "media", "kind")
+      val got = graft.ops.Multimodal.frameSample(media, frameLen, stride)
+        .collect()
+        .map(f => (f.frame_idx, f.n_units, f.sum_abs, f.max_unit))
+        .toList.sortBy(_._1)
+      val model = Iterator.from(0)
+        .map(f => (f, f * stride))
+        .takeWhile { case (_, st) => st + frameLen <= samples.length }
+        .map { case (f, st) =>
+          val w = samples.slice(st, st + frameLen).map(_.toLong)
+          (f, frameLen.toLong, w.map(math.abs).sum, w.max)
+        }
+        .toList
+      got == model
+    }
+
   property("knnLabelNoiseAuto under a forced tiny budget equals the exact audit") =
     forAll(genVecClusters) { rows =>
       val df = toVecDF(rows)
