@@ -36,7 +36,11 @@ final case class TableMeta(
     registeredAt: Long,
     updatedAt: Long,
     versions: SortedMap[Int, Seq[String]],
-    segments: SortedMap[Int, Seq[Int]] = SortedMap.empty) {
+    segments: SortedMap[Int, Seq[Int]] = SortedMap.empty,
+    // streaming idempotence high-water mark: the highest foreachBatch
+    // batch id already registered ([[FeatureStore.registerBatch]]);
+    // None for batch-only tables
+    maxBatchId: Option[Long] = None) {
   def columns: Seq[String] = versions(version)
   /** Manifest for `v`: explicit entry, else the single-snapshot default. */
   def segmentsOf(v: Int): Seq[Int] = segments.getOrElse(v, Seq(v))
@@ -87,6 +91,7 @@ final class Catalog {
   *   T <name> <version> <rowCount> <registeredAt> <updatedAt>
   *   V <name> <version> <col1> <col2> ...
   *   S <name> <version> <seg1> <seg2> ...      (manifest; absent = [version])
+  *   K <name> <maxBatchId>                     (streaming high-water; optional)
   *
   * Multi-writer stance: [[save]] MERGES with the on-disk file at table
   * granularity (tables this session never touched are preserved, tables
@@ -125,7 +130,9 @@ object CatalogPersistence {
       val manifests = m.segments.toSeq.map { case (v, segs) =>
         (s"S\t${enc(m.name)}\t$v" +: segs.map(_.toString)).mkString("\t")
       }
-      (head +: versions) ++ manifests
+      val watermark =
+        m.maxBatchId.map(b => s"K\t${enc(m.name)}\t$b").toSeq
+      (head +: versions) ++ manifests ++ watermark
     }
     val path = catalogFile(root)
     Files.createDirectories(path.getParent)
@@ -161,12 +168,18 @@ object CatalogPersistence {
           (dec(f(1)), f(2).toInt, f.drop(3).toSeq.map(_.toInt))
       }
       .groupBy(_._1)
+    val watermarks = lines.collect {
+      case l if l.startsWith("K\t") =>
+        val f = l.split("\t")
+        dec(f(1)) -> f(2).toLong
+    }.toMap
     heads.toSeq.map { case (name, (version, rowCount, reg, upd)) =>
       val vs = scala.collection.immutable.SortedMap(
         versions.getOrElse(name, Seq.empty).map(v => v._2 -> v._3): _*)
       val segs = scala.collection.immutable.SortedMap(
         manifests.getOrElse(name, Seq.empty).map(s => s._2 -> s._3): _*)
-      TableMeta(name, version, rowCount, reg, upd, vs, segs)
+      TableMeta(name, version, rowCount, reg, upd, vs, segs,
+        maxBatchId = watermarks.get(name))
     }
   }
 }

@@ -154,6 +154,35 @@ final class FeatureStore(
     }
   }
 
+  /** Idempotent register for exactly-once STREAMING versioning: a
+    * version is minted only when `batchId` is strictly newer than the
+    * highest batch id already recorded for the table. Structured
+    * Streaming's foreachBatch re-delivers the last batch after a crash
+    * recovery with the SAME batch id (batch ids are monotonic per
+    * query), so a replay is detected and skipped — no duplicate
+    * version, no double-appended rows. The high-water mark persists in
+    * the catalog file, making replay detection survive a store reopen —
+    * which is exactly the crash-recovery case that re-delivers.
+    *
+    * Returns `Some(info)` when a version was registered, `None` on a
+    * skipped replay.
+    */
+  def registerBatch(
+      name: String,
+      df: DataFrame,
+      batchId: Long): Option[FeatureTableInfo] = this.synchronized {
+    val seen = catalog.get(name).flatMap(_.maxBatchId)
+    if (seen.exists(batchId <= _)) None
+    else {
+      val info = register(name, df)
+      catalog.get(name).foreach { m =>
+        catalog.put(m.copy(maxBatchId = Some(batchId)))
+      }
+      CatalogPersistence.save(root, catalog.all)
+      Some(info)
+    }
+  }
+
   /** Explicit compaction: materialize the CURRENT version's chained
     * manifest as a single-snapshot new version (data unchanged — only
     * the physical layout). The maintenance operation an append-heavy
@@ -340,32 +369,80 @@ final class FeatureStore(
     }
   }
 
-  /** Storage hygiene: delete version directories that no RETAINED
-    * version's manifest references (stranded by crashes between a write
-    * and its catalog update) and table directories the catalog no
-    * longer knows (stranded by a crashed [[delete]]). Every retained
-    * version's data is untouched, so all [[getVersion]] / PIT reads
-    * stay exact — asserted in FeatureStoreSpec. Returns the deleted
-    * root-relative paths.
+  /** Storage hygiene with SNAPSHOT ISOLATION for readers: physical
+    * deletion is TWO-PHASE. [[delete]] and version pruning only RETIRE
+    * paths (logical removal is immediate; the parquet files stay), and
+    * `vacuum` physically deletes a retired path once `graceMillis` has
+    * passed since its retirement — so a long-running query holding a
+    * DataFrame over a deleted table or pruned version is never robbed
+    * of its files mid-scan (the reference gets this from pandas copies,
+    * store.py:393-396; Delta/Iceberg from a VACUUM retention window).
+    *
+    * Stranded paths — version dirs no retained manifest references and
+    * table dirs the catalog doesn't know, left by crashes between a
+    * write and its catalog commit — are ENROLLED into the retire ledger
+    * on the pass that discovers them and deleted on a later pass after
+    * the same grace window, which also protects another process's
+    * in-flight register (its directory exists before its catalog
+    * commit).
+    *
+    * Liveness is judged against the UNION of this session's catalog and
+    * the on-disk catalog reloaded at call time, so a store instance
+    * opened before another writer registered new tables/versions never
+    * classifies that writer's live data as stranded. A retired path
+    * that became live again (delete + re-register reuses version
+    * numbers from 1) is dropped from the ledger, never deleted.
+    *
+    * Returns the root-relative paths physically deleted by THIS pass.
+    * `graceMillis = 0` collapses to single-phase immediate reclamation
+    * (retire and delete in one call) for tests and offline maintenance.
     */
-  def vacuum(): Seq[String] = this.synchronized {
-    val known = catalog.all.map(m => m.name -> m).toMap
-    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
-    storage.listTableDirs().foreach { t =>
-      known.get(t) match {
-        case Some(meta) =>
-          val live = meta.versions.keys.toSeq.flatMap(meta.segmentsOf).toSet
-          storage.listVersionDirs(t).filterNot(live).foreach { v =>
-            storage.deleteVersion(t, v)
-            deleted += s"$t/v=$v"
-          }
-        case None =>
-          storage.deleteTable(t)
-          deleted += t
+  def vacuum(graceMillis: Long = FeatureStore.DefaultRetireGraceMillis): Seq[String] =
+    this.synchronized {
+      val now = System.currentTimeMillis()
+      val diskMetas = CatalogPersistence.load(root)
+      val names =
+        (catalog.all.map(_.name) ++ diskMetas.map(_.name)).distinct
+      val live: Map[String, Set[Int]] = names.map { n =>
+        val metas = catalog.get(n).toSeq ++ diskMetas.filter(_.name == n)
+        n -> metas
+          .flatMap(m => m.versions.keys.toSeq.flatMap(m.segmentsOf))
+          .toSet
+      }.toMap
+      val ledger = RetireLedger.load(root)
+      val ledgered = ledger.map(e => (e.name, e.version)).toSet
+      val stranded = scala.collection.mutable.ArrayBuffer.empty[RetiredPath]
+      storage.listTableDirs().foreach { t =>
+        live.get(t) match {
+          case Some(liveSegs) =>
+            storage.listVersionDirs(t)
+              .filterNot(liveSegs)
+              .filterNot(v => ledgered((t, Some(v))))
+              .foreach(v => stranded += RetiredPath(t, Some(v), now))
+          case None =>
+            if (!ledgered((t, None))) stranded += RetiredPath(t, None, now)
+        }
       }
+      val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+      val remaining = (ledger ++ stranded).filter { e =>
+        val isLive = e.version match {
+          case Some(v) => live.get(e.name).exists(_.contains(v))
+          case None    => live.contains(e.name)
+        }
+        if (isLive) false // resurrected path: drop the entry, keep the data
+        else if (now - e.retiredAt >= graceMillis) {
+          e.version match {
+            case Some(v) =>
+              storage.deleteVersion(e.name, v); deleted += s"${e.name}/v=$v"
+            case None =>
+              storage.deleteTable(e.name); deleted += e.name
+          }
+          false
+        } else true
+      }
+      RetireLedger.save(root, remaining)
+      deleted.toSeq
     }
-    deleted.toSeq
-  }
 
   def listTables(): Seq[FeatureTableInfo] = catalog.all.map(_.info)
 
@@ -374,11 +451,20 @@ final class FeatureStore(
 
   /** Drop a table and all versions; returns false (never throws) when the
     * table does not exist (reference: store.py:362-375).
+    *
+    * Logical removal only: the table leaves the catalog immediately
+    * (every subsequent lookup raises, matching the reference), but the
+    * parquet files are RETIRED, not deleted — a reader that obtained a
+    * DataFrame before the delete completes its scan correctly, exactly
+    * as the reference's returned pandas copies survive deletion
+    * (store.py:393-396). [[vacuum]] reclaims the files after the grace
+    * window.
     */
   def delete(name: String): Boolean = this.synchronized {
     catalog.remove(name) match {
       case Some(_) =>
-        storage.deleteTable(name)
+        RetireLedger.record(
+          root, Seq(RetiredPath(name, None, System.currentTimeMillis())))
         // tombstone: merge-on-save would otherwise resurrect the table
         // from the shared on-disk catalog
         CatalogPersistence.save(root, catalog.all, removed = Seq(name))
@@ -429,7 +515,10 @@ final class FeatureStore(
     * only frees its storage directory when no RETAINED version's
     * manifest still references that segment — an append lineage shares
     * its base segments across versions, and deleting a shared segment
-    * would corrupt every retained version built on it.
+    * would corrupt every retained version built on it. Freed segments
+    * are RETIRED (two-phase, see [[vacuum]]) so readers mid-query over
+    * a just-pruned version keep their files until the grace window
+    * passes.
     */
   private def prune(meta: TableMeta): TableMeta = {
     val all = meta.versions.keys.toSeq.sorted
@@ -439,13 +528,23 @@ final class FeatureStore(
     // leaves the window: referenced-before minus referenced-after
     val before = all.flatMap(meta.segmentsOf).toSet
     val after = retained.flatMap(meta.segmentsOf).toSet
-    (before -- after).toSeq.sorted
-      .foreach(v => storage.deleteVersion(meta.name, v))
+    val now = System.currentTimeMillis()
+    RetireLedger.record(
+      root,
+      (before -- after).toSeq.sorted.map(v => RetiredPath(meta.name, Some(v), now)))
     meta.copy(versions = meta.versions -- excess, segments = meta.segments -- excess)
   }
 }
 
 object FeatureStore {
+
+  /** Default grace between logical retirement and physical deletion
+    * (30 minutes): long enough to outlive any interactive query over a
+    * just-deleted table, short enough that [[FeatureStore.vacuum]]
+    * passes scheduled hourly keep storage bounded. A deployment with
+    * longer-running batch reads raises it per call.
+    */
+  val DefaultRetireGraceMillis: Long = 30L * 60 * 1000
 
   /** Root-level hygiene for the fingerprint-keyed root pattern (a demo/
     * bench store whose root NAME encodes a dataset checksum — see

@@ -37,6 +37,14 @@ object StreamingIngest {
     * staleness and recompute in the next batch", README.md:142). Bounded
     * lateness filtering belongs to the stateful operators in
     * [[StreamingFeatures]].
+    *
+    * REPLAY-SAFE: registration goes through
+    * [[FeatureStore.registerBatch]], keyed by the foreachBatch batch id.
+    * After a crash recovery Structured Streaming re-delivers the last
+    * batch with the same id; the store's persisted high-water mark
+    * detects it and the replay mints no duplicate version (and, since
+    * the skip happens before the accumulate-union is registered, no
+    * double-appended rows).
     */
   def start(
       stream: DataFrame,
@@ -46,17 +54,25 @@ object StreamingIngest {
     stream.writeStream
       .outputMode("append")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val accumulated =
-            if (store.tableNames.contains(name))
-              store
-                .getVersion(name, store.getTableInfo(name).version)
-                .unionByName(batch.select(batch.columns.map(org.apache.spark.sql.functions.col): _*))
-            else batch
-          store.register(name, accumulated)
-          ()
-        }
-      }
+      .foreachBatch(processBatch(store, name) _)
       .start()
+
+  /** The foreachBatch body, exposed so the replay contract is directly
+    * testable: accumulate the batch onto the table's current state and
+    * register idempotently under `batchId`.
+    */
+  def processBatch(store: FeatureStore, name: String)(
+      batch: DataFrame,
+      batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      val accumulated =
+        if (store.tableNames.contains(name))
+          store
+            .getVersion(name, store.getTableInfo(name).version)
+            .unionByName(batch.select(
+              batch.columns.map(org.apache.spark.sql.functions.col): _*))
+        else batch
+      store.registerBatch(name, accumulated, batchId)
+      ()
+    }
 }

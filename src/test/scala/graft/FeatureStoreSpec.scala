@@ -303,7 +303,7 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
     intercept[FeatureTableNotFoundError](store.createOrReplaceViews("nope"))
   }
 
-  test("vacuum removes stranded version dirs and orphan tables; retained reads stay exact") {
+  test("vacuum is two-phase: stranded paths get a grace window, then are removed") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_vacuum_spec").toString
     val store = new FeatureStore(spark, root, maxVersions = 5)
@@ -315,7 +315,13 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
     // strand a whole table dir the catalog doesn't know (crashed delete)
     val orphan = java.nio.file.Paths.get(root, "ghost", "v=1")
     java.nio.file.Files.createDirectories(orphan)
-    val deleted = store.vacuum()
+    // pass 1 (default grace): stranded paths are only ENROLLED — a
+    // concurrent writer's not-yet-committed version dir must survive
+    assert(store.vacuum().isEmpty)
+    assert(java.nio.file.Files.exists(stray))
+    assert(java.nio.file.Files.exists(orphan.getParent))
+    // pass 2 past the grace window: physically removed
+    val deleted = store.vacuum(graceMillis = 0)
     assert(deleted.toSet == Set("t/v=99", "ghost"))
     assert(!java.nio.file.Files.exists(stray))
     assert(!java.nio.file.Files.exists(orphan.getParent))
@@ -323,7 +329,75 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(store.getVersion("t", 1).collect().map(_.getAs[Double]("val")).toSeq == Seq(1.0))
     assert(store.getVersion("t", 2).collect().map(_.getAs[Double]("val")).toSeq == Seq(2.0))
     // idempotent: a clean store vacuums nothing
+    assert(store.vacuum(graceMillis = 0).isEmpty)
+  }
+
+  test("readers keep snapshot isolation across delete: files retire, vacuum reclaims later") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_retire_spec").toString
+    val store = new FeatureStore(spark, root)
+    store.register("t", singleRow(1.0))
+    // a reader obtains its DataFrame BEFORE the delete...
+    val reader = store.getVersion("t", 1)
+    val pit = store.get("t", Seq("user_1"), ts("2024-06-01"))
+    assert(store.delete("t"))
+    intercept[FeatureTableNotFoundError](store.getTableInfo("t"))
+    // ...and completes correctly after it: delete is logical-only
+    assert(reader.collect().map(_.getAs[Double]("val")).toSeq == Seq(1.0))
+    assert(pit.collect().head.getAs[Double]("val") == 1.0)
+    // a vacuum inside the grace window leaves the retired files alone
     assert(store.vacuum().isEmpty)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "t")))
+    // the pass after the grace window reclaims them
+    assert(store.vacuum(graceMillis = 0) == Seq("t"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "t")))
+  }
+
+  test("pruned-version readers keep their files until vacuum's grace passes") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_retire_prune_spec").toString
+    val store = new FeatureStore(spark, root, maxVersions = 2)
+    store.register("t", singleRow(1.0))
+    val reader = store.getVersion("t", 1)
+    store.register("t", singleRow(2.0))
+    store.register("t", singleRow(3.0)) // v1 pruned from the catalog here
+    intercept[FeatureTableNotFoundError](store.getVersion("t", 1))
+    // the pre-prune reader still scans v1's files
+    assert(reader.collect().map(_.getAs[Double]("val")).toSeq == Seq(1.0))
+    assert(store.vacuum().isEmpty) // inside grace: files stay
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "t", "v=1")))
+    assert(store.vacuum(graceMillis = 0) == Seq("t/v=1"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "t", "v=1")))
+  }
+
+  test("vacuum reconciles against the on-disk catalog: another writer's tables survive") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vacuum_foreign_spec").toString
+    val a = new FeatureStore(spark, root)
+    a.register("mine", singleRow(1.0))
+    // a second session (same root) registers AFTER `a` was opened
+    val b = new FeatureStore(spark, root)
+    b.register("theirs", singleRow(2.0))
+    // a's in-memory catalog doesn't know "theirs" — vacuum must refresh
+    // from disk and leave the foreign writer's live data untouched
+    assert(a.vacuum(graceMillis = 0).isEmpty)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "theirs", "v=1")))
+    assert(b.getVersion("theirs", 1)
+      .collect().map(_.getAs[Double]("val")).toSeq == Seq(2.0))
+  }
+
+  test("a retired path resurrected by re-register is never vacuumed") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_resurrect_spec").toString
+    val store = new FeatureStore(spark, root)
+    store.register("t", singleRow(1.0))
+    assert(store.delete("t"))
+    // re-register restarts the version counter at 1 — the same v=1 path
+    // the retire ledger points at
+    store.register("t", singleRow(9.0))
+    assert(store.vacuum(graceMillis = 0).isEmpty)
+    assert(store.getVersion("t", 1)
+      .collect().map(_.getAs[Double]("val")).toSeq == Seq(9.0))
   }
 
   test("the storage seam is pluggable: a VersionStorage decorator sees every call") {

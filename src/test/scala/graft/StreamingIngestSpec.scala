@@ -48,4 +48,38 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
       assert(asOfJan15.head.getAs[Double]("value") == 2.0)
     } finally query.stop()
   }
+
+  test("replayed batch mints no duplicate version (crash-recovery idempotence)") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_replay_spec").toString
+    val store = new FeatureStore(s, root)
+    val batch0 = Seq(("u1", ts("2024-01-01"), 1.0))
+      .toDF("entity_id", "timestamp", "value")
+
+    StreamingIngest.processBatch(store, "t")(batch0, 0L)
+    assert(store.getTableInfo("t").version == 1)
+    val snapshot = store.get("t", Seq("u1"), ts("2024-06-01")).collect()
+
+    // simulated recovery: foreachBatch re-delivers batch 0 verbatim
+    StreamingIngest.processBatch(store, "t")(batch0, 0L)
+    assert(store.getTableInfo("t").version == 1, "replay must not mint a version")
+    assert(store.getTableInfo("t").rowCount == 1, "replay must not double-append")
+    assert(store.get("t", Seq("u1"), ts("2024-06-01")).collect()
+      .sameElements(snapshot), "PIT read must be identical after the replay")
+
+    // the high-water mark persists: a REOPENED store (the real recovery
+    // path — driver restart reloads the catalog) still skips the replay
+    val reopened = new FeatureStore(s, root)
+    StreamingIngest.processBatch(reopened, "t")(batch0, 0L)
+    assert(reopened.getTableInfo("t").version == 1)
+
+    // a genuinely new batch still advances the version
+    val batch1 = Seq(("u1", ts("2024-01-10"), 2.0))
+      .toDF("entity_id", "timestamp", "value")
+    StreamingIngest.processBatch(reopened, "t")(batch1, 1L)
+    assert(reopened.getTableInfo("t").version == 2)
+    assert(reopened.getTableInfo("t").rowCount == 2)
+  }
 }
