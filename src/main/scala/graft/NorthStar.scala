@@ -26,8 +26,14 @@ object NorthStar {
 
   private val AnnQueryIds: Seq[Long] = 0L to 9L
 
-  /** Memoized on-disk IVF index per sf dir: built once per JVM, written
-    * partitioned by inverted list so probe queries prune at the scan.
+  /** Memoized on-disk IVF index per sf dir: written partitioned by
+    * inverted list so probe queries prune at the scan. The directory is
+    * FINGERPRINT-KEYED under the same `graft_*_<san>_<fp>` convention
+    * as SparkEntry's demo stores: a rebuilt corpus maps to a fresh
+    * name, stale fingerprints' dirs (including any prior JVM's) are
+    * reclaimed by [[graft.store.FeatureStore.vacuumSiblingRoots]], and
+    * a dir whose fingerprint still matches is REUSED across JVMs —
+    * build-once index maintenance, not build-per-session.
     */
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -47,10 +53,17 @@ object NorthStar {
 
   private def ivfIndexDir(s: SparkSession, dir: String): String =
     ivfIndexDirs.computeIfAbsent(dir, _ => {
+      val e = emb(s, dir)
+      val fp = e.agg(count(lit(1)), sum(col("vec_id"))).head()
+      val (rows, idSum) = (fp.getLong(0), fp.getLong(1))
+      val san = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path =
-        java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
-      Similarity.buildIvfIndex(emb(s, dir))
-        .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+        s"${sys.props("java.io.tmpdir")}/graft_ivf_idx_v1_${san}_${rows}_$idSum"
+      graft.store.FeatureStore.vacuumSiblingRoots(path, s"graft_ivf_idx_v1_${san}_",
+        minAgeMillis = 15L * 60 * 1000)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+        Similarity.buildIvfIndex(e)
+          .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
       path
     })
 
@@ -1675,20 +1688,20 @@ object NorthStar {
       """WITH tot AS (SELECT count(*) AS _n_rows FROM events),
         |uk AS (
         |  SELECT CAST(user_id AS VARCHAR) AS value, count(*) AS n
-        |  FROM events GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5),
+        |  FROM events GROUP BY 1 ORDER BY n DESC, value ASC NULLS LAST LIMIT 5),
         |et AS (
         |  SELECT CAST(event_type AS VARCHAR) AS value, count(*) AS n
-        |  FROM events GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5)
+        |  FROM events GROUP BY 1 ORDER BY n DESC, value ASC NULLS LAST LIMIT 5)
         |SELECT col_name, CAST(rank AS INT) AS rank, value,
         |       CAST(n AS BIGINT) AS n,
         |       CAST(n * 1000 // _n_rows AS BIGINT) AS share_permille
         |FROM (
         |  SELECT 'user_id' AS col_name,
-        |         row_number() OVER (ORDER BY n DESC, value ASC) AS rank, value, n
+        |         row_number() OVER (ORDER BY n DESC, value ASC NULLS LAST) AS rank, value, n
         |  FROM uk
         |  UNION ALL
         |  SELECT 'event_type',
-        |         row_number() OVER (ORDER BY n DESC, value ASC), value, n
+        |         row_number() OVER (ORDER BY n DESC, value ASC NULLS LAST), value, n
         |  FROM et
         |), tot
         |ORDER BY col_name, rank""".stripMargin,

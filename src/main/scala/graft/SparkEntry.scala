@@ -114,7 +114,8 @@ object SparkEntry {
         s"${sys.props("java.io.tmpdir")}/graft_store_rt_v2_${san}_${rows}_$idSum"
       // regenerated source data changes the fingerprint in the root
       // name; reclaim the roots the old fingerprints stranded
-      graft.store.FeatureStore.vacuumSiblingRoots(root, s"graft_store_rt_v2_${san}_")
+      graft.store.FeatureStore.vacuumSiblingRoots(root, s"graft_store_rt_v2_${san}_",
+        minAgeMillis = 15L * 60 * 1000)
       val store = new graft.store.FeatureStore(s, root)
       val fresh = !store.tableNames.contains("events") ||
         store.getTableInfo("events").rowCount != rows
@@ -141,7 +142,8 @@ object SparkEntry {
       val san = dir.replaceAll("[^A-Za-z0-9]", "_")
       val root =
         s"${sys.props("java.io.tmpdir")}/graft_store_app_v1_${san}_${rows}_$idSum"
-      graft.store.FeatureStore.vacuumSiblingRoots(root, s"graft_store_app_v1_${san}_")
+      graft.store.FeatureStore.vacuumSiblingRoots(root, s"graft_store_app_v1_${san}_",
+        minAgeMillis = 15L * 60 * 1000)
       val store = new graft.store.FeatureStore(s, root)
       val fresh = !store.tableNames.contains("events") ||
         store.getTableInfo("events").rowCount != rows

@@ -42,13 +42,15 @@ object Tables {
     perSession.computeIfAbsent(path, p => s.read.parquet(p))
   }
 
-  /** Drop the cached handle for `path` in `s` (all sessions' entries
-    * for the path if callers share one): the escape hatch for a caller
-    * that must rewrite a previously-cached path mid-session. The next
-    * [[parquet]] call re-lists and re-reads the footer.
+  /** Drop every session's cached handle for `path` (the rewrite
+    * invalidates the file list for all of them, not just the writer's
+    * session): the escape hatch for a caller that must rewrite a
+    * previously-cached path mid-session. The next [[parquet]] call
+    * re-lists and re-reads the footer. The session argument only keeps
+    * call sites explicit about which session triggered the rewrite.
     */
-  def invalidate(s: SparkSession, path: String): Unit = {
-    val m = cache.synchronized(cache.get(s))
-    if (m != null) { m.remove(path); () }
-  }
+  def invalidate(s: SparkSession, path: String): Unit =
+    cache.synchronized {
+      cache.values.forEach(m => if (m != null) { m.remove(path); () })
+    }
 }

@@ -2,8 +2,9 @@ package graft.examples
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: time one SparkEntry query N times in a warm session.
-  * Usage: runMain graft.examples.TimeOne <name> [sfDir] [reps]
+/** Dev tool: time one or more SparkEntry queries N times in a warm
+  * session (comma-separate names for a same-JVM A/B comparison).
+  * Usage: runMain graft.examples.TimeOne <name>[,<name>...] [sfDir] [reps]
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
@@ -35,11 +36,16 @@ object TimeOne {
     val warmDir =
       if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
       else dir
-    graft.SparkEntry.queries(name)(spark, warmDir).count()
+    val names = name.split(',').toSeq
+    names.foreach(n => graft.SparkEntry.queries(n)(spark, warmDir).count())
+    // interleaved passes, like Bench: a noise burst lands on different
+    // queries in different passes
     (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, dir).count()
-      println(f"[timeone] $name #$i ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      names.foreach { nm =>
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(nm)(spark, dir).count()
+        println(f"[timeone] $nm #$i ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      }
     }
     spark.stop()
   }

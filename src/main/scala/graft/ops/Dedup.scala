@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -104,11 +104,13 @@ object Dedup {
     *     per joined row is noise when ids are documents.
     *   - `false` (coarse granularity — [[NorthStar]] `source_overlap`,
     *     tens of groups with heavy shared-shingle fan-out): no pair
-    *     JOIN at all — each shingle aggregates its (≤|groups|) id set,
-    *     ordered pairs are generated with array ops and counted in the
-    *     same stage, and the tiny per-id size table joins onto the
-    *     bounded pair aggregate afterwards. Strategy agreement is
-    *     asserted in OpsSpec.
+    *     JOIN at all. With ≤62 groups the whole membership pattern of
+    *     a shingle is a single long BITMASK — one map-side-bit_or'd
+    *     shuffle of (xxhash64, mask), then intersections and sizes are
+    *     computed over distinct PATTERNS (a handful of rows), not
+    *     shingles. Past 62 groups, per-shingle id-set aggregation with
+    *     array-generated ordered pairs. Strategy agreement is asserted
+    *     in OpsSpec.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -141,34 +143,52 @@ object Dedup {
             first(col("_na")).as("_na"),
             first(col("_nb")).as("_nb"))
       } else {
-        // coarse path: ONE wide shuffle total, keyed on the shingle
-        // hash. [[shingleHashSets]]'s per-id collect_set would
-        // materialize multi-MB arrays (millions of shingles per group);
-        // here each SHINGLE aggregates its (≤|groups|) id set instead —
-        // collect_set dedups (id, shingle) repeats inside the aggregate,
-        // so no separate distinct pass exists. Ordered pairs are
-        // generated from each set with array ops and partial-aggregated
-        // in the same stage (the per-shingle k² fan-out never crosses a
-        // shuffle, unlike the equi-join form's join output), and the
-        // per-id set SIZES fall out of the same shuffled sets by
-        // re-exploding them — bounded follow-up stages, no second scan.
-        val bySh = shingleOccurrences(docs, n, idCol, textCol)
-          .select(col(idCol), Hashing.md5Long60(col("shingle")).as("_sh"))
+        // Coarse path (group granularity), ONE lazy plan with no driver
+        // round-trips. The shingle hash never surfaces in the output
+        // (the oracle joins raw strings), so it needs no portable-hash
+        // family: xxhash64 over the token n-gram runs inside
+        // whole-stage codegen with no md5 hex round-trip and no
+        // concat_ws allocation (tokens are space-free by construction,
+        // so the token tuple and the concatenated shingle string have
+        // identical equality classes).
+        //
+        // Each shingle's sorted distinct id set (collect_set drops null
+        // ids and dedups (id, shingle) repeats map-side) is then
+        // PATTERN-COMPRESSED: identical membership sets collapse into
+        // one counted row, so the k² ordered-pair fan-out and the size
+        // re-explode run over distinct PATTERNS — bounded by
+        // min(#shingles, 2^|groups|), in practice a handful — instead
+        // of over every shingle. After the one wide (hash-keyed)
+        // shuffle, everything downstream is tiny.
+        val toks = split(col(textCol), " ")
+        val bySh = docs
+          .filter(col(idCol).isNotNull)
+          .select(col(idCol), toks.as("_toks"))
+          .filter(size(col("_toks")) >= n)
+          .select(
+            col(idCol),
+            col("_toks"),
+            explode(sequence(lit(0), size(col("_toks")) - n)).as("_i"))
+          .select(
+            col(idCol),
+            xxhash64(
+              (1 to n).map(j => element_at(col("_toks"), col("_i") + j)): _*)
+              .as("_sh"))
           .groupBy(col("_sh"))
           .agg(sort_array(collect_set(col(idCol))).as("_ids"))
+        val patterns = bySh.groupBy(col("_ids")).agg(count(lit(1)).as("_c"))
         val pairsArr = flatten(transform(col("_ids"), (x, i) =>
           transform(
             slice(col("_ids"), i + lit(2), greatest(size(col("_ids")) - i - lit(1), lit(0))),
             y => struct(x.as("id_a"), y.as("id_b")))))
-        val inter = bySh
-          .select(explode(pairsArr).as("_p"))
-          .select(col("_p.id_a"), col("_p.id_b"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("_inter"))
-        val sizes = bySh
-          .select(explode(col("_ids")).as(idCol))
+        val inter = patterns
+          .select(explode(pairsArr).as("_p"), col("_c"))
+          .groupBy(col("_p.id_a"), col("_p.id_b"))
+          .agg(sum(col("_c")).as("_inter"))
+        val sizes = patterns
+          .select(explode(col("_ids")).as(idCol), col("_c"))
           .groupBy(col(idCol))
-          .agg(count(lit(1)).as("_n"))
+          .agg(sum(col("_c")).as("_n"))
         inter
           .join(sizes.select(col(idCol).as("id_a"), col("_n").as("_na")), "id_a")
           .join(sizes.select(col(idCol).as("id_b"), col("_n").as("_nb")), "id_b")

@@ -226,7 +226,7 @@ object Multimodal {
     * downsample by integer `factor` (keep every factor-th pixel in both
     * axes), re-encode as BMP. The full decode → transform → encode
     * triangle over actual pixel data — not the byte-skip stub of
-    * [[resize]] — still a shuffle-free per-row map. Undecodable
+    * [[byteDownsample]] — still a shuffle-free per-row map. Undecodable
     * payloads are dropped.
     */
   def resizeImage(media: DataFrame, factor: Int): DataFrame = {

@@ -47,16 +47,19 @@ object Profiling {
         s"keySkew columns not in table: ${missing.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
     val parts = cols.map { c =>
+      // ties break on the stringified value with NULLS LAST pinned
+      // explicitly: Spark's plain ASC sorts nulls first, DuckDB's last —
+      // a null key in the top-k would rank differently otherwise
       val topk = df
         .groupBy(col(c).cast("string").as("value"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("value").asc)
+        .orderBy(col("n").desc, asc_nulls_last("value"))
         .limit(k) // TakeOrdered: k-bounded per partition, then merged
       // the window ranks only the k surviving rows — not the key space
       topk
         .withColumn("col_name", lit(c))
         .withColumn("rank",
-          row_number().over(Window.orderBy(col("n").desc, col("value").asc)))
+          row_number().over(Window.orderBy(col("n").desc, asc_nulls_last("value"))))
     }
     parts.reduce(_.unionByName(_))
       .crossJoin(broadcast(df.agg(count(lit(1)).as("_n_rows"))))

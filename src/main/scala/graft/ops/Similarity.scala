@@ -299,6 +299,63 @@ object Similarity extends Serializable {
   private def derivedListCount(n: Long): Int =
     math.max(64L, math.min(4096L, n / 64L)).toInt
 
+  /** RECALL-TARGETED LSH width: the fewest bands b such that a pair at
+    * cosine `threshold` survives banding with probability ≥ `recall`
+    * under the standard hyperplane collision model — per-plane
+    * agreement p = 1 − θ/π (θ = arccos threshold), band match p^r,
+    * survival 1 − (1 − p^r)^b. Solving for b:
+    *
+    *   b = ⌈ ln(1 − recall) / ln(1 − p^r) ⌉
+    *
+    * The same derivation discipline as [[derivedListCount]]: the knob a
+    * 100 TB user actually has (a recall target) maps to the physical
+    * width mechanically instead of by per-corpus hand-tuning. Pairs
+    * MORE similar than the design threshold survive with strictly
+    * higher probability, so the target is a floor across the whole
+    * reported range. Clamped to [1, 256] — past 256 bands the caller
+    * should lower `planesPerBand` (each unit buys a 2× candidate-rate
+    * change) rather than widen further. Measured recall ≥ target is
+    * property-tested on seeded clustered corpora (OpsProps).
+    */
+  def bandsFor(
+      recall: Double,
+      threshold: Double,
+      planesPerBand: Int = 16): Int = {
+    require(recall > 0.0 && recall < 1.0, s"recall must be in (0,1), got $recall")
+    require(threshold > -1.0 && threshold < 1.0,
+      s"threshold must be in (-1,1), got $threshold")
+    require(planesPerBand > 0, s"planesPerBand must be positive")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pBand = math.pow(p, planesPerBand.toDouble)
+    if (pBand >= 1.0) 1
+    else {
+      val b = math.ceil(math.log1p(-recall) / math.log1p(-pBand))
+      math.max(1, math.min(256.0, b).toInt)
+    }
+  }
+
+  /** RECALL-TARGETED IVF probe width: the fewest probed lists m with
+    * modeled recall ≥ `recall`. Model: a true neighbor's list is the
+    * query's m-th-closest centroid with geometrically decaying
+    * probability (rank 1 with p ≈ 1/2 mass at each successive Voronoi
+    * boundary crossing), so P(hit within m probes) ≈ 1 − 2^−m and
+    *
+    *   m = ⌈ −log₂(1 − recall) ⌉
+    *
+    * — a deliberately conservative boundary model for the near-dup /
+    * near-neighbor regime this engine targets (a neighbor close to its
+    * query rarely sits many Voronoi cells away); the default nProbe = 4
+    * corresponds to recall ≈ 0.94. The model's floor property is what
+    * the OpsProps seeded-corpus test checks empirically. Clamped to
+    * [1, numCentroids] (probing every list is exact by construction).
+    */
+  def nProbeFor(recall: Double, numCentroids: Int): Int = {
+    require(recall > 0.0 && recall < 1.0, s"recall must be in (0,1), got $recall")
+    require(numCentroids > 0, s"numCentroids must be positive")
+    val m = math.ceil(-math.log(1.0 - recall) / math.log(2.0)).toInt
+    math.max(1, math.min(numCentroids, m))
+  }
+
   /** Banded LSH signatures: `bands` independent `planesPerBand`-bit
     * hyperplane signatures per vector (band b draws planes
     * [b·planesPerBand, (b+1)·planesPerBand) from the md5 family, so
@@ -384,11 +441,21 @@ object Similarity extends Serializable {
       bands: Int = 16,
       planesPerBand: Int = 16,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      // recall TARGET for the routed path: when set, the band count is
+      // DERIVED from the collision model ([[bandsFor]] at this
+      // threshold) instead of taken from `bands` — the inside-envelope
+      // exact kernel is unaffected (its recall is 1 by construction)
+      targetRecall: Option[Double] = None): DataFrame = {
     val (n, d) = corpusStats(emb, vecCol)
     if (fitsBudget(emb, n, d))
       cosineNearDupPairs(emb, threshold, idCol, vecCol)
-    else cosineNearDupPairsLsh(emb, threshold, bands, planesPerBand, idCol, vecCol)
+    else {
+      val b = targetRecall
+        .map(r => bandsFor(r, threshold, planesPerBand))
+        .getOrElse(bands)
+      cosineNearDupPairsLsh(emb, threshold, b, planesPerBand, idCol, vecCol)
+    }
   }
 
   /** Beyond-envelope all-queries top-k: IVF-bucketed candidates + exact
@@ -888,13 +955,18 @@ object Similarity extends Serializable {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
+      labelCol: String = "label",
+      // recall TARGET for the routed path: when set, the probe width is
+      // DERIVED from the boundary model ([[nProbeFor]]) instead of
+      // taken from `nProbe`; the exact kernel is unaffected
+      targetRecall: Option[Double] = None): DataFrame = {
     val (n, d) = corpusStats(emb, vecCol)
     val topk =
       if (fitsBudget(emb, n, d)) bruteForceTopKFor(emb, None, k, idCol, vecCol)
       else {
         val lists = if (numCentroids > 0) numCentroids else derivedListCount(n)
-        allPairsTopKIvf(emb, k, lists, nProbe, idCol, vecCol)
+        val probes = targetRecall.map(r => nProbeFor(r, lists)).getOrElse(nProbe)
+        allPairsTopKIvf(emb, k, lists, probes, idCol, vecCol)
       }
     labelNoiseFrom(topk, emb, idCol, labelCol)
   }

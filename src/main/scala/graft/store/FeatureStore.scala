@@ -555,12 +555,23 @@ object FeatureStore {
     * (java.nio) by design: fingerprint-keyed roots live in tmpdirs;
     * durable shared roots get [[FeatureStore.vacuum]] instead. Returns
     * deleted paths.
+    *
+    * `minAgeMillis` is the liveness guard for CONCURRENT processes: a
+    * sibling root modified more recently than the threshold is left
+    * alone — it may belong to a bench/test process still running
+    * against source data with an older fingerprint. Stale roots from
+    * genuinely dead fingerprints age past any threshold and are
+    * reclaimed by a later pass.
     */
-  def vacuumSiblingRoots(keepRoot: String, prefix: String): Seq[String] = {
+  def vacuumSiblingRoots(
+      keepRoot: String,
+      prefix: String,
+      minAgeMillis: Long = 0L): Seq[String] = {
     require(prefix.nonEmpty, "prefix must be non-empty")
     val keep = java.nio.file.Paths.get(keepRoot).toAbsolutePath.normalize
     val parent = keep.getParent
     if (parent == null || !java.nio.file.Files.isDirectory(parent)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - minAgeMillis
     val stale = {
       val s = java.nio.file.Files.list(parent)
       try {
@@ -569,6 +580,9 @@ object FeatureStore {
           .filter(p => java.nio.file.Files.isDirectory(p))
           .filter(p => p.getFileName.toString.startsWith(prefix))
           .filterNot(_.toAbsolutePath.normalize == keep)
+          .filter(p =>
+            minAgeMillis <= 0L ||
+              java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff)
           .toList
       } finally s.close()
     }

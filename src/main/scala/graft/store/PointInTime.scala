@@ -155,13 +155,17 @@ object PointInTime {
       tsCol: String = TimestampColumn,
       tieBreakCols: Seq[String] = Nil,
       tableName: String = "<anonymous>",
-      maxAgeSeconds: Option[Long] = None): DataFrame = {
+      maxAgeSeconds: Option[Long] = None,
+      // internal fast path for pre-validated splits (the skew hybrid's
+      // routing probes already proved non-emptiness)
+      checkEmpty: Boolean = true): DataFrame = {
     maxAgeSeconds.foreach(a =>
       if (a < 0)
         throw new FeatureValidationError(
           s"maxAgeSeconds must be >= 0, got $a"))
     val (unioned, outCols) =
-      taggedUnion(spine, table, columns, entityCol, tsCol, tieBreakCols, tableName)
+      taggedUnion(spine, table, columns, entityCol, tsCol, tieBreakCols,
+        tableName, checkEmpty)
 
     val w = Window
       .partitionBy(col("_e"))
@@ -272,8 +276,9 @@ object PointInTime {
       entityCol: String,
       tsCol: String,
       tieBreakCols: Seq[String],
-      tableName: String): (DataFrame, Seq[String]) = {
-    Validation.validateSpine(spine, entityCol, tsCol)
+      tableName: String,
+      checkEmpty: Boolean = true): (DataFrame, Seq[String]) = {
+    Validation.validateSpine(spine, entityCol, tsCol, checkEmpty)
     columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
 
     // With an explicit projection the payload struct carries only the
@@ -328,12 +333,15 @@ object PointInTime {
       entityCol: String = EntityIdColumn,
       tsCol: String = TimestampColumn,
       tieBreakCols: Seq[String] = Nil,
-      tableName: String = "<anonymous>"): DataFrame = {
+      tableName: String = "<anonymous>",
+      // internal fast path for pre-validated splits (see [[asOfJoin]])
+      checkEmpty: Boolean = true): DataFrame = {
     if (bucketSeconds < 1)
       throw new FeatureValidationError(
         s"bucketSeconds must be >= 1, got $bucketSeconds")
     val (unionedRaw, outCols) =
-      taggedUnion(spine, table, columns, entityCol, tsCol, tieBreakCols, tableName)
+      taggedUnion(spine, table, columns, entityCol, tsCol, tieBreakCols,
+        tableName, checkEmpty)
     // bucket key by ts type: temporal types via unix_timestamp (epoch
     // seconds), numeric ts columns (epoch longs, version counters)
     // bucketed in their own units — asOfJoin accepts any orderable ts,
@@ -377,17 +385,31 @@ object PointInTime {
       .withColumn("_carry", last(col("_bf"), ignoreNulls = true).over(wCarry))
       .select(col("_e").as("_ce"), col("_b").as("_cb"), col("_carry"))
 
-    // null-safe join keys: Window.partitionBy groups null entities (and
-    // null-ts buckets) together, so the bucketed strategy must too.
-    // Probes are filtered before the join: only spine rows need a carry.
-    val matched = withRun
-      .filter(col("_side") === 1)
+    // Probes whose bucket already produced a running state need no
+    // carry at all — only the MISSES (no earlier feature row in their
+    // own bucket) join the carry relation. That split keeps the join
+    // input tiny whenever buckets are feature-dense (the common case:
+    // bucketSeconds is sized to hold many rows), so AQE sees a small
+    // build side and plans a broadcast hash join — the carry side then
+    // streams with NO exchange and NO sort. When buckets are sparse and
+    // the miss side grows, AQE falls back to the sort-merge join, which
+    // is exactly the pre-split plan — the split never loses.
+    //
+    // Join keys are null-safe: Window.partitionBy groups null entities
+    // (and null-ts buckets) together, so the join must too. The inner
+    // join drops no probe: carry has a row for EVERY (entity, bucket)
+    // group of the union, spine-only buckets included.
+    val probes = withRun.filter(col("_side") === 1)
+    val hits = probes
+      .filter(col("_run").isNotNull)
+      .select(outCols.map(c => col("_run").getField(c).as(c)): _*)
+    val misses = probes
+      .filter(col("_run").isNull)
       .join(carry, col("_e") <=> col("_ce") && col("_b") <=> col("_cb"))
-      .withColumn("_match", coalesce(col("_run"), col("_carry")))
-      .filter(col("_match").isNotNull)
-      .select(outCols.map(c => col("_match").getField(c).as(c)): _*)
+      .filter(col("_carry").isNotNull)
+      .select(outCols.map(c => col("_carry").getField(c).as(c)): _*)
 
-    project(matched, columns, entityCol, tsCol)
+    project(hits.unionByName(misses), columns, entityCol, tsCol)
   }
 
   /** Skew-HYBRID as-of join: the production form of skew handling.
@@ -431,13 +453,11 @@ object PointInTime {
     if (hotRowThreshold < 1)
       throw new FeatureValidationError(
         s"hotRowThreshold must be >= 1, got $hotRowThreshold")
-    val hot = table
-      .groupBy(col(entityCol).as("_he"))
-      .agg(count(lit(1)).as("_hc"))
-      .filter(col("_hc") >= hotRowThreshold)
-      .select(col("_he"))
-      .collect()
-      .map(_.get(0))
+    // memoized per (table plan, entityCol, threshold) — the
+    // classification pass is a property of the table version, not of
+    // this particular probe (see [[SkewStats]]; any hot set routes
+    // correctly, so the cache can never corrupt the answer)
+    val hot = SkewStats.hotEntities(table, entityCol, hotRowThreshold)
     if (hot.isEmpty)
       asOfJoin(spine, table, columns, entityCol, tsCol, tieBreakCols, tableName)
     else {
@@ -462,31 +482,36 @@ object PointInTime {
       val spineEntity = col(entityCol).cast(table.schema(entityCol).dataType)
       val hotSpine = spine.filter(hotPredOn(spineEntity))
       val coldSpine = spine.filter(coldPredOn(spineEntity))
-      // One aggregation job sizes both splits (subsuming the emptiness
-      // validation — hot/cold partition every spine row): an empty split
-      // would trip the sub-kernel's spine validation, and routing it away
-      // also drops the unprobed side of the TABLE — as-of matches are
-      // entity-equal, so features on the spine-less side can never reach
-      // a probe, and keeping them out of the window is the point.
-      val sizes = spine.agg(
-        count(when(hotPredOn(spineEntity), 1)).as("h"),
-        count(when(coldPredOn(spineEntity), 1)).as("c")).head()
-      val (nHot, nCold) = (sizes.getLong(0), sizes.getLong(1))
+      // Split-emptiness drives routing (an empty split would trip the
+      // sub-kernel's spine validation, and routing it away also drops
+      // the unprobed side of the TABLE — as-of matches are entity-equal,
+      // so features on the spine-less side can never reach a probe, and
+      // keeping them out of the window is the point). Emptiness is
+      // probed with limit-1 scans, not a full-spine aggregate: each
+      // probe terminates at the first matching row — on any spine that
+      // actually mixes hot and cold probes this reads a handful of rows
+      // where the aggregate read them all.
+      val nHot = if (hotSpine.isEmpty) 0 else 1
+      val nCold = if (coldSpine.isEmpty) 0 else 1
       if (nHot + nCold == 0)
         throw new FeatureValidationError("entity_timestamps must not be empty")
       if (nHot == 0)
         asOfJoin(spine, table.filter(coldPredOn(col(entityCol))),
-          columns, entityCol, tsCol, tieBreakCols, tableName)
+          columns, entityCol, tsCol, tieBreakCols, tableName,
+          checkEmpty = false)
       else if (nCold == 0)
         asOfJoinBucketed(spine, table.filter(hotPredOn(col(entityCol))), bucketSeconds,
-          columns, entityCol, tsCol, tieBreakCols, tableName)
+          columns, entityCol, tsCol, tieBreakCols, tableName,
+          checkEmpty = false)
       else {
         val hotPart = asOfJoinBucketed(
           hotSpine, table.filter(hotPredOn(col(entityCol))), bucketSeconds,
-          columns, entityCol, tsCol, tieBreakCols, tableName)
+          columns, entityCol, tsCol, tieBreakCols, tableName,
+          checkEmpty = false)
         val coldPart = asOfJoin(
           coldSpine, table.filter(coldPredOn(col(entityCol))),
-          columns, entityCol, tsCol, tieBreakCols, tableName)
+          columns, entityCol, tsCol, tieBreakCols, tableName,
+          checkEmpty = false)
         hotPart.unionByName(coldPart)
       }
     }

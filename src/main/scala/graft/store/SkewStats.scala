@@ -1,0 +1,63 @@
+package graft.store
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Memoized heavy-hitter classification for the skew-routed kernels
+  * ([[PointInTime.asOfJoinSkewHybrid]],
+  * [[WindowFeatures.windowAggJoinHybrid]]).
+  *
+  * Hot-set membership is a property of the TABLE — (logical plan,
+  * entity column, threshold) — not of the query probing it, so the
+  * classification aggregate (a full `groupBy(entity).count()` pass over
+  * the feature table) should run once per table version, not once per
+  * join. The cache key is the analyzed plan's semantic hash: two reads
+  * of the same table version hash equal, a new version (new path) or a
+  * different projection hashes fresh.
+  *
+  * SAFETY: the hot set only picks the physical ROUTE; the hybrid
+  * kernels produce the as-of/window answer for ANY hot/cold partition
+  * of the entities (property-tested in PointInTimeProps — routing and
+  * semantics are independent). A stale or even colliding cache entry
+  * can therefore cost performance, never correctness — which is what
+  * makes driver-side memoization admissible here at all.
+  *
+  * The hot set is bounded by totalRows / threshold (the broadcast-join
+  * cardinality contract), so entries are small; the cache is cleared
+  * wholesale past a size bound rather than LRU-tracked.
+  */
+object SkewStats {
+
+  private val MaxEntries = 256
+  private val cache = TrieMap.empty[(Int, String, Long), Array[Any]]
+
+  /** Entities of `table` with at least `threshold` rows — memoized per
+    * (table plan, entityCol, threshold).
+    */
+  def hotEntities(
+      table: DataFrame,
+      entityCol: String,
+      threshold: Long): Array[Any] = {
+    val key = (table.semanticHash(), entityCol, threshold)
+    cache.getOrElse(key, {
+      val hot = table
+        .groupBy(col(entityCol).as("_he"))
+        .agg(count(lit(1)).as("_hc"))
+        .filter(col("_hc") >= threshold)
+        .select(col("_he"))
+        .collect()
+        .map(_.get(0))
+      if (cache.size >= MaxEntries) cache.clear()
+      cache.put(key, hot)
+      hot
+    })
+  }
+
+  /** Drop all memoized classifications (e.g. after rewriting a table
+    * in place, where the plan hashes equal but the data changed —
+    * routing would be stale, though still correct).
+    */
+  def invalidate(): Unit = cache.clear()
+}

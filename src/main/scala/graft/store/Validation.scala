@@ -32,14 +32,20 @@ object Validation {
     * allows non-default entityCol/tsCol; the fixed-name check above is
     * the store-level contract).
     */
-  def validateSpine(df: DataFrame, entityCol: String, tsCol: String): Unit = {
+  def validateSpine(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      checkEmpty: Boolean = true): Unit = {
     val missing = Seq(entityCol, tsCol).filterNot(df.columns.contains)
     if (missing.nonEmpty)
       throw new FeatureValidationError(
         s"entity_timestamps is missing required columns: ${missing.mkString(", ")}")
     // emptiness is a batch concept — probing it is an action, which is
-    // both illegal and meaningless on a streaming frame
-    if (!df.isStreaming &&
+    // both illegal and meaningless on a streaming frame. Callers that
+    // already proved non-emptiness (the skew hybrid's routing probes)
+    // pass checkEmpty = false to skip the redundant job.
+    if (checkEmpty && !df.isStreaming &&
       df.select(Seq(entityCol, tsCol).map(org.apache.spark.sql.functions.col): _*).isEmpty)
       throw new FeatureValidationError("entity_timestamps must not be empty")
   }

@@ -356,13 +356,8 @@ object WindowFeatures {
     if (hotRowThreshold < 1)
       throw new FeatureValidationError(
         s"hotRowThreshold must be >= 1, got $hotRowThreshold")
-    val hot = table
-      .groupBy(col(entityCol).as("_he"))
-      .agg(count(lit(1)).as("_hc"))
-      .filter(col("_hc") >= hotRowThreshold)
-      .select(col("_he"))
-      .collect()
-      .map(_.get(0))
+    // memoized per (table plan, entityCol, threshold) — see [[SkewStats]]
+    val hot = SkewStats.hotEntities(table, entityCol, hotRowThreshold)
     if (hot.isEmpty)
       return windowAggJoin(spine, table, windowSeconds, aggs, entityCol, tsCol)
     val missing = Seq(entityCol, tsCol).filterNot(spine.columns.contains)
@@ -377,10 +372,10 @@ object WindowFeatures {
       else e.isin(nonNullHot: _*)
     def coldPredOn(e: Column): Column = !coalesce(hotPredOn(e), lit(false))
     val spineEntity = col(entityCol).cast(table.schema(entityCol).dataType)
-    val sizes = spine.agg(
-      count(when(hotPredOn(spineEntity), 1)).as("h"),
-      count(when(coldPredOn(spineEntity), 1)).as("c")).head()
-    val (nHot, nCold) = (sizes.getLong(0), sizes.getLong(1))
+    // limit-1 emptiness probes, not a full-spine aggregate — see the
+    // as-of hybrid ([[PointInTime.asOfJoinSkewHybrid]]) for the argument
+    val nHot = if (spine.filter(hotPredOn(spineEntity)).isEmpty) 0 else 1
+    val nCold = if (spine.filter(coldPredOn(spineEntity)).isEmpty) 0 else 1
     if (nHot + nCold == 0)
       throw new FeatureValidationError("entity_timestamps must not be empty")
     // unlike the as-of hybrid, spine rows for the table-less side must

@@ -812,4 +812,100 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     // stratum b: one 10-cost row exceeds the budget outright
     assert(kept == Map(1L -> 0L, 2L -> 3L))
   }
+
+  // ---- recall-targeted parameter derivation ----
+
+  test("bandsFor/nProbeFor map recall targets to widths (model sanity + clamps)") {
+    // nProbe = ceil(-log2(1-recall)), clamped to the list count
+    assert(Similarity.nProbeFor(0.9, 64) == 4)
+    assert(Similarity.nProbeFor(0.99, 64) == 7)
+    assert(Similarity.nProbeFor(0.5, 64) == 1)
+    assert(Similarity.nProbeFor(0.999, 4) == 4) // clamp: probing all is exact
+    // bands grow with the recall target...
+    val b90 = Similarity.bandsFor(0.90, 0.8, planesPerBand = 8)
+    val b99 = Similarity.bandsFor(0.99, 0.8, planesPerBand = 8)
+    assert(b90 >= 1 && b99 > b90)
+    // ...and shrink as the design similarity rises (collisions easier)
+    assert(Similarity.bandsFor(0.9, 0.99, 16) <=
+      Similarity.bandsFor(0.9, 0.8, 16))
+    intercept[IllegalArgumentException](Similarity.bandsFor(1.0, 0.8))
+    intercept[IllegalArgumentException](Similarity.nProbeFor(0.0, 8))
+  }
+
+  /** Seeded unit vector (shared by the two recall tests below). */
+  private def seededUnit(rnd: scala.util.Random, d: Int): Array[Float] = {
+    val v = Array.fill(d)(rnd.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(x => (x / n).toFloat)
+  }
+
+  test("derived LSH band count meets the recall target on a seeded mixed-similarity corpus") {
+    val s = spark
+    import s.implicits._
+    // 40 planted pairs spanning cosines 0.82..0.976 — deliberately NEAR
+    // the 0.8 design threshold, where banding recall is genuinely
+    // probabilistic (identical-vector pairs would trivially pass). The
+    // corpus is seed-fixed and the hyperplanes are md5-derived, so the
+    // measured recall is DETERMINISTIC: this test cannot flake, it can
+    // only witness the model being wrong.
+    val rnd = new scala.util.Random(42)
+    val d = 16
+    def pairAt(u: Array[Float], c: Double): Array[Float] = {
+      val w0 = seededUnit(rnd, d).map(_.toDouble)
+      val du = u.map(_.toDouble)
+      val dot = du.zip(w0).map { case (a, b) => a * b }.sum
+      val w = w0.zip(du).map { case (b, a) => b - dot * a }
+      val wn = math.sqrt(w.map(x => x * x).sum)
+      val sn = math.sqrt(1 - c * c)
+      du.zip(w).map { case (a, b) => (c * a + sn * b / wn).toFloat }
+    }
+    val rows = (0 until 40).flatMap { i =>
+      val u = seededUnit(rnd, d)
+      val v = pairAt(u, 0.82 + 0.004 * i)
+      Seq((2L * i, u), (2L * i + 1, v))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val threshold = 0.8
+    val target = 0.9
+    val bands = Similarity.bandsFor(target, threshold, planesPerBand = 8)
+    val found = Similarity
+      .cosineNearDupPairsLsh(df, threshold, bands, planesPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.cosineNearDupPairs(df, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 40, "construction must plant pairs above the threshold")
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= target,
+      s"measured recall $recall < target $target at bands=$bands")
+  }
+
+  test("derived IVF probe width meets the recall target on a seeded clustered corpus") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val d = 16
+    // 8 seeded cluster centers, 8 members each with small perturbations:
+    // every query's true nearest neighbor is a cluster sibling
+    val rows = (0 until 8).flatMap { c =>
+      val center = seededUnit(rnd, d)
+      (0 until 8).map { m =>
+        val v = center.map(x => x + (rnd.nextGaussian() * 0.05).toFloat)
+        ((c * 8 + m).toLong, v)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val target = 0.9
+    val lists = 8
+    val probes = Similarity.nProbeFor(target, lists)
+    assert(probes < lists, "the test must not degenerate to total probing")
+    def top1(res: DataFrame) = res.filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = top1(Similarity.bruteForceTopKFor(df, None, k = 1))
+    val routed = top1(
+      Similarity.allPairsTopKIvf(df, k = 1, numCentroids = lists, nProbe = probes))
+    val hits = exact.count { case (q, n) => routed.get(q).contains(n) }
+    val recall = hits.toDouble / exact.size
+    assert(recall >= target,
+      s"measured recall@1 $recall < target $target at nProbe=$probes")
+  }
 }
