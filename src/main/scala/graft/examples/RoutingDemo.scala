@@ -66,23 +66,53 @@ object RoutingDemo {
       (secs, rows)
     }
 
+    // past this size the exact O(n²) kernels stop being a feasible
+    // baseline (that infeasibility IS the routing argument); the demo
+    // then runs the routed paths alone and checks the near-dup count
+    // against the ANALYTIC truth of the synthetic corpus (one planted
+    // pair per id ≡ 1 mod 50; random 64-dim cross pairs cannot reach
+    // cosine 0.9)
+    val exactCutoff = 150000
+
     for (n <- sizes) {
       println(s"\n[routing] ===== corpus n=$n d=$dims (2% dups) =====")
       val df = corpus(n)
       df.count() // materialize the cache before timing either path
-      val (exactSecs, exactRows) = timed("exact broadcast near-dup")(
-        Similarity.cosineNearDupPairs(df, threshold = 0.9).count())
-      val (routedSecs, routedRows) = timed("routed LSH near-dup (16x16)")(
-        Similarity.cosineNearDupPairsLsh(df, threshold = 0.9).count())
-      require(exactRows == routedRows,
-        s"agreement broken at n=$n: exact=$exactRows routed=$routedRows")
-      println(f"[routing] near-dup exact/routed ratio: ${exactSecs / routedSecs}%.2fx")
+      val expectedPairs = (0 until n).count(_ % 50 == 1).toLong
+      // derived band width: a FIXED 16-bit signature emits ~16·n²/2^16
+      // false candidates (quadratic); planesFor holds the join linear
+      val planes = Similarity.planesFor(n.toLong)
+      if (n <= exactCutoff) {
+        val (exactSecs, exactRows) = timed("exact broadcast near-dup")(
+          Similarity.cosineNearDupPairs(df, threshold = 0.9).count())
+        require(exactRows == expectedPairs,
+          s"analytic count wrong at n=$n: exact=$exactRows expected=$expectedPairs")
+        val (routedSecs, routedRows) = timed(s"routed LSH near-dup (16x$planes)")(
+          Similarity.cosineNearDupPairsLsh(
+            df, threshold = 0.9, planesPerBand = planes).count())
+        require(exactRows == routedRows,
+          s"agreement broken at n=$n: exact=$exactRows routed=$routedRows")
+        println(f"[routing] near-dup exact/routed ratio: ${exactSecs / routedSecs}%.2fx")
+      } else {
+        val (_, routedRows) = timed(s"routed LSH near-dup (16x$planes)")(
+          Similarity.cosineNearDupPairsLsh(
+            df, threshold = 0.9, planesPerBand = planes).count())
+        require(routedRows == expectedPairs,
+          s"agreement broken at n=$n: routed=$routedRows expected=$expectedPairs")
+      }
       val lists = math.max(64, math.min(4096, n / 64))
-      val (exactK, _) = timed("exact all-pairs top-3")(
-        Similarity.bruteForceTopKFor(df, None, 3).count())
-      val (routedK, _) = timed(s"routed IVF top-3 ($lists lists/4 probes)")(
-        Similarity.allPairsTopKIvf(df, 3, numCentroids = lists, nProbe = 4).count())
-      println(f"[routing] topk exact/routed ratio: ${exactK / routedK}%.2fx")
+      if (n <= exactCutoff) {
+        val (exactK, _) = timed("exact all-pairs top-3")(
+          Similarity.bruteForceTopKFor(df, None, 3).count())
+        val (routedK, _) = timed(s"routed IVF top-3 ($lists lists/4 probes)")(
+          Similarity.allPairsTopKIvf(df, 3, numCentroids = lists, nProbe = 4).count())
+        println(f"[routing] topk exact/routed ratio: ${exactK / routedK}%.2fx")
+      } else {
+        val (_, kRows) = timed(s"routed IVF top-3 ($lists lists/4 probes)")(
+          Similarity.allPairsTopKIvf(df, 3, numCentroids = lists, nProbe = 4).count())
+        require(kRows == 3L * n,
+          s"routed top-k must fill all ranks at n=$n: got $kRows")
+      }
       df.unpersist()
     }
     spark.stop()

@@ -334,6 +334,34 @@ object Similarity extends Serializable {
     }
   }
 
+  /** CANDIDATE-BUDGETED LSH band width: the fewest planes per band r
+    * such that the expected FALSE-candidate volume of the banded join —
+    * two unrelated random high-dim vectors share an r-bit signature
+    * with p ≈ 2^−r, so ≈ bands·n²/2^r pairs — stays within a LINEAR
+    * budget of `candidatesPerVector · n`:
+    *
+    *   r = ⌈ log₂(bands · n / candidatesPerVector) ⌉
+    *
+    * This is the third derived width (with [[derivedListCount]] and
+    * [[bandsFor]]): a FIXED r turns the candidate join quadratic again
+    * as the corpus grows — at n = 10⁶ the 16-bit default would emit
+    * ~10¹¹ false candidates; r = 22 holds the join to ~4n. Clamped to
+    * [8, 62] (the signature packs into one long). Derive r from the
+    * corpus first, then `bandsFor(recall, threshold, r)` for the band
+    * count — the two solve independent constraints (cost vs recall).
+    */
+  def planesFor(
+      n: Long,
+      bands: Int = 16,
+      candidatesPerVector: Double = 4.0): Int = {
+    require(n > 0, s"n must be positive, got $n")
+    require(bands > 0, s"bands must be positive")
+    require(candidatesPerVector > 0, s"candidatesPerVector must be positive")
+    val r = math.ceil(
+      math.log(bands.toDouble * n.toDouble / candidatesPerVector) / math.log(2.0))
+    math.max(8, math.min(62.0, r).toInt)
+  }
+
   /** RECALL-TARGETED IVF probe width: the fewest probed lists m with
     * modeled recall ≥ `recall`. Model: a true neighbor's list is the
     * query's m-th-closest centroid with geometrically decaying
@@ -439,7 +467,10 @@ object Similarity extends Serializable {
       emb: DataFrame,
       threshold: Double,
       bands: Int = 16,
-      planesPerBand: Int = 16,
+      // 0 (default) derives the band width from the MEASURED corpus
+      // ([[planesFor]]) — a fixed width turns the candidate join
+      // quadratic as the corpus grows past the envelope
+      planesPerBand: Int = 0,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       // recall TARGET for the routed path: when set, the band count is
@@ -451,10 +482,11 @@ object Similarity extends Serializable {
     if (fitsBudget(emb, n, d))
       cosineNearDupPairs(emb, threshold, idCol, vecCol)
     else {
+      val r = if (planesPerBand > 0) planesPerBand else planesFor(n, bands)
       val b = targetRecall
-        .map(r => bandsFor(r, threshold, planesPerBand))
+        .map(t => bandsFor(t, threshold, r))
         .getOrElse(bands)
-      cosineNearDupPairsLsh(emb, threshold, b, planesPerBand, idCol, vecCol)
+      cosineNearDupPairsLsh(emb, threshold, b, r, idCol, vecCol)
     }
   }
 

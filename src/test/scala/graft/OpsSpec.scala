@@ -830,6 +830,13 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       Similarity.bandsFor(0.9, 0.8, 16))
     intercept[IllegalArgumentException](Similarity.bandsFor(1.0, 0.8))
     intercept[IllegalArgumentException](Similarity.nProbeFor(0.0, 8))
+    // planesFor holds the false-candidate volume to a linear budget:
+    // bands·n/2^r ≤ candidatesPerVector
+    assert(Similarity.planesFor(1000000L, 16, 4.0) == 22)
+    assert(Similarity.planesFor(6000L, 16, 4.0) == 15) // ≈ today's 16 at bench scale
+    assert(Similarity.planesFor(10L) == 8) // floor clamp
+    val r = Similarity.planesFor(100000000L, 16, 4.0)
+    assert(16.0 * 1e8 / math.pow(2.0, r.toDouble) <= 4.0)
   }
 
   /** Seeded unit vector (shared by the two recall tests below). */

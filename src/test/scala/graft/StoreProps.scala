@@ -29,12 +29,16 @@ object StoreProps extends Properties("FeatureStore") {
   private case class Append(nRows: Int) extends Op
   private case object Compact extends Op
   private case object Vacuum extends Op
+  private case object Reopen extends Op
+  private case object Delete extends Op
 
   private val genOp: Gen[Op] = Gen.frequency(
     3 -> Gen.choose(1, 5).map(Register(_)),
     4 -> Gen.choose(1, 5).map(Append(_)),
     1 -> Gen.const(Compact),
-    2 -> Gen.const(Vacuum))
+    2 -> Gen.const(Vacuum),
+    1 -> Gen.const(Reopen),
+    1 -> Gen.const(Delete))
 
   private val genOps: Gen[List[Op]] = for {
     n <- Gen.choose(2, 6)
@@ -64,12 +68,12 @@ object StoreProps extends Properties("FeatureStore") {
     store.getVersion("t", v).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
 
-  property("random register/append/compact/vacuum keeps every retained version exact") =
+  property("random register/append/compact/vacuum/reopen/delete keeps every retained version exact") =
     forAll(genOps) { ops =>
       val root = java.nio.file.Files
         .createTempDirectory("graft_store_props").toString
       val maxVersions = 3
-      val store = new FeatureStore(spark, root, maxVersions = maxVersions)
+      var store = new FeatureStore(spark, root, maxVersions = maxVersions)
       // model: version -> expected full contents
       var model = Map.empty[Int, Set[(String, Timestamp, Double)]]
       var current = 0
@@ -101,7 +105,20 @@ object StoreProps extends Properties("FeatureStore") {
               model += current -> before
             }
           case Vacuum =>
-            store.vacuum()
+            // alternate grace settings: deferred passes must be as safe
+            // as immediate ones
+            if (i % 2 == 0) store.vacuum() else store.vacuum(graceMillis = 0)
+          case Reopen =>
+            // a new session must reconstruct the exact same state from
+            // the persisted catalog (versions, manifests, retire ledger)
+            store = new FeatureStore(spark, root, maxVersions = maxVersions)
+          case Delete =>
+            // logical delete + re-register restarts the lineage at v1;
+            // vacuum must never reclaim the resurrected paths (asserted
+            // by the post-op reads below after later Vacuum ops)
+            store.delete("t")
+            model = Map.empty
+            current = 0
         }
         // after EVERY op: all retained versions read exactly, pruned raise
         val retained = model.keys.toSeq.sorted.takeRight(maxVersions)
@@ -115,6 +132,12 @@ object StoreProps extends Properties("FeatureStore") {
           try {
             store.getVersion("t", v)
             throw new AssertionError(s"pruned version $v still readable after $op")
+          } catch { case _: FeatureTableNotFoundError => () }
+        }
+        if (model.isEmpty) {
+          try {
+            store.getVersion("t", 1)
+            throw new AssertionError(s"deleted table still readable after $op")
           } catch { case _: FeatureTableNotFoundError => () }
         }
       }
