@@ -294,6 +294,34 @@ object Dedup {
       posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
   }
 
+  /** RECALL-TARGETED MinHash band count — the Jaccard twin of
+    * [[graft.ops.Similarity.bandsFor]]: the fewest bands b such that a
+    * pair at Jaccard `threshold` survives banding with probability ≥
+    * `recall` under the standard MinHash s-curve — per-permutation
+    * match probability s, band match s^r, survival 1 − (1 − s^r)^b:
+    *
+    *   b = ⌈ ln(1 − recall) / ln(1 − s^r) ⌉
+    *
+    * `numPerms` to pass to the banding entry points is then
+    * b · rowsPerBand. More-similar pairs survive with strictly higher
+    * probability, so the target is a floor over the reported range.
+    * Clamped to [1, 256] — past that, lower `rowsPerBand` instead
+    * (each unit multiplies the band-match probability by s). Measured
+    * recall ≥ target is asserted on a seeded corpus in OpsSpec.
+    */
+  def bandsForJaccard(
+      recall: Double,
+      threshold: Double,
+      rowsPerBand: Int = 4): Int = {
+    require(recall > 0.0 && recall < 1.0, s"recall must be in (0,1), got $recall")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    require(rowsPerBand > 0, s"rowsPerBand must be positive")
+    val pBand = math.pow(threshold, rowsPerBand.toDouble)
+    val b = math.ceil(math.log1p(-recall) / math.log1p(-pBand))
+    math.max(1, math.min(256.0, b).toInt)
+  }
+
   /** Incremental near-dup detection — the daily-ingest production
     * shape: verify each INCOMING document against the EXISTING corpus
     * without ever self-joining the corpus. Candidates come from an

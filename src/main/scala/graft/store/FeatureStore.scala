@@ -170,11 +170,29 @@ final class FeatureStore(
   def registerBatch(
       name: String,
       df: DataFrame,
-      batchId: Long): Option[FeatureTableInfo] = this.synchronized {
+      batchId: Long): Option[FeatureTableInfo] =
+    idempotent(name, batchId)(register(name, df))
+
+  /** The O(delta) twin of [[registerBatch]]: append-register `df` under
+    * the same batch-id idempotence. This is the streaming shape that
+    * actually survives 100 TB — each micro-batch writes only its own
+    * rows ([[registerAppend]]'s manifest chaining), instead of
+    * rewriting the accumulated table per batch, and a crash-recovery
+    * replay appends nothing twice.
+    */
+  def registerAppendBatch(
+      name: String,
+      df: DataFrame,
+      batchId: Long,
+      maxSegments: Int = 16): Option[FeatureTableInfo] =
+    idempotent(name, batchId)(registerAppend(name, df, maxSegments))
+
+  private def idempotent(name: String, batchId: Long)(
+      body: => FeatureTableInfo): Option[FeatureTableInfo] = this.synchronized {
     val seen = catalog.get(name).flatMap(_.maxBatchId)
     if (seen.exists(batchId <= _)) None
     else {
-      val info = register(name, df)
+      val info = body
       catalog.get(name).foreach { m =>
         catalog.put(m.copy(maxBatchId = Some(batchId)))
       }
