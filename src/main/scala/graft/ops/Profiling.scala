@@ -315,28 +315,36 @@ object Profiling {
     * Pairs without variance on either axis are dropped by an exact
     * integer predicate.
     *
-    * Width gating: a cheap preliminary range scan (per-column max |x|
-    * and count — one map-side-combined aggregate returning p+1 numbers)
-    * decides PER PRODUCT among three accumulation tiers: (1) plain long
-    * when maxAbs_i · maxAbs_j · n < 2^62; (2) split accumulators when
-    * the product overflows int64 but both factors fit 32 bits — the
-    * factors split at 2^16 and three long sums reassemble the exact
-    * 128-bit total on the final row (see inline comment); (3)
-    * decimal(38,0) only when even the split components could overflow.
-    * Tiers 1-2 are pure long arithmetic per row (~10× cheaper than
-    * BigDecimal). The final n·Σxy − Σx·Σy combination always runs in
-    * decimal(38,0), but on ONE row, so the cost is nil and the value is
-    * bit-identical to the all-decimal formulation in every tier (exact
-    * integers are exact integers).
+    * Width handling is OPTIMISTIC, one pass in the common case: the
+    * single aggregation accumulates every product in SPLIT long
+    * accumulators (each factor split at 2^16 — a = x >> 16 arithmetic,
+    * b = x & 0xFFFF, exact for negatives since x = a·2^16 + b under
+    * floor division; three long sums Σaa', Σ(ab'+a'b), Σbb' reassemble
+    * the exact 128-bit Σxy on the final row) — pure long arithmetic per
+    * row, ~10× cheaper than BigDecimal — and the SAME row also carries
+    * per-column min/max and the count. Those range numbers prove, post
+    * hoc, whether any accumulator could have exceeded 2^62 (the same
+    * bounds a pre-scan would have checked, so passing them means the
+    * split sums are exact); `try_sum`/`try_multiply` keep the pass
+    * total under ANSI when a value genuinely overflows. If the gate
+    * holds — every realistic feature table; it fails only past ~2^31
+    * integer units or ~2^62/maxAbs² rows — the p·(p+3)/2 aggregate
+    * numbers are combined EXACTLY in BigInt driver-side (a bounded
+    * handful, the same shape as the skew-classification collects) with
+    * the double conversion through the decimal STRING, the identical
+    * expression tree the all-decimal formulation and the oracle
+    * compute. If it fails, the pass is discarded and ONE decimal(38,0)
+    * pass recomputes everything with unconditional 128-bit exactness —
+    * two scans only in the astronomically-wide case, where the old
+    * range-scan design also took two.
     *
     * Output: one row per unordered pair (col_a < col_b by argument
     * order) with n and corr_r.
     *
-    * Scale shape: two partial-aggregated shuffles each carrying a few
-    * numbers total (ranges, then moments) — the input is scanned twice,
-    * never materialized. At 1000× the rows the range products grow past
-    * 2^62 and every sum silently upgrades itself to decimal — the gate
-    * re-derives from the data, not from a tuned constant.
+    * Scale shape: ONE partial-aggregated shuffle carrying a few numbers
+    * total — the input is scanned once, never materialized. The gate
+    * re-derives from the data measured in the same pass, not from a
+    * tuned constant.
     */
   def correlationMatrix(df: DataFrame, valueCols: Seq[String]): DataFrame = {
     if (valueCols.size < 2)
