@@ -37,10 +37,15 @@ final case class TableMeta(
     updatedAt: Long,
     versions: SortedMap[Int, Seq[String]],
     segments: SortedMap[Int, Seq[Int]] = SortedMap.empty,
-    // streaming idempotence high-water mark: the highest foreachBatch
-    // batch id already registered ([[FeatureStore.registerBatch]]);
-    // None for batch-only tables
-    maxBatchId: Option[Long] = None) {
+    // streaming idempotence high-water marks, one per STREAM IDENTITY
+    // (StreamingQuery.id — stable across restarts from one checkpoint,
+    // fresh per new checkpoint): the highest foreachBatch batch id each
+    // stream has registered ([[FeatureStore.registerBatch]]). Keying by
+    // stream makes a fresh-checkpoint restart (batch ids back at 0) a
+    // NEW high-water line instead of a silent skip of every early
+    // batch. Empty for batch-only tables; one entry per stream
+    // generation that ever fed the table (bounded by restart count).
+    batchWatermarks: SortedMap[String, Long] = SortedMap.empty) {
   def columns: Seq[String] = versions(version)
   /** Manifest for `v`: explicit entry, else the single-snapshot default. */
   def segmentsOf(v: Int): Seq[Int] = segments.getOrElse(v, Seq(v))
@@ -91,7 +96,10 @@ final class Catalog {
   *   T <name> <version> <rowCount> <registeredAt> <updatedAt>
   *   V <name> <version> <col1> <col2> ...
   *   S <name> <version> <seg1> <seg2> ...      (manifest; absent = [version])
-  *   K <name> <maxBatchId>                     (streaming high-water; optional)
+  *   K <name> <streamId> <maxBatchId>          (streaming high-water; optional)
+  *
+  * Legacy two-field `K <name> <maxBatchId>` lines (pre-stream-identity
+  * catalogs) load under [[CatalogIO.LegacyStreamId]].
   *
   * Multi-writer stance: [[save]] MERGES with the on-disk file at table
   * granularity (tables this session never touched are preserved, tables
@@ -102,7 +110,26 @@ final class Catalog {
   * metastore/lock service, which is out of scope by the reference's
   * zero-infrastructure stance.
   */
-object CatalogPersistence {
+/** The catalog persistence seam: [[FeatureStore]] performs every durable
+  * catalog read/write through this interface, so tests can interpose
+  * (e.g. count saves to assert crash-atomicity — one commit per
+  * register) and a deployment can swap the TSV file for a metastore.
+  * [[CatalogPersistence]] is the default zero-dependency implementation.
+  */
+trait CatalogIO {
+  def save(root: String, metas: Seq[TableMeta], removed: Seq[String] = Seq.empty): Unit
+  def load(root: String): Seq[TableMeta]
+}
+
+object CatalogIO {
+  /** Stream identity assigned to pre-stream-identity `K` lines and used
+    * as the default for direct [[FeatureStore.registerBatch]] callers
+    * that don't name a stream.
+    */
+  val LegacyStreamId = "default"
+}
+
+object CatalogPersistence extends CatalogIO {
   import java.net.{URLDecoder, URLEncoder}
   import java.nio.charset.StandardCharsets.UTF_8
   import java.nio.file.{Files, Path, Paths, StandardCopyOption}
@@ -131,7 +158,9 @@ object CatalogPersistence {
         (s"S\t${enc(m.name)}\t$v" +: segs.map(_.toString)).mkString("\t")
       }
       val watermark =
-        m.maxBatchId.map(b => s"K\t${enc(m.name)}\t$b").toSeq
+        m.batchWatermarks.toSeq.map { case (sid, b) =>
+          s"K\t${enc(m.name)}\t${enc(sid)}\t$b"
+        }
       (head +: versions) ++ manifests ++ watermark
     }
     val path = catalogFile(root)
@@ -168,18 +197,22 @@ object CatalogPersistence {
           (dec(f(1)), f(2).toInt, f.drop(3).toSeq.map(_.toInt))
       }
       .groupBy(_._1)
-    val watermarks = lines.collect {
-      case l if l.startsWith("K\t") =>
-        val f = l.split("\t")
-        dec(f(1)) -> f(2).toLong
-    }.toMap
+    val watermarks = lines
+      .collect {
+        case l if l.startsWith("K\t") =>
+          val f = l.split("\t")
+          if (f.length >= 4) (dec(f(1)), dec(f(2)), f(3).toLong)
+          else (dec(f(1)), CatalogIO.LegacyStreamId, f(2).toLong)
+      }
+      .groupBy(_._1)
     heads.toSeq.map { case (name, (version, rowCount, reg, upd)) =>
       val vs = scala.collection.immutable.SortedMap(
         versions.getOrElse(name, Seq.empty).map(v => v._2 -> v._3): _*)
       val segs = scala.collection.immutable.SortedMap(
         manifests.getOrElse(name, Seq.empty).map(s => s._2 -> s._3): _*)
       TableMeta(name, version, rowCount, reg, upd, vs, segs,
-        maxBatchId = watermarks.get(name))
+        batchWatermarks = scala.collection.immutable.SortedMap(
+          watermarks.getOrElse(name, Seq.empty).map(w => w._2 -> w._3): _*))
     }
   }
 }

@@ -34,7 +34,12 @@ final class FeatureStore(
     // transactional table format by supplying a different
     // [[VersionStorage]] for the resolved (session, root, granularity)
     storageFactory: (SparkSession, String, String) => VersionStorage =
-      new Storage(_, _, _)) {
+      new Storage(_, _, _),
+    // the catalog persistence seam (see [[CatalogIO]]): every durable
+    // catalog read/write goes through here — ONE save per mutation is
+    // the crash-atomicity contract (a version and its streaming
+    // high-water commit together or not at all)
+    catalogIO: CatalogIO = CatalogPersistence) {
 
   if (maxVersions < 1)
     throw new IllegalArgumentException(
@@ -49,7 +54,7 @@ final class FeatureStore(
   private val catalog = new Catalog
   // Reopen an existing store: the catalog file under the root (written
   // on every mutation) restores tables, versions and schemas.
-  CatalogPersistence.load(root).foreach(catalog.put)
+  catalogIO.load(root).foreach(catalog.put)
 
   /** Internal deterministic tie-break column; never surfaced in output. */
   private val IngestKeyCol = "_ingest_key"
@@ -65,7 +70,19 @@ final class FeatureStore(
   def register(
       name: String,
       df: DataFrame,
-      description: String = ""): FeatureTableInfo = this.synchronized {
+      description: String = ""): FeatureTableInfo =
+    registerWith(name, df, watermark = None)
+
+  /** [[register]] with an optional streaming high-water to stamp into
+    * the SAME catalog commit as the new version — crash-atomicity for
+    * [[registerBatch]]: there is no window where a version exists
+    * without its batch watermark (which would make a recovery replay
+    * mint a duplicate).
+    */
+  private def registerWith(
+      name: String,
+      df: DataFrame,
+      watermark: Option[(String, Long)]): FeatureTableInfo = this.synchronized {
     Validation.validateDataFrame(df, name)
     detectForeignWriter(name)
     val prepared = prepare(df)
@@ -86,10 +103,18 @@ final class FeatureStore(
           segments = cur.segments + (v -> Seq(v)))
         prune(withNew)
     }
-    catalog.put(meta)
-    CatalogPersistence.save(root, catalog.all)
-    meta.info
+    val stamped = stampWatermark(meta, watermark)
+    catalog.put(stamped)
+    catalogIO.save(root, catalog.all)
+    stamped.info
   }
+
+  private def stampWatermark(
+      m: TableMeta,
+      wm: Option[(String, Long)]): TableMeta =
+    wm.fold(m) { case (sid, b) =>
+      m.copy(batchWatermarks = m.batchWatermarks + (sid -> b))
+    }
 
   /** Incremental register (engine extension — SURVEY.md §7.4 risk 5):
     * creates a new version whose data is the previous version PLUS
@@ -114,11 +139,18 @@ final class FeatureStore(
       name: String,
       df: DataFrame,
       maxSegments: Int = 16,
-      description: String = ""): FeatureTableInfo = this.synchronized {
+      description: String = ""): FeatureTableInfo =
+    registerAppendWith(name, df, maxSegments, watermark = None)
+
+  private def registerAppendWith(
+      name: String,
+      df: DataFrame,
+      maxSegments: Int,
+      watermark: Option[(String, Long)]): FeatureTableInfo = this.synchronized {
     if (maxSegments < 1)
       throw new IllegalArgumentException(s"maxSegments must be >= 1, got $maxSegments")
     catalog.get(name) match {
-      case None => register(name, df, description)
+      case None => registerWith(name, df, watermark)
       case Some(cur) =>
         Validation.validateDataFrame(df, name)
         detectForeignWriter(name)
@@ -147,22 +179,40 @@ final class FeatureStore(
               versions = cur.versions + (v -> cur.columns),
               segments = cur.segments + (v -> chained))
           }
-        val pruned = prune(meta)
+        val pruned = stampWatermark(prune(meta), watermark)
         catalog.put(pruned)
-        CatalogPersistence.save(root, catalog.all)
+        catalogIO.save(root, catalog.all)
         pruned.info
     }
   }
 
-  /** Idempotent register for exactly-once STREAMING versioning: a
-    * version is minted only when `batchId` is strictly newer than the
-    * highest batch id already recorded for the table. Structured
-    * Streaming's foreachBatch re-delivers the last batch after a crash
-    * recovery with the SAME batch id (batch ids are monotonic per
-    * query), so a replay is detected and skipped — no duplicate
-    * version, no double-appended rows. The high-water mark persists in
-    * the catalog file, making replay detection survive a store reopen —
-    * which is exactly the crash-recovery case that re-delivers.
+  /** Idempotent register for exactly-once STREAMING versioning, keyed
+    * by STREAM IDENTITY: a version is minted only when `batchId` is
+    * strictly newer than the highest batch id already recorded for
+    * (table, stream). Structured Streaming's foreachBatch re-delivers
+    * the last batch after a crash recovery with the SAME batch id
+    * (batch ids are monotonic per checkpoint), so a replay is detected
+    * and skipped — no duplicate version, no double-appended rows. The
+    * high-water marks persist in the catalog file, making replay
+    * detection survive a store reopen — which is exactly the
+    * crash-recovery case that re-delivers.
+    *
+    * `streamId` should be the stream's checkpoint-stable identity —
+    * `StreamingQuery.id` ([[graft.streaming.StreamingIngest]] wires
+    * this automatically). Keying by stream is what makes a restart
+    * with a FRESH checkpoint directory (batch ids back at 0 — the
+    * common recovery after checkpoint corruption) safe: the new query
+    * id opens a new high-water line and every batch registers, where a
+    * per-table max would silently skip them all (data loss). Within
+    * ONE stream a batch id can only repeat (crash replay of the last
+    * batch → skipped) or advance; a REGRESSION means the caller reused
+    * a streamId across checkpoint generations, and the store throws
+    * [[FeatureConcurrencyError]] instead of silently dropping data.
+    *
+    * The watermark commits in the SAME catalog save as the version it
+    * marks ([[registerWith]]) — a crash can lose both (replay
+    * re-registers, correct) but never the watermark alone (which would
+    * replay into a duplicate version).
     *
     * Returns `Some(info)` when a version was registered, `None` on a
     * skipped replay.
@@ -170,13 +220,14 @@ final class FeatureStore(
   def registerBatch(
       name: String,
       df: DataFrame,
-      batchId: Long): Option[FeatureTableInfo] =
-    idempotent(name, batchId)(register(name, df))
+      batchId: Long,
+      streamId: String = CatalogIO.LegacyStreamId): Option[FeatureTableInfo] =
+    idempotent(name, streamId, batchId)(registerWith(name, df, _))
 
   /** The O(delta) twin of [[registerBatch]]: append-register `df` under
-    * the same batch-id idempotence. This is the streaming shape that
-    * actually survives 100 TB — each micro-batch writes only its own
-    * rows ([[registerAppend]]'s manifest chaining), instead of
+    * the same per-stream batch-id idempotence. This is the streaming
+    * shape that actually survives 100 TB — each micro-batch writes only
+    * its own rows ([[registerAppend]]'s manifest chaining), instead of
     * rewriting the accumulated table per batch, and a crash-recovery
     * replay appends nothing twice.
     */
@@ -184,22 +235,25 @@ final class FeatureStore(
       name: String,
       df: DataFrame,
       batchId: Long,
-      maxSegments: Int = 16): Option[FeatureTableInfo] =
-    idempotent(name, batchId)(registerAppend(name, df, maxSegments))
+      maxSegments: Int = 16,
+      streamId: String = CatalogIO.LegacyStreamId): Option[FeatureTableInfo] =
+    idempotent(name, streamId, batchId)(
+      registerAppendWith(name, df, maxSegments, _))
 
-  private def idempotent(name: String, batchId: Long)(
-      body: => FeatureTableInfo): Option[FeatureTableInfo] = this.synchronized {
-    val seen = catalog.get(name).flatMap(_.maxBatchId)
-    if (seen.exists(batchId <= _)) None
-    else {
-      val info = body
-      catalog.get(name).foreach { m =>
-        catalog.put(m.copy(maxBatchId = Some(batchId)))
-      }
-      CatalogPersistence.save(root, catalog.all)
-      Some(info)
+  private def idempotent(name: String, streamId: String, batchId: Long)(
+      body: Option[(String, Long)] => FeatureTableInfo): Option[FeatureTableInfo] =
+    this.synchronized {
+      val seen = catalog.get(name).flatMap(_.batchWatermarks.get(streamId))
+      if (seen.contains(batchId)) None // crash-recovery replay of the last batch
+      else if (seen.exists(batchId < _))
+        throw new FeatureConcurrencyError(
+          s"Batch id $batchId for table '$name' regressed below the recorded " +
+            s"high-water ${seen.get} of stream '$streamId'. A restarted stream " +
+            "with a fresh checkpoint restarts batch ids at 0 — give it its own " +
+            "stream identity (StreamingIngest passes StreamingQuery.id " +
+            "automatically) rather than silently skipping its batches")
+      else Some(body(Some(streamId -> batchId)))
     }
-  }
 
   /** Explicit compaction: materialize the CURRENT version's chained
     * manifest as a single-snapshot new version (data unchanged — only
@@ -221,7 +275,7 @@ final class FeatureStore(
     * the table now — fail fast instead of silently forking history.
     */
   private def detectForeignWriter(name: String): Unit = {
-    val diskVersion = CatalogPersistence.load(root)
+    val diskVersion = catalogIO.load(root)
       .find(_.name == name).map(_.version).getOrElse(0)
     val ours = catalog.get(name).map(_.version).getOrElse(0)
     if (diskVersion > ours)
@@ -418,7 +472,7 @@ final class FeatureStore(
   def vacuum(graceMillis: Long = FeatureStore.DefaultRetireGraceMillis): Seq[String] =
     this.synchronized {
       val now = System.currentTimeMillis()
-      val diskMetas = CatalogPersistence.load(root)
+      val diskMetas = catalogIO.load(root)
       val names =
         (catalog.all.map(_.name) ++ diskMetas.map(_.name)).distinct
       val live: Map[String, Set[Int]] = names.map { n =>
@@ -485,7 +539,7 @@ final class FeatureStore(
           root, Seq(RetiredPath(name, None, System.currentTimeMillis())))
         // tombstone: merge-on-save would otherwise resurrect the table
         // from the shared on-disk catalog
-        CatalogPersistence.save(root, catalog.all, removed = Seq(name))
+        catalogIO.save(root, catalog.all, removed = Seq(name))
         true
       case None => false
     }

@@ -39,23 +39,32 @@ object StreamingIngest {
     * [[StreamingFeatures]].
     *
     * REPLAY-SAFE: registration goes through
-    * [[FeatureStore.registerBatch]], keyed by the foreachBatch batch id.
-    * After a crash recovery Structured Streaming re-delivers the last
-    * batch with the same id; the store's persisted high-water mark
-    * detects it and the replay mints no duplicate version (and, since
-    * the skip happens before the accumulate-union is registered, no
-    * double-appended rows).
+    * [[FeatureStore.registerBatch]], keyed by (stream identity, batch
+    * id). The stream identity is `StreamingQuery.id` — persisted in the
+    * checkpoint, so it is STABLE across restarts from one checkpoint
+    * and FRESH for a new checkpoint directory. After a crash recovery
+    * Structured Streaming re-delivers the last batch with the same
+    * (id, batchId); the store's persisted high-water mark detects it
+    * and the replay mints no duplicate version (and, since the skip
+    * happens before the accumulate-union is registered, no
+    * double-appended rows). A restart with a FRESH checkpoint restarts
+    * batch ids at 0 under a NEW query id — a new high-water line, so
+    * every batch registers instead of being mistaken for a replay.
     */
   def start(
       stream: DataFrame,
       store: FeatureStore,
       name: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    stream.writeStream
-      .outputMode("append")
-      .trigger(trigger)
-      .foreachBatch(processBatch(store, name) _)
-      .start()
+    withQueryId { queryId =>
+      val body: (DataFrame, Long) => Unit =
+        (batch, bid) => processBatch(store, name, queryId.join())(batch, bid)
+      stream.writeStream
+        .outputMode("append")
+        .trigger(trigger)
+        .foreachBatch(body)
+        .start()
+    }
 
   /** The O(delta) form of [[start]]: each micro-batch is
     * APPEND-registered ([[FeatureStore.registerAppendBatch]] — manifest
@@ -72,17 +81,48 @@ object StreamingIngest {
       name: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maxSegments: Int = 16): StreamingQuery =
-    stream.writeStream
-      .outputMode("append")
-      .trigger(trigger)
-      .foreachBatch(processBatchIncremental(store, name, maxSegments) _)
-      .start()
+    withQueryId { queryId =>
+      val body: (DataFrame, Long) => Unit =
+        (batch, bid) =>
+          processBatchIncremental(store, name, maxSegments, queryId.join())(batch, bid)
+      stream.writeStream
+        .outputMode("append")
+        .trigger(trigger)
+        .foreachBatch(body)
+        .start()
+    }
+
+  /** Capture the started query's checkpoint-stable id into the future
+    * the foreachBatch closure blocks on: the id exists only after
+    * `.start()` returns the [[StreamingQuery]], while the closure is
+    * built before — and the first micro-batch (on the stream execution
+    * thread) can race the main thread's `start()` return. The
+    * completion happens-before any `join()` observes it; the batch
+    * thread waits, never deadlocks (the completing thread never
+    * blocks). On a FAILED start the future is completed exceptionally
+    * so a half-launched batch thread cannot wait forever.
+    */
+  private def withQueryId(
+      launch: java.util.concurrent.CompletableFuture[String] => StreamingQuery)
+      : StreamingQuery = {
+    val queryId = new java.util.concurrent.CompletableFuture[String]()
+    try {
+      val q = launch(queryId)
+      queryId.complete(q.id.toString)
+      q
+    } catch {
+      case e: Throwable => queryId.completeExceptionally(e); throw e
+    }
+  }
 
   /** The foreachBatch body, exposed so the replay contract is directly
     * testable: accumulate the batch onto the table's current state and
-    * register idempotently under `batchId`.
+    * register idempotently under (streamId, batchId).
     */
-  def processBatch(store: FeatureStore, name: String)(
+  def processBatch(
+      store: FeatureStore,
+      name: String,
+      streamId: String = graft.store.CatalogIO.LegacyStreamId)(
       batch: DataFrame,
       batchId: Long): Unit =
     if (!batch.isEmpty) {
@@ -93,7 +133,7 @@ object StreamingIngest {
             .unionByName(batch.select(
               batch.columns.map(org.apache.spark.sql.functions.col): _*))
         else batch
-      store.registerBatch(name, accumulated, batchId)
+      store.registerBatch(name, accumulated, batchId, streamId)
       ()
     }
 
@@ -101,9 +141,12 @@ object StreamingIngest {
   def processBatchIncremental(
       store: FeatureStore,
       name: String,
-      maxSegments: Int = 16)(batch: DataFrame, batchId: Long): Unit =
+      maxSegments: Int = 16,
+      streamId: String = graft.store.CatalogIO.LegacyStreamId)(
+      batch: DataFrame,
+      batchId: Long): Unit =
     if (!batch.isEmpty) {
-      store.registerAppendBatch(name, batch, batchId, maxSegments)
+      store.registerAppendBatch(name, batch, batchId, maxSegments, streamId)
       ()
     }
 }

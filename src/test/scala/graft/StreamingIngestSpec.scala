@@ -82,4 +82,137 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(reopened.getTableInfo("t").version == 2)
     assert(reopened.getTableInfo("t").rowCount == 2)
   }
+
+  test("fresh-checkpoint restart (batch ids from 0 under a new stream id) registers") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fresh_ckpt_spec").toString
+    val store = new FeatureStore(s, root)
+    val day1 = Seq(("u1", ts("2024-01-01"), 1.0))
+      .toDF("entity_id", "timestamp", "value")
+    val day2 = Seq(("u2", ts("2024-01-02"), 2.0))
+      .toDF("entity_id", "timestamp", "value")
+
+    // first stream generation: checkpoint c1, query id A, batches 0..1
+    StreamingIngest.processBatch(store, "t", "query-A")(day1, 0L)
+    StreamingIngest.processBatch(store, "t", "query-A")(day2, 1L)
+    assert(store.getTableInfo("t").version == 2)
+
+    // operator deletes the corrupted checkpoint and restarts: new query
+    // id B, batch ids restart at 0 — the early batches MUST register
+    // (the round-5 per-table high-water silently skipped them: data loss)
+    val day3 = Seq(("u3", ts("2024-01-03"), 3.0))
+      .toDF("entity_id", "timestamp", "value")
+    StreamingIngest.processBatch(store, "t", "query-B")(day3, 0L)
+    assert(store.getTableInfo("t").version == 3,
+      "batch 0 of a fresh stream generation must register, not be skipped")
+
+    // ...and the new generation's own replay protection works
+    StreamingIngest.processBatch(store, "t", "query-B")(day3, 0L)
+    assert(store.getTableInfo("t").version == 3, "replay within generation B skips")
+
+    // a reopened store remembers BOTH generations' high-waters
+    val reopened = new FeatureStore(s, root)
+    StreamingIngest.processBatch(reopened, "t", "query-A")(day2, 1L)
+    StreamingIngest.processBatch(reopened, "t", "query-B")(day3, 0L)
+    assert(reopened.getTableInfo("t").version == 3)
+  }
+
+  test("batch-id regression within one stream throws instead of silently skipping") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_regress_spec").toString
+    val store = new FeatureStore(s, root)
+    val df = Seq(("u1", ts("2024-01-01"), 1.0))
+      .toDF("entity_id", "timestamp", "value")
+    assert(store.registerBatch("t", df, 5L, "q").isDefined)
+    // same stream id, EARLIER batch id: not a replay (replays re-deliver
+    // the LAST batch) — a reused streamId across checkpoint generations.
+    // Loud failure, not silent data loss.
+    intercept[graft.store.FeatureConcurrencyError] {
+      store.registerBatch("t", df, 3L, "q")
+    }
+    // the exact last batch is still a skip, not an error
+    assert(store.registerBatch("t", df, 5L, "q").isEmpty)
+  }
+
+  test("two start() generations end-to-end: second stream's batch 0 registers") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_two_gen_spec").toString
+    val store = new FeatureStore(s, root)
+
+    // generation 1 (its own query id + implicit fresh checkpoint)
+    val src1 = MemoryStream[(String, Timestamp, Double)]
+    val q1 = StreamingIngest.start(
+      src1.toDF().toDF("entity_id", "timestamp", "value"),
+      store, "live", trigger = Trigger.ProcessingTime(0))
+    try {
+      src1.addData(("u1", ts("2024-01-01"), 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(store.getTableInfo("live").version == 1)
+
+    // generation 2: new query, batch ids restart at 0 — must register
+    val src2 = MemoryStream[(String, Timestamp, Double)]
+    val q2 = StreamingIngest.start(
+      src2.toDF().toDF("entity_id", "timestamp", "value"),
+      store, "live", trigger = Trigger.ProcessingTime(0))
+    try {
+      src2.addData(("u2", ts("2024-01-02"), 2.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(store.getTableInfo("live").version == 2,
+      "a new stream generation's batch 0 must not be mistaken for a replay")
+    assert(store.get("live", Seq("u2"), ts("2024-06-01")).count() == 1)
+  }
+
+  test("registerBatch commits version + high-water in ONE catalog save (crash-atomic)") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_atomic_spec").toString
+    // counting double on the persistence seam: every durable commit is
+    // observed; crash-atomicity = exactly one save per idempotent
+    // register (version + watermark indivisible)
+    class CountingIO extends graft.store.CatalogIO {
+      @volatile var saves = 0
+      override def save(
+          r: String,
+          metas: Seq[graft.store.TableMeta],
+          removed: Seq[String]): Unit = {
+        saves += 1
+        graft.store.CatalogPersistence.save(r, metas, removed)
+      }
+      override def load(r: String): Seq[graft.store.TableMeta] =
+        graft.store.CatalogPersistence.load(r)
+    }
+    val io = new CountingIO
+    val store = new FeatureStore(s, root, catalogIO = io)
+    val df = Seq(("u1", ts("2024-01-01"), 1.0))
+      .toDF("entity_id", "timestamp", "value")
+
+    store.registerBatch("t", df, 0L, "q")
+    assert(io.saves == 1,
+      s"one catalog commit per registerBatch, got ${io.saves}: a second save " +
+        "reopens the crash window where a version exists without its watermark")
+
+    // the single save carried BOTH: a reopened store skips the replay
+    val reopened = new FeatureStore(s, root)
+    assert(reopened.registerBatch("t", df, 0L, "q").isEmpty)
+    assert(reopened.getTableInfo("t").version == 1)
+
+    // append path: same contract
+    io.saves = 0
+    store.registerAppendBatch("t", df, 1L, streamId = "q")
+    assert(io.saves == 1, s"registerAppendBatch must also commit once, got ${io.saves}")
+    // a skipped replay writes nothing at all
+    io.saves = 0
+    assert(store.registerBatch("t", df, 1L, "q").isEmpty)
+    assert(io.saves == 0, "a skipped replay must not touch the catalog")
+  }
 }
