@@ -48,9 +48,19 @@ object Tables {
     * previously-cached path mid-session. The next [[parquet]] call
     * re-lists and re-reads the footer. The session argument only keeps
     * call sites explicit about which session triggered the rewrite.
+    *
+    * Also drops [[graft.store.SkewStats]]' memoized hot-entity
+    * classifications: an in-place rewrite is the one case where a
+    * re-read plan can hash equal to the pre-rewrite plan while the DATA
+    * changed — the skew memo would route on stale counts (a perf-only
+    * hazard by SkewStats' contract, but this call site is precisely
+    * where it arises, so it is closed here). Store-API writes never
+    * need this: a new version is a new path, which hashes fresh.
     */
-  def invalidate(s: SparkSession, path: String): Unit =
+  def invalidate(s: SparkSession, path: String): Unit = {
     cache.synchronized {
       cache.values.forEach(m => if (m != null) { m.remove(path); () })
     }
+    graft.store.SkewStats.invalidate()
+  }
 }

@@ -306,145 +306,152 @@ object Profiling {
   }
 
   /** Pairwise Pearson correlation matrix over pre-integerized feature
-    * columns, in ONE aggregation pass over the data: all p sums, p
-    * squares and p·(p−1)/2 cross-products accumulate as EXACT integers,
-    * so the result is independent of aggregation order; the only
-    * floating-point steps are the final casts, two sqrts and one
-    * division per pair — an identical expression tree in both engines
-    * (see [[trendCorrelation]] for the widening/rounding rationale).
-    * Pairs without variance on either axis are dropped by an exact
-    * integer predicate.
+    * columns, in ONE aggregation pass over the data in the common case:
+    * all p sums, p squares and p·(p−1)/2 cross-products accumulate as
+    * EXACT integers, so the result is independent of aggregation order;
+    * the only floating-point steps are the final string→double
+    * conversions, two sqrts and one division per pair — an identical
+    * expression tree in both engines (see [[trendCorrelation]] for the
+    * widening/rounding rationale). Pairs without variance on either
+    * axis are dropped by an exact integer predicate.
     *
-    * Width handling is OPTIMISTIC, one pass in the common case: the
-    * single aggregation accumulates every product in SPLIT long
-    * accumulators (each factor split at 2^16 — a = x >> 16 arithmetic,
-    * b = x & 0xFFFF, exact for negatives since x = a·2^16 + b under
-    * floor division; three long sums Σaa', Σ(ab'+a'b), Σbb' reassemble
-    * the exact 128-bit Σxy on the final row) — pure long arithmetic per
-    * row, ~10× cheaper than BigDecimal — and the SAME row also carries
-    * per-column min/max and the count. Those range numbers prove, post
-    * hoc, whether any accumulator could have exceeded 2^62 (the same
-    * bounds a pre-scan would have checked, so passing them means the
-    * split sums are exact); `try_sum`/`try_multiply` keep the pass
-    * total under ANSI when a value genuinely overflows. If the gate
+    * Width handling is OPTIMISTIC: the single aggregation accumulates
+    * every product in SPLIT long accumulators (each factor split at
+    * 2^16 — a = x >> 16 arithmetic, b = x & 0xFFFF, exact for negatives
+    * since x = a·2^16 + b under floor division; three long sums Σaa',
+    * Σ(ab'+a'b), Σbb' reassemble the exact Σxy) — pure long arithmetic
+    * per row, ~10× cheaper than BigDecimal — and the SAME row also
+    * carries per-column max(|x|) and the count. Those range numbers
+    * prove, post hoc, whether any accumulator could have exceeded 2^62
+    * (the same bounds the former pre-scan checked up front, so passing
+    * them means every long sum is exact); `try_sum`/`try_multiply`/
+    * `try_add` keep the pass total under ANSI when a value genuinely
+    * overflows (null, never an exception — and the gate independently
+    * rejects exactly those runs from the measured ranges). If the gate
     * holds — every realistic feature table; it fails only past ~2^31
-    * integer units or ~2^62/maxAbs² rows — the p·(p+3)/2 aggregate
-    * numbers are combined EXACTLY in BigInt driver-side (a bounded
-    * handful, the same shape as the skew-classification collects) with
-    * the double conversion through the decimal STRING, the identical
-    * expression tree the all-decimal formulation and the oracle
-    * compute. If it fails, the pass is discarded and ONE decimal(38,0)
-    * pass recomputes everything with unconditional 128-bit exactness —
-    * two scans only in the astronomically-wide case, where the old
-    * range-scan design also took two.
+    * integer units or ~2^62/65535² rows — the p·(p+3)/2 aggregate longs
+    * are combined EXACTLY in BigInt driver-side (a bounded handful, the
+    * same shape as the skew-classification collects), with the double
+    * conversion through the decimal STRING — the identical expression
+    * tree the all-decimal formulation and the oracle compute. If it
+    * fails, the optimistic pass is discarded and ONE decimal(38,0) pass
+    * recomputes everything with unconditional 128-bit exactness — two
+    * scans only in the astronomically-wide case, where the retired
+    * pre-scan design also took two.
     *
     * Output: one row per unordered pair (col_a < col_b by argument
-    * order) with n and corr_r.
+    * order) with n and corr_r, materialized driver-side (the aggregate
+    * is a single row either way).
     *
     * Scale shape: ONE partial-aggregated shuffle carrying a few numbers
     * total — the input is scanned once, never materialized. The gate
-    * re-derives from the data measured in the same pass, not from a
-    * tuned constant.
+    * re-derives from ranges measured in the same pass, not from a tuned
+    * constant.
     */
   def correlationMatrix(df: DataFrame, valueCols: Seq[String]): DataFrame = {
     if (valueCols.size < 2)
       throw new FeatureValidationError(
         s"correlationMatrix needs >= 2 columns, got $valueCols")
-    val dec = "decimal(38,0)"
+    val session = df.sparkSession
     val idx = valueCols.indices
+    val pairs = for { i <- idx; j <- idx if i <= j } yield (i, j)
     // contract: pre-integerized feature columns (integer units in long
     // range — cents, counts); the long cast is a no-op for integral
     // values and pins the arithmetic type the width gate reasons about
     val prepared = df.select(valueCols.map(c => col(c).cast("long").as(c)): _*)
+    def hiOf(c: Column) = shiftright(c, 16)
+    def loOf(c: Column) = c.bitwiseAND(lit(0xFFFFL))
 
-    // Range scan: bounded driver fetch (p maxes + a count), the same
-    // "classify then route" pattern as the skew-hybrid as-of join.
-    val rangeRow = prepared
-      .agg(
-        count(lit(1)).as("_n"),
-        valueCols.map(c => max(abs(col(c))).as(s"_m_$c")): _*)
-      .head()
-    val n = rangeRow.getLong(0)
-    val maxAbs = valueCols.indices
-      .map(i => if (rangeRow.isNullAt(i + 1)) 0L else rangeRow.getLong(i + 1))
-    def fitsLong(i: Int, j: Int): Boolean = {
-      val bound = BigInt(maxAbs(i)) * BigInt(maxAbs(j)) * BigInt(n.max(1L))
-      bound < (BigInt(1) << 62)
-    }
+    // THE one optimistic pass: count + per-column range + all moments
+    // in split-long form, a single partial-aggregated job
+    val optimisticAggs: Seq[Column] =
+      count(lit(1)).as("_n") +:
+        (idx.map(i => max(abs(col(valueCols(i)))).as(s"_m_$i")) ++
+          idx.map(i => try_sum(col(valueCols(i))).as(s"_s_$i")) ++
+          pairs.flatMap { case (i, j) =>
+            val x = col(valueCols(i))
+            val y = col(valueCols(j))
+            val base = s"_p_${i}_$j"
+            Seq(
+              try_sum(try_multiply(hiOf(x), hiOf(y))).as(s"${base}_hh"),
+              try_sum(try_add(
+                try_multiply(hiOf(x), loOf(y)),
+                try_multiply(hiOf(y), loOf(x)))).as(s"${base}_hl"),
+              try_sum(try_multiply(loOf(x), loOf(y))).as(s"${base}_ll"))
+          })
+    val row = prepared.agg(optimisticAggs.head, optimisticAggs.tail: _*).head()
+    val n = row.getLong(row.fieldIndex("_n"))
+    val outSchema = StructType(Seq(
+      StructField("col_a", StringType, nullable = false),
+      StructField("col_b", StringType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("corr_r", DoubleType, nullable = false)))
+    if (n == 0L)
+      return session.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
 
-    val sums = valueCols.map { c =>
-      // Σx: |Σx| <= maxAbs·n — same gate with j as "1"
-      val fits = BigInt(maxAbs(valueCols.indexOf(c))) * BigInt(n.max(1L)) < (BigInt(1) << 62)
-      val s = if (fits) sum(col(c)) else sum(col(c).cast(dec))
-      s.as(s"_s_$c")
+    // post-hoc width gate from the measured ranges: every long
+    // accumulator provably stayed under 2^62 → the optimistic sums are
+    // exact (and none of the try_* ops nulled)
+    val maxAbs = idx.map { i =>
+      val f = row.fieldIndex(s"_m_$i")
+      if (row.isNullAt(f)) 0L else row.getLong(f)
     }
-    // Middle tier for products that overflow int64 as a whole but whose
-    // FACTORS fit 32 bits: split each factor at 2^16 (a = x >> 16
-    // arithmetic, b = x & 0xFFFF — exact for negatives too, since
-    // x = a·2^16 + b under floor division), accumulate the three
-    // component sums Σaa', Σ(ab'+a'b), Σbb' as plain longs, and
-    // reassemble Σxy = Σaa'·2^32 + Σ(ab'+a'b)·2^16 + Σbb' in decimal on
-    // the ONE aggregated row. Per-row cost: three long multiplies
-    // instead of a BigDecimal multiply (~10× cheaper); the value is
-    // identical — exact integers compose exactly.
-    def fitsSplit(i: Int, j: Int): Boolean = {
-      val nn = BigInt(n.max(1L))
-      val lim = BigInt(1) << 62
+    val lim = BigInt(1) << 62
+    val nn = BigInt(n)
+    val lo = BigInt(65535)
+    def sumFits(i: Int): Boolean = BigInt(maxAbs(i)) * nn < lim
+    def splitFits(i: Int, j: Int): Boolean = {
       val hiI = BigInt(maxAbs(i) >> 16) + 1
       val hiJ = BigInt(maxAbs(j) >> 16) + 1
-      val lo = BigInt(65535)
       maxAbs(i) < (1L << 31) && maxAbs(j) < (1L << 31) &&
         nn * hiI * hiJ < lim &&
         nn * (hiI * lo + hiJ * lo) < lim &&
         nn * lo * lo < lim
     }
-    def hiOf(c: Column) = shiftright(c, 16)
-    def loOf(c: Column) = c.bitwiseAND(lit(0xFFFFL))
+    val gateHolds = idx.forall(sumFits) &&
+      pairs.forall { case (i, j) => splitFits(i, j) }
 
-    val prodAggs = (for { i <- idx; j <- idx if i <= j } yield {
-      val x = col(valueCols(i))
-      val y = col(valueCols(j))
-      val base = s"_p_${i}_$j"
-      if (fitsLong(i, j)) Seq(sum(x * y).as(base))
-      else if (fitsSplit(i, j)) Seq(
-        sum(hiOf(x) * hiOf(y)).as(s"${base}_hh"),
-        sum(hiOf(x) * loOf(y) + hiOf(y) * loOf(x)).as(s"${base}_hl"),
-        sum(loOf(x) * loOf(y)).as(s"${base}_ll"))
-      else Seq(sum(x.cast(dec) * y.cast(dec)).as(base))
-    }).flatten
-    // one-row reassembly: whatever width/shape each moment accumulated
-    // at, it re-enters the exact combination step as decimal(38,0)
-    def prodDecimal(i: Int, j: Int): Column = {
-      val base = s"_p_${i}_$j"
-      if (fitsSplit(i, j) && !fitsLong(i, j))
-        (col(s"${base}_hh").cast(dec) * lit(4294967296L).cast(dec) +
-          col(s"${base}_hl").cast(dec) * lit(65536L).cast(dec) +
-          col(s"${base}_ll").cast(dec)).as(base)
-      else col(base).cast(dec).as(base)
-    }
-    val aggs = (count(lit(1)).as("_n") +: sums) ++ prodAggs
-    val a = prepared.agg(aggs.head, aggs.tail: _*)
-      .select(col("_n").cast("long").as("_nl") +:
-        (valueCols.map(c => col(s"_s_$c").cast(dec).as(s"_s_$c")) ++
-          (for { i <- idx; j <- idx if i <= j } yield prodDecimal(i, j)) :+
-          col("_n").cast(dec).as("_n")): _*)
+    // exact sufficient statistics, either from the optimistic row or —
+    // gate failed — from ONE unconditional decimal(38,0) recompute
+    val (sumsB, prodB): (IndexedSeq[BigInt], Map[(Int, Int), BigInt]) =
+      if (gateHolds) {
+        def l(name: String): BigInt = BigInt(row.getLong(row.fieldIndex(name)))
+        (idx.map(i => l(s"_s_$i")),
+          pairs.map { case (i, j) =>
+            val base = s"_p_${i}_$j"
+            (i, j) -> ((l(s"${base}_hh") << 32) + (l(s"${base}_hl") << 16) +
+              l(s"${base}_ll"))
+          }.toMap)
+      } else {
+        val dec = "decimal(38,0)"
+        val decAggs: Seq[Column] =
+          idx.map(i => sum(col(valueCols(i)).cast(dec)).as(s"_s_$i")) ++
+            pairs.map { case (i, j) =>
+              sum(col(valueCols(i)).cast(dec) * col(valueCols(j)).cast(dec))
+                .as(s"_p_${i}_$j")
+            }
+        val r2 = prepared.agg(decAggs.head, decAggs.tail: _*).head()
+        def d(name: String): BigInt = BigInt(
+          r2.getDecimal(r2.fieldIndex(name)).toBigIntegerExact)
+        (idx.map(i => d(s"_s_$i")),
+          pairs.map { case (i, j) => (i, j) -> d(s"_p_${i}_$j") }.toMap)
+      }
 
-    def toD(c: Column): Column = c.cast("string").cast("double")
-    val pairRows = for { i <- idx; j <- idx if i < j } yield {
-      val (ci, cj) = (valueCols(i), valueCols(j))
-      val num = col("_n") * col(s"_p_${i}_$j") - col(s"_s_$ci") * col(s"_s_$cj")
-      val d1 = col("_n") * col(s"_p_${i}_$i") - col(s"_s_$ci") * col(s"_s_$ci")
-      val d2 = col("_n") * col(s"_p_${j}_$j") - col(s"_s_$cj") * col(s"_s_$cj")
-      struct(
-        lit(ci).as("col_a"),
-        lit(cj).as("col_b"),
-        when(d1 > 0 && d2 > 0,
-          toD(num) / (sqrt(toD(d1)) * sqrt(toD(d2)))).as("corr_r"))
+    // exact BigInt combination + the oracle's identical float tail:
+    // double(num via decimal string) / (sqrt(double d1) * sqrt(double d2))
+    def toD(v: BigInt): Double = java.lang.Double.parseDouble(v.toString)
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    for { i <- idx; j <- idx if i < j } {
+      val num = nn * prodB((i, j)) - sumsB(i) * sumsB(j)
+      val d1 = nn * prodB((i, i)) - sumsB(i) * sumsB(i)
+      val d2 = nn * prodB((j, j)) - sumsB(j) * sumsB(j)
+      if (d1 > 0 && d2 > 0)
+        out.add(org.apache.spark.sql.Row(
+          valueCols(i), valueCols(j), n,
+          toD(num) / (math.sqrt(toD(d1)) * math.sqrt(toD(d2)))))
     }
-    a.select(col("_nl").as("n"), explode(array(pairRows: _*)).as("_pr"))
-      .select(col("_pr.col_a").as("col_a"), col("_pr.col_b").as("col_b"),
-        col("n"), col("_pr.corr_r").as("corr_r"))
-      .filter(col("corr_r").isNotNull)
+    session.createDataFrame(out, outSchema)
   }
 
   /** Per-group trend monitor: Pearson correlation between a feature's

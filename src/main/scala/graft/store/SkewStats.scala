@@ -55,9 +55,13 @@ object SkewStats {
     })
   }
 
-  /** Drop all memoized classifications (e.g. after rewriting a table
-    * in place, where the plan hashes equal but the data changed —
-    * routing would be stale, though still correct).
+  /** Drop all memoized classifications — called by
+    * [[graft.Tables.invalidate]], the in-place-rewrite escape hatch
+    * where a re-read plan can hash equal to the pre-rewrite plan while
+    * the data changed (routing would be stale, though still correct).
     */
   def invalidate(): Unit = cache.clear()
+
+  /** Visible for tests: current memo population. */
+  private[graft] def cachedEntries: Int = cache.size
 }

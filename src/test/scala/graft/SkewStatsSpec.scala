@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.SkewStats
+
+/** The skew-classification memo: population, hit behavior, and the
+  * invalidation hook [[Tables.invalidate]] calls on in-place rewrites
+  * (the one case where a plan hash survives a data change).
+  */
+class SkewStatsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("hotEntities memoizes per (plan, column, threshold) and classifies correctly") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(50)("hot") ++ Seq("cold1", "cold2"))
+      .toDF("entity_id")
+    SkewStats.invalidate()
+    val hot = SkewStats.hotEntities(df, "entity_id", 10L)
+    assert(hot.toSeq == Seq("hot"))
+    assert(SkewStats.cachedEntries == 1)
+    // same plan + params: served from the memo, entry count unchanged
+    SkewStats.hotEntities(df, "entity_id", 10L)
+    assert(SkewStats.cachedEntries == 1)
+    // different threshold is a different table property: fresh entry
+    assert(SkewStats.hotEntities(df, "entity_id", 1L).length == 3)
+    assert(SkewStats.cachedEntries == 2)
+  }
+
+  test("Tables.invalidate drops the skew memo (in-place rewrite hook)") {
+    val s = spark
+    import s.implicits._
+    SkewStats.invalidate()
+    SkewStats.hotEntities(Seq("a", "a", "b").toDF("entity_id"), "entity_id", 2L)
+    assert(SkewStats.cachedEntries == 1)
+    // rewriting any cached path must also drop skew classifications:
+    // the re-read plan can hash equal while the data changed
+    Tables.invalidate(s, "/no/such/path")
+    assert(SkewStats.cachedEntries == 0)
+  }
+}
