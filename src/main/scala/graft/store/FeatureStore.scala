@@ -441,6 +441,36 @@ final class FeatureStore(
     }
   }
 
+  /** Acquire a READ LEASE on `name`: until released (or expired past
+    * vacuum's TTL), [[vacuum]] will not physically delete any retired
+    * path of the table — the protection for readers that outlive the
+    * grace window. Prefer the [[withReadLease]] bracket; use this pair
+    * for multi-statement flows that span call sites. The table must
+    * exist when leased (leasing is for readers, who need it to exist
+    * anyway); the lease then protects across a concurrent delete.
+    */
+  def acquireReadLease(name: String): String = {
+    catalog.getOrThrow(name)
+    ReadLeases.acquire(root, name)
+  }
+
+  /** Release a read lease; unknown or already-expired ids are no-ops. */
+  def releaseReadLease(leaseId: String): Unit =
+    ReadLeases.release(root, leaseId)
+
+  /** Run `body` over the table's CURRENT-version DataFrame under a read
+    * lease: however long the body runs — past the vacuum grace window,
+    * across a concurrent `delete` of the table — its parquet files
+    * survive until the bracket exits (then the next vacuum pass
+    * reclaims them normally). The long-running-training-job read shape.
+    */
+  def withReadLease[A](name: String)(body: DataFrame => A): A = {
+    val meta = catalog.getOrThrow(name)
+    val lease = ReadLeases.acquire(root, name)
+    try body(getVersion(name, meta.version))
+    finally ReadLeases.release(root, lease)
+  }
+
   /** Storage hygiene with SNAPSHOT ISOLATION for readers: physical
     * deletion is TWO-PHASE. [[delete]] and version pruning only RETIRE
     * paths (logical removal is immediate; the parquet files stay), and
@@ -465,13 +495,27 @@ final class FeatureStore(
     * that became live again (delete + re-register reuses version
     * numbers from 1) is dropped from the ledger, never deleted.
     *
+    * READ LEASES ([[acquireReadLease]]/[[withReadLease]]) harden the
+    * grace window into a guarantee: a retired path whose table holds an
+    * active lease is kept regardless of age. Leases older than
+    * `leaseTtlMillis` are presumed crashed and purged (reclamation must
+    * not be wedged forever by a dead reader) — a legitimately
+    * longer-than-TTL read passes a bigger TTL to its vacuum schedule.
+    *
     * Returns the root-relative paths physically deleted by THIS pass.
     * `graceMillis = 0` collapses to single-phase immediate reclamation
     * (retire and delete in one call) for tests and offline maintenance.
     */
-  def vacuum(graceMillis: Long = FeatureStore.DefaultRetireGraceMillis): Seq[String] =
+  def vacuum(
+      graceMillis: Long = FeatureStore.DefaultRetireGraceMillis,
+      leaseTtlMillis: Long = FeatureStore.DefaultLeaseTtlMillis): Seq[String] =
     this.synchronized {
       val now = System.currentTimeMillis()
+      val allLeases = ReadLeases.load(root)
+      val (activeLeases, staleLeases) =
+        allLeases.partition(l => now - l.acquiredAt < leaseTtlMillis)
+      ReadLeases.purge(root, staleLeases.map(_.id))
+      val leased: Set[String] = activeLeases.map(_.name).toSet
       val diskMetas = catalogIO.load(root)
       val names =
         (catalog.all.map(_.name) ++ diskMetas.map(_.name)).distinct
@@ -502,6 +546,7 @@ final class FeatureStore(
           case None    => live.contains(e.name)
         }
         if (isLive) false // resurrected path: drop the entry, keep the data
+        else if (leased(e.name)) true // active reader lease: keep path + entry
         else if (now - e.retiredAt >= graceMillis) {
           e.version match {
             case Some(v) =>
@@ -617,6 +662,14 @@ object FeatureStore {
     * longer-running batch reads raises it per call.
     */
   val DefaultRetireGraceMillis: Long = 30L * 60 * 1000
+
+  /** Default age past which [[FeatureStore.vacuum]] treats a read lease
+    * as crashed and ignores it (24 h): long enough for any sane batch
+    * read, short enough that a dead reader cannot wedge reclamation
+    * indefinitely. Jobs that legitimately read longer pass a larger
+    * TTL to their vacuum schedule.
+    */
+  val DefaultLeaseTtlMillis: Long = 24L * 60 * 60 * 1000
 
   /** Root-level hygiene for the fingerprint-keyed root pattern (a demo/
     * bench store whose root NAME encodes a dataset checksum — see

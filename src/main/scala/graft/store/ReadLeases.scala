@@ -1,0 +1,72 @@
+package graft.store
+
+/** An active read lease: while it exists, [[FeatureStore.vacuum]] will
+  * not physically delete any retired path belonging to `name`.
+  */
+final case class ReadLease(id: String, name: String, acquiredAt: Long)
+
+/** READER LEASES — the opt-in protection for reads longer than the
+  * vacuum grace window. The grace window alone bounds how long a
+  * reader may safely hold a DataFrame over deleted/pruned data
+  * (Delta/Iceberg retention has the same contract); a leased reader is
+  * protected for as long as it holds the lease, regardless of query
+  * duration.
+  *
+  * Layout: ONE FILE PER LEASE under `<root>/_leases/<uuid>.lease`
+  * (contents: `<acquiredAtMillis>\t<url-encoded table name>`). File
+  * create and delete are atomic, so concurrent acquire/release across
+  * processes cannot clobber each other — unlike a shared TSV, there is
+  * no read-modify-write window. A crashed reader leaves its lease file
+  * behind; [[FeatureStore.vacuum]] ignores (and purges) leases older
+  * than its TTL parameter, so storage reclamation cannot be wedged
+  * forever by a dead process.
+  */
+object ReadLeases {
+  import java.net.{URLDecoder, URLEncoder}
+  import java.nio.charset.StandardCharsets.UTF_8
+  import java.nio.file.{Files, Path, Paths}
+
+  private def dir(root: String): Path = Paths.get(root, "_leases")
+
+  /** Acquire a lease on `name`; returns the lease id for [[release]]. */
+  def acquire(root: String, name: String): String = {
+    val id = java.util.UUID.randomUUID().toString
+    Files.createDirectories(dir(root))
+    Files.writeString(
+      dir(root).resolve(s"$id.lease"),
+      s"${System.currentTimeMillis()}\t${URLEncoder.encode(name, UTF_8)}")
+    id
+  }
+
+  /** Release a lease; releasing an unknown/expired id is a no-op. */
+  def release(root: String, id: String): Unit = {
+    Files.deleteIfExists(dir(root).resolve(s"$id.lease"))
+    ()
+  }
+
+  def load(root: String): Seq[ReadLease] = {
+    val d = dir(root)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val s = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".lease"))
+        .flatMap { p =>
+          val id = p.getFileName.toString.stripSuffix(".lease")
+          // a lease file mid-write by another process can be empty for
+          // an instant: unreadable/malformed entries are simply skipped
+          // this pass (they surface on the next)
+          try {
+            val f = Files.readString(p).split("\t")
+            Some(ReadLease(id, URLDecoder.decode(f(1), UTF_8), f(0).toLong))
+          } catch { case _: Exception => None }
+        }
+        .toList
+    } finally s.close()
+  }
+
+  /** Drop the given lease ids (vacuum's stale-lease purge). */
+  def purge(root: String, ids: Seq[String]): Unit =
+    ids.foreach(release(root, _))
+}

@@ -173,7 +173,13 @@ final class Storage(
     val p = new Path(root)
     val f = fs(p)
     if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+    else f.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      // store-internal metadata dirs (e.g. _leases/) are never tables;
+      // underscore names are reserved, matching _catalog.tsv/_retired.tsv
+      .filterNot(_.startsWith("_"))
+      .sorted
   }
 
   private def fs(p: Path) =

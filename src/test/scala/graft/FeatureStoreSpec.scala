@@ -370,6 +370,59 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "t", "v=1")))
   }
 
+  test("a leased reader's files survive vacuum at graceMillis=0 until release") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lease_spec").toString
+    val store = new FeatureStore(spark, root)
+    store.register("t", singleRow(1.0))
+    val lease = store.acquireReadLease("t")
+    val reader = store.getVersion("t", 1)
+    assert(store.delete("t"))
+    // even a ZERO-grace vacuum (which reclaims instantly otherwise)
+    // must keep the leased table's retired paths...
+    assert(store.vacuum(graceMillis = 0).isEmpty)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "t")))
+    // ...so the reader outlives any grace window
+    assert(reader.collect().map(_.getAs[Double]("val")).toSeq == Seq(1.0))
+    // release: the next pass reclaims normally
+    store.releaseReadLease(lease)
+    assert(store.vacuum(graceMillis = 0) == Seq("t"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "t")))
+    // releasing again is a no-op; leasing an unknown table raises
+    store.releaseReadLease(lease)
+    intercept[FeatureTableNotFoundError](store.acquireReadLease("t"))
+  }
+
+  test("withReadLease brackets: protected during the body, reclaimable after") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lease_bracket_spec").toString
+    val store = new FeatureStore(spark, root)
+    store.register("t", singleRow(42.0))
+    val got = store.withReadLease("t") { df =>
+      store.delete("t")
+      assert(store.vacuum(graceMillis = 0).isEmpty,
+        "vacuum must not reclaim under the bracket's lease")
+      df.collect().map(_.getAs[Double]("val")).toSeq
+    }
+    assert(got == Seq(42.0))
+    assert(store.vacuum(graceMillis = 0) == Seq("t"))
+  }
+
+  test("vacuum purges expired leases instead of staying wedged by a dead reader") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lease_ttl_spec").toString
+    val store = new FeatureStore(spark, root)
+    store.register("t", singleRow(1.0))
+    store.acquireReadLease("t") // never released: simulated crashed reader
+    store.delete("t")
+    // within TTL the lease holds even at zero grace
+    assert(store.vacuum(graceMillis = 0).isEmpty)
+    // with the lease aged past TTL, reclamation proceeds and the stale
+    // lease file is purged
+    assert(store.vacuum(graceMillis = 0, leaseTtlMillis = 0) == Seq("t"))
+    assert(graft.store.ReadLeases.load(root).isEmpty)
+  }
+
   test("vacuum reconciles against the on-disk catalog: another writer's tables survive") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_vacuum_foreign_spec").toString
