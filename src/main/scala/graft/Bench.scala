@@ -91,7 +91,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the oracle total this run is paired against, when the pairing
+    // harness provides it up front (tools/time_oracle.py can also stamp
+    // it in afterwards): the artifact itself then distinguishes
+    // co-tenancy inflation (both sides move) from a regression (one
+    // side moves)
+    val paired = sys.env.get("SPARK_GRAFT_ORACLE_TOTAL")
+      .map(s => s""","paired_oracle_total_sec":$s""").getOrElse("")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$paired}"""
     // Print the line (driver contract) AND persist it to a file: the
     // driver's log-tail capture is bounded and has truncated this line
     // mid-object before (BENCH_r03.json "parsed": null). The file is the

@@ -154,12 +154,18 @@ object Dedup {
         //
         // Each SHINGLE aggregates its (≤|groups|) sorted distinct id
         // set (collect_set drops null ids and dedups (id, shingle)
-        // repeats map-side — no separate distinct pass); ordered pairs
+        // repeats map-side — no separate distinct pass); INCLUSIVE
+        // ordered pairs — (x, y) for every x <= y, diagonal included —
         // are generated from each set with array ops and
         // partial-aggregated IN THE SAME STAGE (the per-shingle k²
         // fan-out collapses map-side to ≤|groups|²/2 rows per task and
-        // never crosses a shuffle), and per-id sizes fall out of the
-        // same shuffled sets by re-exploding them. An intermediate
+        // never crosses a shuffle). The DIAGONAL rows (x, x) are the
+        // per-id set sizes — each shingle contributes exactly one per
+        // member — so intersections AND sizes come out of ONE pair
+        // aggregation; the former separate sizes pass re-exploded every
+        // per-shingle id set through a second full-cardinality shuffle
+        // to compute numbers the diagonal already carries. Sizes then
+        // attach by broadcast (≤|groups| rows). An intermediate
         // "compress identical membership patterns first" stage was
         // measured SLOWER here: it adds a full-cardinality shuffle of
         // the id arrays to save fan-out that map-side combine already
@@ -180,22 +186,28 @@ object Dedup {
               .as("_sh"))
           .groupBy(col("_sh"))
           .agg(sort_array(collect_set(col(idCol))).as("_ids"))
+        // slice from 1-based position i+1 = the element x itself: the
+        // inner transform yields (x, x), (x, next), ... — diagonal + pairs
         val pairsArr = flatten(transform(col("_ids"), (x, i) =>
           transform(
-            slice(col("_ids"), i + lit(2), greatest(size(col("_ids")) - i - lit(1), lit(0))),
+            slice(col("_ids"), i + lit(1), size(col("_ids")) - i),
             y => struct(x.as("id_a"), y.as("id_b")))))
-        val inter = bySh
+        val counts = bySh
           .select(explode(pairsArr).as("_p"))
           .select(col("_p.id_a"), col("_p.id_b"))
           .groupBy(col("id_a"), col("id_b"))
           .agg(count(lit(1)).as("_inter"))
-        val sizes = bySh
-          .select(explode(col("_ids")).as(idCol))
-          .groupBy(col(idCol))
-          .agg(count(lit(1)).as("_n"))
-        inter
-          .join(sizes.select(col(idCol).as("id_a"), col("_n").as("_na")), "id_a")
-          .join(sizes.select(col(idCol).as("id_b"), col("_n").as("_nb")), "id_b")
+        val sizes = counts
+          .filter(col("id_a") === col("id_b"))
+          .select(col("id_a").as("_k"), col("_inter").as("_n"))
+        counts
+          .filter(col("id_a") < col("id_b"))
+          .join(
+            broadcast(sizes.select(col("_k").as("id_a"), col("_n").as("_na"))),
+            "id_a")
+          .join(
+            broadcast(sizes.select(col("_k").as("id_b"), col("_n").as("_nb"))),
+            "id_b")
       }
     pairs
       .select(col("id_a"), col("id_b"), jaccard)

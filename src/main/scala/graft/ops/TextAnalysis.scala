@@ -386,9 +386,13 @@ object TextAnalysis {
     * these spans rather than dropping whole documents — the standard
     * remedy for boilerplate shared across otherwise-distinct pages.
     *
-    * Scale shape: per-row window generation (sequence/transform/slice,
-    * codegen'd, no self-join) → ONE partial-aggregated shuffle keyed on
-    * a CHEAP 64-bit content hash carrying two counts; output is bounded
+    * Scale shape: per-row window generation (sequence/slice, codegen'd,
+    * no self-join) runs ONCE, emitting only (hash, doc, position) — no
+    * span text ever crosses a shuffle. Two narrow partial-aggregated
+    * shuffles follow: (hash, doc) → occurrence count + min position,
+    * then hash → doc count + occurrence total + the lexicographic-min
+    * representative occurrence (a deterministic struct min, no
+    * countDistinct Expand doubling the heavy stage). Output is bounded
     * by the number of DISTINCT repeated spans, never the corpus.
     * Smaller stride raises recall (stride 1 = every position) at
     * explode-factor cost — the standard knob.
@@ -396,11 +400,12 @@ object TextAnalysis {
     * The portable md5 span id (the oracle-expressible `span_hash`) is
     * NOT paid per window: the heavy pass hashes each window's token
     * slice with native xxhash64 (whole-stage codegen, no string join,
-    * no md5 hex round-trip), and only the SURVIVING spans — repeated
-    * ones, joined back broadcast-style — get the md5 of one
-    * representative occurrence. Both hashes partition the corpus's
-    * spans identically short of a 2^-64-per-pair collision, the same
-    * accepted class as every hash-keyed operator here.
+    * no md5 hex round-trip). The few SURVIVING spans broadcast into one
+    * plain docs scan — no second window explode — where each
+    * representative's recorded position re-slices its text and md5 runs
+    * once per distinct repeated span. Both hashes partition the
+    * corpus's spans identically short of a 2^-64-per-pair collision,
+    * the same accepted class as every hash-keyed operator here.
     */
   def duplicateSpans(
       docs: DataFrame,
@@ -410,38 +415,40 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     require(width >= 1 && stride >= 1, s"bad width/stride $width/$stride")
     val toks = tokens(col(textCol))
-    def windows(d: DataFrame): DataFrame =
-      d.filter(size(toks) >= width)
-        .select(
-          col(idCol),
-          toks.as("_toks"),
-          explode(
-            sequence(lit(0), floor((size(toks) - width) / lit(stride)).cast("int")))
-            .as("_i"))
-        .select(
-          col(idCol),
-          slice(col("_toks"), col("_i") * stride + 1, lit(width)).as("_span"))
-    val repeated = windows(docs)
-      .select(col(idCol), xxhash64(col("_span")).as("_ch"))
-      .groupBy(col("_ch"))
-      .agg(
-        countDistinct(col(idCol)).as("n_docs"),
-        count(lit(1)).as("n_occurrences"))
-      .filter(col("n_docs") >= 2)
-    // second window pass only to recover one representative token slice
-    // per surviving hash: the join's small side is the repeated-span
-    // set (AQE broadcasts it), the group-by collapses map-side to one
-    // row per span, and md5 runs once per DISTINCT repeated span
-    windows(docs)
-      .select(xxhash64(col("_span")).as("_ch"), col("_span"))
-      .join(repeated, "_ch")
-      .groupBy(col("_ch"))
-      .agg(
-        first(col("_span")).as("_span"),
-        first(col("n_docs")).as("n_docs"),
-        first(col("n_occurrences")).as("n_occurrences"))
+    val windows = docs
+      .filter(size(toks) >= width)
       .select(
-        Hashing.md5Long60(array_join(col("_span"), " ")).as("span_hash"),
+        col(idCol),
+        toks.as("_toks"),
+        explode(
+          sequence(lit(0), floor((size(toks) - width) / lit(stride)).cast("int")))
+          .as("_i"))
+      .select(
+        col(idCol),
+        (col("_i") * stride + 1).as("_pos"),
+        xxhash64(slice(col("_toks"), col("_i") * stride + 1, lit(width)))
+          .as("_ch"))
+    val spans = windows
+      .groupBy(col("_ch"), col(idCol))
+      .agg(count(lit(1)).as("_occ"), min(col("_pos")).as("_pos"))
+      .groupBy(col("_ch"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_occ")).as("n_occurrences"),
+        min(struct(col(idCol).as("_rid"), col("_pos").as("_rpos"))).as("_rep"))
+      .filter(col("n_docs") >= 2)
+      .select(
+        col("_rep._rid").as(idCol),
+        col("_rep._rpos").as("_pos"),
+        col("n_docs"),
+        col("n_occurrences"))
+    docs
+      .select(col(idCol), toks.as("_toks"))
+      .join(broadcast(spans), Seq(idCol))
+      .select(
+        Hashing.md5Long60(
+          array_join(slice(col("_toks"), col("_pos"), lit(width)), " "))
+          .as("span_hash"),
         col("n_docs"),
         col("n_occurrences"))
   }

@@ -5,7 +5,13 @@ three interleaved passes (the same estimator graft.Bench uses), and
 prints one JSON line {"total": s, "queries": {...}}.
 
 Dev-only tool (the library never depends on DuckDB).
-Usage: python3 tools/time_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/time_oracle.py <sfDir> <verifyOutDir> [benchOutJson]
+
+With the optional third argument, the oracle total+queries are ALSO
+stamped into that bench_out.json ("paired_oracle_total_sec",
+"paired_oracle_queries") so the committed artifact records which oracle
+pairing it was measured against — co-tenancy inflation vs regression is
+then decidable from the artifact alone, no cross-referencing prose.
 """
 import json
 import sys
@@ -48,7 +54,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             t[n] = time.perf_counter() - t0
         passes.append(t)
     best = {n: min(p[n] for p in passes) for n in names}
-    print(json.dumps({"total": sum(best.values()), "queries": best}))
+    total = sum(best.values())
+    print(json.dumps({"total": total, "queries": best}))
+    if len(sys.argv) > 3:
+        with open(sys.argv[3]) as f:
+            bench = json.load(f)
+        bench["paired_oracle_total_sec"] = total
+        bench["paired_oracle_queries"] = best
+        with open(sys.argv[3], "w") as f:
+            json.dump(bench, f)
+        print(f"stamped paired oracle total {total:.2f}s into {sys.argv[3]}",
+              file=sys.stderr)
     return 0
 
 
