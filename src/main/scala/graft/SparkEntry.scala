@@ -123,6 +123,34 @@ object SparkEntry {
       store
     })
 
+  /** [[demoStore]] built on the TRANSACTION-LOG storage adapter
+    * ([[graft.store.TxnLogStorage]]): same events table, same reads,
+    * but every version resolves through a commit marker (Delta-shaped
+    * versionAsOf). Its roundtrip query shares the PIT oracle — the
+    * storage format must be value-invisible through the seam.
+    */
+  private val txnStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def txnStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    txnStores.computeIfAbsent(dir, _ => {
+      val feats = eventsFeatures(s, dir)
+      val fp = feats.agg(count(lit(1)), sum(col("event_id"))).head()
+      val rows = fp.getLong(0)
+      val idSum = fp.getLong(1)
+      val san = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root =
+        s"${sys.props("java.io.tmpdir")}/graft_store_txn_v1_${san}_${rows}_$idSum"
+      graft.store.FeatureStore.vacuumSiblingRoots(root, s"graft_store_txn_v1_${san}_",
+        minAgeMillis = 15L * 60 * 1000)
+      val store = new graft.store.FeatureStore(s, root,
+        storageFactory = new graft.store.TxnLogStorage(_, _, _))
+      val fresh = !store.tableNames.contains("events") ||
+        store.getTableInfo("events").rowCount != rows
+      if (fresh) store.register("events", feats)
+      store
+    })
+
   /** The incremental-registration twin of [[demoStore]]: the same events
     * table built as an initial register PLUS a [[graft.store.FeatureStore.registerAppend]]
     * of everything after a cutoff — manifest-chained version 2 whose
@@ -399,6 +427,15 @@ object SparkEntry {
         .get("events", PitIds, PitAsOf)
         .orderBy("entity_id")),
 
+    // the storage SEAM roundtrip: the same PIT read through the
+    // transaction-log adapter (Delta-shaped commit markers,
+    // versionAsOf-resolved segments) — the physical format is a
+    // deployment choice the values must not see
+    "store_txnlog_roundtrip" -> ((s, dir) =>
+      txnStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
+
     // SQL-first surface: the stored table registered as a temp view via
     // createOrReplaceViews and consumed with plain spark.sql — the
     // analyst's first query, resolved through the catalog/manifest
@@ -600,6 +637,9 @@ object SparkEntry {
 
     // the chained-manifest read must be value-invisible too
     "store_append_roundtrip" -> EventsPitOracle,
+
+    // ...and so must the transaction-log adapter behind the seam
+    "store_txnlog_roundtrip" -> EventsPitOracle,
 
     "store_asof_roundtrip" -> EventsAsOfOracle,
 

@@ -68,12 +68,19 @@ object StoreProps extends Properties("FeatureStore") {
     store.getVersion("t", v).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
 
-  property("random register/append/compact/vacuum/reopen/delete keeps every retained version exact") =
+  /** The model check, parameterized over the storage seam: every
+    * [[graft.store.VersionStorage]] implementation must satisfy the
+    * identical lifecycle contract.
+    */
+  private def lifecycleProp(
+      factory: (org.apache.spark.sql.SparkSession, String, String) => graft.store.VersionStorage) =
     forAll(genOps) { ops =>
       val root = java.nio.file.Files
         .createTempDirectory("graft_store_props").toString
       val maxVersions = 3
-      var store = new FeatureStore(spark, root, maxVersions = maxVersions)
+      def open() = new FeatureStore(
+        spark, root, maxVersions = maxVersions, storageFactory = factory)
+      var store = open()
       // model: version -> expected full contents
       var model = Map.empty[Int, Set[(String, Timestamp, Double)]]
       var current = 0
@@ -111,7 +118,7 @@ object StoreProps extends Properties("FeatureStore") {
           case Reopen =>
             // a new session must reconstruct the exact same state from
             // the persisted catalog (versions, manifests, retire ledger)
-            store = new FeatureStore(spark, root, maxVersions = maxVersions)
+            store = open()
           case Delete =>
             // logical delete + re-register restarts the lineage at v1;
             // vacuum must never reclaim the resurrected paths (asserted
@@ -143,4 +150,10 @@ object StoreProps extends Properties("FeatureStore") {
       }
       true
     }
+
+  property("random register/append/compact/vacuum/reopen/delete keeps every retained version exact") =
+    lifecycleProp(new graft.store.Storage(_, _, _))
+
+  property("transaction-log storage satisfies the identical lifecycle contract") =
+    lifecycleProp(new graft.store.TxnLogStorage(_, _, _))
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{FeatureStore, FeatureTableNotFoundError, TxnLogStorage}
+
+/** The transaction-log storage's commit-protocol semantics — what the
+  * log ADDS over the default layout (the shared lifecycle contract is
+  * model-checked in StoreProps against both implementations).
+  */
+class TxnLogStorageSpec extends AnyFunSuite with SparkTestBase {
+
+  private def newStore(root: String, maxVersions: Int = 10) =
+    new FeatureStore(spark, root, maxVersions = maxVersions,
+      storageFactory = new TxnLogStorage(_, _, _))
+
+  test("versions resolve through commit markers; uncommitted data never half-appears") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_txn_spec").toString
+    val store = newStore(root)
+    store.register("t", singleRow(1.0))
+    store.registerAppend("t", singleRow(2.0))
+    val txn = new TxnLogStorage(spark, root)
+    assert(txn.committedVersions("t") == Seq(1, 2))
+    assert(store.getVersion("t", 2).count() == 2)
+
+    // simulate a crash BETWEEN data write and commit: a version dir
+    // with no marker. versionAsOf-shaped reads refuse it...
+    val orphan = java.nio.file.Paths.get(root, "t", "v=7")
+    java.nio.file.Files.createDirectories(orphan)
+    intercept[FeatureTableNotFoundError] {
+      txn.read("t", 7, Seq("entity_id"), None)
+    }
+    // ...and vacuum reclaims it as stranded after the grace window
+    assert(store.vacuum().isEmpty) // enrolled only
+    assert(store.vacuum(graceMillis = 0).contains("t/v=7"))
+    assert(!java.nio.file.Files.exists(orphan))
+    // committed versions read on, untouched
+    assert(store.getVersion("t", 2).count() == 2)
+  }
+
+  test("vacuum of a pruned version also cleans its log entry (retention discipline)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_txn_retain_spec").toString
+    val store = newStore(root, maxVersions = 2)
+    store.register("t", singleRow(1.0))
+    store.register("t", singleRow(2.0))
+    store.register("t", singleRow(3.0)) // v1 pruned (retired) here
+    val txn = new TxnLogStorage(spark, root)
+    assert(txn.committedVersions("t") == Seq(1, 2, 3))
+    assert(store.vacuum(graceMillis = 0) == Seq("t/v=1"))
+    // data dir AND commit marker are gone together
+    assert(txn.committedVersions("t") == Seq(2, 3))
+    intercept[FeatureTableNotFoundError] {
+      txn.read("t", 1, Seq("entity_id"), None)
+    }
+    // reopening the store reconstructs and reads the retained versions
+    val reopened = newStore(root, maxVersions = 2)
+    assert(reopened.getVersion("t", 3).collect()
+      .map(_.getAs[Double]("val")).toSeq == Seq(3.0))
+  }
+
+  test("delete + re-register restarts the lineage over a not-yet-vacuumed log") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_txn_relineage_spec").toString
+    val store = newStore(root)
+    store.register("t", singleRow(1.0))
+    assert(store.delete("t"))
+    // old lineage retired but NOT vacuumed: its v=1 marker still exists;
+    // the new lineage's v1 commit must overwrite, not collide
+    store.register("t", singleRow(9.0))
+    assert(store.getVersion("t", 1).collect()
+      .map(_.getAs[Double]("val")).toSeq == Seq(9.0))
+  }
+}
