@@ -104,13 +104,12 @@ object Dedup {
     *     per joined row is noise when ids are documents.
     *   - `false` (coarse granularity — [[NorthStar]] `source_overlap`,
     *     tens of groups with heavy shared-shingle fan-out): no pair
-    *     JOIN at all. With ≤62 groups the whole membership pattern of
-    *     a shingle is a single long BITMASK — one map-side-bit_or'd
-    *     shuffle of (xxhash64, mask), then intersections and sizes are
-    *     computed over distinct PATTERNS (a handful of rows), not
-    *     shingles. Past 62 groups, per-shingle id-set aggregation with
-    *     array-generated ordered pairs. Strategy agreement is asserted
-    *     in OpsSpec.
+    *     JOIN at all — one full-cardinality shuffle (shingle hash →
+    *     sorted distinct id set), then inclusive ordered pairs are
+    *     array-generated per set and partial-aggregated in the same
+    *     stage; the diagonal rows of that one aggregate ARE the per-id
+    *     sizes, attached back by a ≤|groups|-row broadcast. Strategy
+    *     agreement is asserted in OpsSpec.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
