@@ -97,7 +97,8 @@ object Bench {
     // co-tenancy inflation (both sides move) from a regression (one
     // side moves)
     val paired = sys.env.get("SPARK_GRAFT_ORACLE_TOTAL")
-      .map(s => s""","paired_oracle_total_sec":$s""").getOrElse("")
+      .flatMap(_.toDoubleOption) // malformed input must not break the JSON line
+      .map(v => s""","paired_oracle_total_sec":$v""").getOrElse("")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$paired}"""
     // Print the line (driver contract) AND persist it to a file: the
     // driver's log-tail capture is bounded and has truncated this line

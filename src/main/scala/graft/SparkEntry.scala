@@ -96,32 +96,49 @@ object SparkEntry {
     * so the tie-break never fires and plain SQL over the raw table is an
     * exact oracle.
     */
-  private val demoStores =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
-
-  private def demoStore(s: SparkSession, dir: String): graft.store.FeatureStore =
-    demoStores.computeIfAbsent(dir, _ => {
+  /** One bootstrap for every fingerprint-keyed demo store, shared by
+    * the three variants below (prefix + storage factory + init body are
+    * the only differences). The root is keyed by (prefix, source dir,
+    * row count, id checksum): one aggregation job computes the
+    * fingerprint — the checksum means a regenerated source with the
+    * same row count still maps to a fresh directory — and the per-dir
+    * memo means bench re-invocations skip even that scan. Roots
+    * stranded by older fingerprints are reclaimed by
+    * [[graft.store.FeatureStore.vacuumSiblingRoots]].
+    */
+  private def fingerprintStore(
+      memo: java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore],
+      s: SparkSession,
+      dir: String,
+      prefix: String,
+      storageFactory: (SparkSession, String, String) => graft.store.VersionStorage =
+        new graft.store.Storage(_, _, _))(
+      init: (graft.store.FeatureStore, DataFrame) => Unit): graft.store.FeatureStore =
+    memo.computeIfAbsent(dir, _ => {
       val feats = eventsFeatures(s, dir)
-      // one aggregation job for (row count, id checksum): the checksum in
-      // the root key means a regenerated source with the same row count
-      // still maps to a fresh directory, and the memo above means bench
-      // re-invocations skip even this scan.
       val fp = feats.agg(count(lit(1)), sum(col("event_id"))).head()
       val rows = fp.getLong(0)
       val idSum = fp.getLong(1)
       val san = dir.replaceAll("[^A-Za-z0-9]", "_")
       val root =
-        s"${sys.props("java.io.tmpdir")}/graft_store_rt_v2_${san}_${rows}_$idSum"
-      // regenerated source data changes the fingerprint in the root
-      // name; reclaim the roots the old fingerprints stranded
-      graft.store.FeatureStore.vacuumSiblingRoots(root, s"graft_store_rt_v2_${san}_",
+        s"${sys.props("java.io.tmpdir")}/${prefix}_${san}_${rows}_$idSum"
+      graft.store.FeatureStore.vacuumSiblingRoots(root, s"${prefix}_${san}_",
         minAgeMillis = 15L * 60 * 1000)
-      val store = new graft.store.FeatureStore(s, root)
+      val store = new graft.store.FeatureStore(s, root,
+        storageFactory = storageFactory)
       val fresh = !store.tableNames.contains("events") ||
         store.getTableInfo("events").rowCount != rows
-      if (fresh) store.register("events", feats)
+      if (fresh) init(store, feats)
       store
     })
+
+  private val demoStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def demoStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(demoStores, s, dir, "graft_store_rt_v2") {
+      (store, feats) => store.register("events", feats); ()
+    }
 
   /** [[demoStore]] built on the TRANSACTION-LOG storage adapter
     * ([[graft.store.TxnLogStorage]]): same events table, same reads,
@@ -133,23 +150,10 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
 
   private def txnStore(s: SparkSession, dir: String): graft.store.FeatureStore =
-    txnStores.computeIfAbsent(dir, _ => {
-      val feats = eventsFeatures(s, dir)
-      val fp = feats.agg(count(lit(1)), sum(col("event_id"))).head()
-      val rows = fp.getLong(0)
-      val idSum = fp.getLong(1)
-      val san = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val root =
-        s"${sys.props("java.io.tmpdir")}/graft_store_txn_v1_${san}_${rows}_$idSum"
-      graft.store.FeatureStore.vacuumSiblingRoots(root, s"graft_store_txn_v1_${san}_",
-        minAgeMillis = 15L * 60 * 1000)
-      val store = new graft.store.FeatureStore(s, root,
-        storageFactory = new graft.store.TxnLogStorage(_, _, _))
-      val fresh = !store.tableNames.contains("events") ||
-        store.getTableInfo("events").rowCount != rows
-      if (fresh) store.register("events", feats)
-      store
-    })
+    fingerprintStore(txnStores, s, dir, "graft_store_txn_v1",
+      storageFactory = new graft.store.TxnLogStorage(_, _, _)) {
+      (store, feats) => store.register("events", feats); ()
+    }
 
   /** The incremental-registration twin of [[demoStore]]: the same events
     * table built as an initial register PLUS a [[graft.store.FeatureStore.registerAppend]]
@@ -162,27 +166,13 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
 
   private def appendStore(s: SparkSession, dir: String): graft.store.FeatureStore =
-    appendStores.computeIfAbsent(dir, _ => {
-      val feats = eventsFeatures(s, dir)
-      val fp = feats.agg(count(lit(1)), sum(col("event_id"))).head()
-      val rows = fp.getLong(0)
-      val idSum = fp.getLong(1)
-      val san = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val root =
-        s"${sys.props("java.io.tmpdir")}/graft_store_app_v1_${san}_${rows}_$idSum"
-      graft.store.FeatureStore.vacuumSiblingRoots(root, s"graft_store_app_v1_${san}_",
-        minAgeMillis = 15L * 60 * 1000)
-      val store = new graft.store.FeatureStore(s, root)
-      val fresh = !store.tableNames.contains("events") ||
-        store.getTableInfo("events").rowCount != rows
-      if (fresh) {
-        store.delete("events")
-        val cutoff = lit(utcTs("2024-01-10 00:00:00"))
-        store.register("events", feats.filter(col("timestamp") < cutoff))
-        store.registerAppend("events", feats.filter(col("timestamp") >= cutoff))
-      }
-      store
-    })
+    fingerprintStore(appendStores, s, dir, "graft_store_app_v1") { (store, feats) =>
+      store.delete("events")
+      val cutoff = lit(utcTs("2024-01-10 00:00:00"))
+      store.register("events", feats.filter(col("timestamp") < cutoff))
+      store.registerAppend("events", feats.filter(col("timestamp") >= cutoff))
+      ()
+    }
 
   // -------------------------------------------------------------- contract
 

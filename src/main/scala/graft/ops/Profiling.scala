@@ -413,15 +413,23 @@ object Profiling {
       pairs.forall { case (i, j) => splitFits(i, j) }
 
     // exact sufficient statistics, either from the optimistic row or —
-    // gate failed — from ONE unconditional decimal(38,0) recompute
-    val (sumsB, prodB): (IndexedSeq[BigInt], Map[(Int, Int), BigInt]) =
+    // gate failed — from ONE unconditional decimal(38,0) recompute. A
+    // stat is None when its aggregate saw NO rows (an all-null column,
+    // or a pair with no row where both sides are non-null) — those
+    // pairs drop below, matching SQL sum-over-nothing semantics (the
+    // pre-rewrite plan produced a null corr_r there and filtered it)
+    val (sumsB, prodB): (IndexedSeq[Option[BigInt]], Map[(Int, Int), Option[BigInt]]) =
       if (gateHolds) {
-        def l(name: String): BigInt = BigInt(row.getLong(row.fieldIndex(name)))
+        def l(name: String): Option[BigInt] = {
+          val f = row.fieldIndex(name)
+          if (row.isNullAt(f)) None else Some(BigInt(row.getLong(f)))
+        }
         (idx.map(i => l(s"_s_$i")),
           pairs.map { case (i, j) =>
             val base = s"_p_${i}_$j"
-            (i, j) -> ((l(s"${base}_hh") << 32) + (l(s"${base}_hl") << 16) +
-              l(s"${base}_ll"))
+            (i, j) -> (for {
+              hh <- l(s"${base}_hh"); hl <- l(s"${base}_hl"); ll <- l(s"${base}_ll")
+            } yield (hh << 32) + (hl << 16) + ll)
           }.toMap)
       } else {
         val dec = "decimal(38,0)"
@@ -432,8 +440,11 @@ object Profiling {
                 .as(s"_p_${i}_$j")
             }
         val r2 = prepared.agg(decAggs.head, decAggs.tail: _*).head()
-        def d(name: String): BigInt = BigInt(
-          r2.getDecimal(r2.fieldIndex(name)).toBigIntegerExact)
+        def d(name: String): Option[BigInt] = {
+          val f = r2.fieldIndex(name)
+          if (r2.isNullAt(f)) None
+          else Some(BigInt(r2.getDecimal(f).toBigIntegerExact))
+        }
         (idx.map(i => d(s"_s_$i")),
           pairs.map { case (i, j) => (i, j) -> d(s"_p_${i}_$j") }.toMap)
       }
@@ -443,13 +454,18 @@ object Profiling {
     def toD(v: BigInt): Double = java.lang.Double.parseDouble(v.toString)
     val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
     for { i <- idx; j <- idx if i < j } {
-      val num = nn * prodB((i, j)) - sumsB(i) * sumsB(j)
-      val d1 = nn * prodB((i, i)) - sumsB(i) * sumsB(i)
-      val d2 = nn * prodB((j, j)) - sumsB(j) * sumsB(j)
-      if (d1 > 0 && d2 > 0)
-        out.add(org.apache.spark.sql.Row(
-          valueCols(i), valueCols(j), n,
-          toD(num) / (math.sqrt(toD(d1)) * math.sqrt(toD(d2)))))
+      for {
+        si <- sumsB(i); sj <- sumsB(j)
+        pij <- prodB((i, j)); pii <- prodB((i, i)); pjj <- prodB((j, j))
+      } {
+        val num = nn * pij - si * sj
+        val d1 = nn * pii - si * si
+        val d2 = nn * pjj - sj * sj
+        if (d1 > 0 && d2 > 0)
+          out.add(org.apache.spark.sql.Row(
+            valueCols(i), valueCols(j), n,
+            toD(num) / (math.sqrt(toD(d1)) * math.sqrt(toD(d2)))))
+      }
     }
     session.createDataFrame(out, outSchema)
   }

@@ -415,8 +415,12 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     require(width >= 1 && stride >= 1, s"bad width/stride $width/$stride")
     val toks = tokens(col(textCol))
+    // null ids are excluded up front: n_docs is a DISTINCT-document
+    // count (SQL COUNT DISTINCT ignores nulls, and a null id could
+    // neither join back for its representative text nor name a document
+    // to cut spans from) — same guard as ngramJaccardPairs
     val windows = docs
-      .filter(size(toks) >= width)
+      .filter(col(idCol).isNotNull && size(toks) >= width)
       .select(
         col(idCol),
         toks.as("_toks"),
@@ -442,9 +446,15 @@ object TextAnalysis {
         col("_rep._rpos").as("_pos"),
         col("n_docs"),
         col("n_occurrences"))
+    // no broadcast HINT: the surviving-span set is usually tiny (AQE
+    // broadcasts it) but is bounded only by the number of distinct
+    // repeated spans — a boilerplate-heavy corpus can push it past the
+    // broadcast limit, where this join must degrade to a shuffle join
+    // instead of failing
     docs
+      .filter(col(idCol).isNotNull)
       .select(col(idCol), toks.as("_toks"))
-      .join(broadcast(spans), Seq(idCol))
+      .join(spans, Seq(idCol))
       .select(
         Hashing.md5Long60(
           array_join(slice(col("_toks"), col("_pos"), lit(width)), " "))

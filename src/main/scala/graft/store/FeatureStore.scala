@@ -251,8 +251,38 @@ final class FeatureStore(
             s"high-water ${seen.get} of stream '$streamId'. A restarted stream " +
             "with a fresh checkpoint restarts batch ids at 0 — give it its own " +
             "stream identity (StreamingIngest passes StreamingQuery.id " +
-            "automatically) rather than silently skipping its batches")
+            "automatically) rather than silently skipping its batches. If this " +
+            "stream was deliberately restored from an older checkpoint BACKUP " +
+            "(same query id, batch ids rewound), silently skipping is unsafe — " +
+            "batches past the backup's last commit may recompose differently — " +
+            "so after verifying the table's registered state, call " +
+            "clearStreamWatermark(table, streamId) to let the replay register")
       else Some(body(Some(streamId -> batchId)))
+    }
+
+  /** OPERATOR TOOL for the one legitimate batch-id-regression case: a
+    * stream deliberately restored from an older checkpoint BACKUP keeps
+    * its query id but replays batch ids below the recorded high-water,
+    * which [[registerBatch]] refuses (a replayed batch past the
+    * backup's last commit may recompose with different contents, so
+    * neither silent skip nor silent re-register is safe — the old
+    * per-table skip was the silent-data-loss path this design
+    * removed). After verifying what the restored stream will replay,
+    * clear the stream's high-water so its batches register again;
+    * replayed batches then mint new versions (duplicate CONTENT is
+    * possible and visible, duplicate silent loss is not).
+    *
+    * Returns true when a watermark existed and was cleared.
+    */
+  def clearStreamWatermark(name: String, streamId: String): Boolean =
+    this.synchronized {
+      catalog.get(name) match {
+        case Some(m) if m.batchWatermarks.contains(streamId) =>
+          catalog.put(m.copy(batchWatermarks = m.batchWatermarks - streamId))
+          catalogIO.save(root, catalog.all)
+          true
+        case _ => false
+      }
     }
 
   /** Explicit compaction: materialize the CURRENT version's chained

@@ -117,7 +117,18 @@ final class TxnLogStorage(
   def deleteVersion(name: String, version: Int): Unit = {
     inner.deleteVersion(name, version)
     val c = commitFile(name, version)
-    if (fs(c).exists(c)) { fs(c).delete(c, false); () }
+    val f = fs(c)
+    if (f.exists(c)) { f.delete(c, false); () }
+    // also reclaim tmp markers a crashed commit of THIS version left
+    // behind (create succeeded, rename never ran) — otherwise they
+    // accumulate until deleteTable
+    val d = logDir(name)
+    if (f.exists(d)) {
+      val tmpPrefix = s".${c.getName}.tmp-"
+      f.listStatus(d).toSeq
+        .filter(_.getPath.getName.startsWith(tmpPrefix))
+        .foreach(s => { f.delete(s.getPath, false); () })
+    }
   }
 
   def deleteTable(name: String): Unit = inner.deleteTable(name)

@@ -93,6 +93,29 @@ class ProfilingSpec extends AnyFunSuite with SparkTestBase {
       (1234567890123L, -1987654321098L), (-1111111111111L, -3000000000000L)))
   }
 
+  test("correlationMatrix: all-null and pairwise-disjoint-null columns drop, not crash") {
+    val s = spark
+    import s.implicits._
+    // z is entirely null; x,y correlate normally — the (x,y) pair must
+    // survive and every z pair must drop (SQL sum-over-nothing is null)
+    val df = Seq(
+      (1L, 5L, None: Option[Long]),
+      (2L, 9L, None),
+      (3L, 10L, None))
+      .toDF("x", "y", "z")
+    val out = Profiling.correlationMatrix(df, Seq("x", "y", "z")).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet == Set(("x", "y")))
+    // pairwise-disjoint nulls: x and y never non-null on the same row —
+    // their cross-product aggregate sees no rows; pair drops
+    val disjoint = Seq(
+      (Some(1L), None: Option[Long]),
+      (Some(2L), None),
+      (None: Option[Long], Some(5L)),
+      (None, Some(7L)))
+      .toDF("x", "y")
+    assert(Profiling.correlationMatrix(disjoint, Seq("x", "y")).isEmpty)
+  }
+
   test("standardize: z-scores from sample std, min-max in [0,1], constants null") {
     val s = spark
     import s.implicits._
