@@ -136,6 +136,14 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     }
     // the exact last batch is still a skip, not an error
     assert(store.registerBatch("t", df, 5L, "q").isEmpty)
+
+    // the operator remedy for a deliberate checkpoint-backup restore:
+    // clear the stream's high-water, then the replay registers again
+    assert(store.clearStreamWatermark("t", "q"))
+    assert(store.registerBatch("t", df, 3L, "q").isDefined)
+    // clearing an absent watermark reports false
+    assert(!store.clearStreamWatermark("t", "q2"))
+    assert(!store.clearStreamWatermark("nope", "q"))
   }
 
   test("two start() generations end-to-end: second stream's batch 0 registers") {
