@@ -28,13 +28,22 @@ object ReadLeases {
 
   private def dir(root: String): Path = Paths.get(root, "_leases")
 
-  /** Acquire a lease on `name`; returns the lease id for [[release]]. */
+  /** Acquire a lease on `name`; returns the lease id for [[release]].
+    * The lease file appears ATOMICALLY (tmp + rename): a concurrent
+    * vacuum either sees the complete lease or no file — never a
+    * half-written entry it would skip, which would silently void the
+    * lease's protection for that pass.
+    */
   def acquire(root: String, name: String): String = {
     val id = java.util.UUID.randomUUID().toString
-    Files.createDirectories(dir(root))
+    val d = dir(root)
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".$id.tmp")
     Files.writeString(
-      dir(root).resolve(s"$id.lease"),
-      s"${System.currentTimeMillis()}\t${URLEncoder.encode(name, UTF_8)}")
+      tmp, s"${System.currentTimeMillis()}\t${URLEncoder.encode(name, UTF_8)}")
+    Files.move(
+      tmp, d.resolve(s"$id.lease"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     id
   }
 
@@ -54,9 +63,9 @@ object ReadLeases {
         .filter(_.getFileName.toString.endsWith(".lease"))
         .flatMap { p =>
           val id = p.getFileName.toString.stripSuffix(".lease")
-          // a lease file mid-write by another process can be empty for
-          // an instant: unreadable/malformed entries are simply skipped
-          // this pass (they surface on the next)
+          // lease files appear atomically ([[acquire]]), so a malformed
+          // entry means external corruption, not a write in flight —
+          // skipped defensively rather than failing the vacuum pass
           try {
             val f = Files.readString(p).split("\t")
             Some(ReadLease(id, URLDecoder.decode(f(1), UTF_8), f(0).toLong))
