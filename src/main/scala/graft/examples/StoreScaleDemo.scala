@@ -52,6 +52,21 @@ object StoreScaleDemo {
     val ts = time("training set")(
       store.getTrainingSet("supplier_feats", spine).count())
     println(s"[scale] training rows=$ts")
+
+    // the same register + reads through the transaction-log adapter:
+    // the commit marker must cost O(1) on top of the data write, and
+    // the versionAsOf-resolved reads must match the default layout
+    val txn = new FeatureStore(spark,
+      storageFactory = new graft.store.TxnLogStorage(_, _, _))
+    val tInfo = time("txn-log register 600k")(txn.register("supplier_feats", feat))
+    println(s"[scale] txn rows=${tInfo.rowCount} version=${tInfo.version}")
+    val tSnap = time("txn-log PIT get")(
+      txn.get("supplier_feats", (0L to 99L), "1998-06-01").count())
+    require(tSnap == snap, s"adapter PIT mismatch: $tSnap vs $snap")
+    val tTs = time("txn-log training set")(
+      txn.getTrainingSet("supplier_feats", spine).count())
+    require(tTs == ts, s"adapter training-set mismatch: $tTs vs $ts")
+    println(s"[scale] txn-log adapter matches default layout on both reads")
     spark.stop()
   }
 }
