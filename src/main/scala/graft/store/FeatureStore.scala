@@ -545,6 +545,7 @@ final class FeatureStore(
       val (activeLeases, staleLeases) =
         allLeases.partition(l => now - l.acquiredAt < leaseTtlMillis)
       ReadLeases.purge(root, staleLeases.map(_.id))
+      ReadLeases.sweepTmp(root, leaseTtlMillis) // crashed-acquire leftovers
       val leased: Set[String] = activeLeases.map(_.name).toSet
       val diskMetas = catalogIO.load(root)
       val names =

@@ -39,11 +39,15 @@ object ReadLeases {
     val d = dir(root)
     Files.createDirectories(d)
     val tmp = d.resolve(s".$id.tmp")
-    Files.writeString(
-      tmp, s"${System.currentTimeMillis()}\t${URLEncoder.encode(name, UTF_8)}")
-    Files.move(
-      tmp, d.resolve(s"$id.lease"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.writeString(
+        tmp, s"${System.currentTimeMillis()}\t${URLEncoder.encode(name, UTF_8)}")
+      Files.move(
+        tmp, d.resolve(s"$id.lease"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
     id
   }
 
@@ -78,4 +82,28 @@ object ReadLeases {
   /** Drop the given lease ids (vacuum's stale-lease purge). */
   def purge(root: String, ids: Seq[String]): Unit =
     ids.foreach(release(root, _))
+
+  /** Reclaim `.tmp` files a crashed [[acquire]] left behind (write
+    * succeeded, rename never ran). They are invisible to [[load]] by
+    * design, so the TTL purge cannot see them — this sweep, run by
+    * vacuum with the same TTL, is their only cleanup path. Age gates on
+    * file mtime: an in-flight acquire's tmp (microseconds old) is never
+    * touched.
+    */
+  def sweepTmp(root: String, olderThanMillis: Long): Unit = {
+    val d = dir(root)
+    if (!Files.isDirectory(d)) return
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val s = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".tmp"))
+        .filter { p =>
+          try Files.getLastModifiedTime(p).toMillis <= cutoff
+          catch { case _: Exception => false } // deleted by a racing sweep
+        }
+        .foreach(p => { Files.deleteIfExists(p); () })
+    } finally s.close()
+  }
 }

@@ -408,6 +408,24 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(store.vacuum(graceMillis = 0) == Seq("t"))
   }
 
+  test("vacuum sweeps tmp files a crashed lease acquire left behind") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lease_tmp_spec").toString
+    val store = new FeatureStore(spark, root)
+    store.register("t", singleRow(1.0))
+    // simulate a crash between tmp write and rename
+    val leases = java.nio.file.Paths.get(root, "_leases")
+    java.nio.file.Files.createDirectories(leases)
+    val orphan = leases.resolve(".dead-reader.tmp")
+    java.nio.file.Files.writeString(orphan, "123\tt")
+    // within TTL: a young tmp could be an in-flight acquire — kept
+    store.vacuum(graceMillis = 0)
+    assert(java.nio.file.Files.exists(orphan))
+    // past TTL: reclaimed
+    store.vacuum(graceMillis = 0, leaseTtlMillis = 0)
+    assert(!java.nio.file.Files.exists(orphan))
+  }
+
   test("vacuum purges expired leases instead of staying wedged by a dead reader") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_lease_ttl_spec").toString
