@@ -27,6 +27,9 @@ object StoreProps extends Properties("FeatureStore") {
   private sealed trait Op
   private case class Register(nRows: Int) extends Op
   private case class Append(nRows: Int) extends Op
+  // streaming register under a fixed stream id; replayed = the SAME
+  // batch id delivered twice (the foreachBatch crash-recovery shape)
+  private case class Batch(nRows: Int, replayed: Boolean) extends Op
   private case object Compact extends Op
   private case object Vacuum extends Op
   private case object Reopen extends Op
@@ -34,7 +37,10 @@ object StoreProps extends Properties("FeatureStore") {
 
   private val genOp: Gen[Op] = Gen.frequency(
     3 -> Gen.choose(1, 5).map(Register(_)),
-    4 -> Gen.choose(1, 5).map(Append(_)),
+    3 -> Gen.choose(1, 5).map(Append(_)),
+    2 -> Gen.zip(Gen.choose(1, 5), Gen.oneOf(true, false)).map {
+      case (n, r) => Batch(n, r)
+    },
     1 -> Gen.const(Compact),
     2 -> Gen.const(Vacuum),
     1 -> Gen.const(Reopen),
@@ -102,6 +108,21 @@ object StoreProps extends Properties("FeatureStore") {
               store.registerAppend("t", toDF(rows), maxSegments = 2)
               current += 1
               model += current -> (model(current - 1) ++ rows.toSet)
+            }
+          case Batch(n, replayed) =>
+            // batch ids strictly increase per sequence (op index);
+            // watermarks persist across Reopen and reset on Delete
+            val rows = rowsFor(i, n)
+            val r1 = store.registerBatch("t", toDF(rows), i.toLong, "s")
+            if (r1.isEmpty)
+              throw new AssertionError(s"fresh batch id $i was skipped")
+            current = r1.get.version
+            model += current -> rows.toSet
+            if (replayed) {
+              // crash-recovery re-delivery: same id, must be a no-op
+              val r2 = store.registerBatch("t", toDF(rows), i.toLong, "s")
+              if (r2.isDefined)
+                throw new AssertionError(s"replay of batch $i minted a version")
             }
           case Compact =>
             if (current > 0) {
