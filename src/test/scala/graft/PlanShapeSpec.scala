@@ -134,6 +134,66 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("duplicateSpans heavy stage has no Expand and no span text through a shuffle") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 30L).map(i =>
+      (i, Seq.fill(12)(s"w${i % 3}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.duplicateSpans(df, width = 8, stride = 4)
+    val ns = executedNodes(out)
+    // countDistinct would plan an Expand that doubles the heavy stage;
+    // the (hash, doc) two-level aggregation must not
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]),
+      "span counting must not plan an Expand")
+    // the window pass emits (hash, doc, position) only — no shuffle
+    // carries the token arrays (the representative text is re-sliced
+    // from a plain docs scan after the join)
+    val shufflesWithArrays = ns.collect {
+      case e: ShuffleExchangeExec
+          if e.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) => e
+    }
+    assert(shufflesWithArrays.isEmpty,
+      "no token array may cross a shuffle in duplicateSpans")
+  }
+
+  test("correlationMatrix optimistic path runs strictly fewer jobs than the fallback") {
+    val s = spark
+    import s.implicits._
+    def countJobs(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      s.sparkContext.addSparkListener(l)
+      try {
+        body
+        // listener delivery is async: poll until the count is stable
+        var last = -1
+        var stable = 0
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (stable < 3 && System.nanoTime() < deadline) {
+          val c = counter.get()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+          Thread.sleep(100)
+        }
+      } finally s.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    val small = (1L to 50L).map(i => (i, 2 * i)).toDF("x", "y")
+    // values past 2^31 integer units force the width gate to fail and
+    // take the decimal recompute — a second scan the optimistic path
+    // (same row count, small values) must not pay
+    val wide = (1L to 50L).map(i => ((i + (1L << 40)), 2 * i)).toDF("x", "y")
+    val optimistic = countJobs(Profiling.correlationMatrix(small, Seq("x", "y")))
+    val fallback = countJobs(Profiling.correlationMatrix(wide, Seq("x", "y")))
+    assert(optimistic < fallback,
+      s"optimistic path ($optimistic jobs) must beat the gate-failed fallback ($fallback)")
+  }
+
   test("correlationMatrix aggregates in one pass: one shuffle, one scan subtree") {
     val s = spark
     import s.implicits._
