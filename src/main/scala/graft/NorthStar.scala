@@ -840,6 +840,13 @@ object NorthStar {
       Similarity.labelCentroidSums(emb(s, dir))
         .orderBy("label", "dim")),
 
+    // embedding-space drift between two corpus populations (split by
+    // vec_id parity here; in production, reference batch vs fresh
+    // batch): cosine + L2 between mean vectors, exact-integer interior
+    "embedding_drift" -> ((s, dir) =>
+      Similarity.embeddingDriftSummary(
+        emb(s, dir), isGroupA = col("vec_id") % 2 === 0)),
+
     // per-entity lag/delta features: previous value, change, and
     // inter-arrival seconds in one entity-keyed window pass. Only rows
     // WITH a predecessor face the oracle: each entity's first event
@@ -2560,6 +2567,42 @@ object NorthStar {
         |      FROM embeddings)
         |GROUP BY 1, 2
         |ORDER BY label, dim""".stripMargin,
+
+    // same exact-integer interior as the engine: per-dim BIGINT sums of
+    // millionth-quantized elements, HUGEINT folds of their products,
+    // and the identical float tail (VARCHAR->DOUBLE, sqrt, division).
+    // The quantization scale cancels in the cosine; l2 divides out the
+    // common denominator at the end
+    "embedding_drift" ->
+      """WITH q AS (
+        |  SELECT vec_id % 2 = 0 AS is_a, i AS dim,
+        |         CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)
+        |), d AS (
+        |  SELECT dim,
+        |         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |         CAST(sum(CASE WHEN is_a THEN xq ELSE 0 END) AS BIGINT) AS sa,
+        |         CAST(sum(CASE WHEN NOT is_a THEN xq ELSE 0 END) AS BIGINT) AS sb
+        |  FROM q GROUP BY dim
+        |)
+        |SELECT CAST(max(na) AS BIGINT) AS n_a,
+        |       CAST(max(nb) AS BIGINT) AS n_b,
+        |       CASE WHEN sum(CAST(sa AS HUGEINT) * sa) > 0
+        |             AND sum(CAST(sb AS HUGEINT) * sb) > 0 THEN
+        |         CAST(CAST(sum(CAST(sa AS HUGEINT) * sb) AS VARCHAR) AS DOUBLE)
+        |           / (sqrt(CAST(CAST(sum(CAST(sa AS HUGEINT) * sa) AS VARCHAR) AS DOUBLE))
+        |              * sqrt(CAST(CAST(sum(CAST(sb AS HUGEINT) * sb) AS VARCHAR) AS DOUBLE)))
+        |       END AS cos_shift,
+        |       CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+        |         sqrt(CAST(CAST(sum((CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na)
+        |                            * (CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na))
+        |                    AS VARCHAR) AS DOUBLE))
+        |           / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE) * 1000000)
+        |       END AS l2_shift
+        |FROM d""".stripMargin,
 
     "feature_lag_delta" ->
       """SELECT * FROM (

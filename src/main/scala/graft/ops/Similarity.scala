@@ -1044,6 +1044,69 @@ object Similarity extends Serializable {
         count(lit(1)).as("n"),
         sum(floor(col("_x").cast("double") * 1e6 + 0.5).cast("long")).as("sum_q"))
 
+  /** EMBEDDING-SPACE DRIFT between two populations of one vector
+    * corpus (reference batch vs fresh batch, period A vs period B) —
+    * the monitor a production embedding pipeline runs beside ingestion:
+    * "did the representation move?". One row:
+    *
+    *   - `cos_shift`  — cosine between the two population MEAN vectors
+    *     (1 = unchanged direction, toward 0/negative = drift);
+    *   - `l2_shift`   — Euclidean distance between the mean vectors in
+    *     original units.
+    *
+    * Exactness discipline (same as [[labelCentroidSums]] /
+    * `feature_trend`): elements quantize to integer millionths with the
+    * floor(x·1e6 + 0.5) form (identical rounding in every engine), all
+    * cross-row accumulation is exact integers — per-dim long sums, then
+    * decimal(38,0) folds of their products — and the only floating
+    * point is the final identical expression tree (string→double casts,
+    * two sqrts, one division). The quantization scale CANCELS in the
+    * cosine: cos of the quantized-sum vectors IS cos of the mean
+    * vectors. l2 reconstructs via the common denominator
+    * (sa·n_b − sb·n_a), divided out as doubles at the end.
+    *
+    * Scale shape: one partial-aggregated shuffle of (dim, four longs) —
+    * bounded by the dimensionality, never the corpus — then a
+    * dims-row fold to one row. Populations with no rows or zero-norm
+    * sums yield null metrics (never NaN/Inf, which are not
+    * cross-engine comparable).
+    */
+  def embeddingDriftSummary(
+      emb: DataFrame,
+      isGroupA: Column,
+      vecCol: String = "embedding"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val xq = floor(col("_x").cast("double") * 1e6 + 0.5).cast("long")
+    val perDim = emb
+      .select(isGroupA.as("_a"), posexplode(col(vecCol)).as(Seq("dim", "_x")))
+      .groupBy(col("dim"))
+      .agg(
+        sum(when(col("_a"), 1L).otherwise(0L)).as("_na"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("_nb"),
+        sum(when(col("_a"), xq).otherwise(0L)).as("_sa"),
+        sum(when(!col("_a"), xq).otherwise(0L)).as("_sb"))
+    def d(c: Column): Column = c.cast(dec)
+    val diff = d(col("_sa")) * d(col("_nb")) - d(col("_sb")) * d(col("_na"))
+    val folded = perDim.agg(
+      max(col("_na")).as("n_a"),
+      max(col("_nb")).as("n_b"),
+      sum(d(col("_sa")) * d(col("_sb"))).as("_dot"),
+      sum(d(col("_sa")) * d(col("_sa"))).as("_naa"),
+      sum(d(col("_sb")) * d(col("_sb"))).as("_nbb"),
+      sum(diff * diff).as("_l2q"))
+    def toD(c: Column): Column = c.cast("string").cast("double")
+    folded.select(
+      col("n_a"),
+      col("n_b"),
+      when(col("_naa") > 0 && col("_nbb") > 0,
+        toD(col("_dot")) / (sqrt(toD(col("_naa"))) * sqrt(toD(col("_nbb")))))
+        .as("cos_shift"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        sqrt(toD(col("_l2q"))) /
+          (col("n_a").cast("double") * col("n_b").cast("double") * lit(1e6)))
+        .as("l2_shift"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4x storage compression for vector corpora (scale = 127 / max|x|
     * per vector, element -> floor(x * scale + 0.5)). Pure per-row map,

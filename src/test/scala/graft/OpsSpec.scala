@@ -719,6 +719,46 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out((2, 0)) == ((1L, 1000000L)))
   }
 
+  test("embeddingDriftSummary: identical populations read zero drift, opposite read cos=-1") {
+    val s = spark
+    import s.implicits._
+    // populations A (even ids) and B (odd ids) with IDENTICAL mean
+    // vectors: cos_shift = 1 exactly, l2_shift = 0 exactly
+    val same = Seq(
+      (0L, Array(0.5f, 0.25f)), (2L, Array(0.5f, 0.25f)),
+      (1L, Array(0.5f, 0.25f)), (3L, Array(0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val r1 = Similarity
+      .embeddingDriftSummary(same, col("vec_id") % 2 === 0)
+      .head()
+    assert(r1.getAs[Long]("n_a") == 2L && r1.getAs[Long]("n_b") == 2L)
+    // the engine's exact tree is dot/(sqrt(naa)*sqrt(nbb)); with
+    // naa = nbb = dot that is one ulp off algebraic 1.0 — assert the
+    // exact tree double (the oracle computes the identical tree)
+    val dot = 1e6 * 1e6 + 5e5 * 5e5 // quantized sums: (1e6, 5e5)·(1e6, 5e5)
+    assert(r1.getAs[Double]("cos_shift") == dot / (math.sqrt(dot) * math.sqrt(dot)))
+    assert(r1.getAs[Double]("l2_shift") == 0.0)
+
+    // opposite mean directions: cos exactly -1; l2 = |(1,0) - (-1,0)| = 2
+    val flipped = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity
+      .embeddingDriftSummary(flipped, col("vec_id") % 2 === 0)
+      .head()
+    assert(r2.getAs[Double]("cos_shift") == -1.0)
+    assert(r2.getAs[Double]("l2_shift") == 2.0)
+
+    // an empty population yields nulls, never NaN/Inf
+    val lone = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r3 = Similarity
+      .embeddingDriftSummary(lone, col("vec_id") % 2 === 0)
+      .head()
+    assert(r3.getAs[Long]("n_b") == 0L)
+    assert(r3.isNullAt(r3.fieldIndex("cos_shift")))
+    assert(r3.isNullAt(r3.fieldIndex("l2_shift")))
+  }
+
   test("targetEncode shrinks category means toward the global mean") {
     val s = spark
     import s.implicits._

@@ -179,6 +179,44 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(store.get("live", Seq("u2"), ts("2024-06-01")).count() == 1)
   }
 
+  test("startIncremental across two generations: O(delta) appends, batch 0 of gen-2 registers") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incr_gen_spec").toString
+    val store = new FeatureStore(s, root)
+
+    val src1 = MemoryStream[(String, Timestamp, Double)]
+    val q1 = StreamingIngest.startIncremental(
+      src1.toDF().toDF("entity_id", "timestamp", "value"),
+      store, "live", trigger = Trigger.ProcessingTime(0))
+    try {
+      src1.addData(("u1", ts("2024-01-01"), 1.0))
+      q1.processAllAvailable()
+      src1.addData(("u2", ts("2024-01-02"), 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(store.getTableInfo("live").version == 2)
+    assert(store.getTableInfo("live").rowCount == 2)
+
+    // generation 2 (fresh checkpoint semantics): batch ids restart at 0
+    // under the new query id; its append must land, not be skipped
+    val src2 = MemoryStream[(String, Timestamp, Double)]
+    val q2 = StreamingIngest.startIncremental(
+      src2.toDF().toDF("entity_id", "timestamp", "value"),
+      store, "live", trigger = Trigger.ProcessingTime(0))
+    try {
+      src2.addData(("u3", ts("2024-01-03"), 3.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(store.getTableInfo("live").version == 3)
+    assert(store.getTableInfo("live").rowCount == 3,
+      "generation 2's batch 0 must append, not be mistaken for a replay")
+    // the accumulated log reads exactly through the chained manifests
+    assert(store.getVersion("live", 3).count() == 3)
+  }
+
   test("registerBatch commits version + high-water in ONE catalog save (crash-atomic)") {
     val s = spark
     import s.implicits._
