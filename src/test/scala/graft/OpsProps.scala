@@ -161,6 +161,50 @@ object OpsProps extends Properties("Ops") {
       got == model
     }
 
+  property("embeddingDriftSummary equals the sequential BigInt model bit-for-bit") =
+    forAll(
+      Gen.choose(2, 5).flatMap(d =>
+        Gen.choose(2, 24).flatMap(n =>
+          Gen.listOfN(n, Gen.listOfN(d, Gen.choose(-1000, 1000).map(_ / 500.0f)))))) { vecs =>
+      val s = spark
+      import s.implicits._
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      val df = rows.toDF("vec_id", "embedding")
+      val got = Similarity
+        .embeddingDriftSummary(df, org.apache.spark.sql.functions.col("vec_id") % 2 === 0)
+        .head()
+
+      // sequential model: quantize exactly as the engine does, fold in
+      // BigInt, finish with the identical float tree
+      def q(x: Float): BigInt = BigInt(math.floor(x.toDouble * 1e6 + 0.5).toLong)
+      val (a, b) = rows.partition(_._1 % 2 == 0)
+      val dims = vecs.head.size
+      val sa = (0 until dims).map(d => a.map(r => q(r._2(d))).sum)
+      val sb = (0 until dims).map(d => b.map(r => q(r._2(d))).sum)
+      val dot = sa.zip(sb).map { case (x, y) => x * y }.sum
+      val naa = sa.map(x => x * x).sum
+      val nbb = sb.map(x => x * x).sum
+      val l2q = sa.zip(sb).map { case (x, y) =>
+        val diff = x * BigInt(b.size) - y * BigInt(a.size); diff * diff
+      }.sum
+      def toD(v: BigInt): Double = java.lang.Double.parseDouble(v.toString)
+      val expCos =
+        if (naa > 0 && nbb > 0)
+          Some(toD(dot) / (math.sqrt(toD(naa)) * math.sqrt(toD(nbb))))
+        else None
+      val expL2 =
+        if (a.nonEmpty && b.nonEmpty)
+          Some(math.sqrt(toD(l2q)) / (a.size.toDouble * b.size.toDouble * 1e6))
+        else None
+      val gotCos = if (got.isNullAt(got.fieldIndex("cos_shift"))) None
+        else Some(got.getAs[Double]("cos_shift"))
+      val gotL2 = if (got.isNullAt(got.fieldIndex("l2_shift"))) None
+        else Some(got.getAs[Double]("l2_shift"))
+      got.getAs[Long]("n_a") == a.size.toLong &&
+        got.getAs[Long]("n_b") == b.size.toLong &&
+        gotCos == expCos && gotL2 == expL2
+    }
+
   property("knnLabelNoiseAuto under a forced tiny budget equals the exact audit") =
     forAll(genVecClusters) { rows =>
       val df = toVecDF(rows)
