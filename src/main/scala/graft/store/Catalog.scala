@@ -15,6 +15,17 @@ final case class FeatureTableInfo(
     registeredAt: Long,
     updatedAt: Long)
 
+/** One retained version in a table's history
+  * ([[FeatureStore.getTableHistory]]): its column list, the segment
+  * manifest its reads resolve through, and whether it is the current
+  * version.
+  */
+final case class VersionInfo(
+    version: Int,
+    columns: Seq[String],
+    segments: Seq[Int],
+    isCurrent: Boolean)
+
 /** Internal catalog entry — the Spark analog of `_VersionedTable`
   * (reference: store.py:51-69): current version pointer plus the retained
   * versions (each with its own column list — schema drift across versions

@@ -594,6 +594,21 @@ final class FeatureStore(
 
   def listTables(): Seq[FeatureTableInfo] = catalog.all.map(_.info)
 
+  /** Per-version history of a table, oldest first — the DESCRIBE
+    * HISTORY surface: retained version numbers with their column lists
+    * and segment manifests (a chained manifest means the version was
+    * built by O(delta) appends; a single segment means a full
+    * snapshot/compaction). Versions pruned past `maxVersions` are
+    * absent — exactly the set [[getVersion]] accepts.
+    */
+  def getTableHistory(name: String): Seq[VersionInfo] = {
+    val meta = catalog.getOrThrow(name)
+    meta.versions.keys.toSeq.sorted.map { v =>
+      VersionInfo(v, meta.versions(v), meta.segmentsOf(v),
+        isCurrent = v == meta.version)
+    }
+  }
+
   def getTableInfo(name: String): FeatureTableInfo =
     catalog.getOrThrow(name).info
 

@@ -370,6 +370,25 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "t", "v=1")))
   }
 
+  test("getTableHistory lists retained versions with manifests, oldest first") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_history_spec").toString
+    val store = new FeatureStore(spark, root, maxVersions = 2)
+    store.register("t", singleRow(1.0))
+    store.registerAppend("t", singleRow(2.0)) // v2 chains v1's segment
+    val h = store.getTableHistory("t")
+    assert(h.map(_.version) == Seq(1, 2))
+    assert(h.last.segments == Seq(1, 2), "append version resolves through the chain")
+    assert(h.last.isCurrent && !h.head.isCurrent)
+    assert(h.forall(_.columns == Seq("entity_id", "timestamp", "val")))
+    // pruning removes a version from history exactly when getVersion rejects it
+    store.register("t", singleRow(3.0)) // v1 pruned (maxVersions = 2)
+    val h2 = store.getTableHistory("t")
+    assert(h2.map(_.version) == Seq(2, 3))
+    intercept[FeatureTableNotFoundError](store.getVersion("t", 1))
+    intercept[FeatureTableNotFoundError](store.getTableHistory("nope"))
+  }
+
   test("a leased reader's files survive vacuum at graceMillis=0 until release") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_lease_spec").toString
