@@ -442,6 +442,7 @@ object TextAnalysis {
         min(struct(col(idCol).as("_rid"), col("_pos").as("_rpos"))).as("_rep"))
       .filter(col("n_docs") >= 2)
       .select(
+        col("_ch"),
         col("_rep._rid").as(idCol),
         col("_rep._rpos").as("_pos"),
         col("n_docs"),
@@ -451,16 +452,36 @@ object TextAnalysis {
     // repeated spans — a boilerplate-heavy corpus can push it past the
     // broadcast limit, where this join must degrade to a shuffle join
     // instead of failing
+    //
+    // Duplicate-id safety: the docs side may hold several rows under the
+    // representative's id (dirty input), and a row other than the one
+    // that produced the window could re-slice to DIFFERENT content at
+    // `_pos`. Recomputing the window hash on the joined row and
+    // requiring it to equal `_ch` keeps exactly the rows whose slice IS
+    // the span (the producing row always matches, so every span
+    // survives); the final `_ch` dedupe restores the one-row-per-span
+    // contract when several identical-text rows match. Both run on the
+    // post-join set — bounded by surviving spans × id-duplication, never
+    // the corpus.
     docs
       .filter(col(idCol).isNotNull)
       .select(col(idCol), toks.as("_toks"))
       .join(spans, Seq(idCol))
+      .filter(
+        xxhash64(slice(col("_toks"), col("_pos"), lit(width))) === col("_ch"))
       .select(
         Hashing.md5Long60(
           array_join(slice(col("_toks"), col("_pos"), lit(width)), " "))
           .as("span_hash"),
+        col("_ch"),
         col("n_docs"),
         col("n_occurrences"))
+      // surviving duplicate-id matches are bit-identical rows (same span
+      // content ⇒ same hash and counts), so the dedupe is value-stable;
+      // it runs AFTER the token array is projected away, keeping the
+      // no-array-through-a-shuffle plan shape
+      .dropDuplicates("_ch")
+      .drop("_ch")
   }
 
   /** The first BPE-training step: count every adjacent CHARACTER pair

@@ -221,6 +221,37 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(TextAnalysis.duplicateSpans(within, width = 4, stride = 4).isEmpty)
   }
 
+  test("duplicateSpans keeps one row per span under duplicate doc ids") {
+    val s = spark
+    import s.implicits._
+    val shared = "one two three four"
+    val clean = Seq(
+      (1L, s"$shared alpha beta gamma delta"),
+      (2L, s"prefix word pad junk $shared")).toDF("doc_id", "text")
+    val expected = TextAnalysis.duplicateSpans(clean, width = 4, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(expected.nonEmpty)
+    // dirty input: the representative's id occurs on EXTRA rows, one of
+    // them with entirely different text — the recovery join must neither
+    // fan out (one output row per span) nor re-slice the wrong row's
+    // text into a wrong span_hash
+    val dirty = Seq(
+      (1L, s"$shared alpha beta gamma delta"),
+      (1L, s"$shared alpha beta gamma delta"), // exact duplicate row
+      (1L, "totally unrelated words live here today"), // same id, other text
+      (2L, s"prefix word pad junk $shared")).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicateSpans(dirty, width = 4, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // counts shift with the extra copies (3 docs is still 2 DISTINCT ids
+    // but occurrences rise); the contract under test is row multiplicity
+    // and span identity: one row per surviving span, same span_hash as
+    // the clean run
+    assert(got.length == got.map(_._1).distinct.length,
+      "exactly one output row per distinct span_hash")
+    assert(got.map(_._1).toSet == expected.map(_._1).toSet,
+      "dirty input must recover the same span content (same span_hash)")
+  }
+
   test("incrementalNearDupPairs verifies batch docs against the corpus only") {
     val s = spark
     import s.implicits._
