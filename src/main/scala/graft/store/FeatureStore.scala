@@ -488,17 +488,52 @@ final class FeatureStore(
   def releaseReadLease(leaseId: String): Unit =
     ReadLeases.release(root, leaseId)
 
+  /** Heartbeat a held lease ([[ReadLeases.renew]]): resets its age so a
+    * read longer than vacuum's lease TTL keeps its protection — renew
+    * at least every TTL/2. Returns false when the lease is gone
+    * (released or already purged as presumed-crashed): protection has
+    * LAPSED and the caller should re-acquire or abort.
+    */
+  def renewReadLease(leaseId: String): Boolean =
+    ReadLeases.renew(root, leaseId)
+
   /** Run `body` over the table's CURRENT-version DataFrame under a read
     * lease: however long the body runs — past the vacuum grace window,
     * across a concurrent `delete` of the table — its parquet files
     * survive until the bracket exits (then the next vacuum pass
     * reclaims them normally). The long-running-training-job read shape.
+    *
+    * `renewEveryMillis > 0` auto-renews the lease on a daemon heartbeat
+    * (pass ~TTL/2 or less), so a body that outlives vacuum's lease TTL
+    * keeps its protection without giving up crashed-reader reclamation
+    * — a process that dies stops heartbeating and its lease ages out
+    * normally. A failed renew (lease purged by an aggressive vacuum
+    * schedule) stops the heartbeat; the body keeps running and fails
+    * only if its files are actually reclaimed.
     */
-  def withReadLease[A](name: String)(body: DataFrame => A): A = {
+  def withReadLease[A](name: String, renewEveryMillis: Long = 0L)(
+      body: DataFrame => A): A = {
     val meta = catalog.getOrThrow(name)
     val lease = ReadLeases.acquire(root, name)
+    val heartbeat = Option.when(renewEveryMillis > 0L) {
+      val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => {
+          val t = new Thread(r, s"graft-lease-renew-$lease")
+          t.setDaemon(true)
+          t
+        })
+      ex.scheduleAtFixedRate(
+        () => if (!ReadLeases.renew(root, lease)) throw new RuntimeException(
+          "lease gone — stop heartbeat"), // cancels this schedule only
+        renewEveryMillis, renewEveryMillis,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      ex
+    }
     try body(getVersion(name, meta.version))
-    finally ReadLeases.release(root, lease)
+    finally {
+      heartbeat.foreach(_.shutdownNow())
+      ReadLeases.release(root, lease)
+    }
   }
 
   /** Storage hygiene with SNAPSHOT ISOLATION for readers: physical
@@ -530,7 +565,12 @@ final class FeatureStore(
     * active lease is kept regardless of age. Leases older than
     * `leaseTtlMillis` are presumed crashed and purged (reclamation must
     * not be wedged forever by a dead reader) — a legitimately
-    * longer-than-TTL read passes a bigger TTL to its vacuum schedule.
+    * longer-than-TTL read HEARTBEATS instead ([[renewReadLease]], or
+    * `withReadLease(name, renewEveryMillis = ttl/2)`), which resets the
+    * lease's age without weakening crash recovery; raising the TTL on
+    * the vacuum schedule remains the blunt alternative. Lease checks
+    * re-read the lease directory immediately before every physical
+    * delete, so a lease acquired or renewed mid-pass still protects.
     *
     * Returns the root-relative paths physically deleted by THIS pass.
     * `graceMillis = 0` collapses to single-phase immediate reclamation
@@ -571,6 +611,21 @@ final class FeatureStore(
         }
       }
       val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+      // TOCTOU guard: the pass-start lease snapshot above decides the
+      // cheap keep path, but a lease acquired AFTER the snapshot (or a
+      // renew racing this pass) must still protect — so every physical
+      // delete re-reads the lease directory immediately before acting.
+      // Deletes are rare and the directory is tiny, so the re-read is
+      // O(leases) driver I/O per reclaimed path, not per pass. The
+      // remaining window is acquire-vs-delete at filesystem granularity;
+      // [[acquireReadLease]] closes it by requiring the table to exist
+      // at acquire time (a retired path older than the grace window has
+      // no live table to lease).
+      def leasedNow(name: String): Boolean = {
+        val t = System.currentTimeMillis()
+        ReadLeases.load(root).exists(l =>
+          l.name == name && t - l.acquiredAt < leaseTtlMillis)
+      }
       val remaining = (ledger ++ stranded).filter { e =>
         val isLive = e.version match {
           case Some(v) => live.get(e.name).exists(_.contains(v))
@@ -579,13 +634,16 @@ final class FeatureStore(
         if (isLive) false // resurrected path: drop the entry, keep the data
         else if (leased(e.name)) true // active reader lease: keep path + entry
         else if (now - e.retiredAt >= graceMillis) {
-          e.version match {
-            case Some(v) =>
-              storage.deleteVersion(e.name, v); deleted += s"${e.name}/v=$v"
-            case None =>
-              storage.deleteTable(e.name); deleted += e.name
+          if (leasedNow(e.name)) true // lease landed after the pass snapshot
+          else {
+            e.version match {
+              case Some(v) =>
+                storage.deleteVersion(e.name, v); deleted += s"${e.name}/v=$v"
+              case None =>
+                storage.deleteTable(e.name); deleted += e.name
+            }
+            false
           }
-          false
         } else true
       }
       RetireLedger.save(root, remaining)

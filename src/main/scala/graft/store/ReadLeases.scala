@@ -2,6 +2,9 @@ package graft.store
 
 /** An active read lease: while it exists, [[FeatureStore.vacuum]] will
   * not physically delete any retired path belonging to `name`.
+  * `acquiredAt` is the last HEARTBEAT time — acquisition, or the most
+  * recent [[ReadLeases.renew]] — which is what vacuum ages against its
+  * TTL.
   */
 final case class ReadLease(id: String, name: String, acquiredAt: Long)
 
@@ -55,6 +58,35 @@ object ReadLeases {
   def release(root: String, id: String): Unit = {
     Files.deleteIfExists(dir(root).resolve(s"$id.lease"))
     ()
+  }
+
+  /** HEARTBEAT: rewrite the lease's timestamp to now (same tmp + atomic
+    * rename as [[acquire]]), so a legitimately slow reader stays inside
+    * vacuum's TTL without the TTL giving up crash recovery — a reader
+    * renewing every TTL/2 is protected indefinitely, a dead one stops
+    * renewing and ages out.
+    *
+    * Returns false when the lease file no longer exists (released, or
+    * already purged as expired) — the caller's protection is GONE and
+    * it should re-acquire or abort rather than assume its files
+    * survive. A renew racing the purge itself is benign: whichever
+    * lands second either resurrects the lease (protection continues) or
+    * deletes it (the next renew reports false).
+    */
+  def renew(root: String, id: String): Boolean = {
+    val d = dir(root)
+    val f = d.resolve(s"$id.lease")
+    if (!Files.exists(f)) return false
+    try {
+      val fields = Files.readString(f).split("\t")
+      val tmp = d.resolve(s".$id.tmp")
+      Files.writeString(tmp, s"${System.currentTimeMillis()}\t${fields(1)}")
+      Files.move(
+        tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch { case _: Exception => false }
   }
 
   def load(root: String): Seq[ReadLease] = {

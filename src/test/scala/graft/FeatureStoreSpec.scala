@@ -445,6 +445,93 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(!java.nio.file.Files.exists(orphan))
   }
 
+  test("a renewed lease survives vacuum past the TTL; an un-renewed one is purged") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lease_renew_spec").toString
+    val store = new FeatureStore(spark, root)
+    store.register("t", singleRow(1.0))
+    val lease = store.acquireReadLease("t")
+    store.delete("t")
+    // age the lease past any TTL, then heartbeat: renewal resets the
+    // age, so even leaseTtlMillis=1 sees a fresh lease and keeps the
+    // retired table
+    Thread.sleep(5)
+    assert(store.renewReadLease(lease))
+    assert(store.vacuum(graceMillis = 0, leaseTtlMillis = 1000).isEmpty)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "t")))
+    // stop renewing: the same TTL that a heartbeat would have survived
+    // now classifies the lease as crashed — purged, files reclaimed
+    Thread.sleep(5)
+    assert(store.vacuum(graceMillis = 0, leaseTtlMillis = 1) == Seq("t"))
+    assert(graft.store.ReadLeases.load(root).isEmpty)
+    // renewing after the purge reports the lapse instead of lying
+    assert(!store.renewReadLease(lease))
+  }
+
+  test("withReadLease auto-renew heartbeats the lease through a long body") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lease_autorenew_spec").toString
+    val store = new FeatureStore(spark, root)
+    store.register("t", singleRow(7.0))
+    val got = store.withReadLease("t", renewEveryMillis = 20) { df =>
+      store.delete("t")
+      // let several heartbeats land, then vacuum with a TTL far below
+      // the body's age — only the renewals keep the lease fresh
+      Thread.sleep(200)
+      assert(store.vacuum(graceMillis = 0, leaseTtlMillis = 100).isEmpty,
+        "heartbeat must keep the lease inside the TTL")
+      df.collect().map(_.getAs[Double]("val")).toSeq
+    }
+    assert(got == Seq(7.0))
+    assert(store.vacuum(graceMillis = 0) == Seq("t"))
+  }
+
+  test("a lease acquired after the vacuum pass snapshot still protects (per-delete recheck)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lease_toctou_spec").toString
+    // interpose on the storage seam: listTableDirs runs during the
+    // pass's stranded-path discovery — AFTER the pass-start lease
+    // snapshot, BEFORE the deletion loop. Acquiring a lease there is
+    // exactly the snapshot-then-act race: only the per-delete recheck
+    // can see it.
+    @volatile var raced = false
+    val factory: (org.apache.spark.sql.SparkSession, String, String) => graft.store.VersionStorage =
+      (s, r, g) => new graft.store.VersionStorage {
+        private val inner = new graft.store.Storage(s, r, g)
+        def write(name: String, version: Int, df: org.apache.spark.sql.DataFrame,
+            entityCol: String, tsCol: String): Long =
+          inner.write(name, version, df, entityCol, tsCol)
+        def read(name: String, version: Int, columns: Seq[String],
+            asOf: Option[java.sql.Timestamp]): org.apache.spark.sql.DataFrame =
+          inner.read(name, version, columns, asOf)
+        def readSegments(name: String, segments: Seq[Int], columns: Seq[String],
+            asOf: Option[java.sql.Timestamp]): org.apache.spark.sql.DataFrame =
+          inner.readSegments(name, segments, columns, asOf)
+        def deleteVersion(name: String, version: Int): Unit =
+          inner.deleteVersion(name, version)
+        def deleteTable(name: String): Unit = inner.deleteTable(name)
+        def listVersionDirs(name: String): Seq[Int] = inner.listVersionDirs(name)
+        def listTableDirs(): Seq[String] = {
+          val dirs = inner.listTableDirs()
+          if (!raced && dirs.contains("t")) {
+            raced = true
+            graft.store.ReadLeases.acquire(r, "t")
+            ()
+          }
+          dirs
+        }
+      }
+    val store = new FeatureStore(spark, root, storageFactory = factory)
+    store.register("t", singleRow(1.0))
+    store.delete("t")
+    // the lease lands mid-pass, after the snapshot; the per-delete
+    // recheck must keep the path — nothing may be deleted this pass
+    assert(store.vacuum(graceMillis = 0).isEmpty,
+      "a lease acquired mid-pass (before the physical delete) must protect")
+    assert(raced, "the interposed race must actually have fired")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "t")))
+  }
+
   test("vacuum purges expired leases instead of staying wedged by a dead reader") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_lease_ttl_spec").toString
