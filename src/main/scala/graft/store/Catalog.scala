@@ -56,7 +56,21 @@ final case class TableMeta(
     // NEW high-water line instead of a silent skip of every early
     // batch. Empty for batch-only tables; one entry per stream
     // generation that ever fed the table (bounded by restart count).
-    batchWatermarks: SortedMap[String, Long] = SortedMap.empty) {
+    batchWatermarks: SortedMap[String, Long] = SortedMap.empty,
+    // PRUNE HIGH-WATER: every version <= prunedThrough has left the
+    // retention window. This is what lets multi-writer reconciliation
+    // ([[FeatureStore]] over an arbitrating [[VersionStorage]]) tell a
+    // RACE GAP (a version another writer committed that this catalog
+    // entry never saw — reconcile it in from its commit record) from a
+    // PRUNED version (deliberately dropped — never resurrect it).
+    // Monotone; 0 for catalogs written before the field existed.
+    prunedThrough: Int = 0,
+    // per-SEGMENT timestamp range (epoch millis), observed by the
+    // segment's own write job: data-skipping statistics — a PIT read at
+    // cutoff T drops every manifest segment whose min is after T before
+    // the scan is even planned. Absent entries (pre-stats catalogs,
+    // all-null segments) are never skipped.
+    segStats: SortedMap[Int, (Long, Long)] = SortedMap.empty) {
   def columns: Seq[String] = versions(version)
   /** Manifest for `v`: explicit entry, else the single-snapshot default. */
   def segmentsOf(v: Int): Seq[Int] = segments.getOrElse(v, Seq(v))
@@ -104,13 +118,16 @@ final class Catalog {
   * versioned parquet storage usable across processes). Format, one
   * record per line, tab-separated with URL-encoded fields:
   *
-  *   T <name> <version> <rowCount> <registeredAt> <updatedAt>
+  *   T <name> <version> <rowCount> <registeredAt> <updatedAt> [prunedThrough]
   *   V <name> <version> <col1> <col2> ...
   *   S <name> <version> <seg1> <seg2> ...      (manifest; absent = [version])
   *   K <name> <streamId> <maxBatchId>          (streaming high-water; optional)
+  *   R <name> <segment> <minTsMillis> <maxTsMillis>   (segment stats; optional)
   *
   * Legacy two-field `K <name> <maxBatchId>` lines (pre-stream-identity
-  * catalogs) load under [[CatalogIO.LegacyStreamId]].
+  * catalogs) load under [[CatalogIO.LegacyStreamId]]; six-field `T`
+  * lines load with `prunedThrough = 0` and absent `R` lines as
+  * no-stats — both are the safe directions.
   *
   * Multi-writer stance: [[save]] MERGES with the on-disk file at table
   * granularity (tables this session never touched are preserved, tables
@@ -161,7 +178,7 @@ object CatalogPersistence extends CatalogIO {
       ours.contains(m.name) || removed.contains(m.name))
     val lines = (kept ++ metas).sortBy(_.name).flatMap { m =>
       val head =
-        s"T\t${enc(m.name)}\t${m.version}\t${m.rowCount}\t${m.registeredAt}\t${m.updatedAt}"
+        s"T\t${enc(m.name)}\t${m.version}\t${m.rowCount}\t${m.registeredAt}\t${m.updatedAt}\t${m.prunedThrough}"
       val versions = m.versions.toSeq.map { case (v, cols) =>
         (s"V\t${enc(m.name)}\t$v" +: cols.map(enc)).mkString("\t")
       }
@@ -172,7 +189,10 @@ object CatalogPersistence extends CatalogIO {
         m.batchWatermarks.toSeq.map { case (sid, b) =>
           s"K\t${enc(m.name)}\t${enc(sid)}\t$b"
         }
-      (head +: versions) ++ manifests ++ watermark
+      val stats = m.segStats.toSeq.map { case (seg, (lo, hi)) =>
+        s"R\t${enc(m.name)}\t$seg\t$lo\t$hi"
+      }
+      (head +: versions) ++ manifests ++ watermark ++ stats
     }
     val path = catalogFile(root)
     Files.createDirectories(path.getParent)
@@ -192,7 +212,8 @@ object CatalogPersistence extends CatalogIO {
     val heads = lines.collect {
       case l if l.startsWith("T\t") =>
         val f = l.split("\t")
-        dec(f(1)) -> (f(2).toInt, f(3).toLong, f(4).toLong, f(5).toLong)
+        dec(f(1)) -> (f(2).toInt, f(3).toLong, f(4).toLong, f(5).toLong,
+          if (f.length >= 7) f(6).toInt else 0)
     }.toMap
     val versions = lines
       .collect {
@@ -216,14 +237,24 @@ object CatalogPersistence extends CatalogIO {
           else (dec(f(1)), CatalogIO.LegacyStreamId, f(2).toLong)
       }
       .groupBy(_._1)
-    heads.toSeq.map { case (name, (version, rowCount, reg, upd)) =>
+    val stats = lines
+      .collect {
+        case l if l.startsWith("R\t") =>
+          val f = l.split("\t")
+          (dec(f(1)), f(2).toInt, (f(3).toLong, f(4).toLong))
+      }
+      .groupBy(_._1)
+    heads.toSeq.map { case (name, (version, rowCount, reg, upd, prunedThrough)) =>
       val vs = scala.collection.immutable.SortedMap(
         versions.getOrElse(name, Seq.empty).map(v => v._2 -> v._3): _*)
       val segs = scala.collection.immutable.SortedMap(
         manifests.getOrElse(name, Seq.empty).map(s => s._2 -> s._3): _*)
       TableMeta(name, version, rowCount, reg, upd, vs, segs,
         batchWatermarks = scala.collection.immutable.SortedMap(
-          watermarks.getOrElse(name, Seq.empty).map(w => w._2 -> w._3): _*))
+          watermarks.getOrElse(name, Seq.empty).map(w => w._2 -> w._3): _*),
+        prunedThrough = prunedThrough,
+        segStats = scala.collection.immutable.SortedMap(
+          stats.getOrElse(name, Seq.empty).map(r => r._2 -> r._3): _*))
     }
   }
 }

@@ -39,7 +39,12 @@ final class FeatureStore(
     // catalog read/write goes through here — ONE save per mutation is
     // the crash-atomicity contract (a version and its streaming
     // high-water commit together or not at all)
-    catalogIO: CatalogIO = CatalogPersistence) {
+    catalogIO: CatalogIO = CatalogPersistence,
+    // how long a register waits out another writer's in-flight
+    // reservation (arbitrating storage only) before failing with
+    // FeatureConcurrencyError. Crashed reservations are swept by
+    // vacuum, after which the lineage resumes.
+    arbitrationWaitMillis: Long = 30000L) {
 
   if (maxVersions < 1)
     throw new IllegalArgumentException(
@@ -53,8 +58,12 @@ final class FeatureStore(
     storageFactory(spark, root, partitionGranularity)
   private val catalog = new Catalog
   // Reopen an existing store: the catalog file under the root (written
-  // on every mutation) restores tables, versions and schemas.
+  // on every mutation) restores tables, versions and schemas. Over an
+  // arbitrating storage the transaction log is the version authority —
+  // fold in any version committed by a writer whose catalog save this
+  // file never saw (crashed after commit, or raced by a later save).
   catalogIO.load(root).foreach(catalog.put)
+  if (storage.arbitrates) catalog.names.foreach(reconcileFromLog)
 
   /** Internal deterministic tie-break column; never surfaced in output. */
   private val IngestKeyCol = "_ingest_key"
@@ -84,30 +93,177 @@ final class FeatureStore(
       df: DataFrame,
       watermark: Option[(String, Long)]): FeatureTableInfo = this.synchronized {
     Validation.validateDataFrame(df, name)
-    detectForeignWriter(name)
-    val prepared = prepare(df)
-    val now = System.currentTimeMillis()
-    val meta = catalog.get(name) match {
-      case None =>
-        val rows = storage.write(name, 1, prepared, EntityIdColumn, TimestampColumn)
-        TableMeta(name, 1, rows, now, now, SortedMap(1 -> df.columns.toSeq),
-          SortedMap(1 -> Seq(1)))
-      case Some(cur) =>
-        val v = cur.version + 1
-        val rows = storage.write(name, v, prepared, EntityIdColumn, TimestampColumn)
-        val withNew = cur.copy(
-          version = v,
-          rowCount = rows,
-          updatedAt = now,
-          versions = cur.versions + (v -> df.columns.toSeq),
-          segments = cur.segments + (v -> Seq(v)))
-        prune(withNew)
+    val (cur, v) = claimVersion(name)
+    val meta = completeClaim(name, v) {
+      val prepared = prepare(df)
+      val wr = storage.write(name, v, prepared, EntityIdColumn, TimestampColumn)
+      val now = System.currentTimeMillis()
+      storage.commitVersion(name, v, CommitMeta(
+        wr.rows, wr.rows, df.columns.toSeq, Seq(v),
+        wr.minTsMillis, wr.maxTsMillis, now))
+      cur match {
+        case None =>
+          TableMeta(name, v, wr.rows, now, now, SortedMap(v -> df.columns.toSeq),
+            SortedMap(v -> Seq(v)), segStats = segStatsOf(v, wr))
+        case Some(c) =>
+          prune(c.copy(
+            version = v,
+            rowCount = wr.rows,
+            updatedAt = now,
+            versions = c.versions + (v -> df.columns.toSeq),
+            segments = c.segments + (v -> Seq(v)),
+            segStats = c.segStats ++ segStatsOf(v, wr)))
+      }
     }
     val stamped = stampWatermark(meta, watermark)
     catalog.put(stamped)
     catalogIO.save(root, catalog.all)
     stamped.info
   }
+
+  /** Per-segment stats entry from a write's observed timestamp range
+    * (absent for empty/all-null segments — they're simply never
+    * skipped).
+    */
+  private def segStatsOf(v: Int, wr: WriteResult): SortedMap[Int, (Long, Long)] =
+    (for { lo <- wr.minTsMillis; hi <- wr.maxTsMillis }
+      yield SortedMap(v -> (lo, hi))).getOrElse(SortedMap.empty)
+
+  /** Run a claimed version's write+commit, releasing the reservation on
+    * failure so a failed write doesn't wedge the lineage until a vacuum
+    * sweep (no-op release for non-arbitrating storage).
+    */
+  private def completeClaim[A](name: String, v: Int)(body: => A): A =
+    try body
+    catch {
+      case e: Throwable =>
+        try storage.releaseVersion(name, v) catch { case _: Exception => () }
+        throw e
+    }
+
+  /** Produce (current meta, claimed next version) for a register.
+    *
+    * Non-arbitrating storage keeps the shipped single-writer contract:
+    * fail fast when the shared catalog shows a foreign writer advanced
+    * the table.
+    *
+    * Arbitrating storage ([[VersionStorage.arbitrates]]) runs the
+    * optimistic-concurrency loop of the Delta commit protocol instead:
+    * adopt the freshest on-disk catalog entry, fold in versions
+    * committed in the transaction log that no catalog save recorded
+    * ([[reconcileFromLog]]), then try to RESERVE the next number
+    * atomically. Losing the race (another writer claimed it first)
+    * re-reads and retries; an in-flight foreign reservation is awaited
+    * up to `arbitrationWaitMillis`, after which the register fails with
+    * the vacuum hint (a crashed writer's reservation is swept by
+    * vacuum under the grace window).
+    */
+  private def claimVersion(name: String): (Option[TableMeta], Int) = {
+    if (!storage.arbitrates) {
+      detectForeignWriter(name)
+      val cur = catalog.get(name)
+      return (cur, cur.map(_.version + 1).getOrElse(1))
+    }
+    val deadline = System.currentTimeMillis() + arbitrationWaitMillis
+    var backoff = 2L
+    while (true) {
+      adoptDiskMeta(name)
+      reconcileFromLog(name)
+      catalog.get(name) match {
+        case None =>
+          // fresh table, a re-register over a retired lineage, or a
+          // concurrent creation by a writer whose catalog save hasn't
+          // landed yet — only the first two may (re)start at 1
+          val committed = storage.committedMeta(name)
+          val retired = RetireLedger.load(root)
+            .exists(e => e.name == name && e.version.isEmpty)
+          if (committed.isEmpty || retired) {
+            // the explicit re-register-only branch: a retired lineage's
+            // log must neither block numbering nor leak into reconcile
+            if (retired && committed.nonEmpty) storage.resetVersionAuthority(name)
+            if (storage.reserveVersion(name, 1)) return (None, 1)
+            // lost the creation race — loop; the winner's save will
+            // surface via adoptDiskMeta/reconcileFromLog
+          }
+        case Some(c) =>
+          val next = c.version + 1
+          val claimed = storage.maxClaimedVersion(name).getOrElse(0)
+          // reserve only when every earlier version is committed AND
+          // absorbed into our meta — an append's manifest must chain on
+          // the true predecessor, so building past an unabsorbed claim
+          // would silently drop the racing writer's rows
+          if (claimed < next && storage.reserveVersion(name, next))
+            return (Some(c), next)
+      }
+      if (System.currentTimeMillis() > deadline)
+        throw new FeatureConcurrencyError(
+          s"could not claim a version of '$name' within ${arbitrationWaitMillis}ms: " +
+            "another writer holds an in-flight reservation (if it crashed, " +
+            "vacuum sweeps stale reservations after the grace window) or " +
+            "concurrent commits are outpacing this writer")
+      Thread.sleep(backoff)
+      backoff = math.min(backoff * 2, 50L)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Catalog lookup for READ paths. A hit keeps session-snapshot
+    * semantics (this session's view is pinned until it writes or
+    * reopens — the same contract as before multi-writer support). A
+    * MISS over an arbitrating storage adopts the shared state first, so
+    * a table another session registered is readable here without a
+    * reopen; version-level misses get the same retry in
+    * [[getVersion]].
+    */
+  private def resolveMeta(name: String): TableMeta =
+    catalog.get(name).getOrElse {
+      if (storage.arbitrates) { adoptDiskMeta(name); reconcileFromLog(name) }
+      catalog.getOrThrow(name)
+    }
+
+  /** Adopt the freshest on-disk catalog entry for `name` (another
+    * writer's save), merging rather than replacing so neither side's
+    * versions, stats or stream watermarks are lost.
+    */
+  private def adoptDiskMeta(name: String): Unit =
+    catalogIO.load(root).find(_.name == name).foreach { d =>
+      catalog.get(name) match {
+        case None    => catalog.put(d)
+        case Some(o) => catalog.put(FeatureStore.mergeMetas(o, d))
+      }
+    }
+
+  /** Fold versions committed in the storage's transaction log into the
+    * catalog entry — the reconciliation half of multi-writer
+    * arbitration. A commit record is adopted when its version is above
+    * the prune high-water (below it, absence means PRUNED, not racing)
+    * and carries its column list (legacy markers don't; their writers'
+    * catalogs know those versions by construction). The newest adopted
+    * version advances the pointer and cumulative row count.
+    */
+  private def reconcileFromLog(name: String): Unit =
+    catalog.get(name).foreach { m =>
+      val addable = storage.committedMeta(name).filter { case (v, cm) =>
+        v > m.prunedThrough && !m.versions.contains(v) && cm.columns.nonEmpty
+      }
+      if (addable.nonEmpty) {
+        val top = addable.keys.max
+        var merged = m.copy(
+          versions = m.versions ++ addable.view.mapValues(_.columns).toSeq,
+          segments = m.segments ++ addable.map { case (v, cm) =>
+            v -> (if (cm.segments.nonEmpty) cm.segments else Seq(v))
+          },
+          segStats = m.segStats ++ addable.toSeq.flatMap { case (v, cm) =>
+            for { lo <- cm.minTsMillis; hi <- cm.maxTsMillis } yield v -> (lo, hi)
+          })
+        if (top > m.version)
+          merged = merged.copy(
+            version = top,
+            rowCount = addable(top).tableRows,
+            updatedAt = math.max(m.updatedAt, addable(top).committedAt))
+        catalog.put(merged)
+      }
+    }
 
   private def stampWatermark(
       m: TableMeta,
@@ -149,41 +305,53 @@ final class FeatureStore(
       watermark: Option[(String, Long)]): FeatureTableInfo = this.synchronized {
     if (maxSegments < 1)
       throw new IllegalArgumentException(s"maxSegments must be >= 1, got $maxSegments")
-    catalog.get(name) match {
-      case None => registerWith(name, df, watermark)
-      case Some(cur) =>
-        Validation.validateDataFrame(df, name)
-        detectForeignWriter(name)
-        if (df.columns.toSeq != cur.columns)
-          throw new FeatureValidationError(
-            s"registerAppend('$name') requires the current schema " +
-              s"${cur.columns.mkString("[", ", ", "]")}, got " +
-              s"${df.columns.toSeq.mkString("[", ", ", "]")}; use register() for schema changes")
-        val prepared = prepare(df)
-        val now = System.currentTimeMillis()
-        val v = cur.version + 1
-        val chained = cur.segmentsOf(cur.version) :+ v
-        val meta =
-          if (chained.size > maxSegments) {
-            // compact: materialize previous ∪ delta as one snapshot
-            val full = currentData(cur).select(cur.columns.map(col): _*)
-              .unionByName(df.select(cur.columns.map(col): _*))
-            val rows = storage.write(name, v, prepare(full), EntityIdColumn, TimestampColumn)
-            cur.copy(version = v, rowCount = rows, updatedAt = now,
-              versions = cur.versions + (v -> cur.columns),
-              segments = cur.segments + (v -> Seq(v)))
-          } else {
-            val deltaRows =
-              storage.write(name, v, prepared, EntityIdColumn, TimestampColumn)
-            cur.copy(version = v, rowCount = cur.rowCount + deltaRows, updatedAt = now,
-              versions = cur.versions + (v -> cur.columns),
-              segments = cur.segments + (v -> chained))
-          }
-        val pruned = stampWatermark(prune(meta), watermark)
-        catalog.put(pruned)
-        catalogIO.save(root, catalog.all)
-        pruned.info
+    if (catalog.get(name).isEmpty && !storage.arbitrates)
+      return registerWith(name, df, watermark)
+    Validation.validateDataFrame(df, name)
+    val (curOpt, v) = claimVersion(name)
+    val cur = curOpt.getOrElse {
+      // arbitrated claim resolved to table creation after all: hand the
+      // claim back and take the full-snapshot creation path
+      storage.releaseVersion(name, v)
+      return registerWith(name, df, watermark)
     }
+    val meta = completeClaim(name, v) {
+      // re-validate against the CLAIMED state: an arbitrating claim may
+      // have absorbed another writer's schema-drift register
+      if (df.columns.toSeq != cur.columns)
+        throw new FeatureValidationError(
+          s"registerAppend('$name') requires the current schema " +
+            s"${cur.columns.mkString("[", ", ", "]")}, got " +
+            s"${df.columns.toSeq.mkString("[", ", ", "]")}; use register() for schema changes")
+      val chained = cur.segmentsOf(cur.version) :+ v
+      val now0 = System.currentTimeMillis()
+      if (chained.size > maxSegments) {
+        // compact: materialize previous ∪ delta as one snapshot
+        val full = currentData(cur).select(cur.columns.map(col): _*)
+          .unionByName(df.select(cur.columns.map(col): _*))
+        val wr = storage.write(name, v, prepare(full), EntityIdColumn, TimestampColumn)
+        storage.commitVersion(name, v, CommitMeta(
+          wr.rows, wr.rows, cur.columns, Seq(v),
+          wr.minTsMillis, wr.maxTsMillis, now0))
+        cur.copy(version = v, rowCount = wr.rows, updatedAt = now0,
+          versions = cur.versions + (v -> cur.columns),
+          segments = cur.segments + (v -> Seq(v)),
+          segStats = cur.segStats ++ segStatsOf(v, wr))
+      } else {
+        val wr = storage.write(name, v, prepare(df), EntityIdColumn, TimestampColumn)
+        storage.commitVersion(name, v, CommitMeta(
+          wr.rows, cur.rowCount + wr.rows, cur.columns, chained,
+          wr.minTsMillis, wr.maxTsMillis, now0))
+        cur.copy(version = v, rowCount = cur.rowCount + wr.rows, updatedAt = now0,
+          versions = cur.versions + (v -> cur.columns),
+          segments = cur.segments + (v -> chained),
+          segStats = cur.segStats ++ segStatsOf(v, wr))
+      }
+    }
+    val pruned = stampWatermark(prune(meta), watermark)
+    catalog.put(pruned)
+    catalogIO.save(root, catalog.all)
+    pruned.info
   }
 
   /** Idempotent register for exactly-once STREAMING versioning, keyed
@@ -295,9 +463,41 @@ final class FeatureStore(
     * a single snapshot.
     */
   def compact(name: String): FeatureTableInfo = this.synchronized {
-    val meta = catalog.getOrThrow(name)
-    if (meta.segmentsOf(meta.version).size <= 1) meta.info
-    else register(name, currentData(meta).select(meta.columns.map(col): _*))
+    // compact is a WRITE: over an arbitrating storage it must act on
+    // the freshest multi-writer state, and it materializes its snapshot
+    // from the CLAIMED predecessor — materializing from a pre-claim
+    // read could republish a stale version's content as the newest,
+    // silently dropping a racing writer's register
+    if (storage.arbitrates) { adoptDiskMeta(name); reconcileFromLog(name) }
+    val meta0 = catalog.getOrThrow(name)
+    if (meta0.segmentsOf(meta0.version).size <= 1) return meta0.info
+    val (curOpt, v) = claimVersion(name)
+    val cur = curOpt.getOrElse {
+      storage.releaseVersion(name, v)
+      throw new FeatureConcurrencyError(
+        s"table '$name' was deleted by another writer during compact")
+    }
+    if (cur.segmentsOf(cur.version).size <= 1) {
+      // another writer compacted between the check and the claim
+      storage.releaseVersion(name, v)
+      return cur.info
+    }
+    val meta = completeClaim(name, v) {
+      val full = currentData(cur).select(cur.columns.map(col): _*)
+      val wr = storage.write(name, v, prepare(full), EntityIdColumn, TimestampColumn)
+      val now0 = System.currentTimeMillis()
+      storage.commitVersion(name, v, CommitMeta(
+        wr.rows, wr.rows, cur.columns, Seq(v),
+        wr.minTsMillis, wr.maxTsMillis, now0))
+      cur.copy(version = v, rowCount = wr.rows, updatedAt = now0,
+        versions = cur.versions + (v -> cur.columns),
+        segments = cur.segments + (v -> Seq(v)),
+        segStats = cur.segStats ++ segStatsOf(v, wr))
+    }
+    val pruned = prune(meta)
+    catalog.put(pruned)
+    catalogIO.save(root, catalog.all)
+    pruned.info
   }
 
   /** Optimistic concurrency check: if the shared on-disk catalog knows a
@@ -323,7 +523,7 @@ final class FeatureStore(
       entityIds: Seq[Any],
       timestamp: Any,
       columns: Option[Seq[String]] = None): DataFrame = {
-    val meta = catalog.getOrThrow(name)
+    val meta = resolveMeta(name)
     val asOf = FeatureStore.normalizeTimestamp(timestamp)
     PointInTime.pitSnapshot(
       currentData(meta, Some(asOf)),
@@ -343,7 +543,7 @@ final class FeatureStore(
       entityTimestamps: DataFrame,
       columns: Option[Seq[String]] = None,
       maxAgeSeconds: Option[Long] = None): DataFrame = {
-    val meta = catalog.getOrThrow(name)
+    val meta = resolveMeta(name)
     PointInTime.asOfJoin(
       entityTimestamps,
       currentData(meta),
@@ -363,7 +563,7 @@ final class FeatureStore(
     if (names.isEmpty)
       throw new FeatureValidationError("getFeatureView needs at least one table")
     names.foldLeft(spine) { (acc, name) =>
-      val meta = catalog.getOrThrow(name)
+      val meta = resolveMeta(name)
       PointInTime.asOfJoinLeft(
         acc,
         currentData(meta),
@@ -383,7 +583,7 @@ final class FeatureStore(
       entityTimestamps: DataFrame,
       windowSeconds: Long,
       aggs: Seq[WindowFeatures.WindowAgg]): DataFrame = {
-    val meta = catalog.getOrThrow(name)
+    val meta = resolveMeta(name)
     val inputs = aggs.filter(_.fn != "rows").map(_.input).distinct
     Validation.validateColumns(inputs, meta.columns, name)
     WindowFeatures.windowAggJoin(
@@ -400,7 +600,7 @@ final class FeatureStore(
       entityIds: Seq[Any],
       timestamp: Any,
       k: Int): DataFrame = {
-    val meta = catalog.getOrThrow(name)
+    val meta = resolveMeta(name)
     val asOf = FeatureStore.normalizeTimestamp(timestamp)
     val eligible = currentData(meta, Some(asOf))
       .filter(col(TimestampColumn) <= lit(asOf))
@@ -415,7 +615,7 @@ final class FeatureStore(
     * ingest key as the deterministic within-timestamp tie-break.
     */
   def getSessions(name: String, gapSeconds: Long): DataFrame = {
-    val meta = catalog.getOrThrow(name)
+    val meta = resolveMeta(name)
     WindowFeatures.sessionize(
       currentData(meta), gapSeconds, tieBreakCols = Seq(IngestKeyCol))
   }
@@ -429,7 +629,7 @@ final class FeatureStore(
       name: String,
       columns: Option[Seq[String]] = None,
       exactDistinct: Boolean = true): DataFrame = {
-    val meta = catalog.getOrThrow(name)
+    val meta = resolveMeta(name)
     // plain membership, not validateColumns: profiling entity_id /
     // timestamp (cardinality, time range) is legitimate here
     columns.foreach { cs =>
@@ -446,7 +646,16 @@ final class FeatureStore(
     * (reference: store.py:377-401).
     */
   def getVersion(name: String, version: Int): DataFrame = {
-    val meta = catalog.getOrThrow(name)
+    val meta0 = resolveMeta(name)
+    // version-level adopt-on-miss: another session may have committed
+    // this version after ours pinned its snapshot — same retry as the
+    // table-level miss, only on the would-fail path
+    val meta =
+      if (meta0.versions.contains(version) || !storage.arbitrates) meta0
+      else {
+        adoptDiskMeta(name); reconcileFromLog(name)
+        catalog.getOrThrow(name)
+      }
     val cols = meta.versions.getOrElse(
       version,
       throw new FeatureTableNotFoundError(
@@ -464,7 +673,7 @@ final class FeatureStore(
     * verbatim as the view name).
     */
   def createOrReplaceViews(name: String): Unit = {
-    val meta = catalog.getOrThrow(name)
+    val meta = resolveMeta(name)
     getVersion(name, meta.version).createOrReplaceTempView(name)
     meta.versions.keys.foreach { v =>
       getVersion(name, v).createOrReplaceTempView(s"${name}_v$v")
@@ -480,7 +689,7 @@ final class FeatureStore(
     * anyway); the lease then protects across a concurrent delete.
     */
   def acquireReadLease(name: String): String = {
-    catalog.getOrThrow(name)
+    resolveMeta(name)
     ReadLeases.acquire(root, name)
   }
 
@@ -513,7 +722,7 @@ final class FeatureStore(
     */
   def withReadLease[A](name: String, renewEveryMillis: Long = 0L)(
       body: DataFrame => A): A = {
-    val meta = catalog.getOrThrow(name)
+    val meta = resolveMeta(name)
     val lease = ReadLeases.acquire(root, name)
     val heartbeat = Option.when(renewEveryMillis > 0L) {
       val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
@@ -590,25 +799,46 @@ final class FeatureStore(
       val diskMetas = catalogIO.load(root)
       val names =
         (catalog.all.map(_.name) ++ diskMetas.map(_.name)).distinct
-      val live: Map[String, Set[Int]] = names.map { n =>
-        val metas = catalog.get(n).toSeq ++ diskMetas.filter(_.name == n)
+      val metasByName: Map[String, Seq[TableMeta]] = names.map { n =>
+        n -> (catalog.get(n).toSeq ++ diskMetas.filter(_.name == n))
+      }.toMap
+      val live: Map[String, Set[Int]] = metasByName.map { case (n, metas) =>
         n -> metas
           .flatMap(m => m.versions.keys.toSeq.flatMap(m.segmentsOf))
           .toSet
-      }.toMap
+      }
       val ledger = RetireLedger.load(root)
       val ledgered = ledger.map(e => (e.name, e.version)).toSet
       val stranded = scala.collection.mutable.ArrayBuffer.empty[RetiredPath]
-      storage.listTableDirs().foreach { t =>
+      val tableDirs = storage.listTableDirs()
+      tableDirs.foreach { t =>
         live.get(t) match {
           case Some(liveSegs) =>
+            // over an arbitrating storage, a version COMMITTED in the
+            // transaction log above the prune high-water is durable even
+            // if no catalog save recorded it yet (its writer crashed
+            // after the commit point) — protect it and its manifest,
+            // exactly as an unread Delta commit survives VACUUM
+            val committedLive: Set[Int] =
+              if (!storage.arbitrates) Set.empty
+              else {
+                val pt = metasByName(t).map(_.prunedThrough)
+                  .maxOption.getOrElse(0)
+                storage.committedMeta(t).collect {
+                  case (v, cm) if v > pt && !liveSegs.contains(v) =>
+                    cm.segments.toSet + v
+                }.flatten.toSet
+              }
             storage.listVersionDirs(t)
-              .filterNot(liveSegs)
+              .filterNot(liveSegs ++ committedLive)
               .filterNot(v => ledgered((t, Some(v))))
               .foreach(v => stranded += RetiredPath(t, Some(v), now))
           case None =>
             if (!ledgered((t, None))) stranded += RetiredPath(t, None, now)
         }
+        // crashed-writer arbitration leftovers (reservations that never
+        // committed, orphaned marker tmps) age out under the same grace
+        storage.sweepUncommitted(t, graceMillis)
       }
       val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
       // TOCTOU guard: the pass-start lease snapshot above decides the
@@ -660,7 +890,7 @@ final class FeatureStore(
     * absent — exactly the set [[getVersion]] accepts.
     */
   def getTableHistory(name: String): Seq[VersionInfo] = {
-    val meta = catalog.getOrThrow(name)
+    val meta = resolveMeta(name)
     meta.versions.keys.toSeq.sorted.map { v =>
       VersionInfo(v, meta.versions(v), meta.segmentsOf(v),
         isCurrent = v == meta.version)
@@ -668,7 +898,7 @@ final class FeatureStore(
   }
 
   def getTableInfo(name: String): FeatureTableInfo =
-    catalog.getOrThrow(name).info
+    resolveMeta(name).info
 
   /** Drop a table and all versions; returns false (never throws) when the
     * table does not exist (reference: store.py:362-375).
@@ -682,6 +912,9 @@ final class FeatureStore(
     * window.
     */
   def delete(name: String): Boolean = this.synchronized {
+    // over an arbitrating storage another writer may have created the
+    // table after this session opened — adopt before deciding existence
+    if (storage.arbitrates) adoptDiskMeta(name)
     catalog.remove(name) match {
       case Some(_) =>
         RetireLedger.record(
@@ -696,14 +929,31 @@ final class FeatureStore(
 
   // ---------------------------------------------------------------- private
 
-  /** Current-version DataFrame including the internal tie-break column;
-    * a known as-of cutoff enables day-partition pruning at the scan.
+  /** Current-version DataFrame including the internal tie-break column.
+    * A known as-of cutoff enables TWO pruning levels before any task
+    * runs: whole SEGMENTS whose recorded minimum timestamp is after the
+    * cutoff are dropped from the manifest here (catalog-side data
+    * skipping over [[TableMeta.segStats]] — the version-dimension
+    * analog of the reference author's partition-pruning wish,
+    * reference README.md:167), and the surviving segments' scans
+    * partition-prune on the derived period column ([[Storage.read]]).
+    * Rows a skipped segment could contribute all have ts > cutoff,
+    * which every caller filters out downstream — skipping is purely an
+    * IO saving, never a semantic change. Segments without stats
+    * (pre-stats catalogs, all-null ranges) are never skipped; when
+    * every segment skips, one is kept so the (empty) result still
+    * carries the schema.
     */
   private def currentData(
       meta: TableMeta,
-      asOf: Option[Timestamp] = None): DataFrame =
-    storage.readSegments(
-      meta.name, meta.segmentsOf(meta.version), meta.columns :+ IngestKeyCol, asOf)
+      asOf: Option[Timestamp] = None): DataFrame = {
+    val segs = meta.segmentsOf(meta.version)
+    val kept = asOf.fold(segs) { t =>
+      val k = segs.filter(s => meta.segStats.get(s).forall(_._1 <= t.getTime))
+      if (k.isEmpty) segs.take(1) else k
+    }
+    storage.readSegments(meta.name, kept, meta.columns :+ IngestKeyCol, asOf)
+  }
 
   /** Cast timestamp + attach the deterministic ingest key
     * (reference: store.py:472-486 casts and sorts; the physical sort
@@ -749,15 +999,52 @@ final class FeatureStore(
     // leaves the window: referenced-before minus referenced-after
     val before = all.flatMap(meta.segmentsOf).toSet
     val after = retained.flatMap(meta.segmentsOf).toSet
+    val freed = before -- after
     val now = System.currentTimeMillis()
     RetireLedger.record(
       root,
-      (before -- after).toSeq.sorted.map(v => RetiredPath(meta.name, Some(v), now)))
-    meta.copy(versions = meta.versions -- excess, segments = meta.segments -- excess)
+      freed.toSeq.sorted.map(v => RetiredPath(meta.name, Some(v), now)))
+    meta.copy(
+      versions = meta.versions -- excess,
+      segments = meta.segments -- excess,
+      segStats = meta.segStats -- freed,
+      // the prune high-water is what reconciliation uses to tell
+      // "pruned" from "committed by a racing writer" — monotone
+      prunedThrough = excess.foldLeft(meta.prunedThrough)(math.max))
   }
 }
 
 object FeatureStore {
+
+  /** Merge two catalog views of ONE table produced by racing writers
+    * (multi-writer arbitration over a transaction-log storage). Version
+    * numbers are allocated exactly-once by the log, so per-version
+    * entries never conflict — the merge is a union with the higher
+    * pointer winning the scalar fields, the prune high-water taken at
+    * its max (pruning is monotone), entries at or below it dropped
+    * (pruned on either side means pruned), and stream watermarks joined
+    * per-stream at their max.
+    */
+  private[store] def mergeMetas(a: TableMeta, b: TableMeta): TableMeta = {
+    val hi = if (a.version >= b.version) a else b
+    val pruned = math.max(a.prunedThrough, b.prunedThrough)
+    val wmKeys = a.batchWatermarks.keySet ++ b.batchWatermarks.keySet
+    hi.copy(
+      registeredAt = math.min(a.registeredAt, b.registeredAt),
+      updatedAt = math.max(a.updatedAt, b.updatedAt),
+      versions = (a.versions ++ b.versions ++ hi.versions)
+        .filter { case (v, _) => v > pruned },
+      segments = (a.segments ++ b.segments ++ hi.segments)
+        .filter { case (v, _) => v > pruned },
+      segStats = a.segStats ++ b.segStats,
+      batchWatermarks = scala.collection.immutable.SortedMap(
+        wmKeys.toSeq.map { k =>
+          k -> math.max(
+            a.batchWatermarks.getOrElse(k, Long.MinValue),
+            b.batchWatermarks.getOrElse(k, Long.MinValue))
+        }: _*),
+      prunedThrough = pruned)
+  }
 
   /** Default grace between logical retirement and physical deletion
     * (30 minutes): long enough to outlive any interactive query over a

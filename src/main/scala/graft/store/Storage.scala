@@ -27,10 +27,39 @@ import org.apache.spark.sql.functions._
   * detection, [[CatalogPersistence]]) per the reference's
   * zero-infrastructure stance.
   */
+/** Result of one segment write: the row count plus the segment's
+  * timestamp range (epoch millis, None for an empty/all-null segment).
+  * The range is observed by the write job itself — zero extra passes —
+  * and becomes the catalog's per-segment data-skipping statistics
+  * ([[TableMeta.segStats]]): a PIT read at cutoff T skips every segment
+  * whose minimum timestamp is after T.
+  */
+final case class WriteResult(
+    rows: Long, minTsMillis: Option[Long], maxTsMillis: Option[Long])
+
+/** Everything a commit marker records about one committed version — the
+  * transaction log's own copy of the catalog facts for that version,
+  * which is what lets a store RECONCILE versions another writer
+  * committed but whose catalog save it never saw
+  * ([[TxnLogStorage]] multi-writer arbitration). `segmentRows` is the
+  * version's own segment; `tableRows` the cumulative table size at this
+  * version (they differ on append manifests).
+  */
+final case class CommitMeta(
+    segmentRows: Long,
+    tableRows: Long,
+    columns: Seq[String],
+    segments: Seq[Int],
+    minTsMillis: Option[Long],
+    maxTsMillis: Option[Long],
+    committedAt: Long)
+
 trait VersionStorage {
-  /** Write one version snapshot/segment; returns the row count. */
+  /** Write one version snapshot/segment; returns the row count and the
+    * segment's observed timestamp range.
+    */
   def write(name: String, version: Int, df: DataFrame,
-      entityCol: String, tsCol: String): Long
+      entityCol: String, tsCol: String): WriteResult
   /** Read one version segment, original column order, optional as-of
     * pruning bound.
     */
@@ -45,6 +74,56 @@ trait VersionStorage {
   def listVersionDirs(name: String): Seq[Int]
   /** Tables physically present under the root. */
   def listTableDirs(): Seq[String]
+
+  // ------------------------------------------------- version authority
+  // Optional multi-writer arbitration. The default implementations keep
+  // the shipped single-writer-per-table contract: the CATALOG is the
+  // sole version authority, reservation always succeeds, and commit
+  // metadata lives nowhere but the catalog. A transactional adapter
+  // ([[TxnLogStorage]]) overrides all of them to make its log the
+  // authority, which is what lets two stores on one root interleave
+  // registers safely.
+
+  /** True when this storage arbitrates version numbers itself; the
+    * store then retries lost races instead of failing fast on a
+    * foreign writer.
+    */
+  def arbitrates: Boolean = false
+  /** Atomically claim `version` of `name` for exclusive write; false
+    * means another writer holds or committed it (caller re-reads and
+    * retries with the next number).
+    */
+  def reserveVersion(name: String, version: Int): Boolean = true
+  /** Highest version visibly claimed in the storage's own authority
+    * (committed or reserved in flight); None when the catalog is the
+    * only authority.
+    */
+  def maxClaimedVersion(name: String): Option[Int] = None
+  /** Release a reservation THIS writer holds without committing (the
+    * claim's write or validation failed) so the number doesn't stay
+    * wedged until a vacuum sweep; foreign reservations are left alone.
+    */
+  def releaseVersion(name: String, version: Int): Unit = ()
+  /** Publish the commit record for a written version (the storage-side
+    * commit point). No-op for catalog-authoritative storage.
+    */
+  def commitVersion(name: String, version: Int, meta: CommitMeta): Unit = ()
+  /** Commit records of all committed versions, for catalog
+    * reconciliation after racing writers. Empty for
+    * catalog-authoritative storage.
+    */
+  def committedMeta(name: String): Map[Int, CommitMeta] = Map.empty
+  /** Drop any version-authority state of a RETIRED lineage so a
+    * delete + re-register can restart numbering at 1 (the explicit
+    * re-register-only overwrite branch; called by the store only when
+    * the table is absent from every catalog and ledgered as retired).
+    */
+  def resetVersionAuthority(name: String): Unit = ()
+  /** Reclaim arbitration leftovers of crashed writers (reservations
+    * never committed, orphaned temp markers) older than the given age.
+    * Run by [[FeatureStore.vacuum]] under its grace window.
+    */
+  def sweepUncommitted(name: String, olderThanMillis: Long): Unit = ()
 }
 
 /** Versioned parquet storage: one directory per table version,
@@ -86,27 +165,40 @@ final class Storage(
   def versionPath(name: String, version: Int): String =
     s"${tablePath(name)}/v=$version"
 
-  /** Write one version snapshot; returns the row count, observed from
-    * the write job itself (an `Observation` rides the write plan as a
-    * CollectMetrics node) — no second footer-read job per register.
+  /** Write one version snapshot; returns the row count and timestamp
+    * range, observed from the write job itself (an `Observation` rides
+    * the write plan as a CollectMetrics node) — no second footer-read
+    * job per register, and the range feeds segment-level data skipping
+    * for free.
     */
   def write(
       name: String,
       version: Int,
       df: DataFrame,
       entityCol: String,
-      tsCol: String): Long = {
+      tsCol: String): WriteResult = {
     val path = versionPath(name, version)
     val obs = org.apache.spark.sql.Observation(s"graft_write_${name}_v$version")
     df.withColumn(DateCol, period(col(tsCol)))
-      .observe(obs, count(lit(1)).as("rows"))
+      .observe(
+        obs,
+        count(lit(1)).as("rows"),
+        min(col(tsCol)).as("min_ts"),
+        max(col(tsCol)).as("max_ts"))
       .repartition(col(DateCol))
       .sortWithinPartitions(col(entityCol), col(tsCol))
       .write
       .mode("overwrite")
       .partitionBy(DateCol)
       .parquet(path)
-    obs.get("rows").asInstanceOf[Long]
+    def millis(key: String): Option[Long] = obs.get(key) match {
+      case t: java.sql.Timestamp    => Some(t.getTime)
+      case i: java.time.Instant     => Some(i.toEpochMilli)
+      case d: java.time.LocalDateTime => // TIMESTAMP_NTZ observation
+        Some(d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      case _ => None // null: empty or all-null segment — no skipping stats
+    }
+    WriteResult(obs.get("rows").asInstanceOf[Long], millis("min_ts"), millis("max_ts"))
   }
 
   /** Read one version snapshot with the original column order restored

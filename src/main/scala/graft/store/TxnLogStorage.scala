@@ -1,5 +1,8 @@
 package graft.store
 
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -7,33 +10,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * storage seam was built for (seam doc above [[VersionStorage]];
   * SURVEY.md §1.3 names the mapping). Same physical data layout as
   * [[Storage]] (period-partitioned, entity-sorted parquet under
-  * `<name>/v=<k>/`), plus a per-table COMMIT LOG under
-  * `<name>/_txn/<k>.commit`:
+  * `<name>/v=<k>/`), plus a per-table COMMIT LOG under `<name>/_txn/`
+  * that is the table's VERSION AUTHORITY:
   *
-  *   - [[write]] makes a version visible in two steps — data files
-  *     first, then the commit marker via atomic tmp+rename (the Delta
-  *     commit-protocol shape: `_delta_log/<v>.json` appearing is what
-  *     makes version v exist). A crash between the two leaves an
-  *     UNCOMMITTED data directory that reads refuse and
-  *     [[FeatureStore.vacuum]] reclaims as stranded after its grace
-  *     window — data never half-appears.
+  *   - MULTI-WRITER ARBITRATION is optimistic concurrency on the next
+  *     version number, exactly the Delta commit-protocol shape: a
+  *     writer claims version v by ATOMIC CREATE-EXCLUSIVE of
+  *     `_txn/<v>.reserve` (first creator wins; `O_EXCL` on local
+  *     filesystems, `create(overwrite = false)` on HDFS-like stores).
+  *     A loser re-reads the log and retries at the next number
+  *     ([[FeatureStore]] drives the retry loop), so two stores on one
+  *     root can interleave registers with every version written by
+  *     exactly one writer. Object stores without an atomic
+  *     create-exclusive (plain S3) need a stronger LogStore, as Delta
+  *     itself does — documented, not hidden.
+  *   - [[write]] puts data files on disk under the claimed version;
+  *     [[commitVersion]] then publishes `_txn/<v>.commit` via tmp +
+  *     atomic rename — the commit point. The marker carries the full
+  *     commit record ([[CommitMeta]]: rows, cumulative rows, columns,
+  *     segment manifest, timestamp range), so a concurrent store can
+  *     RECONCILE versions it never saw the catalog save for. Commit
+  *     re-verifies reservation ownership (the reserve file holds the
+  *     writer's token) immediately before the rename, so a reservation
+  *     reclaimed by vacuum and re-claimed by another writer makes the
+  *     zombie abort instead of clobbering.
+  *   - A crash between reserve and commit leaves an UNCOMMITTED
+  *     claim/data directory that reads refuse and
+  *     [[FeatureStore.vacuum]] reclaims after its grace window
+  *     ([[sweepUncommitted]]) — data never half-appears, and the
+  *     lineage resumes at the reclaimed number.
   *   - [[read]]/[[readSegments]] are `versionAsOf`-shaped: a segment
   *     resolves through its commit marker or the read fails with the
   *     not-found error, exactly like `VERSION AS OF` on a vacuumed or
-  *     never-committed Delta version. The marker carries the committed
-  *     row count, so a read can never see a torn directory.
+  *     never-committed Delta version.
   *   - retention is the store's RETIRE LEDGER: pruning/delete retire
   *     paths logically, vacuum deletes data AND its commit marker after
   *     the grace window ([[deleteVersion]]) — the VACUUM + log-cleanup
-  *     discipline of the table formats, driven by the same ledger as
-  *     the default storage.
+  *     discipline of the table formats. A delete + re-register restarts
+  *     the lineage at v1 through [[resetVersionAuthority]] (the one
+  *     explicit overwrite branch, taken only for a ledgered-retired
+  *     lineage).
   *
-  * What a real Delta/Iceberg binding would still add — multi-writer
-  * commit arbitration via the log (optimistic concurrency on the next
-  * version number) and column-level stats in the log — is out of scope
-  * here by the reference's zero-infrastructure stance; the store's
-  * foreign-writer detection covers the single-writer-per-table
-  * contract this repo ships.
+  * What a real Delta/Iceberg binding would still add is column-level
+  * stats in the log beyond the timestamp range and multi-table
+  * transactions; the arbitration itself is now the same shape.
   */
 final class TxnLogStorage(
     spark: SparkSession,
@@ -42,46 +62,137 @@ final class TxnLogStorage(
 
   private val inner = new Storage(spark, root, granularity)
 
+  /** This writer's arbitration token: reservations carry it, and commit
+    * verifies it still owns the claim immediately before publishing.
+    */
+  private val writerToken = java.util.UUID.randomUUID().toString
+
   private def logDir(name: String): Path =
     new Path(s"$root/$name/_txn")
   private def commitFile(name: String, version: Int): Path =
     new Path(logDir(name), f"$version%010d.commit")
+  private def reserveFile(name: String, version: Int): Path =
+    new Path(logDir(name), f"$version%010d.reserve")
 
   private def fs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def arbitrates: Boolean = true
+
+  /** Atomic create-exclusive of the reservation — the arbitration
+    * point. Local filesystems get true `O_EXCL` atomicity via NIO;
+    * HDFS-like stores get `create(overwrite = false)`, which is atomic
+    * on HDFS. Returns false when the version is already claimed.
+    */
+  override def reserveVersion(name: String, version: Int): Boolean = {
+    val target = reserveFile(name, version)
+    val f = fs(target)
+    f.mkdirs(target.getParent)
+    if (f.getScheme == "file") {
+      val local = java.nio.file.Paths.get(target.toUri.getPath)
+      try {
+        java.nio.file.Files.write(
+          local, writerToken.getBytes(UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try {
+        val out = f.create(target, false)
+        try out.write(writerToken.getBytes(UTF_8)) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if f.exists(target) => false
+      }
+    }
+  }
+
+  /** Drop this writer's own reservation (claim whose write/validation
+    * failed); verified by token so a vacuum-reclaimed-and-re-claimed
+    * number is never stolen back.
+    */
+  override def releaseVersion(name: String, version: Int): Unit = {
+    val r = reserveFile(name, version)
+    val f = fs(r)
+    val owned =
+      try {
+        val in = f.open(r)
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        in.close()
+        n > 0 && new String(buf, 0, n, UTF_8) == writerToken
+      } catch { case _: java.io.IOException => false }
+    if (owned) { f.delete(r, false); () }
+  }
+
+  override def maxClaimedVersion(name: String): Option[Int] = {
+    val d = logDir(name)
+    val f = fs(d)
+    if (!f.exists(d)) None
+    else f.listStatus(d).toSeq
+      .map(_.getPath.getName)
+      .collect {
+        case s if s.endsWith(".commit")  => s.stripSuffix(".commit").toIntOption
+        case s if s.endsWith(".reserve") => s.stripSuffix(".reserve").toIntOption
+      }
+      .flatten
+      .maxOption
+  }
 
   def write(
       name: String,
       version: Int,
       df: DataFrame,
       entityCol: String,
-      tsCol: String): Long = {
-    val rows = inner.write(name, version, df, entityCol, tsCol)
-    // commit AFTER the data is fully on disk: the marker's atomic
-    // rename is the commit point
+      tsCol: String): WriteResult =
+    inner.write(name, version, df, entityCol, tsCol)
+
+  /** Publish the commit marker — the version becomes visible here.
+    * Requires this writer's reservation to still be in place: a claim
+    * reclaimed by vacuum (this writer presumed crashed) and possibly
+    * re-claimed by another writer makes the publish fail instead of
+    * silently clobbering the other writer's version.
+    */
+  override def commitVersion(name: String, version: Int, meta: CommitMeta): Unit = {
+    val reserve = reserveFile(name, version)
+    val rf = fs(reserve)
+    val owned =
+      try {
+        val in = rf.open(reserve)
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        in.close()
+        n > 0 && new String(buf, 0, n, UTF_8) == writerToken
+      } catch { case _: java.io.IOException => false }
+    if (!owned)
+      throw new FeatureConcurrencyError(
+        s"commit of '$name' version $version lost its reservation " +
+          "(vacuum reclaimed it as crashed, or another writer re-claimed " +
+          "the number); re-read the log and retry at the next version")
     val target = commitFile(name, version)
     val f = fs(target)
-    f.mkdirs(target.getParent)
     val tmp = new Path(
       target.getParent, s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write(
-      s"rows=$rows\tcommittedAt=${System.currentTimeMillis()}\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(TxnLogStorage.render(meta).getBytes(UTF_8))
     finally out.close()
-    // OVERWRITE semantics, matching the data write's mode("overwrite"):
-    // a delete + re-register legitimately restarts the lineage at v1
-    // while the retired lineage's marker still awaits vacuum — the new
-    // commit replaces it. Concurrent writers of one table are arbitrated
-    // at the catalog level (foreign-writer detection), not here.
+    // the reservation serializes writers of this version, so no rename
+    // race remains here; an existing marker can only be a retired
+    // lineage's (see resetVersionAuthority) or this writer's own retry
     if (f.exists(target)) f.delete(target, false)
     if (!f.rename(tmp, target)) {
       f.delete(tmp, false)
       throw new FeatureConcurrencyError(
-        s"commit of '$name' version $version lost a rename race " +
-          "(another writer committed this version first)")
+        s"commit of '$name' version $version failed to publish its marker")
     }
-    rows
+    // reservation is transient: claim → write → commit → release. Its
+    // absence is what lets a delete + re-register (or a later lineage)
+    // reuse the number after vacuum clears the log.
+    rf.delete(reserve, false)
+    ()
   }
 
   private def requireCommitted(name: String, version: Int): Unit = {
@@ -119,6 +230,8 @@ final class TxnLogStorage(
     val c = commitFile(name, version)
     val f = fs(c)
     if (f.exists(c)) { f.delete(c, false); () }
+    val r = reserveFile(name, version)
+    if (f.exists(r)) { f.delete(r, false); () }
     // also reclaim tmp markers a crashed commit of THIS version left
     // behind (create succeeded, rename never ran) — otherwise they
     // accumulate until deleteTable
@@ -157,5 +270,113 @@ final class TxnLogStorage(
       }
       .flatten
       .sorted
+  }
+
+  /** Full commit records, version → metadata. Markers in the legacy
+    * (pre-arbitration) single-line format parse to a record without
+    * columns, which reconciliation skips — those versions are known to
+    * their writer's catalog by construction.
+    */
+  override def committedMeta(name: String): Map[Int, CommitMeta] = {
+    val d = logDir(name)
+    val f = fs(d)
+    if (!f.exists(d)) return Map.empty
+    f.listStatus(d).toSeq
+      .map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (!n.endsWith(".commit")) None
+        else n.stripSuffix(".commit").toIntOption.flatMap { v =>
+          try {
+            val in = f.open(p)
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, true)
+            TxnLogStorage.parse(new String(buf.toByteArray, UTF_8)).map(v -> _)
+          } catch { case _: java.io.IOException => None }
+        }
+      }
+      .toMap
+  }
+
+  /** Delete the whole per-table log — the re-register-only branch: a
+    * retired lineage's markers and stale reservations must not block or
+    * leak into the fresh lineage restarting at v1. In-flight DataFrames
+    * of leased readers are unaffected (marker checks happen at read
+    * construction; scans read parquet directly).
+    */
+  override def resetVersionAuthority(name: String): Unit = {
+    val d = logDir(name)
+    val f = fs(d)
+    if (f.exists(d)) { f.delete(d, true); () }
+  }
+
+  /** Reclaim crashed-writer leftovers: reservations with no commit and
+    * orphaned tmp markers older than the threshold. Age-gated on file
+    * mtime so an in-flight writer's fresh claim is never touched.
+    */
+  override def sweepUncommitted(name: String, olderThanMillis: Long): Unit = {
+    val d = logDir(name)
+    val f = fs(d)
+    if (!f.exists(d)) return
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val statuses = f.listStatus(d).toSeq
+    val committed = statuses.map(_.getPath.getName)
+      .filter(_.endsWith(".commit"))
+      .flatMap(_.stripSuffix(".commit").toIntOption)
+      .toSet
+    statuses.foreach { s =>
+      val n = s.getPath.getName
+      val stale = s.getModificationTime <= cutoff
+      val deadReserve = n.endsWith(".reserve") && stale &&
+        !n.stripSuffix(".reserve").toIntOption.exists(committed)
+      val orphanTmp = n.startsWith(".") && n.contains(".tmp-") && stale
+      if (deadReserve || orphanTmp) { f.delete(s.getPath, false); () }
+    }
+  }
+}
+
+object TxnLogStorage {
+  private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
+  private def dec(s: String): String = URLDecoder.decode(s, UTF_8)
+
+  /** Marker body: one `key=value` per line. */
+  private[store] def render(m: CommitMeta): String = {
+    val lines = Seq(
+      s"rows=${m.segmentRows}",
+      s"tableRows=${m.tableRows}",
+      s"committedAt=${m.committedAt}",
+      s"cols=${m.columns.map(enc).mkString(",")}",
+      s"segments=${m.segments.mkString(",")}",
+      s"minTs=${m.minTsMillis.fold("")(_.toString)}",
+      s"maxTs=${m.maxTsMillis.fold("")(_.toString)}")
+    lines.mkString("\n") + "\n"
+  }
+
+  /** Tolerant parse: new markers are line-based `key=value`; legacy
+    * round-6 markers are one tab-separated line (`rows=N committedAt=M`)
+    * and yield a record without columns/segments.
+    */
+  private[store] def parse(content: String): Option[CommitMeta] = {
+    val kv = content.split("[\t\n]").toSeq
+      .map(_.trim)
+      .filter(_.contains("="))
+      .map { t =>
+        val i = t.indexOf('=')
+        t.substring(0, i) -> t.substring(i + 1)
+      }
+      .toMap
+    kv.get("rows").flatMap(_.toLongOption).map { rows =>
+      CommitMeta(
+        segmentRows = rows,
+        tableRows = kv.get("tableRows").flatMap(_.toLongOption).getOrElse(rows),
+        columns = kv.get("cols").toSeq
+          .flatMap(_.split(",").toSeq.filter(_.nonEmpty).map(dec)),
+        segments = kv.get("segments").toSeq
+          .flatMap(_.split(",").toSeq.flatMap(_.toIntOption)),
+        minTsMillis = kv.get("minTs").flatMap(_.toLongOption),
+        maxTsMillis = kv.get("maxTs").flatMap(_.toLongOption),
+        committedAt =
+          kv.get("committedAt").flatMap(_.toLongOption).getOrElse(0L))
+    }
   }
 }

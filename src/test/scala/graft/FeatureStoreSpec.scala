@@ -499,7 +499,7 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
       (s, r, g) => new graft.store.VersionStorage {
         private val inner = new graft.store.Storage(s, r, g)
         def write(name: String, version: Int, df: org.apache.spark.sql.DataFrame,
-            entityCol: String, tsCol: String): Long =
+            entityCol: String, tsCol: String): graft.store.WriteResult =
           inner.write(name, version, df, entityCol, tsCol)
         def read(name: String, version: Int, columns: Seq[String],
             asOf: Option[java.sql.Timestamp]): org.apache.spark.sql.DataFrame =
@@ -586,7 +586,7 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
       new graft.store.VersionStorage {
         private val inner = new graft.store.Storage(s, r, g)
         def write(name: String, version: Int, df: org.apache.spark.sql.DataFrame,
-            entityCol: String, tsCol: String): Long = {
+            entityCol: String, tsCol: String): graft.store.WriteResult = {
           writes.incrementAndGet()
           inner.write(name, version, df, entityCol, tsCol)
         }
@@ -611,6 +611,69 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(store.get("t", Seq("user_1"), ts("2024-06-01"))
       .collect().head.getAs[Double]("val") == 1.0)
     assert(reads.get() >= 1, "PIT reads must route through the seam")
+  }
+
+  test("PIT reads skip manifest segments whose min timestamp is after the cutoff") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_segskip_spec").toString
+    // record the segment list every readSegments is asked for — the
+    // catalog-side skip happens BEFORE the storage call, so the
+    // decorator observes exactly what survives
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    val store = new FeatureStore(spark, root, storageFactory = (sp, r, g) =>
+      new graft.store.VersionStorage {
+        private val inner = new graft.store.Storage(sp, r, g)
+        def write(name: String, version: Int, df: org.apache.spark.sql.DataFrame,
+            entityCol: String, tsCol: String): graft.store.WriteResult =
+          inner.write(name, version, df, entityCol, tsCol)
+        def read(name: String, version: Int, columns: Seq[String],
+            asOf: Option[java.sql.Timestamp]): org.apache.spark.sql.DataFrame =
+          inner.read(name, version, columns, asOf)
+        def readSegments(name: String, segments: Seq[Int], columns: Seq[String],
+            asOf: Option[java.sql.Timestamp]): org.apache.spark.sql.DataFrame = {
+          seen += segments
+          inner.readSegments(name, segments, columns, asOf)
+        }
+        def deleteVersion(name: String, version: Int): Unit =
+          inner.deleteVersion(name, version)
+        def deleteTable(name: String): Unit = inner.deleteTable(name)
+        def listVersionDirs(name: String): Seq[Int] = inner.listVersionDirs(name)
+        def listTableDirs(): Seq[String] = inner.listTableDirs()
+      })
+    def month(m: Int, v: Double) =
+      Seq(("e1", ts(f"2024-$m%02d-10"), v)).toDF("entity_id", "timestamp", "val")
+    store.register("t", month(1, 1.0))
+    store.registerAppend("t", month(2, 2.0), maxSegments = 100)
+    store.registerAppend("t", month(3, 3.0), maxSegments = 100)
+
+    // selective cutoff: only the January segment can hold eligible rows
+    seen.clear()
+    val jan = store.get("t", Seq("e1"), ts("2024-01-31")).collect()
+    assert(jan.map(_.getAs[Double]("val")).toSeq == Seq(1.0))
+    assert(seen.last == Seq(1),
+      s"cutoff inside segment 1 must skip segments 2 and 3, scanned ${seen.last}")
+
+    // mid cutoff keeps two; unselective cutoff scans the full manifest
+    seen.clear()
+    val feb = store.get("t", Seq("e1"), ts("2024-02-28")).collect()
+    assert(feb.map(_.getAs[Double]("val")).toSeq == Seq(2.0))
+    assert(seen.last == Seq(1, 2))
+    seen.clear()
+    val all = store.get("t", Seq("e1"), ts("2024-12-31")).collect()
+    assert(all.map(_.getAs[Double]("val")).toSeq == Seq(3.0))
+    assert(seen.last == Seq(1, 2, 3))
+
+    // a cutoff BEFORE every segment keeps one for schema and returns empty
+    seen.clear()
+    assert(store.get("t", Seq("e1"), ts("2023-01-01")).isEmpty)
+    assert(seen.last == Seq(1))
+
+    // a reopened store reads the stats back from the catalog file
+    val reopened = new FeatureStore(spark, root)
+    assert(reopened.get("t", Seq("e1"), ts("2024-01-31")).collect()
+      .map(_.getAs[Double]("val")).toSeq == Seq(1.0))
   }
 
   test("vacuumSiblingRoots reclaims stale fingerprint-keyed roots only") {

@@ -177,4 +177,106 @@ object StoreProps extends Properties("FeatureStore") {
 
   property("transaction-log storage satisfies the identical lifecycle contract") =
     lifecycleProp(new graft.store.TxnLogStorage(_, _, _))
+
+  // ------------------------------------------------ multi-writer model
+
+  private val genOpsNoBatch: Gen[List[Op]] = for {
+    n <- Gen.choose(2, 6)
+    ops <- Gen.listOfN(n, Gen.frequency(
+      3 -> Gen.choose(1, 5).map(Register(_)),
+      3 -> Gen.choose(1, 5).map(Append(_)),
+      1 -> Gen.const(Compact),
+      2 -> Gen.const(Vacuum),
+      1 -> Gen.const(Delete)))
+    first <- Gen.choose(1, 5)
+  } yield Register(first) :: ops
+
+  /** TWO persistent store instances on one transaction-log root, ops
+    * alternating between them — every register by one side must be
+    * adopted/reconciled by the other before it claims its next version,
+    * or the model diverges immediately (a lost append shows as a short
+    * version, a lost register as a wrong pointer). This is the
+    * deterministic-interleaving half of multi-writer arbitration; the
+    * threaded races live in ArbitrationSpec.
+    *
+    * Delete reopens both instances: resurrecting a table that another
+    * LIVE session still holds open is the documented out-of-scope
+    * delete race, not part of the arbitration contract.
+    */
+  property("two alternating stores on one txn-log root keep every retained version exact") =
+    forAll(genOpsNoBatch) { ops =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_store_props_mw").toString
+      val maxVersions = 3
+      def open() = new FeatureStore(
+        spark, root, maxVersions = maxVersions,
+        storageFactory = new graft.store.TxnLogStorage(_, _, _))
+      var stores = Vector(open(), open())
+      var model = Map.empty[Int, Set[(String, Timestamp, Double)]]
+      var current = 0
+      // verification reads go through the store that last MUTATED the
+      // table: it has absorbed everything by construction. The other
+      // side keeps legitimate session-snapshot semantics (it may still
+      // read a version the fresh side pruned, until it writes or
+      // reopens), which the model deliberately does not constrain.
+      var freshStore = stores(0)
+      ops.zipWithIndex.foreach { case (op, i) =>
+        val store = stores(i % 2)
+        def mutated(): Unit = freshStore = store
+        op match {
+          case Register(n) =>
+            val rows = rowsFor(i, n)
+            store.register("t", toDF(rows))
+            mutated()
+            current += 1
+            model += current -> rows.toSet
+          case Append(n) =>
+            val rows = rowsFor(i, n)
+            if (current == 0) {
+              store.registerAppend("t", toDF(rows))
+              mutated()
+              current = 1
+              model += 1 -> rows.toSet
+            } else {
+              store.registerAppend("t", toDF(rows), maxSegments = 2)
+              mutated()
+              current += 1
+              model += current -> (model(current - 1) ++ rows.toSet)
+            }
+          case Batch(_, _) => () // generator never emits it here
+          case Compact =>
+            if (current > 0) {
+              val before = model(current)
+              val info = store.compact("t")
+              mutated()
+              current = info.version
+              model += current -> before
+            }
+          case Vacuum =>
+            if (i % 2 == 0) store.vacuum() else store.vacuum(graceMillis = 0)
+          case Reopen => () // generator never emits it here
+          case Delete =>
+            store.delete("t")
+            model = Map.empty
+            current = 0
+            stores = Vector(open(), open())
+            freshStore = stores(0)
+        }
+        val retained = model.keys.toSeq.sorted.takeRight(maxVersions)
+        retained.foreach { v =>
+          val got = readVersion(freshStore, v)
+          if (got != model(v))
+            throw new AssertionError(
+              s"version $v mismatch after op #$i $op by store ${i % 2}: " +
+                s"got $got expected ${model(v)}")
+        }
+        model.keys.toSeq.sorted.dropRight(maxVersions).foreach { v =>
+          try {
+            freshStore.getVersion("t", v)
+            throw new AssertionError(s"pruned version $v still readable after $op")
+          } catch { case _: FeatureTableNotFoundError => () }
+        }
+      }
+      true
+    }
 }
