@@ -412,7 +412,30 @@ final class FeatureStore(
       body: Option[(String, Long)] => FeatureTableInfo): Option[FeatureTableInfo] =
     this.synchronized {
       val seen = catalog.get(name).flatMap(_.batchWatermarks.get(streamId))
-      if (seen.contains(batchId)) None // crash-recovery replay of the last batch
+      // ONE-TIME UPGRADE SHIM (pre-stream-identity catalogs): a stream
+      // restarting across the upgrade keeps its checkpoint, so its
+      // crash-recovery replay re-delivers the LAST batch — same id as
+      // the legacy per-table high-water, but under a stream id the
+      // catalog has never seen. Without this check that replay would
+      // re-register once (a duplicate version). It applies only when
+      // the new stream id has no line yet AND the ids match EXACTLY: a
+      // genuinely fresh stream restarts at batch 0 < legacy high-water
+      // and registers normally (the old silent-skip data-loss path
+      // stays dead). The skipped id migrates to the new stream id so
+      // the legacy line is consulted exactly once.
+      val legacyReplay = streamId != CatalogIO.LegacyStreamId && seen.isEmpty &&
+        catalog.get(name)
+          .flatMap(_.batchWatermarks.get(CatalogIO.LegacyStreamId))
+          .contains(batchId)
+      if (legacyReplay) {
+        catalog.get(name).foreach { m =>
+          catalog.put(m.copy(
+            batchWatermarks = m.batchWatermarks + (streamId -> batchId)))
+          catalogIO.save(root, catalog.all)
+        }
+        None
+      }
+      else if (seen.contains(batchId)) None // crash-recovery replay of the last batch
       else if (seen.exists(batchId < _))
         throw new FeatureConcurrencyError(
           s"Batch id $batchId for table '$name' regressed below the recorded " +

@@ -119,6 +119,44 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(reopened.getTableInfo("t").version == 3)
   }
 
+  test("upgrade shim: a checkpoint-straddling replay under a new stream id skips once") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_upgrade_shim_spec").toString
+    val store = new FeatureStore(s, root)
+    def row(u: String, d: String, v: Double) =
+      Seq((u, ts(d), v)).toDF("entity_id", "timestamp", "value")
+    // pre-upgrade catalogs recorded the high-water under the legacy id
+    // (registerBatch without a stream id = the legacy surface)
+    assert(store.registerBatch("t", row("u1", "2024-01-01", 1.0), 0L).isDefined)
+    assert(store.registerBatch("t", row("u2", "2024-01-02", 2.0), 1L).isDefined)
+    assert(store.getTableInfo("t").version == 2)
+
+    // post-upgrade restart from the SAME checkpoint: crash recovery
+    // re-delivers the last batch (id == legacy high-water) under the
+    // query's real stream id — must skip, not mint a duplicate version
+    assert(store.registerBatch("t", row("u2", "2024-01-02", 2.0), 1L, "query-A").isEmpty,
+      "the straddling replay must be recognized via the legacy high-water")
+    assert(store.getTableInfo("t").version == 2)
+
+    // the high-water migrated: query-A's own line now carries it, so
+    // later batches advance and replay-protect normally
+    assert(store.registerBatch("t", row("u3", "2024-01-03", 3.0), 2L, "query-A").isDefined)
+    assert(store.getTableInfo("t").version == 3)
+    assert(store.registerBatch("t", row("u3", "2024-01-03", 3.0), 2L, "query-A").isEmpty)
+
+    // a genuinely fresh stream generation (batch 0, below the legacy
+    // high-water) still registers — the shim is exact-match only
+    assert(store.registerBatch("t", row("u4", "2024-01-04", 4.0), 0L, "query-B").isDefined)
+    assert(store.getTableInfo("t").version == 4)
+
+    // persistence: a reopened store (driver restart) still skips a
+    // crash-recovery replay of query-A's LAST batch via its own line
+    val reopened = new FeatureStore(s, root)
+    assert(reopened.registerBatch("t", row("u3", "2024-01-03", 3.0), 2L, "query-A").isEmpty)
+  }
+
   test("batch-id regression within one stream throws instead of silently skipping") {
     val s = spark
     import s.implicits._
