@@ -255,6 +255,61 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(store.getVersion("live", 3).count() == 3)
   }
 
+  test("auto-compaction + vacuum fire mid-stream under a reader lease: counts exact, files survive") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stream_compact_spec").toString
+    // tight knobs so every lifecycle mechanism fires within six batches:
+    // maxSegments=2 → auto-compaction every other append; maxVersions=3
+    // → pruning retires old segments while newer manifests still share
+    // some of them; vacuum(0) after every batch → immediate reclamation
+    // of everything not live, shared, or leased
+    val store = new FeatureStore(s, root, maxVersions = 3)
+    val src = MemoryStream[(String, Timestamp, Double)]
+    val q = StreamingIngest.startIncremental(
+      src.toDF().toDF("entity_id", "timestamp", "value"),
+      store, "live", trigger = Trigger.ProcessingTime(0), maxSegments = 2)
+    try {
+      src.addData(("u1", ts("2024-01-01"), 1.0))
+      q.processAllAvailable()
+      assert(store.getTableInfo("live").version == 1)
+
+      // the long reader: lease the table and hold a version-1 DataFrame
+      // across compactions, prunings and vacuum passes
+      val lease = store.acquireReadLease("live")
+      val reader = store.getVersion("live", 1)
+
+      (2 to 6).foreach { i =>
+        src.addData((s"u$i", ts(f"2024-01-$i%02d"), i.toDouble))
+        q.processAllAvailable()
+        // maintenance pass interleaved with the stream, single-phase
+        store.vacuum(graceMillis = 0)
+      }
+      // chain shape: v2={1,2}, v3 compacts to {3}, v4={3,4}, v5
+      // compacts to {5}, v6={5,6} — every count must be exact through
+      // compaction boundaries and concurrent reclamation
+      assert(store.getTableInfo("live").version == 6)
+      assert(store.getTableInfo("live").rowCount == 6)
+      assert(store.getVersion("live", 6).count() == 6)
+      assert(store.getVersion("live", 6).collect()
+        .map(_.getAs[Double]("value")).sorted.toSeq == (1 to 6).map(_.toDouble))
+
+      // version 1 was pruned several passes ago; only the lease kept its
+      // files — the reader must still scan them exactly
+      assert(reader.collect().map(_.getAs[Double]("value")).toSeq == Seq(1.0),
+        "a leased reader must survive mid-stream compaction + vacuum")
+
+      // release: the next pass reclaims the retired segments, the
+      // retained window reads on untouched
+      store.releaseReadLease(lease)
+      store.vacuum(graceMillis = 0)
+      assert(store.getVersion("live", 6).count() == 6)
+      intercept[graft.store.FeatureTableNotFoundError](store.getVersion("live", 1))
+    } finally q.stop()
+  }
+
   test("registerBatch commits version + high-water in ONE catalog save (crash-atomic)") {
     val s = spark
     import s.implicits._
