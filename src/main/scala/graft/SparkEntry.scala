@@ -174,6 +174,37 @@ object SparkEntry {
       ()
     }
 
+  /** MULTI-WRITER build of the events table: three time spans land via
+    * TWO independent [[graft.store.FeatureStore]] instances on one
+    * transaction-log root — writer A registers the head, writer B (a
+    * separate instance, opened on [[graft.store.FeatureStore.rootPath]])
+    * appends the middle, writer A appends the tail. A's final append
+    * can only chain correctly if it ADOPTED B's version through the
+    * arbitration/reconciliation path, so a value-exact read through the
+    * result certifies the multi-writer protocol end-to-end: a lost or
+    * mis-chained interleaved append surfaces as missing rows against
+    * the same SQL oracle as the single-writer roundtrips. Span edges
+    * (Jan 8 / Jan 16 over the Jan 1-30 events range) keep all three
+    * segments non-empty at every scale factor.
+    */
+  private val mwStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def multiWriterStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(mwStores, s, dir, "graft_store_mw_v1",
+      storageFactory = new graft.store.TxnLogStorage(_, _, _)) { (a, feats) =>
+      a.delete("events")
+      val c1 = lit(utcTs("2024-01-08 00:00:00"))
+      val c2 = lit(utcTs("2024-01-16 00:00:00"))
+      a.register("events", feats.filter(col("timestamp") < c1))
+      val b = new graft.store.FeatureStore(s, a.rootPath,
+        storageFactory = new graft.store.TxnLogStorage(_, _, _))
+      b.registerAppend("events",
+        feats.filter(col("timestamp") >= c1 && col("timestamp") < c2))
+      a.registerAppend("events", feats.filter(col("timestamp") >= c2))
+      ()
+    }
+
   // -------------------------------------------------------------- contract
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -426,6 +457,25 @@ object SparkEntry {
         .get("events", PitIds, PitAsOf)
         .orderBy("entity_id")),
 
+    // segment-stats data skipping under the oracle gate: a PIT read at
+    // a cutoff BEFORE the append split plans only the first segment of
+    // the chained manifest (the second's recorded min timestamp is
+    // after the cutoff — assert-tested in FeatureStoreSpec), and the
+    // skipped plan must still hash-match the full-scan SQL oracle
+    "store_pit_pruned" -> ((s, dir) =>
+      appendStore(s, dir)
+        .get("events", PitIds, "2024-01-09 12:00:00")
+        .orderBy("entity_id")),
+
+    // MULTI-WRITER roundtrip: the table was built by two store
+    // instances interleaving register/append on one txn-log root
+    // (arbitration + cross-writer adoption); the read must be
+    // value-identical to every single-writer build of the same data
+    "store_concurrent_roundtrip" -> ((s, dir) =>
+      multiWriterStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
+
     // SQL-first surface: the stored table registered as a temp view via
     // createOrReplaceViews and consumed with plain spark.sql — the
     // analyst's first query, resolved through the catalog/manifest
@@ -596,12 +646,14 @@ object SparkEntry {
     * duplicate (user_id, ts), so the SQL's event_id tie-break and the
     * store's ingest-key tie-break are both inert.)
     */
-  private lazy val EventsPitOracle: String =
+  private def eventsPitOracleAt(cutoff: String): String =
     s"""SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
        |FROM events
-       |WHERE ts <= TIMESTAMP '$PitAsOf' AND user_id IN $PitIdsSql
+       |WHERE ts <= TIMESTAMP '$cutoff' AND user_id IN $PitIdsSql
        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
        |ORDER BY entity_id""".stripMargin
+
+  private lazy val EventsPitOracle: String = eventsPitOracleAt(PitAsOf)
 
   private lazy val EventsAsOfOracle: String =
     """WITH spine AS (
@@ -630,6 +682,13 @@ object SparkEntry {
 
     // ...and so must the transaction-log adapter behind the seam
     "store_txnlog_roundtrip" -> EventsPitOracle,
+
+    // segment-skipped chained-manifest read ≡ full-scan SQL at the
+    // same (earlier) cutoff
+    "store_pit_pruned" -> eventsPitOracleAt("2024-01-09 12:00:00"),
+
+    // the two-writer interleaved build must be value-invisible too
+    "store_concurrent_roundtrip" -> EventsPitOracle,
 
     "store_asof_roundtrip" -> EventsAsOfOracle,
 

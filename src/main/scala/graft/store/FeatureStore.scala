@@ -70,6 +70,13 @@ final class FeatureStore(
 
   def tableNames: Seq[String] = catalog.names
 
+  /** The resolved storage root this store operates on — what a second
+    * writer passes to open its own instance on the same tables
+    * (multi-writer arbitration, [[TxnLogStorage]]), and where
+    * maintenance tooling finds `_leases`/`_retired`/`_catalog.tsv`.
+    */
+  def rootPath: String = root
+
   /** Register (create or new-version) a feature table
     * (reference: store.py:129-216). Validates required columns +
     * non-emptiness, casts `timestamp` to TimestampType, writes a sorted,
