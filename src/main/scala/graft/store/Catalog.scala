@@ -24,7 +24,10 @@ final case class VersionInfo(
     version: Int,
     columns: Seq[String],
     segments: Seq[Int],
-    isCurrent: Boolean)
+    isCurrent: Boolean,
+    // commit wall-clock (epoch millis) — None only for versions written
+    // by catalogs that predate commit-time tracking
+    committedAt: Option[Long] = None)
 
 /** Internal catalog entry — the Spark analog of `_VersionedTable`
   * (reference: store.py:51-69): current version pointer plus the retained
@@ -70,7 +73,11 @@ final case class TableMeta(
     // cutoff T drops every manifest segment whose min is after T before
     // the scan is even planned. Absent entries (pre-stats catalogs,
     // all-null segments) are never skipped.
-    segStats: SortedMap[Int, (Long, Long)] = SortedMap.empty) {
+    segStats: SortedMap[Int, (Long, Long)] = SortedMap.empty,
+    // per-VERSION commit wall-clock (epoch millis) — the TIMESTAMP AS OF
+    // axis ([[FeatureStore.getVersionAsOf]]). Absent for versions
+    // written before commit-time tracking existed.
+    versionTimes: SortedMap[Int, Long] = SortedMap.empty) {
   def columns: Seq[String] = versions(version)
   /** Manifest for `v`: explicit entry, else the single-snapshot default. */
   def segmentsOf(v: Int): Seq[Int] = segments.getOrElse(v, Seq(v))
@@ -123,6 +130,7 @@ final class Catalog {
   *   S <name> <version> <seg1> <seg2> ...      (manifest; absent = [version])
   *   K <name> <streamId> <maxBatchId>          (streaming high-water; optional)
   *   R <name> <segment> <minTsMillis> <maxTsMillis>   (segment stats; optional)
+  *   C <name> <version> <committedAtMillis>           (commit time; optional)
   *
   * Legacy two-field `K <name> <maxBatchId>` lines (pre-stream-identity
   * catalogs) load under [[CatalogIO.LegacyStreamId]]; six-field `T`
@@ -192,7 +200,10 @@ object CatalogPersistence extends CatalogIO {
       val stats = m.segStats.toSeq.map { case (seg, (lo, hi)) =>
         s"R\t${enc(m.name)}\t$seg\t$lo\t$hi"
       }
-      (head +: versions) ++ manifests ++ watermark ++ stats
+      val times = m.versionTimes.toSeq.map { case (v, t) =>
+        s"C\t${enc(m.name)}\t$v\t$t"
+      }
+      (head +: versions) ++ manifests ++ watermark ++ stats ++ times
     }
     val path = catalogFile(root)
     Files.createDirectories(path.getParent)
@@ -244,6 +255,13 @@ object CatalogPersistence extends CatalogIO {
           (dec(f(1)), f(2).toInt, (f(3).toLong, f(4).toLong))
       }
       .groupBy(_._1)
+    val times = lines
+      .collect {
+        case l if l.startsWith("C\t") =>
+          val f = l.split("\t")
+          (dec(f(1)), f(2).toInt, f(3).toLong)
+      }
+      .groupBy(_._1)
     heads.toSeq.map { case (name, (version, rowCount, reg, upd, prunedThrough)) =>
       val vs = scala.collection.immutable.SortedMap(
         versions.getOrElse(name, Seq.empty).map(v => v._2 -> v._3): _*)
@@ -254,7 +272,9 @@ object CatalogPersistence extends CatalogIO {
           watermarks.getOrElse(name, Seq.empty).map(w => w._2 -> w._3): _*),
         prunedThrough = prunedThrough,
         segStats = scala.collection.immutable.SortedMap(
-          stats.getOrElse(name, Seq.empty).map(r => r._2 -> r._3): _*))
+          stats.getOrElse(name, Seq.empty).map(r => r._2 -> r._3): _*),
+        versionTimes = scala.collection.immutable.SortedMap(
+          times.getOrElse(name, Seq.empty).map(t => t._2 -> t._3): _*))
     }
   }
 }

@@ -111,7 +111,8 @@ final class FeatureStore(
       cur match {
         case None =>
           TableMeta(name, v, wr.rows, now, now, SortedMap(v -> df.columns.toSeq),
-            SortedMap(v -> Seq(v)), segStats = segStatsOf(v, wr))
+            SortedMap(v -> Seq(v)), segStats = segStatsOf(v, wr),
+            versionTimes = SortedMap(v -> now))
         case Some(c) =>
           prune(c.copy(
             version = v,
@@ -119,7 +120,8 @@ final class FeatureStore(
             updatedAt = now,
             versions = c.versions + (v -> df.columns.toSeq),
             segments = c.segments + (v -> Seq(v)),
-            segStats = c.segStats ++ segStatsOf(v, wr)))
+            segStats = c.segStats ++ segStatsOf(v, wr),
+            versionTimes = c.versionTimes + (v -> now)))
       }
     }
     val stamped = stampWatermark(meta, watermark)
@@ -262,6 +264,9 @@ final class FeatureStore(
           },
           segStats = m.segStats ++ addable.toSeq.flatMap { case (v, cm) =>
             for { lo <- cm.minTsMillis; hi <- cm.maxTsMillis } yield v -> (lo, hi)
+          },
+          versionTimes = m.versionTimes ++ addable.toSeq.collect {
+            case (v, cm) if cm.committedAt > 0 => v -> cm.committedAt
           })
         if (top > m.version)
           merged = merged.copy(
@@ -343,7 +348,8 @@ final class FeatureStore(
         cur.copy(version = v, rowCount = wr.rows, updatedAt = now0,
           versions = cur.versions + (v -> cur.columns),
           segments = cur.segments + (v -> Seq(v)),
-          segStats = cur.segStats ++ segStatsOf(v, wr))
+          segStats = cur.segStats ++ segStatsOf(v, wr),
+          versionTimes = cur.versionTimes + (v -> now0))
       } else {
         val wr = storage.write(name, v, prepare(df), EntityIdColumn, TimestampColumn)
         storage.commitVersion(name, v, CommitMeta(
@@ -352,7 +358,8 @@ final class FeatureStore(
         cur.copy(version = v, rowCount = cur.rowCount + wr.rows, updatedAt = now0,
           versions = cur.versions + (v -> cur.columns),
           segments = cur.segments + (v -> chained),
-          segStats = cur.segStats ++ segStatsOf(v, wr))
+          segStats = cur.segStats ++ segStatsOf(v, wr),
+          versionTimes = cur.versionTimes + (v -> now0))
       }
     }
     val pruned = stampWatermark(prune(meta), watermark)
@@ -522,7 +529,8 @@ final class FeatureStore(
       cur.copy(version = v, rowCount = wr.rows, updatedAt = now0,
         versions = cur.versions + (v -> cur.columns),
         segments = cur.segments + (v -> Seq(v)),
-        segStats = cur.segStats ++ segStatsOf(v, wr))
+        segStats = cur.segStats ++ segStatsOf(v, wr),
+        versionTimes = cur.versionTimes + (v -> now0))
     }
     val pruned = prune(meta)
     catalog.put(pruned)
@@ -692,6 +700,39 @@ final class FeatureStore(
         s"Version $version of table '$name' not found. " +
           s"Available versions: ${meta.versions.keys.mkString(", ")}"))
     storage.readSegments(name, meta.segmentsOf(version), cols)
+  }
+
+  /** TIMESTAMP AS OF time travel: the snapshot that was CURRENT at the
+    * given wall-clock instant — the newest retained version whose
+    * commit time is at or before `timestamp` (Delta's `TIMESTAMP AS
+    * OF`, the companion of the version-addressed [[getVersion]]).
+    * Distinct from [[get]]'s DATA-time cutoff: this axis is when
+    * versions were registered, not what the rows' timestamps say.
+    *
+    * Raises [[FeatureTableNotFoundError]] when the instant predates
+    * every retained version's commit (including versions pruned past
+    * `maxVersions` — same availability as [[getVersion]]). Versions
+    * from catalogs that predate commit-time tracking carry no time and
+    * cannot be addressed on this axis; the error says so.
+    */
+  def getVersionAsOf(name: String, timestamp: Any): DataFrame = {
+    val meta = resolveMeta(name)
+    val cutoff = FeatureStore.normalizeTimestamp(timestamp).getTime
+    val timed = meta.versionTimes.filter { case (v, _) => meta.versions.contains(v) }
+    val hit = timed.filter { case (_, t) => t <= cutoff }.keys.maxOption
+    hit match {
+      case Some(v) => getVersion(name, v)
+      case None =>
+        val range =
+          if (timed.isEmpty)
+            "no retained version has a recorded commit time " +
+              "(catalog predates commit-time tracking)"
+          else
+            s"earliest retained commit is at epoch-millis ${timed.values.min}"
+        throw new FeatureTableNotFoundError(
+          s"Table '$name' has no version committed at or before " +
+            s"$timestamp: $range")
+    }
   }
 
   /** Register the table as session TEMP VIEWS for SQL-first consumers:
@@ -923,7 +964,8 @@ final class FeatureStore(
     val meta = resolveMeta(name)
     meta.versions.keys.toSeq.sorted.map { v =>
       VersionInfo(v, meta.versions(v), meta.segmentsOf(v),
-        isCurrent = v == meta.version)
+        isCurrent = v == meta.version,
+        committedAt = meta.versionTimes.get(v))
     }
   }
 
@@ -1038,6 +1080,7 @@ final class FeatureStore(
       versions = meta.versions -- excess,
       segments = meta.segments -- excess,
       segStats = meta.segStats -- freed,
+      versionTimes = meta.versionTimes -- excess,
       // the prune high-water is what reconciliation uses to tell
       // "pruned" from "committed by a racing writer" — monotone
       prunedThrough = excess.foldLeft(meta.prunedThrough)(math.max))
@@ -1067,6 +1110,8 @@ object FeatureStore {
       segments = (a.segments ++ b.segments ++ hi.segments)
         .filter { case (v, _) => v > pruned },
       segStats = a.segStats ++ b.segStats,
+      versionTimes = (a.versionTimes ++ b.versionTimes)
+        .filter { case (v, _) => v > pruned },
       batchWatermarks = scala.collection.immutable.SortedMap(
         wmKeys.toSeq.map { k =>
           k -> math.max(

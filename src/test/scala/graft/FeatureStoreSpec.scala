@@ -613,6 +613,41 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(reads.get() >= 1, "PIT reads must route through the seam")
   }
 
+  test("getVersionAsOf travels the commit-time axis (TIMESTAMP AS OF)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_timetravel_spec").toString
+    val store = new FeatureStore(spark, root, maxVersions = 2)
+    store.register("t", singleRow(1.0))
+    Thread.sleep(3) // commit times must be distinct across versions
+    store.register("t", singleRow(2.0))
+    Thread.sleep(3)
+    store.register("t", singleRow(3.0)) // v1 pruned (maxVersions = 2)
+
+    val h = store.getTableHistory("t")
+    assert(h.map(_.version) == Seq(2, 3))
+    val times = h.map(v => v.version -> v.committedAt.get).toMap
+    assert(times(2) < times(3), "history must expose strictly ordered commit times")
+
+    def valueAt(millis: Long): Double =
+      store.getVersionAsOf("t", new java.sql.Timestamp(millis))
+        .collect().head.getAs[Double]("val")
+    // exactly at a commit → that version; between commits → the earlier;
+    // far future → current
+    assert(valueAt(times(2)) == 2.0)
+    assert(valueAt(times(3) - 1) == 2.0)
+    assert(valueAt(times(3)) == 3.0)
+    assert(valueAt(times(3) + 1000000) == 3.0)
+    // before every RETAINED commit (v1 pruned): same availability as getVersion
+    intercept[FeatureTableNotFoundError](
+      store.getVersionAsOf("t", new java.sql.Timestamp(times(2) - 1)))
+
+    // commit times persist: a reopened store answers identically
+    val reopened = new FeatureStore(spark, root, maxVersions = 2)
+    assert(reopened.getVersionAsOf("t", new java.sql.Timestamp(times(3) - 1))
+      .collect().head.getAs[Double]("val") == 2.0)
+    intercept[FeatureTableNotFoundError](store.getVersionAsOf("nope", ts("2024-01-01")))
+  }
+
   test("PIT reads skip manifest segments whose min timestamp is after the cutoff") {
     val s = spark
     import s.implicits._
