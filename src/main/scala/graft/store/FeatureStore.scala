@@ -180,20 +180,29 @@ final class FeatureStore(
       reconcileFromLog(name)
       catalog.get(name) match {
         case None =>
-          // fresh table, a re-register over a retired lineage, or a
-          // concurrent creation by a writer whose catalog save hasn't
-          // landed yet — only the first two may (re)start at 1
+          // reconcileFromLog already synthesized any creation whose
+          // catalog save never landed, so still-unknown means: a truly
+          // fresh table, a retired lineage awaiting re-register, or
+          // markers that CANNOT be synthesized (legacy no-cols format)
+          // from a concurrent creation whose save is pending
+          val retiredAt = retiredTableAt(name)
           val committed = storage.committedMeta(name)
-          val retired = RetireLedger.load(root)
-            .exists(e => e.name == name && e.version.isEmpty)
-          if (committed.isEmpty || retired) {
-            // the explicit re-register-only branch: a retired lineage's
-            // log must neither block numbering nor leak into reconcile
-            if (retired && committed.nonEmpty) storage.resetVersionAuthority(name)
-            if (storage.reserveVersion(name, 1)) return (None, 1)
-            // lost the creation race — loop; the winner's save will
-            // surface via adoptDiskMeta/reconcileFromLog
+          val freshLineageMarkers = committed.exists { case (_, cm) =>
+            retiredAt.forall(cm.committedAt > _)
           }
+          if (!freshLineageMarkers) {
+            // truly fresh, or every marker belongs to the retired
+            // lineage: the explicit re-register-only branch — clear the
+            // old log so it neither blocks numbering nor leaks into
+            // reconcile. The gate on marker times means a racing
+            // re-register's already-committed (newer) versions are
+            // NEVER wiped — they synthesize above instead.
+            if (committed.nonEmpty) storage.resetVersionAuthority(name)
+            if (storage.reserveVersion(name, 1)) return (None, 1)
+            // lost the creation race — loop; the winner's commit/save
+            // will surface via reconcileFromLog/adoptDiskMeta
+          }
+          // else: wait for the concurrent creator's catalog save
         case Some(c) =>
           val next = c.version + 1
           val claimed = storage.maxClaimedVersion(name).getOrElse(0)
@@ -211,7 +220,7 @@ final class FeatureStore(
             "vacuum sweeps stale reservations after the grace window) or " +
             "concurrent commits are outpacing this writer")
       Thread.sleep(backoff)
-      backoff = math.min(backoff * 2, 50L)
+      backoff = math.min(backoff * 2, 250L)
     }
     throw new IllegalStateException("unreachable")
   }
@@ -242,6 +251,16 @@ final class FeatureStore(
       }
     }
 
+  /** Latest whole-table retirement time for `name`, if any (a `delete`
+    * records one; re-register + re-delete can stack several — the
+    * newest bounds which commit markers belong to the retired lineage).
+    */
+  private def retiredTableAt(name: String): Option[Long] =
+    RetireLedger.load(root)
+      .filter(e => e.name == name && e.version.isEmpty)
+      .map(_.retiredAt)
+      .maxOption
+
   /** Fold versions committed in the storage's transaction log into the
     * catalog entry — the reconciliation half of multi-writer
     * arbitration. A commit record is adopted when its version is above
@@ -249,32 +268,67 @@ final class FeatureStore(
     * and carries its column list (legacy markers don't; their writers'
     * catalogs know those versions by construction). The newest adopted
     * version advances the pointer and cumulative row count.
+    *
+    * With NO catalog entry at all, cols-bearing commit records
+    * committed AFTER the table's latest retirement (if any) are a
+    * CREATION whose catalog save never landed — the marker is the
+    * commit point, so the entry is SYNTHESIZED from the records rather
+    * than the versions being treated as stranded: readers see the
+    * table, the next writer builds on it, and vacuum spares it. Records
+    * at or before a retirement belong to the retired lineage and are
+    * never resurrected.
     */
   private def reconcileFromLog(name: String): Unit =
-    catalog.get(name).foreach { m =>
-      val addable = storage.committedMeta(name).filter { case (v, cm) =>
-        v > m.prunedThrough && !m.versions.contains(v) && cm.columns.nonEmpty
-      }
-      if (addable.nonEmpty) {
-        val top = addable.keys.max
-        var merged = m.copy(
-          versions = m.versions ++ addable.view.mapValues(_.columns).toSeq,
-          segments = m.segments ++ addable.map { case (v, cm) =>
-            v -> (if (cm.segments.nonEmpty) cm.segments else Seq(v))
-          },
-          segStats = m.segStats ++ addable.toSeq.flatMap { case (v, cm) =>
-            for { lo <- cm.minTsMillis; hi <- cm.maxTsMillis } yield v -> (lo, hi)
-          },
-          versionTimes = m.versionTimes ++ addable.toSeq.collect {
-            case (v, cm) if cm.committedAt > 0 => v -> cm.committedAt
-          })
-        if (top > m.version)
-          merged = merged.copy(
+    catalog.get(name) match {
+      case Some(m) =>
+        val addable = storage
+          .committedMeta(
+            name, skip = v => v <= m.prunedThrough || m.versions.contains(v))
+          .filter { case (_, cm) => cm.columns.nonEmpty }
+        if (addable.nonEmpty) {
+          val top = addable.keys.max
+          var merged = m.copy(
+            versions = m.versions ++ addable.view.mapValues(_.columns).toSeq,
+            segments = m.segments ++ addable.map { case (v, cm) =>
+              v -> (if (cm.segments.nonEmpty) cm.segments else Seq(v))
+            },
+            segStats = m.segStats ++ addable.toSeq.flatMap { case (v, cm) =>
+              for { lo <- cm.minTsMillis; hi <- cm.maxTsMillis } yield v -> (lo, hi)
+            },
+            versionTimes = m.versionTimes ++ addable.toSeq.collect {
+              case (v, cm) if cm.committedAt > 0 => v -> cm.committedAt
+            })
+          if (top > m.version)
+            merged = merged.copy(
+              version = top,
+              rowCount = addable(top).tableRows,
+              updatedAt = math.max(m.updatedAt, addable(top).committedAt))
+          catalog.put(merged)
+        }
+      case None =>
+        val retiredAt = retiredTableAt(name)
+        val records = storage.committedMeta(name).filter { case (_, cm) =>
+          cm.columns.nonEmpty && cm.committedAt > 0 &&
+            retiredAt.forall(cm.committedAt > _)
+        }
+        if (records.nonEmpty) {
+          val top = records.keys.max
+          catalog.put(TableMeta(
+            name,
             version = top,
-            rowCount = addable(top).tableRows,
-            updatedAt = math.max(m.updatedAt, addable(top).committedAt))
-        catalog.put(merged)
-      }
+            rowCount = records(top).tableRows,
+            registeredAt = records.values.map(_.committedAt).min,
+            updatedAt = records.values.map(_.committedAt).max,
+            versions = SortedMap(records.view.mapValues(_.columns).toSeq: _*),
+            segments = SortedMap(records.toSeq.map { case (v, cm) =>
+              v -> (if (cm.segments.nonEmpty) cm.segments else Seq(v))
+            }: _*),
+            segStats = SortedMap(records.toSeq.flatMap { case (v, cm) =>
+              for { lo <- cm.minTsMillis; hi <- cm.maxTsMillis } yield v -> (lo, hi)
+            }: _*),
+            versionTimes =
+              SortedMap(records.view.mapValues(_.committedAt).toSeq: _*)))
+        }
     }
 
   private def stampWatermark(
@@ -436,8 +490,14 @@ final class FeatureStore(
       // genuinely fresh stream restarts at batch 0 < legacy high-water
       // and registers normally (the old silent-skip data-loss path
       // stays dead). The skipped id migrates to the new stream id so
-      // the legacy line is consulted exactly once.
-      val legacyReplay = streamId != CatalogIO.LegacyStreamId && seen.isEmpty &&
+      // the legacy line is consulted exactly once. Batch 0 is EXCLUDED
+      // from the shim: a legacy high-water of 0 is indistinguishable
+      // from a fresh stream's first batch, and when the two collide a
+      // once-duplicated VISIBLE version (the straddling-replay cost)
+      // is the right failure mode — silently losing a fresh stream's
+      // batch 0 is not.
+      val legacyReplay = streamId != CatalogIO.LegacyStreamId && batchId > 0 &&
+        seen.isEmpty &&
         catalog.get(name)
           .flatMap(_.batchWatermarks.get(CatalogIO.LegacyStreamId))
           .contains(batchId)
@@ -905,7 +965,21 @@ final class FeatureStore(
               .filterNot(v => ledgered((t, Some(v))))
               .foreach(v => stranded += RetiredPath(t, Some(v), now))
           case None =>
-            if (!ledgered((t, None))) stranded += RetiredPath(t, None, now)
+            // creation-crash durability: cols-bearing commits newer
+            // than any whole-table retirement are durable even though
+            // no catalog knows the table yet (the marker is the commit
+            // point; reconciliation will surface it) — never strand them
+            val durable = storage.arbitrates && {
+              val retiredAt = ledger
+                .filter(e => e.name == t && e.version.isEmpty)
+                .map(_.retiredAt).maxOption
+              storage.committedMeta(t).exists { case (_, cm) =>
+                cm.columns.nonEmpty && cm.committedAt > 0 &&
+                  retiredAt.forall(cm.committedAt > _)
+              }
+            }
+            if (!durable && !ledgered((t, None)))
+              stranded += RetiredPath(t, None, now)
         }
         // crashed-writer arbitration leftovers (reservations that never
         // committed, orphaned marker tmps) age out under the same grace

@@ -108,11 +108,15 @@ trait VersionStorage {
     * commit point). No-op for catalog-authoritative storage.
     */
   def commitVersion(name: String, version: Int, meta: CommitMeta): Unit = ()
-  /** Commit records of all committed versions, for catalog
-    * reconciliation after racing writers. Empty for
+  /** Commit records of committed versions, for catalog reconciliation
+    * after racing writers; versions matching `skip` are not even parsed
+    * (the retry loop passes the already-absorbed set, so contention
+    * costs O(new markers), not O(history), per iteration). Empty for
     * catalog-authoritative storage.
     */
-  def committedMeta(name: String): Map[Int, CommitMeta] = Map.empty
+  def committedMeta(
+      name: String, skip: Int => Boolean = _ => false): Map[Int, CommitMeta] =
+    Map.empty
   /** Drop any version-authority state of a RETIRED lineage so a
     * delete + re-register can restart numbering at 1 (the explicit
     * re-register-only overwrite branch; called by the store only when

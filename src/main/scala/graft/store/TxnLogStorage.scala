@@ -110,23 +110,33 @@ final class TxnLogStorage(
     }
   }
 
+  /** True when this writer's token is what the reservation file holds.
+    * Single read is sound: the file is written in one create (36-byte
+    * token) and never appended, so a short read can only under-match —
+    * the safe direction (treat as not owned).
+    */
+  private def ownsReservation(name: String, version: Int): Boolean = {
+    val r = reserveFile(name, version)
+    val f = fs(r)
+    try {
+      val in = f.open(r)
+      val buf = new Array[Byte](64)
+      val n = in.read(buf)
+      in.close()
+      n > 0 && new String(buf, 0, n, UTF_8) == writerToken
+    } catch { case _: java.io.IOException => false }
+  }
+
   /** Drop this writer's own reservation (claim whose write/validation
     * failed); verified by token so a vacuum-reclaimed-and-re-claimed
     * number is never stolen back.
     */
-  override def releaseVersion(name: String, version: Int): Unit = {
-    val r = reserveFile(name, version)
-    val f = fs(r)
-    val owned =
-      try {
-        val in = f.open(r)
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        in.close()
-        n > 0 && new String(buf, 0, n, UTF_8) == writerToken
-      } catch { case _: java.io.IOException => false }
-    if (owned) { f.delete(r, false); () }
-  }
+  override def releaseVersion(name: String, version: Int): Unit =
+    if (ownsReservation(name, version)) {
+      val r = reserveFile(name, version)
+      fs(r).delete(r, false)
+      ()
+    }
 
   override def maxClaimedVersion(name: String): Option[Int] = {
     val d = logDir(name)
@@ -159,15 +169,7 @@ final class TxnLogStorage(
   override def commitVersion(name: String, version: Int, meta: CommitMeta): Unit = {
     val reserve = reserveFile(name, version)
     val rf = fs(reserve)
-    val owned =
-      try {
-        val in = rf.open(reserve)
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        in.close()
-        n > 0 && new String(buf, 0, n, UTF_8) == writerToken
-      } catch { case _: java.io.IOException => false }
-    if (!owned)
+    if (!ownsReservation(name, version))
       throw new FeatureConcurrencyError(
         s"commit of '$name' version $version lost its reservation " +
           "(vacuum reclaimed it as crashed, or another writer re-claimed " +
@@ -272,12 +274,14 @@ final class TxnLogStorage(
       .sorted
   }
 
-  /** Full commit records, version → metadata. Markers in the legacy
-    * (pre-arbitration) single-line format parse to a record without
-    * columns, which reconciliation skips — those versions are known to
-    * their writer's catalog by construction.
+  /** Full commit records, version → metadata; `skip`ped versions are
+    * filtered by FILENAME before any file is opened. Markers in the
+    * legacy (pre-arbitration) single-line format parse to a record
+    * without columns, which reconciliation skips — those versions are
+    * known to their writer's catalog by construction.
     */
-  override def committedMeta(name: String): Map[Int, CommitMeta] = {
+  override def committedMeta(
+      name: String, skip: Int => Boolean = _ => false): Map[Int, CommitMeta] = {
     val d = logDir(name)
     val f = fs(d)
     if (!f.exists(d)) return Map.empty
@@ -286,14 +290,16 @@ final class TxnLogStorage(
       .flatMap { p =>
         val n = p.getName
         if (!n.endsWith(".commit")) None
-        else n.stripSuffix(".commit").toIntOption.flatMap { v =>
-          try {
-            val in = f.open(p)
-            val buf = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, true)
-            TxnLogStorage.parse(new String(buf.toByteArray, UTF_8)).map(v -> _)
-          } catch { case _: java.io.IOException => None }
-        }
+        else n.stripSuffix(".commit").toIntOption
+          .filterNot(skip)
+          .flatMap { v =>
+            try {
+              val in = f.open(p)
+              val buf = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, true)
+              TxnLogStorage.parse(new String(buf.toByteArray, UTF_8)).map(v -> _)
+            } catch { case _: java.io.IOException => None }
+          }
       }
       .toMap
   }
@@ -312,7 +318,13 @@ final class TxnLogStorage(
 
   /** Reclaim crashed-writer leftovers: reservations with no commit and
     * orphaned tmp markers older than the threshold. Age-gated on file
-    * mtime so an in-flight writer's fresh claim is never touched.
+    * mtime so an in-flight writer's fresh claim is never touched —
+    * UNDER A NONZERO THRESHOLD. `olderThanMillis = 0` (vacuum's
+    * single-phase mode) sweeps every reservation including a concurrent
+    * writer's in-flight one; that writer's commit then FAILS STOP (the
+    * ownership re-check aborts it — no silent clobber is possible), so
+    * zero-grace vacuum keeps its documented contract: offline
+    * maintenance or tests, never alongside live writers.
     */
   override def sweepUncommitted(name: String, olderThanMillis: Long): Unit = {
     val d = logDir(name)

@@ -162,6 +162,59 @@ class ArbitrationSpec extends AnyFunSuite with SparkTestBase {
       .map(_.getAs[Double]("val")).toSeq == Seq(2.0))
   }
 
+  test("a table CREATION whose catalog save never landed is synthesized from the log") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_arb_creation_spec").toString
+    val io = new DroppingCatalogIO
+    io.drop = true
+    val a = newStore(root, catalogIO = io)
+    a.register("t", singleRow(1.0)) // marker lands; NO catalog save ever
+    io.drop = false
+
+    // vacuum from a store that knows nothing must spare the committed
+    // data: the marker is the commit point, not the catalog save
+    val bystander = newStore(root)
+    bystander.vacuum(graceMillis = 0)
+    bystander.vacuum(graceMillis = 0) // second pass would delete a ledgered path
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "t", "v=1")),
+      "a committed creation must never be stranded/reclaimed")
+
+    // readers synthesize the entry from the commit record on miss...
+    assert(bystander.getTableInfo("t").version == 1)
+    assert(bystander.getVersion("t", 1).collect()
+      .map(_.getAs[Double]("val")).toSeq == Seq(1.0))
+    // ...and the next writer builds on it instead of wedging or clobbering
+    val fresh = newStore(root)
+    assert(fresh.register("t", singleRow(2.0)).version == 2)
+    assert(fresh.getVersion("t", 1).collect()
+      .map(_.getAs[Double]("val")).toSeq == Seq(1.0))
+  }
+
+  test("a racing re-register's committed-but-unsaved lineage is never wiped by reset") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_arb_reset_race_spec").toString
+    val io = new DroppingCatalogIO
+    val a = newStore(root, catalogIO = io)
+    a.register("t", singleRow(1.0))
+    assert(a.delete("t")) // retired lineage, markers await vacuum
+    Thread.sleep(3) // marker times must clearly exceed the retirement time
+    io.drop = true
+    a.register("t", singleRow(9.0)) // re-register: v1 of the NEW lineage commits, save dropped
+    io.drop = false
+
+    // writer B arrives in exactly the commit→save window: it must adopt
+    // A's committed v1 (newer than the retirement) — NOT treat the log
+    // as the retired lineage, reset it, and clobber v1
+    val b = newStore(root)
+    assert(b.register("t", singleRow(2.0)).version == 2,
+      "B must build on A's committed re-register, not restart at v1")
+    assert(b.getVersion("t", 1).collect()
+      .map(_.getAs[Double]("val")).toSeq == Seq(9.0),
+      "A's committed version must survive B's concurrent register")
+    assert(b.getVersion("t", 2).collect()
+      .map(_.getAs[Double]("val")).toSeq == Seq(2.0))
+  }
+
   test("arbitrated lineage restart: delete + re-register begins at v1 with a clean log") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_arb_restart_spec").toString

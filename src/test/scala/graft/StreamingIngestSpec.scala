@@ -151,6 +151,17 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(store.registerBatch("t", row("u4", "2024-01-04", 4.0), 0L, "query-B").isDefined)
     assert(store.getTableInfo("t").version == 4)
 
+    // batch 0 is excluded from the shim even on exact match: a legacy
+    // high-water of 0 is indistinguishable from a fresh stream's first
+    // batch, and a visible duplicate beats silent loss
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_upgrade_zero_spec").toString
+    val s2 = new FeatureStore(s, root2)
+    assert(s2.registerBatch("z", row("u1", "2024-01-01", 1.0), 0L).isDefined)
+    assert(s2.registerBatch("z", row("u9", "2024-01-09", 9.0), 0L, "query-C").isDefined,
+      "a fresh stream's batch 0 must register even when the legacy high-water is 0")
+    assert(s2.getTableInfo("z").version == 2)
+
     // persistence: a reopened store (driver restart) still skips a
     // crash-recovery replay of query-A's LAST batch via its own line
     val reopened = new FeatureStore(s, root)

@@ -21,6 +21,7 @@ or missing pairing data on BOTH sides (the gate needs at least one).
 Dev-only tool, mirrored after tools/time_oracle.py's pairing discipline:
 never judge an unpaired ratio.
 """
+import argparse
 import json
 import subprocess
 import sys
@@ -41,21 +42,20 @@ def load_committed(path):
 
 
 def main(argv):
-    args = [a for a in argv if not a.startswith("--")]
-    opts = {a.split("=")[0]: a for a in argv if a.startswith("--")}
-
-    def opt_float(name, default):
-        a = opts.get(name)
-        return float(a.split("=")[1]) if a else default
-
-    tol = opt_float("--tol", 0.30)        # engine growth tolerance
-    min_sec = opt_float("--min-sec", 0.20)  # ignore dispatch-noise floor
-    if len(args) < 1:
-        print(__doc__, file=sys.stderr)
-        return 2
-    with open(args[0]) as f:
+    p = argparse.ArgumentParser(
+        description="Artifact-relative perf gate (see module docstring)")
+    p.add_argument("fresh", help="fresh bench_out.json to judge")
+    p.add_argument("committed", nargs="?", default=None,
+                   help="baseline artifact (default: HEAD:bench_out.json)")
+    p.add_argument("--tol", type=float, default=0.30,
+                   help="engine growth tolerance (default 0.30 = +30%%)")
+    p.add_argument("--min-sec", type=float, default=0.20, dest="min_sec",
+                   help="ignore queries under this dispatch-noise floor")
+    ns = p.parse_args(argv)
+    tol, min_sec = ns.tol, ns.min_sec
+    with open(ns.fresh) as f:
         fresh = json.load(f)
-    committed, base_name = load_committed(args[1] if len(args) > 1 else None)
+    committed, base_name = load_committed(ns.committed)
 
     fq, cq = fresh["queries"], committed["queries"]
     fo = fresh.get("paired_oracle_queries") or {}
@@ -97,7 +97,7 @@ def main(argv):
 
     missing = sorted(set(cq) - set(fq))
     total_new, total_old = fresh["value"], committed["value"]
-    print(f"compare_bench: fresh {args[0]} ({total_new:.2f}s) vs "
+    print(f"compare_bench: fresh {ns.fresh} ({total_new:.2f}s) vs "
           f"{base_name} ({total_old:.2f}s), {len(shared)} shared queries, "
           f"tol {tol:.0%}, floor {min_sec}s")
     if inflated:
