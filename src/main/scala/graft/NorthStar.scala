@@ -828,6 +828,20 @@ object NorthStar {
         .select(col("doc_id"), col("source"), col("n_hit_grams"), col("keep"))
         .orderBy("doc_id")),
 
+    // the 100 TB decontamination shape: bloom-filter prefilter (one
+    // ~8MB broadcastable filter instead of a multi-GB eval-gram
+    // hashmap) + exact verify join over the candidate sliver — bit-
+    // identical to the exact variant, certified against the same kind
+    // of full SQL oracle at n=3
+    "decontaminate_bloom" -> ((s, dir) =>
+      TextAnalysis
+        .decontaminateBloom(
+          docs(s, dir).filter(col("source") =!= "src19"),
+          docs(s, dir).filter(col("source") === "src19"),
+          n = 3)
+        .select(col("doc_id"), col("source"), col("n_hit_grams"), col("keep"))
+        .orderBy("doc_id")),
+
     // k-NN majority-label vote over exact cosine neighbors — the
     // embedding-space classifier / label-quality probe
     "knn_label_vote" -> ((s, dir) =>
@@ -2509,6 +2523,34 @@ object NorthStar {
         |  SELECT doc_id,
         |         unnest(list_distinct(list_transform(generate_series(1, len(toks) - 3),
         |                   i -> array_to_string(toks[i:i+3], ' ')))) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE source != 'src19')
+        |),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM tg JOIN ev USING (gram) GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.source,
+        |       coalesce(h.n_hit, 0) AS n_hit_grams,
+        |       coalesce(h.n_hit, 0) = 0 AS keep
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.source != 'src19'
+        |ORDER BY doc_id""".stripMargin,
+
+    // the bloom path must reproduce the EXACT n-gram semantics (the
+    // filter only prefilters; the verify join restores exactness), so
+    // its oracle is the same full set-intersection SQL at n=3
+    "decontaminate_bloom" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(toks) - 2),
+        |                   i -> array_to_string(toks[i:i+2], ' '))) AS gram
+        |  FROM (SELECT string_split(text, ' ') AS toks
+        |        FROM documents WHERE source = 'src19')
+        |),
+        |tg AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |                   i -> array_to_string(toks[i:i+2], ' ')))) AS gram
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
         |        FROM documents WHERE source != 'src19')
         |),

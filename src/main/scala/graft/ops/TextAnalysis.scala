@@ -378,6 +378,69 @@ object TextAnalysis {
       .drop("_n_hit")
   }
 
+  /** [[decontaminate]] with a BLOOM-FILTER prefilter — the shape that
+    * survives a large eval suite at 100 TB. The exact variant
+    * broadcasts the full distinct eval-gram set as a join hashmap; at
+    * tens of millions of grams that broadcast is gigabytes per
+    * executor. Here the eval grams aggregate into ONE bloom filter
+    * (~`numBits/8` bytes total, a single-row driver materialization
+    * bounded by the filter size, never by gram count) whose
+    * `might_contain` probe runs inside whole-stage codegen on the
+    * corpus scan — no join, no shuffle — and only the surviving
+    * CANDIDATE grams proceed to the exact verify join. Bloom filters
+    * have false positives only, and the verify join removes exactly
+    * those, so the result is bit-identical to [[decontaminate]]: the
+    * approximation buys memory and shuffle volume, never correctness.
+    * The verify join is left to the planner: its input is the
+    * candidate set (true hits + FP rate of the corpus grams), so it
+    * shuffles a sliver of the corpus instead of broadcasting the eval
+    * suite.
+    *
+    * `expectedGrams`/`numBits` size the filter (default ≈19 bits/gram
+    * ⇒ well under 1% FP at the default capacity); both are capped by
+    * Spark's `bloomFilter.maxNumBits` conf on the aggregate side.
+    * Built entirely from Catalyst's own bloom expressions
+    * (`BloomFilterAggregate`/`BloomFilterMightContain` — the runtime
+    * row-level-filtering machinery) over the public `xxhash64`; no
+    * UDFs anywhere.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      n: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      expectedGrams: Long = 3500000L,
+      numBits: Long = 67108864L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.bridge
+    val evalGrams = evalSet
+      .select(explode(wordNgrams(col(textCol), n)).as("_gram"))
+      .distinct()
+    val bloomAgg = bridge.column(
+      new BloomFilterAggregate(
+        bridge.expression(xxhash64(col("_gram"))),
+        Literal(expectedGrams),
+        Literal(numBits)).toAggregateExpression())
+    val bloom = evalGrams.select(bloomAgg.as("_bf")).head().getAs[Array[Byte]](0)
+    val mightContain = bridge.column(
+      BloomFilterMightContain(
+        Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+        bridge.expression(xxhash64(col("_gram")))))
+    val hits = corpus
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("_gram"))
+      .filter(mightContain) // codegen'd probe: no join, no shuffle, FPs only
+      .join(evalGrams, "_gram") // exact verify over the candidate sliver
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n_hit"))
+    corpus
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hit_grams", coalesce(col("_n_hit"), lit(0L)))
+      .withColumn("keep", col("n_hit_grams") === 0L)
+      .drop("_n_hit")
+  }
+
   /** Exact-substring duplicate spans — the "deduplicating training data"
     * primitive at span granularity: every `width`-token window (taken
     * every `stride` tokens) is content-hashed, and windows whose hash

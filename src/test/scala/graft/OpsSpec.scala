@@ -204,6 +204,31 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSet.subsetOf(allPairs))
   }
 
+  test("decontaminateBloom is bit-identical to the exact decontaminate") {
+    val s = spark
+    import s.implicits._
+    val eval = Seq(
+      (100L, "held out question one two three"),
+      (101L, "another secret benchmark passage here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "totally clean document with fresh words"),
+      (2L, "contains question one two three inside"), // overlaps eval 100
+      (3L, "secret benchmark passage here verbatim"), // overlaps eval 101
+      (4L, "short one"), // shorter than any n-gram
+      (5L, "question one two three question one two three")) // repeated overlap
+      .toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 4)) {
+      val exact = TextAnalysis.decontaminate(corpus, eval, n)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      // a tiny filter forces a realistic bits/item ratio; FPs may enter
+      // the candidate set but the verify join must remove every one
+      val bloom = TextAnalysis.decontaminateBloom(
+        corpus, eval, n, expectedGrams = 64L, numBits = 1024L)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(bloom == exact, s"bloom path diverged at n=$n")
+    }
+  }
+
   test("duplicateSpans reports cross-document repeated windows only") {
     val s = spark
     import s.implicits._
