@@ -80,6 +80,28 @@ object TextAnalysisProps extends Properties("TextAnalysis") {
     got == want
   }
 
+  property("decontaminateBloom equals exact decontaminate on random splits") =
+    forAll(genDocs, Gen.choose(2, 4)) { (docs, n) =>
+      // random corpus/eval split: small vocab ("a","b","c","dd","e1")
+      // makes cross-doc n-gram overlap dense; odd splits also produce
+      // EMPTY eval sets and eval docs shorter than any n-gram — the
+      // null-bloom edge must behave (no grams = nothing contaminated)
+      val (corpusDocs, evalDocs) = docs.partition(_._1 % 3 != 0)
+      if (corpusDocs.isEmpty) true
+      else {
+        val exact = TextAnalysis
+          .decontaminate(toDF(corpusDocs), toDF(evalDocs), n)
+          .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        // undersized filter (32 items / 512 bits) forces real false
+        // positives; the verify join must remove every one
+        val bloom = TextAnalysis
+          .decontaminateBloom(toDF(corpusDocs), toDF(evalDocs), n,
+            expectedGrams = 32L, numBits = 512L)
+          .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        bloom == exact
+      }
+    }
+
   property("duplicateSpans equals sequential window-hash model") = forAll(genDocs) { docs =>
     val width = 3; val stride = 2
     // model: hash every width-token window at stride positions, count
