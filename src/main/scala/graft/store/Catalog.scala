@@ -141,10 +141,18 @@ final class Catalog {
   * granularity (tables this session never touched are preserved, tables
   * in `removed` are dropped), so two single-writer-per-table sessions
   * sharing a root don't clobber each other's tables. Concurrent writers
-  * of the SAME table are detected by [[FeatureStore.register]]'s
-  * version check and rejected — serializing them properly needs a real
-  * metastore/lock service, which is out of scope by the reference's
-  * zero-infrastructure stance.
+  * of the SAME table: over the default [[Storage]] they are detected by
+  * [[FeatureStore.register]]'s version check and rejected
+  * (single-writer contract, per the reference's zero-infrastructure
+  * stance); over an ARBITRATING storage ([[TxnLogStorage]]) they are
+  * serialized properly by the transaction log's reserve/commit
+  * protocol, with same-table saves racing last-writer-wins and the log
+  * reconciling any version a lost save dropped. The one multi-writer
+  * operation NOT arbitrated is whole-table DELETE racing a concurrent
+  * register: deletion does not go through the log, so a writer holding
+  * a pre-delete snapshot can commit one more version and resurrect the
+  * table (routing delete through the log as a tombstone commit is the
+  * named next step).
   */
 /** The catalog persistence seam: [[FeatureStore]] performs every durable
   * catalog read/write through this interface, so tests can interpose

@@ -1056,6 +1056,13 @@ final class FeatureStore(
     * as the reference's returned pandas copies survive deletion
     * (store.py:393-396). [[vacuum]] reclaims the files after the grace
     * window.
+    *
+    * Multi-writer caveat (arbitrating storage): deletion is NOT a
+    * logged commit, so a concurrent register racing the delete from
+    * another session can land one more version and resurrect the table
+    * — the one unarbitrated cross-writer operation (see the stance doc
+    * on [[CatalogPersistence]]). Coordinate deletes out of band, or
+    * re-check `tableNames` after quiescing writers.
     */
   def delete(name: String): Boolean = this.synchronized {
     // over an arbitrating storage another writer may have created the
