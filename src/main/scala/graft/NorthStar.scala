@@ -698,6 +698,17 @@ object NorthStar {
     "dedup_embedding" -> ((s, dir) =>
       Similarity.cosineNearDupPairsAuto(emb(s, dir), threshold = 0.4)
         .orderBy("id_a", "id_b")),
+    // SemDeDup (cluster-then-prune): candidate pairs only WITHIN a
+    // deterministic coarse cluster — the shape that replaces the n²
+    // pair join at corpus scale; min-id survivor policy. dup_of is
+    // -1 for keepers in the oracle-facing shape (the library API
+    // returns null; the driver compare hashes raw cell values, where
+    // a null/NaN cell is not self-equal)
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(emb(s, dir), threshold = 0.4, numCentroids = 16)
+        .select(col("vec_id"), col("cluster"), col("is_dup"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+        .orderBy("vec_id")),
     "ann_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), AnnQueryIds, k = 3)
         .orderBy("query_id", "rank")),
@@ -724,6 +735,15 @@ object NorthStar {
         .ivfTopKWith(
           emb(s, dir), learnedCentroids(s, dir),
           AnnQueryIds, k = 3, nProbe = 4)
+        .orderBy("query_id", "rank")),
+
+    // product-quantization ADC path — the MEMORY answer at corpus
+    // scale (codes are ~32x smaller than raw vectors); deterministic
+    // seed codebooks + exact re-scoring of the candidate sliver, so
+    // the full encode→ADC→rescore pipeline is oracle-SQL-expressible
+    "ann_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(emb(s, dir), AnnQueryIds, k = 3, m = 8,
+        codebookSize = 16, candidateFactor = 8)
         .orderBy("query_id", "rank")),
 
     // ---- multimodal plumbing ----
@@ -2142,6 +2162,52 @@ object NorthStar {
         |         / (a.nrm * b.nrm) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // cluster assignment mirrors Similarity.semanticDedup exactly: seed
+    // centroids = first 16 vectors in id order (ivfCentroids), argmax
+    // dot with FIRST-best ties (row_number s DESC, c ASC); candidate
+    // pairs only within a cluster; min-id survivor
+    "dedup_semantic" ->
+      """WITH cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+        |         embedding AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 16
+        |),
+        |v AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |cscore AS (
+        |  SELECT v.vec_id, ct.c,
+        |         list_sum(list_transform(list_zip(v.embedding, ct.cv),
+        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS s
+        |  FROM v CROSS JOIN cents ct
+        |),
+        |assign AS (
+        |  SELECT vec_id, c AS cluster FROM (
+        |    SELECT vec_id, c,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+        |    FROM cscore) WHERE rn = 1
+        |),
+        |av AS (
+        |  SELECT a.vec_id, a.cluster, v.embedding, v.nrm
+        |  FROM assign a JOIN v USING (vec_id)
+        |),
+        |dups AS (
+        |  SELECT b.vec_id, min(a.vec_id) AS dup_of
+        |  FROM av a JOIN av b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |          / (a.nrm * b.nrm) >= 0.4
+        |  GROUP BY b.vec_id
+        |)
+        |SELECT av.vec_id, av.cluster, d.dup_of IS NOT NULL AS is_dup,
+        |       COALESCE(d.dup_of, -1) AS dup_of
+        |FROM av LEFT JOIN dups d ON av.vec_id = d.vec_id
+        |ORDER BY av.vec_id""".stripMargin,
+
     "ann_cosine_topk" ->
       """WITH v AS (
         |  SELECT vec_id, embedding,
@@ -2352,6 +2418,98 @@ object NorthStar {
         |         CAST(row_number() OVER (PARTITION BY query_id
         |              ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
         |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, score, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Similarity.pqTopK exactly: codebooks = subvectors of the
+    // first 16 vectors in id order (8 subspaces x 8 dims over the
+    // 64-dim contract); encode = argmin squared-L2 per subspace (ties
+    // -> lowest code, matching the expression's strict <); ADC =
+    // sum over s-ordered lookups / reconstruction norm; top 24 by
+    // (adc DESC, id ASC) re-scored exactly, final top 3
+    "ann_pq_topk" ->
+      """WITH seed AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+        |         embedding AS sv
+        |  FROM embeddings ORDER BY vec_id LIMIT 16
+        |),
+        |cb AS (
+        |  SELECT CAST(s.i AS INT) AS s, c,
+        |         list_slice(sv, CAST(s.i AS INT) * 8 + 1, CAST(s.i AS INT) * 8 + 8) AS w
+        |  FROM seed CROSS JOIN range(0, 8) s(i)
+        |),
+        |cbn AS (
+        |  SELECT s, c,
+        |         list_sum(list_transform(w,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+        |  FROM cb
+        |),
+        |dist AS (
+        |  SELECT e.vec_id, cb.s, cb.c,
+        |         list_sum(list_transform(
+        |              list_zip(list_slice(e.embedding, cb.s * 8 + 1, cb.s * 8 + 8), cb.w),
+        |              x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |                 * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+        |  FROM embeddings e CROSS JOIN cb
+        |),
+        |enc AS (
+        |  SELECT vec_id, s, c AS code FROM (
+        |    SELECT vec_id, s, c,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) AS rn
+        |    FROM dist) WHERE rn = 1
+        |),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+        |  FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)
+        |),
+        |lut AS (
+        |  SELECT q.query_id, cb.s, cb.c,
+        |         list_sum(list_transform(
+        |              list_zip(list_slice(q.qv, cb.s * 8 + 1, cb.s * 8 + 8), cb.w),
+        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS ld
+        |  FROM q CROSS JOIN cb
+        |),
+        |adc AS (
+        |  SELECT l.query_id, e.vec_id AS neighbor_id,
+        |         list_sum(list(l.ld ORDER BY e.s))
+        |           / sqrt(list_sum(list(n.nsq ORDER BY e.s))) AS adc
+        |  FROM enc e
+        |  JOIN lut l ON l.s = e.s AND l.c = e.code
+        |  JOIN cbn n ON n.s = e.s AND n.c = e.code
+        |  WHERE e.vec_id != l.query_id
+        |  GROUP BY 1, 2
+        |),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                ORDER BY adc DESC, neighbor_id ASC) AS rn
+        |    FROM adc) WHERE rn <= 24
+        |),
+        |v AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |exact AS (
+        |  SELECT cd.query_id, cd.neighbor_id,
+        |         list_sum(list_transform(list_zip(q.qv, v.embedding),
+        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |           / (q.qn * v.nrm) AS score
+        |  FROM cand cd
+        |  JOIN q ON q.query_id = cd.query_id
+        |  JOIN v ON v.vec_id = cd.neighbor_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM exact
         |)
         |SELECT query_id, neighbor_id, score, rank
         |FROM ranked WHERE rank <= 3

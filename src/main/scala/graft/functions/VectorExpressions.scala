@@ -338,3 +338,120 @@ object FloatVectorHyperplaneSignature {
   def apply(v: Column, matrix: Array[Array[Double]]): Column =
     bridge.column(FloatVectorHyperplaneSignature(bridge.expression(v), matrix))
 }
+
+/** Product-quantization encoder: the child vector is split into
+  * `codebooks.length` contiguous subvectors and each is assigned the
+  * index of its nearest codeword by squared L2 distance (strict `<`
+  * keeps the FIRST best on ties — lowest code index, the same
+  * convention as [[FloatVectorArgmaxDot]]). Output: `array<int>` of one
+  * code per subspace — m·log2(ks) bits of index state per vector, the
+  * memory shape that lets a 100 TB corpus's ANN index live in RAM.
+  *
+  * Determinism contract: each distance is the strict left-to-right
+  * fold of `(widen(v[off+i]) - w[i])²` over the subspace dimensions —
+  * exactly DuckDB's `list_sum(list_transform(list_zip(list_slice(...), w),
+  * x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (...)))`, so
+  * codes are bit-identical to the SQL oracle's.
+  *
+  * `codebooks(s)(c)` = codeword `c` of subspace `s`; all subspaces must
+  * hold the same codeword count and width (validated at construction).
+  * Vectors shorter than m·subDim read missing elements as 0 (the
+  * min-length guard below) — callers pass uniform-width embeddings.
+  */
+case class FloatVectorPqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "codebooks must hold at least one subspace with at least one codeword")
+  require(codebooks.forall(_.length == codebooks(0).length),
+    "all subspaces must hold the same codeword count")
+  require(codebooks.forall(_.forall(_.length == codebooks(0)(0).length)),
+    "all codewords must share one subspace width")
+
+  private def subDim: Int = codebooks(0)(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      val words = codebooks(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < words.length) {
+        val w = words(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = (if (off + i < v.numElements()) v.getFloat(off + i).toDouble else 0.0) - w(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { best = c; bestD = d }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, vec => {
+      val cb = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      s"""
+         |final int[] $codes = new int[$cb.length];
+         |for (int $s = 0; $s < $cb.length; $s++) {
+         |  final int $off = $s * $subDim;
+         |  final double[][] _words = $cb[$s];
+         |  int $best = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < _words.length; $c++) {
+         |    final double[] _w = _words[$c];
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      final double $x =
+         |        (($off + $i < $vec.numElements()) ? (double) $vec.getFloat($off + $i) : 0.0)
+         |          - _w[$i];
+         |      $d += $x * $x;
+         |    }
+         |    if ($d < $bestD) { $best = $c; $bestD = $d; }
+         |  }
+         |  $codes[$s] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FloatVectorPqEncode {
+  def apply(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    bridge.column(FloatVectorPqEncode(bridge.expression(v), codebooks))
+}

@@ -537,6 +537,162 @@ object Similarity extends Serializable {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): assign every vector to a
+    * deterministic coarse cluster ([[ivfCentroids]] seed scored by the
+    * codegen'd argmax kernel), generate candidate pairs ONLY within a
+    * cluster, and mark a vector a duplicate when a LOWER-id vector in
+    * its cluster is cosine-similar at `threshold` or above — the min-id
+    * survivor policy, the same deterministic convention as
+    * [[graft.ops.Dedup]]'s survivor selection. One row per vector:
+    * (vec_id, cluster, is_dup, dup_of), dup_of = the smallest similar
+    * lower id (null for keepers).
+    *
+    * Scale shape: one corpus scan for assignment (k·d centroid doubles
+    * broadcast inside the expression, argmax in whole-stage codegen),
+    * then ONE shuffle co-locates each cluster and the pair join runs
+    * per cluster — pair cardinality is Σ|cluster|², set by the cluster
+    * granularity, never the corpus n². numCentroids should grow ~√n
+    * (the paper's regime, ~n^1.5/k expected pair work); past ~10⁴
+    * centroids swap the embedded-matrix argmax for a join-based
+    * assignment. Exact cosine on candidates only, same widen-then-fold
+    * arithmetic as [[cosineNearDupPairs]], so the output is
+    * bit-reproducible against the SQL oracle.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      threshold: Double,
+      numCentroids: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(emb, numCentroids, idCol, vecCol)
+    val fv = col(vecCol).cast("array<float>")
+    val assigned = emb.select(
+      col(idCol).cast("long").as("vec_id"),
+      fv.as("_v"),
+      graft.functions.FloatVectorArgmaxDot(fv, cents).as("cluster"),
+      sqrt(dotFast(col(vecCol), col(vecCol))).as("_nrm"))
+    val left = assigned.select(
+      col("cluster"), col("vec_id").as("id_a"),
+      col("_v").as("_va"), col("_nrm").as("_na"))
+    val right = assigned.select(
+      col("cluster"), col("vec_id").as("id_b"),
+      col("_v").as("_vb"), col("_nrm").as("_nb"))
+    val dups = left.join(right, "cluster")
+      .filter(col("id_a") < col("id_b") &&
+        dotFast(col("_va"), col("_vb")) / (col("_na") * col("_nb")) >= threshold)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
+  /** Product-quantization approximate top-k (Jégou, Douze, Schmid 2011,
+    * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI):
+    * the corpus is compressed to `m` sub-codeword indices per vector
+    * ([[graft.functions.FloatVectorPqEncode]], codegen'd), queries score
+    * candidates by ASYMMETRIC DISTANCE COMPUTATION — per query a small
+    * (m × ks) lookup table of query-subvector · codeword dots, so an
+    * approximate score is m table lookups instead of d multiplies — and
+    * the top `candidateFactor·k` by ADC are re-scored EXACTLY before the
+    * final cut, so emitted scores are true cosines.
+    *
+    * Codebooks are the deterministic seed family of the house
+    * ([[ivfCentroids]] convention): codeword c of subspace s = the s-th
+    * subvector of the c-th vector in id order — reproducible anywhere,
+    * which is what lets the whole encode→ADC→rescore pipeline
+    * hash-match a SQL oracle; recall vs [[bruteForceTopK]] is measured
+    * separately in the test suite (k-means-refined codebooks would drop
+    * in here exactly as [[ivfCentroidsKMeans]] does for IVF).
+    *
+    * Scale shape — the MEMORY answer to 100 TB ANN: codes are
+    * m·log₂(ks) bits per vector (64 bits here vs 64·32 for raw floats),
+    * so the searchable index is ~32× smaller than the corpus and stays
+    * in executor memory after one encode pass; the full-width vectors
+    * are touched only for the candidateFactor·k re-score sliver. The
+    * ADC join broadcasts |Q| rows of (m·ks) LUT doubles; corpus-side
+    * work is one codegen'd encode + m lookups per (query, vector), no
+    * shuffle until the per-query top-k window. Compose with the IVF
+    * list routing ([[allPairsTopKIvf]]) for IVF-PQ when the query set
+    * is the corpus itself.
+    */
+  def pqTopK(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      m: Int = 8,
+      codebookSize: Int = 16,
+      candidateFactor: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val typed = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+    val seed = typed.orderBy(col(idCol)).limit(codebookSize).collect()
+    require(seed.nonEmpty, "pqTopK needs a non-empty corpus")
+    val dims = seed.head._2.length
+    require(dims % m == 0, s"embedding width $dims not divisible by m=$m subspaces")
+    val subDim = dims / m
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m, seed.length) { (s, c) =>
+        val v = seed(c)._2
+        Array.tabulate(subDim)(i => v(s * subDim + i).toDouble)
+      }
+    // per-query ADC lookup tables, driver-built: |Q|·m·ks doubles
+    val qset = queryIds.toSet
+    val lutRows = typed.filter(r => qset.contains(r._1)).collect().sortBy(_._1)
+      .map { case (qid, qv) =>
+        val qd = qv.map(_.toDouble)
+        val lut = Seq.tabulate(m, seed.length) { (s, c) =>
+          val w = codebooks(s)(c)
+          var acc = 0.0; var i = 0
+          while (i < subDim) { acc += qd(s * subDim + i) * w(i); i += 1 }
+          acc
+        }.map(_.toSeq)
+        val nsq = Seq.tabulate(m, seed.length) { (s, c) =>
+          val w = codebooks(s)(c)
+          var acc = 0.0; var i = 0
+          while (i < subDim) { acc += w(i) * w(i); i += 1 }
+          acc
+        }.map(_.toSeq)
+        var qn = 0.0; var i = 0
+        while (i < qd.length) { qn += qd(i) * qd(i); i += 1 }
+        (qid, lut, nsq, qv, math.sqrt(qn))
+      }.toSeq
+    val q = lutRows.toDF("query_id", "_lut", "_nsq", "_qv", "_qn")
+    val fv = col(vecCol).cast("array<float>")
+    val corpus = emb.select(
+      col(idCol).cast("long").as("neighbor_id"),
+      fv.as("_v"),
+      sqrt(dotFast(col(vecCol), col(vecCol))).as("_nrm"),
+      graft.functions.FloatVectorPqEncode(fv, codebooks).as("_codes"))
+    // ADC = Σ_s lut[s][code_s], folded in subspace order (bit-identical
+    // to the oracle's list_sum over an s-ordered list); approximate
+    // cosine divides by the reconstruction norm √Σ_s ‖w(code_s)‖²
+    def lutSum(lutCol: Column): Column =
+      aggregate(
+        zip_with(col("_codes"), lutCol, (code, row) => element_at(row, code + lit(1))),
+        lit(0.0), (acc, x) => acc + x)
+    val scored = corpus.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("_adc", lutSum(col("_lut")) / sqrt(lutSum(col("_nsq"))))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adc").desc, col("neighbor_id").asc)
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("_crank", row_number().over(wCand))
+      .filter(col("_crank") <= k * candidateFactor)
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (dotFast(col("_qv"), col("_v")) / (col("_qn") * col("_nrm"))).as("score"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic random-hyperplane signature: `numPlanes` sign bits,
     * plane p's weight for dimension d derived from md5(p:d) mapped to
     * [-1, 1). Returns (id, bucket) where bucket packs the sign bits.
