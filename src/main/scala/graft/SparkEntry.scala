@@ -174,6 +174,28 @@ object SparkEntry {
       ()
     }
 
+  /** The SCHEMA-EVOLUTION twin of [[appendStore]]: version 1 registers
+    * the pre-cutoff events WITHOUT `props`, version 2 append-registers
+    * the post-cutoff rows WITH it (`mergeSchema = true`) — the chained
+    * read must pad the pre-cutoff segment's `props` with typed nulls
+    * and be value-identical to plain SQL that nulls `props` before the
+    * cutoff. Exercises the catalog's column-type record through the
+    * driver gate.
+    */
+  private val evolveStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def evolveStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(evolveStores, s, dir, "graft_store_evo_v1") { (store, feats) =>
+      store.delete("events")
+      val cutoff = lit(utcTs("2024-01-10 00:00:00"))
+      store.register("events",
+        feats.filter(col("timestamp") < cutoff).drop("props"))
+      store.registerAppend("events",
+        feats.filter(col("timestamp") >= cutoff), mergeSchema = true)
+      ()
+    }
+
   /** MULTI-WRITER build of the events table: three time spans land via
     * TWO independent [[graft.store.FeatureStore]] instances on one
     * transaction-log root — writer A registers the head, writer B (a
@@ -467,6 +489,15 @@ object SparkEntry {
         .get("events", PitIds, "2024-01-09 12:00:00")
         .orderBy("entity_id")),
 
+    // SCHEMA-EVOLUTION roundtrip: version 2 added `props` via a
+    // merge-schema append; the PIT read spans both segments, padding
+    // the pre-evolution one with typed nulls — against an oracle that
+    // nulls props before the evolution cutoff
+    "store_evolve_roundtrip" -> ((s, dir) =>
+      evolveStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
+
     // MULTI-WRITER roundtrip: the table was built by two store
     // instances interleaving register/append on one txn-log root
     // (arbitration + cross-writer adoption); the read must be
@@ -682,6 +713,18 @@ object SparkEntry {
 
     // ...and so must the transaction-log adapter behind the seam
     "store_txnlog_roundtrip" -> EventsPitOracle,
+
+    // merge-schema evolution: rows from the pre-evolution segment read
+    // `props` as NULL (the engine pads them from the catalog's type
+    // record); everything else matches the plain PIT oracle
+    "store_evolve_roundtrip" ->
+      s"""SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value,
+         |       CASE WHEN ts < TIMESTAMP '2024-01-10 00:00:00' THEN NULL
+         |            ELSE props END AS props
+         |FROM events
+         |WHERE ts <= TIMESTAMP '$PitAsOf' AND user_id IN $PitIdsSql
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         |ORDER BY entity_id""".stripMargin,
 
     // segment-skipped chained-manifest read ≡ full-scan SQL at the
     // same (earlier) cutoff

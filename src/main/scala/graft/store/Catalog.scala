@@ -77,7 +77,16 @@ final case class TableMeta(
     // per-VERSION commit wall-clock (epoch millis) — the TIMESTAMP AS OF
     // axis ([[FeatureStore.getVersionAsOf]]). Absent for versions
     // written before commit-time tracking existed.
-    versionTimes: SortedMap[Int, Long] = SortedMap.empty) {
+    versionTimes: SortedMap[Int, Long] = SortedMap.empty,
+    // Spark DDL type per column EVER registered to the table — the
+    // schema authority that lets chained-manifest reads pad segments
+    // written before a column existed with correctly-TYPED nulls
+    // (merge-schema evolution, [[FeatureStore.registerAppend]]).
+    // Accumulative: a column keeps its recorded type across versions
+    // (type changes are rejected at register). Empty for catalogs
+    // written before evolution existed — such tables never evolved,
+    // so no read ever needs a pad.
+    columnTypes: SortedMap[String, String] = SortedMap.empty) {
   def columns: Seq[String] = versions(version)
   /** Manifest for `v`: explicit entry, else the single-snapshot default. */
   def segmentsOf(v: Int): Seq[Int] = segments.getOrElse(v, Seq(v))
@@ -211,7 +220,10 @@ object CatalogPersistence extends CatalogIO {
       val times = m.versionTimes.toSeq.map { case (v, t) =>
         s"C\t${enc(m.name)}\t$v\t$t"
       }
-      (head +: versions) ++ manifests ++ watermark ++ stats ++ times
+      val types = m.columnTypes.toSeq.map { case (c, t) =>
+        s"Y\t${enc(m.name)}\t${enc(c)}\t${enc(t)}"
+      }
+      (head +: versions) ++ manifests ++ watermark ++ stats ++ times ++ types
     }
     val path = catalogFile(root)
     Files.createDirectories(path.getParent)
@@ -270,6 +282,13 @@ object CatalogPersistence extends CatalogIO {
           (dec(f(1)), f(2).toInt, f(3).toLong)
       }
       .groupBy(_._1)
+    val types = lines
+      .collect {
+        case l if l.startsWith("Y\t") =>
+          val f = l.split("\t")
+          (dec(f(1)), dec(f(2)), dec(f(3)))
+      }
+      .groupBy(_._1)
     heads.toSeq.map { case (name, (version, rowCount, reg, upd, prunedThrough)) =>
       val vs = scala.collection.immutable.SortedMap(
         versions.getOrElse(name, Seq.empty).map(v => v._2 -> v._3): _*)
@@ -282,7 +301,9 @@ object CatalogPersistence extends CatalogIO {
         segStats = scala.collection.immutable.SortedMap(
           stats.getOrElse(name, Seq.empty).map(r => r._2 -> r._3): _*),
         versionTimes = scala.collection.immutable.SortedMap(
-          times.getOrElse(name, Seq.empty).map(t => t._2 -> t._3): _*))
+          times.getOrElse(name, Seq.empty).map(t => t._2 -> t._3): _*),
+        columnTypes = scala.collection.immutable.SortedMap(
+          types.getOrElse(name, Seq.empty).map(t => t._2 -> t._3): _*))
     }
   }
 }

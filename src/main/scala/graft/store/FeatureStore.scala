@@ -107,12 +107,13 @@ final class FeatureStore(
       val now = System.currentTimeMillis()
       storage.commitVersion(name, v, CommitMeta(
         wr.rows, wr.rows, df.columns.toSeq, Seq(v),
-        wr.minTsMillis, wr.maxTsMillis, now))
+        wr.minTsMillis, wr.maxTsMillis, now, typesOf(df)))
       cur match {
         case None =>
           TableMeta(name, v, wr.rows, now, now, SortedMap(v -> df.columns.toSeq),
             SortedMap(v -> Seq(v)), segStats = segStatsOf(v, wr),
-            versionTimes = SortedMap(v -> now))
+            versionTimes = SortedMap(v -> now),
+            columnTypes = typesOf(df))
         case Some(c) =>
           prune(c.copy(
             version = v,
@@ -121,7 +122,8 @@ final class FeatureStore(
             versions = c.versions + (v -> df.columns.toSeq),
             segments = c.segments + (v -> Seq(v)),
             segStats = c.segStats ++ segStatsOf(v, wr),
-            versionTimes = c.versionTimes + (v -> now)))
+            versionTimes = c.versionTimes + (v -> now),
+            columnTypes = c.columnTypes ++ typesOf(df)))
       }
     }
     val stamped = stampWatermark(meta, watermark)
@@ -137,6 +139,17 @@ final class FeatureStore(
   private def segStatsOf(v: Int, wr: WriteResult): SortedMap[Int, (Long, Long)] =
     (for { lo <- wr.minTsMillis; hi <- wr.maxTsMillis }
       yield SortedMap(v -> (lo, hi))).getOrElse(SortedMap.empty)
+
+  /** Stored Spark DDL type per registered column: what [[prepare]]
+    * writes — the timestamp column persists as TIMESTAMP regardless of
+    * the input's castable type; everything else keeps the input type.
+    * This is the type record that pads evolved chained reads
+    * ([[TableMeta.columnTypes]]).
+    */
+  private def typesOf(df: DataFrame): SortedMap[String, String] =
+    SortedMap(df.schema.fields.map { f =>
+      f.name -> (if (f.name == TimestampColumn) "TIMESTAMP" else f.dataType.sql)
+    }.toSeq: _*)
 
   /** Run a claimed version's write+commit, releasing the reservation on
     * failure so a failed write doesn't wedge the lineage until a vacuum
@@ -297,7 +310,12 @@ final class FeatureStore(
             },
             versionTimes = m.versionTimes ++ addable.toSeq.collect {
               case (v, cm) if cm.committedAt > 0 => v -> cm.committedAt
-            })
+            },
+            // a reconciled version may have evolved the schema: adopt
+            // the marker's type record so padded reads resolve (later
+            // markers win, same as the marker-ordered version fold)
+            columnTypes = m.columnTypes ++
+              addable.toSeq.sortBy(_._1).flatMap(_._2.columnTypes))
           if (top > m.version)
             merged = merged.copy(
               version = top,
@@ -327,7 +345,9 @@ final class FeatureStore(
               for { lo <- cm.minTsMillis; hi <- cm.maxTsMillis } yield v -> (lo, hi)
             }: _*),
             versionTimes =
-              SortedMap(records.view.mapValues(_.committedAt).toSeq: _*)))
+              SortedMap(records.view.mapValues(_.committedAt).toSeq: _*),
+            columnTypes = SortedMap(
+              records.toSeq.sortBy(_._1).flatMap(_._2.columnTypes): _*)))
         }
     }
 
@@ -349,8 +369,15 @@ final class FeatureStore(
     *
     * Append semantics (immutable-observations model): rows are added,
     * never replaced — the natural shape for event-sourced features.
-    * The delta must carry exactly the current columns (schema drift
-    * needs a full snapshot register, where drift is explicit).
+    * The delta must carry exactly the current columns; with
+    * `mergeSchema = true` it may additionally carry NEW columns
+    * (Delta Lake's `mergeSchema` semantics): the new columns append to
+    * the table schema, prior segments read them as typed nulls (the
+    * catalog records every column's type — [[TableMeta.columnTypes]]),
+    * and historical [[getVersion]] reads keep each version's own column
+    * set. Existing columns may never change type or be dropped on the
+    * append path — that remains a full [[register]], where drift is
+    * explicit.
     *
     * When a manifest would exceed `maxSegments`, the version is written
     * as a COMPACTED full snapshot instead (read amplification stays
@@ -361,14 +388,17 @@ final class FeatureStore(
       name: String,
       df: DataFrame,
       maxSegments: Int = 16,
-      description: String = ""): FeatureTableInfo =
-    registerAppendWith(name, df, maxSegments, watermark = None)
+      description: String = "",
+      mergeSchema: Boolean = false): FeatureTableInfo =
+    registerAppendWith(name, df, maxSegments, watermark = None,
+      mergeSchema = mergeSchema)
 
   private def registerAppendWith(
       name: String,
       df: DataFrame,
       maxSegments: Int,
-      watermark: Option[(String, Long)]): FeatureTableInfo = this.synchronized {
+      watermark: Option[(String, Long)],
+      mergeSchema: Boolean = false): FeatureTableInfo = this.synchronized {
     if (maxSegments < 1)
       throw new IllegalArgumentException(s"maxSegments must be >= 1, got $maxSegments")
     if (catalog.get(name).isEmpty && !storage.arbitrates)
@@ -384,36 +414,63 @@ final class FeatureStore(
     val meta = completeClaim(name, v) {
       // re-validate against the CLAIMED state: an arbitrating claim may
       // have absorbed another writer's schema-drift register
-      if (df.columns.toSeq != cur.columns)
-        throw new FeatureValidationError(
+      val dfCols = df.columns.toSeq
+      val evolved =
+        if (dfCols == cur.columns) cur.columns
+        else if (mergeSchema && cur.columns.forall(dfCols.contains)) {
+          // merge-schema evolution: every existing column present (type
+          // unchanged — checked against the catalog's record), new
+          // columns append in delta order
+          val dfTypes = typesOf(df)
+          val conflicts = cur.columns.filter { c =>
+            cur.columnTypes.get(c).exists(t => dfTypes.get(c).exists(_ != t))
+          }
+          if (conflicts.nonEmpty)
+            throw new FeatureValidationError(
+              s"registerAppend('$name', mergeSchema=true) cannot change column types; " +
+                conflicts.map(c =>
+                  s"'$c' is ${cur.columnTypes(c)}, delta has ${dfTypes(c)}")
+                  .mkString("; ") + ". Use register() for type changes")
+          cur.columns ++ dfCols.filterNot(cur.columns.contains)
+        }
+        else throw new FeatureValidationError(
           s"registerAppend('$name') requires the current schema " +
             s"${cur.columns.mkString("[", ", ", "]")}, got " +
-            s"${df.columns.toSeq.mkString("[", ", ", "]")}; use register() for schema changes")
+            s"${dfCols.mkString("[", ", ", "]")}; " +
+            (if (mergeSchema)
+              "mergeSchema=true only ADDS columns — every existing column must stay"
+            else "pass mergeSchema=true to add columns, or use register() for other changes"))
       val chained = cur.segmentsOf(cur.version) :+ v
       val now0 = System.currentTimeMillis()
+      val newTypes = cur.columnTypes ++ typesOf(df)
       if (chained.size > maxSegments) {
-        // compact: materialize previous ∪ delta as one snapshot
+        // compact: materialize previous ∪ delta as one snapshot (the
+        // union pads pre-evolution rows with nulls when evolving)
         val full = currentData(cur).select(cur.columns.map(col): _*)
-          .unionByName(df.select(cur.columns.map(col): _*))
+          .unionByName(df.select(evolved.map(col): _*), allowMissingColumns = true)
+          .select(evolved.map(col): _*)
         val wr = storage.write(name, v, prepare(full), EntityIdColumn, TimestampColumn)
         storage.commitVersion(name, v, CommitMeta(
-          wr.rows, wr.rows, cur.columns, Seq(v),
-          wr.minTsMillis, wr.maxTsMillis, now0))
+          wr.rows, wr.rows, evolved, Seq(v),
+          wr.minTsMillis, wr.maxTsMillis, now0, newTypes))
         cur.copy(version = v, rowCount = wr.rows, updatedAt = now0,
-          versions = cur.versions + (v -> cur.columns),
+          versions = cur.versions + (v -> evolved),
           segments = cur.segments + (v -> Seq(v)),
           segStats = cur.segStats ++ segStatsOf(v, wr),
-          versionTimes = cur.versionTimes + (v -> now0))
+          versionTimes = cur.versionTimes + (v -> now0),
+          columnTypes = newTypes)
       } else {
-        val wr = storage.write(name, v, prepare(df), EntityIdColumn, TimestampColumn)
+        val wr = storage.write(name, v,
+          prepare(df.select(evolved.map(col): _*)), EntityIdColumn, TimestampColumn)
         storage.commitVersion(name, v, CommitMeta(
-          wr.rows, cur.rowCount + wr.rows, cur.columns, chained,
-          wr.minTsMillis, wr.maxTsMillis, now0))
+          wr.rows, cur.rowCount + wr.rows, evolved, chained,
+          wr.minTsMillis, wr.maxTsMillis, now0, newTypes))
         cur.copy(version = v, rowCount = cur.rowCount + wr.rows, updatedAt = now0,
-          versions = cur.versions + (v -> cur.columns),
+          versions = cur.versions + (v -> evolved),
           segments = cur.segments + (v -> chained),
           segStats = cur.segStats ++ segStatsOf(v, wr),
-          versionTimes = cur.versionTimes + (v -> now0))
+          versionTimes = cur.versionTimes + (v -> now0),
+          columnTypes = newTypes)
       }
     }
     val pruned = stampWatermark(prune(meta), watermark)
@@ -759,7 +816,8 @@ final class FeatureStore(
       throw new FeatureTableNotFoundError(
         s"Version $version of table '$name' not found. " +
           s"Available versions: ${meta.versions.keys.mkString(", ")}"))
-    storage.readSegments(name, meta.segmentsOf(version), cols)
+    storage.readSegments(name, meta.segmentsOf(version), cols,
+      columnTypes = meta.columnTypes)
   }
 
   /** TIMESTAMP AS OF time travel: the snapshot that was CURRENT at the
@@ -1105,7 +1163,8 @@ final class FeatureStore(
       val k = segs.filter(s => meta.segStats.get(s).forall(_._1 <= t.getTime))
       if (k.isEmpty) segs.take(1) else k
     }
-    storage.readSegments(meta.name, kept, meta.columns :+ IngestKeyCol, asOf)
+    storage.readSegments(meta.name, kept, meta.columns :+ IngestKeyCol, asOf,
+      meta.columnTypes)
   }
 
   /** Cast timestamp + attach the deterministic ingest key
@@ -1199,7 +1258,8 @@ object FeatureStore {
             a.batchWatermarks.getOrElse(k, Long.MinValue),
             b.batchWatermarks.getOrElse(k, Long.MinValue))
         }: _*),
-      prunedThrough = pruned)
+      prunedThrough = pruned,
+      columnTypes = a.columnTypes ++ b.columnTypes ++ hi.columnTypes)
   }
 
   /** Default grace between logical retirement and physical deletion

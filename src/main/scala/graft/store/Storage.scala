@@ -52,7 +52,11 @@ final case class CommitMeta(
     segments: Seq[Int],
     minTsMillis: Option[Long],
     maxTsMillis: Option[Long],
-    committedAt: Long)
+    committedAt: Long,
+    // Spark DDL type per column — carried in the commit marker so a
+    // catalog reconciled from another writer's log can pad evolved
+    // chained reads ([[TableMeta.columnTypes]]); empty on legacy markers
+    columnTypes: Map[String, String] = Map.empty)
 
 trait VersionStorage {
   /** Write one version snapshot/segment; returns the row count and the
@@ -65,9 +69,16 @@ trait VersionStorage {
     */
   def read(name: String, version: Int, columns: Seq[String],
       asOf: Option[java.sql.Timestamp] = None): DataFrame
-  /** Read the union of a version manifest's segments. */
+  /** Read the union of a version manifest's segments. `columnTypes`
+    * (Spark DDL per column, the catalog's [[CommitMeta.columnTypes]]
+    * record) lets a requested column a segment predates — merge-schema
+    * evolution — be padded with a correctly-typed null; a missing
+    * column with no recorded type still fails analysis, exactly as
+    * before evolution existed.
+    */
   def readSegments(name: String, segments: Seq[Int], columns: Seq[String],
-      asOf: Option[java.sql.Timestamp] = None): DataFrame
+      asOf: Option[java.sql.Timestamp] = None,
+      columnTypes: Map[String, String] = Map.empty): DataFrame
   def deleteVersion(name: String, version: Int): Unit
   def deleteTable(name: String): Unit
   /** Version segments physically present (storage-side truth for vacuum). */
@@ -238,8 +249,23 @@ final class Storage(
       name: String,
       segments: Seq[Int],
       columns: Seq[String],
-      asOf: Option[java.sql.Timestamp]): DataFrame =
-    segments.map(read(name, _, columns, asOf)).reduce(_.unionByName(_))
+      asOf: Option[java.sql.Timestamp],
+      columnTypes: Map[String, String]): DataFrame =
+    segments.map { s =>
+      val base = spark.read.parquet(versionPath(name, s))
+      val pruned = asOf.fold(base)(t => base.filter(col(DateCol) <= period(lit(t))))
+      // pad columns this segment predates (merge-schema evolution) with
+      // typed nulls from the catalog's type record; columns without a
+      // recorded type fall through to the strict select below and fail
+      // analysis exactly as they did before evolution existed
+      val padded = columns
+        .filterNot(pruned.columns.contains)
+        .flatMap(c => columnTypes.get(c).map(c -> _))
+        .foldLeft(pruned) { case (df, (c, t)) =>
+          df.withColumn(c, lit(null).cast(t))
+        }
+      padded.select(columns.map(col): _*)
+    }.reduce(_.unionByName(_))
 
   def deleteVersion(name: String, version: Int): Unit =
     delete(versionPath(name, version))

@@ -218,9 +218,10 @@ final class TxnLogStorage(
       name: String,
       segments: Seq[Int],
       columns: Seq[String],
-      asOf: Option[java.sql.Timestamp]): DataFrame = {
+      asOf: Option[java.sql.Timestamp],
+      columnTypes: Map[String, String]): DataFrame = {
     segments.foreach(requireCommitted(name, _))
-    inner.readSegments(name, segments, columns, asOf)
+    inner.readSegments(name, segments, columns, asOf, columnTypes)
   }
 
   /** Vacuum-time reclamation: data dir AND its log entry go together
@@ -360,7 +361,9 @@ object TxnLogStorage {
       s"cols=${m.columns.map(enc).mkString(",")}",
       s"segments=${m.segments.mkString(",")}",
       s"minTs=${m.minTsMillis.fold("")(_.toString)}",
-      s"maxTs=${m.maxTsMillis.fold("")(_.toString)}")
+      s"maxTs=${m.maxTsMillis.fold("")(_.toString)}",
+      s"colTypes=${m.columnTypes.toSeq.sorted
+        .map { case (c, t) => s"${enc(c)}:${enc(t)}" }.mkString(",")}")
     lines.mkString("\n") + "\n"
   }
 
@@ -388,7 +391,13 @@ object TxnLogStorage {
         minTsMillis = kv.get("minTs").flatMap(_.toLongOption),
         maxTsMillis = kv.get("maxTs").flatMap(_.toLongOption),
         committedAt =
-          kv.get("committedAt").flatMap(_.toLongOption).getOrElse(0L))
+          kv.get("committedAt").flatMap(_.toLongOption).getOrElse(0L),
+        columnTypes = kv.get("colTypes").toSeq
+          .flatMap(_.split(",").toSeq.filter(_.contains(":")).map { p =>
+            val i = p.indexOf(':')
+            dec(p.substring(0, i)) -> dec(p.substring(i + 1))
+          })
+          .toMap)
     }
   }
 }

@@ -505,8 +505,9 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
             asOf: Option[java.sql.Timestamp]): org.apache.spark.sql.DataFrame =
           inner.read(name, version, columns, asOf)
         def readSegments(name: String, segments: Seq[Int], columns: Seq[String],
-            asOf: Option[java.sql.Timestamp]): org.apache.spark.sql.DataFrame =
-          inner.readSegments(name, segments, columns, asOf)
+            asOf: Option[java.sql.Timestamp],
+            columnTypes: Map[String, String]): org.apache.spark.sql.DataFrame =
+          inner.readSegments(name, segments, columns, asOf, columnTypes)
         def deleteVersion(name: String, version: Int): Unit =
           inner.deleteVersion(name, version)
         def deleteTable(name: String): Unit = inner.deleteTable(name)
@@ -596,9 +597,10 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
           inner.read(name, version, columns, asOf)
         }
         def readSegments(name: String, segments: Seq[Int], columns: Seq[String],
-            asOf: Option[java.sql.Timestamp]): org.apache.spark.sql.DataFrame = {
+            asOf: Option[java.sql.Timestamp],
+            columnTypes: Map[String, String]): org.apache.spark.sql.DataFrame = {
           reads.incrementAndGet()
-          inner.readSegments(name, segments, columns, asOf)
+          inner.readSegments(name, segments, columns, asOf, columnTypes)
         }
         def deleteVersion(name: String, version: Int): Unit =
           inner.deleteVersion(name, version)
@@ -667,9 +669,10 @@ class FeatureStoreSpec extends AnyFunSuite with SparkTestBase {
             asOf: Option[java.sql.Timestamp]): org.apache.spark.sql.DataFrame =
           inner.read(name, version, columns, asOf)
         def readSegments(name: String, segments: Seq[Int], columns: Seq[String],
-            asOf: Option[java.sql.Timestamp]): org.apache.spark.sql.DataFrame = {
+            asOf: Option[java.sql.Timestamp],
+            columnTypes: Map[String, String]): org.apache.spark.sql.DataFrame = {
           seen += segments
-          inner.readSegments(name, segments, columns, asOf)
+          inner.readSegments(name, segments, columns, asOf, columnTypes)
         }
         def deleteVersion(name: String, version: Int): Unit =
           inner.deleteVersion(name, version)
