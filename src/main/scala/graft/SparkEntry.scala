@@ -112,7 +112,13 @@ object SparkEntry {
       dir: String,
       prefix: String,
       storageFactory: (SparkSession, String, String) => graft.store.VersionStorage =
-        new graft.store.Storage(_, _, _))(
+        new graft.store.Storage(_, _, _),
+      // completeness check for an already-initialized root: MUTATED
+      // stores (row deletes / upserts) end with rowCount != source rows
+      // by design, so they verify "the final version exists" instead of
+      // the source row count (both catch a crash mid-init: the partial
+      // store re-inits, whose body starts by deleting the table)
+      minVersion: Int = 1)(
       init: (graft.store.FeatureStore, DataFrame) => Unit): graft.store.FeatureStore =
     memo.computeIfAbsent(dir, _ => {
       val feats = eventsFeatures(s, dir)
@@ -127,7 +133,8 @@ object SparkEntry {
       val store = new graft.store.FeatureStore(s, root,
         storageFactory = storageFactory)
       val fresh = !store.tableNames.contains("events") ||
-        store.getTableInfo("events").rowCount != rows
+        (if (minVersion > 1) store.getTableInfo("events").version < minVersion
+         else store.getTableInfo("events").rowCount != rows)
       if (fresh) init(store, feats)
       store
     })
@@ -225,6 +232,59 @@ object SparkEntry {
         feats.filter(col("timestamp") >= c1 && col("timestamp") < c2))
       a.registerAppend("events", feats.filter(col("timestamp") >= c2))
       ()
+    }
+
+  /** ROW-DELETE twin of [[appendStore]]: the two-segment append build
+    * plus a [[graft.store.FeatureStore.deleteRows]] of early clicks —
+    * version 3 is a copy-on-write rewrite of the FIRST segment only
+    * (every deleted row predates the append cutoff), so the roundtrip
+    * exercises both the partial-segment rewrite and the untouched
+    * segment's verbatim re-reference under the oracle gate.
+    */
+  private val delStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def deleteStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(delStores, s, dir, "graft_store_del_v1", minVersion = 3) {
+      (store, feats) =>
+        store.delete("events")
+        val cutoff = lit(utcTs("2024-01-10 00:00:00"))
+        store.register("events", feats.filter(col("timestamp") < cutoff))
+        store.registerAppend("events", feats.filter(col("timestamp") >= cutoff))
+        store.deleteRows("events",
+          col("event_type") === "click" &&
+            col("timestamp") < lit(utcTs("2024-01-05 00:00:00")))
+        ()
+    }
+
+  /** MERGE twin of [[demoStore]]: register the full events table, then
+    * [[graft.store.FeatureStore.registerUpsert]] a delta that REPLACES
+    * every pre-cutoff row of entities 0-9 (value shifted by +1000) and
+    * INSERTS one brand-new key for entity 999999 — the entity the PIT
+    * id set queries but the raw table never contains, so the insert is
+    * directly visible in the roundtrip.
+    */
+  private val upsStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def upsertStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(upsStores, s, dir, "graft_store_ups_v1", minVersion = 2) {
+      (store, feats) =>
+        store.delete("events")
+        store.register("events", feats)
+        val modified = feats
+          .filter(col("entity_id") < 10 &&
+            col("timestamp") <= lit(utcTs(PitAsOf)))
+          .withColumn("value", col("value") + lit(1000.0))
+        val inserted = s.range(1).select(
+          lit(999999L).as("entity_id"),
+          lit(utcTs("2024-01-15 00:00:00")).as("timestamp"),
+          lit(999999999L).as("event_id"),
+          lit("synthetic").as("event_type"),
+          lit(42.0).as("value"),
+          lit(null).cast("string").as("props"))
+        store.registerUpsert("events", modified.unionByName(inserted))
+        ()
     }
 
   // -------------------------------------------------------------- contract
@@ -507,6 +567,45 @@ object SparkEntry {
         .get("events", PitIds, PitAsOf)
         .orderBy("entity_id")),
 
+    // ROW-LEVEL DELETE roundtrip: version 3 copy-on-write-deleted the
+    // early clicks (rewriting only the pre-cutoff segment); the PIT
+    // read must equal SQL over the raw table minus those rows
+    "store_delete_roundtrip" -> ((s, dir) =>
+      deleteStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
+
+    // MERGE/UPSERT roundtrip: version 2 replaced every pre-cutoff row
+    // of entities 0-9 (+1000 on value) and inserted a brand-new key
+    // for entity 999999 — both visible in the PIT snapshot
+    "store_upsert_roundtrip" -> ((s, dir) =>
+      upsertStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
+
+    // CHANGE DATA FEED, append fast path: the v1→v2 step of the
+    // chained build reads ONLY the delta segment and emits it as
+    // inserts — no diff, no full scan
+    "store_cdf_roundtrip" -> ((s, dir) =>
+      appendStore(s, dir)
+        .getChanges("events", 1, 2)
+        .orderBy("entity_id", "timestamp", "event_id")),
+
+    // CHANGE DATA FEED over a row-delete step: the v2→v3 diff emits
+    // exactly the deleted rows as 'delete' (exceptAll multiset diff —
+    // rewritten survivors cancel against their originals)
+    "store_cdf_delete" -> ((s, dir) =>
+      deleteStore(s, dir)
+        .getChanges("events", 2, 3)
+        .orderBy("entity_id", "timestamp", "event_id")),
+
+    // CHANGE DATA FEED over a MERGE step: delete+insert pairs for
+    // replaced rows, a lone insert for the new key
+    "store_cdf_upsert" -> ((s, dir) =>
+      upsertStore(s, dir)
+        .getChanges("events", 1, 2)
+        .orderBy("entity_id", "timestamp", "event_id", "_change_type")),
+
     // SQL-first surface: the stored table registered as a temp view via
     // createOrReplaceViews and consumed with plain spark.sql — the
     // analyst's first query, resolved through the catalog/manifest
@@ -732,6 +831,72 @@ object SparkEntry {
 
     // the two-writer interleaved build must be value-invisible too
     "store_concurrent_roundtrip" -> EventsPitOracle,
+
+    // copy-on-write DELETE: PIT over the raw table minus the deleted
+    // predicate (engine deleted early clicks in version 3)
+    "store_delete_roundtrip" ->
+      s"""SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
+         |FROM events
+         |WHERE ts <= TIMESTAMP '$PitAsOf' AND user_id IN $PitIdsSql
+         |  AND NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00')
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         |ORDER BY entity_id""".stripMargin,
+
+    // MERGE/UPSERT: raw table with replaced values patched in (+1000
+    // for entities 0-9 before the cutoff) plus the inserted key
+    "store_upsert_roundtrip" ->
+      s"""WITH t AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         value + CASE WHEN user_id < 10 AND ts <= TIMESTAMP '$PitAsOf'
+         |                      THEN 1000 ELSE 0 END AS value,
+         |         props
+         |  FROM events
+         |  UNION ALL
+         |  SELECT 999999, TIMESTAMP '2024-01-15 00:00:00', 999999999,
+         |         'synthetic', 42.0, CAST(NULL AS VARCHAR)
+         |)
+         |SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
+         |FROM t
+         |WHERE ts <= TIMESTAMP '$PitAsOf' AND user_id IN $PitIdsSql
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         |ORDER BY entity_id""".stripMargin,
+
+    // change feed of the append step: the delta rows, all inserts
+    "store_cdf_roundtrip" ->
+      """SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type,
+        |       value, props,
+        |       'insert' AS _change_type, 2 AS _commit_version
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
+
+    // change feed of the delete step: exactly the deleted rows
+    "store_cdf_delete" ->
+      """SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type,
+        |       value, props,
+        |       'delete' AS _change_type, 3 AS _commit_version
+        |FROM events
+        |WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+        |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
+
+    // change feed of the MERGE step: delete+insert per replaced row
+    // (old and new content), one lone insert for the new key
+    "store_cdf_upsert" ->
+      s"""WITH ch AS (
+         |  SELECT user_id, ts, event_id, event_type, value + 1000 AS value,
+         |         props, 'insert' AS _change_type
+         |  FROM events WHERE user_id < 10 AND ts <= TIMESTAMP '$PitAsOf'
+         |  UNION ALL
+         |  SELECT user_id, ts, event_id, event_type, value, props, 'delete'
+         |  FROM events WHERE user_id < 10 AND ts <= TIMESTAMP '$PitAsOf'
+         |  UNION ALL
+         |  SELECT 999999, TIMESTAMP '2024-01-15 00:00:00', 999999999,
+         |         'synthetic', 42.0, CAST(NULL AS VARCHAR), 'insert'
+         |)
+         |SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type,
+         |       value, props, _change_type, 2 AS _commit_version
+         |FROM ch
+         |ORDER BY entity_id, ts, event_id, _change_type""".stripMargin,
 
     "store_asof_roundtrip" -> EventsAsOfOracle,
 

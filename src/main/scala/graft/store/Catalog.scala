@@ -27,7 +27,11 @@ final case class VersionInfo(
     isCurrent: Boolean,
     // commit wall-clock (epoch millis) — None only for versions written
     // by catalogs that predate commit-time tracking
-    committedAt: Option[Long] = None)
+    committedAt: Option[Long] = None,
+    // what produced the version ("register" | "append" | "compact" |
+    // "delete" | "upsert") — None for versions written before
+    // operation tracking existed
+    operation: Option[String] = None)
 
 /** Internal catalog entry — the Spark analog of `_VersionedTable`
   * (reference: store.py:51-69): current version pointer plus the retained
@@ -86,7 +90,13 @@ final case class TableMeta(
     // (type changes are rejected at register). Empty for catalogs
     // written before evolution existed — such tables never evolved,
     // so no read ever needs a pad.
-    columnTypes: SortedMap[String, String] = SortedMap.empty) {
+    columnTypes: SortedMap[String, String] = SortedMap.empty,
+    // per-VERSION producing operation ("register" | "append" |
+    // "compact" | "delete" | "upsert") — the DESCRIBE HISTORY
+    // operation column, and what lets [[FeatureStore.getChanges]]
+    // skip content-preserving compactions. Absent for versions
+    // written before operation tracking.
+    versionOps: SortedMap[Int, String] = SortedMap.empty) {
   def columns: Seq[String] = versions(version)
   /** Manifest for `v`: explicit entry, else the single-snapshot default. */
   def segmentsOf(v: Int): Seq[Int] = segments.getOrElse(v, Seq(v))
@@ -140,6 +150,8 @@ final class Catalog {
   *   K <name> <streamId> <maxBatchId>          (streaming high-water; optional)
   *   R <name> <segment> <minTsMillis> <maxTsMillis>   (segment stats; optional)
   *   C <name> <version> <committedAtMillis>           (commit time; optional)
+  *   Y <name> <column> <sparkDdlType>                 (column type record; optional)
+  *   O <name> <version> <operation>                   (producing operation; optional)
   *
   * Legacy two-field `K <name> <maxBatchId>` lines (pre-stream-identity
   * catalogs) load under [[CatalogIO.LegacyStreamId]]; six-field `T`
@@ -223,7 +235,10 @@ object CatalogPersistence extends CatalogIO {
       val types = m.columnTypes.toSeq.map { case (c, t) =>
         s"Y\t${enc(m.name)}\t${enc(c)}\t${enc(t)}"
       }
-      (head +: versions) ++ manifests ++ watermark ++ stats ++ times ++ types
+      val ops = m.versionOps.toSeq.map { case (v, op) =>
+        s"O\t${enc(m.name)}\t$v\t${enc(op)}"
+      }
+      (head +: versions) ++ manifests ++ watermark ++ stats ++ times ++ types ++ ops
     }
     val path = catalogFile(root)
     Files.createDirectories(path.getParent)
@@ -289,6 +304,13 @@ object CatalogPersistence extends CatalogIO {
           (dec(f(1)), dec(f(2)), dec(f(3)))
       }
       .groupBy(_._1)
+    val ops = lines
+      .collect {
+        case l if l.startsWith("O\t") =>
+          val f = l.split("\t")
+          (dec(f(1)), f(2).toInt, dec(f(3)))
+      }
+      .groupBy(_._1)
     heads.toSeq.map { case (name, (version, rowCount, reg, upd, prunedThrough)) =>
       val vs = scala.collection.immutable.SortedMap(
         versions.getOrElse(name, Seq.empty).map(v => v._2 -> v._3): _*)
@@ -303,7 +325,9 @@ object CatalogPersistence extends CatalogIO {
         versionTimes = scala.collection.immutable.SortedMap(
           times.getOrElse(name, Seq.empty).map(t => t._2 -> t._3): _*),
         columnTypes = scala.collection.immutable.SortedMap(
-          types.getOrElse(name, Seq.empty).map(t => t._2 -> t._3): _*))
+          types.getOrElse(name, Seq.empty).map(t => t._2 -> t._3): _*),
+        versionOps = scala.collection.immutable.SortedMap(
+          ops.getOrElse(name, Seq.empty).map(o => o._2 -> o._3): _*))
     }
   }
 }

@@ -107,13 +107,15 @@ final class FeatureStore(
       val now = System.currentTimeMillis()
       storage.commitVersion(name, v, CommitMeta(
         wr.rows, wr.rows, df.columns.toSeq, Seq(v),
-        wr.minTsMillis, wr.maxTsMillis, now, typesOf(df)))
+        wr.minTsMillis, wr.maxTsMillis, now, typesOf(df),
+        operation = "register"))
       cur match {
         case None =>
           TableMeta(name, v, wr.rows, now, now, SortedMap(v -> df.columns.toSeq),
             SortedMap(v -> Seq(v)), segStats = segStatsOf(v, wr),
             versionTimes = SortedMap(v -> now),
-            columnTypes = typesOf(df))
+            columnTypes = typesOf(df),
+            versionOps = SortedMap(v -> "register"))
         case Some(c) =>
           prune(c.copy(
             version = v,
@@ -123,7 +125,8 @@ final class FeatureStore(
             segments = c.segments + (v -> Seq(v)),
             segStats = c.segStats ++ segStatsOf(v, wr),
             versionTimes = c.versionTimes + (v -> now),
-            columnTypes = c.columnTypes ++ typesOf(df)))
+            columnTypes = c.columnTypes ++ typesOf(df),
+            versionOps = c.versionOps + (v -> "register")))
       }
     }
     val stamped = stampWatermark(meta, watermark)
@@ -315,7 +318,10 @@ final class FeatureStore(
             // the marker's type record so padded reads resolve (later
             // markers win, same as the marker-ordered version fold)
             columnTypes = m.columnTypes ++
-              addable.toSeq.sortBy(_._1).flatMap(_._2.columnTypes))
+              addable.toSeq.sortBy(_._1).flatMap(_._2.columnTypes),
+            versionOps = m.versionOps ++ addable.toSeq.collect {
+              case (v, cm) if cm.operation.nonEmpty => v -> cm.operation
+            })
           if (top > m.version)
             merged = merged.copy(
               version = top,
@@ -347,7 +353,10 @@ final class FeatureStore(
             versionTimes =
               SortedMap(records.view.mapValues(_.committedAt).toSeq: _*),
             columnTypes = SortedMap(
-              records.toSeq.sortBy(_._1).flatMap(_._2.columnTypes): _*)))
+              records.toSeq.sortBy(_._1).flatMap(_._2.columnTypes): _*),
+            versionOps = SortedMap(records.toSeq.collect {
+              case (v, cm) if cm.operation.nonEmpty => v -> cm.operation
+            }: _*)))
         }
     }
 
@@ -452,25 +461,29 @@ final class FeatureStore(
         val wr = storage.write(name, v, prepare(full), EntityIdColumn, TimestampColumn)
         storage.commitVersion(name, v, CommitMeta(
           wr.rows, wr.rows, evolved, Seq(v),
-          wr.minTsMillis, wr.maxTsMillis, now0, newTypes))
+          wr.minTsMillis, wr.maxTsMillis, now0, newTypes,
+          operation = "append"))
         cur.copy(version = v, rowCount = wr.rows, updatedAt = now0,
           versions = cur.versions + (v -> evolved),
           segments = cur.segments + (v -> Seq(v)),
           segStats = cur.segStats ++ segStatsOf(v, wr),
           versionTimes = cur.versionTimes + (v -> now0),
-          columnTypes = newTypes)
+          columnTypes = newTypes,
+          versionOps = cur.versionOps + (v -> "append"))
       } else {
         val wr = storage.write(name, v,
           prepare(df.select(evolved.map(col): _*)), EntityIdColumn, TimestampColumn)
         storage.commitVersion(name, v, CommitMeta(
           wr.rows, cur.rowCount + wr.rows, evolved, chained,
-          wr.minTsMillis, wr.maxTsMillis, now0, newTypes))
+          wr.minTsMillis, wr.maxTsMillis, now0, newTypes,
+          operation = "append"))
         cur.copy(version = v, rowCount = cur.rowCount + wr.rows, updatedAt = now0,
           versions = cur.versions + (v -> evolved),
           segments = cur.segments + (v -> chained),
           segStats = cur.segStats ++ segStatsOf(v, wr),
           versionTimes = cur.versionTimes + (v -> now0),
-          columnTypes = newTypes)
+          columnTypes = newTypes,
+          versionOps = cur.versionOps + (v -> "append"))
       }
     }
     val pruned = stampWatermark(prune(meta), watermark)
@@ -642,17 +655,285 @@ final class FeatureStore(
       val now0 = System.currentTimeMillis()
       storage.commitVersion(name, v, CommitMeta(
         wr.rows, wr.rows, cur.columns, Seq(v),
-        wr.minTsMillis, wr.maxTsMillis, now0))
+        wr.minTsMillis, wr.maxTsMillis, now0,
+        columnTypes = cur.columnTypes,
+        operation = "compact"))
       cur.copy(version = v, rowCount = wr.rows, updatedAt = now0,
         versions = cur.versions + (v -> cur.columns),
         segments = cur.segments + (v -> Seq(v)),
         segStats = cur.segStats ++ segStatsOf(v, wr),
-        versionTimes = cur.versionTimes + (v -> now0))
+        versionTimes = cur.versionTimes + (v -> now0),
+        versionOps = cur.versionOps + (v -> "compact"))
     }
     val pruned = prune(meta)
     catalog.put(pruned)
     catalogIO.save(root, catalog.all)
     pruned.info
+  }
+
+  /** Row-level DELETE with copy-on-write rewrite — Delta Lake's
+    * `DELETE FROM` shape on the manifest-chained layout. Rows where
+    * `condition` is TRUE leave the table as a NEW version; history is
+    * untouched (prior versions still read the original rows, so time
+    * travel across deletes works, and vacuum reclaims the replaced
+    * segments only after they leave the retention window).
+    * NULL-condition rows are KEPT, matching SQL DELETE semantics.
+    * `condition` must be deterministic over the table's registered
+    * columns (it is evaluated twice: once to classify segments, once
+    * to filter survivors — a nondeterministic predicate is detected by
+    * the count cross-check and rejected).
+    *
+    * Cost shape (the 100 TB story): ONE discovery scan classifies
+    * segments (per-segment counts — a map-side-combined aggregate, no
+    * row shuffle), then only segments that CONTAIN matches are
+    * rewritten; untouched segments are re-referenced by the new
+    * manifest verbatim, so write amplification is O(affected
+    * segments), not O(table). A segment whose rows ALL match is simply
+    * dropped from the manifest — zero bytes written. Surviving rows
+    * keep their original ingest keys, so tie-break winners among
+    * duplicate (entity, ts) observations never change under an
+    * unrelated delete.
+    *
+    * Returns the new version's info. A delete matching NOTHING is a
+    * no-op (no version minted — the claim is released). Deleting EVERY
+    * row is rejected (registered tables are non-empty by contract) —
+    * use [[delete]] to drop the table.
+    */
+  def deleteRows(name: String, condition: Column): FeatureTableInfo =
+    this.synchronized {
+      if (storage.arbitrates) { adoptDiskMeta(name); reconcileFromLog(name) }
+      catalog.getOrThrow(name)
+      val (curOpt, v) = claimVersion(name)
+      val cur = curOpt.getOrElse {
+        storage.releaseVersion(name, v)
+        throw new FeatureConcurrencyError(
+          s"table '$name' was deleted by another writer during deleteRows")
+      }
+      val segs = cur.segmentsOf(cur.version)
+      val tagged = segs.map { s =>
+        storage.readSegments(name, Seq(s), cur.columns, None, cur.columnTypes)
+          .withColumn(FeatureStore.SegTagCol, lit(s))
+      }.reduce(_.unionByName(_))
+      val perSeg = tagged
+        .groupBy(col(FeatureStore.SegTagCol))
+        .agg(
+          count(lit(1)).as("_graft_total"),
+          count(when(condition, lit(1))).as("_graft_hits"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val total = perSeg.values.map(_._1).sum
+      val hits = perSeg.values.map(_._2).sum
+      if (hits == 0L) { storage.releaseVersion(name, v); return cur.info }
+      if (hits == total) {
+        storage.releaseVersion(name, v)
+        throw new FeatureValidationError(
+          s"deleteRows would remove every row of '$name'; registered tables " +
+            "are non-empty — use delete(name) to drop the whole table")
+      }
+      val affected = segs.filter(s => perSeg.get(s).exists(_._2 > 0L))
+      val untouched = segs.filterNot(affected.contains)
+      val affectedTotal = affected.map(s => perSeg(s)._1).sum
+      val meta = completeClaim(name, v) {
+        val now0 = System.currentTimeMillis()
+        if (affectedTotal == hits) {
+          // every affected segment matches WHOLLY: the new manifest
+          // just drops them — no data write at all
+          storage.commitVersion(name, v, CommitMeta(
+            0L, total - hits, cur.columns, untouched,
+            None, None, now0, cur.columnTypes, operation = "delete"))
+          cur.copy(version = v, rowCount = total - hits, updatedAt = now0,
+            versions = cur.versions + (v -> cur.columns),
+            segments = cur.segments + (v -> untouched),
+            versionTimes = cur.versionTimes + (v -> now0),
+            versionOps = cur.versionOps + (v -> "delete"))
+        } else {
+          // rewrite ONLY the affected segments' survivors as this
+          // version's own segment; ingest keys pass through unchanged
+          val survivors = storage
+            .readSegments(name, affected, cur.columns :+ IngestKeyCol, None,
+              cur.columnTypes)
+            .filter(not(coalesce(condition, lit(false))))
+          val wr =
+            storage.write(name, v, survivors, EntityIdColumn, TimestampColumn)
+          if (wr.rows != affectedTotal - hits)
+            throw new FeatureValidationError(
+              s"deleteRows condition on '$name' is nondeterministic: the " +
+                s"classification pass matched $hits rows but the rewrite kept " +
+                s"${wr.rows} of $affectedTotal (expected ${affectedTotal - hits})")
+          val manifest = untouched :+ v
+          storage.commitVersion(name, v, CommitMeta(
+            wr.rows, total - hits, cur.columns, manifest,
+            wr.minTsMillis, wr.maxTsMillis, now0, cur.columnTypes,
+            operation = "delete"))
+          cur.copy(version = v, rowCount = total - hits, updatedAt = now0,
+            versions = cur.versions + (v -> cur.columns),
+            segments = cur.segments + (v -> manifest),
+            segStats = cur.segStats ++ segStatsOf(v, wr),
+            versionTimes = cur.versionTimes + (v -> now0),
+            versionOps = cur.versionOps + (v -> "delete"))
+        }
+      }
+      val pruned = prune(meta)
+      catalog.put(pruned)
+      catalogIO.save(root, catalog.all)
+      pruned.info
+    }
+
+  /** MERGE-style upsert keyed by (entity_id, timestamp) — Delta's
+    * `MERGE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT` for
+    * the observation model: every current row whose key appears in
+    * `df` is REPLACED by the delta's row(s) for that key; keys new to
+    * the table INSERT. The delta must carry exactly the current
+    * schema (use [[register]] for schema changes). Falls back to a
+    * plain [[register]] when the table doesn't exist yet.
+    *
+    * Copy-on-write, O(affected segments + delta) writes: a discovery
+    * scan over just the KEY COLUMNS (column-pruned) finds segments
+    * holding matched keys; their surviving rows plus the whole delta
+    * become the new version's single segment, and untouched segments
+    * are re-referenced verbatim. Duplicate keys WITHIN the delta all
+    * insert — the store allows duplicate (entity, ts) observations,
+    * ordered by its deterministic ingest-key tie-break. Prior
+    * versions are untouched (time travel across upserts works).
+    */
+  def registerUpsert(name: String, df: DataFrame): FeatureTableInfo =
+    this.synchronized {
+      Validation.validateDataFrame(df, name)
+      if (catalog.get(name).isEmpty && !storage.arbitrates)
+        return register(name, df)
+      val (curOpt, v) = claimVersion(name)
+      val cur = curOpt.getOrElse {
+        storage.releaseVersion(name, v)
+        return register(name, df)
+      }
+      val meta = completeClaim(name, v) {
+        if (df.columns.toSeq != cur.columns)
+          throw new FeatureValidationError(
+            s"registerUpsert('$name') requires the current schema " +
+              s"${cur.columns.mkString("[", ", ", "]")}, got " +
+              s"${df.columns.mkString("[", ", ", "]")}; " +
+              "use register() for schema changes")
+        val prepared = prepare(df)
+        val keys = prepared
+          .select(col(EntityIdColumn), col(TimestampColumn)).distinct()
+        val segs = cur.segmentsOf(cur.version)
+        val tagged = segs.map { s =>
+          storage.readSegments(name, Seq(s),
+            Seq(EntityIdColumn, TimestampColumn), None, cur.columnTypes)
+            .withColumn(FeatureStore.SegTagCol, lit(s))
+        }.reduce(_.unionByName(_))
+        val perSeg = tagged
+          .join(keys.withColumn("_graft_hit", lit(1)),
+            Seq(EntityIdColumn, TimestampColumn), "left")
+          .groupBy(col(FeatureStore.SegTagCol))
+          .agg(
+            count(lit(1)).as("_graft_total"),
+            count(col("_graft_hit")).as("_graft_hits"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        val affected = segs.filter(s => perSeg.get(s).exists(_._2 > 0L))
+        val untouched = segs.filterNot(affected.contains)
+        val untouchedRows = untouched.map(s => perSeg.get(s).fold(0L)(_._1)).sum
+        val survivors = Option.when(affected.nonEmpty)(
+          storage.readSegments(name, affected, cur.columns :+ IngestKeyCol,
+            None, cur.columnTypes)
+            .join(keys, Seq(EntityIdColumn, TimestampColumn), "left_anti"))
+        val newSeg = survivors.fold(prepared)(_.unionByName(prepared))
+        val wr = storage.write(name, v, newSeg, EntityIdColumn, TimestampColumn)
+        val now0 = System.currentTimeMillis()
+        val manifest = untouched :+ v
+        storage.commitVersion(name, v, CommitMeta(
+          wr.rows, untouchedRows + wr.rows, cur.columns, manifest,
+          wr.minTsMillis, wr.maxTsMillis, now0, cur.columnTypes,
+          operation = "upsert"))
+        cur.copy(version = v, rowCount = untouchedRows + wr.rows,
+          updatedAt = now0,
+          versions = cur.versions + (v -> cur.columns),
+          segments = cur.segments + (v -> manifest),
+          segStats = cur.segStats ++ segStatsOf(v, wr),
+          versionTimes = cur.versionTimes + (v -> now0),
+          versionOps = cur.versionOps + (v -> "upsert"))
+      }
+      val pruned = prune(meta)
+      catalog.put(pruned)
+      catalogIO.save(root, catalog.all)
+      pruned.info
+    }
+
+  /** CHANGE DATA FEED: row-level changes between two retained versions
+    * — Delta's `table_changes` surface. Output columns are the union
+    * of the involved versions' columns (evolution-padded with typed
+    * nulls) plus `_change_type` ("insert" | "delete") and
+    * `_commit_version`, one block per version step.
+    *
+    * Per-step cost, cheapest applicable plan first:
+    *   - a step whose recorded operation is `compact` is
+    *     content-preserving BY CONSTRUCTION → contributes nothing,
+    *     zero scan;
+    *   - a step that only ADDS segments (append lineage) reads just
+    *     the added segments — O(step delta);
+    *   - a step that only DROPS segments (whole-segment delete) reads
+    *     just the dropped ones — O(rows deleted);
+    *   - anything else (partial-segment deletes, upserts, full
+    *     re-registers, legacy catalogs without operation records)
+    *     falls back to an exact multiset diff of the two snapshots
+    *     (`EXCEPT ALL` both ways).
+    * Updates surface as delete + insert pairs (no
+    * update_pre/postimage rows). A merge-schema append step reports
+    * only its inserted rows — pre-existing rows reading a new column
+    * as null are not "changes", matching Delta CDF.
+    *
+    * `fromVersion = 0` means "since creation". Every version in
+    * (fromVersion, toVersion] must still be retained — changes are
+    * attributed per commit — and asking across pruned history raises
+    * with the available range.
+    */
+  def getChanges(name: String, fromVersion: Int, toVersion: Int): DataFrame = {
+    val meta = resolveMeta(name)
+    if (fromVersion < 0 || toVersion <= fromVersion)
+      throw new FeatureValidationError(
+        s"getChanges needs 0 <= fromVersion < toVersion, " +
+          s"got ($fromVersion, $toVersion)")
+    val needed = (math.max(fromVersion, 1) to toVersion).toSeq
+    val missing = needed.filterNot(meta.versions.contains)
+    if (missing.nonEmpty)
+      throw new FeatureTableNotFoundError(
+        s"getChanges($fromVersion, $toVersion) on '$name' needs versions " +
+          s"${needed.mkString(", ")} retained; missing: " +
+          s"${missing.mkString(", ")}. Available versions: " +
+          s"${meta.versions.keys.mkString(", ")}")
+    val outCols = needed.foldLeft(Vector.empty[String]) { (acc, ver) =>
+      acc ++ meta.versions(ver).filterNot(acc.contains)
+    }
+    def readSegs(ss: Seq[Int]): DataFrame =
+      storage.readSegments(name, ss, outCols, None, meta.columnTypes)
+    def stamped(df: DataFrame, tpe: String, ver: Int): DataFrame =
+      df.withColumn(FeatureStore.ChangeTypeCol, lit(tpe))
+        .withColumn(FeatureStore.CommitVersionCol, lit(ver))
+    val steps: Seq[DataFrame] = (fromVersion + 1 to toVersion).flatMap { ver =>
+      val prevSegs = if (ver == 1) Seq.empty[Int] else meta.segmentsOf(ver - 1)
+      val curSegs = meta.segmentsOf(ver)
+      if (meta.versionOps.get(ver).contains("compact")) None
+      else if (prevSegs.forall(curSegs.contains)) {
+        val added = curSegs.filterNot(prevSegs.contains)
+        if (added.isEmpty) None
+        else Some(stamped(readSegs(added), "insert", ver))
+      } else if (curSegs.forall(prevSegs.contains)) {
+        val dropped = prevSegs.filterNot(curSegs.contains)
+        Some(stamped(readSegs(dropped), "delete", ver))
+      } else {
+        val prev = readSegs(prevSegs)
+        val curD = readSegs(curSegs)
+        Some(
+          stamped(curD.exceptAll(prev), "insert", ver).unionByName(
+            stamped(prev.exceptAll(curD), "delete", ver)))
+      }
+    }
+    val empty = stamped(
+      readSegs(meta.segmentsOf(toVersion)).limit(0), "insert", toVersion)
+    steps.foldLeft(empty)(_.unionByName(_))
   }
 
   /** Optimistic concurrency check: if the shared on-disk catalog knows a
@@ -1097,7 +1378,8 @@ final class FeatureStore(
     meta.versions.keys.toSeq.sorted.map { v =>
       VersionInfo(v, meta.versions(v), meta.segmentsOf(v),
         isCurrent = v == meta.version,
-        committedAt = meta.versionTimes.get(v))
+        committedAt = meta.versionTimes.get(v),
+        operation = meta.versionOps.get(v))
     }
   }
 
@@ -1221,6 +1503,7 @@ final class FeatureStore(
       segments = meta.segments -- excess,
       segStats = meta.segStats -- freed,
       versionTimes = meta.versionTimes -- excess,
+      versionOps = meta.versionOps -- excess,
       // the prune high-water is what reconciliation uses to tell
       // "pruned" from "committed by a racing writer" — monotone
       prunedThrough = excess.foldLeft(meta.prunedThrough)(math.max))
@@ -1228,6 +1511,13 @@ final class FeatureStore(
 }
 
 object FeatureStore {
+
+  /** Change-feed metadata columns ([[FeatureStore.getChanges]]). */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** Internal segment tag for copy-on-write discovery scans. */
+  private[store] val SegTagCol = "_graft_seg"
 
   /** Merge two catalog views of ONE table produced by racing writers
     * (multi-writer arbitration over a transaction-log storage). Version
@@ -1259,7 +1549,9 @@ object FeatureStore {
             b.batchWatermarks.getOrElse(k, Long.MinValue))
         }: _*),
       prunedThrough = pruned,
-      columnTypes = a.columnTypes ++ b.columnTypes ++ hi.columnTypes)
+      columnTypes = a.columnTypes ++ b.columnTypes ++ hi.columnTypes,
+      versionOps = (a.versionOps ++ b.versionOps ++ hi.versionOps)
+        .filter { case (v, _) => v > pruned })
   }
 
   /** Default grace between logical retirement and physical deletion

@@ -56,7 +56,13 @@ final case class CommitMeta(
     // Spark DDL type per column — carried in the commit marker so a
     // catalog reconciled from another writer's log can pad evolved
     // chained reads ([[TableMeta.columnTypes]]); empty on legacy markers
-    columnTypes: Map[String, String] = Map.empty)
+    columnTypes: Map[String, String] = Map.empty,
+    // what produced this version — "register" | "append" | "compact" |
+    // "delete" | "upsert" — the DESCRIBE HISTORY operation column and
+    // the fact that lets the change feed ([[FeatureStore.getChanges]])
+    // skip content-preserving compactions without diffing them. Empty
+    // on legacy markers/catalogs (operation unknown).
+    operation: String = "")
 
 trait VersionStorage {
   /** Write one version snapshot/segment; returns the row count and the

@@ -363,7 +363,8 @@ object TxnLogStorage {
       s"minTs=${m.minTsMillis.fold("")(_.toString)}",
       s"maxTs=${m.maxTsMillis.fold("")(_.toString)}",
       s"colTypes=${m.columnTypes.toSeq.sorted
-        .map { case (c, t) => s"${enc(c)}:${enc(t)}" }.mkString(",")}")
+        .map { case (c, t) => s"${enc(c)}:${enc(t)}" }.mkString(",")}",
+      s"operation=${enc(m.operation)}")
     lines.mkString("\n") + "\n"
   }
 
@@ -397,7 +398,8 @@ object TxnLogStorage {
             val i = p.indexOf(':')
             dec(p.substring(0, i)) -> dec(p.substring(i + 1))
           })
-          .toMap)
+          .toMap,
+        operation = kv.get("operation").map(dec).getOrElse(""))
     }
   }
 }

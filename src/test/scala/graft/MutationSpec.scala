@@ -1,0 +1,338 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.store.{FeatureStore, FeatureTableNotFoundError, FeatureValidationError, TxnLogStorage}
+
+/** Row-level mutation surface: deleteRows (copy-on-write DELETE),
+  * registerUpsert (MERGE), getChanges (change data feed), and the
+  * per-version operation record that backs DESCRIBE HISTORY and the
+  * change feed's compaction fast path.
+  */
+class MutationSpec extends AnyFunSuite with SparkTestBase {
+
+  private def freshStore(maxVersions: Int = 10): FeatureStore =
+    new FeatureStore(spark, maxVersions = maxVersions)
+
+  /** Two-segment table: v1 = Jan rows, v2 = +Feb rows appended. */
+  private def twoSegmentStore(): (FeatureStore, DataFrame, DataFrame) = {
+    val store = freshStore()
+    val jan = sampleFeatures.filter(col("timestamp") < lit(ts("2024-02-01")))
+    val feb = sampleFeatures.filter(col("timestamp") >= lit(ts("2024-02-01")))
+    store.register("t", jan)
+    store.registerAppend("t", feb)
+    (store, jan, feb)
+  }
+
+  // ------------------------------------------------------------ deleteRows
+
+  test("deleteRows removes matching rows in a new version, history intact") {
+    val store = freshStore()
+    store.register("t", sampleFeatures)
+    val info = store.deleteRows("t", col("feature_a") === 2.0)
+    assert(info.version == 2)
+    assert(info.rowCount == 4)
+    val cur = store.getVersion("t", 2).collect()
+    assert(cur.length == 4)
+    assert(!cur.exists(_.getAs[Double]("feature_a") == 2.0))
+    // time travel: version 1 still has the original five rows
+    assert(store.getVersion("t", 1).count() == 5)
+  }
+
+  test("deleteRows matching nothing is a no-op (no version minted)") {
+    val store = freshStore()
+    store.register("t", sampleFeatures)
+    val info = store.deleteRows("t", col("feature_a") === 99.0)
+    assert(info.version == 1)
+    assert(store.getTableHistory("t").map(_.version) == Seq(1))
+  }
+
+  test("deleteRows removing every row is rejected") {
+    val store = freshStore()
+    store.register("t", sampleFeatures)
+    val e = intercept[FeatureValidationError](
+      store.deleteRows("t", col("feature_a") >= 0.0))
+    assert(e.getMessage.contains("every row"))
+    assert(store.getTableInfo("t").version == 1)
+  }
+
+  test("deleteRows keeps NULL-condition rows (SQL DELETE semantics)") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    val df = Seq(
+      ("u1", ts("2024-01-01"), Some(1.0)),
+      ("u2", ts("2024-01-01"), None),
+      ("u3", ts("2024-01-01"), Some(5.0))
+    ).toDF("entity_id", "timestamp", "v")
+    store.register("t", df)
+    val info = store.deleteRows("t", col("v") > 2.0)
+    assert(info.rowCount == 2)
+    val kept = store.getVersion("t", 2).collect().map(_.getString(0)).toSet
+    assert(kept == Set("u1", "u2")) // null v row survives
+  }
+
+  test("deleteRows rewrites only affected segments; untouched re-referenced") {
+    val (store, _, _) = twoSegmentStore()
+    // hits only segment 2 (the Feb append), and only part of it is
+    // impossible here (Feb has 1 row) — so hit segment 1 partially
+    val info = store.deleteRows("t", col("feature_a") === 1.0)
+    assert(info.version == 3)
+    val h = store.getTableHistory("t").find(_.version == 3).get
+    // segment 2 (Feb delta) survives verbatim; survivors of segment 1
+    // were rewritten as segment 3
+    assert(h.segments.sorted == Seq(2, 3))
+    assert(store.getVersion("t", 3).count() == 4)
+  }
+
+  test("deleteRows drops a wholly-matched segment without writing data") {
+    val (store, _, feb) = twoSegmentStore()
+    // every Feb row matches → manifest shrinks to the Jan segment only
+    val info = store.deleteRows("t", col("timestamp") >= lit(ts("2024-02-01")))
+    assert(info.version == 3)
+    val h = store.getTableHistory("t").find(_.version == 3).get
+    assert(h.segments == Seq(1))
+    assert(info.rowCount == 5 - feb.count())
+  }
+
+  test("deleteRows preserves tie-break winners among duplicate keys") {
+    val s = spark
+    import s.implicits._
+    val dup = Seq(
+      ("u1", ts("2024-01-01"), 1.0),
+      ("u1", ts("2024-01-01"), 2.0), // duplicate (entity, ts) key
+      ("u2", ts("2024-01-05"), 9.0)
+    ).toDF("entity_id", "timestamp", "v")
+    val store = freshStore()
+    store.register("t", dup)
+    val before =
+      store.get("t", Seq("u1"), ts("2024-01-10")).head().getAs[Double]("v")
+    // delete an UNRELATED row: the duplicate pair's segment is rewritten,
+    // but the surviving rows keep their ingest keys — same winner
+    store.deleteRows("t", col("entity_id") === "u2")
+    val after =
+      store.get("t", Seq("u1"), ts("2024-01-10")).head().getAs[Double]("v")
+    assert(before == after)
+  }
+
+  // --------------------------------------------------------- registerUpsert
+
+  test("upsert replaces matched keys and inserts new ones") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    store.register("t", sampleFeatures)
+    val delta = Seq(
+      ("user_1", ts("2024-01-15"), 42.0, 4200L), // existing key → replace
+      ("user_3", ts("2024-01-10"), 7.0, 700L)    // new key → insert
+    ).toDF("entity_id", "timestamp", "feature_a", "feature_b")
+    val info = store.registerUpsert("t", delta)
+    assert(info.version == 2)
+    assert(info.rowCount == 6) // 5 - 1 replaced + 2 delta rows
+    val pit =
+      store.get("t", Seq("user_1"), ts("2024-01-19")).head()
+    assert(pit.getAs[Double]("feature_a") == 42.0)
+    assert(store.get("t", Seq("user_3"), ts("2024-01-19")).count() == 1)
+    // version 1 unchanged
+    assert(store.getVersion("t", 1)
+      .filter(col("feature_a") === 42.0).count() == 0)
+  }
+
+  test("upsert replaces ALL current rows of a matched key; duplicate delta keys all insert") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      ("u1", ts("2024-01-01"), 1.0),
+      ("u1", ts("2024-01-01"), 2.0), // duplicate key in the table
+      ("u2", ts("2024-01-02"), 3.0)
+    ).toDF("entity_id", "timestamp", "v")
+    val store = freshStore()
+    store.register("t", base)
+    val delta = Seq(
+      ("u1", ts("2024-01-01"), 10.0),
+      ("u1", ts("2024-01-01"), 11.0) // duplicate key in the delta
+    ).toDF("entity_id", "timestamp", "v")
+    val info = store.registerUpsert("t", delta)
+    assert(info.rowCount == 3) // both old u1 rows replaced by both new
+    val vs = store.getVersion("t", 2)
+      .filter(col("entity_id") === "u1")
+      .collect().map(_.getAs[Double]("v")).sorted.toSeq
+    assert(vs == Seq(10.0, 11.0))
+  }
+
+  test("upsert rejects schema drift") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    store.register("t", sampleFeatures)
+    val bad = Seq(("u", ts("2024-01-01"), 1.0))
+      .toDF("entity_id", "timestamp", "feature_a")
+    intercept[FeatureValidationError](store.registerUpsert("t", bad))
+  }
+
+  test("upsert on a missing table falls back to register") {
+    val store = freshStore()
+    val info = store.registerUpsert("t", sampleFeatures)
+    assert(info.version == 1)
+    assert(store.getTableHistory("t").head.operation.contains("register"))
+  }
+
+  test("upsert leaves untouched segments un-rewritten") {
+    val s = spark
+    import s.implicits._
+    val (store, _, _) = twoSegmentStore()
+    val delta = Seq(("user_1", ts("2024-01-15"), 42.0, 4200L))
+      .toDF("entity_id", "timestamp", "feature_a", "feature_b")
+    store.registerUpsert("t", delta) // key lives in segment 1 only
+    val h = store.getTableHistory("t").find(_.version == 3).get
+    assert(h.segments.sorted == Seq(2, 3))
+  }
+
+  // ------------------------------------------------------------- getChanges
+
+  test("change feed: append step emits only the delta, as inserts") {
+    val (store, _, feb) = twoSegmentStore()
+    val ch = store.getChanges("t", 1, 2).collect()
+    assert(ch.length == feb.count())
+    assert(ch.forall(_.getAs[String]("_change_type") == "insert"))
+    assert(ch.forall(_.getAs[Int]("_commit_version") == 2))
+  }
+
+  test("change feed: fromVersion 0 includes creation inserts") {
+    val (store, jan, feb) = twoSegmentStore()
+    val ch = store.getChanges("t", 0, 2)
+    assert(ch.count() == jan.count() + feb.count())
+    assert(ch.filter(col("_commit_version") === 1).count() == jan.count())
+  }
+
+  test("change feed: delete steps emit the deleted rows") {
+    val store = freshStore()
+    store.register("t", sampleFeatures)
+    store.deleteRows("t", col("feature_a") === 2.0) // partial rewrite
+    val ch = store.getChanges("t", 1, 2).collect()
+    assert(ch.length == 1)
+    assert(ch.head.getAs[String]("_change_type") == "delete")
+    assert(ch.head.getAs[Double]("feature_a") == 2.0)
+  }
+
+  test("change feed: whole-segment delete takes the dropped-segment path") {
+    val (store, _, feb) = twoSegmentStore()
+    store.deleteRows("t", col("timestamp") >= lit(ts("2024-02-01")))
+    val ch = store.getChanges("t", 2, 3).collect()
+    assert(ch.length == feb.count())
+    assert(ch.forall(_.getAs[String]("_change_type") == "delete"))
+  }
+
+  test("change feed: upsert emits delete+insert pairs; unchanged-content rows cancel") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    store.register("t", sampleFeatures)
+    val delta = Seq(
+      ("user_1", ts("2024-01-15"), 42.0, 4200L), // changed content
+      ("user_2", ts("2024-01-20"), 20.0, 2000L)  // identical content
+    ).toDF("entity_id", "timestamp", "feature_a", "feature_b")
+    store.registerUpsert("t", delta)
+    val ch = store.getChanges("t", 1, 2).collect()
+    val byType = ch.groupBy(_.getAs[String]("_change_type"))
+    // identical-content replacement is NOT a change; only the real one is
+    assert(byType("insert").map(_.getAs[Double]("feature_a")).toSeq == Seq(42.0))
+    assert(byType("delete").map(_.getAs[Double]("feature_a")).toSeq == Seq(2.0))
+  }
+
+  test("change feed: compact step contributes nothing") {
+    val (store, jan, feb) = twoSegmentStore()
+    store.compact("t")
+    assert(store.getChanges("t", 2, 3).count() == 0)
+    // and a multi-step feed across the compaction still carries the append
+    assert(store.getChanges("t", 1, 3).count() == feb.count())
+    assert(store.getChanges("t", 0, 3).count() == jan.count() + feb.count())
+  }
+
+  test("change feed: merge-schema append step reports only inserted rows") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    val base = Seq(("u1", ts("2024-01-01"), 1.0))
+      .toDF("entity_id", "timestamp", "v")
+    store.register("t", base)
+    val evolved = Seq(("u2", ts("2024-02-01"), 2.0, "new"))
+      .toDF("entity_id", "timestamp", "v", "tag")
+    store.registerAppend("t", evolved, mergeSchema = true)
+    val ch = store.getChanges("t", 1, 2).collect()
+    assert(ch.length == 1)
+    assert(ch.head.getAs[String]("tag") == "new")
+    assert(ch.head.getAs[String]("_change_type") == "insert")
+  }
+
+  test("change feed: range validation and pruned-history errors") {
+    val store = freshStore(maxVersions = 2)
+    store.register("t", singleRow(1.0))
+    store.register("t", singleRow(2.0))
+    store.register("t", singleRow(3.0)) // version 1 pruned
+    intercept[FeatureValidationError](store.getChanges("t", 2, 2))
+    val e = intercept[FeatureTableNotFoundError](store.getChanges("t", 0, 3))
+    assert(e.getMessage.contains("missing"))
+    // the retained window still diffs fine (full re-registers → exceptAll)
+    val ch = store.getChanges("t", 2, 3).collect()
+    assert(ch.map(_.getAs[String]("_change_type")).sorted.toSeq ==
+      Seq("delete", "insert"))
+  }
+
+  // ------------------------------------------------- history + persistence
+
+  test("history records the producing operation per version") {
+    val (store, _, _) = twoSegmentStore()
+    store.deleteRows("t", col("feature_a") === 1.0)
+    store.compact("t")
+    val ops = store.getTableHistory("t").map(v => v.version -> v.operation)
+    assert(ops == Seq(
+      1 -> Some("register"), 2 -> Some("append"),
+      3 -> Some("delete"), 4 -> Some("compact")))
+  }
+
+  test("operations and mutations survive a store reopen") {
+    val (store, _, _) = twoSegmentStore()
+    store.deleteRows("t", col("feature_a") === 1.0)
+    val reopened = new FeatureStore(spark, store.rootPath)
+    assert(reopened.getTableInfo("t").rowCount == 4)
+    assert(reopened.getTableHistory("t").map(_.operation.get) ==
+      Seq("register", "append", "delete"))
+    assert(reopened.getChanges("t", 2, 3).count() == 1)
+  }
+
+  // --------------------------------------------- txn-log multi-writer path
+
+  test("mutations over TxnLogStorage reconcile from markers alone") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mut-txn-").toString
+    val a = new FeatureStore(spark, root,
+      storageFactory = new TxnLogStorage(_, _, _))
+    a.register("t", sampleFeatures)
+    a.registerUpsert("t", {
+      val s = spark
+      import s.implicits._
+      Seq(("user_1", ts("2024-01-15"), 42.0, 4200L))
+        .toDF("entity_id", "timestamp", "feature_a", "feature_b")
+    })
+    a.deleteRows("t", col("feature_a") === 10.0)
+    // destroy the catalog: the commit markers are the only record left
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_catalog.tsv"))
+    val b = new FeatureStore(spark, root,
+      storageFactory = new TxnLogStorage(_, _, _))
+    assert(b.getTableInfo("t").version == 3)
+    assert(b.getTableInfo("t").rowCount == 4) // 5, upsert ±1, delete -1
+    assert(b.getTableHistory("t").map(_.operation.get) ==
+      Seq("register", "upsert", "delete"))
+    val cur = b.getVersion("t", 3).collect()
+    assert(cur.length == 4)
+    assert(cur.exists(_.getAs[Double]("feature_a") == 42.0))
+    assert(!cur.exists(_.getAs[Double]("feature_a") == 10.0))
+    // two writers: B mutates next — arbitration over the reconciled state
+    val infoB = b.deleteRows("t", col("feature_a") === 42.0)
+    assert(infoB.version == 4)
+    assert(a.getVersion("t", 4).count() == 3) // A adopts B's version on miss
+  }
+}
