@@ -30,6 +30,10 @@ object StoreProps extends Properties("FeatureStore") {
   // streaming register under a fixed stream id; replayed = the SAME
   // batch id delivered twice (the foreachBatch crash-recovery shape)
   private case class Batch(nRows: Int, replayed: Boolean) extends Op
+  // copy-on-write row delete: rows whose val's last digit < sel go
+  private case class DeleteRows(sel: Int) extends Op
+  // MERGE: replace up to nReplace existing keys (value shifted), insert one new
+  private case class Upsert(nReplace: Int) extends Op
   private case object Compact extends Op
   private case object Vacuum extends Op
   private case object Reopen extends Op
@@ -41,6 +45,8 @@ object StoreProps extends Properties("FeatureStore") {
     2 -> Gen.zip(Gen.choose(1, 5), Gen.oneOf(true, false)).map {
       case (n, r) => Batch(n, r)
     },
+    2 -> Gen.choose(1, 3).map(DeleteRows(_)),
+    2 -> Gen.choose(1, 3).map(Upsert(_)),
     1 -> Gen.const(Compact),
     2 -> Gen.const(Vacuum),
     1 -> Gen.const(Reopen),
@@ -73,6 +79,58 @@ object StoreProps extends Properties("FeatureStore") {
   private def readVersion(store: FeatureStore, v: Int): Set[(String, Timestamp, Double)] =
     store.getVersion("t", v).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+
+  private type Model = Map[Int, Set[(String, Timestamp, Double)]]
+
+  /** DeleteRows against engine AND model: `val`'s last digit < sel goes.
+    * Covers all three outcome branches — delete-all is rejected,
+    * no-match mints no version, a real delete creates version+1 whose
+    * contents the model predicts exactly.
+    */
+  private def applyDeleteRows(
+      store: FeatureStore, sel: Int, model: Model, current: Int): (Model, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (current == 0) return (model, current)
+    val before = model(current)
+    val after = before.filterNot(r => r._3 % 10 < sel)
+    val cond = col("val") % 10 < lit(sel.toDouble)
+    if (after.isEmpty) {
+      try {
+        store.deleteRows("t", cond)
+        throw new AssertionError("delete-all was not rejected")
+      } catch { case _: graft.store.FeatureValidationError => () }
+      (model, current)
+    } else if (after == before) {
+      val info = store.deleteRows("t", cond)
+      if (info.version != current)
+        throw new AssertionError("no-match delete minted a version")
+      (model, current)
+    } else {
+      val info = store.deleteRows("t", cond)
+      (model + (info.version -> after), info.version)
+    }
+  }
+
+  /** Upsert against engine AND model: replace up to nReplace existing
+    * keys (deterministically chosen, value shifted +0.5) and insert one
+    * brand-new key; falls back to register on a fresh table.
+    */
+  private def applyUpsert(
+      store: FeatureStore, nReplace: Int, opIdx: Int,
+      model: Model, current: Int): (Model, Int) = {
+    val base =
+      if (current == 0) Set.empty[(String, Timestamp, Double)]
+      else model(current)
+    val replaced = base.toSeq
+      .sortBy(r => (r._1, r._2.getTime, r._3))
+      .take(nReplace)
+      .map(r => (r._1, r._2, r._3 + 0.5))
+    val delta = replaced ++ rowsFor(opIdx, 1)
+    val info = store.registerUpsert("t", toDF(delta))
+    val keys = delta.map(r => (r._1, r._2)).toSet
+    (model + (info.version ->
+      (base.filterNot(r => keys((r._1, r._2))) ++ delta)), info.version)
+  }
 
   /** The model check, parameterized over the storage seam: every
     * [[graft.store.VersionStorage]] implementation must satisfy the
@@ -124,6 +182,12 @@ object StoreProps extends Properties("FeatureStore") {
               if (r2.isDefined)
                 throw new AssertionError(s"replay of batch $i minted a version")
             }
+          case DeleteRows(sel) =>
+            val (m2, c2) = applyDeleteRows(store, sel, model, current)
+            model = m2; current = c2
+          case Upsert(nr) =>
+            val (m2, c2) = applyUpsert(store, nr, i, model, current)
+            model = m2; current = c2
           case Compact =>
             if (current > 0) {
               val before = model(current)
@@ -185,6 +249,8 @@ object StoreProps extends Properties("FeatureStore") {
     ops <- Gen.listOfN(n, Gen.frequency(
       3 -> Gen.choose(1, 5).map(Register(_)),
       3 -> Gen.choose(1, 5).map(Append(_)),
+      2 -> Gen.choose(1, 3).map(DeleteRows(_)),
+      2 -> Gen.choose(1, 3).map(Upsert(_)),
       1 -> Gen.const(Compact),
       2 -> Gen.const(Vacuum),
       1 -> Gen.const(Delete)))
@@ -244,6 +310,14 @@ object StoreProps extends Properties("FeatureStore") {
               model += current -> (model(current - 1) ++ rows.toSet)
             }
           case Batch(_, _) => () // generator never emits it here
+          case DeleteRows(sel) =>
+            val (m2, c2) = applyDeleteRows(store, sel, model, current)
+            model = m2; current = c2
+            mutated()
+          case Upsert(nr) =>
+            val (m2, c2) = applyUpsert(store, nr, i, model, current)
+            model = m2; current = c2
+            mutated()
           case Compact =>
             if (current > 0) {
               val before = model(current)
