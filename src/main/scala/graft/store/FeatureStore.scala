@@ -798,14 +798,20 @@ final class FeatureStore(
     * versions are untouched (time travel across upserts works).
     */
   def registerUpsert(name: String, df: DataFrame): FeatureTableInfo =
+    registerUpsertWith(name, df, watermark = None)
+
+  private def registerUpsertWith(
+      name: String,
+      df: DataFrame,
+      watermark: Option[(String, Long)]): FeatureTableInfo =
     this.synchronized {
       Validation.validateDataFrame(df, name)
       if (catalog.get(name).isEmpty && !storage.arbitrates)
-        return register(name, df)
+        return registerWith(name, df, watermark)
       val (curOpt, v) = claimVersion(name)
       val cur = curOpt.getOrElse {
         storage.releaseVersion(name, v)
-        return register(name, df)
+        return registerWith(name, df, watermark)
       }
       val meta = completeClaim(name, v) {
         if (df.columns.toSeq != cur.columns)
@@ -856,11 +862,27 @@ final class FeatureStore(
           versionTimes = cur.versionTimes + (v -> now0),
           versionOps = cur.versionOps + (v -> "upsert"))
       }
-      val pruned = prune(meta)
+      val pruned = stampWatermark(prune(meta), watermark)
       catalog.put(pruned)
       catalogIO.save(root, catalog.all)
       pruned.info
     }
+
+  /** The CDC-apply twin of [[registerAppendBatch]]: upsert-register
+    * `df` under the same per-stream batch-id idempotence — the
+    * streaming MERGE shape (each micro-batch of a change stream
+    * replaces matched keys and inserts new ones, exactly once). A
+    * crash-recovery replay of the last batch is detected and skipped,
+    * and the batch watermark commits in the SAME catalog save as the
+    * version it marks, so no crash window can replay a batch into a
+    * duplicate upsert.
+    */
+  def registerUpsertBatch(
+      name: String,
+      df: DataFrame,
+      batchId: Long,
+      streamId: String = CatalogIO.LegacyStreamId): Option[FeatureTableInfo] =
+    idempotent(name, streamId, batchId)(registerUpsertWith(name, df, _))
 
   /** CHANGE DATA FEED: row-level changes between two retained versions
     * — Delta's `table_changes` surface. Output columns are the union

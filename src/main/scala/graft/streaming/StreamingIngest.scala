@@ -92,6 +92,32 @@ object StreamingIngest {
         .start()
     }
 
+  /** The CDC-APPLY form: each micro-batch is MERGE-upserted
+    * ([[FeatureStore.registerUpsertBatch]]) — rows replace current rows
+    * with the same (entity_id, timestamp) key and insert otherwise.
+    * This is the shape that materializes a change stream (a CDC feed,
+    * a correction stream, an at-least-once producer emitting revised
+    * observations) into the store: re-delivered keys CONVERGE instead
+    * of accumulating duplicates, while batch-id idempotence still
+    * makes whole-batch crash replays exactly-once. Write cost per
+    * batch is O(affected segments + batch), same copy-on-write shape
+    * as the batch upsert.
+    */
+  def startUpsert(
+      stream: DataFrame,
+      store: FeatureStore,
+      name: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    withQueryId { queryId =>
+      val body: (DataFrame, Long) => Unit =
+        (batch, bid) => processBatchUpsert(store, name, queryId.join())(batch, bid)
+      stream.writeStream
+        .outputMode("append")
+        .trigger(trigger)
+        .foreachBatch(body)
+        .start()
+    }
+
   /** Capture the started query's checkpoint-stable id into the future
     * the foreachBatch closure blocks on: the id exists only after
     * `.start()` returns the [[StreamingQuery]], while the closure is
@@ -134,6 +160,18 @@ object StreamingIngest {
               batch.columns.map(org.apache.spark.sql.functions.col): _*))
         else batch
       store.registerBatch(name, accumulated, batchId, streamId)
+      ()
+    }
+
+  /** foreachBatch body of [[startUpsert]]. */
+  def processBatchUpsert(
+      store: FeatureStore,
+      name: String,
+      streamId: String = graft.store.CatalogIO.LegacyStreamId)(
+      batch: DataFrame,
+      batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      store.registerUpsertBatch(name, batch, batchId, streamId)
       ()
     }
 

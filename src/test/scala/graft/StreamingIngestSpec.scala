@@ -364,5 +364,75 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     io.saves = 0
     assert(store.registerBatch("t", df, 1L, "q").isEmpty)
     assert(io.saves == 0, "a skipped replay must not touch the catalog")
+
+    // CDC path: same single-save crash-atomicity contract
+    io.saves = 0
+    val corr = Seq(("u1", ts("2024-01-01"), 9.0))
+      .toDF("entity_id", "timestamp", "value")
+    store.registerUpsertBatch("t", corr, 2L, streamId = "q")
+    assert(io.saves == 1, s"registerUpsertBatch must also commit once, got ${io.saves}")
+  }
+
+  test("startUpsert applies a change stream as exactly-once MERGE batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val store = new FeatureStore(s)
+    val source = MemoryStream[(String, Timestamp, Double)]
+    val stream = source.toDF().toDF("entity_id", "timestamp", "value")
+    val query = StreamingIngest.startUpsert(
+      stream, store, "cdc", trigger = Trigger.ProcessingTime(0))
+    try {
+      source.addData(("u1", ts("2024-01-01"), 1.0), ("u2", ts("2024-01-02"), 5.0))
+      query.processAllAvailable()
+      assert(store.getTableInfo("cdc").version == 1)
+      assert(store.getTableInfo("cdc").rowCount == 2)
+
+      // batch 2: a CORRECTION of u1's Jan-1 observation plus a new key —
+      // the matched key converges instead of accumulating a duplicate
+      source.addData(("u1", ts("2024-01-01"), 1.5), ("u3", ts("2024-01-03"), 9.0))
+      query.processAllAvailable()
+      val info = store.getTableInfo("cdc")
+      assert(info.version == 2)
+      assert(info.rowCount == 3, "replaced, not appended")
+      val v = store.get("cdc", Seq("u1"), ts("2024-06-01"))
+        .head().getAs[Double]("value")
+      assert(v == 1.5)
+      assert(store.getTableHistory("cdc").last.operation.contains("upsert"))
+    } finally query.stop()
+  }
+
+  test("replayed upsert batch is exactly-once across a store reopen") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_replay_spec").toString
+    val store = new FeatureStore(s, root)
+    val b0 = Seq(("u1", ts("2024-01-01"), 1.0))
+      .toDF("entity_id", "timestamp", "value")
+    StreamingIngest.processBatchUpsert(store, "t", "q")(b0, 0L)
+    assert(store.getTableInfo("t").version == 1)
+
+    // crash-recovery re-delivery of the same batch: nothing changes
+    StreamingIngest.processBatchUpsert(store, "t", "q")(b0, 0L)
+    assert(store.getTableInfo("t").version == 1)
+    assert(store.getTableInfo("t").rowCount == 1)
+
+    // a correction batch upserts (replaces, not appends)
+    val b1 = Seq(("u1", ts("2024-01-01"), 2.0))
+      .toDF("entity_id", "timestamp", "value")
+    StreamingIngest.processBatchUpsert(store, "t", "q")(b1, 1L)
+    assert(store.getTableInfo("t").version == 2)
+    assert(store.getTableInfo("t").rowCount == 1)
+    assert(store.get("t", Seq("u1"), ts("2024-06-01"))
+      .head().getAs[Double]("value") == 2.0)
+
+    // the watermark persisted WITH the upsert version: a reopened store
+    // (the real recovery path) skips the replay of the last batch
+    val reopened = new FeatureStore(s, root)
+    StreamingIngest.processBatchUpsert(reopened, "t", "q")(b1, 1L)
+    assert(reopened.getTableInfo("t").version == 2)
+    assert(reopened.getTableInfo("t").rowCount == 1)
   }
 }
