@@ -257,6 +257,28 @@ object SparkEntry {
         ()
     }
 
+  /** RESTORE twin of [[demoStore]]: register the full table (v1),
+    * row-delete the early clicks (v2), then
+    * [[graft.store.FeatureStore.restoreVersion]] back to v1 (v3 — a
+    * zero-copy manifest re-reference). The roundtrip read must equal
+    * the PLAIN PIT oracle, proving the restore undid the delete
+    * exactly.
+    */
+  private val resStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def restoreStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(resStores, s, dir, "graft_store_res_v1", minVersion = 3) {
+      (store, feats) =>
+        store.delete("events")
+        store.register("events", feats)
+        store.deleteRows("events",
+          col("event_type") === "click" &&
+            col("timestamp") < lit(utcTs("2024-01-05 00:00:00")))
+        store.restoreVersion("events", 1)
+        ()
+    }
+
   /** MERGE twin of [[demoStore]]: register the full events table, then
     * [[graft.store.FeatureStore.registerUpsert]] a delta that REPLACES
     * every pre-cutoff row of entities 0-9 (value shifted by +1000) and
@@ -606,6 +628,21 @@ object SparkEntry {
         .getChanges("events", 1, 2)
         .orderBy("entity_id", "timestamp", "event_id", "_change_type")),
 
+    // RESTORE roundtrip: v3 re-references v1's manifest (zero-copy),
+    // undoing the v2 row-delete — the PIT read must equal the PLAIN
+    // oracle, as if the delete never happened
+    "store_restore_roundtrip" -> ((s, dir) =>
+      restoreStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
+
+    // CHANGE DATA FEED over a restore step: the undone deletions come
+    // back as inserts
+    "store_cdf_restore" -> ((s, dir) =>
+      restoreStore(s, dir)
+        .getChanges("events", 2, 3)
+        .orderBy("entity_id", "timestamp", "event_id")),
+
     // SQL-first surface: the stored table registered as a temp view via
     // createOrReplaceViews and consumed with plain spark.sql — the
     // analyst's first query, resolved through the catalog/manifest
@@ -868,6 +905,18 @@ object SparkEntry {
         |       'insert' AS _change_type, 2 AS _commit_version
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
+
+    // restore undid the row delete: the plain PIT oracle again
+    "store_restore_roundtrip" -> EventsPitOracle,
+
+    // change feed of the restore step: the undone deletions re-insert
+    "store_cdf_restore" ->
+      """SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type,
+        |       value, props,
+        |       'insert' AS _change_type, 3 AS _commit_version
+        |FROM events
+        |WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00'
         |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
 
     // change feed of the delete step: exactly the deleted rows

@@ -29,9 +29,12 @@ final case class VersionInfo(
     // by catalogs that predate commit-time tracking
     committedAt: Option[Long] = None,
     // what produced the version ("register" | "append" | "compact" |
-    // "delete" | "upsert") — None for versions written before
-    // operation tracking existed
-    operation: Option[String] = None)
+    // "delete" | "upsert" | "restore") — None for versions written
+    // before operation tracking existed
+    operation: Option[String] = None,
+    // total rows at this version — None for versions written before
+    // the per-version row record existed
+    rows: Option[Long] = None)
 
 /** Internal catalog entry — the Spark analog of `_VersionedTable`
   * (reference: store.py:51-69): current version pointer plus the retained
@@ -92,11 +95,17 @@ final case class TableMeta(
     // so no read ever needs a pad.
     columnTypes: SortedMap[String, String] = SortedMap.empty,
     // per-VERSION producing operation ("register" | "append" |
-    // "compact" | "delete" | "upsert") — the DESCRIBE HISTORY
-    // operation column, and what lets [[FeatureStore.getChanges]]
-    // skip content-preserving compactions. Absent for versions
+    // "compact" | "delete" | "upsert" | "restore") — the DESCRIBE
+    // HISTORY operation column, and what lets
+    // [[FeatureStore.getChanges]] skip content-preserving
+    // compactions/restores without a diff. Absent for versions
     // written before operation tracking.
-    versionOps: SortedMap[Int, String] = SortedMap.empty) {
+    versionOps: SortedMap[Int, String] = SortedMap.empty,
+    // per-VERSION total row count — history display and what lets
+    // [[FeatureStore.restoreVersion]] set the restored rowCount
+    // without a scan. Absent for versions written before the record
+    // existed.
+    versionRows: SortedMap[Int, Long] = SortedMap.empty) {
   def columns: Seq[String] = versions(version)
   /** Manifest for `v`: explicit entry, else the single-snapshot default. */
   def segmentsOf(v: Int): Seq[Int] = segments.getOrElse(v, Seq(v))
@@ -152,6 +161,7 @@ final class Catalog {
   *   C <name> <version> <committedAtMillis>           (commit time; optional)
   *   Y <name> <column> <sparkDdlType>                 (column type record; optional)
   *   O <name> <version> <operation>                   (producing operation; optional)
+  *   W <name> <version> <rowCount>                    (per-version rows; optional)
   *
   * Legacy two-field `K <name> <maxBatchId>` lines (pre-stream-identity
   * catalogs) load under [[CatalogIO.LegacyStreamId]]; six-field `T`
@@ -238,7 +248,11 @@ object CatalogPersistence extends CatalogIO {
       val ops = m.versionOps.toSeq.map { case (v, op) =>
         s"O\t${enc(m.name)}\t$v\t${enc(op)}"
       }
-      (head +: versions) ++ manifests ++ watermark ++ stats ++ times ++ types ++ ops
+      val vrows = m.versionRows.toSeq.map { case (v, n) =>
+        s"W\t${enc(m.name)}\t$v\t$n"
+      }
+      (head +: versions) ++ manifests ++ watermark ++ stats ++ times ++
+        types ++ ops ++ vrows
     }
     val path = catalogFile(root)
     Files.createDirectories(path.getParent)
@@ -311,6 +325,13 @@ object CatalogPersistence extends CatalogIO {
           (dec(f(1)), f(2).toInt, dec(f(3)))
       }
       .groupBy(_._1)
+    val vrows = lines
+      .collect {
+        case l if l.startsWith("W\t") =>
+          val f = l.split("\t")
+          (dec(f(1)), f(2).toInt, f(3).toLong)
+      }
+      .groupBy(_._1)
     heads.toSeq.map { case (name, (version, rowCount, reg, upd, prunedThrough)) =>
       val vs = scala.collection.immutable.SortedMap(
         versions.getOrElse(name, Seq.empty).map(v => v._2 -> v._3): _*)
@@ -327,7 +348,9 @@ object CatalogPersistence extends CatalogIO {
         columnTypes = scala.collection.immutable.SortedMap(
           types.getOrElse(name, Seq.empty).map(t => t._2 -> t._3): _*),
         versionOps = scala.collection.immutable.SortedMap(
-          ops.getOrElse(name, Seq.empty).map(o => o._2 -> o._3): _*))
+          ops.getOrElse(name, Seq.empty).map(o => o._2 -> o._3): _*),
+        versionRows = scala.collection.immutable.SortedMap(
+          vrows.getOrElse(name, Seq.empty).map(w => w._2 -> w._3): _*))
     }
   }
 }

@@ -115,7 +115,8 @@ final class FeatureStore(
             SortedMap(v -> Seq(v)), segStats = segStatsOf(v, wr),
             versionTimes = SortedMap(v -> now),
             columnTypes = typesOf(df),
-            versionOps = SortedMap(v -> "register"))
+            versionOps = SortedMap(v -> "register"),
+            versionRows = SortedMap(v -> wr.rows))
         case Some(c) =>
           prune(c.copy(
             version = v,
@@ -126,7 +127,8 @@ final class FeatureStore(
             segStats = c.segStats ++ segStatsOf(v, wr),
             versionTimes = c.versionTimes + (v -> now),
             columnTypes = c.columnTypes ++ typesOf(df),
-            versionOps = c.versionOps + (v -> "register")))
+            versionOps = c.versionOps + (v -> "register"),
+            versionRows = c.versionRows + (v -> wr.rows)))
       }
     }
     val stamped = stampWatermark(meta, watermark)
@@ -321,7 +323,9 @@ final class FeatureStore(
               addable.toSeq.sortBy(_._1).flatMap(_._2.columnTypes),
             versionOps = m.versionOps ++ addable.toSeq.collect {
               case (v, cm) if cm.operation.nonEmpty => v -> cm.operation
-            })
+            },
+            versionRows = m.versionRows ++
+              addable.view.mapValues(_.tableRows).toSeq)
           if (top > m.version)
             merged = merged.copy(
               version = top,
@@ -356,7 +360,9 @@ final class FeatureStore(
               records.toSeq.sortBy(_._1).flatMap(_._2.columnTypes): _*),
             versionOps = SortedMap(records.toSeq.collect {
               case (v, cm) if cm.operation.nonEmpty => v -> cm.operation
-            }: _*)))
+            }: _*),
+            versionRows = SortedMap(
+              records.view.mapValues(_.tableRows).toSeq: _*)))
         }
     }
 
@@ -469,7 +475,8 @@ final class FeatureStore(
           segStats = cur.segStats ++ segStatsOf(v, wr),
           versionTimes = cur.versionTimes + (v -> now0),
           columnTypes = newTypes,
-          versionOps = cur.versionOps + (v -> "append"))
+          versionOps = cur.versionOps + (v -> "append"),
+          versionRows = cur.versionRows + (v -> wr.rows))
       } else {
         val wr = storage.write(name, v,
           prepare(df.select(evolved.map(col): _*)), EntityIdColumn, TimestampColumn)
@@ -483,7 +490,8 @@ final class FeatureStore(
           segStats = cur.segStats ++ segStatsOf(v, wr),
           versionTimes = cur.versionTimes + (v -> now0),
           columnTypes = newTypes,
-          versionOps = cur.versionOps + (v -> "append"))
+          versionOps = cur.versionOps + (v -> "append"),
+          versionRows = cur.versionRows + (v -> (cur.rowCount + wr.rows)))
       }
     }
     val pruned = stampWatermark(prune(meta), watermark)
@@ -663,7 +671,8 @@ final class FeatureStore(
         segments = cur.segments + (v -> Seq(v)),
         segStats = cur.segStats ++ segStatsOf(v, wr),
         versionTimes = cur.versionTimes + (v -> now0),
-        versionOps = cur.versionOps + (v -> "compact"))
+        versionOps = cur.versionOps + (v -> "compact"),
+        versionRows = cur.versionRows + (v -> wr.rows))
     }
     val pruned = prune(meta)
     catalog.put(pruned)
@@ -746,7 +755,8 @@ final class FeatureStore(
             versions = cur.versions + (v -> cur.columns),
             segments = cur.segments + (v -> untouched),
             versionTimes = cur.versionTimes + (v -> now0),
-            versionOps = cur.versionOps + (v -> "delete"))
+            versionOps = cur.versionOps + (v -> "delete"),
+            versionRows = cur.versionRows + (v -> (total - hits)))
         } else {
           // rewrite ONLY the affected segments' survivors as this
           // version's own segment; ingest keys pass through unchanged
@@ -771,7 +781,8 @@ final class FeatureStore(
             segments = cur.segments + (v -> manifest),
             segStats = cur.segStats ++ segStatsOf(v, wr),
             versionTimes = cur.versionTimes + (v -> now0),
-            versionOps = cur.versionOps + (v -> "delete"))
+            versionOps = cur.versionOps + (v -> "delete"),
+            versionRows = cur.versionRows + (v -> (total - hits)))
         }
       }
       val pruned = prune(meta)
@@ -860,7 +871,8 @@ final class FeatureStore(
           segments = cur.segments + (v -> manifest),
           segStats = cur.segStats ++ segStatsOf(v, wr),
           versionTimes = cur.versionTimes + (v -> now0),
-          versionOps = cur.versionOps + (v -> "upsert"))
+          versionOps = cur.versionOps + (v -> "upsert"),
+          versionRows = cur.versionRows + (v -> (untouchedRows + wr.rows)))
       }
       val pruned = stampWatermark(prune(meta), watermark)
       catalog.put(pruned)
@@ -914,9 +926,9 @@ final class FeatureStore(
     */
   def getChanges(name: String, fromVersion: Int, toVersion: Int): DataFrame = {
     val meta = resolveMeta(name)
-    if (fromVersion < 0 || toVersion <= fromVersion)
+    if (fromVersion < 0 || toVersion < 1 || toVersion < fromVersion)
       throw new FeatureValidationError(
-        s"getChanges needs 0 <= fromVersion < toVersion, " +
+        s"getChanges needs 0 <= fromVersion <= toVersion (toVersion >= 1), " +
           s"got ($fromVersion, $toVersion)")
     val needed = (math.max(fromVersion, 1) to toVersion).toSeq
     val missing = needed.filterNot(meta.versions.contains)
@@ -957,6 +969,91 @@ final class FeatureStore(
       readSegs(meta.segmentsOf(toVersion)).limit(0), "insert", toVersion)
     steps.foldLeft(empty)(_.unionByName(_))
   }
+
+  /** [[getChanges]] addressed by WALL-CLOCK commit time — Delta's
+    * timestamp-bounded `table_changes`: the changes committed AFTER the
+    * version that was current at `fromTimestamp`, up to and including
+    * the version current at `toTimestamp` (both endpoints resolved
+    * exactly like [[getVersionAsOf]]). A `fromTimestamp` earlier than
+    * every retained commit means "since creation"; endpoints resolving
+    * to the same version yield an empty (correctly-shaped) feed.
+    */
+  def getChangesBetween(
+      name: String,
+      fromTimestamp: Any,
+      toTimestamp: Any): DataFrame = {
+    val meta = resolveMeta(name)
+    val fromMs = FeatureStore.normalizeTimestamp(fromTimestamp).getTime
+    val toMs = FeatureStore.normalizeTimestamp(toTimestamp).getTime
+    if (fromMs > toMs)
+      throw new FeatureValidationError(
+        s"getChangesBetween needs fromTimestamp <= toTimestamp, " +
+          s"got ($fromTimestamp, $toTimestamp)")
+    def resolve(cutoff: Long): Option[Int] = meta.versionTimes
+      .filter { case (ver, at) => meta.versions.contains(ver) && at <= cutoff }
+      .keys.maxOption
+    val to = resolve(toMs).getOrElse(throw new FeatureTableNotFoundError(
+      s"Table '$name' has no version committed at or before $toTimestamp"))
+    val from = resolve(fromMs).getOrElse(0)
+    getChanges(name, from, to)
+  }
+
+  /** RESTORE TO VERSION — Delta's `RESTORE TABLE ... TO VERSION AS OF`:
+    * mint a NEW version whose content is exactly a retained historical
+    * version, by RE-REFERENCING that version's segment manifest — ZERO
+    * data written, O(1) metadata, at any table size. The rolled-over
+    * versions stay in history (auditable, re-restorable) until they
+    * age out of retention; restoring across a schema evolution reverts
+    * the column set, exactly like Delta. Restoring the CURRENT version
+    * is a no-op (current info returned, nothing minted).
+    *
+    * The restored rowCount comes from the per-version row record
+    * ([[TableMeta.versionRows]]); a catalog predating that record
+    * falls back to one count scan.
+    */
+  def restoreVersion(name: String, version: Int): FeatureTableInfo =
+    this.synchronized {
+      if (storage.arbitrates) { adoptDiskMeta(name); reconcileFromLog(name) }
+      val meta0 = catalog.getOrThrow(name)
+      if (!meta0.versions.contains(version))
+        throw new FeatureTableNotFoundError(
+          s"Version $version of table '$name' not found. " +
+            s"Available versions: ${meta0.versions.keys.mkString(", ")}")
+      if (version == meta0.version) return meta0.info
+      val (curOpt, v) = claimVersion(name)
+      val cur = curOpt.getOrElse {
+        storage.releaseVersion(name, v)
+        throw new FeatureConcurrencyError(
+          s"table '$name' was deleted by another writer during restore")
+      }
+      val meta = completeClaim(name, v) {
+        // re-check against the CLAIMED state: an arbitrated claim may
+        // have absorbed other writers' versions, including a prune of
+        // the restore source
+        val cols = cur.versions.getOrElse(version,
+          throw new FeatureTableNotFoundError(
+            s"Version $version of table '$name' left retention during " +
+              s"restore. Available versions: ${cur.versions.keys.mkString(", ")}"))
+        val srcSegs = cur.segmentsOf(version)
+        val rows = cur.versionRows.getOrElse(version,
+          storage.readSegments(name, srcSegs, Seq(EntityIdColumn), None,
+            cur.columnTypes).count())
+        val now0 = System.currentTimeMillis()
+        storage.commitVersion(name, v, CommitMeta(
+          0L, rows, cols, srcSegs, None, None, now0, cur.columnTypes,
+          operation = "restore"))
+        cur.copy(version = v, rowCount = rows, updatedAt = now0,
+          versions = cur.versions + (v -> cols),
+          segments = cur.segments + (v -> srcSegs),
+          versionTimes = cur.versionTimes + (v -> now0),
+          versionOps = cur.versionOps + (v -> "restore"),
+          versionRows = cur.versionRows + (v -> rows))
+      }
+      val pruned = prune(meta)
+      catalog.put(pruned)
+      catalogIO.save(root, catalog.all)
+      pruned.info
+    }
 
   /** Optimistic concurrency check: if the shared on-disk catalog knows a
     * newer version of `name` than this session does, another writer owns
@@ -1401,7 +1498,8 @@ final class FeatureStore(
       VersionInfo(v, meta.versions(v), meta.segmentsOf(v),
         isCurrent = v == meta.version,
         committedAt = meta.versionTimes.get(v),
-        operation = meta.versionOps.get(v))
+        operation = meta.versionOps.get(v),
+        rows = meta.versionRows.get(v))
     }
   }
 
@@ -1526,6 +1624,7 @@ final class FeatureStore(
       segStats = meta.segStats -- freed,
       versionTimes = meta.versionTimes -- excess,
       versionOps = meta.versionOps -- excess,
+      versionRows = meta.versionRows -- excess,
       // the prune high-water is what reconciliation uses to tell
       // "pruned" from "committed by a racing writer" — monotone
       prunedThrough = excess.foldLeft(meta.prunedThrough)(math.max))
@@ -1573,6 +1672,8 @@ object FeatureStore {
       prunedThrough = pruned,
       columnTypes = a.columnTypes ++ b.columnTypes ++ hi.columnTypes,
       versionOps = (a.versionOps ++ b.versionOps ++ hi.versionOps)
+        .filter { case (v, _) => v > pruned },
+      versionRows = (a.versionRows ++ b.versionRows ++ hi.versionRows)
         .filter { case (v, _) => v > pruned })
   }
 

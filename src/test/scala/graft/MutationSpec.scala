@@ -272,7 +272,8 @@ class MutationSpec extends AnyFunSuite with SparkTestBase {
     store.register("t", singleRow(1.0))
     store.register("t", singleRow(2.0))
     store.register("t", singleRow(3.0)) // version 1 pruned
-    intercept[FeatureValidationError](store.getChanges("t", 2, 2))
+    intercept[FeatureValidationError](store.getChanges("t", 3, 2))
+    assert(store.getChanges("t", 2, 2).count() == 0) // same endpoints: empty
     val e = intercept[FeatureTableNotFoundError](store.getChanges("t", 0, 3))
     assert(e.getMessage.contains("missing"))
     // the retained window still diffs fine (full re-registers → exceptAll)
@@ -281,16 +282,90 @@ class MutationSpec extends AnyFunSuite with SparkTestBase {
       Seq("delete", "insert"))
   }
 
+  // ---------------------------------------------------------- restore
+
+  test("restore re-references the old manifest with zero data written") {
+    val store = freshStore()
+    store.register("t", sampleFeatures)
+    store.deleteRows("t", col("feature_a") === 2.0)
+    val info = store.restoreVersion("t", 1)
+    assert(info.version == 3)
+    assert(info.rowCount == 5)
+    // content is exactly version 1 again
+    assert(store.getVersion("t", 3).collect().toSet ==
+      store.getVersion("t", 1).collect().toSet)
+    // the manifest re-references version 1's segment — no v=3 data dir
+    val h = store.getTableHistory("t").find(_.version == 3).get
+    assert(h.segments == Seq(1))
+    assert(h.operation.contains("restore"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store.rootPath, "t", "v=3")))
+    // the rolled-over delete version stays in history
+    assert(store.getVersion("t", 2).count() == 4)
+  }
+
+  test("restore of the current version is a no-op; unknown version raises") {
+    val store = freshStore()
+    store.register("t", sampleFeatures)
+    assert(store.restoreVersion("t", 1).version == 1)
+    assert(store.getTableHistory("t").map(_.version) == Seq(1))
+    intercept[FeatureTableNotFoundError](store.restoreVersion("t", 9))
+  }
+
+  test("restore reverts a schema evolution") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    store.register("t", Seq(("u1", ts("2024-01-01"), 1.0))
+      .toDF("entity_id", "timestamp", "v"))
+    store.registerAppend("t",
+      Seq(("u2", ts("2024-02-01"), 2.0, "x"))
+        .toDF("entity_id", "timestamp", "v", "tag"),
+      mergeSchema = true)
+    val info = store.restoreVersion("t", 1)
+    assert(info.columns == Seq("entity_id", "timestamp", "v")) // tag gone
+    assert(store.getVersion("t", info.version).columns.toSeq ==
+      Seq("entity_id", "timestamp", "v"))
+  }
+
+  test("change feed across a restore emits the undone changes") {
+    val (store, _, feb) = twoSegmentStore()
+    store.restoreVersion("t", 1) // undo the append
+    val ch = store.getChanges("t", 2, 3).collect()
+    assert(ch.length == feb.count())
+    assert(ch.forall(_.getAs[String]("_change_type") == "delete"))
+  }
+
+  test("change feed addressed by commit timestamps") {
+    val store = freshStore()
+    store.register("t", sampleFeatures.filter(col("timestamp") < lit(ts("2024-02-01"))))
+    Thread.sleep(10)
+    val afterV1 = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(10)
+    store.registerAppend("t", sampleFeatures.filter(col("timestamp") >= lit(ts("2024-02-01"))))
+    Thread.sleep(10)
+    val afterV2 = new java.sql.Timestamp(System.currentTimeMillis())
+    val beforeAll = ts("2000-01-01")
+    assert(store.getChangesBetween("t", beforeAll, afterV2).count() == 5)
+    assert(store.getChangesBetween("t", afterV1, afterV2).count() == 1)
+    assert(store.getChangesBetween("t", afterV2, afterV2).count() == 0)
+    intercept[FeatureValidationError](
+      store.getChangesBetween("t", afterV2, afterV1))
+    intercept[FeatureTableNotFoundError](
+      store.getChangesBetween("t", beforeAll, beforeAll))
+  }
+
   // ------------------------------------------------- history + persistence
 
-  test("history records the producing operation per version") {
+  test("history records the producing operation and row count per version") {
     val (store, _, _) = twoSegmentStore()
     store.deleteRows("t", col("feature_a") === 1.0)
     store.compact("t")
-    val ops = store.getTableHistory("t").map(v => v.version -> v.operation)
-    assert(ops == Seq(
+    val h = store.getTableHistory("t")
+    assert(h.map(v => v.version -> v.operation) == Seq(
       1 -> Some("register"), 2 -> Some("append"),
       3 -> Some("delete"), 4 -> Some("compact")))
+    assert(h.map(_.rows.get) == Seq(4, 5, 4, 4))
   }
 
   test("operations and mutations survive a store reopen") {

@@ -34,6 +34,8 @@ object StoreProps extends Properties("FeatureStore") {
   private case class DeleteRows(sel: Int) extends Op
   // MERGE: replace up to nReplace existing keys (value shifted), insert one new
   private case class Upsert(nReplace: Int) extends Op
+  // RESTORE to the oldest retained version (zero-copy manifest re-reference)
+  private case object Restore extends Op
   private case object Compact extends Op
   private case object Vacuum extends Op
   private case object Reopen extends Op
@@ -47,6 +49,7 @@ object StoreProps extends Properties("FeatureStore") {
     },
     2 -> Gen.choose(1, 3).map(DeleteRows(_)),
     2 -> Gen.choose(1, 3).map(Upsert(_)),
+    1 -> Gen.const(Restore),
     1 -> Gen.const(Compact),
     2 -> Gen.const(Vacuum),
     1 -> Gen.const(Reopen),
@@ -109,6 +112,23 @@ object StoreProps extends Properties("FeatureStore") {
       val info = store.deleteRows("t", cond)
       (model + (info.version -> after), info.version)
     }
+  }
+
+  /** Restore to the OLDEST retained version against engine AND model:
+    * a no-op when that is already current, else a new version whose
+    * contents the model copies from the source version.
+    */
+  private def applyRestore(
+      store: FeatureStore, model: Model, current: Int,
+      maxVersions: Int): (Model, Int) = {
+    if (current == 0) return (model, current)
+    val src = model.keys.toSeq.sorted.takeRight(maxVersions).head
+    val info = store.restoreVersion("t", src)
+    if (src == current) {
+      if (info.version != current)
+        throw new AssertionError("restore-to-current minted a version")
+      (model, current)
+    } else (model + (info.version -> model(src)), info.version)
   }
 
   /** Upsert against engine AND model: replace up to nReplace existing
@@ -188,6 +208,9 @@ object StoreProps extends Properties("FeatureStore") {
           case Upsert(nr) =>
             val (m2, c2) = applyUpsert(store, nr, i, model, current)
             model = m2; current = c2
+          case Restore =>
+            val (m2, c2) = applyRestore(store, model, current, maxVersions)
+            model = m2; current = c2
           case Compact =>
             if (current > 0) {
               val before = model(current)
@@ -251,6 +274,7 @@ object StoreProps extends Properties("FeatureStore") {
       3 -> Gen.choose(1, 5).map(Append(_)),
       2 -> Gen.choose(1, 3).map(DeleteRows(_)),
       2 -> Gen.choose(1, 3).map(Upsert(_)),
+      1 -> Gen.const(Restore),
       1 -> Gen.const(Compact),
       2 -> Gen.const(Vacuum),
       1 -> Gen.const(Delete)))
@@ -316,6 +340,10 @@ object StoreProps extends Properties("FeatureStore") {
             mutated()
           case Upsert(nr) =>
             val (m2, c2) = applyUpsert(store, nr, i, model, current)
+            model = m2; current = c2
+            mutated()
+          case Restore =>
+            val (m2, c2) = applyRestore(store, model, current, maxVersions)
             model = m2; current = c2
             mutated()
           case Compact =>
