@@ -719,8 +719,25 @@ final class FeatureStore(
           s"table '$name' was deleted by another writer during deleteRows")
       }
       val segs = cur.segmentsOf(cur.version)
+      // the classification scan reads ONLY the columns the predicate
+      // references — on a wide feature table this is the difference
+      // between scanning 2 columns and 200. The references come from
+      // ANALYZING a probe filter over the table schema (no job runs),
+      // so qualified/case-insensitive references resolve exactly as
+      // the real filter will; a predicate naming an unknown column
+      // raises the normal analysis error here.
+      val condRefs = storage
+        .readSegments(name, segs.take(1), cur.columns, None, cur.columnTypes)
+        .filter(condition)
+        .queryExecution.analyzed.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.references.map(_.name).toSeq
+        }.flatten.distinct
+      val classifyCols =
+        if (condRefs.nonEmpty && condRefs.forall(cur.columns.contains)) condRefs
+        else cur.columns
       val tagged = segs.map { s =>
-        storage.readSegments(name, Seq(s), cur.columns, None, cur.columnTypes)
+        storage.readSegments(name, Seq(s), classifyCols, None, cur.columnTypes)
           .withColumn(FeatureStore.SegTagCol, lit(s))
       }.reduce(_.unionByName(_))
       val perSeg = tagged

@@ -267,6 +267,23 @@ class MutationSpec extends AnyFunSuite with SparkTestBase {
     assert(ch.head.getAs[String]("_change_type") == "insert")
   }
 
+  test("change feed plan shape: append step scans ONLY the delta segment; compact step scans nothing") {
+    val (store, _, _) = twoSegmentStore()
+    def scansOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    // append fast path: one scan, rooted at the delta segment (v=2) —
+    // the base segment is never touched (the O(delta) guarantee)
+    val appendScans = scansOf(store.getChanges("t", 1, 2))
+    assert(appendScans.length == 1)
+    assert(appendScans.head.relation.location.rootPaths
+      .forall(_.toString.contains("v=2")))
+    // compact step: resolved from the operation record — zero scans
+    store.compact("t")
+    assert(scansOf(store.getChanges("t", 2, 3)).isEmpty)
+  }
+
   test("change feed: range validation and pruned-history errors") {
     val store = freshStore(maxVersions = 2)
     store.register("t", singleRow(1.0))
