@@ -232,4 +232,79 @@ class ArbitrationSpec extends AnyFunSuite with SparkTestBase {
     assert(store.getVersion("t", 1).collect()
       .map(_.getAs[Double]("val")).toSeq == Seq(9.0))
   }
+
+  test("two stores racing upserts of disjoint keys: every correction lands exactly once") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_arb_upsert_spec").toString
+    val s1 = newStore(root)
+    val s2 = newStore(root)
+    def rows(ids: Range, value: Double) =
+      ids.map(i => (s"e$i", ts("2024-01-01"), value))
+        .toDF("entity_id", "timestamp", "val")
+    s1.register("t", rows(0 until 10, 0.0))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    // each writer upserts its own half of the key space in 3 rounds;
+    // rounds r=1..3 bump the value, so the final value per key must be
+    // that writer's LAST round — any lost update or mis-chained
+    // manifest surfaces as a stale value or wrong rowCount
+    def writer(store: FeatureStore, ids: Range, base: Double): Thread = {
+      val t = new Thread(() =>
+        try (1 to 3).foreach(r => store.registerUpsert("t", rows(ids, base + r)))
+        catch { case e: Throwable => errs.add(e); () })
+      t.start(); t
+    }
+    val t1 = writer(s1, 0 until 5, 100.0)
+    val t2 = writer(s2, 5 until 10, 200.0)
+    t1.join(120000); t2.join(120000)
+    assert(errs.isEmpty, s"racing upserts must all succeed: ${errs.peek()}")
+
+    val fresh = newStore(root)
+    assert(fresh.getTableInfo("t").version == 7) // 1 register + 6 upserts
+    assert(fresh.getTableInfo("t").rowCount == 10)
+    val got = fresh.getVersion("t", 7).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("val")).toMap
+    val expected =
+      (0 until 5).map(i => s"e$i" -> 103.0).toMap ++
+        (5 until 10).map(i => s"e$i" -> 203.0).toMap
+    assert(got == expected,
+      "each key must hold its writer's final correction — nothing stale, nothing lost")
+  }
+
+  test("deleteRows racing a disjoint append: both land, neither is lost") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_arb_del_spec").toString
+    val s1 = newStore(root)
+    val s2 = newStore(root)
+    val base = (0 until 20).map(i => (s"e$i", ts("2024-01-01"), i.toDouble))
+      .toDF("entity_id", "timestamp", "val")
+    s1.register("t", base)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    // writer 1 deletes the odd values; writer 2 appends NEW rows that
+    // the predicate cannot match (values >= 100) — the operations
+    // commute, so any interleaving must converge to the same state
+    val extra = (100 until 105).map(i => (s"x$i", ts("2024-02-01"), i.toDouble))
+      .toDF("entity_id", "timestamp", "val")
+    val t1 = new Thread(() =>
+      try { s1.deleteRows("t", org.apache.spark.sql.functions.col("val") % 2 === 1); () }
+      catch { case e: Throwable => errs.add(e); () })
+    val t2 = new Thread(() =>
+      try { s2.registerAppend("t", extra, maxSegments = 100); () }
+      catch { case e: Throwable => errs.add(e); () })
+    t1.start(); t2.start()
+    t1.join(120000); t2.join(120000)
+    assert(errs.isEmpty, s"racing delete/append must both succeed: ${errs.peek()}")
+
+    val fresh = newStore(root)
+    assert(fresh.getTableInfo("t").version == 3)
+    val vals = fresh.getVersion("t", 3).collect()
+      .map(_.getAs[Double]("val")).sorted.toSeq
+    val expected =
+      ((0 until 20 by 2).map(_.toDouble) ++ (100 until 105).map(_.toDouble)).sorted
+    assert(vals == expected,
+      "evens survive the delete AND the appended rows all arrive")
+  }
 }
