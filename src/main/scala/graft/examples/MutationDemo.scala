@@ -17,10 +17,10 @@ import graft.store.FeatureStore
   *     table; the full-rewrite baseline (filter + register) writes
   *     everything.
   *   - restoreVersion must be metadata-time (no data write at all).
-  *   - the append-step change feed must read O(delta); the delete-step
-  *     feed pays the EXCEPT ALL diff — the price of exactness on
-  *     rewrite steps, and the reason compact/restore steps resolve
-  *     from the operation record instead.
+  *   - the append-step change feed must read O(delta), and the
+  *     delete-step feed must read the change set RECORDED at commit
+  *     time (the Delta _change_data discipline) — O(changes), never a
+  *     two-snapshot diff.
   */
 object MutationDemo {
   def main(args: Array[String]): Unit = {
@@ -106,7 +106,7 @@ object MutationDemo {
     timed("getChanges over an append step (O(delta))") {
       store.getChanges("t", 3, 4).count()
     }
-    timed("getChanges over the delete step (EXCEPT ALL)") {
+    timed("getChanges over the delete step (recorded set)") {
       store.getChanges("t", nSegs, nSegs + 1).count()
     }
 

@@ -788,6 +788,15 @@ final class FeatureStore(
               s"deleteRows condition on '$name' is nondeterministic: the " +
                 s"classification pass matched $hits rows but the rewrite kept " +
                 s"${wr.rows} of $affectedTotal (expected ${affectedTotal - hits})")
+          // record the exact change set at commit time (Delta's
+          // _change_data discipline): O(deleted) extra write here buys
+          // an O(changes) change-feed read instead of a two-snapshot
+          // diff — the only shape that survives 100 TB
+          storage.writeChangeData(name, v,
+            storage.readSegments(name, affected, cur.columns, None,
+              cur.columnTypes)
+              .filter(condition)
+              .withColumn(FeatureStore.ChangeTypeCol, lit("delete")))
           val manifest = untouched :+ v
           storage.commitVersion(name, v, CommitMeta(
             wr.rows, total - hits, cur.columns, manifest,
@@ -876,6 +885,24 @@ final class FeatureStore(
             .join(keys, Seq(EntityIdColumn, TimestampColumn), "left_anti"))
         val newSeg = survivors.fold(prepared)(_.unionByName(prepared))
         val wr = storage.write(name, v, newSeg, EntityIdColumn, TimestampColumn)
+        // record the change set (Delta _change_data): delete images =
+        // replaced rows, insert images = the delta — with
+        // identical-content pairs cancelled (an upsert re-writing the
+        // same bytes is NOT a change), computed over touched rows only
+        val deltaRows = prepared.drop(IngestKeyCol)
+        val changeSet =
+          if (affected.isEmpty)
+            deltaRows.withColumn(FeatureStore.ChangeTypeCol, lit("insert"))
+          else {
+            val replacedRows = storage
+              .readSegments(name, affected, cur.columns, None, cur.columnTypes)
+              .join(keys, Seq(EntityIdColumn, TimestampColumn), "left_semi")
+            replacedRows.exceptAll(deltaRows)
+              .withColumn(FeatureStore.ChangeTypeCol, lit("delete"))
+              .unionByName(deltaRows.exceptAll(replacedRows)
+                .withColumn(FeatureStore.ChangeTypeCol, lit("insert")))
+          }
+        storage.writeChangeData(name, v, changeSet)
         val now0 = System.currentTimeMillis()
         val manifest = untouched :+ v
         storage.commitVersion(name, v, CommitMeta(
@@ -923,14 +950,16 @@ final class FeatureStore(
     *   - a step whose recorded operation is `compact` is
     *     content-preserving BY CONSTRUCTION → contributes nothing,
     *     zero scan;
+    *   - a mutation that RECORDED its change set at commit time
+    *     (deleteRows rewrites, upserts — the Delta `_change_data`
+    *     discipline) reads it back directly — O(changes);
     *   - a step that only ADDS segments (append lineage) reads just
     *     the added segments — O(step delta);
     *   - a step that only DROPS segments (whole-segment delete) reads
     *     just the dropped ones — O(rows deleted);
-    *   - anything else (partial-segment deletes, upserts, full
-    *     re-registers, legacy catalogs without operation records)
-    *     falls back to an exact multiset diff of the two snapshots
-    *     (`EXCEPT ALL` both ways).
+    *   - anything else (restores, full re-registers, legacy catalogs,
+    *     storages without change-data support) falls back to an exact
+    *     multiset diff of the two snapshots (`EXCEPT ALL` both ways).
     * Updates surface as delete + insert pairs (no
     * update_pre/postimage rows). A merge-schema append step reports
     * only its inserted rows — pre-existing rows reading a new column
@@ -963,10 +992,26 @@ final class FeatureStore(
     def stamped(df: DataFrame, tpe: String, ver: Int): DataFrame =
       df.withColumn(FeatureStore.ChangeTypeCol, lit(tpe))
         .withColumn(FeatureStore.CommitVersionCol, lit(ver))
+    // change rows recorded at mutation time (delete/upsert rewrites)
+    // read back O(changes); evolution pads resolve from the type record
+    def recorded(ver: Int): Option[DataFrame] =
+      storage.readChangeData(name, ver).map { cd =>
+        val padded = outCols
+          .filterNot(cd.columns.contains)
+          .flatMap(c => meta.columnTypes.get(c).map(c -> _))
+          .foldLeft(cd) { case (df, (c, t)) =>
+            df.withColumn(c, lit(null).cast(t))
+          }
+        padded
+          .select((outCols :+ FeatureStore.ChangeTypeCol).map(col): _*)
+          .withColumn(FeatureStore.CommitVersionCol, lit(ver))
+      }
     val steps: Seq[DataFrame] = (fromVersion + 1 to toVersion).flatMap { ver =>
       val prevSegs = if (ver == 1) Seq.empty[Int] else meta.segmentsOf(ver - 1)
       val curSegs = meta.segmentsOf(ver)
+      lazy val rec = recorded(ver)
       if (meta.versionOps.get(ver).contains("compact")) None
+      else if (rec.isDefined) rec
       else if (prevSegs.forall(curSegs.contains)) {
         val added = curSegs.filterNot(prevSegs.contains)
         if (added.isEmpty) None

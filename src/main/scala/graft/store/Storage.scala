@@ -87,6 +87,17 @@ trait VersionStorage {
       columnTypes: Map[String, String] = Map.empty): DataFrame
   def deleteVersion(name: String, version: Int): Unit
   def deleteTable(name: String): Unit
+  /** Persist a version's RECORDED CHANGE ROWS (user columns + a
+    * `_change_type` tag) — the Delta `_change_data` discipline: a
+    * mutation that rewrites segments writes its exact change set at
+    * commit time (O(changes) extra write), so the change feed reads it
+    * back O(changes) instead of diffing two snapshots. Returns the row
+    * count written, or -1 when this storage does not support change
+    * data (the feed then falls back to the exact diff).
+    */
+  def writeChangeData(name: String, version: Int, df: DataFrame): Long = -1L
+  /** The recorded change rows of a version, if any were written. */
+  def readChangeData(name: String, version: Int): Option[DataFrame] = None
   /** Version segments physically present (storage-side truth for vacuum). */
   def listVersionDirs(name: String): Seq[Int]
   /** Tables physically present under the root. */
@@ -185,6 +196,11 @@ final class Storage(
   def tablePath(name: String): String = s"$root/$name"
   def versionPath(name: String, version: Int): String =
     s"${tablePath(name)}/v=$version"
+  /** Recorded change rows of a version (underscore dir: never listed as
+    * a version; reclaimed with the version by [[deleteVersion]]).
+    */
+  def changeDataPath(name: String, version: Int): String =
+    s"${tablePath(name)}/_cdf/v=$version"
 
   /** Write one version snapshot; returns the row count and timestamp
     * range, observed from the write job itself (an `Observation` rides
@@ -273,8 +289,28 @@ final class Storage(
       padded.select(columns.map(col): _*)
     }.reduce(_.unionByName(_))
 
-  def deleteVersion(name: String, version: Int): Unit =
+  /** One plain (unpartitioned) parquet write — change sets are small
+    * relative to their mutation; an Observation rides the write for
+    * the row count, as in [[write]].
+    */
+  override def writeChangeData(name: String, version: Int, df: DataFrame): Long = {
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_cdf_${name}_v$version")
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite")
+      .parquet(changeDataPath(name, version))
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  override def readChangeData(name: String, version: Int): Option[DataFrame] = {
+    val p = new Path(changeDataPath(name, version))
+    if (fs(p).exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  def deleteVersion(name: String, version: Int): Unit = {
     delete(versionPath(name, version))
+    delete(changeDataPath(name, version))
+  }
 
   def deleteTable(name: String): Unit = delete(tablePath(name))
 

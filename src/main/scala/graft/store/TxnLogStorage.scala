@@ -249,6 +249,12 @@ final class TxnLogStorage(
 
   def deleteTable(name: String): Unit = inner.deleteTable(name)
 
+  override def writeChangeData(name: String, version: Int, df: DataFrame): Long =
+    inner.writeChangeData(name, version, df)
+
+  override def readChangeData(name: String, version: Int): Option[DataFrame] =
+    inner.readChangeData(name, version)
+
   /** Physical truth for vacuum: ALL data dirs, committed or not — an
     * uncommitted directory (crash between data and marker) is exactly
     * the stranded-path class vacuum exists to reclaim.

@@ -282,6 +282,13 @@ class MutationSpec extends AnyFunSuite with SparkTestBase {
     // compact step: resolved from the operation record — zero scans
     store.compact("t")
     assert(scansOf(store.getChanges("t", 2, 3)).isEmpty)
+    // delete step: served from the RECORDED change set (_cdf), not a
+    // two-snapshot diff — one scan, rooted at the change-data dir
+    store.deleteRows("t", col("feature_a") === 2.0)
+    val delScans = scansOf(store.getChanges("t", 3, 4))
+    assert(delScans.length == 1)
+    assert(delScans.head.relation.location.rootPaths
+      .forall(_.toString.contains("_cdf")))
   }
 
   test("change feed: range validation and pruned-history errors") {
