@@ -105,7 +105,12 @@ final case class TableMeta(
     // [[FeatureStore.restoreVersion]] set the restored rowCount
     // without a scan. Absent for versions written before the record
     // existed.
-    versionRows: SortedMap[Int, Long] = SortedMap.empty) {
+    versionRows: SortedMap[Int, Long] = SortedMap.empty,
+    // versions whose commit RECORDED a change-data set, with its row
+    // count — the authorization the change feed requires before
+    // trusting a _cdf file (a crashed mutation's leftover at a reused
+    // version number is never misattributed).
+    versionCdf: SortedMap[Int, Long] = SortedMap.empty) {
   def columns: Seq[String] = versions(version)
   /** Manifest for `v`: explicit entry, else the single-snapshot default. */
   def segmentsOf(v: Int): Seq[Int] = segments.getOrElse(v, Seq(v))
@@ -162,6 +167,7 @@ final class Catalog {
   *   Y <name> <column> <sparkDdlType>                 (column type record; optional)
   *   O <name> <version> <operation>                   (producing operation; optional)
   *   W <name> <version> <rowCount>                    (per-version rows; optional)
+  *   D <name> <version> <changeRows>                  (recorded change set; optional)
   *
   * Legacy two-field `K <name> <maxBatchId>` lines (pre-stream-identity
   * catalogs) load under [[CatalogIO.LegacyStreamId]]; six-field `T`
@@ -251,8 +257,11 @@ object CatalogPersistence extends CatalogIO {
       val vrows = m.versionRows.toSeq.map { case (v, n) =>
         s"W\t${enc(m.name)}\t$v\t$n"
       }
+      val cdf = m.versionCdf.toSeq.map { case (v, n) =>
+        s"D\t${enc(m.name)}\t$v\t$n"
+      }
       (head +: versions) ++ manifests ++ watermark ++ stats ++ times ++
-        types ++ ops ++ vrows
+        types ++ ops ++ vrows ++ cdf
     }
     val path = catalogFile(root)
     Files.createDirectories(path.getParent)
@@ -332,6 +341,13 @@ object CatalogPersistence extends CatalogIO {
           (dec(f(1)), f(2).toInt, f(3).toLong)
       }
       .groupBy(_._1)
+    val cdf = lines
+      .collect {
+        case l if l.startsWith("D\t") =>
+          val f = l.split("\t")
+          (dec(f(1)), f(2).toInt, f(3).toLong)
+      }
+      .groupBy(_._1)
     heads.toSeq.map { case (name, (version, rowCount, reg, upd, prunedThrough)) =>
       val vs = scala.collection.immutable.SortedMap(
         versions.getOrElse(name, Seq.empty).map(v => v._2 -> v._3): _*)
@@ -350,7 +366,9 @@ object CatalogPersistence extends CatalogIO {
         versionOps = scala.collection.immutable.SortedMap(
           ops.getOrElse(name, Seq.empty).map(o => o._2 -> o._3): _*),
         versionRows = scala.collection.immutable.SortedMap(
-          vrows.getOrElse(name, Seq.empty).map(w => w._2 -> w._3): _*))
+          vrows.getOrElse(name, Seq.empty).map(w => w._2 -> w._3): _*),
+        versionCdf = scala.collection.immutable.SortedMap(
+          cdf.getOrElse(name, Seq.empty).map(d => d._2 -> d._3): _*))
     }
   }
 }

@@ -325,7 +325,10 @@ final class FeatureStore(
               case (v, cm) if cm.operation.nonEmpty => v -> cm.operation
             },
             versionRows = m.versionRows ++
-              addable.view.mapValues(_.tableRows).toSeq)
+              addable.view.mapValues(_.tableRows).toSeq,
+            versionCdf = m.versionCdf ++ addable.toSeq.collect {
+              case (v, cm) if cm.changeRows >= 0 => v -> cm.changeRows
+            })
           if (top > m.version)
             merged = merged.copy(
               version = top,
@@ -362,7 +365,10 @@ final class FeatureStore(
               case (v, cm) if cm.operation.nonEmpty => v -> cm.operation
             }: _*),
             versionRows = SortedMap(
-              records.view.mapValues(_.tableRows).toSeq: _*)))
+              records.view.mapValues(_.tableRows).toSeq: _*),
+            versionCdf = SortedMap(records.toSeq.collect {
+              case (v, cm) if cm.changeRows >= 0 => v -> cm.changeRows
+            }: _*)))
         }
     }
 
@@ -791,8 +797,10 @@ final class FeatureStore(
           // record the exact change set at commit time (Delta's
           // _change_data discipline): O(deleted) extra write here buys
           // an O(changes) change-feed read instead of a two-snapshot
-          // diff — the only shape that survives 100 TB
-          storage.writeChangeData(name, v,
+          // diff — the only shape that survives 100 TB. The commit
+          // itself carries the recorded row count: a file is trusted
+          // by the feed only when its version's commit vouches for it.
+          val cdfRows = storage.writeChangeData(name, v,
             storage.readSegments(name, affected, cur.columns, None,
               cur.columnTypes)
               .filter(condition)
@@ -801,14 +809,17 @@ final class FeatureStore(
           storage.commitVersion(name, v, CommitMeta(
             wr.rows, total - hits, cur.columns, manifest,
             wr.minTsMillis, wr.maxTsMillis, now0, cur.columnTypes,
-            operation = "delete"))
+            operation = "delete", changeRows = cdfRows))
           cur.copy(version = v, rowCount = total - hits, updatedAt = now0,
             versions = cur.versions + (v -> cur.columns),
             segments = cur.segments + (v -> manifest),
             segStats = cur.segStats ++ segStatsOf(v, wr),
             versionTimes = cur.versionTimes + (v -> now0),
             versionOps = cur.versionOps + (v -> "delete"),
-            versionRows = cur.versionRows + (v -> (total - hits)))
+            versionRows = cur.versionRows + (v -> (total - hits)),
+            versionCdf =
+              if (cdfRows >= 0) cur.versionCdf + (v -> cdfRows)
+              else cur.versionCdf)
         }
       }
       val pruned = prune(meta)
@@ -902,13 +913,13 @@ final class FeatureStore(
               .unionByName(deltaRows.exceptAll(replacedRows)
                 .withColumn(FeatureStore.ChangeTypeCol, lit("insert")))
           }
-        storage.writeChangeData(name, v, changeSet)
+        val cdfRows = storage.writeChangeData(name, v, changeSet)
         val now0 = System.currentTimeMillis()
         val manifest = untouched :+ v
         storage.commitVersion(name, v, CommitMeta(
           wr.rows, untouchedRows + wr.rows, cur.columns, manifest,
           wr.minTsMillis, wr.maxTsMillis, now0, cur.columnTypes,
-          operation = "upsert"))
+          operation = "upsert", changeRows = cdfRows))
         cur.copy(version = v, rowCount = untouchedRows + wr.rows,
           updatedAt = now0,
           versions = cur.versions + (v -> cur.columns),
@@ -916,7 +927,10 @@ final class FeatureStore(
           segStats = cur.segStats ++ segStatsOf(v, wr),
           versionTimes = cur.versionTimes + (v -> now0),
           versionOps = cur.versionOps + (v -> "upsert"),
-          versionRows = cur.versionRows + (v -> (untouchedRows + wr.rows)))
+          versionRows = cur.versionRows + (v -> (untouchedRows + wr.rows)),
+          versionCdf =
+            if (cdfRows >= 0) cur.versionCdf + (v -> cdfRows)
+            else cur.versionCdf)
       }
       val pruned = stampWatermark(prune(meta), watermark)
       catalog.put(pruned)
@@ -993,9 +1007,14 @@ final class FeatureStore(
       df.withColumn(FeatureStore.ChangeTypeCol, lit(tpe))
         .withColumn(FeatureStore.CommitVersionCol, lit(ver))
     // change rows recorded at mutation time (delete/upsert rewrites)
-    // read back O(changes); evolution pads resolve from the type record
+    // read back O(changes); evolution pads resolve from the type
+    // record. Gated on the catalog's per-commit authorization
+    // ([[TableMeta.versionCdf]]): a crashed mutation's leftover file at
+    // a reused version number is never misattributed to the commit
+    // that eventually landed there.
     def recorded(ver: Int): Option[DataFrame] =
-      storage.readChangeData(name, ver).map { cd =>
+      (if (meta.versionCdf.contains(ver)) storage.readChangeData(name, ver)
+       else None).map { cd =>
         val padded = outCols
           .filterNot(cd.columns.contains)
           .flatMap(c => meta.columnTypes.get(c).map(c -> _))
@@ -1687,6 +1706,7 @@ final class FeatureStore(
       versionTimes = meta.versionTimes -- excess,
       versionOps = meta.versionOps -- excess,
       versionRows = meta.versionRows -- excess,
+      versionCdf = meta.versionCdf -- excess,
       // the prune high-water is what reconciliation uses to tell
       // "pruned" from "committed by a racing writer" — monotone
       prunedThrough = excess.foldLeft(meta.prunedThrough)(math.max))
@@ -1736,6 +1756,8 @@ object FeatureStore {
       versionOps = (a.versionOps ++ b.versionOps ++ hi.versionOps)
         .filter { case (v, _) => v > pruned },
       versionRows = (a.versionRows ++ b.versionRows ++ hi.versionRows)
+        .filter { case (v, _) => v > pruned },
+      versionCdf = (a.versionCdf ++ b.versionCdf ++ hi.versionCdf)
         .filter { case (v, _) => v > pruned })
   }
 

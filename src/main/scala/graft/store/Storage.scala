@@ -62,7 +62,13 @@ final case class CommitMeta(
     // the fact that lets the change feed ([[FeatureStore.getChanges]])
     // skip content-preserving compactions without diffing them. Empty
     // on legacy markers/catalogs (operation unknown).
-    operation: String = "")
+    operation: String = "",
+    // rows in this commit's RECORDED change set (-1 = none recorded).
+    // The change feed trusts a change-data file ONLY when the commit
+    // that owns the version says it wrote one — a crashed mutation's
+    // leftover file at a reused version number must never be
+    // misattributed to the commit that eventually lands there.
+    changeRows: Long = -1L)
 
 trait VersionStorage {
   /** Write one version snapshot/segment; returns the row count and the

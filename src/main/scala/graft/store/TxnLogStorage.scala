@@ -370,7 +370,8 @@ object TxnLogStorage {
       s"maxTs=${m.maxTsMillis.fold("")(_.toString)}",
       s"colTypes=${m.columnTypes.toSeq.sorted
         .map { case (c, t) => s"${enc(c)}:${enc(t)}" }.mkString(",")}",
-      s"operation=${enc(m.operation)}")
+      s"operation=${enc(m.operation)}",
+      s"changeRows=${m.changeRows}")
     lines.mkString("\n") + "\n"
   }
 
@@ -405,7 +406,8 @@ object TxnLogStorage {
             dec(p.substring(0, i)) -> dec(p.substring(i + 1))
           })
           .toMap,
-        operation = kv.get("operation").map(dec).getOrElse(""))
+        operation = kv.get("operation").map(dec).getOrElse(""),
+        changeRows = kv.get("changeRows").flatMap(_.toLongOption).getOrElse(-1L))
     }
   }
 }

@@ -399,7 +399,30 @@ class MutationSpec extends AnyFunSuite with SparkTestBase {
     assert(reopened.getTableInfo("t").rowCount == 4)
     assert(reopened.getTableHistory("t").map(_.operation.get) ==
       Seq("register", "append", "delete"))
-    assert(reopened.getChanges("t", 2, 3).count() == 1)
+    val feed = reopened.getChanges("t", 2, 3)
+    assert(feed.count() == 1)
+    // the change-data authorization persisted: the reopened feed is
+    // still served from the recorded set, not a diff
+    val scans = feed.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1 &&
+      scans.head.relation.location.rootPaths
+        .forall(_.toString.contains("_cdf")))
+  }
+
+  test("a change-data file the commit never vouched for is ignored") {
+    val (store, _, feb) = twoSegmentStore()
+    // plant a STALE change file at version 2 (whose commit recorded
+    // none — it was an append): the feed must ignore it and keep the
+    // append fast path, rather than misattribute the junk
+    val junk = sampleFeatures.limit(1)
+      .withColumn("_change_type", lit("delete"))
+    junk.write.mode("overwrite")
+      .parquet(s"${store.rootPath}/t/_cdf/v=2")
+    val ch = store.getChanges("t", 1, 2).collect()
+    assert(ch.length == feb.count())
+    assert(ch.forall(_.getAs[String]("_change_type") == "insert"))
   }
 
   // --------------------------------------------- txn-log multi-writer path
