@@ -122,9 +122,13 @@ object SparkEntry {
       init: (graft.store.FeatureStore, DataFrame) => Unit): graft.store.FeatureStore =
     memo.computeIfAbsent(dir, _ => {
       val feats = eventsFeatures(s, dir)
-      val fp = feats.agg(count(lit(1)), sum(col("event_id"))).head()
-      val rows = fp.getLong(0)
-      val idSum = fp.getLong(1)
+      // ONE fingerprint scan per source dir, shared by every store
+      // variant (eight of them ride the bench JVM) — the scan is pure
+      // function of the source data, not of the variant
+      val (rows, idSum) = sourceFingerprints.computeIfAbsent(dir, _ => {
+        val fp = feats.agg(count(lit(1)), sum(col("event_id"))).head()
+        (fp.getLong(0), fp.getLong(1))
+      })
       val san = dir.replaceAll("[^A-Za-z0-9]", "_")
       val root =
         s"${sys.props("java.io.tmpdir")}/${prefix}_${san}_${rows}_$idSum"
@@ -138,6 +142,9 @@ object SparkEntry {
       if (fresh) init(store, feats)
       store
     })
+
+  private val sourceFingerprints =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
   private val demoStores =
     new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
@@ -245,7 +252,7 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
 
   private def deleteStore(s: SparkSession, dir: String): graft.store.FeatureStore =
-    fingerprintStore(delStores, s, dir, "graft_store_del_v1", minVersion = 3) {
+    fingerprintStore(delStores, s, dir, "graft_store_del_v2", minVersion = 3) {
       (store, feats) =>
         store.delete("events")
         val cutoff = lit(utcTs("2024-01-10 00:00:00"))
@@ -268,7 +275,7 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
 
   private def restoreStore(s: SparkSession, dir: String): graft.store.FeatureStore =
-    fingerprintStore(resStores, s, dir, "graft_store_res_v1", minVersion = 3) {
+    fingerprintStore(resStores, s, dir, "graft_store_res_v2", minVersion = 3) {
       (store, feats) =>
         store.delete("events")
         store.register("events", feats)
@@ -290,7 +297,7 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
 
   private def upsertStore(s: SparkSession, dir: String): graft.store.FeatureStore =
-    fingerprintStore(upsStores, s, dir, "graft_store_ups_v1", minVersion = 2) {
+    fingerprintStore(upsStores, s, dir, "graft_store_ups_v2", minVersion = 2) {
       (store, feats) =>
         store.delete("events")
         store.register("events", feats)

@@ -1046,9 +1046,14 @@ final class FeatureStore(
             stamped(prev.exceptAll(curD), "delete", ver)))
       }
     }
-    val empty = stamped(
-      readSegs(meta.segmentsOf(toVersion)).limit(0), "insert", toVersion)
-    steps.foldLeft(empty)(_.unionByName(_))
+    // the schema-bearing empty seed (one segment read at plan time) is
+    // built ONLY when no step contributed — with steps present it
+    // would just add plan-time file listings to every feed
+    if (steps.isEmpty)
+      stamped(
+        readSegs(meta.segmentsOf(toVersion).take(1)).limit(0),
+        "insert", toVersion)
+    else steps.reduce(_.unionByName(_))
   }
 
   /** [[getChanges]] addressed by WALL-CLOCK commit time — Delta's
