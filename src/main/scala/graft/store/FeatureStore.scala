@@ -686,6 +686,31 @@ final class FeatureStore(
     pruned.info
   }
 
+  /** One discovery scan over a manifest: per segment, (total rows,
+    * hit rows) — the classification that bounds copy-on-write rewrites
+    * to affected segments. `withHit` decorates the segment-tagged
+    * union with a hit marker (counted when non-null); the driver
+    * result is O(#segments), bounded by the manifest cap.
+    */
+  private def classifySegments(
+      name: String,
+      meta: TableMeta,
+      segs: Seq[Int],
+      readCols: Seq[String])(
+      withHit: DataFrame => (DataFrame, Column)): Map[Int, (Long, Long)] = {
+    val tagged = segs.map { s =>
+      storage.readSegments(name, Seq(s), readCols, None, meta.columnTypes)
+        .withColumn(FeatureStore.SegTagCol, lit(s))
+    }.reduce(_.unionByName(_))
+    val (decorated, hit) = withHit(tagged)
+    decorated
+      .groupBy(col(FeatureStore.SegTagCol))
+      .agg(count(lit(1)).as("_graft_total"), count(hit).as("_graft_hits"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+  }
+
   /** Row-level DELETE with copy-on-write rewrite — Delta Lake's
     * `DELETE FROM` shape on the manifest-chained layout. Rows where
     * `condition` is TRUE leave the table as a NEW version; history is
@@ -694,9 +719,9 @@ final class FeatureStore(
     * segments only after they leave the retention window).
     * NULL-condition rows are KEPT, matching SQL DELETE semantics.
     * `condition` must be deterministic over the table's registered
-    * columns (it is evaluated twice: once to classify segments, once
-    * to filter survivors — a nondeterministic predicate is detected by
-    * the count cross-check and rejected).
+    * columns (it is evaluated up to three times: classification,
+    * survivor filter, change-set record — nondeterminism is detected
+    * by count cross-checks on the latter two and rejected).
     *
     * Cost shape (the 100 TB story): ONE discovery scan classifies
     * segments (per-segment counts — a map-side-combined aggregate, no
@@ -725,35 +750,36 @@ final class FeatureStore(
           s"table '$name' was deleted by another writer during deleteRows")
       }
       val segs = cur.segmentsOf(cur.version)
-      // the classification scan reads ONLY the columns the predicate
-      // references — on a wide feature table this is the difference
-      // between scanning 2 columns and 200. The references come from
-      // ANALYZING a probe filter over the table schema (no job runs),
-      // so qualified/case-insensitive references resolve exactly as
-      // the real filter will; a predicate naming an unknown column
-      // raises the normal analysis error here.
-      val condRefs = storage
-        .readSegments(name, segs.take(1), cur.columns, None, cur.columnTypes)
-        .filter(condition)
-        .queryExecution.analyzed.collect {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            f.condition.references.map(_.name).toSeq
-        }.flatten.distinct
-      val classifyCols =
-        if (condRefs.nonEmpty && condRefs.forall(cur.columns.contains)) condRefs
-        else cur.columns
-      val tagged = segs.map { s =>
-        storage.readSegments(name, Seq(s), classifyCols, None, cur.columnTypes)
-          .withColumn(FeatureStore.SegTagCol, lit(s))
-      }.reduce(_.unionByName(_))
-      val perSeg = tagged
-        .groupBy(col(FeatureStore.SegTagCol))
-        .agg(
-          count(lit(1)).as("_graft_total"),
-          count(when(condition, lit(1))).as("_graft_hits"))
-        .collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-        .toMap
+      // probe + classification run under the claim but before the
+      // commit body: release the reservation on ANY failure here (an
+      // unknown-column predicate, a transient scan error) so a failed
+      // classification can't wedge the lineage until a vacuum sweep
+      val perSeg = try {
+        // the classification scan reads ONLY the columns the predicate
+        // references — on a wide feature table this is the difference
+        // between scanning 2 columns and 200. The references come from
+        // ANALYZING a probe filter over the table schema (no job
+        // runs), so qualified/case-insensitive references resolve
+        // exactly as the real filter will; a predicate naming an
+        // unknown column raises the normal analysis error here.
+        val condRefs = storage
+          .readSegments(name, segs.take(1), cur.columns, None, cur.columnTypes)
+          .filter(condition)
+          .queryExecution.analyzed.collect {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition.references.map(_.name).toSeq
+          }.flatten.distinct
+        val classifyCols =
+          if (condRefs.nonEmpty && condRefs.forall(cur.columns.contains))
+            condRefs
+          else cur.columns
+        classifySegments(name, cur, segs, classifyCols)(df =>
+          (df, when(condition, lit(1))))
+      } catch {
+        case e: Throwable =>
+          try storage.releaseVersion(name, v) catch { case _: Exception => () }
+          throw e
+      }
       val total = perSeg.values.map(_._1).sum
       val hits = perSeg.values.map(_._2).sum
       if (hits == 0L) { storage.releaseVersion(name, v); return cur.info }
@@ -805,6 +831,11 @@ final class FeatureStore(
               cur.columnTypes)
               .filter(condition)
               .withColumn(FeatureStore.ChangeTypeCol, lit("delete")))
+          if (cdfRows >= 0 && cdfRows != hits)
+            throw new FeatureValidationError(
+              s"deleteRows condition on '$name' is nondeterministic: " +
+                s"$hits rows matched classification but the recorded change " +
+                s"set holds $cdfRows")
           val manifest = untouched :+ v
           storage.commitVersion(name, v, CommitMeta(
             wr.rows, total - hits, cur.columns, manifest,
@@ -869,24 +900,15 @@ final class FeatureStore(
               s"${df.columns.mkString("[", ", ", "]")}; " +
               "use register() for schema changes")
         val prepared = prepare(df)
+        val deltaCount = prepared.count()
         val keys = prepared
           .select(col(EntityIdColumn), col(TimestampColumn)).distinct()
         val segs = cur.segmentsOf(cur.version)
-        val tagged = segs.map { s =>
-          storage.readSegments(name, Seq(s),
-            Seq(EntityIdColumn, TimestampColumn), None, cur.columnTypes)
-            .withColumn(FeatureStore.SegTagCol, lit(s))
-        }.reduce(_.unionByName(_))
-        val perSeg = tagged
-          .join(keys.withColumn("_graft_hit", lit(1)),
-            Seq(EntityIdColumn, TimestampColumn), "left")
-          .groupBy(col(FeatureStore.SegTagCol))
-          .agg(
-            count(lit(1)).as("_graft_total"),
-            count(col("_graft_hit")).as("_graft_hits"))
-          .collect()
-          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-          .toMap
+        val perSeg = classifySegments(name, cur, segs,
+          Seq(EntityIdColumn, TimestampColumn))(df =>
+          (df.join(keys.withColumn("_graft_hit", lit(1)),
+            Seq(EntityIdColumn, TimestampColumn), "left"),
+            col("_graft_hit")))
         val affected = segs.filter(s => perSeg.get(s).exists(_._2 > 0L))
         val untouched = segs.filterNot(affected.contains)
         val untouchedRows = untouched.map(s => perSeg.get(s).fold(0L)(_._1)).sum
@@ -896,6 +918,17 @@ final class FeatureStore(
             .join(keys, Seq(EntityIdColumn, TimestampColumn), "left_anti"))
         val newSeg = survivors.fold(prepared)(_.unionByName(prepared))
         val wr = storage.write(name, v, newSeg, EntityIdColumn, TimestampColumn)
+        // determinism cross-check (the delta is evaluated by several
+        // independent jobs — discovery, write, change set): the
+        // written segment must hold exactly the affected survivors
+        // plus the delta, or a nondeterministic delta just lost rows
+        val replaced = perSeg.values.map(_._2).sum
+        val affectedTotal = affected.map(s => perSeg.get(s).fold(0L)(_._1)).sum
+        if (wr.rows != (affectedTotal - replaced) + deltaCount)
+          throw new FeatureValidationError(
+            s"registerUpsert delta for '$name' is nondeterministic: wrote " +
+              s"${wr.rows} rows, expected ${(affectedTotal - replaced) + deltaCount} " +
+              s"($affectedTotal affected - $replaced replaced + $deltaCount delta)")
         // record the change set (Delta _change_data): delete images =
         // replaced rows, insert images = the delta — with
         // identical-content pairs cancelled (an upsert re-writing the
@@ -980,9 +1013,10 @@ final class FeatureStore(
     * as null are not "changes", matching Delta CDF.
     *
     * `fromVersion = 0` means "since creation". Every version in
-    * (fromVersion, toVersion] must still be retained — changes are
-    * attributed per commit — and asking across pruned history raises
-    * with the available range.
+    * [max(fromVersion, 1), toVersion] must still be retained —
+    * changes are attributed per commit, and the first step needs
+    * fromVersion's own manifest — so asking across pruned history
+    * raises with the available range.
     */
   def getChanges(name: String, fromVersion: Int, toVersion: Int): DataFrame = {
     val meta = resolveMeta(name)

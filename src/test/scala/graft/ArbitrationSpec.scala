@@ -283,10 +283,10 @@ class ArbitrationSpec extends AnyFunSuite with SparkTestBase {
       .toDF("entity_id", "timestamp", "val")
     s1.register("t", base)
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
-    // writer 1 deletes the odd values; writer 2 appends NEW rows that
-    // the predicate cannot match (values >= 100) — the operations
-    // commute, so any interleaving must converge to the same state
-    val extra = (100 until 105).map(i => (s"x$i", ts("2024-02-01"), i.toDouble))
+    // writer 1 deletes the odd values; writer 2 appends NEW rows the
+    // predicate cannot match (all EVEN) — the operations commute, so
+    // any interleaving must converge to the same state
+    val extra = (100 until 110 by 2).map(i => (s"x$i", ts("2024-02-01"), i.toDouble))
       .toDF("entity_id", "timestamp", "val")
     val t1 = new Thread(() =>
       try { s1.deleteRows("t", org.apache.spark.sql.functions.col("val") % 2 === 1); () }
@@ -303,7 +303,7 @@ class ArbitrationSpec extends AnyFunSuite with SparkTestBase {
     val vals = fresh.getVersion("t", 3).collect()
       .map(_.getAs[Double]("val")).sorted.toSeq
     val expected =
-      ((0 until 20 by 2).map(_.toDouble) ++ (100 until 105).map(_.toDouble)).sorted
+      ((0 until 20 by 2).map(_.toDouble) ++ (100 until 110 by 2).map(_.toDouble)).sorted
     assert(vals == expected,
       "evens survive the delete AND the appended rows all arrive")
   }

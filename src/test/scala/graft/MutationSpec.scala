@@ -117,6 +117,20 @@ class MutationSpec extends AnyFunSuite with SparkTestBase {
     assert(before == after)
   }
 
+  test("a failed deleteRows classification releases its claim (txn storage)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mut-claim-").toString
+    val store = new FeatureStore(spark, root,
+      storageFactory = new TxnLogStorage(_, _, _),
+      arbitrationWaitMillis = 2000)
+    store.register("t", sampleFeatures)
+    intercept[Exception](
+      store.deleteRows("t", col("no_such_column") === 1))
+    // the reservation was released: the next register claims v2
+    // immediately instead of waiting out a wedged lineage
+    assert(store.register("t", sampleFeatures).version == 2)
+  }
+
   // --------------------------------------------------------- registerUpsert
 
   test("upsert replaces matched keys and inserts new ones") {
