@@ -1004,9 +1004,14 @@ final class FeatureStore(
     *     the added segments — O(step delta);
     *   - a step that only DROPS segments (whole-segment delete) reads
     *     just the dropped ones — O(rows deleted);
-    *   - anything else (restores, full re-registers, legacy catalogs,
-    *     storages without change-data support) falls back to an exact
-    *     multiset diff of the two snapshots (`EXCEPT ALL` both ways).
+    *   - a RESTORE step is COMPOSED as the net inverse of the interval
+    *     back to its source version, from those same cheap per-step
+    *     changes — O(interval changes);
+    *   - anything else (full re-registers, legacy catalogs, storages
+    *     without change-data support, restores whose source left
+    *     retention or whose interval contains an un-diffable step)
+    *     falls back to an exact multiset diff of the two snapshots
+    *     (`EXCEPT ALL` both ways).
     * Updates surface as delete + insert pairs (no
     * update_pre/postimage rows). A merge-schema append step reports
     * only its inserted rows — pre-existing rows reading a new column
@@ -1055,29 +1060,99 @@ final class FeatureStore(
           .foldLeft(cd) { case (df, (c, t)) =>
             df.withColumn(c, lit(null).cast(t))
           }
-        padded
-          .select((outCols :+ FeatureStore.ChangeTypeCol).map(col): _*)
-          .withColumn(FeatureStore.CommitVersionCol, lit(ver))
+        padded.select((outCols :+ FeatureStore.ChangeTypeCol).map(col): _*)
       }
-    val steps: Seq[DataFrame] = (fromVersion + 1 to toVersion).flatMap { ver =>
+    // a step's exact multiset change (insert frames, delete frames)
+    // over outCols, CHEAP PATHS ONLY: compact = nothing, recorded
+    // change sets, append-added segments, dropped segments. None =
+    // only a snapshot diff can answer. Shared by the per-step feed and
+    // the restore composition below.
+    def stepRaw(ver: Int): Option[(Seq[DataFrame], Seq[DataFrame])] = {
       val prevSegs = if (ver == 1) Seq.empty[Int] else meta.segmentsOf(ver - 1)
       val curSegs = meta.segmentsOf(ver)
       lazy val rec = recorded(ver)
-      if (meta.versionOps.get(ver).contains("compact")) None
-      else if (rec.isDefined) rec
-      else if (prevSegs.forall(curSegs.contains)) {
+      if (meta.versionOps.get(ver).contains("compact")) Some((Nil, Nil))
+      else if (rec.isDefined) {
+        val cd = rec.get
+        def side(t: String) = cd
+          .filter(col(FeatureStore.ChangeTypeCol) === t)
+          .select(outCols.map(col): _*)
+        // a delete commit's recorded set is all-deletes by
+        // construction — one untyped read, no filter, and the
+        // composition's cancellation short-circuits on the empty side
+        if (meta.versionOps.get(ver).contains("delete"))
+          Some((Nil, Seq(cd.select(outCols.map(col): _*))))
+        else Some((Seq(side("insert")), Seq(side("delete"))))
+      } else if (prevSegs.forall(curSegs.contains)) {
         val added = curSegs.filterNot(prevSegs.contains)
-        if (added.isEmpty) None
-        else Some(stamped(readSegs(added), "insert", ver))
+        Some((if (added.isEmpty) Nil else Seq(readSegs(added)), Nil))
       } else if (curSegs.forall(prevSegs.contains)) {
         val dropped = prevSegs.filterNot(curSegs.contains)
-        Some(stamped(readSegs(dropped), "delete", ver))
-      } else {
+        Some((Nil, Seq(readSegs(dropped))))
+      } else None
+    }
+    // a RESTORE step's feed is the NET INVERSE of the interval since
+    // its source version (content(ver) == content(s), so the step diff
+    // (ver-1 → ver) equals the diff (ver-1 → s) — undo the interval):
+    // accumulate the interval's cheap per-step changes, swap roles,
+    // and cancel multiset overlap. O(interval changes), never a
+    // two-snapshot diff — the only shape that survives restoring a
+    // 100 TB table while a follower is subscribed. Source version:
+    // any retained version < ver with the SAME manifest (the manifest
+    // determines content); nearest match minimizes the interval.
+    // None = source pruned or some interval step needs a diff itself.
+    def composeRestore(ver: Int): Option[Seq[DataFrame]] = {
+      val curSet = meta.segmentsOf(ver).toSet
+      meta.versions.keys
+        .filter(s => s < ver && meta.segmentsOf(s).toSet == curSet)
+        .maxOption
+        .flatMap { s =>
+          val interval = (s + 1 until ver).map(stepRaw)
+          if (interval.exists(_.isEmpty)) None
+          else {
+            val stepsRaw = interval.flatten
+            val insU = stepsRaw.flatMap(_._1).reduceOption(_.unionByName(_))
+            val delU = stepsRaw.flatMap(_._2).reduceOption(_.unionByName(_))
+            val restoreIns = (delU, insU) match {
+              case (Some(d0), Some(i0)) => Some(d0.exceptAll(i0))
+              case (d0, None)           => d0
+              case (None, _)            => None
+            }
+            val restoreDel = (insU, delU) match {
+              case (Some(i0), Some(d0)) => Some(i0.exceptAll(d0))
+              case (i0, None)           => i0
+              case (None, _)            => None
+            }
+            Some(Seq(
+              restoreIns.map(stamped(_, "insert", ver)),
+              restoreDel.map(stamped(_, "delete", ver))).flatten)
+          }
+        }
+    }
+    val steps: Seq[DataFrame] = (fromVersion + 1 to toVersion).flatMap { ver =>
+      def diff(): DataFrame = {
+        val prevSegs =
+          if (ver == 1) Seq.empty[Int] else meta.segmentsOf(ver - 1)
         val prev = readSegs(prevSegs)
-        val curD = readSegs(curSegs)
-        Some(
-          stamped(curD.exceptAll(prev), "insert", ver).unionByName(
-            stamped(prev.exceptAll(curD), "delete", ver)))
+        val curD = readSegs(meta.segmentsOf(ver))
+        stamped(curD.exceptAll(prev), "insert", ver).unionByName(
+          stamped(prev.exceptAll(curD), "delete", ver))
+      }
+      lazy val rec = recorded(ver)
+      if (!meta.versionOps.get(ver).contains("compact") && rec.isDefined)
+        // single-frame recorded read (one _cdf scan; types in the file)
+        Some(rec.get.withColumn(FeatureStore.CommitVersionCol, lit(ver)))
+      else stepRaw(ver) match {
+        case Some((ins, del)) =>
+          val parts = ins.map(stamped(_, "insert", ver)) ++
+            del.map(stamped(_, "delete", ver))
+          parts.reduceOption(_.unionByName(_))
+        case None if meta.versionOps.get(ver).contains("restore") =>
+          composeRestore(ver) match {
+            case Some(parts) => parts.reduceOption(_.unionByName(_))
+            case None        => Some(diff())
+          }
+        case None => Some(diff())
       }
     }
     // the schema-bearing empty seed (one segment read at plan time) is
