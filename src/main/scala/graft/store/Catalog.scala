@@ -110,7 +110,18 @@ final case class TableMeta(
     // count — the authorization the change feed requires before
     // trusting a _cdf file (a crashed mutation's leftover at a reused
     // version number is never misattributed).
-    versionCdf: SortedMap[Int, Long] = SortedMap.empty) {
+    versionCdf: SortedMap[Int, Long] = SortedMap.empty,
+    // per-SEGMENT row count, observed by the segment's write job (or
+    // adopted from its commit marker): what lets stats-pruned segments
+    // contribute exact totals to mutation classification without being
+    // scanned. Absent for segments written before the record existed —
+    // those are simply never pruned from a classification.
+    segRows: SortedMap[Int, Long] = SortedMap.empty,
+    // per-SEGMENT column-level skipping stats ([[ColStat]] per eligible
+    // column): the generalization of `segStats` beyond the timestamp —
+    // [[StatsPruning]] drops segments a resolved predicate provably
+    // cannot match. Absent entries are never used to prune.
+    segColStats: SortedMap[Int, Map[String, ColStat]] = SortedMap.empty) {
   def columns: Seq[String] = versions(version)
   /** Manifest for `v`: explicit entry, else the single-snapshot default. */
   def segmentsOf(v: Int): Seq[Int] = segments.getOrElse(v, Seq(v))
@@ -168,6 +179,8 @@ final class Catalog {
   *   O <name> <version> <operation>                   (producing operation; optional)
   *   W <name> <version> <rowCount>                    (per-version rows; optional)
   *   D <name> <version> <changeRows>                  (recorded change set; optional)
+  *   N <name> <segment> <rowCount>                    (per-segment rows; optional)
+  *   X <name> <segment> <colStatsRendered>            (per-segment column stats; optional)
   *
   * Legacy two-field `K <name> <maxBatchId>` lines (pre-stream-identity
   * catalogs) load under [[CatalogIO.LegacyStreamId]]; six-field `T`
@@ -260,8 +273,16 @@ object CatalogPersistence extends CatalogIO {
       val cdf = m.versionCdf.toSeq.map { case (v, n) =>
         s"D\t${enc(m.name)}\t$v\t$n"
       }
+      val srows = m.segRows.toSeq.map { case (seg, n) =>
+        s"N\t${enc(m.name)}\t$seg\t$n"
+      }
+      val cstats = m.segColStats.toSeq
+        .filter(_._2.nonEmpty)
+        .map { case (seg, cs) =>
+          s"X\t${enc(m.name)}\t$seg\t${ColumnStats.renderMap(cs)}"
+        }
       (head +: versions) ++ manifests ++ watermark ++ stats ++ times ++
-        types ++ ops ++ vrows ++ cdf
+        types ++ ops ++ vrows ++ cdf ++ srows ++ cstats
     }
     val path = catalogFile(root)
     Files.createDirectories(path.getParent)
@@ -348,6 +369,20 @@ object CatalogPersistence extends CatalogIO {
           (dec(f(1)), f(2).toInt, f(3).toLong)
       }
       .groupBy(_._1)
+    val srows = lines
+      .collect {
+        case l if l.startsWith("N\t") =>
+          val f = l.split("\t")
+          (dec(f(1)), f(2).toInt, f(3).toLong)
+      }
+      .groupBy(_._1)
+    val cstats = lines
+      .collect {
+        case l if l.startsWith("X\t") =>
+          val f = l.split("\t")
+          (dec(f(1)), f(2).toInt, ColumnStats.parseMap(f(3)))
+      }
+      .groupBy(_._1)
     heads.toSeq.map { case (name, (version, rowCount, reg, upd, prunedThrough)) =>
       val vs = scala.collection.immutable.SortedMap(
         versions.getOrElse(name, Seq.empty).map(v => v._2 -> v._3): _*)
@@ -368,7 +403,11 @@ object CatalogPersistence extends CatalogIO {
         versionRows = scala.collection.immutable.SortedMap(
           vrows.getOrElse(name, Seq.empty).map(w => w._2 -> w._3): _*),
         versionCdf = scala.collection.immutable.SortedMap(
-          cdf.getOrElse(name, Seq.empty).map(d => d._2 -> d._3): _*))
+          cdf.getOrElse(name, Seq.empty).map(d => d._2 -> d._3): _*),
+        segRows = scala.collection.immutable.SortedMap(
+          srows.getOrElse(name, Seq.empty).map(n => n._2 -> n._3): _*),
+        segColStats = scala.collection.immutable.SortedMap(
+          cstats.getOrElse(name, Seq.empty).map(x => x._2 -> x._3): _*))
     }
   }
 }

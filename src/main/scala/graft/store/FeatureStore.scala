@@ -108,7 +108,7 @@ final class FeatureStore(
       storage.commitVersion(name, v, CommitMeta(
         wr.rows, wr.rows, df.columns.toSeq, Seq(v),
         wr.minTsMillis, wr.maxTsMillis, now, typesOf(df),
-        operation = "register"))
+        operation = "register", colStats = wr.colStats))
       cur match {
         case None =>
           TableMeta(name, v, wr.rows, now, now, SortedMap(v -> df.columns.toSeq),
@@ -116,7 +116,9 @@ final class FeatureStore(
             versionTimes = SortedMap(v -> now),
             columnTypes = typesOf(df),
             versionOps = SortedMap(v -> "register"),
-            versionRows = SortedMap(v -> wr.rows))
+            versionRows = SortedMap(v -> wr.rows),
+            segRows = segRowsOf(v, wr),
+            segColStats = segColStatsOf(v, wr))
         case Some(c) =>
           prune(c.copy(
             version = v,
@@ -128,7 +130,9 @@ final class FeatureStore(
             versionTimes = c.versionTimes + (v -> now),
             columnTypes = c.columnTypes ++ typesOf(df),
             versionOps = c.versionOps + (v -> "register"),
-            versionRows = c.versionRows + (v -> wr.rows)))
+            versionRows = c.versionRows + (v -> wr.rows),
+            segRows = c.segRows ++ segRowsOf(v, wr),
+            segColStats = c.segColStats ++ segColStatsOf(v, wr)))
       }
     }
     val stamped = stampWatermark(meta, watermark)
@@ -144,6 +148,74 @@ final class FeatureStore(
   private def segStatsOf(v: Int, wr: WriteResult): SortedMap[Int, (Long, Long)] =
     (for { lo <- wr.minTsMillis; hi <- wr.maxTsMillis }
       yield SortedMap(v -> (lo, hi))).getOrElse(SortedMap.empty)
+
+  /** Per-segment row count from the write — what lets a stats-pruned
+    * segment contribute exact totals to a mutation's classification
+    * without being scanned.
+    */
+  private def segRowsOf(v: Int, wr: WriteResult): SortedMap[Int, Long] =
+    SortedMap(v -> wr.rows)
+
+  /** Per-segment column-level stats from the write ([[ColumnStats]]). */
+  private def segColStatsOf(
+      v: Int, wr: WriteResult): SortedMap[Int, Map[String, ColStat]] =
+    if (wr.colStats.nonEmpty) SortedMap(v -> wr.colStats) else SortedMap.empty
+
+  /** The skipping stats of segment `s` as [[StatsPruning]] consumes
+    * them: the column-level record, with the timestamp column's entry
+    * synthesized from the legacy per-segment ts range when no
+    * column-level record exists (pre-stats segments keep skipping on
+    * time, their only recorded dimension). Millis→micros widens the max
+    * bound by 999 so millis truncation can never fake an upper bound
+    * below a real row.
+    */
+  private def pruneStatsOf(meta: TableMeta, s: Int): Map[String, ColStat] = {
+    val recorded = meta.segColStats.getOrElse(s, Map.empty)
+    if (recorded.contains(TimestampColumn)) recorded
+    else recorded ++ meta.segStats.get(s).map { case (lo, hi) =>
+      TimestampColumn ->
+        ColStat(0L, Some((lo * 1000L).toString), Some((hi * 1000L + 999L).toString))
+    }
+  }
+
+  /** Segments of `segs` that `resolvedCond` provably cannot match —
+    * droppable from a scan or classification. With `needRows` (the
+    * classification paths), only segments with a recorded row count are
+    * ever pruned, so skipped segments still contribute exact totals;
+    * plain scans prune on stats alone. Anything [[StatsPruning]] can't
+    * reason about is kept — always the sound direction.
+    */
+  private def pruneSegments(
+      meta: TableMeta,
+      segs: Seq[Int],
+      resolvedCond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      needRows: Boolean = true): (Seq[Int], Seq[Int]) =
+    resolvedCond match {
+      case None => (segs, Seq.empty)
+      case Some(e) =>
+        segs.partition { s =>
+          (needRows && meta.segRows.get(s).isEmpty) ||
+            StatsPruning.maySatisfy(e, pruneStatsOf(meta, s), meta.segRows.get(s))
+        }
+    }
+
+  /** Resolve `condition` against a one-segment probe of the table (no
+    * job runs) and return the analyzed predicate — the expression
+    * [[StatsPruning]] needs, with qualified/case-insensitive references
+    * resolved exactly as the real filter will resolve them. An
+    * unknown-column predicate raises the normal analysis error.
+    */
+  private def resolveCondition(
+      name: String,
+      meta: TableMeta,
+      condition: Column): Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    storage
+      .readSegments(name, meta.segmentsOf(meta.version).take(1), meta.columns,
+        None, meta.columnTypes)
+      .filter(condition)
+      .queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.headOption
 
   /** Stored Spark DDL type per registered column: what [[prepare]]
     * writes — the timestamp column persists as TIMESTAMP regardless of
@@ -328,6 +400,16 @@ final class FeatureStore(
               addable.view.mapValues(_.tableRows).toSeq,
             versionCdf = m.versionCdf ++ addable.toSeq.collect {
               case (v, cm) if cm.changeRows >= 0 => v -> cm.changeRows
+            },
+            // segment-level records apply only to versions that wrote
+            // their OWN segment (manifest contains v) — a manifest-only
+            // delete's marker carries rows=0 for no segment at all
+            segRows = m.segRows ++ addable.toSeq.collect {
+              case (v, cm) if ownSegment(v, cm) => v -> cm.segmentRows
+            },
+            segColStats = m.segColStats ++ addable.toSeq.collect {
+              case (v, cm) if ownSegment(v, cm) && cm.colStats.nonEmpty =>
+                v -> cm.colStats
             })
           if (top > m.version)
             merged = merged.copy(
@@ -368,9 +450,23 @@ final class FeatureStore(
               records.view.mapValues(_.tableRows).toSeq: _*),
             versionCdf = SortedMap(records.toSeq.collect {
               case (v, cm) if cm.changeRows >= 0 => v -> cm.changeRows
+            }: _*),
+            segRows = SortedMap(records.toSeq.collect {
+              case (v, cm) if ownSegment(v, cm) => v -> cm.segmentRows
+            }: _*),
+            segColStats = SortedMap(records.toSeq.collect {
+              case (v, cm) if ownSegment(v, cm) && cm.colStats.nonEmpty =>
+                v -> cm.colStats
             }: _*)))
         }
     }
+
+  /** Did this commit write its own segment? (its manifest references
+    * its version number; a legacy marker's empty manifest defaults to
+    * the single-snapshot form, which is its own segment)
+    */
+  private def ownSegment(v: Int, cm: CommitMeta): Boolean =
+    cm.segments.isEmpty || cm.segments.contains(v)
 
   private def stampWatermark(
       m: TableMeta,
@@ -474,7 +570,7 @@ final class FeatureStore(
         storage.commitVersion(name, v, CommitMeta(
           wr.rows, wr.rows, evolved, Seq(v),
           wr.minTsMillis, wr.maxTsMillis, now0, newTypes,
-          operation = "append"))
+          operation = "append", colStats = wr.colStats))
         cur.copy(version = v, rowCount = wr.rows, updatedAt = now0,
           versions = cur.versions + (v -> evolved),
           segments = cur.segments + (v -> Seq(v)),
@@ -482,14 +578,16 @@ final class FeatureStore(
           versionTimes = cur.versionTimes + (v -> now0),
           columnTypes = newTypes,
           versionOps = cur.versionOps + (v -> "append"),
-          versionRows = cur.versionRows + (v -> wr.rows))
+          versionRows = cur.versionRows + (v -> wr.rows),
+          segRows = cur.segRows ++ segRowsOf(v, wr),
+          segColStats = cur.segColStats ++ segColStatsOf(v, wr))
       } else {
         val wr = storage.write(name, v,
           prepare(df.select(evolved.map(col): _*)), EntityIdColumn, TimestampColumn)
         storage.commitVersion(name, v, CommitMeta(
           wr.rows, cur.rowCount + wr.rows, evolved, chained,
           wr.minTsMillis, wr.maxTsMillis, now0, newTypes,
-          operation = "append"))
+          operation = "append", colStats = wr.colStats))
         cur.copy(version = v, rowCount = cur.rowCount + wr.rows, updatedAt = now0,
           versions = cur.versions + (v -> evolved),
           segments = cur.segments + (v -> chained),
@@ -497,7 +595,9 @@ final class FeatureStore(
           versionTimes = cur.versionTimes + (v -> now0),
           columnTypes = newTypes,
           versionOps = cur.versionOps + (v -> "append"),
-          versionRows = cur.versionRows + (v -> (cur.rowCount + wr.rows)))
+          versionRows = cur.versionRows + (v -> (cur.rowCount + wr.rows)),
+          segRows = cur.segRows ++ segRowsOf(v, wr),
+          segColStats = cur.segColStats ++ segColStatsOf(v, wr))
       }
     }
     val pruned = stampWatermark(prune(meta), watermark)
@@ -671,14 +771,16 @@ final class FeatureStore(
         wr.rows, wr.rows, cur.columns, Seq(v),
         wr.minTsMillis, wr.maxTsMillis, now0,
         columnTypes = cur.columnTypes,
-        operation = "compact"))
+        operation = "compact", colStats = wr.colStats))
       cur.copy(version = v, rowCount = wr.rows, updatedAt = now0,
         versions = cur.versions + (v -> cur.columns),
         segments = cur.segments + (v -> Seq(v)),
         segStats = cur.segStats ++ segStatsOf(v, wr),
         versionTimes = cur.versionTimes + (v -> now0),
         versionOps = cur.versionOps + (v -> "compact"),
-        versionRows = cur.versionRows + (v -> wr.rows))
+        versionRows = cur.versionRows + (v -> wr.rows),
+        segRows = cur.segRows ++ segRowsOf(v, wr),
+        segColStats = cur.segColStats ++ segColStatsOf(v, wr))
     }
     val pruned = prune(meta)
     catalog.put(pruned)
@@ -762,19 +864,23 @@ final class FeatureStore(
         // runs), so qualified/case-insensitive references resolve
         // exactly as the real filter will; a predicate naming an
         // unknown column raises the normal analysis error here.
-        val condRefs = storage
-          .readSegments(name, segs.take(1), cur.columns, None, cur.columnTypes)
-          .filter(condition)
-          .queryExecution.analyzed.collect {
-            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-              f.condition.references.map(_.name).toSeq
-          }.flatten.distinct
+        val resolved = resolveCondition(name, cur, condition)
+        val condRefs =
+          resolved.toSeq.flatMap(_.references.map(_.name).toSeq).distinct
         val classifyCols =
           if (condRefs.nonEmpty && condRefs.forall(cur.columns.contains))
             condRefs
           else cur.columns
-        classifySegments(name, cur, segs, classifyCols)(df =>
-          (df, when(condition, lit(1))))
+        // column-stats skipping: segments the predicate provably cannot
+        // match skip the scan entirely and classify as (rows, 0 hits)
+        // from the catalog's segment row record — at 100 TB a
+        // time-clustered GDPR delete classifies one day, not the corpus
+        val (scanSegs, skipped) = pruneSegments(cur, segs, resolved)
+        val scanned =
+          if (scanSegs.isEmpty) Map.empty[Int, (Long, Long)]
+          else classifySegments(name, cur, scanSegs, classifyCols)(df =>
+            (df, when(condition, lit(1))))
+        scanned ++ skipped.map(s => s -> (cur.segRows(s), 0L))
       } catch {
         case e: Throwable =>
           try storage.releaseVersion(name, v) catch { case _: Exception => () }
@@ -840,7 +946,8 @@ final class FeatureStore(
           storage.commitVersion(name, v, CommitMeta(
             wr.rows, total - hits, cur.columns, manifest,
             wr.minTsMillis, wr.maxTsMillis, now0, cur.columnTypes,
-            operation = "delete", changeRows = cdfRows))
+            operation = "delete", changeRows = cdfRows,
+            colStats = wr.colStats))
           cur.copy(version = v, rowCount = total - hits, updatedAt = now0,
             versions = cur.versions + (v -> cur.columns),
             segments = cur.segments + (v -> manifest),
@@ -850,7 +957,9 @@ final class FeatureStore(
             versionRows = cur.versionRows + (v -> (total - hits)),
             versionCdf =
               if (cdfRows >= 0) cur.versionCdf + (v -> cdfRows)
-              else cur.versionCdf)
+              else cur.versionCdf,
+            segRows = cur.segRows ++ segRowsOf(v, wr),
+            segColStats = cur.segColStats ++ segColStatsOf(v, wr))
         }
       }
       val pruned = prune(meta)
@@ -900,15 +1009,36 @@ final class FeatureStore(
               s"${df.columns.mkString("[", ", ", "]")}; " +
               "use register() for schema changes")
         val prepared = prepare(df)
-        val deltaCount = prepared.count()
+        // ONE tiny agg job: delta size + its key-domain bounds (the
+        // count the idempotence cross-check needs anyway, plus what
+        // key-range skipping needs — no extra pass over the delta)
+        val boundsRow = prepared.agg(
+          count(lit(1)),
+          min(col(EntityIdColumn)), max(col(EntityIdColumn)),
+          min(col(TimestampColumn)), max(col(TimestampColumn))).head()
+        val deltaCount = boundsRow.getLong(0)
         val keys = prepared
           .select(col(EntityIdColumn), col(TimestampColumn)).distinct()
         val segs = cur.segmentsOf(cur.version)
-        val perSeg = classifySegments(name, cur, segs,
-          Seq(EntityIdColumn, TimestampColumn))(df =>
-          (df.join(keys.withColumn("_graft_hit", lit(1)),
-            Seq(EntityIdColumn, TimestampColumn), "left"),
-            col("_graft_hit")))
+        // key-range skipping: a segment disjoint from the delta's
+        // (entity, ts) bounds on EITHER dimension holds no matched key
+        // — with time-sliced appends a CDC delta of recent keys
+        // classifies against recent segments only, O(delta) not O(table)
+        val resolvedBounds = (for {
+          loE <- Option(boundsRow.get(1)); hiE <- Option(boundsRow.get(2))
+          loT <- Option(boundsRow.get(3)); hiT <- Option(boundsRow.get(4))
+        } yield scala.util.Try(resolveCondition(name, cur,
+          col(EntityIdColumn).between(lit(loE), lit(hiE)) &&
+            col(TimestampColumn).between(lit(loT), lit(hiT)))).toOption.flatten)
+          .flatten
+        val (scanSegs, skipped) = pruneSegments(cur, segs, resolvedBounds)
+        val perSeg = (if (scanSegs.isEmpty) Map.empty[Int, (Long, Long)]
+          else classifySegments(name, cur, scanSegs,
+            Seq(EntityIdColumn, TimestampColumn))(df =>
+            (df.join(keys.withColumn("_graft_hit", lit(1)),
+              Seq(EntityIdColumn, TimestampColumn), "left"),
+              col("_graft_hit")))) ++
+          skipped.map(s => s -> (cur.segRows(s), 0L))
         val affected = segs.filter(s => perSeg.get(s).exists(_._2 > 0L))
         val untouched = segs.filterNot(affected.contains)
         val untouchedRows = untouched.map(s => perSeg.get(s).fold(0L)(_._1)).sum
@@ -952,7 +1082,8 @@ final class FeatureStore(
         storage.commitVersion(name, v, CommitMeta(
           wr.rows, untouchedRows + wr.rows, cur.columns, manifest,
           wr.minTsMillis, wr.maxTsMillis, now0, cur.columnTypes,
-          operation = "upsert", changeRows = cdfRows))
+          operation = "upsert", changeRows = cdfRows,
+          colStats = wr.colStats))
         cur.copy(version = v, rowCount = untouchedRows + wr.rows,
           updatedAt = now0,
           versions = cur.versions + (v -> cur.columns),
@@ -963,7 +1094,9 @@ final class FeatureStore(
           versionRows = cur.versionRows + (v -> (untouchedRows + wr.rows)),
           versionCdf =
             if (cdfRows >= 0) cur.versionCdf + (v -> cdfRows)
-            else cur.versionCdf)
+            else cur.versionCdf,
+          segRows = cur.segRows ++ segRowsOf(v, wr),
+          segColStats = cur.segColStats ++ segColStatsOf(v, wr))
       }
       val pruned = stampWatermark(prune(meta), watermark)
       catalog.put(pruned)
@@ -1282,6 +1415,36 @@ final class FeatureStore(
       columns = columns,
       tieBreakCols = Seq(IngestKeyCol),
       tableName = name)
+  }
+
+  /** Filtered read of the current version with COLUMN-STATS DATA
+    * SKIPPING: segments whose recorded per-column min/max
+    * ([[TableMeta.segColStats]]) prove the predicate unsatisfiable are
+    * dropped before the scan is even planned — the stats-filter read
+    * path of the transactional table formats, over the manifest's
+    * segment dimension. On a manifest-chained table whose appends are
+    * clustered in the filter column (time-sliced ingest filtered by
+    * time, entity-bucketed ingest filtered by entity), a selective scan
+    * touches O(matching segments) of the manifest instead of all of it;
+    * parquet row-group stats then skip WITHIN the surviving segments.
+    * The filter is re-applied to the surviving scan, so the result is
+    * always exact regardless of how much the stats could prune.
+    */
+  def scanWhere(name: String, condition: Column): DataFrame = {
+    val meta = resolveMeta(name)
+    val segs = meta.segmentsOf(meta.version)
+    val resolved = resolveCondition(name, meta, condition)
+    val (kept, _) = pruneSegments(meta, segs, resolved, needRows = false)
+    if (kept.isEmpty)
+      // every segment pruned: an empty result with the exact schema
+      // (and the exact analysis errors) of the unpruned read
+      storage
+        .readSegments(name, segs.take(1), meta.columns, None, meta.columnTypes)
+        .filter(condition).limit(0)
+    else
+      storage
+        .readSegments(name, kept, meta.columns, None, meta.columnTypes)
+        .filter(condition)
   }
 
   /** Point-in-time training-set join (reference: store.py:261-308):
@@ -1817,6 +1980,8 @@ final class FeatureStore(
       versions = meta.versions -- excess,
       segments = meta.segments -- excess,
       segStats = meta.segStats -- freed,
+      segRows = meta.segRows -- freed,
+      segColStats = meta.segColStats -- freed,
       versionTimes = meta.versionTimes -- excess,
       versionOps = meta.versionOps -- excess,
       versionRows = meta.versionRows -- excess,
@@ -1857,6 +2022,8 @@ object FeatureStore {
       segments = (a.segments ++ b.segments ++ hi.segments)
         .filter { case (v, _) => v > pruned },
       segStats = a.segStats ++ b.segStats,
+      segRows = a.segRows ++ b.segRows,
+      segColStats = a.segColStats ++ b.segColStats,
       versionTimes = (a.versionTimes ++ b.versionTimes)
         .filter { case (v, _) => v > pruned },
       batchWatermarks = scala.collection.immutable.SortedMap(

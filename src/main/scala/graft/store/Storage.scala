@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions._
   * whose minimum timestamp is after T.
   */
 final case class WriteResult(
-    rows: Long, minTsMillis: Option[Long], maxTsMillis: Option[Long])
+    rows: Long, minTsMillis: Option[Long], maxTsMillis: Option[Long],
+    // per-column null count + min/max for the segment's eligible columns
+    // ([[ColumnStats]]) — observed by the same write job, zero extra
+    // passes; feeds predicate-level data skipping ([[StatsPruning]])
+    colStats: Map[String, ColStat] = Map.empty)
 
 /** Everything a commit marker records about one committed version — the
   * transaction log's own copy of the catalog facts for that version,
@@ -68,7 +72,11 @@ final case class CommitMeta(
     // that owns the version says it wrote one — a crashed mutation's
     // leftover file at a reused version number must never be
     // misattributed to the commit that eventually lands there.
-    changeRows: Long = -1L)
+    changeRows: Long = -1L,
+    // column-level skipping stats of this version's OWN segment
+    // ([[ColumnStats]]); empty for commits that wrote no segment
+    // (manifest-only deletes, restores) and for legacy markers
+    colStats: Map[String, ColStat] = Map.empty)
 
 trait VersionStorage {
   /** Write one version snapshot/segment; returns the row count and the
@@ -222,12 +230,16 @@ final class Storage(
       tsCol: String): WriteResult = {
     val path = versionPath(name, version)
     val obs = org.apache.spark.sql.Observation(s"graft_write_${name}_v$version")
+    // per-column min/max/nulls ride the SAME CollectMetrics node as the
+    // row count — column-level skipping stats at zero extra passes
+    val statFields = ColumnStats.eligible(df.schema)
     df.withColumn(DateCol, period(col(tsCol)))
       .observe(
         obs,
         count(lit(1)).as("rows"),
-        min(col(tsCol)).as("min_ts"),
-        max(col(tsCol)).as("max_ts"))
+        Seq(
+          min(col(tsCol)).as("min_ts"),
+          max(col(tsCol)).as("max_ts")) ++ ColumnStats.metrics(statFields): _*)
       .repartition(col(DateCol))
       .sortWithinPartitions(col(entityCol), col(tsCol))
       .write
@@ -241,7 +253,9 @@ final class Storage(
         Some(d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
       case _ => None // null: empty or all-null segment — no skipping stats
     }
-    WriteResult(obs.get("rows").asInstanceOf[Long], millis("min_ts"), millis("max_ts"))
+    WriteResult(
+      obs.get("rows").asInstanceOf[Long], millis("min_ts"), millis("max_ts"),
+      ColumnStats.fromMetrics(statFields, obs.get))
   }
 
   /** Read one version snapshot with the original column order restored

@@ -371,7 +371,8 @@ object TxnLogStorage {
       s"colTypes=${m.columnTypes.toSeq.sorted
         .map { case (c, t) => s"${enc(c)}:${enc(t)}" }.mkString(",")}",
       s"operation=${enc(m.operation)}",
-      s"changeRows=${m.changeRows}")
+      s"changeRows=${m.changeRows}",
+      s"colStats=${ColumnStats.renderMap(m.colStats)}")
     lines.mkString("\n") + "\n"
   }
 
@@ -407,7 +408,9 @@ object TxnLogStorage {
           })
           .toMap,
         operation = kv.get("operation").map(dec).getOrElse(""),
-        changeRows = kv.get("changeRows").flatMap(_.toLongOption).getOrElse(-1L))
+        changeRows = kv.get("changeRows").flatMap(_.toLongOption).getOrElse(-1L),
+        colStats = kv.get("colStats").fold(
+          Map.empty[String, ColStat])(ColumnStats.parseMap))
     }
   }
 }
