@@ -180,7 +180,9 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
 
   private def appendStore(s: SparkSession, dir: String): graft.store.FeatureStore =
-    fingerprintStore(appendStores, s, dir, "graft_store_app_v1") { (store, feats) =>
+    // prefix v2: rebuilt once so the catalog carries the column-level
+    // segment stats scanWhere's skipping path needs
+    fingerprintStore(appendStores, s, dir, "graft_store_app_v2") { (store, feats) =>
       store.delete("events")
       val cutoff = lit(utcTs("2024-01-10 00:00:00"))
       store.register("events", feats.filter(col("timestamp") < cutoff))
@@ -578,6 +580,18 @@ object SparkEntry {
         .get("events", PitIds, "2024-01-09 12:00:00")
         .orderBy("entity_id")),
 
+    // COLUMN-STATS data skipping on a filtered read: the predicate's
+    // time bound is provably outside the first chained segment's
+    // recorded min/max, so scanWhere plans only the append segment
+    // (input-files assert-tested in ColumnStatsSpec) — and the skipped
+    // plan must still hash-match the full-scan SQL oracle
+    "store_scan_pruned" -> ((s, dir) =>
+      appendStore(s, dir)
+        .scanWhere("events",
+          col("timestamp") >= lit(utcTs("2024-01-12 00:00:00")) &&
+            col("event_type") === "click")
+        .orderBy("event_id")),
+
     // SCHEMA-EVOLUTION roundtrip: version 2 added `props` via a
     // merge-schema append; the PIT read spans both segments, padding
     // the pre-evolution one with typed nulls — against an oracle that
@@ -872,6 +886,13 @@ object SparkEntry {
     // segment-skipped chained-manifest read ≡ full-scan SQL at the
     // same (earlier) cutoff
     "store_pit_pruned" -> eventsPitOracleAt("2024-01-09 12:00:00"),
+
+    // column-stats-skipped filtered read ≡ full-scan SQL filter
+    "store_scan_pruned" ->
+      """SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-12 00:00:00' AND event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
 
     // the two-writer interleaved build must be value-invisible too
     "store_concurrent_roundtrip" -> EventsPitOracle,

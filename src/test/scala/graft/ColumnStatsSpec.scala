@@ -175,6 +175,15 @@ class ColumnStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(parsed == stats)
   }
 
+  test("store_scan_pruned plans only the append segment") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val df = SparkEntry.queries("store_scan_pruned")(spark, "/root/testdata/sf0.001")
+    val segs = segsOf(df)
+    // the predicate's time bound postdates the append split: the first
+    // chained segment must not appear in the planned scan
+    assert(!segs.contains(1) && segs.contains(2), s"scanned segments: $segs")
+  }
+
   test("pruning never fires without recorded stats (legacy safety)") {
     val root = tmpRoot("graft_colstats_legacy")
     val store = threeSliceStore(root)
