@@ -51,14 +51,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     explicit overwrite branch, taken only for a ledgered-retired
   *     lineage).
   *
-  * What a real Delta/Iceberg binding would still add is column-level
-  * stats in the log beyond the timestamp range and multi-table
-  * transactions; the arbitration itself is now the same shape.
+  * The log also carries column-level skipping stats per commit
+  * ([[CommitMeta.colStats]]) and folds itself into CHECKPOINT files
+  * every `checkpointInterval` commits (tmp + atomic rename; readers
+  * take the newest checkpoint plus the tail markers after it), so a
+  * log read costs O(interval) file opens however long the table has
+  * lived. What a real Delta/Iceberg binding would still add is
+  * multi-table transactions; the arbitration, stats, and checkpoint
+  * disciplines are now the same shape.
   */
 final class TxnLogStorage(
     spark: SparkSession,
     root: String,
-    granularity: String = "month") extends VersionStorage {
+    granularity: String = "month",
+    // every Nth commit folds the log into a CHECKPOINT file (Delta's
+    // checkpoint discipline): log reads open the latest checkpoint plus
+    // the markers after it — O(interval) file opens per reconciliation
+    // instead of O(commits), which is the difference between a usable
+    // and an unusable log after a year of streaming commits
+    checkpointInterval: Int = 10) extends VersionStorage {
 
   private val inner = new Storage(spark, root, granularity)
 
@@ -73,6 +84,8 @@ final class TxnLogStorage(
     new Path(logDir(name), f"$version%010d.commit")
   private def reserveFile(name: String, version: Int): Path =
     new Path(logDir(name), f"$version%010d.reserve")
+  private def checkpointFile(name: String, version: Int): Path =
+    new Path(logDir(name), f"$version%010d.checkpoint")
 
   private def fs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -194,7 +207,72 @@ final class TxnLogStorage(
     // absence is what lets a delete + re-register (or a later lineage)
     // reuse the number after vacuum clears the log.
     rf.delete(reserve, false)
+    // fold the log into a checkpoint every Nth commit — strictly
+    // best-effort: the marker above IS the commit point, and a reader
+    // without this checkpoint just opens more tail markers
+    if (checkpointInterval > 0 && version % checkpointInterval == 0)
+      try writeCheckpoint(name, version)
+      catch { case _: java.io.IOException => () }
     ()
+  }
+
+  /** Write `_txn/<v>.checkpoint`: one line per committed version (tab-
+    * joined key=value — the marker body in one-line form, which
+    * [[TxnLogStorage.parse]] reads identically), via tmp + atomic
+    * rename. Older checkpoints are dropped after the new one lands;
+    * readers pick the newest present, so a concurrent reader never sees
+    * a gap.
+    */
+  private def writeCheckpoint(name: String, version: Int): Unit = {
+    val records = committedMeta(name) // itself checkpoint-accelerated
+    if (records.isEmpty) return
+    val body = records.toSeq.sortBy(_._1).map { case (v, cm) =>
+      s"version=$v\t" + TxnLogStorage.render(cm).trim.replace("\n", "\t")
+    }.mkString("\n") + "\n"
+    val target = checkpointFile(name, version)
+    val f = fs(target)
+    val tmp = new Path(
+      target.getParent, s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    if (f.exists(target)) f.delete(target, false)
+    if (!f.rename(tmp, target)) { f.delete(tmp, false); return }
+    // retire superseded checkpoints (best effort — extras are harmless,
+    // readers take the newest)
+    f.listStatus(logDir(name)).toSeq
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.endsWith(".checkpoint") &&
+          p.getName.stripSuffix(".checkpoint").toIntOption.exists(_ < version)
+      }
+      .foreach(p => { f.delete(p, false); () })
+  }
+
+  /** Latest checkpoint's records, keyed by version; empty when none. */
+  private def readCheckpoint(
+      statuses: Seq[org.apache.hadoop.fs.FileStatus]): Map[Int, CommitMeta] = {
+    val latest = statuses.map(_.getPath)
+      .filter(_.getName.endsWith(".checkpoint"))
+      .flatMap(p => p.getName.stripSuffix(".checkpoint").toIntOption.map(_ -> p))
+      .sortBy(_._1).lastOption
+    latest.fold(Map.empty[Int, CommitMeta]) { case (_, p) =>
+      try {
+        val in = fs(p).open(p)
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, true)
+        new String(buf.toByteArray, UTF_8).split("\n").toSeq
+          .filter(_.nonEmpty)
+          .flatMap { line =>
+            val v = line.split("\t", 2)(0) match {
+              case s if s.startsWith("version=") =>
+                s.stripPrefix("version=").toIntOption
+              case _ => None
+            }
+            v.flatMap(ver => TxnLogStorage.parse(line).map(ver -> _))
+          }
+          .toMap
+      } catch { case _: java.io.IOException => Map.empty }
+    }
   }
 
   private def requireCommitted(name: String, version: Int): Unit = {
@@ -292,7 +370,14 @@ final class TxnLogStorage(
     val d = logDir(name)
     val f = fs(d)
     if (!f.exists(d)) return Map.empty
-    f.listStatus(d).toSeq
+    val statuses = f.listStatus(d).toSeq
+    // one directory listing + the latest checkpoint + only the markers
+    // the checkpoint doesn't cover: O(interval) opens, not O(commits).
+    // Only versions whose marker is STILL LISTED are returned — a
+    // checkpoint may cover versions vacuumed since it was written, and
+    // those must not resurrect.
+    val fromCheckpoint = readCheckpoint(statuses)
+    statuses
       .map(_.getPath)
       .flatMap { p =>
         val n = p.getName
@@ -300,12 +385,14 @@ final class TxnLogStorage(
         else n.stripSuffix(".commit").toIntOption
           .filterNot(skip)
           .flatMap { v =>
-            try {
-              val in = f.open(p)
-              val buf = new java.io.ByteArrayOutputStream()
-              org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, true)
-              TxnLogStorage.parse(new String(buf.toByteArray, UTF_8)).map(v -> _)
-            } catch { case _: java.io.IOException => None }
+            fromCheckpoint.get(v).map(v -> _).orElse {
+              try {
+                val in = f.open(p)
+                val buf = new java.io.ByteArrayOutputStream()
+                org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, true)
+                TxnLogStorage.parse(new String(buf.toByteArray, UTF_8)).map(v -> _)
+              } catch { case _: java.io.IOException => None }
+            }
           }
       }
       .toMap

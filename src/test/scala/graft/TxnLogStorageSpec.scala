@@ -72,4 +72,45 @@ class TxnLogStorageSpec extends AnyFunSuite with SparkTestBase {
     assert(store.getVersion("t", 1).collect()
       .map(_.getAs[Double]("val")).toSeq == Seq(9.0))
   }
+
+  test("log checkpoints: covered markers are never opened, tail still is") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_txn_ckpt").toString
+    def open() = new FeatureStore(spark, root, maxVersions = 30,
+      storageFactory = new TxnLogStorage(_, _, _, checkpointInterval = 5))
+    val store = open()
+    store.register("t", singleRow(1.0))
+    (2 to 12).foreach(i => store.registerAppend("t", singleRow(i.toDouble)))
+
+    // checkpoints landed at v5 and v10; the superseded one was retired
+    val txnDir = java.nio.file.Paths.get(root, "t", "_txn")
+    val ckpts = java.nio.file.Files.list(txnDir).toArray.toSeq
+      .map(_.toString.split("/").last).filter(_.endsWith(".checkpoint"))
+    assert(ckpts == Seq("0000000010.checkpoint"))
+
+    // PROOF the checkpoint is the read path: garbage every covered
+    // marker's content (existence still matters — vacuumed versions
+    // must not resurrect from a stale checkpoint — but the bytes are
+    // only read for the tail)
+    (1 to 10).foreach { v =>
+      java.nio.file.Files.writeString(
+        txnDir.resolve(f"$v%010d.commit"), "garbage")
+    }
+    // catalog destroyed: reconciliation rebuilds the table from the
+    // checkpoint + the two tail markers, exactly
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_catalog.tsv"))
+    val b = open()
+    b.registerAppend("t", singleRow(13.0))
+    assert(b.getTableInfo("t").version == 13)
+    assert(b.getTableInfo("t").rowCount == 13)
+    assert(b.getVersion("t", 13).count() == 13)
+
+    // a version vacuumed after the checkpoint was written must NOT
+    // resurrect from it: drop v3's marker (simulating log cleanup) and
+    // reconcile fresh — v3 is gone from the log's view
+    java.nio.file.Files.delete(txnDir.resolve(f"${3}%010d.commit"))
+    val txn = new TxnLogStorage(spark, root, checkpointInterval = 5)
+    assert(!txn.committedMeta("t").contains(3))
+    assert(txn.committedMeta("t").contains(2))
+  }
 }
