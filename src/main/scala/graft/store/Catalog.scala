@@ -121,7 +121,12 @@ final case class TableMeta(
     // column): the generalization of `segStats` beyond the timestamp —
     // [[StatsPruning]] drops segments a resolved predicate provably
     // cannot match. Absent entries are never used to prune.
-    segColStats: SortedMap[Int, Map[String, ColStat]] = SortedMap.empty) {
+    segColStats: SortedMap[Int, Map[String, ColStat]] = SortedMap.empty,
+    // CHECK constraints, name → SQL condition ([[FeatureStore.addConstraint]]):
+    // every data-adding write must leave no row where the condition is
+    // FALSE (NULL passes, standard SQL). Enforced by the write job's
+    // own metrics; a violating write aborts before its commit.
+    constraints: SortedMap[String, String] = SortedMap.empty) {
   def columns: Seq[String] = versions(version)
   /** Manifest for `v`: explicit entry, else the single-snapshot default. */
   def segmentsOf(v: Int): Seq[Int] = segments.getOrElse(v, Seq(v))
@@ -181,6 +186,7 @@ final class Catalog {
   *   D <name> <version> <changeRows>                  (recorded change set; optional)
   *   N <name> <segment> <rowCount>                    (per-segment rows; optional)
   *   X <name> <segment> <colStatsRendered>            (per-segment column stats; optional)
+  *   Q <name> <constraintName> <conditionSql>         (CHECK constraint; optional)
   *
   * Legacy two-field `K <name> <maxBatchId>` lines (pre-stream-identity
   * catalogs) load under [[CatalogIO.LegacyStreamId]]; six-field `T`
@@ -281,8 +287,11 @@ object CatalogPersistence extends CatalogIO {
         .map { case (seg, cs) =>
           s"X\t${enc(m.name)}\t$seg\t${ColumnStats.renderMap(cs)}"
         }
+      val checks = m.constraints.toSeq.map { case (cn, sql) =>
+        s"Q\t${enc(m.name)}\t${enc(cn)}\t${enc(sql)}"
+      }
       (head +: versions) ++ manifests ++ watermark ++ stats ++ times ++
-        types ++ ops ++ vrows ++ cdf ++ srows ++ cstats
+        types ++ ops ++ vrows ++ cdf ++ srows ++ cstats ++ checks
     }
     val path = catalogFile(root)
     Files.createDirectories(path.getParent)
@@ -383,6 +392,13 @@ object CatalogPersistence extends CatalogIO {
           (dec(f(1)), f(2).toInt, ColumnStats.parseMap(f(3)))
       }
       .groupBy(_._1)
+    val checks = lines
+      .collect {
+        case l if l.startsWith("Q\t") =>
+          val f = l.split("\t")
+          (dec(f(1)), dec(f(2)), dec(f(3)))
+      }
+      .groupBy(_._1)
     heads.toSeq.map { case (name, (version, rowCount, reg, upd, prunedThrough)) =>
       val vs = scala.collection.immutable.SortedMap(
         versions.getOrElse(name, Seq.empty).map(v => v._2 -> v._3): _*)
@@ -407,7 +423,9 @@ object CatalogPersistence extends CatalogIO {
         segRows = scala.collection.immutable.SortedMap(
           srows.getOrElse(name, Seq.empty).map(n => n._2 -> n._3): _*),
         segColStats = scala.collection.immutable.SortedMap(
-          cstats.getOrElse(name, Seq.empty).map(x => x._2 -> x._3): _*))
+          cstats.getOrElse(name, Seq.empty).map(x => x._2 -> x._3): _*),
+        constraints = scala.collection.immutable.SortedMap(
+          checks.getOrElse(name, Seq.empty).map(q => q._2 -> q._3): _*))
     }
   }
 }

@@ -103,12 +103,16 @@ final class FeatureStore(
     val (cur, v) = claimVersion(name)
     val meta = completeClaim(name, v) {
       val prepared = prepare(df)
-      val wr = storage.write(name, v, prepared, EntityIdColumn, TimestampColumn)
+      val (guarded, checksOk) =
+        constraintGuard(cur.fold(Map.empty[String, String])(_.constraints), prepared)
+      val wr = storage.write(name, v, guarded, EntityIdColumn, TimestampColumn)
+      verifyOrScrap(name, v)(checksOk)
       val now = System.currentTimeMillis()
       storage.commitVersion(name, v, CommitMeta(
         wr.rows, wr.rows, df.columns.toSeq, Seq(v),
         wr.minTsMillis, wr.maxTsMillis, now, typesOf(df),
-        operation = "register", colStats = wr.colStats))
+        operation = "register", colStats = wr.colStats,
+        constraints = cur.fold(Map.empty[String, String])(_.constraints.toMap)))
       cur match {
         case None =>
           TableMeta(name, v, wr.rows, now, now, SortedMap(v -> df.columns.toSeq),
@@ -457,8 +461,76 @@ final class FeatureStore(
             segColStats = SortedMap(records.toSeq.collect {
               case (v, cm) if ownSegment(v, cm) && cm.colStats.nonEmpty =>
                 v -> cm.colStats
-            }: _*)))
+            }: _*),
+            // CHECK constraints as of the newest commit — enforcement
+            // survives a catalog rebuilt purely from markers
+            constraints = SortedMap(records(top).constraints.toSeq: _*)))
         }
+    }
+
+  /** Decorate a to-be-written DataFrame with a SECOND observation
+    * counting CHECK-constraint violations — it rides the write job's
+    * plan next to the stats observation, so enforcement costs zero
+    * extra passes. Returns the guarded frame plus the post-write
+    * verifier, which throws BEFORE anything is committed. NULL
+    * conditions pass (standard SQL CHECK); only FALSE rows violate.
+    * A constraint that no longer resolves against the written schema
+    * (schema-drift register broke a referenced column) fails fast here
+    * with the remedy in the message.
+    */
+  private def constraintGuard(
+      checks: scala.collection.Map[String, String],
+      df: DataFrame): (DataFrame, () => Unit) =
+    if (checks.isEmpty) (df, () => ())
+    else {
+      // probe against a FRESH empty frame with exactly the written
+      // schema: filtering `df` itself would falsely resolve columns the
+      // write no longer carries (Spark's missing-reference fallback
+      // reaches through the projection into dropped lineage columns)
+      val probe = df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
+      checks.foreach { case (cn, sql) =>
+        try probe.filter(expr(sql)).queryExecution.assertAnalyzed()
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new FeatureValidationError(
+              s"CHECK constraint '$cn' (`$sql`) cannot be evaluated against " +
+                s"the written schema ${df.columns.mkString("[", ", ", "]")}: " +
+                s"${e.getMessage}. Drop the constraint first if the schema " +
+                "change is intended")
+        }
+      }
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_checks_${java.util.UUID.randomUUID()}")
+      val metrics = checks.toSeq.sortBy(_._1).zipWithIndex.map {
+        case ((_, sql), i) =>
+          count(when(not(coalesce(expr(sql), lit(true))), lit(1))).as(s"_c_$i")
+      }
+      val guarded = df.observe(obs, metrics.head, metrics.tail: _*)
+      val verify = () => {
+        val violated = checks.toSeq.sortBy(_._1).zipWithIndex.flatMap {
+          case ((cn, sql), i) =>
+            val n = obs.get(s"_c_$i").asInstanceOf[Long]
+            if (n > 0) Some(s"'$cn' (`$sql`): $n rows") else None
+        }
+        if (violated.nonEmpty)
+          throw new FeatureValidationError(
+            "CHECK constraint violation — write aborted, no version " +
+              "committed: " + violated.mkString("; "))
+      }
+      (guarded, verify)
+    }
+
+  /** Run the constraint verifier for a just-written version; on
+    * violation the written data is scrapped eagerly (the claim itself
+    * is released by [[completeClaim]]'s failure path).
+    */
+  private def verifyOrScrap(name: String, v: Int)(verify: () => Unit): Unit =
+    try verify()
+    catch {
+      case e: Throwable =>
+        try storage.deleteVersion(name, v) catch { case _: Exception => () }
+        throw e
     }
 
   /** Did this commit write its own segment? (its manifest references
@@ -566,11 +638,14 @@ final class FeatureStore(
         val full = currentData(cur).select(cur.columns.map(col): _*)
           .unionByName(df.select(evolved.map(col): _*), allowMissingColumns = true)
           .select(evolved.map(col): _*)
-        val wr = storage.write(name, v, prepare(full), EntityIdColumn, TimestampColumn)
+        val (guarded, checksOk) = constraintGuard(cur.constraints, prepare(full))
+        val wr = storage.write(name, v, guarded, EntityIdColumn, TimestampColumn)
+        verifyOrScrap(name, v)(checksOk)
         storage.commitVersion(name, v, CommitMeta(
           wr.rows, wr.rows, evolved, Seq(v),
           wr.minTsMillis, wr.maxTsMillis, now0, newTypes,
-          operation = "append", colStats = wr.colStats))
+          operation = "append", colStats = wr.colStats,
+          constraints = cur.constraints.toMap))
         cur.copy(version = v, rowCount = wr.rows, updatedAt = now0,
           versions = cur.versions + (v -> evolved),
           segments = cur.segments + (v -> Seq(v)),
@@ -582,12 +657,15 @@ final class FeatureStore(
           segRows = cur.segRows ++ segRowsOf(v, wr),
           segColStats = cur.segColStats ++ segColStatsOf(v, wr))
       } else {
-        val wr = storage.write(name, v,
-          prepare(df.select(evolved.map(col): _*)), EntityIdColumn, TimestampColumn)
+        val (guarded, checksOk) = constraintGuard(
+          cur.constraints, prepare(df.select(evolved.map(col): _*)))
+        val wr = storage.write(name, v, guarded, EntityIdColumn, TimestampColumn)
+        verifyOrScrap(name, v)(checksOk)
         storage.commitVersion(name, v, CommitMeta(
           wr.rows, cur.rowCount + wr.rows, evolved, chained,
           wr.minTsMillis, wr.maxTsMillis, now0, newTypes,
-          operation = "append", colStats = wr.colStats))
+          operation = "append", colStats = wr.colStats,
+          constraints = cur.constraints.toMap))
         cur.copy(version = v, rowCount = cur.rowCount + wr.rows, updatedAt = now0,
           versions = cur.versions + (v -> evolved),
           segments = cur.segments + (v -> chained),
@@ -771,7 +849,8 @@ final class FeatureStore(
         wr.rows, wr.rows, cur.columns, Seq(v),
         wr.minTsMillis, wr.maxTsMillis, now0,
         columnTypes = cur.columnTypes,
-        operation = "compact", colStats = wr.colStats))
+        operation = "compact", colStats = wr.colStats,
+        constraints = cur.constraints.toMap))
       cur.copy(version = v, rowCount = wr.rows, updatedAt = now0,
         versions = cur.versions + (v -> cur.columns),
         segments = cur.segments + (v -> Seq(v)),
@@ -905,7 +984,8 @@ final class FeatureStore(
           // just drops them — no data write at all
           storage.commitVersion(name, v, CommitMeta(
             0L, total - hits, cur.columns, untouched,
-            None, None, now0, cur.columnTypes, operation = "delete"))
+            None, None, now0, cur.columnTypes, operation = "delete",
+            constraints = cur.constraints.toMap))
           cur.copy(version = v, rowCount = total - hits, updatedAt = now0,
             versions = cur.versions + (v -> cur.columns),
             segments = cur.segments + (v -> untouched),
@@ -947,7 +1027,7 @@ final class FeatureStore(
             wr.rows, total - hits, cur.columns, manifest,
             wr.minTsMillis, wr.maxTsMillis, now0, cur.columnTypes,
             operation = "delete", changeRows = cdfRows,
-            colStats = wr.colStats))
+            colStats = wr.colStats, constraints = cur.constraints.toMap))
           cur.copy(version = v, rowCount = total - hits, updatedAt = now0,
             versions = cur.versions + (v -> cur.columns),
             segments = cur.segments + (v -> manifest),
@@ -1047,7 +1127,9 @@ final class FeatureStore(
             None, cur.columnTypes)
             .join(keys, Seq(EntityIdColumn, TimestampColumn), "left_anti"))
         val newSeg = survivors.fold(prepared)(_.unionByName(prepared))
-        val wr = storage.write(name, v, newSeg, EntityIdColumn, TimestampColumn)
+        val (guarded, checksOk) = constraintGuard(cur.constraints, newSeg)
+        val wr = storage.write(name, v, guarded, EntityIdColumn, TimestampColumn)
+        verifyOrScrap(name, v)(checksOk)
         // determinism cross-check (the delta is evaluated by several
         // independent jobs — discovery, write, change set): the
         // written segment must hold exactly the affected survivors
@@ -1083,7 +1165,7 @@ final class FeatureStore(
           wr.rows, untouchedRows + wr.rows, cur.columns, manifest,
           wr.minTsMillis, wr.maxTsMillis, now0, cur.columnTypes,
           operation = "upsert", changeRows = cdfRows,
-          colStats = wr.colStats))
+          colStats = wr.colStats, constraints = cur.constraints.toMap))
         cur.copy(version = v, rowCount = untouchedRows + wr.rows,
           updatedAt = now0,
           versions = cur.versions + (v -> cur.columns),
@@ -1369,7 +1451,7 @@ final class FeatureStore(
         val now0 = System.currentTimeMillis()
         storage.commitVersion(name, v, CommitMeta(
           0L, rows, cols, srcSegs, None, None, now0, cur.columnTypes,
-          operation = "restore"))
+          operation = "restore", constraints = cur.constraints.toMap))
         cur.copy(version = v, rowCount = rows, updatedAt = now0,
           versions = cur.versions + (v -> cols),
           segments = cur.segments + (v -> srcSegs),
@@ -1860,6 +1942,69 @@ final class FeatureStore(
         rows = meta.versionRows.get(v))
     }
   }
+
+  /** Add a CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT ...
+    * CHECK` shape): after this, every data-adding write — register,
+    * append, upsert, their streaming batch forms — must leave no row
+    * where `conditionSql` evaluates FALSE (NULL passes, standard SQL),
+    * or it aborts with [[FeatureValidationError]] before committing.
+    * Enforcement rides the write job's own metrics: zero extra passes
+    * per write. Adding validates the EXISTING current data in one scan
+    * and fails if any row violates, so a present constraint always
+    * means "all data satisfies it". Constraint changes are catalog
+    * metadata (no version minted); they travel in subsequent commit
+    * markers so marker-only catalog reconciliation keeps enforcing.
+    */
+  def addConstraint(
+      name: String,
+      constraintName: String,
+      conditionSql: String): FeatureTableInfo = this.synchronized {
+    if (storage.arbitrates) { adoptDiskMeta(name); reconcileFromLog(name) }
+    val meta = catalog.getOrThrow(name)
+    if (constraintName.trim.isEmpty)
+      throw new FeatureValidationError("Constraint name must be non-empty")
+    if (meta.constraints.contains(constraintName))
+      throw new FeatureValidationError(
+        s"Table '$name' already has a constraint '$constraintName' " +
+          s"(`${meta.constraints(constraintName)}`); drop it first")
+    val current = currentData(meta).select(meta.columns.map(col): _*)
+    // filter() analysis enforces that the condition resolves AND is
+    // boolean; unknown columns/types fail here with the standard error
+    val violations =
+      try current.filter(not(coalesce(expr(conditionSql), lit(true)))).count()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new FeatureValidationError(
+            s"CHECK constraint '$constraintName' (`$conditionSql`) is not a " +
+              s"valid boolean condition over ${meta.columns.mkString("[", ", ", "]")}: " +
+              e.getMessage)
+      }
+    if (violations > 0)
+      throw new FeatureValidationError(
+        s"Cannot add CHECK constraint '$constraintName' (`$conditionSql`) to " +
+          s"'$name': $violations existing rows violate it")
+    val updated =
+      meta.copy(constraints = meta.constraints + (constraintName -> conditionSql))
+    catalog.put(updated)
+    catalogIO.save(root, catalog.all)
+    updated.info
+  }
+
+  /** Drop a CHECK constraint; false when it doesn't exist. */
+  def dropConstraint(name: String, constraintName: String): Boolean =
+    this.synchronized {
+      val meta = catalog.getOrThrow(name)
+      if (!meta.constraints.contains(constraintName)) false
+      else {
+        catalog.put(meta.copy(constraints = meta.constraints - constraintName))
+        catalogIO.save(root, catalog.all)
+        true
+      }
+    }
+
+  /** The table's CHECK constraints, name → SQL condition. */
+  def getConstraints(name: String): Map[String, String] =
+    catalog.getOrThrow(name).constraints.toMap
 
   def getTableInfo(name: String): FeatureTableInfo =
     resolveMeta(name).info

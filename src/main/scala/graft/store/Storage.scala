@@ -76,7 +76,11 @@ final case class CommitMeta(
     // column-level skipping stats of this version's OWN segment
     // ([[ColumnStats]]); empty for commits that wrote no segment
     // (manifest-only deletes, restores) and for legacy markers
-    colStats: Map[String, ColStat] = Map.empty)
+    colStats: Map[String, ColStat] = Map.empty,
+    // the table's CHECK constraints as of this commit (name → SQL) —
+    // carried so a catalog reconciled purely from markers keeps
+    // enforcing them
+    constraints: Map[String, String] = Map.empty)
 
 trait VersionStorage {
   /** Write one version snapshot/segment; returns the row count and the

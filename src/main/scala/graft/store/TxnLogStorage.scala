@@ -459,7 +459,9 @@ object TxnLogStorage {
         .map { case (c, t) => s"${enc(c)}:${enc(t)}" }.mkString(",")}",
       s"operation=${enc(m.operation)}",
       s"changeRows=${m.changeRows}",
-      s"colStats=${ColumnStats.renderMap(m.colStats)}")
+      s"colStats=${ColumnStats.renderMap(m.colStats)}",
+      s"checks=${m.constraints.toSeq.sorted
+        .map { case (k, sql) => s"${enc(k)}:${enc(sql)}" }.mkString(",")}")
     lines.mkString("\n") + "\n"
   }
 
@@ -497,7 +499,13 @@ object TxnLogStorage {
         operation = kv.get("operation").map(dec).getOrElse(""),
         changeRows = kv.get("changeRows").flatMap(_.toLongOption).getOrElse(-1L),
         colStats = kv.get("colStats").fold(
-          Map.empty[String, ColStat])(ColumnStats.parseMap))
+          Map.empty[String, ColStat])(ColumnStats.parseMap),
+        constraints = kv.get("checks").toSeq
+          .flatMap(_.split(",").toSeq.filter(_.contains(":")).map { p =>
+            val i = p.indexOf(':')
+            dec(p.substring(0, i)) -> dec(p.substring(i + 1))
+          })
+          .toMap)
     }
   }
 }
