@@ -288,6 +288,23 @@ object SparkEntry {
         ()
     }
 
+  /** OPTIMIZE twin of [[demoStore]]: register the full events table,
+    * then rewrite it Z-ORDERED by (timestamp, value) — a content-
+    * preserving clustered layout whose reads must stay value-identical
+    * to the plain PIT oracle.
+    */
+  private val optStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def optimizeStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(optStores, s, dir, "graft_store_opt_v1", minVersion = 2) {
+      (store, feats) =>
+        store.delete("events")
+        store.register("events", feats)
+        store.optimizeTable("events", Seq("timestamp", "value"), zorder = true)
+        ()
+    }
+
   /** MERGE twin of [[demoStore]]: register the full events table, then
     * [[graft.store.FeatureStore.registerUpsert]] a delta that REPLACES
     * every pre-cutoff row of entities 0-9 (value shifted by +1000) and
@@ -591,6 +608,14 @@ object SparkEntry {
           col("timestamp") >= lit(utcTs("2024-01-12 00:00:00")) &&
             col("event_type") === "click")
         .orderBy("event_id")),
+
+    // OPTIMIZE roundtrip: version 2 is a Z-ORDERED clustered rewrite
+    // of version 1 (content-preserving by contract); the PIT read over
+    // the optimized layout must equal the plain oracle
+    "store_optimize_roundtrip" -> ((s, dir) =>
+      optimizeStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
 
     // SCHEMA-EVOLUTION roundtrip: version 2 added `props` via a
     // merge-schema append; the PIT read spans both segments, padding
@@ -896,6 +921,9 @@ object SparkEntry {
 
     // the two-writer interleaved build must be value-invisible too
     "store_concurrent_roundtrip" -> EventsPitOracle,
+
+    // ...and the z-ordered OPTIMIZE rewrite (content-preserving)
+    "store_optimize_roundtrip" -> EventsPitOracle,
 
     // copy-on-write DELETE: PIT over the raw table minus the deleted
     // predicate (engine deleted early clicks in version 3)

@@ -867,6 +867,162 @@ final class FeatureStore(
     pruned.info
   }
 
+  /** OPTIMIZE: rewrite the current content as one compacted segment
+    * whose PHYSICAL LAYOUT is clustered by `clusterBy` — Delta's
+    * `OPTIMIZE ... ZORDER BY` discipline on the versioned-parquet
+    * layout. Rows are range-partitioned and sorted by the cluster keys
+    * within each time partition, so parquet file and row-group min/max
+    * become tight intervals on those keys and a selective scan skips
+    * most of the bytes natively (the engine's segment-level stats keep
+    * working above that). Content-identical to its predecessor: time
+    * travel sees it, the change feed resolves it to "no changes"
+    * without a diff, and the read paths are untouched.
+    *
+    * `zorder = true` interleaves the bits of up to four NUMERIC /
+    * DATE / TIMESTAMP cluster columns into one z-value (each scaled to
+    * its global min-max range — taken from the catalog's column stats
+    * when every segment has them, else one agg job), so multi-
+    * dimensional selective scans each skip well instead of only the
+    * leading key. With one cluster column, plain range clustering and
+    * z-order coincide.
+    */
+  def optimizeTable(
+      name: String,
+      clusterBy: Seq[String],
+      zorder: Boolean = false): FeatureTableInfo = this.synchronized {
+    if (clusterBy.isEmpty)
+      throw new FeatureValidationError(
+        "optimizeTable needs at least one cluster column")
+    if (storage.arbitrates) { adoptDiskMeta(name); reconcileFromLog(name) }
+    catalog.getOrThrow(name)
+    val (curOpt, v) = claimVersion(name)
+    val cur = curOpt.getOrElse {
+      storage.releaseVersion(name, v)
+      throw new FeatureConcurrencyError(
+        s"table '$name' was deleted by another writer during optimizeTable")
+    }
+    val missing = clusterBy.filterNot(cur.columns.contains)
+    if (missing.nonEmpty) {
+      storage.releaseVersion(name, v)
+      throw new FeatureValidationError(
+        s"optimizeTable('$name') cluster columns not in the table: " +
+          missing.mkString(", ") + s"; columns are ${cur.columns.mkString(", ")}")
+    }
+    val meta = completeClaim(name, v) {
+      val full = currentData(cur).select(cur.columns.map(col): _*)
+      val cluster: Seq[Column] =
+        if (zorder && clusterBy.size > 1) Seq(zValue(cur, clusterBy, full))
+        else clusterBy.map(col)
+      val wr = storage.writeClustered(
+        name, v, prepare(full), EntityIdColumn, TimestampColumn, cluster)
+      val now0 = System.currentTimeMillis()
+      storage.commitVersion(name, v, CommitMeta(
+        wr.rows, wr.rows, cur.columns, Seq(v),
+        wr.minTsMillis, wr.maxTsMillis, now0,
+        columnTypes = cur.columnTypes,
+        operation = "optimize", colStats = wr.colStats,
+        constraints = cur.constraints.toMap))
+      cur.copy(version = v, rowCount = wr.rows, updatedAt = now0,
+        versions = cur.versions + (v -> cur.columns),
+        segments = cur.segments + (v -> Seq(v)),
+        segStats = cur.segStats ++ segStatsOf(v, wr),
+        versionTimes = cur.versionTimes + (v -> now0),
+        versionOps = cur.versionOps + (v -> "optimize"),
+        versionRows = cur.versionRows + (v -> wr.rows),
+        segRows = cur.segRows ++ segRowsOf(v, wr),
+        segColStats = cur.segColStats ++ segColStatsOf(v, wr))
+    }
+    val pruned = prune(meta)
+    catalog.put(pruned)
+    catalogIO.save(root, catalog.all)
+    pruned.info
+  }
+
+  /** The interleaved-bit z-value of `clusterBy` as ONE codegen'd column
+    * expression: each column scales linearly into a k-bit code over its
+    * GLOBAL min-max (catalog column stats when every current segment
+    * recorded them — no job; else one agg over the table), and the
+    * codes' bits interleave LSB-first. k = min(16, 63/n), so up to
+    * four columns fit a signed long. NULLs code to 0 (cluster first).
+    */
+  private def zValue(
+      cur: TableMeta,
+      clusterBy: Seq[String],
+      full: DataFrame): Column = {
+    if (clusterBy.size > 4)
+      throw new FeatureValidationError(
+        s"zorder supports at most 4 cluster columns, got ${clusterBy.size}")
+    val bad = clusterBy.filterNot { c =>
+      full.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.DateType => true
+        case org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      }
+    }
+    if (bad.nonEmpty)
+      throw new FeatureValidationError(
+        "zorder cluster columns must be numeric, date, or timestamp; " +
+          s"not: ${bad.mkString(", ")} (use zorder = false for lexicographic " +
+          "clustering of other types)")
+    val segs = cur.segmentsOf(cur.version)
+    // global per-column bounds, as doubles (z-scaling tolerates the
+    // precision loss — it only affects bucket boundaries, not values)
+    def statBounds(c: String): Option[(Double, Double)] = {
+      val perSeg = segs.map(s =>
+        cur.segColStats.getOrElse(s, Map.empty).get(c).flatMap { st =>
+          val ddl = cur.columnTypes.getOrElse(c, "").toUpperCase
+          def cvt(v: String): Option[Double] =
+            if (ddl.startsWith("TIMESTAMP") || ddl == "DATE") v.toDoubleOption
+            else scala.util.Try(
+              new java.math.BigDecimal(v).doubleValue()).toOption
+          for { lo <- st.min.flatMap(cvt); hi <- st.max.flatMap(cvt) }
+            yield (lo, hi)
+        })
+      if (perSeg.forall(_.isDefined))
+        Some((perSeg.flatten.map(_._1).min, perSeg.flatten.map(_._2).max))
+      else None
+    }
+    // numeric z-code domain per column: cast to double. TIMESTAMP casts
+    // to SECONDS while its stats are micros — align by scaling
+    def asDouble(c: String): Column =
+      full.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType =>
+          col(c).cast("double") * lit(1e6)
+        case org.apache.spark.sql.types.DateType =>
+          datediff(col(c), lit("1970-01-01").cast("date")).cast("double")
+        case _ => col(c).cast("double")
+      }
+    val bounds: Seq[(Double, Double)] = {
+      val fromStats = clusterBy.map(statBounds)
+      if (fromStats.forall(_.isDefined)) fromStats.flatten
+      else {
+        val aggs = clusterBy.flatMap(c =>
+          Seq(min(asDouble(c)), max(asDouble(c))))
+        val row = full.agg(aggs.head, aggs.tail: _*).head()
+        clusterBy.indices.map { i =>
+          (Option(row.get(2 * i)).fold(0.0)(_.asInstanceOf[Double]),
+            Option(row.get(2 * i + 1)).fold(1.0)(_.asInstanceOf[Double]))
+        }
+      }
+    }
+    val n = clusterBy.size
+    val nbits = math.min(16, 63 / n)
+    val maxCode = (1L << nbits) - 1
+    val codes: Seq[Column] = clusterBy.zip(bounds).map { case (c, (lo, hi)) =>
+      val range = if (hi > lo) hi - lo else 1.0
+      val scaled = (asDouble(c) - lit(lo)) / lit(range) * lit(maxCode.toDouble)
+      least(lit(maxCode), greatest(lit(0L), scaled.cast("long")))
+    }
+    (0 until nbits).foldLeft(lit(0L)) { (acc, i) =>
+      codes.zipWithIndex.foldLeft(acc) { case (a, (code, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(code, i).bitwiseAND(lit(1L)), i * n + j))
+      }
+    }
+  }
+
   /** One discovery scan over a manifest: per segment, (total rows,
     * hit rows) — the classification that bounds copy-on-write rewrites
     * to affected segments. `withHit` decorates the segment-tagged
@@ -1286,7 +1442,8 @@ final class FeatureStore(
       val prevSegs = if (ver == 1) Seq.empty[Int] else meta.segmentsOf(ver - 1)
       val curSegs = meta.segmentsOf(ver)
       lazy val rec = recorded(ver)
-      if (meta.versionOps.get(ver).contains("compact")) Some((Nil, Nil))
+      if (meta.versionOps.get(ver).exists(FeatureStore.ContentPreservingOps))
+        Some((Nil, Nil))
       else if (rec.isDefined) {
         val cd = rec.get
         def side(t: String) = cd
@@ -1354,7 +1511,8 @@ final class FeatureStore(
           stamped(prev.exceptAll(curD), "delete", ver))
       }
       lazy val rec = recorded(ver)
-      if (!meta.versionOps.get(ver).contains("compact") && rec.isDefined)
+      if (!meta.versionOps.get(ver).exists(FeatureStore.ContentPreservingOps) &&
+          rec.isDefined)
         // single-frame recorded read (one _cdf scan; types in the file)
         Some(rec.get.withColumn(FeatureStore.CommitVersionCol, lit(ver)))
       else stepRaw(ver) match {
@@ -2142,6 +2300,12 @@ object FeatureStore {
   /** Change-feed metadata columns ([[FeatureStore.getChanges]]). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+
+  /** Operations whose version has the SAME content as its predecessor
+    * — the change feed resolves them to "no changes" without a diff.
+    */
+  private[store] val ContentPreservingOps: Set[String] =
+    Set("compact", "optimize")
 
   /** Internal segment tag for copy-on-write discovery scans. */
   private[store] val SegTagCol = "_graft_seg"

@@ -88,6 +88,18 @@ trait VersionStorage {
     */
   def write(name: String, version: Int, df: DataFrame,
       entityCol: String, tsCol: String): WriteResult
+  /** [[write]] with a CLUSTERED physical layout: rows range-partitioned
+    * and sorted by `cluster` (arbitrary expressions — a z-value works)
+    * within the storage's own partitioning, so parquet file/row-group
+    * min-max stats become tight on the cluster keys and selective scans
+    * skip most of the bytes. Layout-only: same rows, same schema, same
+    * read paths. Default ignores the hint (a storage that can't cluster
+    * is still correct).
+    */
+  def writeClustered(name: String, version: Int, df: DataFrame,
+      entityCol: String, tsCol: String,
+      cluster: Seq[org.apache.spark.sql.Column]): WriteResult =
+    write(name, version, df, entityCol, tsCol)
   /** Read one version segment, original column order, optional as-of
     * pruning bound.
     */
@@ -231,21 +243,49 @@ final class Storage(
       version: Int,
       df: DataFrame,
       entityCol: String,
-      tsCol: String): WriteResult = {
+      tsCol: String): WriteResult =
+    writeWith(name, version, df, tsCol)(
+      _.repartition(col(DateCol))
+        .sortWithinPartitions(col(entityCol), col(tsCol)))
+
+  /** Clustered layout ([[VersionStorage.writeClustered]]): range-
+    * partition and sort by (period, cluster...) so each task holds a
+    * contiguous key range of few periods — file count stays bounded,
+    * and within a period directory every file covers a tight cluster-
+    * key interval (parquet min/max skipping does the rest at scan).
+    */
+  override def writeClustered(
+      name: String,
+      version: Int,
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      cluster: Seq[org.apache.spark.sql.Column]): WriteResult =
+    writeWith(name, version, df, tsCol) { d =>
+      val keys = col(DateCol) +: cluster
+      d.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+    }
+
+  private def writeWith(
+      name: String,
+      version: Int,
+      df: DataFrame,
+      tsCol: String)(layout: DataFrame => DataFrame): WriteResult = {
     val path = versionPath(name, version)
     val obs = org.apache.spark.sql.Observation(s"graft_write_${name}_v$version")
     // per-column min/max/nulls ride the SAME CollectMetrics node as the
-    // row count — column-level skipping stats at zero extra passes
+    // row count — column-level skipping stats at zero extra passes.
+    // The node sits ABOVE the layout exchange: a range partitioner
+    // SAMPLES its child to pick boundaries, and metrics below it would
+    // be double-counted by the sampling pass.
     val statFields = ColumnStats.eligible(df.schema)
-    df.withColumn(DateCol, period(col(tsCol)))
+    layout(df.withColumn(DateCol, period(col(tsCol))))
       .observe(
         obs,
         count(lit(1)).as("rows"),
         Seq(
           min(col(tsCol)).as("min_ts"),
           max(col(tsCol)).as("max_ts")) ++ ColumnStats.metrics(statFields): _*)
-      .repartition(col(DateCol))
-      .sortWithinPartitions(col(entityCol), col(tsCol))
       .write
       .mode("overwrite")
       .partitionBy(DateCol)

@@ -173,6 +173,15 @@ final class TxnLogStorage(
       tsCol: String): WriteResult =
     inner.write(name, version, df, entityCol, tsCol)
 
+  override def writeClustered(
+      name: String,
+      version: Int,
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      cluster: Seq[org.apache.spark.sql.Column]): WriteResult =
+    inner.writeClustered(name, version, df, entityCol, tsCol, cluster)
+
   /** Publish the commit marker — the version becomes visible here.
     * Requires this writer's reservation to still be in place: a claim
     * reclaimed by vacuum (this writer presumed crashed) and possibly
