@@ -126,7 +126,13 @@ final case class TableMeta(
     // every data-adding write must leave no row where the condition is
     // FALSE (NULL passes, standard SQL). Enforced by the write job's
     // own metrics; a violating write aborts before its commit.
-    constraints: SortedMap[String, String] = SortedMap.empty) {
+    constraints: SortedMap[String, String] = SortedMap.empty,
+    // the table's recorded clustering spec ("range:" | "zorder:" +
+    // comma-joined columns), set by [[FeatureStore.optimizeTable]] —
+    // what lets INCREMENTAL optimize know the base segments' layout
+    // still matches the requested one (Delta records clustering as
+    // table metadata the same way). None = never optimized.
+    clusterSpec: Option[String] = None) {
   def columns: Seq[String] = versions(version)
   /** Manifest for `v`: explicit entry, else the single-snapshot default. */
   def segmentsOf(v: Int): Seq[Int] = segments.getOrElse(v, Seq(v))
@@ -187,6 +193,7 @@ final class Catalog {
   *   N <name> <segment> <rowCount>                    (per-segment rows; optional)
   *   X <name> <segment> <colStatsRendered>            (per-segment column stats; optional)
   *   Q <name> <constraintName> <conditionSql>         (CHECK constraint; optional)
+  *   Z <name> <clusterSpec>                           (clustering spec; optional)
   *
   * Legacy two-field `K <name> <maxBatchId>` lines (pre-stream-identity
   * catalogs) load under [[CatalogIO.LegacyStreamId]]; six-field `T`
@@ -290,8 +297,10 @@ object CatalogPersistence extends CatalogIO {
       val checks = m.constraints.toSeq.map { case (cn, sql) =>
         s"Q\t${enc(m.name)}\t${enc(cn)}\t${enc(sql)}"
       }
+      val cluster = m.clusterSpec.toSeq.map(sp =>
+        s"Z\t${enc(m.name)}\t${enc(sp)}")
       (head +: versions) ++ manifests ++ watermark ++ stats ++ times ++
-        types ++ ops ++ vrows ++ cdf ++ srows ++ cstats ++ checks
+        types ++ ops ++ vrows ++ cdf ++ srows ++ cstats ++ checks ++ cluster
     }
     val path = catalogFile(root)
     Files.createDirectories(path.getParent)
@@ -399,6 +408,13 @@ object CatalogPersistence extends CatalogIO {
           (dec(f(1)), dec(f(2)), dec(f(3)))
       }
       .groupBy(_._1)
+    val clusterSpecs = lines
+      .collect {
+        case l if l.startsWith("Z\t") =>
+          val f = l.split("\t")
+          dec(f(1)) -> dec(f(2))
+      }
+      .toMap
     heads.toSeq.map { case (name, (version, rowCount, reg, upd, prunedThrough)) =>
       val vs = scala.collection.immutable.SortedMap(
         versions.getOrElse(name, Seq.empty).map(v => v._2 -> v._3): _*)
@@ -425,7 +441,8 @@ object CatalogPersistence extends CatalogIO {
         segColStats = scala.collection.immutable.SortedMap(
           cstats.getOrElse(name, Seq.empty).map(x => x._2 -> x._3): _*),
         constraints = scala.collection.immutable.SortedMap(
-          checks.getOrElse(name, Seq.empty).map(q => q._2 -> q._3): _*))
+          checks.getOrElse(name, Seq.empty).map(q => q._2 -> q._3): _*),
+        clusterSpec = clusterSpecs.get(name))
     }
   }
 }

@@ -414,7 +414,13 @@ final class FeatureStore(
             segColStats = m.segColStats ++ addable.toSeq.collect {
               case (v, cm) if ownSegment(v, cm) && cm.colStats.nonEmpty =>
                 v -> cm.colStats
-            })
+            },
+            // a foreign optimize's spec wins when present (spec is only
+            // ever set by optimize commits, never cleared; a mismatch
+            // at worst downgrades the next incremental run to a full
+            // rewrite — the safe direction)
+            clusterSpec = addable.toSeq.sortBy(_._1)
+              .flatMap(_._2.clusterSpec).lastOption.orElse(m.clusterSpec))
           if (top > m.version)
             merged = merged.copy(
               version = top,
@@ -462,9 +468,10 @@ final class FeatureStore(
               case (v, cm) if ownSegment(v, cm) && cm.colStats.nonEmpty =>
                 v -> cm.colStats
             }: _*),
-            // CHECK constraints as of the newest commit — enforcement
-            // survives a catalog rebuilt purely from markers
-            constraints = SortedMap(records(top).constraints.toSeq: _*)))
+            // CHECK constraints / cluster spec as of the newest commit
+            // — both survive a catalog rebuilt purely from markers
+            constraints = SortedMap(records(top).constraints.toSeq: _*),
+            clusterSpec = records(top).clusterSpec))
         }
     }
 
@@ -889,7 +896,8 @@ final class FeatureStore(
   def optimizeTable(
       name: String,
       clusterBy: Seq[String],
-      zorder: Boolean = false): FeatureTableInfo = this.synchronized {
+      zorder: Boolean = false,
+      incremental: Boolean = false): FeatureTableInfo = this.synchronized {
     if (clusterBy.isEmpty)
       throw new FeatureValidationError(
         "optimizeTable needs at least one cluster column")
@@ -908,29 +916,68 @@ final class FeatureStore(
         s"optimizeTable('$name') cluster columns not in the table: " +
           missing.mkString(", ") + s"; columns are ${cur.columns.mkString(", ")}")
     }
+    val spec =
+      (if (zorder && clusterBy.size > 1) "zorder:" else "range:") +
+        clusterBy.mkString(",")
+    val manifest0 = cur.segmentsOf(cur.version)
+    // INCREMENTAL (Delta's clustered-OPTIMIZE shape): when the recorded
+    // cluster spec matches, already-optimized base segments are
+    // re-referenced verbatim and only the tail appended since is
+    // rewritten — O(new data) maintenance per run instead of O(table),
+    // which is the only affordable cadence at 100 TB. A spec change, or
+    // a manifest with no optimized base, falls back to the full rewrite.
+    val baseSegs =
+      if (incremental && cur.clusterSpec.contains(spec))
+        manifest0.filter(s => cur.versionOps.get(s).contains("optimize"))
+      else Seq.empty
+    val tailSegs = manifest0.filterNot(baseSegs.contains)
+    if (baseSegs.nonEmpty && tailSegs.isEmpty) {
+      // fully clustered already — nothing to do, nothing minted
+      storage.releaseVersion(name, v)
+      return cur.info
+    }
     val meta = completeClaim(name, v) {
-      val full = currentData(cur).select(cur.columns.map(col): _*)
+      val source =
+        if (baseSegs.isEmpty) currentData(cur).select(cur.columns.map(col): _*)
+        else storage.readSegments(
+          name, tailSegs, cur.columns, None, cur.columnTypes)
       val cluster: Seq[Column] =
-        if (zorder && clusterBy.size > 1) Seq(zValue(cur, clusterBy, full))
+        if (zorder && clusterBy.size > 1) Seq(zValue(cur, clusterBy, source))
         else clusterBy.map(col)
       val wr = storage.writeClustered(
-        name, v, prepare(full), EntityIdColumn, TimestampColumn, cluster)
+        name, v, prepare(source), EntityIdColumn, TimestampColumn, cluster)
+      // content-preservation cross-check: the rewrite must reproduce
+      // exactly the rows it replaced (a stale catalog rowCount or a
+      // non-idempotent read would otherwise corrupt silently)
+      val expectTail = tailSegs.flatMap(cur.segRows.get)
+      if (baseSegs.isEmpty && wr.rows != cur.rowCount)
+        throw new FeatureValidationError(
+          s"optimizeTable('$name') rewrite produced ${wr.rows} rows, table " +
+            s"has ${cur.rowCount} — aborting (content must be preserved)")
+      if (baseSegs.nonEmpty && expectTail.size == tailSegs.size &&
+          wr.rows != expectTail.sum)
+        throw new FeatureValidationError(
+          s"optimizeTable('$name') incremental rewrite produced ${wr.rows} " +
+            s"rows, tail segments hold ${expectTail.sum} — aborting")
+      val manifest = if (baseSegs.isEmpty) Seq(v) else baseSegs :+ v
       val now0 = System.currentTimeMillis()
       storage.commitVersion(name, v, CommitMeta(
-        wr.rows, wr.rows, cur.columns, Seq(v),
+        wr.rows, cur.rowCount, cur.columns, manifest,
         wr.minTsMillis, wr.maxTsMillis, now0,
         columnTypes = cur.columnTypes,
         operation = "optimize", colStats = wr.colStats,
-        constraints = cur.constraints.toMap))
-      cur.copy(version = v, rowCount = wr.rows, updatedAt = now0,
+        constraints = cur.constraints.toMap,
+        clusterSpec = Some(spec)))
+      cur.copy(version = v, rowCount = cur.rowCount, updatedAt = now0,
         versions = cur.versions + (v -> cur.columns),
-        segments = cur.segments + (v -> Seq(v)),
+        segments = cur.segments + (v -> manifest),
         segStats = cur.segStats ++ segStatsOf(v, wr),
         versionTimes = cur.versionTimes + (v -> now0),
         versionOps = cur.versionOps + (v -> "optimize"),
-        versionRows = cur.versionRows + (v -> wr.rows),
+        versionRows = cur.versionRows + (v -> cur.rowCount),
         segRows = cur.segRows ++ segRowsOf(v, wr),
-        segColStats = cur.segColStats ++ segColStatsOf(v, wr))
+        segColStats = cur.segColStats ++ segColStatsOf(v, wr),
+        clusterSpec = Some(spec))
     }
     val pruned = prune(meta)
     catalog.put(pruned)

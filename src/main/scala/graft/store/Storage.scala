@@ -80,7 +80,11 @@ final case class CommitMeta(
     // the table's CHECK constraints as of this commit (name → SQL) —
     // carried so a catalog reconciled purely from markers keeps
     // enforcing them
-    constraints: Map[String, String] = Map.empty)
+    constraints: Map[String, String] = Map.empty,
+    // clustering spec as of this commit ([[TableMeta.clusterSpec]]) —
+    // set by optimize commits so marker-only reconciliation keeps
+    // incremental optimize working
+    clusterSpec: Option[String] = None)
 
 trait VersionStorage {
   /** Write one version snapshot/segment; returns the row count and the

@@ -470,7 +470,8 @@ object TxnLogStorage {
       s"changeRows=${m.changeRows}",
       s"colStats=${ColumnStats.renderMap(m.colStats)}",
       s"checks=${m.constraints.toSeq.sorted
-        .map { case (k, sql) => s"${enc(k)}:${enc(sql)}" }.mkString(",")}")
+        .map { case (k, sql) => s"${enc(k)}:${enc(sql)}" }.mkString(",")}",
+      s"cluster=${m.clusterSpec.fold("")(enc)}")
     lines.mkString("\n") + "\n"
   }
 
@@ -514,7 +515,8 @@ object TxnLogStorage {
             val i = p.indexOf(':')
             dec(p.substring(0, i)) -> dec(p.substring(i + 1))
           })
-          .toMap)
+          .toMap,
+        clusterSpec = kv.get("cluster").filter(_.nonEmpty).map(dec))
     }
   }
 }

@@ -107,6 +107,50 @@ class OptimizeSpec extends AnyFunSuite with SparkTestBase {
       s"value2 per-file ranges: $vRanges")
   }
 
+  test("incremental optimize rewrites only the unclustered tail") {
+    val root = tmpRoot("graft_opt_inc")
+    val store = new FeatureStore(spark, root)
+    val s = spark
+    import s.implicits._
+    store.register("t", interleaved)
+    withoutCoalesce(store.optimizeTable("t", Seq("feature_b"))) // v2, full
+
+    // new data arrives after the optimize
+    val extra = (0 until 100).map { i =>
+      ("x" + (i % 5), ts(f"2024-02-${1 + i % 28}%02d"),
+        (i * 41L) % 800, (i * 59L) % 800)
+    }.toDF("entity_id", "timestamp", "feature_b", "value2")
+    store.registerAppend("t", extra) // v3, manifest [2, 3]
+    val before = store.getVersion("t", 3)
+    val baseFiles = java.nio.file.Files
+      .list(java.nio.file.Paths.get(root, "t", "v=2")).toArray.length
+
+    val info = withoutCoalesce(
+      store.optimizeTable("t", Seq("feature_b"), incremental = true)) // v4
+    assert(info.version == 4 && info.rowCount == 900)
+    val hist = store.getTableHistory("t").find(_.version == 4).get
+    // the clustered base is re-referenced verbatim; only the tail was
+    // rewritten into the new segment
+    assert(hist.segments == Seq(2, 4))
+    assert(java.nio.file.Files
+      .list(java.nio.file.Paths.get(root, "t", "v=2")).toArray.length
+      == baseFiles)
+    val after = store.getVersion("t", 4)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    assert(store.getChanges("t", 3, 4).isEmpty)
+
+    // nothing new since: a second incremental run is a no-op
+    assert(store
+      .optimizeTable("t", Seq("feature_b"), incremental = true).version == 4)
+
+    // a spec change can't trust the base layout: full rewrite
+    val full = withoutCoalesce(
+      store.optimizeTable("t", Seq("value2"), incremental = true))
+    assert(full.version == 5)
+    assert(store.getTableHistory("t")
+      .find(_.version == 5).get.segments == Seq(5))
+  }
+
   test("validation: unknown and non-numeric zorder columns are rejected") {
     val store = new FeatureStore(spark, tmpRoot("graft_opt_bad"))
     store.register("t", interleaved)
