@@ -484,6 +484,11 @@ final class FeatureStore(
     * A constraint that no longer resolves against the written schema
     * (schema-drift register broke a referenced column) fails fast here
     * with the remedy in the message.
+    *
+    * Counting note: under a CLUSTERED layout the range partitioner's
+    * sampling pass re-executes the plan below it, so violation counts
+    * can over-count; the abort decision (any violation at all) is
+    * unaffected, and zero stays exactly zero.
     */
   private def constraintGuard(
       checks: scala.collection.Map[String, String],
@@ -527,6 +532,43 @@ final class FeatureStore(
       }
       (guarded, verify)
     }
+
+  /** Write a mutation's rewritten segment PRESERVING the table's
+    * recorded clustering (the liquid-clustering discipline: once a
+    * table opts into a layout, rewrites keep it — otherwise every
+    * delete/upsert would slowly degrade the optimize work). Falls back
+    * to the plain layout when no spec is recorded, its columns have
+    * drifted away, or the clustered write fails.
+    */
+  private def writeKeepingLayout(
+      cur: TableMeta,
+      name: String,
+      v: Int,
+      df: DataFrame): WriteResult = {
+    val clustered = cur.clusterSpec.flatMap { spec =>
+      val cols = spec.drop(spec.indexOf(':') + 1)
+        .split(",").toSeq.filter(_.nonEmpty)
+      Option.when(cols.nonEmpty && cols.forall(df.columns.contains)) {
+        () => {
+          val cluster =
+            if (spec.startsWith("zorder:") && cols.size > 1)
+              Seq(zValue(cur, cols, df))
+            else cols.map(col)
+          storage.writeClustered(
+            name, v, df, EntityIdColumn, TimestampColumn, cluster)
+        }
+      }
+    }
+    clustered match {
+      case Some(w) =>
+        try w()
+        catch {
+          case _: Exception =>
+            storage.write(name, v, df, EntityIdColumn, TimestampColumn)
+        }
+      case None => storage.write(name, v, df, EntityIdColumn, TimestampColumn)
+    }
+  }
 
   /** Run the constraint verifier for a just-written version; on
     * violation the written data is scrapped eagerly (the claim itself
@@ -1202,8 +1244,7 @@ final class FeatureStore(
             .readSegments(name, affected, cur.columns :+ IngestKeyCol, None,
               cur.columnTypes)
             .filter(not(coalesce(condition, lit(false))))
-          val wr =
-            storage.write(name, v, survivors, EntityIdColumn, TimestampColumn)
+          val wr = writeKeepingLayout(cur, name, v, survivors)
           if (wr.rows != affectedTotal - hits)
             throw new FeatureValidationError(
               s"deleteRows condition on '$name' is nondeterministic: the " +
@@ -1331,7 +1372,7 @@ final class FeatureStore(
             .join(keys, Seq(EntityIdColumn, TimestampColumn), "left_anti"))
         val newSeg = survivors.fold(prepared)(_.unionByName(prepared))
         val (guarded, checksOk) = constraintGuard(cur.constraints, newSeg)
-        val wr = storage.write(name, v, guarded, EntityIdColumn, TimestampColumn)
+        val wr = writeKeepingLayout(cur, name, v, guarded)
         verifyOrScrap(name, v)(checksOk)
         // determinism cross-check (the delta is evaluated by several
         // independent jobs — discovery, write, change set): the

@@ -151,6 +151,21 @@ class OptimizeSpec extends AnyFunSuite with SparkTestBase {
       .find(_.version == 5).get.segments == Seq(5))
   }
 
+  test("mutations preserve the recorded clustering in their rewrites") {
+    val store = new FeatureStore(spark, tmpRoot("graft_opt_mut"))
+    store.register("t", interleaved)
+    withoutCoalesce(store.optimizeTable("t", Seq("feature_b"))) // v2
+    // a delete rewrites the (single, clustered) segment; the rewrite
+    // must come out range-clustered again, not in arrival order
+    val info = withoutCoalesce(
+      store.deleteRows("t", col("value2") === 0L))
+    assert(info.rowCount == 799)
+    val ranges = fileRanges(store.getVersion("t", info.version), "feature_b")
+    assert(ranges.size >= 2)
+    assert(ranges.forall { case (lo, hi) => hi - lo <= 400 },
+      s"post-delete file ranges: $ranges")
+  }
+
   test("validation: unknown and non-numeric zorder columns are rejected") {
     val store = new FeatureStore(spark, tmpRoot("graft_opt_bad"))
     store.register("t", interleaved)
