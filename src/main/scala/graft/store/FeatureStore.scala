@@ -203,23 +203,43 @@ final class FeatureStore(
         }
     }
 
-  /** Resolve `condition` against a one-segment probe of the table (no
-    * job runs) and return the analyzed predicate — the expression
-    * [[StatsPruning]] needs, with qualified/case-insensitive references
-    * resolved exactly as the real filter will resolve them. An
-    * unknown-column predicate raises the normal analysis error.
+  /** An empty frame with exactly the table's current schema, built
+    * from the catalog's type record — no storage touched; None when
+    * the record is incomplete (legacy catalogs).
+    */
+  private def typedEmptyFrame(meta: TableMeta): Option[DataFrame] =
+    Option.when(meta.columns.forall(meta.columnTypes.contains))(
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(meta.columns.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.DataType.fromDDL(
+              meta.columnTypes(c)))))))
+
+  /** Resolve `condition` against a probe with the table's schema (no
+    * job runs, no storage touched) and return the analyzed predicate —
+    * the expression [[StatsPruning]] needs, with qualified /
+    * case-insensitive references resolved exactly as the real filter
+    * will resolve them. An unknown-column predicate raises the normal
+    * analysis error. The probe is an empty frame built from the
+    * catalog's type record — reading a segment for its schema would
+    * make condition ANALYSIS depend on that segment's files existing;
+    * legacy catalogs without a full type record fall back to that read.
     */
   private def resolveCondition(
       name: String,
       meta: TableMeta,
-      condition: Column): Option[org.apache.spark.sql.catalyst.expressions.Expression] =
-    storage
-      .readSegments(name, meta.segmentsOf(meta.version).take(1), meta.columns,
-        None, meta.columnTypes)
+      condition: Column): Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val probe = typedEmptyFrame(meta).getOrElse(
+      storage.readSegments(
+        name, meta.segmentsOf(meta.version).take(1), meta.columns,
+        None, meta.columnTypes))
+    probe
       .filter(condition)
       .queryExecution.analyzed.collect {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }.headOption
+  }
 
   /** Stored Spark DDL type per registered column: what [[prepare]]
     * writes — the timestamp column persists as TIMESTAMP regardless of
@@ -1765,10 +1785,14 @@ final class FeatureStore(
     val (kept, _) = pruneSegments(meta, segs, resolved, needRows = false)
     if (kept.isEmpty)
       // every segment pruned: an empty result with the exact schema
-      // (and the exact analysis errors) of the unpruned read
-      storage
-        .readSegments(name, segs.take(1), meta.columns, None, meta.columnTypes)
-        .filter(condition).limit(0)
+      // (and the exact analysis errors) of the unpruned read — from
+      // the type record when complete, else a zero-row segment read
+      typedEmptyFrame(meta)
+        .map(_.filter(condition))
+        .getOrElse(storage
+          .readSegments(name, segs.take(1), meta.columns, None,
+            meta.columnTypes)
+          .filter(condition).limit(0))
     else
       storage
         .readSegments(name, kept, meta.columns, None, meta.columnTypes)
@@ -2251,6 +2275,19 @@ final class FeatureStore(
   /** The table's CHECK constraints, name → SQL condition. */
   def getConstraints(name: String): Map[String, String] =
     catalog.getOrThrow(name).constraints.toMap
+
+  /** The current schema as a StructType, from the catalog's type
+    * record — no data files touched (the schema of a table whose data
+    * lives on slow/remote storage costs one catalog lookup). Falls
+    * back to the data read only for legacy catalogs without a full
+    * type record.
+    */
+  def getTableSchema(name: String): org.apache.spark.sql.types.StructType = {
+    val meta = resolveMeta(name)
+    typedEmptyFrame(meta)
+      .map(_.schema)
+      .getOrElse(currentData(meta).select(meta.columns.map(col): _*).schema)
+  }
 
   def getTableInfo(name: String): FeatureTableInfo =
     resolveMeta(name).info
