@@ -44,6 +44,7 @@ import graft.store.{FeatureStore, FeatureValidationError}
   */
 final class GraftDataSource
     extends RelationProvider
+    with CreatableRelationProvider
     with StreamSourceProvider
     with StreamSinkProvider
     with DataSourceRegister {
@@ -66,6 +67,39 @@ final class GraftDataSource
       required(parameters, "table"),
       parameters.get("versionAsOf").map(_.toInt),
       parameters.get("timestampAsOf"))
+
+  // ------------------------------------------------------ batch write
+  /** `df.write.format("graft").mode(m)`: Overwrite = register a new
+    * version (full snapshot — prior versions stay time-travelable);
+    * Append = O(delta) registerAppend (upsert instead with
+    * `option("mode", "upsert")`); ErrorIfExists/Ignore follow their
+    * SaveMode contracts against table existence.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val root = required(parameters, "root")
+    val table = required(parameters, "table")
+    val s = new FeatureStore(sqlContext.sparkSession, root)
+    val exists = s.tableNames.contains(table)
+    import org.apache.spark.sql.SaveMode._
+    mode match {
+      case Overwrite => s.register(table, data)
+      case Append =>
+        if (parameters.get("mode").contains("upsert"))
+          s.registerUpsert(table, data)
+        else s.registerAppend(table, data)
+      case ErrorIfExists =>
+        if (exists)
+          throw new FeatureValidationError(
+            s"table '$table' already exists at '$root' (SaveMode.ErrorIfExists)")
+        else s.register(table, data)
+      case Ignore => if (!exists) { s.register(table, data); () }
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   // --------------------------------------------------- streaming read
   override def sourceSchema(

@@ -57,6 +57,40 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(read.load().select("entity_id").columns.toSeq == Seq("entity_id"))
   }
 
+  test("batch write + SQL USING graft") {
+    val root = tmpRoot("graft_ds_write")
+    def writer(df: DataFrame) = df.write.format("graft")
+      .option("root", root).option("table", "t")
+
+    writer(slice(1, "u1", 100L)).mode("overwrite").save()
+    writer(slice(2, "u2", 2000L)).mode("append").save()
+    val store = new FeatureStore(spark, root)
+    assert(store.getTableInfo("t").version == 2)
+    assert(store.getTableInfo("t").rowCount == 4)
+
+    // append with option mode=upsert is a MERGE by key
+    val s = spark
+    import s.implicits._
+    writer(Seq(("u1", ts("2024-01-05"), 111L))
+      .toDF("entity_id", "timestamp", "feature_b"))
+      .option("mode", "upsert").mode("append").save()
+    assert(new FeatureStore(spark, root).getTableInfo("t").rowCount == 4)
+
+    intercept[graft.store.FeatureValidationError] {
+      writer(slice(3, "u3", 5L)).mode("errorifexists").save()
+    }
+    writer(slice(3, "u3", 5L)).mode("ignore").save() // no-op, no error
+    assert(new FeatureStore(spark, root).getTableInfo("t").rowCount == 4)
+
+    // the store is SQL-addressable: CREATE TEMPORARY VIEW ... USING
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_sql_v
+         |USING graft OPTIONS (root '$root', `table` 't')""".stripMargin)
+    assert(spark.sql(
+      "SELECT sum(feature_b) AS s FROM graft_sql_v WHERE feature_b >= 2000")
+      .head().getLong(0) == 2000L + 2001L)
+  }
+
   test("streaming source: snapshot first, then per-commit change batches") {
     val root = tmpRoot("graft_ds_src")
     val store = new FeatureStore(spark, root)
