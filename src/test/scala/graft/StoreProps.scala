@@ -37,6 +37,8 @@ object StoreProps extends Properties("FeatureStore") {
   // RESTORE to the oldest retained version (zero-copy manifest re-reference)
   private case object Restore extends Op
   private case object Compact extends Op
+  // content-preserving clustered rewrite; incremental may be a no-op
+  private case class Optimize(zorder: Boolean, incremental: Boolean) extends Op
   private case object Vacuum extends Op
   private case object Reopen extends Op
   private case object Delete extends Op
@@ -51,6 +53,8 @@ object StoreProps extends Properties("FeatureStore") {
     2 -> Gen.choose(1, 3).map(Upsert(_)),
     1 -> Gen.const(Restore),
     1 -> Gen.const(Compact),
+    1 -> Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false))
+      .map { case (z, inc) => Optimize(z, inc) },
     2 -> Gen.const(Vacuum),
     1 -> Gen.const(Reopen),
     1 -> Gen.const(Delete))
@@ -219,6 +223,19 @@ object StoreProps extends Properties("FeatureStore") {
               current = info.version
               model += current -> before
             }
+          case Optimize(z, inc) =>
+            if (current > 0) {
+              val before = model(current)
+              // zorder needs numeric/ts cluster columns; the range form
+              // exercises strings; a spec flip downgrades incremental
+              // to a full rewrite — all content-preserving by contract
+              val cols =
+                if (z) Seq("timestamp", "val") else Seq("entity_id", "val")
+              val info = store.optimizeTable(
+                "t", cols, zorder = z, incremental = inc)
+              current = info.version
+              model += current -> before
+            }
           case Vacuum =>
             // alternate grace settings: deferred passes must be as safe
             // as immediate ones
@@ -276,6 +293,8 @@ object StoreProps extends Properties("FeatureStore") {
       2 -> Gen.choose(1, 3).map(Upsert(_)),
       1 -> Gen.const(Restore),
       1 -> Gen.const(Compact),
+      1 -> Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false))
+        .map { case (z, inc) => Optimize(z, inc) },
       2 -> Gen.const(Vacuum),
       1 -> Gen.const(Delete)))
     first <- Gen.choose(1, 5)
@@ -350,6 +369,17 @@ object StoreProps extends Properties("FeatureStore") {
             if (current > 0) {
               val before = model(current)
               val info = store.compact("t")
+              mutated()
+              current = info.version
+              model += current -> before
+            }
+          case Optimize(z, inc) =>
+            if (current > 0) {
+              val before = model(current)
+              val cols =
+                if (z) Seq("timestamp", "val") else Seq("entity_id", "val")
+              val info = store.optimizeTable(
+                "t", cols, zorder = z, incremental = inc)
               mutated()
               current = info.version
               model += current -> before
