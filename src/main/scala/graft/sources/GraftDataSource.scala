@@ -134,8 +134,15 @@ final class GraftDataSource
       required(parameters, "table"),
       parameters.getOrElse("mode", "append"),
       parameters.getOrElse("streamId", {
+        // the exactly-once watermark needs a CHECKPOINT-STABLE stream
+        // identity; a root/table fallback would silently collide two
+        // distinct queries into one watermark line (dropped batches),
+        // so demand one of the two options that pin it
         val basis = parameters.getOrElse("checkpointLocation",
-          required(parameters, "root") + "/" + required(parameters, "table"))
+          throw new FeatureValidationError(
+            "format(\"graft\") sink needs .option(\"checkpointLocation\", ...) " +
+              "(its hash becomes the exactly-once stream identity) or an " +
+              "explicit .option(\"streamId\", ...)"))
         "graft-sink-" + java.security.MessageDigest.getInstance("MD5")
           .digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
       }))
@@ -161,9 +168,15 @@ final class GraftRelation(
     case _ => s.getVersion(table, s.getTableInfo(table).version)
   }
 
-  // catalog-backed: resolving a relation's schema must not read (or
-  // require the existence of) any data file
-  override val schema: StructType = store.getTableSchema(table)
+  // current-version reads resolve the schema from the catalog (no data
+  // file touched or required); time travel must advertise the AS-OF
+  // version's own columns — a later evolution's columns don't exist
+  // there, and advertising them would make Spark request unresolvable
+  // attributes
+  override val schema: StructType =
+    if (versionAsOf.isEmpty && timestampAsOf.isEmpty)
+      store.getTableSchema(table)
+    else snapshot(store).schema
 
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
@@ -293,35 +306,46 @@ final class GraftSink(
   }
 
   /** Apply one micro-batch of CHANGE ROWS (`_change_type` tagged, as
-    * the graft source emits): keys whose delete row has no matching
-    * re-insert in the batch are row-deleted; insert rows upsert
-    * (replacing matched keys — which also covers updates, whose old
-    * images are exactly the delete rows that skip the delete pass).
-    * Replay-safe: the upsert half rides the batch watermark; the
-    * delete half is naturally idempotent (re-deleting absent keys is a
-    * no-op that mints nothing).
+    * the graft source emits). One batch can span SEVERAL source
+    * commits, so per key only the LATEST change decides — ordered by
+    * `_commit_version` with inserts outranking deletes within a
+    * version (a same-version delete+insert pair is an update whose
+    * final state is the insert). Keys whose final change is a delete
+    * are removed via the distributed key-set delete (no driver
+    * materialization — a million-key purge stays a join); final
+    * inserts MERGE. Replay-safe: the upsert half rides the batch
+    * watermark, and re-deleting absent keys is a natural no-op.
     */
   private def applyCdc(s: FeatureStore, batchId: Long, batch: DataFrame): Unit = {
-    val meta = Seq(FeatureStore.ChangeTypeCol, FeatureStore.CommitVersionCol)
-      .filter(batch.columns.contains)
     if (!batch.columns.contains(FeatureStore.ChangeTypeCol))
       throw new FeatureValidationError(
         s"cdc sink needs a '${FeatureStore.ChangeTypeCol}' column " +
           "(write the graft streaming source's feed, or tag rows yourself)")
-    val ins = batch.filter(col(FeatureStore.ChangeTypeCol) === "insert")
-      .drop(meta: _*)
-    val del = batch.filter(col(FeatureStore.ChangeTypeCol) === "delete")
-      .drop(meta: _*)
-    // one key expression used for BOTH the driver-side key set and the
-    // delete predicate, so rendering is identical by construction
-    val keyExpr = concat_ws("",
-      col(graft.store.Validation.EntityIdColumn).cast("string"),
-      col(graft.store.Validation.TimestampColumn).cast("string"))
-    val deleteKeys = del.select(keyExpr.as("k"))
-      .exceptAll(ins.select(keyExpr.as("k")))
-      .distinct().collect().map(_.getString(0))
-    if (deleteKeys.nonEmpty && s.tableNames.contains(table))
-      s.deleteRows(table, keyExpr.isin(deleteKeys.toSeq.map(lit(_)): _*))
+    val e = graft.store.Validation.EntityIdColumn
+    val t = graft.store.Validation.TimestampColumn
+    val verCol =
+      if (batch.columns.contains(FeatureStore.CommitVersionCol))
+        col(FeatureStore.CommitVersionCol)
+      else lit(0)
+    // latest change per key: version desc, inserts over deletes
+    val ranked = batch.withColumn("_graft_rn",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(e), col(t))
+          .orderBy(verCol.desc,
+            (col(FeatureStore.ChangeTypeCol) === "insert").desc)))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn")
+    val metaCols = Seq(FeatureStore.ChangeTypeCol, FeatureStore.CommitVersionCol)
+      .filter(batch.columns.contains)
+    val ins = ranked.filter(col(FeatureStore.ChangeTypeCol) === "insert")
+      .drop(metaCols: _*)
+    val delKeys = ranked.filter(col(FeatureStore.ChangeTypeCol) === "delete")
+      .select(col(e), col(t))
+    if (s.tableNames.contains(table)) {
+      s.deleteRowsByKeys(table, delKeys)
+      ()
+    }
     if (!ins.isEmpty) {
       s.registerUpsertBatch(table, ins, batchId, streamId = streamId)
       ()

@@ -41,8 +41,17 @@ object ColumnStats {
     case _ => false
   }
 
-  def eligible(schema: StructType): Seq[StructField] =
-    schema.fields.toSeq.filter(f => orderable(f.dataType)).take(MaxStatsColumns)
+  /** `priority` columns (the storage's entity/timestamp keys) are
+    * always included when orderable — a very wide schema must not push
+    * the keys every read path prunes on past the column cap.
+    */
+  def eligible(
+      schema: StructType,
+      priority: Seq[String] = Seq.empty): Seq[StructField] = {
+    val all = schema.fields.toSeq.filter(f => orderable(f.dataType))
+    val (pri, rest) = all.partition(f => priority.contains(f.name))
+    (pri ++ rest).take(MaxStatsColumns)
+  }
 
   /** Observation metric columns for `fields` — ride the write job's
     * existing CollectMetrics node, so stats cost zero extra passes.
@@ -77,7 +86,11 @@ object ColumnStats {
           Some(v.toString)
         case FloatType | DoubleType =>
           val d = v.asInstanceOf[Number].doubleValue()
-          if (d.isNaN) None else Some(d.toString)
+          // normalize -0.0 → 0.0 (Delta does the same): Spark compares
+          // them EQUAL, so a "-0.0" bound must not order below a 0.0
+          // literal at prune time
+          if (d.isNaN) None
+          else Some((if (d == 0.0) 0.0 else d).toString)
         case _: DecimalType =>
           v match {
             case b: java.math.BigDecimal => Some(b.toPlainString)
@@ -324,12 +337,16 @@ object StatsPruning {
       } catch { case _: NumberFormatException => None }
     case FloatType | DoubleType =>
       for {
-        a <- statStr.toDoubleOption
-        b <- value match {
+        a0 <- statStr.toDoubleOption
+        b0 <- value match {
           case n: java.lang.Number => Some(n.doubleValue())
           case _ => None
         }
-        if !a.isNaN && !b.isNaN
+        if !a0.isNaN && !b0.isNaN
+        // Spark's comparisons treat -0.0 == 0.0; Double.compare does
+        // not — normalize both sides so pruning agrees with the engine
+        a = if (a0 == 0.0) 0.0 else a0
+        b = if (b0 == 0.0) 0.0 else b0
       } yield java.lang.Double.compare(a, b)
     case StringType =>
       val b = value match {

@@ -177,8 +177,12 @@ final class FeatureStore(
     val recorded = meta.segColStats.getOrElse(s, Map.empty)
     if (recorded.contains(TimestampColumn)) recorded
     else recorded ++ meta.segStats.get(s).map { case (lo, hi) =>
+      // the legacy range never counted nulls, and null-ts rows DO
+      // exist (prepare only rejects non-null uncastable values) —
+      // claim "nulls may exist" so IS NULL never prunes on it
       TimestampColumn ->
-        ColStat(0L, Some((lo * 1000L).toString), Some((hi * 1000L + 999L).toString))
+        ColStat(Long.MaxValue,
+          Some((lo * 1000L).toString), Some((hi * 1000L + 999L).toString))
     }
   }
 
@@ -440,7 +444,12 @@ final class FeatureStore(
             // at worst downgrades the next incremental run to a full
             // rewrite — the safe direction)
             clusterSpec = addable.toSeq.sortBy(_._1)
-              .flatMap(_._2.clusterSpec).lastOption.orElse(m.clusterSpec))
+              .flatMap(_._2.clusterSpec).lastOption.orElse(m.clusterSpec),
+            // adopt CHECK constraints a foreign commit carries (its
+            // writer's addConstraint may have never reached a catalog
+            // save) — union with local, biased toward enforcement
+            constraints = m.constraints ++
+              addable.toSeq.sortBy(_._1).flatMap(_._2.constraints))
           if (top > m.version)
             merged = merged.copy(
               version = top,
@@ -1310,6 +1319,138 @@ final class FeatureStore(
       catalog.put(pruned)
       catalogIO.save(root, catalog.all)
       pruned.info
+    }
+
+  /** Row-level DELETE by an explicit (entity, ts) KEY SET, fully
+    * distributed — the form `deleteRows(condition)` cannot express
+    * without materializing keys on the driver (CDC applies, GDPR
+    * key-list purges). Copy-on-write like the condition form: the key
+    * frame's (entity, ts) bounds prune stats-disjoint segments, a
+    * column-pruned join classification finds affected ones, their
+    * anti-join survivors rewrite (through the recorded cluster layout)
+    * as the new version's segment, untouched segments re-reference
+    * verbatim, and the change set records the deleted rows. Keys
+    * absent from the table are ignored — re-applying a delete is a
+    * natural no-op, which is what makes CDC replay idempotent.
+    * Returns None when nothing matched (no version minted); deleting
+    * every row is rejected.
+    */
+  def deleteRowsByKeys(
+      name: String, keyDf: DataFrame): Option[FeatureTableInfo] =
+    this.synchronized {
+      if (storage.arbitrates) { adoptDiskMeta(name); reconcileFromLog(name) }
+      catalog.getOrThrow(name)
+      val missingCols = Seq(EntityIdColumn, TimestampColumn)
+        .filterNot(keyDf.columns.contains)
+      if (missingCols.nonEmpty)
+        throw new FeatureValidationError(
+          s"deleteRowsByKeys('$name') needs columns " +
+            s"($EntityIdColumn, $TimestampColumn); missing: " +
+            missingCols.mkString(", "))
+      val (curOpt, v) = claimVersion(name)
+      val cur = curOpt.getOrElse {
+        storage.releaseVersion(name, v)
+        throw new FeatureConcurrencyError(
+          s"table '$name' was deleted by another writer during deleteRowsByKeys")
+      }
+      val meta = completeClaim(name, v) {
+        val keys = keyDf
+          .select(col(EntityIdColumn),
+            col(TimestampColumn).cast(TimestampType).as(TimestampColumn))
+          .distinct()
+        val boundsRow = keys.agg(
+          count(lit(1)),
+          min(col(EntityIdColumn)), max(col(EntityIdColumn)),
+          min(col(TimestampColumn)), max(col(TimestampColumn))).head()
+        if (boundsRow.getLong(0) == 0L) {
+          storage.releaseVersion(name, v)
+          return None
+        }
+        val segs = cur.segmentsOf(cur.version)
+        val resolvedBounds = (for {
+          loE <- Option(boundsRow.get(1)); hiE <- Option(boundsRow.get(2))
+          loT <- Option(boundsRow.get(3)); hiT <- Option(boundsRow.get(4))
+        } yield scala.util.Try(resolveCondition(name, cur,
+          col(EntityIdColumn).between(lit(loE), lit(hiE)) &&
+            col(TimestampColumn).between(lit(loT), lit(hiT)))).toOption.flatten)
+          .flatten
+        val (scanSegs, skipped) = pruneSegments(cur, segs, resolvedBounds)
+        val perSeg = (if (scanSegs.isEmpty) Map.empty[Int, (Long, Long)]
+          else classifySegments(name, cur, scanSegs,
+            Seq(EntityIdColumn, TimestampColumn))(df =>
+            (df.join(keys.withColumn("_graft_hit", lit(1)),
+              Seq(EntityIdColumn, TimestampColumn), "left"),
+              col("_graft_hit")))) ++
+          skipped.map(s => s -> (cur.segRows(s), 0L))
+        val total = perSeg.values.map(_._1).sum
+        val hits = perSeg.values.map(_._2).sum
+        if (hits == 0L) { storage.releaseVersion(name, v); return None }
+        if (hits == total)
+          throw new FeatureValidationError(
+            s"deleteRowsByKeys would remove every row of '$name'; " +
+              "registered tables are non-empty — use delete(name)")
+        val affected = segs.filter(s => perSeg.get(s).exists(_._2 > 0L))
+        val untouched = segs.filterNot(affected.contains)
+        val affectedTotal = affected.map(s => perSeg(s)._1).sum
+        val now0 = System.currentTimeMillis()
+        if (affectedTotal == hits) {
+          // affected segments match WHOLLY: drop them, write nothing
+          storage.commitVersion(name, v, CommitMeta(
+            0L, total - hits, cur.columns, untouched,
+            None, None, now0, cur.columnTypes, operation = "delete",
+            constraints = cur.constraints.toMap))
+          cur.copy(version = v, rowCount = total - hits, updatedAt = now0,
+            versions = cur.versions + (v -> cur.columns),
+            segments = cur.segments + (v -> untouched),
+            versionTimes = cur.versionTimes + (v -> now0),
+            versionOps = cur.versionOps + (v -> "delete"),
+            versionRows = cur.versionRows + (v -> (total - hits)))
+        } else {
+          val survivors = storage
+            .readSegments(name, affected, cur.columns :+ IngestKeyCol, None,
+              cur.columnTypes)
+            .join(keys, Seq(EntityIdColumn, TimestampColumn), "left_anti")
+          val wr = writeKeepingLayout(cur, name, v, survivors)
+          if (wr.rows != affectedTotal - hits)
+            throw new FeatureValidationError(
+              s"deleteRowsByKeys on '$name': classification matched $hits " +
+                s"rows but the rewrite kept ${wr.rows} of $affectedTotal " +
+                s"(expected ${affectedTotal - hits}) — key frame must be " +
+                "deterministic")
+          val cdfRows = storage.writeChangeData(name, v,
+            storage.readSegments(name, affected, cur.columns, None,
+              cur.columnTypes)
+              .join(keys, Seq(EntityIdColumn, TimestampColumn), "left_semi")
+              .withColumn(FeatureStore.ChangeTypeCol, lit("delete")))
+          if (cdfRows >= 0 && cdfRows != hits)
+            throw new FeatureValidationError(
+              s"deleteRowsByKeys on '$name': $hits rows matched but the " +
+                s"recorded change set holds $cdfRows — key frame must be " +
+                "deterministic")
+          val manifest = untouched :+ v
+          storage.commitVersion(name, v, CommitMeta(
+            wr.rows, total - hits, cur.columns, manifest,
+            wr.minTsMillis, wr.maxTsMillis, now0, cur.columnTypes,
+            operation = "delete", changeRows = cdfRows,
+            colStats = wr.colStats, constraints = cur.constraints.toMap))
+          cur.copy(version = v, rowCount = total - hits, updatedAt = now0,
+            versions = cur.versions + (v -> cur.columns),
+            segments = cur.segments + (v -> manifest),
+            segStats = cur.segStats ++ segStatsOf(v, wr),
+            versionTimes = cur.versionTimes + (v -> now0),
+            versionOps = cur.versionOps + (v -> "delete"),
+            versionRows = cur.versionRows + (v -> (total - hits)),
+            versionCdf =
+              if (cdfRows >= 0) cur.versionCdf + (v -> cdfRows)
+              else cur.versionCdf,
+            segRows = cur.segRows ++ segRowsOf(v, wr),
+            segColStats = cur.segColStats ++ segColStatsOf(v, wr))
+        }
+      }
+      val pruned = prune(meta)
+      catalog.put(pruned)
+      catalogIO.save(root, catalog.all)
+      Some(pruned.info)
     }
 
   /** MERGE-style upsert keyed by (entity_id, timestamp) — Delta's
@@ -2458,6 +2599,12 @@ object FeatureStore {
       segStats = a.segStats ++ b.segStats,
       segRows = a.segRows ++ b.segRows,
       segColStats = a.segColStats ++ b.segColStats,
+      // union, biased toward ENFORCEMENT: a constraint added by either
+      // writer survives the merge (a concurrent drop may resurrect —
+      // the safe direction; drop again to settle it)
+      constraints = a.constraints ++ b.constraints ++ hi.constraints,
+      clusterSpec = hi.clusterSpec
+        .orElse(a.clusterSpec).orElse(b.clusterSpec),
       versionTimes = (a.versionTimes ++ b.versionTimes)
         .filter { case (v, _) => v > pruned },
       batchWatermarks = scala.collection.immutable.SortedMap(

@@ -248,7 +248,7 @@ final class Storage(
       df: DataFrame,
       entityCol: String,
       tsCol: String): WriteResult =
-    writeWith(name, version, df, tsCol)(
+    writeWith(name, version, df, entityCol, tsCol)(
       _.repartition(col(DateCol))
         .sortWithinPartitions(col(entityCol), col(tsCol)))
 
@@ -265,7 +265,7 @@ final class Storage(
       entityCol: String,
       tsCol: String,
       cluster: Seq[org.apache.spark.sql.Column]): WriteResult =
-    writeWith(name, version, df, tsCol) { d =>
+    writeWith(name, version, df, entityCol, tsCol) { d =>
       val keys = col(DateCol) +: cluster
       d.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
     }
@@ -274,6 +274,7 @@ final class Storage(
       name: String,
       version: Int,
       df: DataFrame,
+      entityCol: String,
       tsCol: String)(layout: DataFrame => DataFrame): WriteResult = {
     val path = versionPath(name, version)
     val obs = org.apache.spark.sql.Observation(s"graft_write_${name}_v$version")
@@ -281,8 +282,11 @@ final class Storage(
     // row count — column-level skipping stats at zero extra passes.
     // The node sits ABOVE the layout exchange: a range partitioner
     // SAMPLES its child to pick boundaries, and metrics below it would
-    // be double-counted by the sampling pass.
-    val statFields = ColumnStats.eligible(df.schema)
+    // be double-counted by the sampling pass. Entity/timestamp are
+    // priority columns: wide schemas must not push the keys every read
+    // prunes on past the stats cap.
+    val statFields =
+      ColumnStats.eligible(df.schema, priority = Seq(entityCol, tsCol))
     layout(df.withColumn(DateCol, period(col(tsCol))))
       .observe(
         obs,

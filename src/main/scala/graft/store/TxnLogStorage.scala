@@ -221,7 +221,12 @@ final class TxnLogStorage(
     // without this checkpoint just opens more tail markers
     if (checkpointInterval > 0 && version % checkpointInterval == 0)
       try writeCheckpoint(name, version)
-      catch { case _: java.io.IOException => () }
+      catch {
+        // strictly best-effort: the marker above IS the commit point,
+        // and failing the caller here would report a DURABLY COMMITTED
+        // version as failed — swallow anything non-fatal, not just IO
+        case scala.util.control.NonFatal(_) => ()
+      }
     ()
   }
 

@@ -184,6 +184,83 @@ class ColumnStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(!segs.contains(1) && segs.contains(2), s"scanned segments: $segs")
   }
 
+  test("-0.0 bounds never prune a 0.0 probe (Spark compares them equal)") {
+    val s = spark
+    import s.implicits._
+    val store = new FeatureStore(spark, tmpRoot("graft_colstats_negzero"))
+    store.register("z", Seq(
+      ("u1", ts("2024-01-05"), -0.0),
+      ("u1", ts("2024-01-06"), -0.0))
+      .toDF("entity_id", "timestamp", "score"))
+    store.registerAppend("z", Seq(("u2", ts("2024-02-05"), 5.0))
+      .toDF("entity_id", "timestamp", "score"))
+    // With parquet filter pushdown DISABLED, Spark evaluates
+    // -0.0 === 0.0 as TRUE (IEEE): the segment whose min/max are both
+    // -0.0 must NOT be pruned by our stats — an unnormalized bound
+    // would order "-0.0" below the 0.0 probe and drop both rows.
+    // (With pushdown enabled Spark's own parquet layer excludes the
+    // rows either way — an upstream -0.0 edge our pruning must simply
+    // agree with, which the invariant check covers.)
+    val key = "spark.sql.parquet.filterPushdown"
+    spark.conf.set(key, "false")
+    try {
+      assert(store.scanWhere("z", col("score") === 0.0).count() == 2)
+      assert(store.scanWhere("z", col("score") === -0.0).count() == 2)
+    } finally spark.conf.set(key, "true")
+    // invariant under the default config too: pruned == unpruned
+    assert(store.scanWhere("z", col("score") === 0.0).count() ==
+      store.getVersion("z", 2).filter(col("score") === 0.0).count())
+  }
+
+  test("legacy ts-range stats never prune IS NULL (null-ts rows exist)") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("graft_colstats_nullts")
+    val store = new FeatureStore(spark, root)
+    store.register("t", Seq(
+      ("u1", Some(ts("2024-01-05")), 1L),
+      ("u2", Option.empty[java.sql.Timestamp], 2L))
+      .toDF("entity_id", "timestamp", "feature_b"))
+    store.registerAppend("t", Seq(("u3", Some(ts("2024-02-05")), 3L))
+      .toDF("entity_id", "timestamp", "feature_b"))
+    // reduce the catalog to the legacy shape: ts range (R) only
+    val catFile = java.nio.file.Paths.get(root, "_catalog.tsv")
+    val stripped = java.nio.file.Files.readString(catFile).split("\n")
+      .filterNot(l => l.startsWith("X\t") || l.startsWith("N\t"))
+      .mkString("\n")
+    java.nio.file.Files.writeString(catFile, stripped)
+    val reopened = new FeatureStore(spark, root)
+    // the synthesized ts stat must claim "nulls may exist": the
+    // null-ts row survives an IS NULL scan
+    val got = reopened.scanWhere("t", col("timestamp").isNull).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("feature_b") == 2L)
+  }
+
+  test("deleteRowsByKeys: distributed key delete with segment skipping") {
+    val s = spark
+    import s.implicits._
+    val root = tmpRoot("graft_colstats_delkeys")
+    val store = threeSliceStore(root)
+    // the February segment is stats-disjoint from the key set: destroy
+    // it — the delete must never touch it
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      java.nio.file.Paths.get(root, "t", "v=2").toFile)
+    val keys = Seq(
+      ("user_3", ts("2024-03-05")),   // exists → deleted
+      ("user_3", ts("2024-03-21")),   // no such ts → ignored
+      ("ghost", ts("2024-03-05")))    // no such entity → ignored
+      .toDF("entity_id", "timestamp")
+    val info = store.deleteRowsByKeys("t", keys)
+    assert(info.exists(_.rowCount == 5))
+    // re-applying the same keys is a no-op (CDC replay idempotence)
+    assert(store.deleteRowsByKeys("t", keys).isEmpty)
+    assert(store.getTableInfo("t").rowCount == 5)
+    // the change feed recorded the deleted row
+    val ch = store.getChanges("t", 3, 4)
+      .filter(col("_change_type") === "delete").collect()
+    assert(ch.length == 1 && ch.head.getAs[Long]("feature_b") == 30000L)
+  }
+
   test("pruning never fires without recorded stats (legacy safety)") {
     val root = tmpRoot("graft_colstats_legacy")
     val store = threeSliceStore(root)

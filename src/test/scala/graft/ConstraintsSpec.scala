@@ -107,6 +107,29 @@ class ConstraintsSpec extends AnyFunSuite with SparkTestBase {
     assert(store.getTableInfo("t").version == 2)
   }
 
+  test("a constraint added by one writer binds a concurrent writer") {
+    val root = tmpRoot("graft_checks_mw")
+    def open() = new FeatureStore(spark, root,
+      storageFactory = new TxnLogStorage(_, _, _))
+    val a = open()
+    val b = open() // opened BEFORE the constraint exists
+    a.register("t", sampleFeatures)
+    b.registerAppend("t", sampleFeatures
+      .withColumn("timestamp", col("timestamp") + expr("INTERVAL 60 DAYS")))
+    a.addConstraint("t", "a_positive", "feature_a > 0")
+    // B's next write must adopt the constraint through the shared
+    // catalog merge and reject the violating rows
+    intercept[FeatureValidationError] {
+      b.registerAppend("t", sampleFeatures
+        .withColumn("feature_a", lit(-3.0))
+        .withColumn("timestamp", col("timestamp") + expr("INTERVAL 90 DAYS")))
+    }
+    assert(b.getConstraints("t") == Map("a_positive" -> "feature_a > 0"))
+    // and B's own catalog save must not have wiped it for A
+    assert(open().getConstraints("t") ==
+      Map("a_positive" -> "feature_a > 0"))
+  }
+
   test("constraints persist across reopen and marker-only reconciliation") {
     val root = tmpRoot("graft_checks_txn")
     def open() = new FeatureStore(spark, root,

@@ -146,6 +146,61 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("time travel read across a schema evolution uses the as-of schema") {
+    val root = tmpRoot("graft_ds_tt")
+    val store = new FeatureStore(spark, root)
+    store.register("t", slice(1, "u1", 100L))
+    store.registerAppend("t",
+      slice(2, "u2", 2000L).withColumn("extra", lit("x")),
+      mergeSchema = true)
+    def read = spark.read.format("graft")
+      .option("root", root).option("table", "t")
+    // current schema carries the evolved column
+    assert(read.load().columns.contains("extra"))
+    // version 1 predates it: its read must advertise (and resolve)
+    // version 1's own columns
+    val v1 = read.option("versionAsOf", "1").load()
+    assert(!v1.columns.contains("extra"))
+    assert(v1.count() == 2)
+  }
+
+  test("cdc apply resolves multi-commit batches by final state") {
+    val srcRoot = tmpRoot("graft_ds_cdc_src")
+    val dstRoot = tmpRoot("graft_ds_cdc_dst")
+    val ck = tmpRoot("graft_ds_cdc_ck")
+    val src = new FeatureStore(spark, srcRoot)
+    src.register("t", slice(1, "u1", 100L))
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("root", srcRoot).option("table", "t")
+        .load()
+        .writeStream.format("graft")
+        .option("root", dstRoot).option("table", "t")
+        .option("mode", "cdc")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // snapshot replicated
+    // while the follower is DOWN: insert a key (v2), then delete it
+    // (v3) — one future microbatch carries both; the final state for
+    // that key is DELETED, and a set-difference apply would wrongly
+    // resurrect it from the v2 insert
+    val s = spark
+    import s.implicits._
+    src.registerUpsert("t", Seq(("u9", ts("2024-03-05"), 9L))
+      .toDF("entity_id", "timestamp", "feature_b"))
+    src.deleteRows("t", col("entity_id") === "u9")
+    run()
+    val dst = new FeatureStore(spark, dstRoot)
+    val replica = dst.getVersion("t", dst.getTableInfo("t").version)
+    assert(replica.filter(col("entity_id") === "u9").isEmpty,
+      "deleted-after-insert key resurrected by the cdc apply")
+    assert(replica.count() == 2)
+  }
+
   test("replication: source -> cdc sink reproduces the table, deletes included") {
     val srcRoot = tmpRoot("graft_ds_repl_src")
     val dstRoot = tmpRoot("graft_ds_repl_dst")
