@@ -110,6 +110,17 @@ object SkippingDemo {
       store.registerUpsert("t", delta)
     }
 
+    // 3b) distributed key-list purge (the GDPR shape): 1000 (entity,
+    // ts) keys clustered in 1999 — no driver-side key materialization,
+    // and the key bounds skip every other year's classification
+    val purgeKeys = feat
+      .filter(year(col("timestamp")) === 1999 && col("l_orderkey") % 601 === 0)
+      .select("entity_id", "timestamp")
+    println(s"[skip] purge key count: ${purgeKeys.count()}")
+    timed("deleteRowsByKeys (keys cluster in 1999; skip 6 of 7)") {
+      store.deleteRowsByKeys("t", purgeKeys)
+    }
+
     // 4) OPTIMIZE z-order + per-file range evidence. The clustered
     // write range-partitions by (period, z): a period only splits into
     // z-subranges when it spans multiple tasks, which at 100 TB every

@@ -201,6 +201,55 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(replica.count() == 2)
   }
 
+  test("replication stress: a mixed mutation series converges with an intermittent follower") {
+    val srcRoot = tmpRoot("graft_ds_stress_src")
+    val dstRoot = tmpRoot("graft_ds_stress_dst")
+    val ck = tmpRoot("graft_ds_stress_ck")
+    val src = new FeatureStore(spark, srcRoot, maxVersions = 50)
+    val s = spark
+    import s.implicits._
+    def rows(tag: Int, n: Int) = (0 until n).map(j =>
+      (s"e${tag}_$j", ts(f"2024-${1 + tag % 3}%02d-${1 + (tag * 3 + j) % 27}%02d"),
+        tag * 100L + j))
+      .toDF("entity_id", "timestamp", "feature_b")
+    src.register("t", rows(1, 4))
+
+    def follow(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("root", srcRoot).option("table", "t")
+        .load()
+        .writeStream.format("graft")
+        .option("root", dstRoot).option("table", "t")
+        .option("mode", "cdc")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def sameContent(): Unit = {
+      val a = src.getVersion("t", src.getTableInfo("t").version)
+      val d = new FeatureStore(spark, dstRoot)
+      val b = d.getVersion("t", d.getTableInfo("t").version)
+      assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+        "replica diverged")
+    }
+    // a mixed series; the follower only catches up every few steps, so
+    // each microbatch spans several commits with interacting changes
+    follow(); sameContent()
+    src.registerAppend("t", rows(2, 3))
+    src.deleteRows("t", col("feature_b") % 2 === 1)
+    follow(); sameContent()
+    src.registerUpsert("t", rows(2, 5)) // re-insert some deleted keys
+    src.registerAppend("t", rows(3, 4))
+    src.deleteRowsByKeys("t",
+      rows(3, 2).select("entity_id", "timestamp"))
+    follow(); sameContent()
+    src.deleteRows("t", col("feature_b") >= 300L)
+    src.registerUpsert("t", rows(4, 2))
+    src.compact("t")
+    follow(); sameContent()
+  }
+
   test("replication: source -> cdc sink reproduces the table, deletes included") {
     val srcRoot = tmpRoot("graft_ds_repl_src")
     val dstRoot = tmpRoot("graft_ds_repl_dst")
