@@ -288,6 +288,52 @@ object SparkEntry {
         ()
     }
 
+  /** CDC-REPLICA build: the events table is REPLICATED across roots
+    * purely through the change feed — a SOURCE store takes a register,
+    * an append, and a row delete; a `format("graft")` streaming source
+    * → cdc-sink follower (run intermittently, so one microbatch spans
+    * interacting commits) applies them to THIS store. The replica's
+    * PIT read must hash-match the oracle of the directly-mutated
+    * store (`store_delete_roundtrip`'s SQL) — the entire
+    * source→feed→apply pipeline sits under the DuckDB gate.
+    */
+  private val cdcStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def cdcReplicaStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(cdcStores, s, dir, "graft_store_cdcr_v1", minVersion = 2) {
+      (replica, feats) =>
+        replica.delete("events")
+        val srcRoot = replica.rootPath + "_src"
+        val ckRoot = replica.rootPath + "_ck"
+        Seq(srcRoot, ckRoot).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+        val src = new graft.store.FeatureStore(s, srcRoot)
+        val cutoff = lit(utcTs("2024-01-10 00:00:00"))
+        src.register("events", feats.filter(col("timestamp") < cutoff))
+        def follow(): Unit = {
+          val q = s.readStream.format("graft")
+            .option("root", srcRoot).option("table", "events")
+            .load()
+            .writeStream.format("graft")
+            .option("root", replica.rootPath).option("table", "events")
+            .option("mode", "cdc")
+            .option("checkpointLocation", ckRoot)
+            .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        follow() // initial snapshot
+        src.registerAppend("events", feats.filter(col("timestamp") >= cutoff))
+        src.deleteRows("events",
+          col("event_type") === "click" &&
+            col("timestamp") < lit(utcTs("2024-01-05 00:00:00")))
+        follow() // one batch carrying both the append and the delete
+        // the cdc sink wrote through its own store instances; this
+        // long-lived reader adopts their commits (REFRESH TABLE)
+        replica.refresh()
+    }
+
   /** OPTIMIZE twin of [[demoStore]]: register the full events table,
     * then rewrite it Z-ORDERED by (timestamp, value) — a content-
     * preserving clustered layout whose reads must stay value-identical
@@ -674,6 +720,15 @@ object SparkEntry {
         .getChanges("events", 1, 2)
         .orderBy("entity_id", "timestamp", "event_id", "_change_type")),
 
+    // CDC-REPLICATION roundtrip: this table was never written directly
+    // — it is a change-feed REPLICA of a source that registered,
+    // appended, and row-deleted; the replica's PIT read must equal the
+    // directly-mutated oracle (same SQL as store_delete_roundtrip)
+    "store_cdc_replica" -> ((s, dir) =>
+      cdcReplicaStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
+
     // RESTORE roundtrip: v3 re-references v1's manifest (zero-copy),
     // undoing the v2 row-delete — the PIT read must equal the PLAIN
     // oracle, as if the delete never happened
@@ -868,6 +923,18 @@ object SparkEntry {
 
   private lazy val EventsPitOracle: String = eventsPitOracleAt(PitAsOf)
 
+  /** PIT oracle over the raw table minus the deleted early clicks —
+    * shared by the direct row-delete roundtrip and its change-feed
+    * replica (one mutation series, two physical histories, one truth).
+    */
+  private lazy val EventsDeletedPitOracle: String =
+    s"""SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
+       |FROM events
+       |WHERE ts <= TIMESTAMP '$PitAsOf' AND user_id IN $PitIdsSql
+       |  AND NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00')
+       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+       |ORDER BY entity_id""".stripMargin
+
   private lazy val EventsAsOfOracle: String =
     """WITH spine AS (
       |  SELECT event_id AS spine_id, user_id AS e, ts + INTERVAL 1 HOUR AS t
@@ -927,13 +994,12 @@ object SparkEntry {
 
     // copy-on-write DELETE: PIT over the raw table minus the deleted
     // predicate (engine deleted early clicks in version 3)
-    "store_delete_roundtrip" ->
-      s"""SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
-         |FROM events
-         |WHERE ts <= TIMESTAMP '$PitAsOf' AND user_id IN $PitIdsSql
-         |  AND NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00')
-         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
-         |ORDER BY entity_id""".stripMargin,
+    "store_delete_roundtrip" -> EventsDeletedPitOracle,
+
+    // the change-feed REPLICA of the same mutation series must answer
+    // the identical oracle — the source→feed→cdc-apply pipeline is
+    // value-invisible
+    "store_cdc_replica" -> EventsDeletedPitOracle,
 
     // MERGE/UPSERT: raw table with replaced values patched in (+1000
     // for entities 0-9 before the cutoff) plus the inserted key

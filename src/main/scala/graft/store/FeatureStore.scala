@@ -369,6 +369,21 @@ final class FeatureStore(
       }
     }
 
+  /** Re-read the durable catalog and adopt every table/version other
+    * PROCESSES committed to this root — the REFRESH TABLE surface.
+    * Writers on arbitrating storage do this implicitly per claim, and
+    * the graft streaming source reopens per poll; an explicit refresh
+    * is for a long-lived reader session that wants to see foreign
+    * commits without writing. Local state merges (never regresses) and
+    * tables this session knows that the disk doesn't are kept.
+    */
+  def refresh(): Unit = this.synchronized {
+    catalogIO.load(root).foreach(d =>
+      catalog.put(catalog.get(d.name)
+        .fold(d)(o => FeatureStore.mergeMetas(o, d))))
+    if (storage.arbitrates) catalog.names.foreach(reconcileFromLog)
+  }
+
   /** Latest whole-table retirement time for `name`, if any (a `delete`
     * records one; re-register + re-delete can stack several — the
     * newest bounds which commit markers belong to the retired lineage).
