@@ -115,12 +115,17 @@ final class GraftDataSource
       metadataPath: String,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): Source =
-    new GraftChangeFeedSource(
-      sqlContext,
-      required(parameters, "root"),
-      required(parameters, "table"),
-      parameters.get("startingVersion").map(_.toInt))
+      parameters: Map[String, String]): Source = {
+    val root = required(parameters, "root")
+    val table = required(parameters, "table")
+    // startingTimestamp resolves to the TIMESTAMP-AS-OF version once,
+    // at source creation (Delta's CDF option shape)
+    val starting = parameters.get("startingVersion").map(_.toInt)
+      .orElse(parameters.get("startingTimestamp").map(t =>
+        new FeatureStore(sqlContext.sparkSession, root)
+          .resolveVersionAsOf(table, t)))
+    new GraftChangeFeedSource(sqlContext, root, table, starting)
+  }
 
   // -------------------------------------------------- streaming write
   override def createSink(

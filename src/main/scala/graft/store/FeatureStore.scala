@@ -2099,23 +2099,28 @@ final class FeatureStore(
     * from catalogs that predate commit-time tracking carry no time and
     * cannot be addressed on this axis; the error says so.
     */
-  def getVersionAsOf(name: String, timestamp: Any): DataFrame = {
+  def getVersionAsOf(name: String, timestamp: Any): DataFrame =
+    getVersion(name, resolveVersionAsOf(name, timestamp))
+
+  /** The newest retained version committed at or before `timestamp` —
+    * the TIMESTAMP-AS-OF resolution by itself (used by time-travel
+    * reads and the streaming source's `startingTimestamp`).
+    */
+  def resolveVersionAsOf(name: String, timestamp: Any): Int = {
     val meta = resolveMeta(name)
     val cutoff = FeatureStore.normalizeTimestamp(timestamp).getTime
     val timed = meta.versionTimes.filter { case (v, _) => meta.versions.contains(v) }
     val hit = timed.filter { case (_, t) => t <= cutoff }.keys.maxOption
-    hit match {
-      case Some(v) => getVersion(name, v)
-      case None =>
-        val range =
-          if (timed.isEmpty)
-            "no retained version has a recorded commit time " +
-              "(catalog predates commit-time tracking)"
-          else
-            s"earliest retained commit is at epoch-millis ${timed.values.min}"
-        throw new FeatureTableNotFoundError(
-          s"Table '$name' has no version committed at or before " +
-            s"$timestamp: $range")
+    hit.getOrElse {
+      val range =
+        if (timed.isEmpty)
+          "no retained version has a recorded commit time " +
+            "(catalog predates commit-time tracking)"
+        else
+          s"earliest retained commit is at epoch-millis ${timed.values.min}"
+      throw new FeatureTableNotFoundError(
+        s"Table '$name' has no version committed at or before " +
+          s"$timestamp: $range")
     }
   }
 

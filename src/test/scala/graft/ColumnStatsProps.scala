@@ -20,10 +20,11 @@ import graft.store.FeatureStore
   */
 object ColumnStatsProps extends Properties("StatsPruning") with SparkTestBase {
 
-  // one row: (entity, ts, long, double, string, maybe-null double)
+  // one row: entity, ts, long, double, string, maybe-null double,
+  // date, boolean — every comparator family StatsPruning implements
   private case class R(
       e: String, ts: Timestamp, l: Long, d: Double, s: String,
-      n: Option[Double])
+      n: Option[Double], dt: java.sql.Date, b: Boolean)
 
   private val genRow: Gen[R] = for {
     e <- Gen.oneOf("u1", "u2", "u3", "Ω-user", "zz")
@@ -33,13 +34,17 @@ object ColumnStatsProps extends Properties("StatsPruning") with SparkTestBase {
     d <- Gen.oneOf(Gen.choose(-5.0, 5.0), Gen.oneOf(Double.NaN, -0.0, 1e12))
     s <- Gen.oneOf("alpha", "beta", "Ωmega", "", "zzz", "alp")
     n <- Gen.option(Gen.choose(-2.0, 2.0))
-  } yield R(e, Timestamp.valueOf(f"2024-$month%02d-$day%02d 00:00:00"), l, d, s, n)
+    dtDay <- Gen.choose(1, 28)
+    b <- Gen.oneOf(true, false)
+  } yield R(e, Timestamp.valueOf(f"2024-$month%02d-$day%02d 00:00:00"), l, d, s, n,
+    java.sql.Date.valueOf(f"2023-$month%02d-$dtDay%02d"), b)
 
   private def toDF(rows: Seq[R]): DataFrame = {
     val sp = spark
     import sp.implicits._
-    rows.map(r => (r.e, r.ts, r.l, r.d, r.s, r.n))
-      .toDF("entity_id", "timestamp", "f_long", "f_double", "f_str", "f_null")
+    rows.map(r => (r.e, r.ts, r.l, r.d, r.s, r.n, r.dt, r.b))
+      .toDF("entity_id", "timestamp", "f_long", "f_double", "f_str",
+        "f_null", "f_date", "f_bool")
   }
 
   // random predicate over the columns above
@@ -65,7 +70,12 @@ object ColumnStatsProps extends Properties("StatsPruning") with SparkTestBase {
       Gen.const(col("f_null").isNull),
       Gen.const(col("f_null").isNotNull),
       Gen.const(col("f_null") > 0.0),
-      Gen.const(col("entity_id") === "Ω-user")
+      Gen.const(col("entity_id") === "Ω-user"),
+      Gen.oneOf("2022-12-31", "2023-02-14", "2023-03-28", "2024-01-01")
+        .map(v => col("f_date") >= lit(java.sql.Date.valueOf(v))),
+      Gen.oneOf("2022-12-31", "2023-02-14", "2024-01-01")
+        .map(v => col("f_date") === lit(java.sql.Date.valueOf(v))),
+      Gen.oneOf(true, false).map(v => col("f_bool") === v)
     ).flatMap(identity)
   }
 

@@ -261,6 +261,22 @@ class ColumnStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(ch.length == 1 && ch.head.getAs[Long]("feature_b") == 30000L)
   }
 
+  test("decimal column stats prune exactly") {
+    val s = spark
+    import s.implicits._
+    val store = new FeatureStore(spark, tmpRoot("graft_colstats_dec"))
+    def df(v: String, month: Int) = Seq(
+      ("u1", ts(f"2024-$month%02d-05"), BigDecimal(v)))
+      .toDF("entity_id", "timestamp", "amount")
+    store.register("d", df("-12.345", 1))
+    store.registerAppend("d", df("99999.99", 2))
+    assert(segsOf(store.scanWhere("d",
+      col("amount") > BigDecimal("1000"))) == Set(2))
+    assert(segsOf(store.scanWhere("d",
+      col("amount") === BigDecimal("-12.345"))) == Set(1))
+    assert(store.scanWhere("d", col("amount") < BigDecimal("-100")).isEmpty)
+  }
+
   test("pruning never fires without recorded stats (legacy safety)") {
     val root = tmpRoot("graft_colstats_legacy")
     val store = threeSliceStore(root)

@@ -123,6 +123,36 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming source: startingVersion and startingTimestamp skip the snapshot") {
+    val root = tmpRoot("graft_ds_startv")
+    val store = new FeatureStore(spark, root)
+    store.register("t", slice(1, "u1", 100L))
+    val midpoint = System.currentTimeMillis()
+    Thread.sleep(5)
+    store.registerAppend("t", slice(2, "u2", 2000L))
+
+    def collectFrom(opts: Map[String, String]): Seq[Long] = {
+      val name = "graft_startv_" + math.abs(opts.hashCode())
+      val reader = spark.readStream.format("graft")
+        .option("root", root).option("table", "t")
+      val q = opts.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try {
+        q.processAllAvailable()
+        spark.table(name).select("feature_b")
+          .collect().map(_.getLong(0)).sorted.toSeq
+      } finally q.stop()
+    }
+    // startingVersion 1: only the v2 append's changes, no snapshot
+    assert(collectFrom(Map("startingVersion" -> "1")) == Seq(2000L, 2001L))
+    // startingTimestamp between the commits resolves to the same point
+    assert(collectFrom(Map("startingTimestamp" ->
+      new java.sql.Timestamp(midpoint).toString)) == Seq(2000L, 2001L))
+  }
+
   test("streaming sink: append mode accumulates versions exactly-once") {
     val s = spark
     import s.implicits._
