@@ -150,7 +150,8 @@ final class GraftDataSource
               "explicit .option(\"streamId\", ...)"))
         "graft-sink-" + java.security.MessageDigest.getInstance("MD5")
           .digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      }))
+      }),
+      parameters.get("mergeSchema").exists(_.toBoolean))
 }
 
 /** Batch relation: current version or time travel, with best-effort
@@ -284,7 +285,8 @@ final class GraftSink(
     root: String,
     table: String,
     mode: String,
-    streamId: String) extends Sink {
+    streamId: String,
+    mergeSchema: Boolean) extends Sink {
 
   if (!Set("append", "upsert", "cdc").contains(mode))
     throw new FeatureValidationError(
@@ -300,9 +302,11 @@ final class GraftSink(
       val s = new FeatureStore(sqlContext.sparkSession, root)
       mode match {
         case "append" =>
-          s.registerAppendBatch(table, batch, batchId, streamId = streamId)
+          s.registerAppendBatch(table, batch, batchId, streamId = streamId,
+            mergeSchema = mergeSchema)
         case "upsert" =>
-          s.registerUpsertBatch(table, batch, batchId, streamId = streamId)
+          s.registerUpsertBatch(table, batch, batchId, streamId = streamId,
+            mergeSchema = mergeSchema)
         case "cdc" =>
           applyCdc(s, batchId, batch)
       }
@@ -352,7 +356,8 @@ final class GraftSink(
       ()
     }
     if (!ins.isEmpty) {
-      s.registerUpsertBatch(table, ins, batchId, streamId = streamId)
+      s.registerUpsertBatch(table, ins, batchId, streamId = streamId,
+        mergeSchema = mergeSchema)
       ()
     }
   }

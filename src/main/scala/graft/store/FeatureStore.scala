@@ -675,6 +675,45 @@ final class FeatureStore(
     registerAppendWith(name, df, maxSegments, watermark = None,
       mergeSchema = mergeSchema)
 
+  /** Evolved column list for an append/upsert delta: same-name columns
+    * must keep their RECORDED types (checked even when the column sets
+    * match — a same-shape delta with a retyped column would otherwise
+    * write a segment later reads cannot union), and new columns append
+    * only under `mergeSchema`.
+    */
+  private def evolveColumns(
+      op: String,
+      name: String,
+      cur: TableMeta,
+      df: DataFrame,
+      mergeSchema: Boolean): Seq[String] = {
+    val dfCols = df.columns.toSeq
+    val dfTypes = typesOf(df)
+    def checkTypes(): Unit = {
+      val conflicts = cur.columns.filter { c =>
+        cur.columnTypes.get(c).exists(t => dfTypes.get(c).exists(_ != t))
+      }
+      if (conflicts.nonEmpty)
+        throw new FeatureValidationError(
+          s"$op('$name') cannot change column types; " +
+            conflicts.map(c =>
+              s"'$c' is ${cur.columnTypes(c)}, delta has ${dfTypes(c)}")
+              .mkString("; ") + ". Use register() for type changes")
+    }
+    if (dfCols == cur.columns) { checkTypes(); cur.columns }
+    else if (mergeSchema && cur.columns.forall(dfCols.contains)) {
+      checkTypes()
+      cur.columns ++ dfCols.filterNot(cur.columns.contains)
+    }
+    else throw new FeatureValidationError(
+      s"$op('$name') requires the current schema " +
+        s"${cur.columns.mkString("[", ", ", "]")}, got " +
+        s"${dfCols.mkString("[", ", ", "]")}; " +
+        (if (mergeSchema)
+          "mergeSchema=true only ADDS columns — every existing column must stay"
+        else "pass mergeSchema=true to add columns, or use register() for other changes"))
+  }
+
   private def registerAppendWith(
       name: String,
       df: DataFrame,
@@ -696,32 +735,7 @@ final class FeatureStore(
     val meta = completeClaim(name, v) {
       // re-validate against the CLAIMED state: an arbitrating claim may
       // have absorbed another writer's schema-drift register
-      val dfCols = df.columns.toSeq
-      val evolved =
-        if (dfCols == cur.columns) cur.columns
-        else if (mergeSchema && cur.columns.forall(dfCols.contains)) {
-          // merge-schema evolution: every existing column present (type
-          // unchanged — checked against the catalog's record), new
-          // columns append in delta order
-          val dfTypes = typesOf(df)
-          val conflicts = cur.columns.filter { c =>
-            cur.columnTypes.get(c).exists(t => dfTypes.get(c).exists(_ != t))
-          }
-          if (conflicts.nonEmpty)
-            throw new FeatureValidationError(
-              s"registerAppend('$name', mergeSchema=true) cannot change column types; " +
-                conflicts.map(c =>
-                  s"'$c' is ${cur.columnTypes(c)}, delta has ${dfTypes(c)}")
-                  .mkString("; ") + ". Use register() for type changes")
-          cur.columns ++ dfCols.filterNot(cur.columns.contains)
-        }
-        else throw new FeatureValidationError(
-          s"registerAppend('$name') requires the current schema " +
-            s"${cur.columns.mkString("[", ", ", "]")}, got " +
-            s"${dfCols.mkString("[", ", ", "]")}; " +
-            (if (mergeSchema)
-              "mergeSchema=true only ADDS columns — every existing column must stay"
-            else "pass mergeSchema=true to add columns, or use register() for other changes"))
+      val evolved = evolveColumns("registerAppend", name, cur, df, mergeSchema)
       val chained = cur.segmentsOf(cur.version) :+ v
       val now0 = System.currentTimeMillis()
       val newTypes = cur.columnTypes ++ typesOf(df)
@@ -827,9 +841,10 @@ final class FeatureStore(
       df: DataFrame,
       batchId: Long,
       maxSegments: Int = 16,
-      streamId: String = CatalogIO.LegacyStreamId): Option[FeatureTableInfo] =
+      streamId: String = CatalogIO.LegacyStreamId,
+      mergeSchema: Boolean = false): Option[FeatureTableInfo] =
     idempotent(name, streamId, batchId)(
-      registerAppendWith(name, df, maxSegments, _))
+      registerAppendWith(name, df, maxSegments, _, mergeSchema = mergeSchema))
 
   private def idempotent(name: String, streamId: String, batchId: Long)(
       body: Option[(String, Long)] => FeatureTableInfo): Option[FeatureTableInfo] =
@@ -1485,13 +1500,17 @@ final class FeatureStore(
     * ordered by its deterministic ingest-key tie-break. Prior
     * versions are untouched (time travel across upserts works).
     */
-  def registerUpsert(name: String, df: DataFrame): FeatureTableInfo =
-    registerUpsertWith(name, df, watermark = None)
+  def registerUpsert(
+      name: String,
+      df: DataFrame,
+      mergeSchema: Boolean = false): FeatureTableInfo =
+    registerUpsertWith(name, df, watermark = None, mergeSchema = mergeSchema)
 
   private def registerUpsertWith(
       name: String,
       df: DataFrame,
-      watermark: Option[(String, Long)]): FeatureTableInfo =
+      watermark: Option[(String, Long)],
+      mergeSchema: Boolean = false): FeatureTableInfo =
     this.synchronized {
       Validation.validateDataFrame(df, name)
       if (catalog.get(name).isEmpty && !storage.arbitrates)
@@ -1502,13 +1521,13 @@ final class FeatureStore(
         return registerWith(name, df, watermark)
       }
       val meta = completeClaim(name, v) {
-        if (df.columns.toSeq != cur.columns)
-          throw new FeatureValidationError(
-            s"registerUpsert('$name') requires the current schema " +
-              s"${cur.columns.mkString("[", ", ", "]")}, got " +
-              s"${df.columns.mkString("[", ", ", "]")}; " +
-              "use register() for schema changes")
-        val prepared = prepare(df)
+        // merge-schema evolution, exactly registerAppend's contract:
+        // existing columns must all stay (types unchanged — checked
+        // even for same-shape deltas), new ones append; prior segments
+        // read them as typed nulls
+        val evolved = evolveColumns("registerUpsert", name, cur, df, mergeSchema)
+        val newTypes = cur.columnTypes ++ typesOf(df)
+        val prepared = prepare(df.select(evolved.map(col): _*))
         // ONE tiny agg job: delta size + its key-domain bounds (the
         // count the idempotence cross-check needs anyway, plus what
         // key-range skipping needs — no extra pass over the delta)
@@ -1543,8 +1562,8 @@ final class FeatureStore(
         val untouched = segs.filterNot(affected.contains)
         val untouchedRows = untouched.map(s => perSeg.get(s).fold(0L)(_._1)).sum
         val survivors = Option.when(affected.nonEmpty)(
-          storage.readSegments(name, affected, cur.columns :+ IngestKeyCol,
-            None, cur.columnTypes)
+          storage.readSegments(name, affected, evolved :+ IngestKeyCol,
+            None, newTypes)
             .join(keys, Seq(EntityIdColumn, TimestampColumn), "left_anti"))
         val newSeg = survivors.fold(prepared)(_.unionByName(prepared))
         val (guarded, checksOk) = constraintGuard(cur.constraints, newSeg)
@@ -1571,7 +1590,7 @@ final class FeatureStore(
             deltaRows.withColumn(FeatureStore.ChangeTypeCol, lit("insert"))
           else {
             val replacedRows = storage
-              .readSegments(name, affected, cur.columns, None, cur.columnTypes)
+              .readSegments(name, affected, evolved, None, newTypes)
               .join(keys, Seq(EntityIdColumn, TimestampColumn), "left_semi")
             replacedRows.exceptAll(deltaRows)
               .withColumn(FeatureStore.ChangeTypeCol, lit("delete"))
@@ -1582,13 +1601,14 @@ final class FeatureStore(
         val now0 = System.currentTimeMillis()
         val manifest = untouched :+ v
         storage.commitVersion(name, v, CommitMeta(
-          wr.rows, untouchedRows + wr.rows, cur.columns, manifest,
-          wr.minTsMillis, wr.maxTsMillis, now0, cur.columnTypes,
+          wr.rows, untouchedRows + wr.rows, evolved, manifest,
+          wr.minTsMillis, wr.maxTsMillis, now0, newTypes,
           operation = "upsert", changeRows = cdfRows,
           colStats = wr.colStats, constraints = cur.constraints.toMap))
         cur.copy(version = v, rowCount = untouchedRows + wr.rows,
           updatedAt = now0,
-          versions = cur.versions + (v -> cur.columns),
+          columnTypes = newTypes,
+          versions = cur.versions + (v -> evolved),
           segments = cur.segments + (v -> manifest),
           segStats = cur.segStats ++ segStatsOf(v, wr),
           versionTimes = cur.versionTimes + (v -> now0),
@@ -1619,8 +1639,10 @@ final class FeatureStore(
       name: String,
       df: DataFrame,
       batchId: Long,
-      streamId: String = CatalogIO.LegacyStreamId): Option[FeatureTableInfo] =
-    idempotent(name, streamId, batchId)(registerUpsertWith(name, df, _))
+      streamId: String = CatalogIO.LegacyStreamId,
+      mergeSchema: Boolean = false): Option[FeatureTableInfo] =
+    idempotent(name, streamId, batchId)(
+      registerUpsertWith(name, df, _, mergeSchema = mergeSchema))
 
   /** CHANGE DATA FEED: row-level changes between two retained versions
     * — Delta's `table_changes` surface. Output columns are the union

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.store.{FeatureStore, FeatureValidationError, TxnLogStorage}
@@ -82,6 +83,55 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
       store.registerAppend("t", retyped, mergeSchema = true))
     // nothing was committed by the failures
     assert(store.getTableInfo("t").version == 1)
+    // a SAME-SHAPE delta with a retyped column is rejected too (the
+    // fast path must not skip the type check — a wrongly-typed segment
+    // would break every later chained read)
+    val sameShapeRetyped = Seq(("u9", ts("2024-03-01"), "nine"))
+      .toDF("entity_id", "timestamp", "feature_a")
+    intercept[FeatureValidationError](
+      store.registerAppend("t", sameShapeRetyped))
+    assert(store.getTableInfo("t").version == 1)
+  }
+
+  test("mergeSchema upsert: replaced keys carry the new column, the rest pad") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_evo_ups").toString
+    val store = new FeatureStore(spark, root)
+    store.register("t", baseRows)
+    // evolved delta REPLACES u1's key and INSERTS u3 (CDC stream whose
+    // producer added a column mid-stream)
+    val delta = Seq(
+      ("u1", ts("2024-01-01"), 1.5, 15L),
+      ("u3", ts("2024-03-01"), 9.0, 90L))
+      .toDF("entity_id", "timestamp", "feature_a", "feature_b")
+    intercept[FeatureValidationError] { store.registerUpsert("t", delta) }
+    val info = store.registerUpsert("t", delta, mergeSchema = true)
+    assert(info.columns == Seq("entity_id", "timestamp", "feature_a", "feature_b"))
+    assert(info.rowCount == 3)
+    val cur = store.getVersion("t", info.version).orderBy("entity_id")
+    val byE = cur.collect().map(r =>
+      r.getString(0) -> (r.getDouble(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(byE("u1") == (1.5, Some(15L)))    // replaced, evolved value
+    assert(byE("u2") == (2.0, None))         // untouched survivor pads
+    assert(byE("u3") == (9.0, Some(90L)))    // inserted
+    // the recorded change set reads back with the evolved schema
+    val ch = store.getChanges("t", 1, 2)
+    assert(ch.columns.contains("feature_b"))
+    assert(ch.filter("_change_type = 'insert' AND feature_b = 90").count() == 1)
+    // type change still rejected; dropping a column still rejected
+    intercept[FeatureValidationError] {
+      store.registerUpsert("t",
+        delta.withColumn("feature_b", lit("nope")), mergeSchema = true)
+    }
+    intercept[FeatureValidationError] {
+      store.registerUpsert("t", delta.drop("feature_a"), mergeSchema = true)
+    }
+    // historical version keeps its own (pre-evolution) columns
+    assert(store.getVersion("t", 1).columns.toSeq ==
+      Seq("entity_id", "timestamp", "feature_a"))
   }
 
   test("column-type record survives a store reopen") {
