@@ -34,28 +34,45 @@ object BlobStagingIO {
       .optional(PrimitiveTypeName.BINARY).named(BlobColumn)
       .named("graft_blob")
 
+  /** The same single-column shape as a Spark schema, for reading the
+    * sink's staged files back with `spark.read.schema(...).parquet`
+    * (skips footer-based inference on the commit path).
+    */
+  val sparkBlobSchema: org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+      .add(BlobColumn, org.apache.spark.sql.types.BinaryType)
+
   /** Read every packed blob of one staged file. */
-  def readBlobs(file: String, conf: Configuration): Iterator[Array[Byte]] = {
-    val reader: ParquetReader[org.apache.parquet.example.data.Group] =
+  def readBlobs(file: String, conf: Configuration): Iterator[Array[Byte]] =
+    new BlobFileIterator(file, conf)
+
+  /** The executor-side reader of one staged file. Closes itself at
+    * exhaustion; `close()` covers early termination (task kill,
+    * downstream limit).
+    */
+  final class BlobFileIterator(file: String, conf: Configuration)
+      extends Iterator[Array[Byte]] with AutoCloseable {
+    private val reader: ParquetReader[org.apache.parquet.example.data.Group] =
       ParquetReader
         .builder(new GroupReadSupport(), new Path(file))
         .withConf(conf)
         .build()
-    new Iterator[Array[Byte]] {
-      private var nextGroup = reader.read()
-      override def hasNext: Boolean = {
-        if (nextGroup == null) reader.close()
-        nextGroup != null
-      }
-      override def next(): Array[Byte] = {
-        val g = nextGroup
-        nextGroup = reader.read()
-        if (g.getFieldRepetitionCount(BlobColumn) == 0)
-          // a null blob row cannot be produced by our writers; skip
-          if (hasNext) next() else throw new NoSuchElementException
-        else g.getBinary(BlobColumn, 0).getBytes
-      }
+    private var closed = false
+    private var nextGroup = reader.read()
+    override def hasNext: Boolean = {
+      if (nextGroup == null) close()
+      nextGroup != null
     }
+    override def next(): Array[Byte] = {
+      val g = nextGroup
+      nextGroup = reader.read()
+      if (g.getFieldRepetitionCount(BlobColumn) == 0)
+        // a null blob row cannot be produced by our writers; skip
+        if (hasNext) next() else throw new NoSuchElementException
+      else g.getBinary(BlobColumn, 0).getBytes
+    }
+    override def close(): Unit =
+      if (!closed) { closed = true; reader.close() }
   }
 
   /** An open single-file blob writer (the sink's DataWriter side). */

@@ -1,19 +1,18 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
-import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.GraftStreamingBridge
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.store.{FeatureStore, FeatureValidationError}
 
 /** The `graft` Spark data-source: the feature store as a first-class
-  * `format("graft")` — all three surfaces over the public source APIs:
+  * `format("graft")`, on PUBLIC Spark APIs only:
   *
   *   - BATCH READ: `spark.read.format("graft").option("root", r)
   *     .option("table", t)` — current version, or time travel via
@@ -21,41 +20,36 @@ import graft.store.{FeatureStore, FeatureValidationError}
   *     store, and pushed filters route through [[FeatureStore.scanWhere]],
   *     so the engine's column-stats segment skipping fires before the
   *     scan is planned (Spark re-applies every filter above — the
-  *     relation never weakens correctness).
-  *   - STREAMING READ: `spark.readStream.format("graft")...` — the
-  *     CHANGE DATA FEED as a source. Offsets are commit versions; the
-  *     first batch is the current snapshot as inserts (or, with
-  *     `startingVersion`, the changes since that version), every later
-  *     batch is `getChanges` over the newly committed versions —
-  *     O(changes) per microbatch via the recorded change sets. A
-  *     follower lagging past retention fails loudly, same as
-  *     [[graft.streaming.ChangeFeedFollower]].
-  *   - STREAMING WRITE: `df.writeStream.format("graft")...` with
-  *     `mode` = `append` (versioned appends), `upsert` (MERGE by
-  *     (entity, ts) key), or `cdc` (apply a change feed: delete rows
-  *     whose key doesn't re-insert are deleted, the rest upsert).
-  *     Exactly-once via the store's (streamId, batchId) watermark; the
-  *     stream identity defaults to a hash of `checkpointLocation` —
-  *     checkpoint-stable, like `StreamingIngest` — and can be pinned
-  *     with `streamId`.
+  *     relation never weakens correctness). Served by the stable V1
+  *     relation API ([[GraftRelation]]) — a zero-copy plan over the
+  *     store's own segment reads.
+  *   - BATCH WRITE: all four SaveModes (Overwrite = new full-snapshot
+  *     version, Append = O(delta) chained append or MERGE upsert via
+  *     `option("mode","upsert")`, ErrorIfExists / Ignore per their
+  *     contracts), plus SQL `INSERT INTO` / `INSERT OVERWRITE` on
+  *     `USING graft` views through [[InsertableRelation]].
+  *   - STREAMING READ / WRITE: DataSource V2 (`TableProvider` →
+  *     [[GraftTable]] → `MicroBatchStream` / `StreamingWrite`) — the
+  *     change data feed as a source (with `startingVersion` /
+  *     `startingTimestamp` / `maxVersionsPerBatch`), and
+  *     append / upsert / cdc sinks, exactly-once per (streamId,
+  *     batchId). See [[GraftTable]] for the executor-boundary design.
   *
-  * Together the read and write halves replicate a table — including
-  * row-level deletes — through the change feed (tested end to end).
+  * Mode routing is deliberate: the table advertises MICRO_BATCH_READ
+  * and STREAMING_WRITE but NOT batch capabilities, so Spark resolves
+  * `spark.read` / `df.write` through the V1 relation surface (keeping
+  * zero-copy batch plans and full SaveMode semantics) and
+  * `readStream` / `writeStream` through V2 — together the two halves
+  * replicate a table, row deletes included, through the change feed
+  * (tested end to end).
   */
 final class GraftDataSource
     extends RelationProvider
     with CreatableRelationProvider
-    with StreamSourceProvider
-    with StreamSinkProvider
+    with TableProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
-
-  private def required(
-      parameters: Map[String, String], key: String): String =
-    parameters.getOrElse(key,
-      throw new FeatureValidationError(
-        s"format(\"graft\") requires option '$key'"))
 
   // ------------------------------------------------------- batch read
   override def createRelation(
@@ -63,8 +57,8 @@ final class GraftDataSource
       parameters: Map[String, String]): BaseRelation =
     new GraftRelation(
       sqlContext,
-      required(parameters, "root"),
-      required(parameters, "table"),
+      GraftDataSource.required(parameters, "root"),
+      GraftDataSource.required(parameters, "table"),
       parameters.get("versionAsOf").map(_.toInt),
       parameters.get("timestampAsOf"))
 
@@ -80,8 +74,8 @@ final class GraftDataSource
       mode: org.apache.spark.sql.SaveMode,
       parameters: Map[String, String],
       data: org.apache.spark.sql.DataFrame): BaseRelation = {
-    val root = required(parameters, "root")
-    val table = required(parameters, "table")
+    val root = GraftDataSource.required(parameters, "root")
+    val table = GraftDataSource.required(parameters, "table")
     val s = new FeatureStore(sqlContext.sparkSession, root)
     val exists = s.tableNames.contains(table)
     import org.apache.spark.sql.SaveMode._
@@ -101,70 +95,73 @@ final class GraftDataSource
     createRelation(sqlContext, parameters)
   }
 
-  // --------------------------------------------------- streaming read
-  override def sourceSchema(
-      sqlContext: SQLContext,
-      schema: Option[StructType],
-      providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), GraftChangeFeedSource.feedSchema(
-      sqlContext, required(parameters, "root"), required(parameters, "table")))
+  // ------------------------------------------- streaming (DataSource V2)
+  /** The feed schema when the table exists; empty otherwise — a SINK
+    * destination is often created by its own first commit, and Spark
+    * resolves the provider's schema before it knows the table is only
+    * being written. A missing SOURCE table still fails loudly, at
+    * stream start ([[GraftScan.toMicroBatchStream]]).
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTable.feedSchemaIfExists(
+      SparkSession.active,
+      GraftDataSource.required(options, "root"),
+      GraftDataSource.required(options, "table"))
+      .getOrElse(new StructType())
 
-  override def createSource(
-      sqlContext: SQLContext,
-      metadataPath: String,
-      schema: Option[StructType],
-      providerName: String,
-      parameters: Map[String, String]): Source = {
-    val root = required(parameters, "root")
-    val table = required(parameters, "table")
-    // startingTimestamp resolves to the TIMESTAMP-AS-OF version once,
-    // at source creation (Delta's CDF option shape)
-    val starting = parameters.get("startingVersion").map(_.toInt)
-      .orElse(parameters.get("startingTimestamp").map(t =>
-        new FeatureStore(sqlContext.sparkSession, root)
-          .resolveVersionAsOf(table, t)))
-    new GraftChangeFeedSource(sqlContext, root, table, starting)
-  }
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftTable(schema, new CaseInsensitiveStringMap(properties))
+}
 
-  // -------------------------------------------------- streaming write
-  override def createSink(
-      sqlContext: SQLContext,
-      parameters: Map[String, String],
-      partitionColumns: Seq[String],
-      outputMode: OutputMode): Sink =
-    new GraftSink(
-      sqlContext,
-      required(parameters, "root"),
-      required(parameters, "table"),
-      parameters.getOrElse("mode", "append"),
-      parameters.getOrElse("streamId", {
-        // the exactly-once watermark needs a CHECKPOINT-STABLE stream
-        // identity; a root/table fallback would silently collide two
-        // distinct queries into one watermark line (dropped batches),
-        // so demand one of the two options that pin it
-        val basis = parameters.getOrElse("checkpointLocation",
-          throw new FeatureValidationError(
-            "format(\"graft\") sink needs .option(\"checkpointLocation\", ...) " +
-              "(its hash becomes the exactly-once stream identity) or an " +
-              "explicit .option(\"streamId\", ...)"))
-        "graft-sink-" + java.security.MessageDigest.getInstance("MD5")
-          .digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      }),
-      parameters.get("mergeSchema").exists(_.toBoolean))
+object GraftDataSource {
+
+  private[sources] def required(
+      parameters: Map[String, String], key: String): String =
+    parameters.getOrElse(key,
+      throw new FeatureValidationError(
+        s"format(\"graft\") requires option '$key'"))
+
+  private[sources] def required(
+      options: CaseInsensitiveStringMap, key: String): String =
+    Option(options.get(key)).getOrElse(
+      throw new FeatureValidationError(
+        s"format(\"graft\") requires option '$key'"))
+
+  /** The exactly-once watermark needs a CHECKPOINT-STABLE stream
+    * identity; a root/table fallback would silently collide two
+    * distinct queries into one watermark line (dropped batches), so
+    * demand one of the two options that pin it.
+    */
+  private[sources] def sinkStreamId(options: CaseInsensitiveStringMap): String =
+    Option(options.get("streamId")).getOrElse {
+      val basis = Option(options.get("checkpointLocation")).getOrElse(
+        throw new FeatureValidationError(
+          "format(\"graft\") sink needs .option(\"checkpointLocation\", ...) " +
+            "(its hash becomes the exactly-once stream identity) or an " +
+            "explicit .option(\"streamId\", ...)"))
+      "graft-sink-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
 }
 
 /** Batch relation: current version or time travel, with best-effort
   * pushdown of Spark's source filters into the store's stats-skipping
   * read. `unhandledFilters` keeps the default (all filters re-applied
   * by Spark above the scan), so translation can only speed things up.
+  * [[InsertableRelation]] makes `USING graft` views SQL-writable:
+  * `INSERT INTO` appends a version, `INSERT OVERWRITE` registers a
+  * full-snapshot one.
   */
 final class GraftRelation(
     override val sqlContext: SQLContext,
     root: String,
     table: String,
     versionAsOf: Option[Int],
-    timestampAsOf: Option[String]) extends BaseRelation with PrunedFilteredScan {
+    timestampAsOf: Option[String])
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def store = new FeatureStore(sqlContext.sparkSession, root)
 
@@ -196,6 +193,21 @@ final class GraftRelation(
     }
     base.select(requiredColumns.toSeq.map(col): _*).rdd
   }
+
+  /** SQL DML entry (`InsertIntoDataSourceCommand`): the planner has
+    * already reordered and cast the query's output to this relation's
+    * schema. A time-travel view is read-only — inserting "into the
+    * past" has no coherent versioned meaning.
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    if (versionAsOf.isDefined || timestampAsOf.isDefined)
+      throw new FeatureValidationError(
+        s"cannot INSERT into a time-travel view of '$table' " +
+          "(versionAsOf/timestampAsOf reads are read-only)")
+    val s = store
+    if (overwrite) s.register(table, data) else s.registerAppend(table, data)
+    ()
+  }
 }
 
 object GraftRelation {
@@ -221,144 +233,5 @@ object GraftRelation {
     case StringEndsWith(a, p) => Some(col(a).endsWith(p))
     case StringContains(a, p) => Some(col(a).contains(p))
     case _ => None
-  }
-}
-
-/** Change-feed streaming source: offsets are commit versions. */
-final class GraftChangeFeedSource(
-    sqlContext: SQLContext,
-    root: String,
-    table: String,
-    startingVersion: Option[Int]) extends Source {
-
-  private def store = new FeatureStore(sqlContext.sparkSession, root)
-
-  override val schema: StructType =
-    GraftChangeFeedSource.feedSchema(sqlContext, root, table)
-
-  /** A fresh store per poll re-reads the catalog file, so commits by
-    * OTHER processes on the same root are seen — the source needs no
-    * notification channel beyond the catalog itself.
-    */
-  override def getOffset: Option[Offset] =
-    Some(LongOffset(store.getTableInfo(table).version.toLong))
-
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val s = store
-    val endV = GraftChangeFeedSource.version(end)
-    val batch = start.map(GraftChangeFeedSource.version).orElse(startingVersion) match {
-      case Some(from) => s.getChanges(table, from, endV)
-      case None =>
-        // initial snapshot: the current content, stamped as inserts of
-        // the offset version (Delta's startingVersion-absent semantics)
-        s.getVersion(table, endV)
-          .withColumn(FeatureStore.ChangeTypeCol, lit("insert"))
-          .withColumn(FeatureStore.CommitVersionCol, lit(endV))
-    }
-    GraftStreamingBridge.asStreaming(
-      batch.select(schema.fieldNames.toSeq.map(col): _*))
-  }
-
-  override def stop(): Unit = ()
-}
-
-object GraftChangeFeedSource {
-  private[sources] def feedSchema(
-      sqlContext: SQLContext, root: String, table: String): StructType = {
-    val s = new FeatureStore(sqlContext.sparkSession, root)
-    val v = s.getTableInfo(table).version
-    s.getChanges(table, v, v).schema
-  }
-
-  private[sources] def version(o: Offset): Int = o match {
-    case l: LongOffset => l.offset.toInt
-    case s: SerializedOffset => s.json.trim.toInt
-    case other => other.json.trim.toInt
-  }
-}
-
-/** Streaming sink: append / upsert / cdc-apply, exactly-once per
-  * (streamId, batchId) through the store's batch watermark.
-  */
-final class GraftSink(
-    sqlContext: SQLContext,
-    root: String,
-    table: String,
-    mode: String,
-    streamId: String,
-    mergeSchema: Boolean) extends Sink {
-
-  if (!Set("append", "upsert", "cdc").contains(mode))
-    throw new FeatureValidationError(
-      s"format(\"graft\") sink mode must be append|upsert|cdc, got '$mode'")
-
-  override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    // re-root the micro-batch rows as a plain batch frame (its own
-    // plan has streaming leaves no new action may touch), then pin it:
-    // the store consumes it with several jobs (validation,
-    // classification, write, change-set record)
-    val batch = GraftStreamingBridge.asBatch(data).persist()
-    try {
-      val s = new FeatureStore(sqlContext.sparkSession, root)
-      mode match {
-        case "append" =>
-          s.registerAppendBatch(table, batch, batchId, streamId = streamId,
-            mergeSchema = mergeSchema)
-        case "upsert" =>
-          s.registerUpsertBatch(table, batch, batchId, streamId = streamId,
-            mergeSchema = mergeSchema)
-        case "cdc" =>
-          applyCdc(s, batchId, batch)
-      }
-      ()
-    } finally { batch.unpersist(); () }
-  }
-
-  /** Apply one micro-batch of CHANGE ROWS (`_change_type` tagged, as
-    * the graft source emits). One batch can span SEVERAL source
-    * commits, so per key only the LATEST change decides — ordered by
-    * `_commit_version` with inserts outranking deletes within a
-    * version (a same-version delete+insert pair is an update whose
-    * final state is the insert). Keys whose final change is a delete
-    * are removed via the distributed key-set delete (no driver
-    * materialization — a million-key purge stays a join); final
-    * inserts MERGE. Replay-safe: the upsert half rides the batch
-    * watermark, and re-deleting absent keys is a natural no-op.
-    */
-  private def applyCdc(s: FeatureStore, batchId: Long, batch: DataFrame): Unit = {
-    if (!batch.columns.contains(FeatureStore.ChangeTypeCol))
-      throw new FeatureValidationError(
-        s"cdc sink needs a '${FeatureStore.ChangeTypeCol}' column " +
-          "(write the graft streaming source's feed, or tag rows yourself)")
-    val e = graft.store.Validation.EntityIdColumn
-    val t = graft.store.Validation.TimestampColumn
-    val verCol =
-      if (batch.columns.contains(FeatureStore.CommitVersionCol))
-        col(FeatureStore.CommitVersionCol)
-      else lit(0)
-    // latest change per key: version desc, inserts over deletes
-    val ranked = batch.withColumn("_graft_rn",
-      row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col(e), col(t))
-          .orderBy(verCol.desc,
-            (col(FeatureStore.ChangeTypeCol) === "insert").desc)))
-      .filter(col("_graft_rn") === 1)
-      .drop("_graft_rn")
-    val metaCols = Seq(FeatureStore.ChangeTypeCol, FeatureStore.CommitVersionCol)
-      .filter(batch.columns.contains)
-    val ins = ranked.filter(col(FeatureStore.ChangeTypeCol) === "insert")
-      .drop(metaCols: _*)
-    val delKeys = ranked.filter(col(FeatureStore.ChangeTypeCol) === "delete")
-      .select(col(e), col(t))
-    if (s.tableNames.contains(table)) {
-      s.deleteRowsByKeys(table, delKeys)
-      ()
-    }
-    if (!ins.isEmpty) {
-      s.registerUpsertBatch(table, ins, batchId, streamId = streamId,
-        mergeSchema = mergeSchema)
-      ()
-    }
   }
 }

@@ -153,6 +153,70 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkTestBase {
       new java.sql.Timestamp(midpoint).toString)) == Seq(2000L, 2001L))
   }
 
+  test("streaming source: maxVersionsPerBatch bounds catch-up batches") {
+    val root = tmpRoot("graft_ds_maxv")
+    val store = new FeatureStore(spark, root)
+    store.register("t", slice(1, "u0", 0L))
+    // the follower starts 4 commits behind version 1
+    (1 to 4).foreach(i => store.registerAppend("t", slice(2, s"u$i", i * 10L)))
+
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", "t")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerBatch", "2")
+      .load()
+      .writeStream.format("memory").queryName("graft_maxv_sink")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable()
+      // exact content: all 4 commits' inserts, nothing dropped or doubled
+      assert(spark.table("graft_maxv_sink").count() == 8)
+      assert(spark.table("graft_maxv_sink")
+        .select("_commit_version").distinct().count() == 4)
+      // admission control: 4 pending commits / max 2 = 2 microbatches
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 2,
+        s"expected ceil(4/2)=2 catch-up microbatches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows == 4))
+    } finally q.stop()
+  }
+
+  test("SQL INSERT INTO and INSERT OVERWRITE on a USING graft view") {
+    val root = tmpRoot("graft_ds_insert")
+    val store = new FeatureStore(spark, root)
+    store.register("t", slice(1, "u1", 100L))
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_ins_v
+         |USING graft OPTIONS (root '$root', `table` 't')""".stripMargin)
+
+    // INSERT INTO appends a version through the SQL surface
+    spark.sql(
+      "INSERT INTO graft_ins_v VALUES ('u2', timestamp'2024-02-05 00:00:00', 7)")
+    assert(new FeatureStore(spark, root).getTableInfo("t").version == 2)
+    assert(spark.sql("SELECT count(*) FROM graft_ins_v").head().getLong(0) == 3)
+    assert(spark.sql(
+      "SELECT feature_b FROM graft_ins_v WHERE entity_id = 'u2'")
+      .head().getLong(0) == 7L)
+
+    // INSERT OVERWRITE registers a full-snapshot version; history stays
+    spark.sql(
+      "INSERT OVERWRITE graft_ins_v VALUES ('u9', timestamp'2024-03-05 00:00:00', 9)")
+    val after = new FeatureStore(spark, root)
+    assert(after.getTableInfo("t").version == 3)
+    assert(spark.sql("SELECT count(*) FROM graft_ins_v").head().getLong(0) == 1)
+    assert(after.getVersion("t", 2).count() == 3) // time travel intact
+
+    // a time-travel view is read-only
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_ins_v1
+         |USING graft OPTIONS (root '$root', `table` 't', versionAsOf '1')""".stripMargin)
+    intercept[Exception] {
+      spark.sql(
+        "INSERT INTO graft_ins_v1 VALUES ('ux', timestamp'2024-04-05 00:00:00', 1)")
+    }
+  }
+
   test("streaming sink: append mode accumulates versions exactly-once") {
     val s = spark
     import s.implicits._
