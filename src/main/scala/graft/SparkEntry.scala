@@ -81,6 +81,9 @@ object SparkEntry {
   private val PitAsOf = "2024-01-20 00:00:00"
   private val PitIds: Seq[Any] = (0L to 9L) :+ 999999L
   private val PitIdsSql = "(0,1,2,3,4,5,6,7,8,9,999999)"
+  private val StrPitIds: Seq[Any] = PitIds.map("u" + _)
+  private val StrPitIdsSql =
+    PitIds.map(i => s"'u$i'").mkString("(", ",", ")")
 
   /** A [[graft.store.FeatureStore]] with the events feature table
     * registered — the storage-layer roundtrip the `store_*` queries
@@ -332,6 +335,53 @@ object SparkEntry {
         // the cdc sink wrote through its own store instances; this
         // long-lived reader adopts their commits (REFRESH TABLE)
         replica.refresh()
+    }
+
+  /** SQL-DML twin of [[appendStore]]: version 1 registers the
+    * pre-cutoff events through the Scala API, version 2 lands through
+    * the SQL surface — `INSERT INTO` on a `USING graft` temp view
+    * ([[graft.sources.GraftRelation]]'s InsertableRelation, the
+    * planner casting/reordering the SELECT to the view's schema). The
+    * PIT read must equal the plain oracle: v1 + the SQL insert = the
+    * whole table, so SQL DML is value-identical to registerAppend.
+    */
+  private val sqlInsStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def sqlInsertStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(sqlInsStores, s, dir, "graft_store_sqlins_v1", minVersion = 2) {
+      (store, feats) =>
+        store.delete("events")
+        val cutoff = lit(utcTs("2024-01-10 00:00:00"))
+        store.register("events", feats.filter(col("timestamp") < cutoff))
+        feats.filter(col("timestamp") >= cutoff)
+          .createOrReplaceTempView("graft_sql_insert_delta")
+        s.sql(
+          s"""CREATE OR REPLACE TEMPORARY VIEW graft_sql_insert_t
+             |USING graft OPTIONS (root '${store.rootPath}', `table` 'events')"""
+            .stripMargin)
+        s.sql("INSERT INTO graft_sql_insert_t SELECT * FROM graft_sql_insert_delta")
+        // the DML committed through the view's own store instance; this
+        // long-lived reader adopts the commit (REFRESH TABLE)
+        store.refresh()
+    }
+
+  /** STRING-KEYED twin of [[demoStore]]: the same events table with
+    * `entity_id` as a STRING (`'u' + user_id`) — every other
+    * oracle-facing store roundtrip keys on numbers, so this pins the
+    * register → catalog-type record → PIT entity-IN compare semantics
+    * for strings cross-engine (lexicographic output order included).
+    */
+  private val strStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def stringKeyStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(strStores, s, dir, "graft_store_str_v1") {
+      (store, feats) =>
+        store.register("events",
+          feats.withColumn("entity_id",
+            concat(lit("u"), col("entity_id").cast("string"))))
+        ()
     }
 
   /** OPTIMIZE twin of [[demoStore]]: register the full events table,
@@ -744,6 +794,22 @@ object SparkEntry {
         .getChanges("events", 2, 3)
         .orderBy("entity_id", "timestamp", "event_id")),
 
+    // SQL DML roundtrip: version 2 landed through INSERT INTO on a
+    // USING graft view (InsertableRelation) — v1 + the SQL insert =
+    // the whole table, same plain oracle as the API-built variants
+    "store_sql_insert" -> ((s, dir) =>
+      sqlInsertStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
+
+    // STRING-KEYED roundtrip: same PIT read with entity_id a STRING
+    // ('u' + user_id) — pins register → catalog type record → entity
+    // IN-set compare semantics for strings cross-engine
+    "store_string_key_roundtrip" -> ((s, dir) =>
+      stringKeyStore(s, dir)
+        .get("events", StrPitIds, PitAsOf)
+        .orderBy("entity_id")),
+
     // SQL-first surface: the stored table registered as a temp view via
     // createOrReplaceViews and consumed with plain spark.sql — the
     // analyst's first query, resolved through the catalog/manifest
@@ -1068,6 +1134,19 @@ object SparkEntry {
          |       value, props, _change_type, 2 AS _commit_version
          |FROM ch
          |ORDER BY entity_id, ts, event_id, _change_type""".stripMargin,
+
+    // v1 register + SQL INSERT INTO = the whole table: plain oracle
+    "store_sql_insert" -> EventsPitOracle,
+
+    // string-keyed PIT: same rows, string key and lexicographic order
+    "store_string_key_roundtrip" ->
+      s"""SELECT 'u' || CAST(user_id AS VARCHAR) AS entity_id, ts AS "timestamp",
+         |       event_id, event_type, value, props
+         |FROM events
+         |WHERE ts <= TIMESTAMP '$PitAsOf'
+         |  AND ('u' || CAST(user_id AS VARCHAR)) IN $StrPitIdsSql
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         |ORDER BY entity_id""".stripMargin,
 
     "store_asof_roundtrip" -> EventsAsOfOracle,
 
