@@ -91,7 +91,7 @@ object SkippingDemo {
         legacy.registerAppend("t", feat.filter(year(col("timestamp")) === y),
           maxSegments = 100))
     }
-    val catFile = java.nio.file.Paths.get(root2, "_catalog.tsv")
+    val catFile = graft.store.CatalogPersistence.tableFile(root2, "t")
     val stripped = java.nio.file.Files.readString(catFile).split("\n")
       .filterNot(l => l.startsWith("X\t") || l.startsWith("N\t"))
       .mkString("\n")

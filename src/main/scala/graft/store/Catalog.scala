@@ -173,12 +173,17 @@ final class Catalog {
     tables.readOnlySnapshot().values.toSeq.sortBy(_.name)
 }
 
-/** Durable catalog state: a tiny line-based metadata file under the
-  * storage root, rewritten atomically (unique temp file + atomic rename)
-  * on every mutation, so a new session can reopen a store from disk
+/** Durable catalog state: tiny line-based metadata files under the
+  * storage root — ONE FILE PER TABLE (`_catalog/<enc(name)>.tsv`),
+  * each rewritten atomically (unique temp file + atomic rename) when
+  * ITS table commits, so a new session can reopen a store from disk
   * (the reference is ephemeral by design; persistence is what makes
-  * versioned parquet storage usable across processes). Format, one
-  * record per line, tab-separated with URL-encoded fields:
+  * versioned parquet storage usable across processes) and a commit's
+  * driver I/O is O(one table's metadata) regardless of how many
+  * tables share the root. Pre-round-8 roots used a single whole-root
+  * `_catalog.tsv`; it is read transparently and split into per-table
+  * files on the first save. Format, one record per line,
+  * tab-separated with URL-encoded fields:
   *
   *   T <name> <version> <rowCount> <registeredAt> <updatedAt> [prunedThrough]
   *   V <name> <version> <col1> <col2> ...
@@ -200,10 +205,13 @@ final class Catalog {
   * lines load with `prunedThrough = 0` and absent `R` lines as
   * no-stats — both are the safe directions.
   *
-  * Multi-writer stance: [[save]] MERGES with the on-disk file at table
-  * granularity (tables this session never touched are preserved, tables
-  * in `removed` are dropped), so two single-writer-per-table sessions
-  * sharing a root don't clobber each other's tables. Concurrent writers
+  * Multi-writer stance: [[save]] touches ONLY the files of the tables
+  * it is handed (tables this session never touched keep their files
+  * untouched, tables in `removed` lose theirs), so two
+  * single-writer-per-table sessions sharing a root never share a file
+  * — the former whole-file load-merge-rewrite window, which could lose
+  * a concurrent session's update to a DIFFERENT table, is gone
+  * structurally. Concurrent writers
   * of the SAME table: over the default [[Storage]] they are detected by
   * [[FeatureStore.register]]'s version check and rejected
   * (single-writer contract, per the reference's zero-infrastructure
@@ -244,18 +252,71 @@ object CatalogPersistence extends CatalogIO {
   private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
   private def dec(s: String): String = URLDecoder.decode(s, UTF_8)
 
-  def catalogFile(root: String): Path = Paths.get(root, "_catalog.tsv")
+  /** PER-TABLE catalog files: `_catalog/<enc(name)>.tsv`, one per
+    * table, each written atomically (unique temp + atomic rename). A
+    * commit's driver I/O is O(one table's metadata) — the former
+    * single `_catalog.tsv` was rewritten whole per mutation, O(tables
+    * × retained versions), and its load-merge-rewrite window could
+    * lose a concurrent session's update to a DIFFERENT table; disjoint
+    * tables now never share a file. Same-table concurrency is
+    * unchanged (last-writer-wins over [[Storage]], serialized by the
+    * log over an arbitrating storage).
+    */
+  def catalogDir(root: String): Path = Paths.get(root, "_catalog")
+
+  def tableFile(root: String, name: String): Path =
+    catalogDir(root).resolve(enc(name) + ".tsv")
+
+  /** The pre-round-8 whole-root file: read (and split into per-table
+    * files on the first save) for seamless reopen of older roots.
+    */
+  def legacyCatalogFile(root: String): Path = Paths.get(root, "_catalog.tsv")
 
   def save(
       root: String,
       metas: Seq[TableMeta],
       removed: Seq[String] = Seq.empty): Unit = {
-    // table-granular merge: on-disk tables unknown to this session
-    // survive; this session's entries win for tables it owns
-    val ours = metas.map(_.name).toSet
-    val kept = load(root).filterNot(m =>
-      ours.contains(m.name) || removed.contains(m.name))
-    val lines = (kept ++ metas).sortBy(_.name).flatMap { m =>
+    migrateLegacy(root)
+    val dir = catalogDir(root)
+    Files.createDirectories(dir)
+    metas.foreach(m => writeAtomic(tableFile(root, m.name), renderMeta(m)))
+    removed.foreach { n => Files.deleteIfExists(tableFile(root, n)); () }
+  }
+
+  /** Split a legacy whole-root `_catalog.tsv` into per-table files,
+    * then retire it. A table that already has a per-table file keeps
+    * it (the per-table form is always at least as new); a crash
+    * between the split and the delete just re-runs the split — load
+    * prefers per-table entries, so the stale legacy copy is inert.
+    */
+  private def migrateLegacy(root: String): Unit = {
+    val legacy = legacyCatalogFile(root)
+    if (!Files.exists(legacy)) return
+    Files.createDirectories(catalogDir(root))
+    parseLines(readLines(legacy)).foreach { m =>
+      val f = tableFile(root, m.name)
+      if (!Files.exists(f)) writeAtomic(f, renderMeta(m))
+    }
+    Files.deleteIfExists(legacy)
+    ()
+  }
+
+  private def writeAtomic(path: Path, lines: Seq[String]): Unit = {
+    // unique tmp name: concurrent saves must not interleave on one file
+    val tmp = path.resolveSibling(
+      s".${path.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, lines.mkString("\n"))
+    Files.move(
+      tmp, path,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private def readLines(path: Path): Seq[String] =
+    Files.readString(path).split("\n").toSeq.filter(_.nonEmpty)
+
+  private def renderMeta(m: TableMeta): Seq[String] = {
+    {
       val head =
         s"T\t${enc(m.name)}\t${m.version}\t${m.rowCount}\t${m.registeredAt}\t${m.updatedAt}\t${m.prunedThrough}"
       val versions = m.versions.toSeq.map { case (v, cols) =>
@@ -302,21 +363,33 @@ object CatalogPersistence extends CatalogIO {
       (head +: versions) ++ manifests ++ watermark ++ stats ++ times ++
         types ++ ops ++ vrows ++ cdf ++ srows ++ cstats ++ checks ++ cluster
     }
-    val path = catalogFile(root)
-    Files.createDirectories(path.getParent)
-    // unique tmp name: concurrent saves must not interleave on one file
-    val tmp = path.resolveSibling(
-      s"_catalog.tsv.tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, lines.mkString("\n"))
-    Files.move(
-      tmp, path,
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Per-table files, plus legacy whole-root entries for tables not
+    * yet migrated (per-table wins on overlap).
+    */
   def load(root: String): Seq[TableMeta] = {
-    val path = catalogFile(root)
-    if (!Files.exists(path)) return Seq.empty
-    val lines = Files.readString(path).split("\n").toSeq.filter(_.nonEmpty)
+    val dir = catalogDir(root)
+    val fromDir =
+      if (!Files.isDirectory(dir)) Seq.empty[TableMeta]
+      else {
+        import scala.jdk.CollectionConverters._
+        val files = Files.list(dir)
+        try files.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".tsv"))
+          .toSeq
+          .flatMap(f => parseLines(readLines(f)))
+        finally files.close()
+      }
+    val legacy = legacyCatalogFile(root)
+    val dirNames = fromDir.map(_.name).toSet
+    val fromLegacy =
+      if (!Files.exists(legacy)) Seq.empty[TableMeta]
+      else parseLines(readLines(legacy)).filterNot(m => dirNames(m.name))
+    (fromLegacy ++ fromDir).sortBy(_.name)
+  }
+
+  private def parseLines(lines: Seq[String]): Seq[TableMeta] = {
     val heads = lines.collect {
       case l if l.startsWith("T\t") =>
         val f = l.split("\t")

@@ -141,7 +141,7 @@ final class FeatureStore(
     }
     val stamped = stampWatermark(meta, watermark)
     catalog.put(stamped)
-    catalogIO.save(root, catalog.all)
+    catalogIO.save(root, Seq(stamped))
     stamped.info
   }
 
@@ -787,7 +787,7 @@ final class FeatureStore(
     }
     val pruned = stampWatermark(prune(meta), watermark)
     catalog.put(pruned)
-    catalogIO.save(root, catalog.all)
+    catalogIO.save(root, Seq(pruned))
     pruned.info
   }
 
@@ -873,9 +873,10 @@ final class FeatureStore(
           .contains(batchId)
       if (legacyReplay) {
         catalog.get(name).foreach { m =>
-          catalog.put(m.copy(
-            batchWatermarks = m.batchWatermarks + (streamId -> batchId)))
-          catalogIO.save(root, catalog.all)
+          val stampedM = m.copy(
+            batchWatermarks = m.batchWatermarks + (streamId -> batchId))
+          catalog.put(stampedM)
+          catalogIO.save(root, Seq(stampedM))
         }
         None
       }
@@ -913,8 +914,9 @@ final class FeatureStore(
     this.synchronized {
       catalog.get(name) match {
         case Some(m) if m.batchWatermarks.contains(streamId) =>
-          catalog.put(m.copy(batchWatermarks = m.batchWatermarks - streamId))
-          catalogIO.save(root, catalog.all)
+          val cleared = m.copy(batchWatermarks = m.batchWatermarks - streamId)
+          catalog.put(cleared)
+          catalogIO.save(root, Seq(cleared))
           true
         case _ => false
       }
@@ -971,7 +973,7 @@ final class FeatureStore(
     }
     val pruned = prune(meta)
     catalog.put(pruned)
-    catalogIO.save(root, catalog.all)
+    catalogIO.save(root, Seq(pruned))
     pruned.info
   }
 
@@ -1082,7 +1084,7 @@ final class FeatureStore(
     }
     val pruned = prune(meta)
     catalog.put(pruned)
-    catalogIO.save(root, catalog.all)
+    catalogIO.save(root, Seq(pruned))
     pruned.info
   }
 
@@ -1347,7 +1349,7 @@ final class FeatureStore(
       }
       val pruned = prune(meta)
       catalog.put(pruned)
-      catalogIO.save(root, catalog.all)
+      catalogIO.save(root, Seq(pruned))
       pruned.info
     }
 
@@ -1479,7 +1481,7 @@ final class FeatureStore(
       }
       val pruned = prune(meta)
       catalog.put(pruned)
-      catalogIO.save(root, catalog.all)
+      catalogIO.save(root, Seq(pruned))
       Some(pruned.info)
     }
 
@@ -1622,7 +1624,7 @@ final class FeatureStore(
       }
       val pruned = stampWatermark(prune(meta), watermark)
       catalog.put(pruned)
-      catalogIO.save(root, catalog.all)
+      catalogIO.save(root, Seq(pruned))
       pruned.info
     }
 
@@ -1905,7 +1907,7 @@ final class FeatureStore(
       }
       val pruned = prune(meta)
       catalog.put(pruned)
-      catalogIO.save(root, catalog.all)
+      catalogIO.save(root, Seq(pruned))
       pruned.info
     }
 
@@ -2439,7 +2441,7 @@ final class FeatureStore(
     val updated =
       meta.copy(constraints = meta.constraints + (constraintName -> conditionSql))
     catalog.put(updated)
-    catalogIO.save(root, catalog.all)
+    catalogIO.save(root, Seq(updated))
     updated.info
   }
 
@@ -2449,8 +2451,9 @@ final class FeatureStore(
       val meta = catalog.getOrThrow(name)
       if (!meta.constraints.contains(constraintName)) false
       else {
-        catalog.put(meta.copy(constraints = meta.constraints - constraintName))
-        catalogIO.save(root, catalog.all)
+        val dropped = meta.copy(constraints = meta.constraints - constraintName)
+        catalog.put(dropped)
+        catalogIO.save(root, Seq(dropped))
         true
       }
     }
@@ -2503,7 +2506,7 @@ final class FeatureStore(
           root, Seq(RetiredPath(name, None, System.currentTimeMillis())))
         // tombstone: merge-on-save would otherwise resurrect the table
         // from the shared on-disk catalog
-        catalogIO.save(root, catalog.all, removed = Seq(name))
+        catalogIO.save(root, Seq.empty, removed = Seq(name))
         true
       case None => false
     }

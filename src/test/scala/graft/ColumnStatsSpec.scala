@@ -157,7 +157,7 @@ class ColumnStatsSpec extends AnyFunSuite with SparkTestBase {
 
     // catalog destroyed: reconciliation from commit markers must
     // restore the column stats, not just the versions
-    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_catalog.tsv"))
+    java.nio.file.Files.delete(graft.store.CatalogPersistence.tableFile(root, "t"))
     val c = new FeatureStore(spark, root,
       storageFactory = new TxnLogStorage(_, _, _))
     c.registerAppend("t", slice(3, 30L)) // triggers reconcileFromLog
@@ -224,7 +224,7 @@ class ColumnStatsSpec extends AnyFunSuite with SparkTestBase {
     store.registerAppend("t", Seq(("u3", Some(ts("2024-02-05")), 3L))
       .toDF("entity_id", "timestamp", "feature_b"))
     // reduce the catalog to the legacy shape: ts range (R) only
-    val catFile = java.nio.file.Paths.get(root, "_catalog.tsv")
+    val catFile = graft.store.CatalogPersistence.tableFile(root, "t")
     val stripped = java.nio.file.Files.readString(catFile).split("\n")
       .filterNot(l => l.startsWith("X\t") || l.startsWith("N\t"))
       .mkString("\n")
@@ -281,7 +281,7 @@ class ColumnStatsSpec extends AnyFunSuite with SparkTestBase {
     val root = tmpRoot("graft_colstats_legacy")
     val store = threeSliceStore(root)
     // strip the new records the way a pre-stats catalog would lack them
-    val catFile = java.nio.file.Paths.get(root, "_catalog.tsv")
+    val catFile = graft.store.CatalogPersistence.tableFile(root, "t")
     val stripped = java.nio.file.Files.readString(catFile).split("\n")
       .filterNot(l => l.startsWith("X\t") || l.startsWith("N\t"))
       .mkString("\n")

@@ -149,7 +149,7 @@ class ConstraintsSpec extends AnyFunSuite with SparkTestBase {
 
     // catalog destroyed: the constraint must come back from the commit
     // markers and keep enforcing
-    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_catalog.tsv"))
+    java.nio.file.Files.delete(graft.store.CatalogPersistence.tableFile(root, "t"))
     val c = open()
     intercept[FeatureValidationError] {
       c.registerAppend("t", sampleFeatures.withColumn("feature_a", lit(-2.0)))

@@ -510,7 +510,7 @@ class MutationSpec extends AnyFunSuite with SparkTestBase {
     })
     a.deleteRows("t", col("feature_a") === 10.0)
     // destroy the catalog: the commit markers are the only record left
-    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_catalog.tsv"))
+    java.nio.file.Files.delete(graft.store.CatalogPersistence.tableFile(root, "t"))
     val b = new FeatureStore(spark, root,
       storageFactory = new TxnLogStorage(_, _, _))
     assert(b.getTableInfo("t").version == 3)

@@ -171,7 +171,7 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkTestBase {
     a.registerAppend("t", evolvedRows, mergeSchema = true)
     // second writer on the same root: catalog file exists, but ALSO
     // delete it to force full log reconciliation of the type record
-    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_catalog.tsv"))
+    java.nio.file.Files.delete(graft.store.CatalogPersistence.tableFile(root, "t"))
     val b = new FeatureStore(spark, root,
       storageFactory = new TxnLogStorage(_, _, _))
     val cur = b.get("t", Seq("u1", "u2", "u3"), ts("2024-03-01"))

@@ -98,7 +98,7 @@ class TxnLogStorageSpec extends AnyFunSuite with SparkTestBase {
     }
     // catalog destroyed: reconciliation rebuilds the table from the
     // checkpoint + the two tail markers, exactly
-    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_catalog.tsv"))
+    java.nio.file.Files.delete(graft.store.CatalogPersistence.tableFile(root, "t"))
     val b = open()
     b.registerAppend("t", singleRow(13.0))
     assert(b.getTableInfo("t").version == 13)
