@@ -3,22 +3,24 @@ package graft.sources
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.functions.{col, struct}
 import org.apache.spark.sql.graftbridge.bridge
 import org.apache.spark.sql.types.{BinaryType, DataType, StructType}
 
 /** Catalyst expressions over [[RowCodec]]: pack a struct of columns into
-  * one binary blob, and unpack a blob back into its struct. These run
-  * only on the connector's STAGING paths (a blob write or the sink's
-  * commit-side decode) — never in user query plans — so interpreted
-  * eval (`CodegenFallback`) is the right cost/complexity point: the
-  * staging jobs are I/O-bound, and the hot read path decodes in the
-  * `PartitionReader` itself, outside any Spark plan.
+  * one binary blob, and unpack a blob back into its struct. They run on
+  * the connector's STAGING paths (a blob write, the sink's commit-side
+  * decode) — never in user query plans — but the snapshot microbatch
+  * packs a whole table, so both generate real code (`doGenCode` calls
+  * the codec with the schema as a reference object): the child struct
+  * assembly and the codec call stay inside whole-stage codegen instead
+  * of dropping the entire stage to interpreted eval, which measured
+  * ~1.9 µs/row on the 20M-row soak's snapshot batch.
   */
 case class PackRow(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case st: StructType =>
@@ -41,12 +43,20 @@ case class PackRow(child: Expression)
   override def nullSafeEval(v: Any): Any =
     RowCodec.pack(v.asInstanceOf[InternalRow], structType)
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val schemaRef = ctx.addReferenceObj("packSchema", structType,
+      classOf[StructType].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.sources.RowCodec$$.MODULE$$.pack(" +
+        s"(org.apache.spark.sql.catalyst.InternalRow) $c, $schemaRef);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): PackRow =
     copy(child = newChild)
 }
 
 case class UnpackRow(child: Expression, schema: StructType)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -61,6 +71,13 @@ case class UnpackRow(child: Expression, schema: StructType)
 
   override def nullSafeEval(v: Any): Any =
     RowCodec.unpack(v.asInstanceOf[Array[Byte]], schema)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val schemaRef = ctx.addReferenceObj("unpackSchema", schema,
+      classOf[StructType].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.sources.RowCodec$$.MODULE$$.unpack($c, $schemaRef);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): UnpackRow =
     copy(child = newChild)

@@ -70,6 +70,29 @@ class RowCodecSpec extends AnyFunSuite with SparkTestBase {
       norm(df).exceptAll(norm(back)).isEmpty)
   }
 
+  test("pack/unpack generate compilable code (no interpreted fallback)") {
+    // CODEGEN_ONLY turns a codegen compile error into a hard failure
+    // instead of Spark's silent fallback to interpreted eval — this is
+    // the proof that doGenCode on both expressions actually compiles.
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = gnarly
+      val back = df
+        .select(RowCodecExpressions.packed(df.columns.toSeq).as("r"))
+        .select(RowCodecExpressions.unpacked(col("r"), df.schema).as("u"))
+        .select("u.*")
+      assert(back.count() == 3)
+    } finally {
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
   test("pack expression output decodes with the executor-side RowCodec") {
     val df = gnarly.filter(col("s").isNotNull && col("s") =!= "")
     val bytes = df.select(RowCodecExpressions.packed(df.columns.toSeq))
