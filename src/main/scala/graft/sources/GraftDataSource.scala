@@ -59,7 +59,8 @@ final class GraftDataSource
       sqlContext,
       GraftDataSource.required(parameters, "root"),
       GraftDataSource.required(parameters, "table"),
-      parameters.get("versionAsOf").map(_.toInt),
+      parameters.get("versionAsOf")
+        .map(GraftDataSource.parseInt("versionAsOf", _)),
       parameters.get("timestampAsOf"))
 
   // ------------------------------------------------------ batch write
@@ -129,6 +130,17 @@ object GraftDataSource {
     Option(options.get(key)).getOrElse(
       throw new FeatureValidationError(
         s"format(\"graft\") requires option '$key'"))
+
+  /** Integer option parse that names the offending option instead of
+    * surfacing a bare NumberFormatException.
+    */
+  private[sources] def parseInt(name: String, value: String): Int =
+    try value.trim.toInt
+    catch {
+      case _: NumberFormatException =>
+        throw new FeatureValidationError(
+          s"format(\"graft\") option '$name' must be an integer, got '$value'")
+    }
 
   /** The exactly-once watermark needs a CHECKPOINT-STABLE stream
     * identity; a root/table fallback would silently collide two

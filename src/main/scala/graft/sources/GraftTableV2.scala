@@ -140,10 +140,12 @@ final class GraftScan(
       throw new FeatureValidationError(
         s"table '$table' was created after this stream was defined; " +
           "re-create the readStream so its schema resolves")
-    val starting = Option(options.get("startingVersion")).map(_.toInt)
+    val starting = Option(options.get("startingVersion"))
+      .map(GraftDataSource.parseInt("startingVersion", _))
       .orElse(Option(options.get("startingTimestamp"))
         .map(t => store.resolveVersionAsOf(table, t)))
-    val maxPerBatch = Option(options.get("maxVersionsPerBatch")).map(_.toInt)
+    val maxPerBatch = Option(options.get("maxVersionsPerBatch"))
+      .map(GraftDataSource.parseInt("maxVersionsPerBatch", _))
     maxPerBatch.foreach(m => if (m < 1)
       throw new FeatureValidationError(
         s"maxVersionsPerBatch must be >= 1, got $m"))
@@ -218,7 +220,12 @@ final class GraftMicroBatchStream(
   /** Renders the batch (s, e] to staged blobs with a distributed job,
     * then hands each staged file to one executor-side reader.
     * Idempotent on re-planning after a restart: a staged dir whose
-    * `_SUCCESS` marker exists is reused as-is.
+    * completion marker exists is reused as-is. The marker is the
+    * connector's own `_GRAFT_STAGED`, written AFTER the parquet job
+    * returns — Spark's `_SUCCESS` only appears when
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs` is on (often
+    * disabled on object stores), and relying on it would silently
+    * re-render the whole batch on every restart re-plan.
     */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = GraftOffset.version(start)
@@ -226,7 +233,8 @@ final class GraftMicroBatchStream(
     if (e <= s) return Array.empty
     val dir = new Path(stagingBase, s"${s}_$e")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+    val marker = new Path(dir, "_GRAFT_STAGED")
+    if (!fs.exists(marker)) {
       val st = store
       val batch =
         if (s < 0)
@@ -239,6 +247,7 @@ final class GraftMicroBatchStream(
         .select(RowCodecExpressions.packed(feedSchema.fieldNames.toSeq)
           .as(BlobStagingIO.BlobColumn))
         .write.mode("overwrite").parquet(dir.toString)
+      fs.create(marker, true).close()
     }
     fs.listStatus(dir)
       .filter(_.getPath.getName.startsWith("part-"))

@@ -293,7 +293,14 @@ object CatalogPersistence extends CatalogIO {
     val legacy = legacyCatalogFile(root)
     if (!Files.exists(legacy)) return
     Files.createDirectories(catalogDir(root))
-    parseLines(readLines(legacy)).foreach { m =>
+    // exists→read races a CONCURRENT migrator's delete (two sessions
+    // saving on one legacy root): the loser finding the file gone just
+    // means the winner finished the split — proceed, don't fail the
+    // loser's commit
+    val legacyMetas =
+      try parseLines(readLines(legacy))
+      catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
+    legacyMetas.foreach { m =>
       val f = tableFile(root, m.name)
       if (!Files.exists(f)) writeAtomic(f, renderMeta(m))
     }
@@ -305,12 +312,36 @@ object CatalogPersistence extends CatalogIO {
     // unique tmp name: concurrent saves must not interleave on one file
     val tmp = path.resolveSibling(
       s".${path.getFileName}.tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, lines.mkString("\n"))
+    // SYNC: the temp file's bytes must be durable BEFORE the rename —
+    // otherwise a power loss shortly after a commit can leave the
+    // renamed file empty or truncated (rename ordering is not
+    // guaranteed against data writes on most filesystems)
+    Files.writeString(
+      tmp, lines.mkString("\n"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.SYNC)
     Files.move(
       tmp, path,
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    ()
+    // fsync the directory so the rename itself survives power loss
+    fsyncDir(path.getParent)
   }
+
+  /** Best-effort directory fsync (makes a just-renamed entry durable).
+    * Filesystems that refuse directory reads for channels (e.g. some
+    * object-store mounts) degrade to no-op — the same durability the
+    * code had before the fsync existed.
+    */
+  private def fsyncDir(dir: Path): Unit =
+    if (dir != null) {
+      try {
+        val ch = java.nio.channels.FileChannel.open(
+          dir, java.nio.file.StandardOpenOption.READ)
+        try ch.force(true) finally ch.close()
+      } catch { case _: java.io.IOException => }
+    }
 
   private def readLines(path: Path): Seq[String] =
     Files.readString(path).split("\n").toSeq.filter(_.nonEmpty)
@@ -382,11 +413,22 @@ object CatalogPersistence extends CatalogIO {
         finally files.close()
       }
     val legacy = legacyCatalogFile(root)
-    val dirNames = fromDir.map(_.name).toSet
     val fromLegacy =
       if (!Files.exists(legacy)) Seq.empty[TableMeta]
-      else parseLines(readLines(legacy)).filterNot(m => dirNames(m.name))
-    (fromLegacy ++ fromDir).sortBy(_.name)
+      else {
+        // racing a concurrent migrator's delete: gone = migrated
+        try parseLines(readLines(legacy))
+        catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
+      }
+    // when BOTH forms carry a table (mixed-version rollout: an old
+    // binary still writing _catalog.tsv beside migrated sessions), the
+    // NEWER copy wins by (version, updatedAt); per-table wins ties
+    // (fromDir listed first — maxBy keeps the first maximum)
+    (fromDir ++ fromLegacy)
+      .groupBy(_.name).values
+      .map(_.maxBy(m => (m.version, m.updatedAt)))
+      .toSeq
+      .sortBy(_.name)
   }
 
   private def parseLines(lines: Seq[String]): Seq[TableMeta] = {
