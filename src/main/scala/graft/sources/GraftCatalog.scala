@@ -1,0 +1,387 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCatalog, TableCapability, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.bridge
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.store.{FeatureStore, FeatureValidationError}
+
+/** The graft TableCatalog: one feature-store ROOT exposed as a Spark
+  * SQL catalog, making every stored table a first-class V2 table —
+  * `SELECT` / `INSERT INTO` / `INSERT OVERWRITE` / `DELETE FROM` (and,
+  * with [[graft.GraftExtensions]] installed, `UPDATE` / `MERGE INTO`)
+  * address it by name, no temp views required:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.fs", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.fs.root", "/data/features")
+  *   spark.sql("SELECT * FROM fs.events WHERE entity_id = 7")
+  *   spark.sql("DELETE FROM fs.events WHERE event_type = 'bot'")
+  * }}}
+  *
+  * Catalog ops map to the store's own operators (SURVEY.md §2): CREATE
+  * TABLE = register (an empty v1 for plain CREATE; CTAS appends its
+  * query as v2), DROP TABLE = the two-phase retire delete, `DELETE
+  * FROM` = the copy-on-write row delete with pushed predicates.
+  * Namespaces are flat: the root IS the namespace (`default`).
+  *
+  * This is the fully-V2 batch surface; `format("graft")` keeps its V1
+  * batch routing because that format's STREAMING read is the change
+  * feed, whose schema (feed columns) differs from the table's — one
+  * `Table` advertises one schema, so the format's table stays the
+  * streaming half ([[GraftTable]]) and this catalog's table
+  * ([[GraftCatalogTable]]) is the batch half. Both read paths execute
+  * the SAME plan: the store's own segment reads (see
+  * [[GraftBatchScan]]).
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var rootOption: Option[String] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    rootOption = Option(options.get("root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def root: String = rootOption.getOrElse(
+    throw new FeatureValidationError(
+      s"graft catalog '$catalogName' needs spark.sql.catalog.$catalogName.root"))
+
+  private def spark = SparkSession.active
+  private def store = new FeatureStore(spark, root)
+
+  /** Flat namespace: `<cat>.t` and `<cat>.default.t` both address the
+    * root's table `t`.
+    */
+  private def checkNamespace(ns: Array[String]): Unit =
+    if (!(ns.isEmpty || ns.sameElements(Array("default"))))
+      throw new NoSuchNamespaceException(ns)
+
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  override def listNamespaces(): Array[Array[String]] = Array(Array("default"))
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    checkNamespace(ns)
+    if (ns.isEmpty) listNamespaces() else Array.empty
+  }
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.isEmpty || ns.sameElements(Array("default"))
+
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
+    checkNamespace(ns)
+    util.Collections.singletonMap("location", root)
+  }
+
+  override def createNamespace(
+      ns: Array[String], meta: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalogs have one flat namespace per root")
+
+  override def alterNamespace(ns: Array[String], changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalogs have one flat namespace per root")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "graft catalogs have one flat namespace per root")
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    checkNamespace(ns)
+    store.tableNames.map(Identifier.of(ns, _)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    (ident.namespace.isEmpty || ident.namespace.sameElements(Array("default"))) &&
+      store.tableNames.contains(ident.name)
+
+  override def loadTable(ident: Identifier): Table = {
+    checkNamespace(ident.namespace)
+    if (!store.tableNames.contains(ident.name))
+      throw new NoSuchTableException(ident)
+    new GraftCatalogTable(catalogName, root, ident.name)
+  }
+
+  /** CREATE TABLE = register an EMPTY version 1 with the declared
+    * schema (the store validates the entity/timestamp contract exactly
+    * as it does for data); CTAS then lands its query as an appended
+    * version through the write builder.
+    */
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    checkNamespace(ident.namespace)
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft tables manage their own layout (time-partitioned, " +
+          "entity-sorted); PARTITIONED BY is not supported")
+    if (store.tableNames.contains(ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName, ident.name))
+    val empty = spark.createDataFrame(
+      new util.ArrayList[org.apache.spark.sql.Row](), schema)
+    store.registerEmpty(ident.name, empty)
+    new GraftCatalogTable(catalogName, root, ident.name)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported on graft tables; schema evolves " +
+        "through mergeSchema appends/upserts")
+
+  override def dropTable(ident: Identifier): Boolean =
+    (ident.namespace.isEmpty || ident.namespace.sameElements(Array("default"))) &&
+      store.delete(ident.name)
+
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME TABLE is not supported on graft tables")
+}
+
+/** One stored table as a V2 batch table: BATCH_READ through
+  * [[GraftBatchScan]] (pushdown + pruning reaching the store's
+  * stats-skipping segment reads), INSERT INTO / INSERT OVERWRITE
+  * through a V1 write bridging to the store's O(delta) append / full
+  * register, and DELETE FROM through [[SupportsDeleteV2]] routed to
+  * the copy-on-write [[FeatureStore.deleteRows]].
+  */
+final class GraftCatalogTable(catalogName: String, val root: String, val table: String)
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+
+  private def spark = SparkSession.active
+  private[sources] def store = new FeatureStore(spark, root)
+
+  override def name(): String = s"$catalogName.$table"
+
+  override def schema(): StructType = store.getTableSchema(table)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = {
+        val ovw = overwrite
+        val (r, t) = (root, table)
+        new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, overwriteParam: Boolean): Unit = {
+                val s = new FeatureStore(data.sparkSession, r)
+                if (ovw || overwriteParam) s.register(t, data)
+                else s.registerAppend(t, data)
+                ()
+              }
+            }
+        }
+      }
+    }
+
+  /** Pushed-predicate DELETE: every predicate Spark hands over must
+    * translate (guaranteed by [[canDeleteWhere]] — Spark only calls
+    * deleteWhere after it returns true), AND them into the store's
+    * copy-on-write row delete. An empty conjunction deletes all rows.
+    */
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(p =>
+      bridge.predicateToV1(p).exists(f => GraftRelation.translate(f).isDefined))
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val cond = predicates.toSeq
+      .map(p => GraftRelation.translate(bridge.predicateToV1(p).getOrElse(
+        throw new FeatureValidationError(
+          s"DELETE predicate not translatable: $p"))).getOrElse(
+        throw new FeatureValidationError(
+          s"DELETE predicate not translatable: $p")))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    store.deleteRows(table, cond)
+    ()
+  }
+
+  override def truncateTable(): Boolean = {
+    store.deleteRows(table, lit(true))
+    true
+  }
+}
+
+/** Scan builder: column pruning and filter pushdown both reach the
+  * store — pushed filters route through [[FeatureStore.scanWhere]]
+  * (plan-time column-stats segment skipping, then Catalyst pushes the
+  * same predicates into the parquet scans), pruned columns shrink the
+  * read schema.
+  */
+final class GraftScanBuilder(t: GraftCatalogTable)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private val fullSchema = t.schema()
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  /** Keep the translatable filters (fully applied by the store's read
+    * — `scanWhere` FILTERS, not just skips, so nothing needs
+    * re-evaluation above) and return the rest for Spark to apply.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, unsupported) =
+      filters.partition(f => GraftRelation.translate(f).isDefined)
+    pushed = supported
+    unsupported
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftBatchScan(t, pushed.toSeq, required)
+}
+
+/** The batch scan: WRAPS THE STORE'S OWN CATALYST PLAN. At planning
+  * time the driver builds the exact DataFrame the Scala API would
+  * (`scanWhere` + projection — one read implementation, no V1/V2
+  * semantic fork), takes its physical `RDD[InternalRow]`, and exposes
+  * one `InputPartition` per RDD partition; executors evaluate that
+  * partition in place (`rdd.iterator`) — parquet's vectorized reader,
+  * whole-stage codegen, and the store's typed-null evolution padding
+  * all run inside the foreign task, and rows never leave Tungsten
+  * format (zero re-encode, zero staging I/O — at 100 TB the V2 read
+  * costs exactly what the Scala-API read costs).
+  *
+  * Soundness: wrapping is only valid for EXCHANGE-FREE plans (a
+  * shuffle read would need map outputs no stage ever wrote). Snapshot
+  * reads are scans + unions + projections by construction; the
+  * constructor ASSERTS no exchange and fails loudly if a future store
+  * change ever breaks that invariant.
+  */
+final class GraftBatchScan(
+    t: GraftCatalogTable,
+    pushed: Seq[Filter],
+    required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft table ${t.name()} " +
+      s"[pushed: ${pushed.mkString(", ")}] [columns: ${required.fieldNames.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  /** The store-planned frame this scan executes — also the hook the
+    * equivalence property test uses to prove V2 ≡ Scala-API reads.
+    */
+  private[sources] def storeFrame: DataFrame = {
+    val s = t.store
+    val cond = pushed.flatMap(GraftRelation.translate).reduceOption(_ && _)
+    val base = cond match {
+      case Some(c) => s.scanWhere(t.table, c)
+      case None => s.getVersion(t.table, s.getTableInfo(t.table).version)
+    }
+    base.select(required.fieldNames.toSeq.map(col): _*)
+  }
+
+  private lazy val rdd: RDD[InternalRow] = {
+    val df = storeFrame
+    val plan = bridge.executedPlan(df)
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    if (exchanges.nonEmpty)
+      throw new IllegalStateException(
+        s"graft batch scan requires an exchange-free snapshot plan; got: $plan")
+    val r = bridge.toRdd(df)
+    GraftBatchScan.forceDag(r)
+    r
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val r = rdd
+    r.partitions.map { p =>
+      GraftPlanPartition(p, r.preferredLocations(p).toArray)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftPlanReaderFactory(rdd)
+}
+
+object GraftBatchScan {
+  /** Force-populate every RDD's cached `dependencies_` on the DRIVER.
+    * The constructor-supplied dependency list is `@transient` (an
+    * executor normally receives its partition inside the `Task` and
+    * never re-derives the DAG), but operators like `UnionRDD.compute`
+    * reach through `dependencies` at evaluation time — the cached
+    * field is non-transient, so forcing it here makes the wrapped DAG
+    * self-contained after serialization.
+    */
+  private[sources] def forceDag(r: RDD[_]): Unit = {
+    r.partitions
+    r.dependencies.foreach(d => forceDag(d.rdd))
+  }
+}
+
+/** One partition of the wrapped plan. The `Partition` OBJECT rides
+  * along (exactly as a normal Spark `Task` carries its partition) —
+  * it cannot be re-derived on the executor, where partition-index
+  * state like `FileScanRDD.filePartitions` is `@transient`-null.
+  * Locations were resolved on the driver (executors cannot ask the
+  * scheduler).
+  */
+case class GraftPlanPartition(
+    split: org.apache.spark.Partition,
+    locs: Array[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] = locs
+}
+
+/** Carries the wrapped RDD to executors (serialized once per stage
+  * with the factory — the standard task-binary mechanism every Spark
+  * job uses for its RDD chain) and evaluates the requested partition
+  * inside the V2 task.
+  */
+final class GraftPlanReaderFactory(rdd: RDD[InternalRow])
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val it = rdd.iterator(
+      p.asInstanceOf[GraftPlanPartition].split, TaskContext.get())
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -95,11 +95,22 @@ final class FeatureStore(
     * without its batch watermark (which would make a recovery replay
     * mint a duplicate).
     */
+  /** SQL `CREATE TABLE` entry ([[graft.sources.GraftCatalog]]): an
+    * EMPTY version 1 carrying just the declared schema — the one
+    * register that skips the reference's non-emptiness rule (DDL
+    * declares shape; the first INSERT brings rows). Everything else
+    * (required columns, type record, catalog commit) is the normal
+    * register path.
+    */
+  private[graft] def registerEmpty(name: String, df: DataFrame): FeatureTableInfo =
+    registerWith(name, df, watermark = None, allowEmpty = true)
+
   private def registerWith(
       name: String,
       df: DataFrame,
-      watermark: Option[(String, Long)]): FeatureTableInfo = this.synchronized {
-    Validation.validateDataFrame(df, name)
+      watermark: Option[(String, Long)],
+      allowEmpty: Boolean = false): FeatureTableInfo = this.synchronized {
+    Validation.validateDataFrame(df, name, allowEmpty)
     val (cur, v) = claimVersion(name)
     val meta = completeClaim(name, v) {
       val prepared = prepare(df)
@@ -378,9 +389,19 @@ final class FeatureStore(
     * tables this session knows that the disk doesn't are kept.
     */
   def refresh(): Unit = this.synchronized {
-    catalogIO.load(root).foreach(d =>
+    val onDisk = catalogIO.load(root)
+    onDisk.foreach(d =>
       catalog.put(catalog.get(d.name)
         .fold(d)(o => FeatureStore.mergeMetas(o, d))))
+    // adopt cross-session DROPs too: an in-memory entry whose catalog
+    // file is gone AND whose retirement is in the ledger was deleted
+    // by another session (ledger evidence keeps a mid-commit save —
+    // file momentarily absent — from being mistaken for a drop)
+    val diskNames = onDisk.map(_.name).toSet
+    catalog.names
+      .filterNot(diskNames.contains)
+      .filter(n => retiredTableAt(n).isDefined)
+      .foreach(catalog.remove)
     if (storage.arbitrates) catalog.names.foreach(reconcileFromLog)
   }
 

@@ -298,6 +298,16 @@ final class Storage(
       .mode("overwrite")
       .partitionBy(DateCol)
       .parquet(path)
+    // a ZERO-ROW segment (SQL CREATE TABLE's empty v1) writes no data
+    // files under partitionBy, and a later read of the bare directory
+    // cannot infer a schema — append one empty TYPED part file so the
+    // segment reads back as the declared shape (DateCol rides as a
+    // regular column there; per-segment reads filter/drop it the same
+    // way)
+    if (obs.get("rows").asInstanceOf[Long] == 0L)
+      df.withColumn(DateCol, period(col(tsCol)))
+        .limit(0)
+        .write.mode("append").parquet(path)
     def millis(key: String): Option[Long] = obs.get(key) match {
       case t: java.sql.Timestamp    => Some(t.getTime)
       case i: java.time.Instant     => Some(i.toEpochMilli)

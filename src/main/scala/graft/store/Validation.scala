@@ -18,13 +18,14 @@ object Validation {
     * (reference: store.py:422-446). The emptiness probe is a
     * `limit(1)` job — cheap at any scale.
     */
-  def validateDataFrame(df: DataFrame, context: String): Unit = {
+  def validateDataFrame(
+      df: DataFrame, context: String, allowEmpty: Boolean = false): Unit = {
     val missing = RequiredColumns.filterNot(df.columns.contains)
     if (missing.nonEmpty)
       throw new FeatureValidationError(
         s"$context is missing required columns: ${missing.mkString(", ")} " +
           s"(required: ${RequiredColumns.mkString(", ")})")
-    if (df.isEmpty)
+    if (!allowEmpty && df.isEmpty)
       throw new FeatureValidationError(s"$context must not be empty")
   }
 

@@ -40,4 +40,29 @@ object bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[ClassicSparkSession].sessionState.functionRegistry
       .registerFunction(id, info, builder)
+
+  /** The EXECUTED form of a DataFrame: its physical plan's
+    * `RDD[InternalRow]` — what a DSv2 `Batch` needs to expose a
+    * driver-planned query as input partitions without re-encoding rows
+    * (graft's catalog scan wraps the store's own Catalyst plan this
+    * way; rows never leave Tungsten format).
+    */
+  def toRdd(df: DataFrame): org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[ClassicDataset[_]].queryExecution.toRdd
+
+  /** The executed physical plan (for plan-shape assertions: the
+    * wrapped-RDD scan above is only sound for EXCHANGE-FREE plans —
+    * a shuffle read needs map outputs the foreign task never wrote).
+    */
+  def executedPlan(df: DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.asInstanceOf[ClassicDataset[_]].queryExecution.executedPlan
+
+  /** DSv2 `Predicate` → V1 `Filter`, when expressible (Spark's own
+    * conversion; `None` = not translatable, caller must reject).
+    */
+  def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
 }

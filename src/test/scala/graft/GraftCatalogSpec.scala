@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.FeatureStore
+
+/** The SQL catalog surface: graft tables as first-class V2 tables —
+  * SELECT / INSERT / DELETE FROM (UPDATE / MERGE INTO live in
+  * [[SqlDmlSpec]], they need the session extension).
+  */
+class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
+
+  private def freshRoot(tag: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_cat_$tag").toString
+    dir
+  }
+
+  /** Register a uniquely-named catalog over `root` and return its name. */
+  private def cat(root: String): String = {
+    val name = "gc_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    spark.conf.set(
+      s"spark.sql.catalog.$name", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    name
+  }
+
+  test("SELECT through the catalog equals the Scala-API read") {
+    val root = freshRoot("sel")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    val viaSql = spark.sql(s"SELECT * FROM $c.feat ORDER BY entity_id, timestamp")
+    val viaApi = store
+      .getVersion("feat", 1)
+      .orderBy("entity_id", "timestamp")
+    assert(viaSql.schema == viaApi.schema)
+    assert(viaSql.collect().toSeq == viaApi.collect().toSeq)
+    // namespace-qualified addressing too
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.default.feat")
+      .head().getLong(0) == 5L)
+  }
+
+  test("filter pushdown and column pruning reach the V2 scan") {
+    val root = freshRoot("push")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    val q = spark.sql(
+      s"SELECT feature_a FROM $c.feat WHERE entity_id = 'user_1'")
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("BatchScan"), formatted)
+    // the scan's description carries the pushed filter + pruned columns
+    val scanDesc = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scanDesc.contains("pushed:") && scanDesc.contains("EqualTo"),
+      s"pushed filter missing from scan: $scanDesc")
+    assert(q.collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("INSERT INTO appends a version; INSERT OVERWRITE registers a snapshot") {
+    val root = freshRoot("ins")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    spark.sql(
+      s"INSERT INTO $c.feat VALUES ('user_9', TIMESTAMP'2024-03-01 00:00:00', 9.0, 900)")
+    store.refresh()
+    assert(store.getTableInfo("feat").version == 2)
+    assert(store.getTableInfo("feat").rowCount == 6)
+    spark.sql(
+      s"INSERT OVERWRITE $c.feat VALUES ('solo', TIMESTAMP'2024-03-02 00:00:00', 1.0, 1)")
+    store.refresh()
+    assert(store.getTableInfo("feat").version == 3)
+    assert(store.getTableInfo("feat").rowCount == 1)
+    // prior versions stay time-travelable
+    assert(store.getVersion("feat", 2).count() == 6)
+  }
+
+  test("DELETE FROM routes pushed predicates to the copy-on-write row delete") {
+    val root = freshRoot("del")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    spark.sql(
+      s"DELETE FROM $c.feat WHERE entity_id = 'user_1' AND feature_b < 300")
+    store.refresh()
+    val left = store.getVersion("feat", store.getTableInfo("feat").version)
+    assert(left.count() == 3)
+    assert(left.filter(col("entity_id") === "user_1").count() == 1)
+    // the delete is a new version; the pre-delete snapshot survives
+    assert(store.getVersion("feat", 1).count() == 5)
+  }
+
+  test("CREATE TABLE / CTAS / DROP TABLE / SHOW TABLES") {
+    val root = freshRoot("ddl")
+    val c = cat(root)
+    spark.sql(
+      s"""CREATE TABLE $c.empty_t
+         |(entity_id STRING, timestamp TIMESTAMP, v DOUBLE) USING graft"""
+        .stripMargin)
+    val store = new FeatureStore(spark, root)
+    assert(store.tableNames.contains("empty_t"))
+    assert(store.getTableInfo("empty_t").rowCount == 0)
+    sampleFeatures.createOrReplaceTempView("graft_cat_ddl_src")
+    spark.sql(
+      s"CREATE TABLE $c.ctas_t USING graft AS SELECT * FROM graft_cat_ddl_src")
+    store.refresh()
+    assert(spark.sql(s"SELECT count(*) FROM $c.ctas_t").head().getLong(0) == 5L)
+    val shown = spark.sql(s"SHOW TABLES IN $c").collect().map(_.getString(1)).toSet
+    assert(shown.contains("empty_t") && shown.contains("ctas_t"))
+    spark.sql(s"DROP TABLE $c.empty_t")
+    store.refresh()
+    assert(!store.tableNames.contains("empty_t"))
+  }
+
+  test("V2 scan refuses nothing the V1 format read serves: row-for-row equivalence") {
+    val root = freshRoot("eqv")
+    val store = new FeatureStore(spark, root)
+    // two segments + schema evolution: the padded union is the
+    // hardest snapshot plan the scan wraps
+    store.register("feat", sampleFeatures.drop("feature_b")
+      .filter(col("timestamp") < lit(ts("2024-01-18"))))
+    store.registerAppend("feat",
+      sampleFeatures.filter(col("timestamp") >= lit(ts("2024-01-18"))),
+      mergeSchema = true)
+    val c = cat(root)
+    val predicates = Seq(
+      "true",
+      "entity_id = 'user_1'",
+      "feature_a > 2.5",
+      "feature_b IS NULL",
+      "entity_id IN ('user_1','user_2') AND feature_a <= 10.0",
+      "timestamp >= TIMESTAMP'2024-01-10 00:00:00'")
+    for (p <- predicates) {
+      val viaSql = spark.sql(
+        s"SELECT * FROM $c.feat WHERE $p ORDER BY entity_id, timestamp")
+      val viaV1 = spark.read.format("graft")
+        .option("root", root).option("table", "feat").load()
+        .where(p).orderBy("entity_id", "timestamp")
+      assert(viaSql.collect().toSeq == viaV1.collect().toSeq, s"predicate: $p")
+    }
+  }
+}
