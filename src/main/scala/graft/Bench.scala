@@ -43,6 +43,7 @@ object Bench {
       // session serving a wide query mix wants this; it trades a few
       // hundred MB of metaspace for compile-once semantics.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     // dev knob: semicolon-separated k=v pairs, e.g.
     // SPARK_GRAFT_EXTRA_CONF='spark.sql.adaptive.enabled=false'
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(

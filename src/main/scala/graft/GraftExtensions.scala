@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val (hid, hinfo, hbuilder) = Md5PrefixLong.descriptor
     e.injectFunction((hid, hinfo, hbuilder))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL UPDATE / MERGE INTO on graft catalog tables
+    // ([[graft.plans.GraftDmlRule]]); config-path only — analyzer
+    // rules cannot attach to an already-built session
+    e.injectResolutionRule(_ => graft.plans.GraftDmlRule)
   }
 }
 

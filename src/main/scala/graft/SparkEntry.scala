@@ -366,6 +366,107 @@ object SparkEntry {
         store.refresh()
     }
 
+  /** Register (idempotently) a graft SQL catalog over `root` and
+    * return its name — the session surface the SQL-DML roundtrips
+    * address ([[graft.sources.GraftCatalog]]); one catalog name per
+    * root, so repeat invocations in one JVM reuse the instance.
+    */
+  private def graftCatalogFor(s: SparkSession, root: String): String = {
+    val name = "graft_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s.conf.set(
+      s"spark.sql.catalog.$name", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$name.root", root)
+    name
+  }
+
+  /** SQL row-delete twin of [[deleteStore]]: the same two-segment
+    * build, but version 3's copy-on-write row delete lands through
+    * `DELETE FROM` on the graft SQL catalog
+    * ([[graft.sources.GraftCatalogTable]]'s `SupportsDeleteV2` routing
+    * the pushed predicates to [[graft.store.FeatureStore.deleteRows]]).
+    * Same oracle as the Scala-API delete — SQL DML must be
+    * value-identical.
+    */
+  private val sqlDelStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def sqlDeleteStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(sqlDelStores, s, dir, "graft_store_sqldel_v1", minVersion = 3) {
+      (store, feats) =>
+        store.delete("events")
+        val cutoff = lit(utcTs("2024-01-10 00:00:00"))
+        store.register("events", feats.filter(col("timestamp") < cutoff))
+        store.registerAppend("events", feats.filter(col("timestamp") >= cutoff))
+        val c = graftCatalogFor(s, store.rootPath)
+        s.sql(
+          s"""DELETE FROM $c.events
+             |WHERE event_type = 'click'
+             |  AND timestamp < TIMESTAMP '2024-01-05 00:00:00'""".stripMargin)
+        store.refresh()
+    }
+
+  /** SQL UPDATE roundtrip: version 2 bumps the pre-cutoff values of
+    * entities 0-9 through `UPDATE ... SET ... WHERE` on the catalog
+    * table ([[graft.plans.GraftUpdateCommand]] via the session
+    * extension), executed as the store's key-addressed MERGE upsert.
+    */
+  private val sqlUpdStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def sqlUpdateStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(sqlUpdStores, s, dir, "graft_store_squpd_v1", minVersion = 2) {
+      (store, feats) =>
+        store.delete("events")
+        store.register("events", feats)
+        val c = graftCatalogFor(s, store.rootPath)
+        s.sql(
+          s"""UPDATE $c.events SET value = value + 1000
+             |WHERE entity_id < 10 AND timestamp <= TIMESTAMP '$PitAsOf'"""
+            .stripMargin)
+        store.refresh()
+    }
+
+  /** SQL MERGE twin of [[upsertStore]]: the identical delta (replaced
+    * pre-cutoff rows of entities 0-9, +1000 on value, plus the brand
+    * new key for entity 999999) lands through `MERGE INTO ... WHEN
+    * MATCHED UPDATE / WHEN NOT MATCHED INSERT *` on the catalog table
+    * ([[graft.plans.GraftMergeCommand]]) — same oracle as the
+    * Scala-API upsert.
+    */
+  private val sqlMrgStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def sqlMergeStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(sqlMrgStores, s, dir, "graft_store_sqlmrg_v1", minVersion = 2) {
+      (store, feats) =>
+        store.delete("events")
+        store.register("events", feats)
+        val modified = feats
+          .filter(col("entity_id") < 10 &&
+            col("timestamp") <= lit(utcTs(PitAsOf)))
+          .withColumn("value", col("value") + lit(1000.0))
+        val inserted = s.range(1).select(
+          lit(999999L).as("entity_id"),
+          lit(utcTs("2024-01-15 00:00:00")).as("timestamp"),
+          lit(999999999L).as("event_id"),
+          lit("synthetic").as("event_type"),
+          lit(42.0).as("value"),
+          lit(null).cast("string").as("props"))
+        modified.unionByName(inserted)
+          .createOrReplaceTempView("graft_sql_merge_delta")
+        val c = graftCatalogFor(s, store.rootPath)
+        s.sql(
+          s"""MERGE INTO $c.events t
+             |USING graft_sql_merge_delta s
+             |ON t.entity_id = s.entity_id AND t.timestamp = s.timestamp
+             |WHEN MATCHED THEN UPDATE SET
+             |  event_id = s.event_id, event_type = s.event_type,
+             |  value = s.value, props = s.props
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        store.refresh()
+    }
+
   /** STRING-KEYED twin of [[demoStore]]: the same events table with
     * `entity_id` as a STRING (`'u' + user_id`) — every other
     * oracle-facing store roundtrip keys on numbers, so this pins the
@@ -802,6 +903,31 @@ object SparkEntry {
         .get("events", PitIds, PitAsOf)
         .orderBy("entity_id")),
 
+    // SQL ROW-DELETE roundtrip: version 3's copy-on-write delete
+    // landed through DELETE FROM on the graft SQL catalog
+    // (SupportsDeleteV2 pushing the predicates into deleteRows) —
+    // value-identical to the Scala-API delete, same oracle
+    "store_sql_delete" -> ((s, dir) =>
+      sqlDeleteStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
+
+    // SQL UPDATE roundtrip: version 2 bumped pre-cutoff values of
+    // entities 0-9 via UPDATE ... SET ... WHERE on the catalog table
+    // (session-extension rule -> key-addressed MERGE upsert)
+    "store_sql_update" -> ((s, dir) =>
+      sqlUpdateStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
+
+    // SQL MERGE roundtrip: the upsert delta landed through MERGE INTO
+    // (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT *) — same oracle
+    // as the Scala-API upsert roundtrip
+    "store_sql_merge" -> ((s, dir) =>
+      sqlMergeStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
+
     // STRING-KEYED roundtrip: same PIT read with entity_id a STRING
     // ('u' + user_id) — pins register → catalog type record → entity
     // IN-set compare semantics for strings cross-engine
@@ -1001,6 +1127,27 @@ object SparkEntry {
        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
        |ORDER BY entity_id""".stripMargin
 
+  /** MERGE/UPSERT oracle: the raw table with replaced values patched
+    * in plus the inserted key — shared by the Scala-API upsert
+    * roundtrip and its SQL `MERGE INTO` twin.
+    */
+  private lazy val EventsUpsertOracle: String =
+    s"""WITH t AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |         value + CASE WHEN user_id < 10 AND ts <= TIMESTAMP '$PitAsOf'
+       |                      THEN 1000 ELSE 0 END AS value,
+       |         props
+       |  FROM events
+       |  UNION ALL
+       |  SELECT 999999, TIMESTAMP '2024-01-15 00:00:00', 999999999,
+       |         'synthetic', 42.0, CAST(NULL AS VARCHAR)
+       |)
+       |SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
+       |FROM t
+       |WHERE ts <= TIMESTAMP '$PitAsOf' AND user_id IN $PitIdsSql
+       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+       |ORDER BY entity_id""".stripMargin
+
   private lazy val EventsAsOfOracle: String =
     """WITH spine AS (
       |  SELECT event_id AS spine_id, user_id AS e, ts + INTERVAL 1 HOUR AS t
@@ -1069,22 +1216,24 @@ object SparkEntry {
 
     // MERGE/UPSERT: raw table with replaced values patched in (+1000
     // for entities 0-9 before the cutoff) plus the inserted key
-    "store_upsert_roundtrip" ->
-      s"""WITH t AS (
-         |  SELECT user_id, ts, event_id, event_type,
-         |         value + CASE WHEN user_id < 10 AND ts <= TIMESTAMP '$PitAsOf'
-         |                      THEN 1000 ELSE 0 END AS value,
-         |         props
-         |  FROM events
-         |  UNION ALL
-         |  SELECT 999999, TIMESTAMP '2024-01-15 00:00:00', 999999999,
-         |         'synthetic', 42.0, CAST(NULL AS VARCHAR)
-         |)
-         |SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
-         |FROM t
+    "store_upsert_roundtrip" -> EventsUpsertOracle,
+
+    // the SQL-DML twins: DELETE FROM / UPDATE / MERGE INTO on the
+    // graft catalog must be value-identical to the Scala-API
+    // mutations, so they share (or minimally vary) those oracles
+    "store_sql_delete" -> EventsDeletedPitOracle,
+
+    "store_sql_update" ->
+      s"""SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type,
+         |       value + CASE WHEN user_id < 10 AND ts <= TIMESTAMP '$PitAsOf'
+         |                    THEN 1000 ELSE 0 END AS value,
+         |       props
+         |FROM events
          |WHERE ts <= TIMESTAMP '$PitAsOf' AND user_id IN $PitIdsSql
          |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
          |ORDER BY entity_id""".stripMargin,
+
+    "store_sql_merge" -> EventsUpsertOracle,
 
     // change feed of the append step: the delta rows, all inserts
     "store_cdf_roundtrip" ->

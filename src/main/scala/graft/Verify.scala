@@ -19,6 +19,7 @@ object Verify {
       // compiled-class cache (see Bench.scala) — sized up here too so
       // the correctness dump doesn't pay recompiles
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,332 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExprId, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.bridge
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.GraftCatalogTable
+import graft.store.{FeatureStore, FeatureValidationError}
+
+/** SQL `UPDATE` / `MERGE INTO` on graft catalog tables, the
+  * session-extension route (the same shape Delta used for years): a
+  * resolution rule swaps the resolved logical command for a runnable
+  * command that executes through the store's own PROVEN mutation
+  * operators — `UPDATE` and `MERGE ... WHEN MATCHED UPDATE / DELETE,
+  * WHEN NOT MATCHED INSERT, WHEN NOT MATCHED BY SOURCE ...` all land
+  * as one key-addressed MERGE upsert (copy-on-write, O(affected
+  * segments + delta)) plus, when rows or keys vanish, one distributed
+  * key-set delete. Requires `spark.sql.extensions=graft.GraftExtensions`
+  * (analyzer rules cannot attach to an already-built session).
+  *
+  * Row identity is the store key `(entity_id, timestamp)` — exactly
+  * [[FeatureStore.registerUpsert]]'s contract. The cardinality guard
+  * rejects a MERGE whose matches collapse under that identity
+  * (several source rows onto one key, or duplicate-key target rows
+  * matched), instead of silently losing rows.
+  *
+  * `DELETE FROM` needs none of this: it resolves through
+  * [[graft.sources.GraftCatalogTable]]'s `SupportsDeleteV2` with no
+  * extension installed.
+  */
+object GraftDmlRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u: UpdateTable if u.resolved =>
+      graftTarget(u.table) match {
+        case Some((rel, t)) =>
+          rejectSubqueries(u.condition.toSeq ++ u.assignments.map(_.value), "UPDATE")
+          GraftUpdateCommand(
+            t.root, t.table, rel.output, relationSchema(rel),
+            u.assignments, u.condition)
+        case None => u
+      }
+    case m: MergeIntoTable if m.resolved =>
+      graftTarget(m.targetTable) match {
+        case Some((rel, t)) =>
+          if (m.withSchemaEvolution)
+            throw new FeatureValidationError(
+              "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables; " +
+                "evolve through a mergeSchema append/upsert first")
+          val exprs = m.mergeCondition +:
+            (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+              .flatMap(actionExprs)
+          rejectSubqueries(exprs, "MERGE INTO")
+          GraftMergeCommand(
+            t.root, t.table, rel.output, relationSchema(rel),
+            m.sourceTable, m.mergeCondition,
+            m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions)
+        case None => m
+      }
+    case _ => plan
+  }
+
+  /** The (relation, graft table) under alias wrappers, if the DML
+    * target is a graft catalog table.
+    */
+  private def graftTarget(
+      plan: LogicalPlan): Option[(DataSourceV2Relation, GraftCatalogTable)] =
+    EliminateSubqueryAliases(plan) match {
+      case r: DataSourceV2Relation =>
+        r.table match {
+          case t: GraftCatalogTable => Some((r, t))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** The relation's column types, in output order (the relation's
+    * attributes are the authority — the snapshot read must be
+    * reshaped to exactly these).
+    */
+  private def relationSchema(rel: DataSourceV2Relation): StructType =
+    StructType(rel.output.map(a =>
+      org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+
+  private def actionExprs(a: MergeAction): Seq[Expression] = a match {
+    case UpdateAction(c, as, _) => c.toSeq ++ as.map(_.value)
+    case DeleteAction(c) => c.toSeq
+    case InsertAction(c, as) => c.toSeq ++ as.map(_.value)
+    case other => other.condition.toSeq
+  }
+
+  private def rejectSubqueries(exprs: Seq[Expression], stmt: String): Unit =
+    if (exprs.exists(_.exists(_.isInstanceOf[SubqueryExpression])))
+      throw new FeatureValidationError(
+        s"$stmt on graft tables does not support subqueries in " +
+          "conditions or assignment values; materialize the subquery " +
+          "into the source side")
+}
+
+/** Shared machinery: expression remapping onto renamed frames and
+  * assignment application.
+  */
+private[plans] object GraftDml {
+
+  /** Rewrite attribute references to the RENAMED columns of the
+    * execution frames, as an unresolved-by-name Column the target
+    * frame re-resolves — resolved function/cast nodes above the
+    * leaves survive untouched.
+    */
+  def remap(e: Expression, names: Map[ExprId, String]): Column =
+    bridge.column(e.transform {
+      case a: AttributeReference =>
+        UnresolvedAttribute.quoted(names.getOrElse(a.exprId,
+          throw new FeatureValidationError(
+            s"DML expression references an unknown column: ${a.name}")))
+    })
+
+  /** The plain target column an assignment writes (nested-field
+    * assignment has no meaning on a feature row).
+    */
+  def assignedField(a: Assignment, targetNames: Map[ExprId, String]): String =
+    a.key match {
+      case ar: AttributeReference if targetNames.contains(ar.exprId) =>
+        targetNames(ar.exprId)
+      case other =>
+        throw new FeatureValidationError(
+          s"graft DML can only assign whole top-level columns, got: $other")
+    }
+
+  /** One output row-shape in the TABLE schema: assigned columns from
+    * their remapped values, the rest from `fallback` (the matched
+    * target row's column, or a typed null for inserts).
+    */
+  def projectRow(
+      schema: StructType,
+      assignments: Map[String, Column],
+      fallback: String => Column): Seq[Column] =
+    schema.fields.toSeq.map { f =>
+      assignments.get(f.name)
+        .map(_.cast(f.dataType))
+        .getOrElse(fallback(f.name))
+        .as(f.name)
+    }
+}
+
+/** `UPDATE <graft table> SET ... [WHERE ...]`: matched rows re-written
+  * through the key-addressed MERGE upsert; an update that REKEYS rows
+  * (assigns entity_id / timestamp) first key-deletes the originals.
+  */
+case class GraftUpdateCommand(
+    root: String,
+    table: String,
+    relOutput: Seq[Attribute],
+    tableSchema: StructType,
+    assignments: Seq[Assignment],
+    condition: Option[Expression]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new FeatureStore(spark, root)
+    val names = relOutput.map(a => a.exprId -> a.name).toMap
+    val assignedBy = assignments
+      .map(a => GraftDml.assignedField(a, names) -> GraftDml.remap(a.value, names))
+      .toMap
+    val snapshot = store
+      .getVersion(table, store.getTableInfo(table).version)
+      .select(tableSchema.fieldNames.toSeq.map(col): _*)
+    val matched = condition
+      .map(c => snapshot.filter(GraftDml.remap(c, names)))
+      .getOrElse(snapshot)
+      .persist()
+    try {
+      if (!matched.isEmpty) {
+        val keyCols = graft.store.Validation.RequiredColumns
+        if (keyCols.exists(assignedBy.contains)) {
+          // rekeying update: the original keys must vanish
+          store.deleteRowsByKeys(table, matched.select(keyCols.map(col): _*))
+          ()
+        }
+        val updated = matched.select(
+          GraftDml.projectRow(tableSchema, assignedBy, col): _*)
+        store.registerUpsert(table, updated)
+        ()
+      }
+    } finally { matched.unpersist(); () }
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <graft table> t USING <source> s ON <cond> ...` — the
+  * SQL-standard action set executed as set operations: one full-outer
+  * join computes matched pairs, unmatched source rows, and unmatched
+  * target rows; per row the FIRST action whose condition holds
+  * applies; the results land as one key-set delete (matched/by-source
+  * DELETE actions, plus originals of rekeying updates) and one MERGE
+  * upsert (all UPDATE results + INSERT rows).
+  */
+case class GraftMergeCommand(
+    root: String,
+    table: String,
+    relOutput: Seq[Attribute],
+    tableSchema: StructType,
+    source: LogicalPlan,
+    mergeCondition: Expression,
+    matchedActions: Seq[MergeAction],
+    notMatchedActions: Seq[MergeAction],
+    notMatchedBySourceActions: Seq[MergeAction]) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  private val TP = "_graft_t_"
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = new FeatureStore(spark, root)
+    val tNames = tableSchema.fieldNames.toSeq
+    val names: Map[ExprId, String] =
+      relOutput.map(a => a.exprId -> (TP + a.name)).toMap ++
+        source.output.zipWithIndex.map { case (a, i) => a.exprId -> s"_graft_s_$i" }
+    val plainName = relOutput.map(a => a.exprId -> a.name).toMap
+    def remap(e: Expression): Column = GraftDml.remap(e, names)
+    def actionCond(a: MergeAction): Column =
+      a.condition.map(remap).getOrElse(lit(true))
+
+    val target = store
+      .getVersion(table, store.getTableInfo(table).version)
+      .select(tNames.map(col): _*)
+      .toDF(tNames.map(TP + _): _*)
+      .withColumn("_graft_t_present", lit(true))
+    val src = bridge.ofRows(spark, source)
+      .toDF(source.output.indices.map(i => s"_graft_s_$i"): _*)
+      .withColumn("_graft_s_present", lit(true))
+
+    val joined = target.join(src, remap(mergeCondition), "full_outer").persist()
+    try {
+      val isMatched =
+        col("_graft_t_present").isNotNull && col("_graft_s_present").isNotNull
+      val keyCols = graft.store.Validation.RequiredColumns
+      val tKeys = keyCols.map(k => col(TP + k).as(k))
+
+      // cardinality guard under key-addressed row identity: more
+      // matched pairs than target rows for some key = several source
+      // rows hit one row, or duplicate-key target rows got matched —
+      // the upsert would silently collapse them, so fail instead
+      if (matchedActions.nonEmpty) {
+        val matchedPerKey = joined.filter(isMatched)
+          .groupBy(keyCols.map(k => col(TP + k)): _*)
+          .agg(count(lit(1)).as("_graft_n"))
+          .filter(col("_graft_n") > 1)
+          .limit(1)
+        if (!matchedPerKey.isEmpty)
+          throw new FeatureValidationError(
+            "MERGE INTO matched one (entity_id, timestamp) key more than " +
+              "once; the key-addressed upsert would collapse rows — " +
+              "dedupe the source (or the target's duplicate keys) first")
+      }
+
+      /** Rows of `frame` to which action `i` (first-match-wins) of
+        * `actions` applies.
+        */
+      def applying(frame: DataFrame, actions: Seq[MergeAction], i: Int): DataFrame = {
+        val tag = actions.zipWithIndex.foldRight(lit(-1)) {
+          case ((a, j), els) => when(actionCond(a), lit(j)).otherwise(els)
+        }
+        frame.withColumn("_graft_tag", tag).filter(col("_graft_tag") === i)
+          .drop("_graft_tag")
+      }
+
+      def updateRows(frame: DataFrame, actions: Seq[MergeAction]): Seq[DataFrame] =
+        actions.zipWithIndex.collect { case (UpdateAction(_, as, _), i) =>
+          val assigned = as
+            .map(a => GraftDml.assignedField(a, plainName) -> remap(a.value))
+            .toMap
+          applying(frame, actions, i).select(
+            GraftDml.projectRow(tableSchema, assigned, n => col(TP + n)): _*)
+        }
+
+      def deleteKeys(frame: DataFrame, actions: Seq[MergeAction]): Seq[DataFrame] =
+        actions.zipWithIndex.collect { case (DeleteAction(_), i) =>
+          applying(frame, actions, i).select(tKeys: _*)
+        }
+
+      // rekeying updates: originals of rows whose key columns change
+      def rekeyedOriginals(frame: DataFrame, actions: Seq[MergeAction]): Seq[DataFrame] =
+        actions.zipWithIndex.collect {
+          case (UpdateAction(_, as, _), i)
+              if as.exists(a =>
+                keyCols.contains(GraftDml.assignedField(a, plainName))) =>
+            applying(frame, actions, i).select(tKeys: _*)
+        }
+
+      val matchedFrame = joined.filter(isMatched)
+      val insertFrame = joined.filter(
+        col("_graft_s_present").isNotNull && col("_graft_t_present").isNull)
+      val bySourceFrame = joined.filter(
+        col("_graft_t_present").isNotNull && col("_graft_s_present").isNull)
+
+      val insertRows = notMatchedActions.zipWithIndex.collect {
+        case (InsertAction(_, as), i) =>
+          val assigned = as
+            .map(a => GraftDml.assignedField(a, plainName) -> remap(a.value))
+            .toMap
+          applying(insertFrame, notMatchedActions, i).select(
+            GraftDml.projectRow(tableSchema, assigned,
+              n => lit(null).cast(tableSchema(n).dataType)): _*)
+      }
+
+      val upserts =
+        updateRows(matchedFrame, matchedActions) ++
+          updateRows(bySourceFrame, notMatchedBySourceActions) ++
+          insertRows
+      val deletes =
+        deleteKeys(matchedFrame, matchedActions) ++
+          deleteKeys(bySourceFrame, notMatchedBySourceActions) ++
+          rekeyedOriginals(matchedFrame, matchedActions) ++
+          rekeyedOriginals(bySourceFrame, notMatchedBySourceActions)
+
+      deletes.reduceOption(_ unionByName _).foreach { d =>
+        if (!d.isEmpty) { store.deleteRowsByKeys(table, d); () }
+      }
+      upserts.reduceOption(_ unionByName _).foreach { u =>
+        if (!u.isEmpty) { store.registerUpsert(table, u); () }
+      }
+    } finally { joined.unpersist(); () }
+    Seq.empty
+  }
+}

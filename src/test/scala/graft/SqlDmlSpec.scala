@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{FeatureStore, FeatureValidationError}
+
+/** SQL UPDATE / MERGE INTO on graft catalog tables (the
+  * [[graft.plans.GraftDmlRule]] session-extension route; the shared
+  * test session installs `spark.sql.extensions=graft.GraftExtensions`).
+  */
+class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_dml_$tag").toString
+
+  private def cat(root: String): String = {
+    val name = "gd_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    spark.conf.set(
+      s"spark.sql.catalog.$name", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    name
+  }
+
+  test("UPDATE SET with WHERE rewrites only matched rows, as a new version") {
+    val root = freshRoot("upd")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    spark.sql(
+      s"UPDATE $c.feat SET feature_a = feature_a + 100.0 WHERE entity_id = 'user_1'")
+    store.refresh()
+    val now = store.getVersion("feat", store.getTableInfo("feat").version)
+    assert(now.count() == 5)
+    assert(now.filter(col("entity_id") === "user_1")
+      .agg(sum("feature_a")).head().getDouble(0) == 306.0)
+    assert(now.filter(col("entity_id") === "user_2")
+      .agg(sum("feature_a")).head().getDouble(0) == 30.0)
+    // versioned: the pre-update snapshot survives
+    assert(store.getVersion("feat", 1)
+      .agg(sum("feature_a")).head().getDouble(0) == 36.0)
+  }
+
+  test("UPDATE with no WHERE touches every row; empty match is a no-op") {
+    val root = freshRoot("updall")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    spark.sql(s"UPDATE $c.feat SET feature_b = feature_b * 2")
+    store.refresh()
+    assert(store.getVersion("feat", store.getTableInfo("feat").version)
+      .agg(sum("feature_b")).head().getLong(0) == 2 * 3600L)
+    val vBefore = store.getTableInfo("feat").version
+    spark.sql(s"UPDATE $c.feat SET feature_b = 0 WHERE entity_id = 'nobody'")
+    store.refresh()
+    assert(store.getTableInfo("feat").version == vBefore)
+  }
+
+  test("UPDATE that rekeys rows deletes the originals") {
+    val root = freshRoot("rekey")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    spark.sql(
+      s"UPDATE $c.feat SET entity_id = 'user_1x' WHERE entity_id = 'user_1'")
+    store.refresh()
+    val now = store.getVersion("feat", store.getTableInfo("feat").version)
+    assert(now.count() == 5)
+    assert(now.filter(col("entity_id") === "user_1").count() == 0)
+    assert(now.filter(col("entity_id") === "user_1x").count() == 3)
+  }
+
+  test("MERGE INTO: matched update + matched delete + not matched insert") {
+    val root = freshRoot("merge")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    val s = spark
+    import s.implicits._
+    Seq(
+      // updates user_1@2024-01-15 (+1000), deletes user_2@2024-01-20,
+      // inserts user_3@2024-02-10
+      ("user_1", ts("2024-01-15"), 1000.0, 0L, "update"),
+      ("user_2", ts("2024-01-20"), 0.0, 0L, "delete"),
+      ("user_3", ts("2024-02-10"), 77.0, 7L, "insert")
+    ).toDF("entity_id", "timestamp", "feature_a", "feature_b", "op")
+      .createOrReplaceTempView("graft_merge_src")
+    spark.sql(
+      s"""MERGE INTO $c.feat t
+         |USING graft_merge_src s
+         |ON t.entity_id = s.entity_id AND t.timestamp = s.timestamp
+         |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET feature_a = t.feature_a + s.feature_a
+         |WHEN NOT MATCHED AND s.op = 'insert' THEN
+         |  INSERT (entity_id, timestamp, feature_a, feature_b)
+         |  VALUES (s.entity_id, s.timestamp, s.feature_a, s.feature_b)"""
+        .stripMargin)
+    store.refresh()
+    val now = store.getVersion("feat", store.getTableInfo("feat").version)
+    assert(now.count() == 5) // 5 - 1 deleted + 1 inserted
+    assert(now.filter(col("entity_id") === "user_1" &&
+      col("timestamp") === lit(ts("2024-01-15")))
+      .head().getAs[Double]("feature_a") == 1002.0)
+    assert(now.filter(col("entity_id") === "user_2").count() == 1)
+    assert(now.filter(col("entity_id") === "user_3")
+      .head().getAs[Long]("feature_b") == 7L)
+  }
+
+  test("MERGE INTO WHEN NOT MATCHED BY SOURCE") {
+    val root = freshRoot("nmbs")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    val s = spark
+    import s.implicits._
+    Seq(("user_1", ts("2024-01-01")), ("user_1", ts("2024-01-15")),
+      ("user_1", ts("2024-02-01")))
+      .toDF("entity_id", "timestamp")
+      .createOrReplaceTempView("graft_nmbs_src")
+    // keep user_1's rows; everything the source does not name is purged
+    spark.sql(
+      s"""MERGE INTO $c.feat t
+         |USING graft_nmbs_src s
+         |ON t.entity_id = s.entity_id AND t.timestamp = s.timestamp
+         |WHEN MATCHED THEN UPDATE SET feature_b = t.feature_b + 1
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    store.refresh()
+    val now = store.getVersion("feat", store.getTableInfo("feat").version)
+    assert(now.count() == 3)
+    assert(now.select("entity_id").distinct().head().getString(0) == "user_1")
+    assert(now.agg(sum("feature_b")).head().getLong(0) == 603L)
+  }
+
+  test("MERGE cardinality guard: several source rows onto one key fail loudly") {
+    val root = freshRoot("card")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    val s = spark
+    import s.implicits._
+    Seq(("user_1", ts("2024-01-15"), 1.0), ("user_1", ts("2024-01-15"), 2.0))
+      .toDF("entity_id", "timestamp", "delta")
+      .createOrReplaceTempView("graft_card_src")
+    val e = intercept[FeatureValidationError] {
+      spark.sql(
+        s"""MERGE INTO $c.feat t USING graft_card_src s
+           |ON t.entity_id = s.entity_id AND t.timestamp = s.timestamp
+           |WHEN MATCHED THEN UPDATE SET feature_a = s.delta""".stripMargin)
+    }
+    assert(e.getMessage.contains("more than"))
+  }
+
+  test("UPDATE / MERGE without the extension still fail cleanly elsewhere: non-graft table untouched") {
+    // the rule must leave non-graft targets alone (they follow Spark's
+    // own unsupported-table error path, not ours)
+    sampleFeatures.createOrReplaceTempView("graft_dml_plain_view")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft_dml_plain_view SET feature_a = 0")
+    }
+    assert(!e.isInstanceOf[FeatureValidationError])
+  }
+}
