@@ -366,6 +366,47 @@ object SparkEntry {
         store.refresh()
     }
 
+  /** STREAMING-INGEST serve roundtrip: the events table is fed through
+    * `readStream` (Spark's parquet file source over the raw testdata)
+    * into the graft streaming SINK (exactly-once append), and the
+    * post-stream PIT read must hash-match the plain batch oracle —
+    * the reference's train/serve-symmetry claim ("same logic, same
+    * code path", README.md:96) with the TRAINING side now literally
+    * fed by a stream.
+    */
+  private val ssStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def streamServeStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(ssStores, s, dir, "graft_store_ss_v1") { (store, feats) =>
+      store.delete("events")
+      val ck = store.rootPath + "_ck"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ck))
+      val raw = read(s, dir, "events")
+      // the file source needs a directory basePath; a glob that matches
+      // exactly the events file keeps the raw testdata as the stream
+      val stream = s.readStream.schema(raw.schema).parquet(s"$dir/events.parque[t]")
+      val tsCol = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+        case _                                   => col("ts")
+      }
+      val q = stream
+        .select(
+          col("user_id").as("entity_id"),
+          tsCol.as("timestamp"),
+          col("event_id"),
+          col("event_type"),
+          col("value"),
+          col("props"))
+        .writeStream.format("graft")
+        .option("root", store.rootPath).option("table", "events")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      store.refresh()
+    }
+
   /** Register (idempotently) a graft SQL catalog over `root` and
     * return its name — the session surface the SQL-DML roundtrips
     * address ([[graft.sources.GraftCatalog]]); one catalog name per
@@ -903,6 +944,14 @@ object SparkEntry {
         .get("events", PitIds, PitAsOf)
         .orderBy("entity_id")),
 
+    // STREAMING-INGEST serve roundtrip: readStream -> graft sink
+    // (exactly-once append) -> the PIT serve read answers the plain
+    // batch oracle — train/serve symmetry under the DuckDB gate
+    "store_stream_serve_roundtrip" -> ((s, dir) =>
+      streamServeStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
+
     // SQL ROW-DELETE roundtrip: version 3's copy-on-write delete
     // landed through DELETE FROM on the graft SQL catalog
     // (SupportsDeleteV2 pushing the predicates into deleteRows) —
@@ -1217,6 +1266,9 @@ object SparkEntry {
     // MERGE/UPSERT: raw table with replaced values patched in (+1000
     // for entities 0-9 before the cutoff) plus the inserted key
     "store_upsert_roundtrip" -> EventsUpsertOracle,
+
+    // streamed-in table, batch-identical PIT serve
+    "store_stream_serve_roundtrip" -> EventsPitOracle,
 
     // the SQL-DML twins: DELETE FROM / UPDATE / MERGE INTO on the
     // graft catalog must be value-identical to the Scala-API
