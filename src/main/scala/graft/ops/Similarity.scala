@@ -114,6 +114,8 @@ object Similarity extends Serializable {
       k: Int,
       idCol: String,
       vecCol: String): DataFrame = {
+    assertBroadcastEnvelope(emb, vecCol,
+      "bruteForceTopK over all queries", "knnLabelNoiseAuto / allPairsTopKIvf")
     val spark = emb.sparkSession
     import spark.implicits._
     val rows = emb
@@ -200,6 +202,8 @@ object Similarity extends Serializable {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    assertBroadcastEnvelope(emb, vecCol,
+      "cosineNearDupPairs", "cosineNearDupPairsAuto")
     val spark = emb.sparkSession
     import spark.implicits._
     val rows = emb
@@ -269,6 +273,24 @@ object Similarity extends Serializable {
   def fitsBroadcastEnvelope(emb: DataFrame, vecCol: String = "embedding"): Boolean = {
     val (n, d) = corpusStats(emb, vecCol)
     fitsBudget(emb, n, d)
+  }
+
+  /** Hard guard at the collect-kernel BOUNDARY: the Auto routers
+    * divert past-envelope corpora before reaching these kernels, but a
+    * caller invoking a kernel directly must fail LOUDLY here — one
+    * bounded classification aggregate — instead of OOMing the driver
+    * silently. The re-measure costs one count/max pass, noise next to
+    * the O(n²) scoring behind it.
+    */
+  private def assertBroadcastEnvelope(
+      emb: DataFrame, vecCol: String, kernel: String, router: String): Unit = {
+    val (n, d) = corpusStats(emb, vecCol)
+    if (!fitsBudget(emb, n, d))
+      throw new graft.store.FeatureValidationError(
+        s"$kernel collects the corpus to the driver, and $n vectors x " +
+          s"dim $d exceeds spark.graft.similarity.broadcastBudgetBytes; " +
+          s"use $router, which routes past-envelope corpora to the " +
+          "bucketed candidate path")
   }
 
   /** The classification aggregate: (row count, max vector width) in one

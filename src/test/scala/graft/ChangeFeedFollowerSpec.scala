@@ -53,6 +53,84 @@ class ChangeFeedFollowerSpec extends AnyFunSuite with SparkTestBase {
     } finally follower.close()
   }
 
+  test("V2 follower crash-recovery: admission control + checkpoint restart converge exactly-once") {
+    // The composed property the two features promise separately:
+    // a cdc follower N=4 commits behind with maxVersionsPerBatch=1 is
+    // KILLED mid-catch-up (crash at a batch boundary — the
+    // (streamId, batchId) watermark covers the mid-commit replay case,
+    // GraftDataSourceSpec "append mode accumulates versions
+    // exactly-once"), restarted from its checkpoint, and must
+    // (a) converge to the source exactly (exceptAll both ways empty),
+    // (b) take exactly 1 snapshot + ceil(N/max)=4 catch-up batches
+    //     across ALL runs, never re-delivering a consumed offset.
+    val srcRoot = java.nio.file.Files
+      .createTempDirectory("graft_cfr_src").toString
+    val repRoot = java.nio.file.Files
+      .createTempDirectory("graft_cfr_rep").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_cfr_ck").toString
+    val src = new FeatureStore(spark, srcRoot)
+    src.register("t", sampleFeatures)
+
+    def start() = spark.readStream.format("graft")
+      .option("root", srcRoot).option("table", "t")
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream.format("graft")
+      .option("root", repRoot).option("table", "t")
+      .option("mode", "cdc")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    // run 1: deliver the v1 snapshot, then the follower goes offline
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // 4 commits land while it is down: appends, a row delete, an append
+    src.registerAppend("t", sampleFeatures.limit(1)
+      .withColumn("entity_id", lit("user_7")))
+    src.registerAppend("t", sampleFeatures
+      .withColumn("entity_id", concat(col("entity_id"), lit("_b"))))
+    src.deleteRows("t", col("entity_id") === "user_2_b")
+    src.registerAppend("t", sampleFeatures.limit(1)
+      .withColumn("entity_id", lit("user_9")))
+    assert(src.getTableInfo("t").version == 5)
+
+    // run 2: KILLED mid-catch-up — stopped as soon as the first
+    // catch-up batch reports progress (wherever the kill lands, the
+    // checkpoint-log assertions below stay exact)
+    val q2 = start()
+    try await(60000)(q2.recentProgress.exists(_.numInputRows > 0))
+    finally q2.stop()
+
+    // run 3: restart from the checkpoint, drain the rest
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+
+    // the checkpoint's logs are the deterministic truth, immune to
+    // where the kill landed (a replayed batch reuses its batch id):
+    // exactly 1 snapshot + ceil(4/max)=4 catch-up batches committed,
+    // and each admitted offset advanced by exactly ONE version
+    val commits = new java.io.File(ck, "commits").listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toInt).sorted
+    assert(commits.toSeq == (0 to 4),
+      s"expected batch ids 0..4 committed once each, got ${commits.toSeq}")
+    val offsets = new java.io.File(ck, "offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      .map(f => scala.io.Source.fromFile(f).getLines().toSeq.last.trim.toInt)
+    assert(offsets.toSeq == (1 to 5),
+      s"admission control must advance one version per batch, got ${offsets.toSeq}")
+
+    val rep = new FeatureStore(spark, repRoot)
+    val want = src.getVersion("t", 5)
+      .select("entity_id", "timestamp", "feature_a", "feature_b")
+    val got = rep.getVersion("t", rep.getTableInfo("t").version)
+      .select("entity_id", "timestamp", "feature_a", "feature_b")
+    assert(want.exceptAll(got).isEmpty && got.exceptAll(want).isEmpty,
+      "replica did not converge to the source")
+  }
+
   test("a follower beyond the retention window fails loudly, not silently") {
     val store = new FeatureStore(spark, maxVersions = 2)
     store.register("t", singleRow(1.0))

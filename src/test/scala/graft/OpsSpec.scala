@@ -388,6 +388,39 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.85)
   }
 
+  test("broadcast envelope is a hard boundary: Auto routes, direct kernels refuse") {
+    val e = embDF(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f),
+      2L -> Seq(1f, 0f, 0f))
+    val key = "spark.graft.similarity.broadcastBudgetBytes"
+    spark.conf.set(key, "1") // every corpus is now past the envelope
+    try {
+      // the Auto router must still answer — via the bucketed path,
+      // never reaching (and never tripping) the collect kernel
+      val routed = Similarity
+        .cosineNearDupPairsAuto(e, threshold = 0.99, targetRecall = Some(0.9))
+        .collect()
+      assert(routed.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 2L)))
+      // routed knn audit: id 1 ('y' among 'x') is the lone noise row —
+      // answered via IVF buckets, the collect kernel never entered
+      val knn = Similarity.knnLabelNoiseAuto(
+        e.withColumn("label",
+          when(col("vec_id") === 1L, "y").otherwise("x")),
+        k = 1, numCentroids = 2, nProbe = 2)
+      assert(knn.collect().map(_.getAs[Long]("vec_id")).contains(1L))
+      // a direct call into a collect kernel fails LOUDLY at the gate
+      val e1 = intercept[graft.store.FeatureValidationError] {
+        Similarity.cosineNearDupPairs(e, threshold = 0.99).collect()
+      }
+      assert(e1.getMessage.contains("broadcastBudgetBytes"))
+      val e2 = intercept[graft.store.FeatureValidationError] {
+        Similarity.bruteForceTopKFor(e, None, k = 2).collect()
+      }
+      assert(e2.getMessage.contains("broadcastBudgetBytes"))
+    } finally spark.conf.unset(key)
+  }
+
   test("pinned ANN recall floors at sf0.01 (every path, one corpus)") {
     // the regression gate for ANN QUALITY: recall@10 of every
     // approximate path vs brute force on the 500-vector sf0.01
