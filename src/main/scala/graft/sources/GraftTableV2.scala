@@ -60,11 +60,21 @@ final class GraftTable(feedSchema: StructType, options: CaseInsensitiveStringMap
 
   override def schema(): StructType = feedSchema
 
-  /** No BATCH_READ / BATCH_WRITE on purpose: Spark then routes every
-    * batch read and all four SaveModes through the stable V1 relation
-    * surface ([[GraftRelation]] — zero-copy plans, ErrorIfExists /
-    * Ignore semantics preserved) and the V2 surface carries exactly
-    * the streaming halves the internal v1 Source/Sink APIs used to.
+  /** No BATCH_READ / BATCH_WRITE on purpose, and the reason is now a
+    * SCHEMA fact, not a routing preference: this table's one schema is
+    * the CHANGE FEED's (table columns + `_change_type` +
+    * `_commit_version`) because `readStream.format("graft")` is the
+    * change-data feed — advertising BATCH_READ here would make
+    * `spark.read.format("graft")` serve feed columns in a batch
+    * snapshot. One `Table` advertises one schema, so the format keeps
+    * its halves split: batch through the stable V1 relation
+    * ([[GraftRelation]] — zero-copy plans, ErrorIfExists / Ignore
+    * semantics preserved), streaming through this V2 table. The FULLY
+    * V2 batch surface is the SQL catalog ([[GraftCatalog]] →
+    * [[GraftCatalogTable]]: BATCH_READ with pushdown/pruning,
+    * SupportsDeleteV2, V1 write bridge), whose scan wraps the SAME
+    * store plan the V1 relation wraps — one read implementation,
+    * equivalence property-tested (GraftCatalogSpec "row-for-row").
     * ACCEPT_ANY_SCHEMA because the sink accepts whatever the query
     * produces (the store validates and, with `mergeSchema`, evolves).
     */
