@@ -117,11 +117,10 @@ object DedupScaleDemo {
       f"(${candidates / planted.toDouble}%.1fx the planted count)")
 
     // ---- stage 4: exact-Jaccard verification + planted recall
-    val verified = time("verify candidates (jaccard)") {
-      Dedup.verifiedNearDupPairs(corpus, threshold, numPerms, rowsPerBand)
-        .persist()
-    }
-    val nVerified = verified.count()
+    val verified = Dedup
+      .verifiedNearDupPairs(corpus, threshold, numPerms, rowsPerBand)
+      .persist()
+    val nVerified = time("verify candidates (jaccard)") { verified.count() }
     val foundPlanted = verified
       .filter(col("id_b") >= nDocs && col("id_a") === (col("id_b") - nDocs) * plantEvery)
       .count()

@@ -664,7 +664,18 @@ object Similarity extends Serializable {
         val v = seed(c)._2
         Array.tabulate(subDim)(i => v(s * subDim + i).toDouble)
       }
-    // per-query ADC lookup tables, driver-built: |Q|·m·ks doubles
+    // per-query ADC lookup tables, driver-built: |Q|·m·ks doubles.
+    // Fine for interactive query batches; a MILLION-query batch would
+    // need the LUT build pushed into a distributed map — guard the
+    // driver explicitly rather than OOM it silently (the same
+    // discipline as assertBroadcastEnvelope)
+    val lutDoubles = queryIds.size.toLong * m * codebookSize * 2
+    if (lutDoubles * 8 > (256L << 20))
+      throw new graft.store.FeatureValidationError(
+        s"pqTopK builds per-query lookup tables on the driver " +
+          s"(${queryIds.size} queries x $m x $codebookSize doubles " +
+          "exceeds 256 MiB); batch the queries, or use allPairsTopKIvf " +
+          "for corpus-wide scoring")
     val qset = queryIds.toSet
     val lutRows = typed.filter(r => qset.contains(r._1)).collect().sortBy(_._1)
       .map { case (qid, qv) =>

@@ -421,6 +421,16 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset(key)
   }
 
+  test("pqTopK guards its driver-built lookup tables") {
+    val e = embDF(0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f))
+    // |Q|·m·ks·2 doubles past 256 MiB must refuse, not OOM the driver
+    val hugeQ = (0L until 17000000L).toSeq
+    val err = intercept[graft.store.FeatureValidationError] {
+      Similarity.pqTopK(e, hugeQ, k = 1, m = 2, codebookSize = 16)
+    }
+    assert(err.getMessage.contains("lookup tables"))
+  }
+
   test("pinned ANN recall floors at sf0.01 (every path, one corpus)") {
     // the regression gate for ANN QUALITY: recall@10 of every
     // approximate path vs brute force on the 500-vector sf0.01
