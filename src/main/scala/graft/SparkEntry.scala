@@ -952,6 +952,35 @@ object SparkEntry {
         .get("events", PitIds, PitAsOf)
         .orderBy("entity_id")),
 
+    // SQL SELECT through the graft catalog: the V2 batch scan (the
+    // store's own plan wrapped into DSv2 partitions, filters pushed
+    // into scanWhere's stats skipping) answers the same oracle as the
+    // Scala-API scan — the catalog read path under the DuckDB gate
+    "store_sql_select" -> ((s, dir) => {
+      val store = appendStore(s, dir)
+      val c = graftCatalogFor(s, store.rootPath)
+      s.sql(
+        s"""SELECT entity_id, `timestamp`, event_id, event_type, value, props
+           |FROM $c.events
+           |WHERE `timestamp` >= TIMESTAMP '2024-01-12 00:00:00'
+           |  AND event_type = 'click'
+           |ORDER BY event_id""".stripMargin)
+    }),
+
+    // SQL TIME TRAVEL through the catalog: VERSION AS OF 1 reads the
+    // pre-cutoff register exactly (chained v2 invisible), against a
+    // raw-SQL oracle filtered to the same span
+    "store_sql_timetravel" -> ((s, dir) => {
+      val store = appendStore(s, dir)
+      val c = graftCatalogFor(s, store.rootPath)
+      s.sql(
+        s"""SELECT event_type, count(*) AS n_rows,
+           |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+           |FROM $c.events VERSION AS OF 1
+           |GROUP BY event_type
+           |ORDER BY event_type""".stripMargin)
+    }),
+
     // SQL ROW-DELETE roundtrip: version 3's copy-on-write delete
     // landed through DELETE FROM on the graft SQL catalog
     // (SupportsDeleteV2 pushing the predicates into deleteRows) —
@@ -1269,6 +1298,22 @@ object SparkEntry {
 
     // streamed-in table, batch-identical PIT serve
     "store_stream_serve_roundtrip" -> EventsPitOracle,
+
+    // catalog SELECT: same truth as the Scala-API stats-skipped scan
+    "store_sql_select" ->
+      """SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-12 00:00:00' AND event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+
+    // catalog VERSION AS OF 1 = the pre-cutoff register
+    "store_sql_timetravel" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // the SQL-DML twins: DELETE FROM / UPDATE / MERGE INTO on the
     // graft catalog must be value-identical to the Scala-API

@@ -75,6 +75,8 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     EliminateSubqueryAliases(plan) match {
       case r: DataSourceV2Relation =>
         r.table match {
+          case t: GraftCatalogTable if t.pinnedVersion.isDefined =>
+            t.readOnly("UPDATE/MERGE INTO")
           case t: GraftCatalogTable => Some((r, t))
           case _ => None
         }

@@ -121,6 +121,34 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftCatalogTable(catalogName, root, ident.name)
   }
 
+  /** SQL `VERSION AS OF <v>` — a read-only table pinned to one stored
+    * version (the catalog twin of the Scala `getVersion` and the
+    * format option `versionAsOf`).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    checkNamespace(ident.namespace)
+    if (!store.tableNames.contains(ident.name))
+      throw new NoSuchTableException(ident)
+    val v = version.trim.toIntOption.getOrElse(
+      throw new FeatureValidationError(
+        s"graft VERSION AS OF takes an integer version, got '$version'"))
+    new GraftCatalogTable(catalogName, root, ident.name, pinnedVersion = Some(v))
+  }
+
+  /** SQL `TIMESTAMP AS OF <t>` (micros since epoch from Spark) — the
+    * newest version committed at or before the instant, exactly
+    * [[FeatureStore.getVersionAsOf]]'s commit-time axis.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    checkNamespace(ident.namespace)
+    val s = store
+    if (!s.tableNames.contains(ident.name))
+      throw new NoSuchTableException(ident)
+    val v = s.resolveVersionAsOf(
+      ident.name, new java.sql.Timestamp(Math.floorDiv(timestampMicros, 1000L)))
+    new GraftCatalogTable(catalogName, root, ident.name, pinnedVersion = Some(v))
+  }
+
   /** CREATE TABLE = register an EMPTY version 1 with the declared
     * schema (the store validates the entity/timestamp contract exactly
     * as it does for data); CTAS then lands its query as an appended
@@ -166,15 +194,33 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * register, and DELETE FROM through [[SupportsDeleteV2]] routed to
   * the copy-on-write [[FeatureStore.deleteRows]].
   */
-final class GraftCatalogTable(catalogName: String, val root: String, val table: String)
+final class GraftCatalogTable(
+    catalogName: String,
+    val root: String,
+    val table: String,
+    // SQL time travel: Some(v) pins reads to that version and makes
+    // the table read-only (mutating "the past" has no versioned
+    // meaning — same contract as the V1 relation's versionAsOf)
+    val pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
 
   private def spark = SparkSession.active
   private[sources] def store = new FeatureStore(spark, root)
 
-  override def name(): String = s"$catalogName.$table"
+  private[graft] def readOnly(op: String): Nothing =
+    throw new FeatureValidationError(
+      s"cannot $op a time-travel view of '$table' " +
+        "(VERSION AS OF / TIMESTAMP AS OF reads are read-only)")
 
-  override def schema(): StructType = store.getTableSchema(table)
+  override def name(): String =
+    s"$catalogName.$table" + pinnedVersion.fold("")(v => s"@v$v")
+
+  override def schema(): StructType = pinnedVersion match {
+    // the AS-OF version's own columns: a later evolution's columns
+    // don't exist there and must not resolve
+    case Some(v) => store.getVersion(table, v).schema
+    case None => store.getTableSchema(table)
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
@@ -185,7 +231,8 @@ final class GraftCatalogTable(catalogName: String, val root: String, val table: 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (pinnedVersion.isDefined) readOnly("write to")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -205,6 +252,7 @@ final class GraftCatalogTable(catalogName: String, val root: String, val table: 
         }
       }
     }
+  }
 
   /** Pushed-predicate DELETE: every predicate Spark hands over must
     * translate (guaranteed by [[canDeleteWhere]] — Spark only calls
@@ -216,6 +264,7 @@ final class GraftCatalogTable(catalogName: String, val root: String, val table: 
       bridge.predicateToV1(p).exists(f => GraftRelation.translate(f).isDefined))
 
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    if (pinnedVersion.isDefined) readOnly("DELETE FROM")
     val cond = predicates.toSeq
       .map(p => GraftRelation.translate(bridge.predicateToV1(p).getOrElse(
         throw new FeatureValidationError(
@@ -229,6 +278,7 @@ final class GraftCatalogTable(catalogName: String, val root: String, val table: 
   }
 
   override def truncateTable(): Boolean = {
+    if (pinnedVersion.isDefined) readOnly("TRUNCATE")
     store.deleteRows(table, lit(true))
     true
   }
@@ -305,9 +355,12 @@ final class GraftBatchScan(
   private[sources] def storeFrame: DataFrame = {
     val s = t.store
     val cond = pushed.flatMap(GraftRelation.translate).reduceOption(_ && _)
-    val base = cond match {
-      case Some(c) => s.scanWhere(t.table, c)
-      case None => s.getVersion(t.table, s.getTableInfo(t.table).version)
+    val base = (t.pinnedVersion, cond) match {
+      // stats-skipping applies to CURRENT-version reads; a pinned
+      // (time-travel) snapshot filters above its own segment read
+      case (Some(v), c) => c.fold(s.getVersion(t.table, v))(s.getVersion(t.table, v).filter)
+      case (None, Some(c)) => s.scanWhere(t.table, c)
+      case (None, None) => s.getVersion(t.table, s.getTableInfo(t.table).version)
     }
     base.select(required.fieldNames.toSeq.map(col): _*)
   }

@@ -116,6 +116,48 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(!store.tableNames.contains("empty_t"))
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF through the catalog") {
+    val root = freshRoot("tt")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    // v2 evolves the schema: adds `extra`, drops nothing
+    store.registerAppend("feat",
+      sampleFeatures.limit(1)
+        .withColumn("entity_id", lit("user_9"))
+        .withColumn("extra", lit(1L)),
+      mergeSchema = true)
+    val c = cat(root)
+
+    assert(spark.sql(s"SELECT * FROM $c.feat").count() == 6)
+    val v1 = spark.sql(s"SELECT * FROM $c.feat VERSION AS OF 1")
+    assert(v1.count() == 5)
+    // the as-of version's OWN schema: no `extra` column at v1
+    assert(!v1.columns.contains("extra"))
+    val ts = new java.sql.Timestamp(afterV1)
+    val asOf = spark.sql(
+      s"SELECT count(*) AS n FROM $c.feat FOR TIMESTAMP AS OF '$ts'")
+    assert(asOf.head().getLong(0) == 5L)
+    // pushdown still applies on the pinned snapshot
+    assert(spark.sql(
+      s"SELECT feature_a FROM $c.feat VERSION AS OF 1 WHERE entity_id = 'user_2'")
+      .collect().map(_.getDouble(0)).sorted.toSeq == Seq(10.0, 20.0))
+    // the past is read-only: Spark's grammar already refuses temporal
+    // DML targets (parse error), and the pinned table itself refuses
+    // writes should any path construct one
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $c.feat VERSION AS OF 1 WHERE feature_a = 1.0")
+    }
+    assert(e.getMessage.toUpperCase.contains("PARSE_SYNTAX_ERROR") ||
+      e.getMessage.contains("read-only"), e.getMessage)
+    val e2 = intercept[graft.store.FeatureValidationError] {
+      new graft.sources.GraftCatalogTable("cat", root, "feat", Some(1))
+        .truncateTable()
+    }
+    assert(e2.getMessage.contains("read-only"))
+  }
+
   test("V2 scan refuses nothing the V1 format read serves: row-for-row equivalence") {
     val root = freshRoot("eqv")
     val store = new FeatureStore(spark, root)
