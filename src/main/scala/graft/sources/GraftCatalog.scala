@@ -49,7 +49,8 @@ import graft.store.{FeatureStore, FeatureValidationError}
   * the SAME plan: the store's own segment reads (see
   * [[GraftBatchScan]]).
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var rootOption: Option[String] = None
@@ -147,6 +148,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val v = s.resolveVersionAsOf(
       ident.name, new java.sql.Timestamp(Math.floorDiv(timestampMicros, 1000L)))
     new GraftCatalogTable(catalogName, root, ident.name, pinnedVersion = Some(v))
+  }
+
+  /** Maintenance procedures (`CALL <cat>.optimize(...)` etc.) — see
+    * [[GraftProcedures]].
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    checkNamespace(ident.namespace)
+    GraftProcedures.load(root, ident.name)
+  }
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] = {
+    checkNamespace(ns)
+    GraftProcedures.names.map(Identifier.of(ns, _)).toArray
   }
 
   /** CREATE TABLE = register an EMPTY version 1 with the declared

@@ -158,6 +158,37 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("read-only"))
   }
 
+  test("CALL procedures: optimize, history, restore, vacuum drive the lifecycle from SQL") {
+    val root = freshRoot("proc")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    // DELETE makes v2; OPTIMIZE makes a content-identical clustered v3
+    spark.sql(s"DELETE FROM $c.feat WHERE entity_id = 'user_2'")
+    val opt = spark.sql(
+      s"CALL $c.optimize(`table` => 'feat', cluster_by => 'timestamp', zorder => true)")
+      .collect()
+    assert(opt.head.getAs[Int]("version") == 3)
+    assert(opt.head.getAs[Long]("row_count") == 3L)
+    // history: one row per retained version, operations recorded
+    val hist = spark.sql(s"CALL $c.history(`table` => 'feat')").collect()
+    assert(hist.map(_.getAs[Int]("version")).toSeq == Seq(1, 2, 3))
+    assert(hist.map(_.getAs[String]("operation")).toSeq ==
+      Seq("register", "delete", "optimize"))
+    assert(hist.count(_.getAs[Boolean]("is_current")) == 1)
+    // restore to v1 (pre-delete) as a NEW version
+    val res = spark.sql(
+      s"CALL $c.restore(`table` => 'feat', version => 1)").collect()
+    assert(res.head.getAs[Int]("new_version") == 4)
+    store.refresh()
+    assert(spark.sql(s"SELECT count(*) FROM $c.feat").head().getLong(0) == 5L)
+    // vacuum with zero grace reclaims the retired pre-optimize layout
+    val reclaimed = spark.sql(s"CALL $c.vacuum(grace_millis => 0)").collect()
+    assert(reclaimed.forall(_.getAs[String]("reclaimed_path").nonEmpty))
+    // the table still answers after reclamation
+    assert(spark.sql(s"SELECT count(*) FROM $c.feat").head().getLong(0) == 5L)
+  }
+
   test("V2 scan refuses nothing the V1 format read serves: row-for-row equivalence") {
     val root = freshRoot("eqv")
     val store = new FeatureStore(spark, root)
