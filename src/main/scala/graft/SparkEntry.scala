@@ -508,6 +508,55 @@ object SparkEntry {
         store.refresh()
     }
 
+  /** SQL RENAME roundtrip: the two-segment chained build lands under
+    * the name `events_src`, then `ALTER TABLE ... RENAME TO events`
+    * moves it — one catalog move plus one physical directory rename
+    * ([[graft.store.FeatureStore.renameTable]]), zero bytes copied.
+    * The PIT read under the NEW name must equal the plain oracle: the
+    * whole version lineage (both manifest segments, the chained v2)
+    * survives the rename value-identically.
+    */
+  private val sqlRenStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def sqlRenameStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(sqlRenStores, s, dir, "graft_store_sqlren_v1", minVersion = 2) {
+      (store, feats) =>
+        store.delete("events")
+        store.delete("events_src")
+        val cutoff = lit(utcTs("2024-01-10 00:00:00"))
+        store.register("events_src", feats.filter(col("timestamp") < cutoff))
+        store.registerAppend("events_src", feats.filter(col("timestamp") >= cutoff))
+        val c = graftCatalogFor(s, store.rootPath)
+        s.sql(s"ALTER TABLE $c.events_src RENAME TO events")
+        store.refresh()
+    }
+
+  /** SQL CHECK-CONSTRAINT roundtrip: version 1 registers the
+    * pre-cutoff events, `ALTER TABLE ... ADD CONSTRAINT` installs a
+    * CHECK the data satisfies (validated in one scan), and the delta
+    * lands through `INSERT INTO` with every write now passing the
+    * store's zero-extra-pass enforcement — the PIT read must equal the
+    * plain oracle: enforcement must never change accepted data.
+    */
+  private val sqlConStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def sqlConstraintStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(sqlConStores, s, dir, "graft_store_sqlcon_v1", minVersion = 2) {
+      (store, feats) =>
+        store.delete("events")
+        val cutoff = lit(utcTs("2024-01-10 00:00:00"))
+        store.register("events", feats.filter(col("timestamp") < cutoff))
+        val c = graftCatalogFor(s, store.rootPath)
+        s.sql(
+          s"ALTER TABLE $c.events ADD CONSTRAINT nonneg_entity CHECK (entity_id >= 0)")
+        feats.filter(col("timestamp") >= cutoff)
+          .createOrReplaceTempView("graft_sql_con_delta")
+        s.sql(s"INSERT INTO $c.events SELECT * FROM graft_sql_con_delta")
+        store.refresh()
+    }
+
   /** STRING-KEYED twin of [[demoStore]]: the same events table with
     * `entity_id` as a STRING (`'u' + user_id`) — every other
     * oracle-facing store roundtrip keys on numbers, so this pins the
@@ -1006,6 +1055,23 @@ object SparkEntry {
         .get("events", PitIds, PitAsOf)
         .orderBy("entity_id")),
 
+    // SQL RENAME roundtrip: the chained build landed as 'events_src',
+    // then ALTER TABLE ... RENAME TO events (one directory move, zero
+    // data copied) — the PIT read under the new name answers the same
+    // plain oracle, certifying the lineage survived intact
+    "store_sql_rename_roundtrip" -> ((s, dir) =>
+      sqlRenameStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
+
+    // SQL CHECK-CONSTRAINT roundtrip: ADD CONSTRAINT validated v1 in
+    // one scan, the INSERT INTO delta passed write-time enforcement —
+    // same plain oracle: enforcement never changes accepted data
+    "store_sql_constraint_roundtrip" -> ((s, dir) =>
+      sqlConstraintStore(s, dir)
+        .get("events", PitIds, PitAsOf)
+        .orderBy("entity_id")),
+
     // STRING-KEYED roundtrip: same PIT read with entity_id a STRING
     // ('u' + user_id) — pins register → catalog type record → entity
     // IN-set compare semantics for strings cross-engine
@@ -1383,6 +1449,12 @@ object SparkEntry {
 
     // v1 register + SQL INSERT INTO = the whole table: plain oracle
     "store_sql_insert" -> EventsPitOracle,
+
+    // renamed lineage reads value-identically: plain oracle
+    "store_sql_rename_roundtrip" -> EventsPitOracle,
+
+    // constraint-enforced writes accept the same data: plain oracle
+    "store_sql_constraint_roundtrip" -> EventsPitOracle,
 
     // string-keyed PIT: same rows, string key and lexicographic order
     "store_string_key_roundtrip" ->

@@ -188,18 +188,65 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftCatalogTable(catalogName, root, ident.name)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported on graft tables; schema evolves " +
-        "through mergeSchema appends/upserts")
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
+
+  /** ALTER TABLE: CHECK constraints only (`ADD CONSTRAINT n CHECK
+    * (cond)` / `DROP CONSTRAINT`), mapped onto the store's own
+    * constraint ledger — adding validates existing data in one scan
+    * and every later write enforces at zero extra passes
+    * ([[FeatureStore.addConstraint]]). Schema changes stay rejected:
+    * graft schemas evolve through mergeSchema appends/upserts.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    checkNamespace(ident.namespace)
+    val s = store
+    changes.foreach {
+      case add: TableChange.AddConstraint =>
+        add.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            s.addConstraint(ident.name, c.name(), c.predicateSql())
+            ()
+          case other =>
+            throw new UnsupportedOperationException(
+              s"graft tables support CHECK constraints only, got ${other.toDDL}")
+        }
+      case drop: TableChange.DropConstraint =>
+        val existed = s.dropConstraint(ident.name, drop.name())
+        if (!existed && !drop.ifExists())
+          throw new FeatureValidationError(
+            s"table '${ident.name}' has no constraint '${drop.name()}'")
+        ()
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE ${other.getClass.getSimpleName} is not supported on " +
+            "graft tables; schema evolves through mergeSchema appends/upserts")
+    }
+    new GraftCatalogTable(catalogName, root, ident.name)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     (ident.namespace.isEmpty || ident.namespace.sameElements(Array("default"))) &&
       store.delete(ident.name)
 
-  override def renameTable(from: Identifier, to: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "RENAME TABLE is not supported on graft tables")
+  /** `ALTER TABLE ... RENAME TO`: catalog move + ONE physical
+    * directory rename — zero data copied at any size; the full version
+    * lineage (time travel, CDF, constraints, txn log) survives under
+    * the new name ([[FeatureStore.renameTable]]).
+    */
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    checkNamespace(from.namespace)
+    checkNamespace(to.namespace)
+    val s = store
+    try s.renameTable(from.name, to.name)
+    catch {
+      case _: graft.store.FeatureTableNotFoundError =>
+        throw new NoSuchTableException(from)
+    }
+  }
 }
 
 /** One stored table as a V2 batch table: BATCH_READ through
@@ -242,6 +289,30 @@ final class GraftCatalogTable(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
+
+  /** The store's CHECK constraints, surfaced as V2 constraints
+    * (DESCRIBE EXTENDED shows them; enforcement is the store's —
+    * every data-adding write validates at zero extra passes).
+    */
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    store.getConstraints(table).toSeq.sortBy(_._1).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql).enforced(true)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
+  /** Table metadata for DESCRIBE EXTENDED / SHOW TBLPROPERTIES. */
+  override def properties(): util.Map[String, String] = {
+    val info = store.getTableInfo(table)
+    val m = new util.HashMap[String, String]()
+    m.put("version", info.version.toString)
+    m.put("row_count", info.rowCount.toString)
+    m.put("registered_at", info.registeredAt.toString)
+    m.put("updated_at", info.updatedAt.toString)
+    pinnedVersion.foreach(v => m.put("pinned_version", v.toString))
+    m
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this)

@@ -392,7 +392,17 @@ final class FeatureStore(
     val onDisk = catalogIO.load(root)
     onDisk.foreach(d =>
       catalog.put(catalog.get(d.name)
-        .fold(d)(o => FeatureStore.mergeMetas(o, d))))
+        .fold(d) { o =>
+          // refresh is the user saying "adopt the disk state": the
+          // merge's union-of-constraints bias (right for concurrent
+          // ARBITRATION, where a drop may race an enforcing writer)
+          // would resurrect another session's DROP CONSTRAINT here, so
+          // the at-least-as-new disk copy's constraint set is adopted
+          // verbatim
+          val merged = FeatureStore.mergeMetas(o, d)
+          if (d.updatedAt >= o.updatedAt) merged.copy(constraints = d.constraints)
+          else merged
+        }))
     // adopt cross-session DROPs too: an in-memory entry whose catalog
     // file is gone AND whose retirement is in the ledger was deleted
     // by another session (ledger evidence keeps a mid-commit save —
@@ -2531,6 +2541,40 @@ final class FeatureStore(
         true
       case None => false
     }
+  }
+
+  /** Rename a table — catalog move plus ONE physical directory rename
+    * ([[VersionStorage.renameTable]]): the full version lineage,
+    * change feed and any colocated txn log move as a metadata
+    * operation, zero bytes copied at any table size. All history
+    * (versions, time travel, CDF, constraints) survives under the new
+    * name. The old name's catalog entry is tombstoned so other
+    * sessions' [[refresh]] adopts the rename; a table registered later
+    * at the old name starts a fresh lineage, exactly as after
+    * [[delete]]. Rename is a whole-table exclusive operation: run it
+    * with no concurrent writers on this table (concurrent writers on
+    * OTHER tables of the root are unaffected).
+    */
+  def renameTable(from: String, to: String): Unit = this.synchronized {
+    if (to.isEmpty || to.startsWith("_") || to.contains("/"))
+      throw new FeatureValidationError(
+        s"invalid table name '$to' (must be non-empty, not start with " +
+          "'_', and contain no '/')")
+    if (storage.arbitrates) { adoptDiskMeta(from); adoptDiskMeta(to) }
+    val meta = catalog.getOrThrow(from)
+    if (catalog.get(to).isDefined)
+      throw new FeatureValidationError(
+        s"cannot rename '$from' to '$to': table '$to' already exists")
+    storage.renameTable(from, to)
+    catalog.remove(from)
+    val renamed = meta.copy(name = to, updatedAt = System.currentTimeMillis())
+    catalog.put(renamed)
+    // same two-phase bookkeeping as delete: ledger evidence + tombstone
+    // let other sessions distinguish the adopted rename from a
+    // mid-commit save of the old name
+    RetireLedger.record(
+      root, Seq(RetiredPath(from, None, System.currentTimeMillis())))
+    catalogIO.save(root, Seq(renamed), removed = Seq(from))
   }
 
   // ---------------------------------------------------------------- private

@@ -121,6 +121,15 @@ trait VersionStorage {
       columnTypes: Map[String, String] = Map.empty): DataFrame
   def deleteVersion(name: String, version: Int): Unit
   def deleteTable(name: String): Unit
+  /** Move a table's entire physical lineage (segments, change data,
+    * any arbitration log living under the table directory) to a new
+    * name — ONE metadata-level directory rename, never a data copy
+    * (O(1) on HDFS/posix; object stores without atomic rename should
+    * bind a storage that overrides this). `to` must not exist.
+    */
+  def renameTable(from: String, to: String): Unit =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} does not support table rename")
   /** Persist a version's RECORDED CHANGE ROWS (user columns + a
     * `_change_type` tag) — the Delta `_change_data` discipline: a
     * mutation that rewrites segments writes its exact change set at
@@ -395,6 +404,25 @@ final class Storage(
   }
 
   def deleteTable(name: String): Unit = delete(tablePath(name))
+
+  /** One atomic directory rename — the whole lineage (every `v=<n>`
+    * segment, `_cdf`, a colocated `_txn` log) moves as a metadata
+    * operation, zero bytes of data copied regardless of table size.
+    */
+  override def renameTable(from: String, to: String): Unit = {
+    val src = new Path(tablePath(from))
+    val dst = new Path(tablePath(to))
+    val f = fs(src)
+    if (!f.exists(src))
+      throw new FeatureValidationError(
+        s"cannot rename '$from': no data directory at $src")
+    if (f.exists(dst))
+      throw new FeatureValidationError(
+        s"cannot rename '$from' to '$to': $dst already exists")
+    if (!f.rename(src, dst))
+      throw new FeatureStorageError(
+        s"filesystem refused to rename $src to $dst")
+  }
 
   /** `v=<n>` version directories physically present for `name` —
     * the storage-side truth [[FeatureStore.vacuum]] reconciles against

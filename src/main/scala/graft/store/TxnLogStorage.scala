@@ -341,6 +341,14 @@ final class TxnLogStorage(
 
   def deleteTable(name: String): Unit = inner.deleteTable(name)
 
+  /** The `_txn` log lives INSIDE the table directory, and commit
+    * markers key versions by position, not by table name — the one
+    * directory rename carries the whole arbitration history to the new
+    * name unchanged.
+    */
+  override def renameTable(from: String, to: String): Unit =
+    inner.renameTable(from, to)
+
   override def writeChangeData(name: String, version: Int, df: DataFrame): Long =
     inner.writeChangeData(name, version, df)
 

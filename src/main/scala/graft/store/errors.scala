@@ -21,3 +21,9 @@ final class FeatureValidationError(message: String) extends FeatureStoreError(me
   * the store and retry on top of the new version.
   */
 final class FeatureConcurrencyError(message: String) extends FeatureStoreError(message)
+
+/** Raised when the underlying storage refuses a physical operation the
+  * catalog state says must succeed (e.g. a filesystem rename returning
+  * false) — surfaced instead of leaving catalog and storage divergent.
+  */
+final class FeatureStorageError(message: String) extends FeatureStoreError(message)

@@ -189,6 +189,74 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $c.feat").head().getLong(0) == 5L)
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT maps to the store's CHECK ledger") {
+    val root = freshRoot("chk")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    spark.sql(
+      s"ALTER TABLE $c.feat ADD CONSTRAINT positive_a CHECK (feature_a > 0)")
+    store.refresh()
+    assert(store.getConstraints("feat").contains("positive_a"))
+    // violating writes are rejected — by Spark's own enforcement of
+    // the advertised V2 constraint (SparkRuntimeException) or, through
+    // surfaces Spark doesn't guard, by the store's write-time check
+    val bad = intercept[Exception] {
+      spark.sql(
+        s"INSERT INTO $c.feat VALUES ('u', TIMESTAMP'2024-05-01 00:00:00', -1.0, 5)")
+    }
+    assert(bad.getMessage.contains("positive_a") ||
+      bad.getMessage.toUpperCase.contains("CHECK"), bad.getMessage)
+    // the store-side guard holds regardless of the SQL layer
+    val badApi = intercept[graft.store.FeatureValidationError] {
+      store.registerAppend("feat", sampleFeatures.limit(1)
+        .withColumn("feature_a", lit(-5.0)))
+    }
+    assert(badApi.getMessage.contains("positive_a"))
+    // adding a constraint existing data violates fails the ALTER
+    val e = intercept[Exception] {
+      spark.sql(
+        s"ALTER TABLE $c.feat ADD CONSTRAINT impossible CHECK (feature_b > 99999)")
+    }
+    assert(e.getMessage.contains("violate"))
+    spark.sql(s"ALTER TABLE $c.feat DROP CONSTRAINT positive_a")
+    store.refresh()
+    assert(!store.getConstraints("feat").contains("positive_a"))
+    spark.sql(
+      s"INSERT INTO $c.feat VALUES ('u', TIMESTAMP'2024-05-01 00:00:00', -1.0, 5)")
+    store.refresh()
+    assert(store.getTableInfo("feat").rowCount == 6)
+  }
+
+  test("ALTER TABLE RENAME TO: one directory move, full history survives") {
+    val root = freshRoot("ren")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    store.registerAppend("feat", sampleFeatures.limit(2)) // v2: history to carry
+    val c = cat(root)
+    spark.sql(s"ALTER TABLE $c.feat RENAME TO feat2")
+    store.refresh()
+    assert(!store.tableNames.contains("feat"))
+    assert(store.tableNames.contains("feat2"))
+    // lineage survives: both versions readable, time travel intact
+    assert(store.getTableInfo("feat2").version == 2)
+    assert(store.getVersion("feat2", 1).count() == 5)
+    assert(store.getVersion("feat2", 2).count() == 7)
+    assert(spark.sql(s"SELECT count(*) FROM $c.feat2").head().getLong(0) == 7L)
+    // the old name is gone from SQL too
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM $c.feat").collect())
+    assert(e.getMessage.contains("feat"))
+    // renaming onto an existing table refuses
+    store.register("other", sampleFeatures)
+    val dup = intercept[Exception](
+      spark.sql(s"ALTER TABLE $c.feat2 RENAME TO other"))
+    assert(dup.getMessage.contains("already exists"))
+    // a fresh table can take the retired name, starting a new lineage
+    store.register("feat", sampleFeatures.limit(1))
+    assert(store.getTableInfo("feat").version == 1)
+    assert(store.getTableInfo("feat").rowCount == 1)
+  }
+
   test("V2 scan refuses nothing the V1 format read serves: row-for-row equivalence") {
     val root = freshRoot("eqv")
     val store = new FeatureStore(spark, root)

@@ -60,6 +60,30 @@ class TxnLogStorageSpec extends AnyFunSuite with SparkTestBase {
       .map(_.getAs[Double]("val")).toSeq == Seq(3.0))
   }
 
+  test("rename carries the txn log; a second session adopts the new name") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_txn_rename_spec").toString
+    val store = newStore(root)
+    store.register("t", singleRow(1.0))
+    store.registerAppend("t", singleRow(2.0))
+    store.renameTable("t", "t2")
+    // the arbitration history moved with the directory: the log still
+    // resolves both versions under the new name
+    val txn = new TxnLogStorage(spark, root)
+    assert(txn.committedVersions("t2") == Seq(1, 2))
+    assert(store.getVersion("t2", 1).count() == 1)
+    assert(store.getVersion("t2", 2).count() == 2)
+    // a session opened fresh on the root sees only the new name...
+    val other = newStore(root)
+    assert(other.tableNames == Seq("t2"))
+    // ...and appends continue the carried lineage at v3
+    other.registerAppend("t2", singleRow(3.0))
+    store.refresh()
+    assert(store.getTableInfo("t2").version == 3)
+    assert(store.getVersion("t2", 3).count() == 3)
+    intercept[FeatureTableNotFoundError](other.getTableInfo("t"))
+  }
+
   test("delete + re-register restarts the lineage over a not-yet-vacuumed log") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_txn_relineage_spec").toString
