@@ -407,6 +407,43 @@ object SparkEntry {
       store.refresh()
     }
 
+  /** CATALOG STREAM-READ roundtrip: the chained events table is
+    * CONSUMED through `spark.readStream.table(...)` on the graft SQL
+    * catalog ([[graft.sources.GraftTableRowsStream]] — the initial
+    * snapshot batch at v1, then v2's append delta as its own
+    * microbatch, rows in the table's own schema) into a parquet sink;
+    * the sink's content must equal plain SQL over the raw events —
+    * the append-streaming read path under the DuckDB gate. Returns
+    * the sink directory, memoized per source dir.
+    */
+  private val streamReadDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def streamReadSink(s: SparkSession, dir: String): String =
+    streamReadDirs.computeIfAbsent(dir, _ => {
+      val feats = eventsFeatures(s, dir)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_read").toString
+      val store = new graft.store.FeatureStore(s, s"$base/root")
+      val cutoff = lit(utcTs("2024-01-10 00:00:00"))
+      store.register("events", feats.filter(col("timestamp") < cutoff))
+      val c = graftCatalogFor(s, store.rootPath)
+      val out = s"$base/out"
+      val ck = s"$base/ck"
+      val q = s.readStream
+        .table(s"$c.events")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
+      try {
+        q.processAllAvailable() // batch 1: the v1 snapshot
+        store.registerAppend("events", feats.filter(col("timestamp") >= cutoff))
+        q.processAllAvailable() // batch 2: v2's append DELTA only
+      } finally q.stop()
+      out
+    })
+
   /** Register (idempotently) a graft SQL catalog over `root` and
     * return its name — the session surface the SQL-DML roundtrips
     * address ([[graft.sources.GraftCatalog]]); one catalog name per
@@ -1001,6 +1038,14 @@ object SparkEntry {
         .get("events", PitIds, PitAsOf)
         .orderBy("entity_id")),
 
+    // CATALOG STREAM-READ roundtrip: the table CONSUMED through
+    // readStream.table (v1 snapshot batch + v2 append-delta batch,
+    // rows in the table's own schema) must re-materialize exactly the
+    // raw events — the appended-rows streaming read under the gate
+    "store_stream_table_read" -> ((s, dir) =>
+      s.read.parquet(streamReadSink(s, dir))
+        .orderBy("event_id")),
+
     // SQL SELECT through the graft catalog: the V2 batch scan (the
     // store's own plan wrapped into DSv2 partitions, filters pushed
     // into scanWhere's stats skipping) answers the same oracle as the
@@ -1364,6 +1409,13 @@ object SparkEntry {
 
     // streamed-in table, batch-identical PIT serve
     "store_stream_serve_roundtrip" -> EventsPitOracle,
+
+    // the catalog stream-read re-materializes the raw events exactly
+    "store_stream_table_read" ->
+      """SELECT user_id AS entity_id, ts AS "timestamp", event_id,
+        |       event_type, value, props
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     // catalog SELECT: same truth as the Scala-API stats-skipped scan
     "store_sql_select" ->

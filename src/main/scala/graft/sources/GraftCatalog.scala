@@ -284,10 +284,20 @@ final class GraftCatalogTable(
     case None => store.getTableSchema(table)
   }
 
+  /** Batch AND streaming, both in the TABLE's own schema: `SELECT`
+    * through [[GraftBatchScan]], `spark.readStream.table(...)` through
+    * [[GraftTableRowsStream]] (appended rows; Delta-shaped
+    * `skipChangeCommits` policy), `writeStream.toTable(...)` through
+    * the same exactly-once sink the format exposes. The CHANGE-FEED
+    * stream (feed columns) stays on `format("graft")` — one table,
+    * one schema.
+    */
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
 
   /** The store's CHECK constraints, surfaced as V2 constraints
@@ -315,7 +325,7 @@ final class GraftCatalogTable(
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(this)
+    new GraftScanBuilder(this, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (pinnedVersion.isDefined) readOnly("write to")
@@ -335,6 +345,30 @@ final class GraftCatalogTable(
                 ()
               }
             }
+
+          /** `writeStream.toTable(...)`: the same exactly-once sink the
+            * format exposes ([[GraftStreamingWrite]] — append / upsert /
+            * cdc via `.option("mode", ...)`). Stream identity: explicit
+            * `streamId` option, else the checkpoint hash, else Spark's
+            * own query id (stable across restarts from one checkpoint).
+            */
+          override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            val opts = info.options()
+            val mode = Option(opts.get("mode")).getOrElse("append")
+            if (!Set("append", "upsert", "cdc").contains(mode))
+              throw new FeatureValidationError(
+                s"streaming write mode must be append|upsert|cdc, got '$mode'")
+            RowCodec.validate(info.schema())
+            val streamId = Option(opts.get("streamId"))
+              .orElse(Option(opts.get("checkpointLocation")).map(b =>
+                "graft-sink-" + java.security.MessageDigest.getInstance("MD5")
+                  .digest(b.getBytes("UTF-8")).map("%02x".format(_)).mkString))
+              .getOrElse("graft-query-" + info.queryId())
+            new GraftStreamingWrite(
+              r, t, mode, streamId,
+              Option(opts.get("mergeSchema")).exists(_.toBoolean),
+              info.schema())
+          }
         }
       }
     }
@@ -376,7 +410,9 @@ final class GraftCatalogTable(
   * same predicates into the parquet scans), pruned columns shrink the
   * read schema.
   */
-final class GraftScanBuilder(t: GraftCatalogTable)
+final class GraftScanBuilder(
+    t: GraftCatalogTable,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -402,7 +438,7 @@ final class GraftScanBuilder(t: GraftCatalogTable)
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftBatchScan(t, pushed.toSeq, required)
+    new GraftBatchScan(t, pushed.toSeq, required, options)
 }
 
 /** The batch scan: WRAPS THE STORE'S OWN CATALYST PLAN. At planning
@@ -425,7 +461,9 @@ final class GraftScanBuilder(t: GraftCatalogTable)
 final class GraftBatchScan(
     t: GraftCatalogTable,
     pushed: Seq[Filter],
-    required: StructType) extends Scan with Batch {
+    required: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -434,6 +472,30 @@ final class GraftBatchScan(
       s"[pushed: ${pushed.mkString(", ")}] [columns: ${required.fieldNames.mkString(", ")}]"
 
   override def toBatch: Batch = this
+
+  /** `spark.readStream.table(...)`: the appended-rows stream
+    * ([[GraftTableRowsStream]]) in the table's own schema — pushed
+    * filters and pruned columns reach each microbatch's staging job.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (t.pinnedVersion.isDefined) t.readOnly("stream")
+    val s = t.store
+    s.getTableInfo(t.table) // canonical not-found error, at stream start
+    val starting = Option(options.get("startingVersion"))
+      .map(GraftDataSource.parseInt("startingVersion", _))
+      .orElse(Option(options.get("startingTimestamp"))
+        .map(ts => s.resolveVersionAsOf(t.table, ts)))
+    val maxPerBatch = Option(options.get("maxVersionsPerBatch"))
+      .map(GraftDataSource.parseInt("maxVersionsPerBatch", _))
+    maxPerBatch.foreach(m => if (m < 1)
+      throw new FeatureValidationError(
+        s"maxVersionsPerBatch must be >= 1, got $m"))
+    val skip = Option(options.get("skipChangeCommits")).exists(_.toBoolean)
+    new GraftTableRowsStream(
+      t.root, t.table, required, pushed.toSeq, starting, maxPerBatch,
+      skip, checkpointLocation)
+  }
 
   /** The store-planned frame this scan executes — also the hook the
     * equivalence property test uses to prove V2 ≡ Scala-API reads.

@@ -176,26 +176,35 @@ object GraftOffset {
   }
 }
 
-/** Change-feed micro-batch stream; see [[GraftTable]] for the design.
+/** Shared mechanics of every graft micro-batch SOURCE: commit-version
+  * offsets, `maxVersionsPerBatch` admission control, and the staged-
+  * blob rendering/cleanup protocol ([[GraftTable]] docs the design).
+  * Concrete streams differ only in WHAT rows batch (s, e] contains —
+  * the change feed ([[GraftMicroBatchStream]]) or the appended table
+  * rows ([[GraftTableRowsStream]]).
   *
   * A fresh store per poll re-reads the catalog, so commits by OTHER
   * processes on the same root are seen without any notification
   * channel. Offset -1 is the "snapshot not yet delivered" sentinel
   * (no `startingVersion`): the first batch (-1, v] is the version-v
-  * content as inserts.
+  * content.
   */
-final class GraftMicroBatchStream(
+abstract class GraftStagedStream(
     root: String,
     table: String,
-    feedSchema: StructType,
+    outSchema: StructType,
     startingVersion: Option[Int],
     maxVersionsPerBatch: Option[Int],
     checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  private def spark = SparkSession.active
-  private def store = new FeatureStore(spark, root)
+  protected def spark = SparkSession.active
+  protected def store = new FeatureStore(spark, root)
   private def stagingBase = new Path(checkpointLocation, "graft_staged")
+
+  /** The rows of batch (s, e], already in `outSchema`'s columns. */
+  protected def batchFrame(
+      st: FeatureStore, s: Int, e: Int): org.apache.spark.sql.DataFrame
 
   override def initialOffset(): Offset =
     GraftOffset(startingVersion.getOrElse(-1))
@@ -245,16 +254,9 @@ final class GraftMicroBatchStream(
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(dir, "_GRAFT_STAGED")
     if (!fs.exists(marker)) {
-      val st = store
-      val batch =
-        if (s < 0)
-          st.getVersion(table, e)
-            .withColumn(FeatureStore.ChangeTypeCol, lit("insert"))
-            .withColumn(FeatureStore.CommitVersionCol, lit(e))
-        else st.getChanges(table, s, e)
-      batch
-        .select(feedSchema.fieldNames.toSeq.map(col): _*)
-        .select(RowCodecExpressions.packed(feedSchema.fieldNames.toSeq)
+      batchFrame(store, s, e)
+        .select(outSchema.fieldNames.toSeq.map(col): _*)
+        .select(RowCodecExpressions.packed(outSchema.fieldNames.toSeq)
           .as(BlobStagingIO.BlobColumn))
         .write.mode("overwrite").parquet(dir.toString)
       fs.create(marker, true).close()
@@ -267,7 +269,7 @@ final class GraftMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftBlobReaderFactory(
-      feedSchema,
+      outSchema,
       new BlobStagingIO.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
 
   /** Offsets at or before `end` are consumed — their staged files are
@@ -288,6 +290,97 @@ final class GraftMicroBatchStream(
   }
 
   override def stop(): Unit = ()
+}
+
+/** The change-data feed stream of `format("graft")`: the first batch
+  * is the current snapshot as inserts (offset -1 sentinel), every
+  * later batch is `getChanges` over newly committed versions —
+  * O(changes) per microbatch via the store's recorded change sets.
+  */
+final class GraftMicroBatchStream(
+    root: String,
+    table: String,
+    feedSchema: StructType,
+    startingVersion: Option[Int],
+    maxVersionsPerBatch: Option[Int],
+    checkpointLocation: String)
+    extends GraftStagedStream(
+      root, table, feedSchema, startingVersion, maxVersionsPerBatch,
+      checkpointLocation) {
+
+  override protected def batchFrame(
+      st: FeatureStore, s: Int, e: Int): org.apache.spark.sql.DataFrame =
+    if (s < 0)
+      st.getVersion(table, e)
+        .withColumn(FeatureStore.ChangeTypeCol, lit("insert"))
+        .withColumn(FeatureStore.CommitVersionCol, lit(e))
+    else st.getChanges(table, s, e)
+}
+
+/** The TABLE-ROWS stream behind `spark.readStream.table(...)` on a
+  * graft catalog table: rows in the table's OWN schema — the initial
+  * snapshot, then each append commit's delta (the O(delta) fast path;
+  * the skipped-commit case never computes a change set). Delta-shaped
+  * change-commit policy: a commit that rewrites existing rows
+  * (delete / upsert / overwrite-register / restore) has no
+  * append-only representation, so the stream FAILS on it unless
+  * `skipChangeCommits=true` (then the commit is skipped whole);
+  * content-preserving compactions are always skipped silently. To
+  * OBSERVE updates/deletes, stream the change feed
+  * (`readStream.format("graft")`) instead.
+  *
+  * Pushed filters and pruned columns reach the staging job: each
+  * microbatch stages only the filtered projection.
+  */
+final class GraftTableRowsStream(
+    root: String,
+    table: String,
+    outSchema: StructType,
+    pushed: Seq[org.apache.spark.sql.sources.Filter],
+    startingVersion: Option[Int],
+    maxVersionsPerBatch: Option[Int],
+    skipChangeCommits: Boolean,
+    checkpointLocation: String)
+    extends GraftStagedStream(
+      root, table, outSchema, startingVersion, maxVersionsPerBatch,
+      checkpointLocation) {
+
+  override protected def batchFrame(
+      st: FeatureStore, s: Int, e: Int): org.apache.spark.sql.DataFrame = {
+    val cond = pushed.flatMap(GraftRelation.translate).reduceOption(_ && _)
+    val base =
+      if (s < 0) st.getVersion(table, e)
+      else {
+        val hist = st.getTableHistory(table)
+          .filter(v => v.version > s && v.version <= e)
+        // the initial register is append-like (table creation); a
+        // LATER register is a full overwrite — a change commit
+        def appendLike(v: graft.store.VersionInfo): Boolean =
+          v.operation.contains("append") ||
+            (v.operation.contains("register") && v.version == 1)
+        def preserving(v: graft.store.VersionInfo): Boolean =
+          v.operation.contains("compact")
+        val changeCommits = hist.filterNot(v => appendLike(v) || preserving(v))
+        if (changeCommits.nonEmpty && !skipChangeCommits)
+          throw new FeatureValidationError(
+            s"streaming read of table '$table' reached non-append " +
+              s"commit(s) ${changeCommits.map(v =>
+                s"v${v.version} (${v.operation.getOrElse("unknown op")})")
+                .mkString(", ")}: a table stream emits appended rows " +
+              "only. Set option skipChangeCommits=true to skip such " +
+              "commits, or stream the change feed " +
+              "(readStream.format(\"graft\")) to observe updates/deletes")
+        val admitted = hist.filter(appendLike).map(_.version)
+        admitted
+          .map(v => st.getChanges(table, v - 1, v)
+            .filter(col(FeatureStore.ChangeTypeCol) === "insert")
+            .drop(FeatureStore.ChangeTypeCol, FeatureStore.CommitVersionCol))
+          .reduceOption(_ unionByName _)
+          .getOrElse(st.getVersion(table, e).limit(0))
+      }
+    cond.fold(base)(base.filter)
+      .select(outSchema.fieldNames.toSeq.map(col): _*)
+  }
 }
 
 /** One staged blob file = one input partition. */

@@ -257,6 +257,29 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(store.getTableInfo("feat").rowCount == 1)
   }
 
+  test("DESCRIBE / SHOW TBLPROPERTIES / writeTo surface the store's metadata") {
+    val root = freshRoot("meta")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    val desc = spark.sql(s"DESCRIBE EXTENDED $c.feat")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("entity_id") && desc.contains("feature_a"), desc)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $c.feat")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("version") == "1", props)
+    assert(props("row_count") == "5", props)
+    // the V2 DataFrame writer addresses the catalog table by name
+    sampleFeatures.limit(2).writeTo(s"$c.feat").append()
+    store.refresh()
+    assert(store.getTableInfo("feat").version == 2)
+    assert(store.getTableInfo("feat").rowCount == 7)
+    // ...and overwrite/replace registers a snapshot
+    sampleFeatures.limit(1).writeTo(s"$c.feat").createOrReplace()
+    store.refresh()
+    assert(store.getTableInfo("feat").rowCount == 1)
+  }
+
   test("V2 scan refuses nothing the V1 format read serves: row-for-row equivalence") {
     val root = freshRoot("eqv")
     val store = new FeatureStore(spark, root)
