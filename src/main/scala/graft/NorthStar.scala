@@ -1007,6 +1007,16 @@ object NorthStar {
     "text_rarity" -> ((s, dir) =>
       TextAnalysis.tokenRarity(docs(s, dir)).orderBy("doc_id")),
 
+    // CCNet-style LM perplexity gate: add-one bigram model trained on
+    // the trusted source (src0), every doc scored by mean bigram
+    // log-prob — quantized to micro-nat BIGINTs so the sum is
+    // order-independent and engine-exact
+    "text_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.lmScore(d, d.filter(col("source") === "src0"))
+        .orderBy("doc_id")
+    }),
+
     // exact-substring duplicate spans: 8-token windows every 4 tokens,
     // hashed and counted; spans in >= 2 distinct docs are the cut/mask
     // list (the whole-document dedup family's span-granular sibling)
@@ -3049,6 +3059,49 @@ object NorthStar {
         |       CAST(sum(f) AS BIGINT) AS freq_sum,
         |       CAST(CAST(sum(f) AS BIGINT) AS DOUBLE) / count(*) AS mean_token_freq
         |FROM toks JOIN freq USING (tok)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // bigram LM trained on src0 with add-one smoothing; per-bigram
+    // log-probs quantized to micro-nats (round-half-away in both
+    // engines) so the per-doc sum is an exact integer sum
+    "text_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+        |),
+        |refg AS (
+        |  SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i + 1 AS INT)] AS w2
+        |  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |        FROM tok WHERE source = 'src0' AND len(ts) >= 2)
+        |),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM refg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (
+        |  SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t
+        |        FROM documents WHERE source = 'src0')
+        |),
+        |docg AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i + 1 AS INT)] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |        FROM tok WHERE len(ts) >= 2)
+        |),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |         CAST(round(ln(CAST(coalesce(b.c12, 0) + 1 AS DOUBLE)
+        |                       / CAST(coalesce(p.c1, 0) + v.v AS DOUBLE)) * 1000000, 0)
+        |              AS BIGINT) AS logp_micro
+        |  FROM docg d
+        |  LEFT JOIN c12 b USING (w1, w2)
+        |  LEFT JOIN c1 p USING (w1)
+        |  CROSS JOIN v
+        |)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(logp_micro) AS BIGINT) AS sum_logp_micro,
+        |       CAST(CAST(sum(logp_micro) AS BIGINT) AS DOUBLE) / count(*)
+        |         AS avg_logp_micro
+        |FROM scored
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 

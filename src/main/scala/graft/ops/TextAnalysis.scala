@@ -298,6 +298,79 @@ object TextAnalysis {
         col("freq_sum").cast("double") / col("n_tokens"))
   }
 
+  /** CCNet-style bigram language-model quality score: train add-one-
+    * smoothed bigram probabilities on a REFERENCE corpus (the trusted
+    * subset — CCNet trains its KenLM on Wikipedia), then score every
+    * document by its mean bigram log-probability under that model. Low
+    * scores mark text the reference LM finds surprising (gibberish,
+    * wrong register, machine junk) — the standard perplexity quality
+    * gate of LLM data pipelines.
+    *
+    * Engine portability (the reason [[tokenRarity]] existed as the
+    * stand-in): raw log-prob SUMS are order-dependent doubles. Here
+    * each bigram's log-prob is quantized to fixed-point micro-nats —
+    * `round(ln((c12+1)/(c1+V)) * 1e6)` as BIGINT, where c12 (ref
+    * bigram count), c1 (ref prefix count) and V (ref vocabulary) are
+    * exact integers, so the quotient double is IEEE-identical in every
+    * engine — and a document's score becomes an order-independent
+    * INTEGER sum of those, divided exactly once at the end. The only
+    * cross-engine freedom left is a 1-ulp `ln` difference landing on a
+    * .5 micro-nat boundary (~1e-9 odds per distinct model entry).
+    * Unseen bigrams back off inside the same formula (c12=0; unseen
+    * prefix makes it 1/V).
+    *
+    * Scale shape: the model is vocabulary²-bounded, not corpus-bounded
+    * — two partial-aggregated shuffles over the REFERENCE build the
+    * bigram and prefix counts, which broadcast back onto the scored
+    * corpus's array-side bigram stream (slice + arrays_zip per row, no
+    * self-join, no shuffle of the corpus itself); one doc-keyed
+    * partial aggregate produces the score. For open vocabularies past
+    * broadcast size, drop the hints and the probe becomes a
+    * gram-keyed shuffle join. Documents shorter than two tokens emit
+    * no row (route those through [[qualityScore]]).
+    */
+  def lmScore(
+      scored: DataFrame,
+      ref: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def bigrams(df: DataFrame) = {
+      val toks = tokens(col(textCol))
+      val n = size(toks)
+      df.select(
+          df.columns.map(col).toSeq :+ explode(arrays_zip(
+            slice(toks, lit(1), n - 1).as("w1"),
+            slice(toks, lit(2), n - 1).as("w2"))).as("_g"): _*)
+        .withColumn("w1", col("_g.w1"))
+        .withColumn("w2", col("_g.w2"))
+        .drop("_g")
+    }
+    val refGrams = bigrams(ref.select(col(textCol)))
+    val bigramCounts = refGrams.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
+    val prefixCounts = bigramCounts.groupBy("w1").agg(sum("_c12").as("_c1"))
+    val vocab = ref
+      .select(explode(tokens(col(textCol))).as("_t"))
+      .agg(countDistinct(col("_t")).as("_v"))
+    bigrams(scored.select(col(idCol), col(textCol)))
+      .join(broadcast(bigramCounts), Seq("w1", "w2"), "left")
+      .join(broadcast(prefixCounts), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn(
+        "_logp_micro",
+        round(
+          log(
+            (coalesce(col("_c12"), lit(0L)) + 1L).cast("double") /
+              (coalesce(col("_c1"), lit(0L)) + col("_v")).cast("double")) * 1e6,
+          0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("_logp_micro")).as("sum_logp_micro"))
+      .withColumn(
+        "avg_logp_micro",
+        col("sum_logp_micro").cast("double") / col("n_bigrams"))
+  }
+
   /** Sliding token-window chunker — the standard context-length split
     * for training corpora: each document with at least `chunk` tokens
     * yields windows of `chunk` tokens starting every `stride` tokens

@@ -53,6 +53,24 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Double]("top_bigram_frac") == 0.5)
   }
 
+  test("lmScore: add-one bigram model, micro-nat quantization, unseen backoff") {
+    val ref = docsDF(10L -> "a b a b")
+    val out = TextAnalysis
+      .lmScore(docsDF(1L -> "a b", 2L -> "z z", 3L -> "a"), ref)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 2) // single-token doc 3 emits nothing
+    // model: c12(a,b)=2, c1(a)=2, V=2 → P(b|a) = (2+1)/(2+2)
+    assert(out(1L).getAs[Long]("n_bigrams") == 1L)
+    assert(out(1L).getAs[Long]("sum_logp_micro") ==
+      math.round(math.log(3.0 / 4.0) * 1e6))
+    // unseen bigram AND unseen prefix back off to 1/V
+    assert(out(2L).getAs[Long]("sum_logp_micro") ==
+      math.round(math.log(1.0 / 2.0) * 1e6))
+    // in-model text reads as less surprising than gibberish
+    assert(out(1L).getAs[Double]("avg_logp_micro") >
+      out(2L).getAs[Double]("avg_logp_micro"))
+  }
+
   test("regexRedact counts and replaces all matches") {
     val out = TextAnalysis
       .regexRedact(docsDF(1L -> "the customer sent an order to the table"),
