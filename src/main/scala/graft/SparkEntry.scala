@@ -975,6 +975,16 @@ object SparkEntry {
         .get("events", PitIds, PitAsOf)
         .orderBy("entity_id")),
 
+    // INCREMENTAL VIEW MAINTENANCE: a per-type rollup seeded from the
+    // v1 snapshot and maintained purely from the recorded change sets
+    // of v2 (append) and v3 (row delete) — O(changes) folds, never a
+    // rescan — must equal the from-scratch rollup of the final content
+    "store_ivm_rollup" -> ((s, dir) =>
+      graft.store.IncrementalRollup.maintained(
+          deleteStore(s, dir), "events", Seq("event_type"),
+          round(col("value") * 100).cast("long"))
+        .orderBy("event_type")),
+
     // CHANGE DATA FEED, append fast path: the v1→v2 step of the
     // chained build reads ONLY the delta segment and emits it as
     // inserts — no diff, no full scan
@@ -1397,6 +1407,17 @@ object SparkEntry {
     // copy-on-write DELETE: PIT over the raw table minus the deleted
     // predicate (engine deleted early clicks in version 3)
     "store_delete_roundtrip" -> EventsDeletedPitOracle,
+
+    // the maintained rollup must equal the from-scratch rollup of the
+    // mutated table's final content (cents-exact additive state)
+    "store_ivm_rollup" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+        |FROM events
+        |WHERE NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // the change-feed REPLICA of the same mutation series must answer
     // the identical oracle — the source→feed→cdc-apply pipeline is

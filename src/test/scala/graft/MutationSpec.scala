@@ -526,4 +526,37 @@ class MutationSpec extends AnyFunSuite with SparkTestBase {
     assert(infoB.version == 4)
     assert(a.getVersion("t", 4).count() == 3) // A adopts B's version on miss
   }
+  // --------------------------------------------------- incremental rollup
+
+  test("IncrementalRollup maintained == from-scratch across delete/upsert/append") {
+    val store = freshStore()
+    store.register("t", sampleFeatures)
+    // v2: delete BOTH user_2 rows — that entire group must vanish
+    store.deleteRows("t", col("entity_id") === "user_2")
+    // v3: upsert replaces one user_1 row (+5 on feature_b) and inserts
+    // a brand-new entity
+    val s = spark
+    import s.implicits._
+    store.registerUpsert("t", Seq(
+      ("user_1", ts("2024-01-15"), 2.0, 205L),
+      ("user_3", ts("2024-03-01"), 7.0, 700L)
+    ).toDF("entity_id", "timestamp", "feature_a", "feature_b"))
+    // v4: plain append into an existing group
+    store.registerAppend("t", Seq(
+      ("user_3", ts("2024-03-02"), 8.0, 800L)
+    ).toDF("entity_id", "timestamp", "feature_a", "feature_b"))
+
+    val maintained = graft.store.IncrementalRollup
+      .maintained(store, "t", Seq("entity_id"), col("feature_b"))
+    val scratch = graft.store.IncrementalRollup
+      .initialState(store.getVersion("t", 4), Seq("entity_id"), col("feature_b"))
+    assert(maintained.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(maintained).isEmpty)
+    val m = maintained.collect()
+      .map(r => r.getAs[String]("entity_id") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_value"))).toMap
+    assert(!m.contains("user_2")) // zero-count group dropped, not kept at 0
+    assert(m("user_1") == (3L, 100L + 205L + 300L)) // upsert netted +5
+    assert(m("user_3") == (2L, 1500L))
+  }
 }
