@@ -444,6 +444,41 @@ object SparkEntry {
       out
     })
 
+  /** STREAMING-IVM roundtrip state: the delete-series mutation
+    * sequence applied LIVE under a running
+    * [[graft.streaming.StreamingRollup]] follower
+    * (maxVersionsPerBatch=1, so the snapshot and each commit fold as
+    * separate micro-batches); the maintained state dir is memoized per
+    * source dir and must answer the same from-scratch rollup oracle as
+    * the batch fold (`store_ivm_rollup`).
+    */
+  private val ivmStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivmStreamState(s: SparkSession, dir: String): String =
+    ivmStreamDirs.computeIfAbsent(dir, _ => {
+      val feats = eventsFeatures(s, dir)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_ivm_stream").toString
+      val store = new graft.store.FeatureStore(s, s"$base/root")
+      val cutoff = lit(utcTs("2024-01-10 00:00:00"))
+      store.register("events", feats.filter(col("timestamp") < cutoff))
+      val q = graft.streaming.StreamingRollup.start(
+        s, store.rootPath, "events", Seq("event_type"),
+        round(col("value") * 100).cast("long"),
+        s"$base/state", s"$base/ck", maxVersionsPerBatch = Some(1))
+      try {
+        q.processAllAvailable() // the v1 snapshot fold
+        store.registerAppend("events",
+          feats.filter(col("timestamp") >= cutoff))
+        store.deleteRows("events",
+          col("event_type") === "click" &&
+            col("timestamp") < lit(utcTs("2024-01-05 00:00:00")))
+        q.processAllAvailable() // v2 and v3 fold as separate batches
+      } finally q.stop()
+      s"$base/state"
+    })
+
   /** Register (idempotently) a graft SQL catalog over `root` and
     * return its name — the session surface the SQL-DML roundtrips
     * address ([[graft.sources.GraftCatalog]]); one catalog name per
@@ -985,6 +1020,15 @@ object SparkEntry {
           round(col("value") * 100).cast("long"))
         .orderBy("event_type")),
 
+    // STREAMING IVM: the same rollup maintained as a LIVE follower —
+    // snapshot batch, then each mutating commit folded as its own
+    // micro-batch (exactly once, state versioned by batch id) — must
+    // answer the identical from-scratch oracle
+    "store_ivm_stream" -> ((s, dir) =>
+      graft.streaming.StreamingRollup
+        .currentState(s, ivmStreamState(s, dir)).get
+        .orderBy("event_type")),
+
     // CHANGE DATA FEED, append fast path: the v1→v2 step of the
     // chained build reads ONLY the delta segment and emits it as
     // inserts — no diff, no full scan
@@ -1318,6 +1362,19 @@ object SparkEntry {
     * shared by the direct row-delete roundtrip and its change-feed
     * replica (one mutation series, two physical histories, one truth).
     */
+  /** From-scratch rollup of the delete-series store's final content —
+    * the IVM contract both the batch fold (`store_ivm_rollup`) and the
+    * streaming follower (`store_ivm_stream`) must answer.
+    */
+  private lazy val EventsIvmRollupOracle: String =
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+      |FROM events
+      |WHERE NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00')
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   private lazy val EventsDeletedPitOracle: String =
     s"""SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type, value, props
        |FROM events
@@ -1409,15 +1466,10 @@ object SparkEntry {
     "store_delete_roundtrip" -> EventsDeletedPitOracle,
 
     // the maintained rollup must equal the from-scratch rollup of the
-    // mutated table's final content (cents-exact additive state)
-    "store_ivm_rollup" ->
-      """SELECT event_type,
-        |       CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
-        |FROM events
-        |WHERE NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00')
-        |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
+    // mutated table's final content (cents-exact additive state) —
+    // shared by the batch fold and the streaming follower
+    "store_ivm_rollup" -> EventsIvmRollupOracle,
+    "store_ivm_stream" -> EventsIvmRollupOracle,
 
     // the change-feed REPLICA of the same mutation series must answer
     // the identical oracle — the source→feed→cdc-apply pipeline is

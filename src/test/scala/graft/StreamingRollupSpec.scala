@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{FeatureStore, IncrementalRollup}
+import graft.streaming.StreamingRollup
+
+/** The streaming materialized view: a rollup maintained over the
+  * change feed converges to the from-scratch rollup across restarts
+  * and mutating commits, folding each commit exactly once.
+  */
+class StreamingRollupSpec extends AnyFunSuite with SparkTestBase {
+
+  test("streaming rollup converges across restart, mutations fold exactly once") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sroll").toString
+    val root = s"$base/root"
+    val stateDir = s"$base/state"
+    val ck = s"$base/ck"
+    val store = new FeatureStore(spark, root)
+    store.register("t", sampleFeatures)
+
+    def run(): Unit = {
+      val q = StreamingRollup.start(
+        spark, root, "t", Seq("entity_id"), col("feature_b"),
+        stateDir, ck, maxVersionsPerBatch = Some(1))
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    run() // snapshot batch only
+    val s1 = StreamingRollup.currentState(spark, stateDir).get.collect()
+      .map(r => r.getAs[String]("entity_id") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_value"))).toMap
+    assert(s1 == Map("user_1" -> ((3L, 600L)), "user_2" -> ((2L, 3000L))))
+
+    // mutate while the follower is DOWN: delete a whole group, upsert
+    // (+5 on one row, one new entity), append — then restart from the
+    // same checkpoint; with maxVersionsPerBatch=1 each commit folds as
+    // its own batch
+    store.deleteRows("t", col("entity_id") === "user_2")
+    val s = spark
+    import s.implicits._
+    store.registerUpsert("t", Seq(
+      ("user_1", ts("2024-01-15"), 2.0, 205L),
+      ("user_3", ts("2024-03-01"), 7.0, 700L)
+    ).toDF("entity_id", "timestamp", "feature_a", "feature_b"))
+    store.registerAppend("t", Seq(
+      ("user_3", ts("2024-03-02"), 8.0, 800L)
+    ).toDF("entity_id", "timestamp", "feature_a", "feature_b"))
+    run()
+
+    val fin = StreamingRollup.currentState(spark, stateDir).get
+    val scratch = IncrementalRollup.initialState(
+      store.getVersion("t", store.getTableInfo("t").version),
+      Seq("entity_id"), col("feature_b"))
+    assert(fin.exceptAll(scratch).isEmpty && scratch.exceptAll(fin).isEmpty)
+    val m = fin.collect().map(r => r.getAs[String]("entity_id") ->
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_value"))).toMap
+    assert(m == Map("user_1" -> ((3L, 605L)), "user_3" -> ((2L, 1500L))))
+
+    // exactly one state version survives the prune
+    val dirs = new java.io.File(stateDir).list().filter(_.startsWith("state_v"))
+    assert(dirs.length == 1, dirs.mkString(","))
+  }
+}
