@@ -393,15 +393,28 @@ final class FeatureStore(
     onDisk.foreach(d =>
       catalog.put(catalog.get(d.name)
         .fold(d) { o =>
-          // refresh is the user saying "adopt the disk state": the
-          // merge's union-of-constraints bias (right for concurrent
-          // ARBITRATION, where a drop may race an enforcing writer)
-          // would resurrect another session's DROP CONSTRAINT here, so
-          // the at-least-as-new disk copy's constraint set is adopted
-          // verbatim
-          val merged = FeatureStore.mergeMetas(o, d)
-          if (d.updatedAt >= o.updatedAt) merged.copy(constraints = d.constraints)
-          else merged
+          // a different registeredAt is a DIFFERENT LINEAGE: the name
+          // was dropped and re-registered (REPLACE TABLE, rename-away
+          // + fresh register) while this handle held the old chain.
+          // The two version chains share nothing — merging them would
+          // fuse unrelated version maps and keep the retired chain's
+          // scalars on a version-number tie — so the newer lineage is
+          // adopted whole. (registeredAt is stable along a chain:
+          // every commit preserves it, and same-lineage merges fold it
+          // at min.)
+          if (d.registeredAt != o.registeredAt) {
+            if (d.registeredAt > o.registeredAt) d else o
+          } else {
+            // refresh is the user saying "adopt the disk state": the
+            // merge's union-of-constraints bias (right for concurrent
+            // ARBITRATION, where a drop may race an enforcing writer)
+            // would resurrect another session's DROP CONSTRAINT here,
+            // so the at-least-as-new disk copy's constraint set is
+            // adopted verbatim
+            val merged = FeatureStore.mergeMetas(o, d)
+            if (d.updatedAt >= o.updatedAt) merged.copy(constraints = d.constraints)
+            else merged
+          }
         }))
     // adopt cross-session DROPs too: an in-memory entry whose catalog
     // file is gone AND whose retirement is in the ledger was deleted

@@ -103,4 +103,26 @@ class CatalogPersistenceSpec extends AnyFunSuite with SparkTestBase {
     assert(reopened.tableNames.sorted == Seq("plain", odd).sorted)
     assert(reopened.getTableInfo(odd).rowCount == 1)
   }
+  test("refresh adopts a re-registered lineage whole, never cross-merging chains") {
+    val root = tmpRoot("graft_cat_lineage")
+    val stale = new FeatureStore(spark, root)
+    stale.register("t", feats(1))
+    stale.registerAppend("t", feats(2)) // stale memory: lineage A at v2, 2 rows
+    // another handle drops the name and registers a FRESH lineage that
+    // also reaches v2 — the REPLACE TABLE shape
+    val other = new FeatureStore(spark, root)
+    other.delete("t")
+    other.register("t", feats(9))
+    other.registerAppend("t", feats(10)) // lineage B at v2, 2 rows... make it distinguishable
+    other.deleteRows("t", org.apache.spark.sql.functions.col("feature_b") === 10L)
+    // lineage B: v3, 1 row; a naive (version, tie->memory) merge keeps A
+    stale.refresh()
+    val info = stale.getTableInfo("t")
+    assert(info.rowCount == 1, info)
+    assert(info.version == 3, info)
+    // the adopted chain must be READABLE end-to-end (no fused version maps)
+    assert(stale.getVersion("t", 3).collect()
+      .map(_.getAs[Long]("feature_b")).toSeq == Seq(9L))
+    assert(stale.getVersion("t", 1).count() == 1) // lineage B's own v1
+  }
 }
