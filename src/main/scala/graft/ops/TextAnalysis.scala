@@ -270,8 +270,8 @@ object TextAnalysis {
   /** Corpus-frequency rarity score: each document's mean corpus
     * frequency over its token occurrences — the vocabulary-free quality
     * proxy (documents of rare tokens score low, boilerplate of common
-    * tokens scores high) that stands in for LM perplexity when log-prob
-    * arithmetic would not be engine-portable. Exact integers plus ONE
+    * tokens scores high); the model-free sibling of [[lmScore]]'s
+    * reference-trained perplexity gate. Exact integers plus ONE
     * final division, so the score is bit-identical everywhere.
     *
     * Scale shape: one partial-aggregated shuffle builds the frequency
