@@ -1115,6 +1115,31 @@ object SparkEntry {
            |ORDER BY event_id""".stripMargin)
     }),
 
+    // METADATA-ONLY AGGREGATES through the catalog: COUNT/MIN/MAX over
+    // the two-segment chained table answered from per-segment stats —
+    // O(#segments) driver work, zero files opened. The lambda ASSERTS
+    // the plan used the metadata scan, so this row also gates that the
+    // pushdown fired (not just that the values match)
+    "store_agg_pushdown" -> ((s, dir) => {
+      val store = appendStore(s, dir)
+      val c = graftCatalogFor(s, store.rootPath)
+      val df = s.sql(
+        s"""SELECT count(*) AS n_rows, count(props) AS n_props,
+           |       min(event_id) AS min_event, max(event_id) AS max_event,
+           |       min(`timestamp`) AS min_ts, max(`timestamp`) AS max_ts,
+           |       min(event_type) AS min_type, max(event_type) AS max_type
+           |FROM $c.events""".stripMargin)
+      val usedMetadataScan = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.exists(_.isInstanceOf[graft.sources.GraftAggScan])
+      if (!usedMetadataScan)
+        throw new IllegalStateException(
+          "store_agg_pushdown expected the metadata-only aggregate scan; " +
+            df.queryExecution.executedPlan.toString)
+      df
+    }),
+
     // SQL TIME TRAVEL through the catalog: VERSION AS OF 1 reads the
     // pre-cutoff register exactly (chained v2 invisible), against a
     // raw-SQL oracle filtered to the same span
@@ -1489,6 +1514,16 @@ object SparkEntry {
         |       event_type, value, props
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // metadata-only aggregates: the oracle computes them the hard way
+    "store_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(props) AS BIGINT) AS n_props,
+        |       CAST(min(event_id) AS BIGINT) AS min_event,
+        |       CAST(max(event_id) AS BIGINT) AS max_event,
+        |       min(ts) AS min_ts, max(ts) AS max_ts,
+        |       min(event_type) AS min_type, max(event_type) AS max_type
+        |FROM events""".stripMargin,
 
     // catalog SELECT: same truth as the Scala-API stats-skipped scan
     "store_sql_select" ->

@@ -9,9 +9,10 @@ import org.apache.spark.TaskContext
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCatalog, TableCapability, TableChange}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.bridge
@@ -415,11 +416,103 @@ final class GraftScanBuilder(
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private val fullSchema = t.schema()
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var aggAnswer: Option[(StructType, Array[Any])] = None
+
+  /** COUNT(*) / COUNT(col) / MIN(col) / MAX(col) answered ENTIRELY
+    * from per-segment metadata ([[FeatureStore.currentSegmentStats]]):
+    * O(#segments) driver work, zero files opened — the Delta/Iceberg
+    * metadata-only aggregate. Only COMPLETE pushdown is offered, and
+    * only when it is provably exact:
+    *   - current version, no pushed filters, no GROUP BY;
+    *   - every current segment recorded its row count;
+    *   - for COUNT(col): every segment has the column's null count;
+    *   - for MIN/MAX(col): every segment is all-null for the column or
+    *     carries the bound — an absent bound with non-null rows means
+    *     the true extreme was unrepresentable (NaN max, over-long
+    *     string) and the whole pushdown is refused, falling back to a
+    *     real scan.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answerFromStats(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggAnswer = answerFromStats(agg)
+    aggAnswer.isDefined
+  }
+
+  private def answerFromStats(
+      agg: Aggregation): Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty ||
+        t.pinnedVersion.isDefined) return None
+    t.store.currentSegmentStats(t.table).flatMap { segs =>
+      def field(e: org.apache.spark.sql.connector.expressions.Expression)
+          : Option[org.apache.spark.sql.types.StructField] = e match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          fullSchema.fields.find(_.name == r.fieldNames.head)
+            .orElse(fullSchema.fields
+              .find(_.name.equalsIgnoreCase(r.fieldNames.head)))
+        case _ => None
+      }
+      // Some(Some(v)) = exact extreme, Some(None) = all rows null,
+      // None = unanswerable from the recorded stats
+      def extreme(
+          f: org.apache.spark.sql.types.StructField,
+          wantMax: Boolean): Option[Option[Any]] = {
+        val perSeg = segs.map { case (rows, stats) =>
+          stats.get(f.name) match {
+            case Some(st) if st.nulls == rows => Some(None)
+            case Some(st) =>
+              (if (wantMax) st.max else st.min)
+                .map(v => Some(GraftAggScan.internal(v, f.dataType)))
+            case None => if (rows == 0L) Some(None) else None
+          }
+        }
+        if (perSeg.exists(_.isEmpty)) None
+        else {
+          val vs = perSeg.flatten.flatten
+          if (vs.isEmpty) Some(None)
+          else Some(Some(vs.reduce { (x, y) =>
+            val c = x.asInstanceOf[Comparable[Any]].compareTo(y)
+            if ((c >= 0) == wantMax) x else y
+          }))
+        }
+      }
+      val answered = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some(StructField("count_star", LongType, nullable = false) ->
+            (segs.map(_._1).sum: Any))
+        case c: Count if !c.isDistinct =>
+          field(c.column).flatMap { f =>
+            val per = segs.map { case (rows, stats) =>
+              if (rows == 0L) Some(0L)
+              else stats.get(f.name).map(st => rows - st.nulls)
+            }
+            if (per.exists(_.isEmpty)) None
+            else Some(
+              StructField(s"count_${f.name}", LongType, nullable = false) ->
+                (per.flatten.sum: Any))
+          }
+        case m: Min =>
+          field(m.column).flatMap(f => extreme(f, wantMax = false).map(v =>
+            StructField(s"min_${f.name}", f.dataType) -> v.orNull))
+        case m: Max =>
+          field(m.column).flatMap(f => extreme(f, wantMax = true).map(v =>
+            StructField(s"max_${f.name}", f.dataType) -> v.orNull))
+        case _ => None
+      }
+      if (answered.exists(_.isEmpty)) None
+      else Some((
+        StructType(answered.flatten.map(_._1)),
+        answered.flatten.map(_._2).toArray))
+    }
+  }
 
   /** Keep the translatable filters (fully applied by the store's read
     * — `scanWhere` FILTERS, not just skips, so nothing needs
@@ -437,8 +530,80 @@ final class GraftScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftBatchScan(t, pushed.toSeq, required, options)
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, row)) => new GraftAggScan(t, schema, row)
+    case None => new GraftBatchScan(t, pushed.toSeq, required, options)
+  }
+}
+
+/** The metadata-only aggregate scan: the answer was computed on the
+  * driver from segment stats at PUSHDOWN time; the "scan" is one
+  * partition yielding one pre-built row. Internal-value conversion of
+  * the stats' canonical strings lives here ([[GraftAggScan.internal]]).
+  */
+final class GraftAggScan(
+    t: GraftCatalogTable,
+    schema: StructType,
+    row: Array[Any]) extends Scan with Batch {
+
+  override def readSchema(): StructType = schema
+
+  override def description(): String =
+    s"graft metadata-only aggregate ${t.name()} " +
+      s"[${schema.fieldNames.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(row))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory
+}
+
+object GraftAggScan {
+  import org.apache.spark.sql.types._
+
+  /** Catalyst-internal value for a stat's canonical rendered string
+    * ([[graft.store.ColumnStats.render]] wrote it): boxed primitives,
+    * UTF8String, epoch-day Int, micros Long, Decimal — each also
+    * Comparable, which the extreme fold relies on.
+    */
+  private[sources] def internal(v: String, dt: DataType): Any = dt match {
+    case ByteType => java.lang.Byte.valueOf(v.toByte)
+    case ShortType => java.lang.Short.valueOf(v.toShort)
+    case IntegerType | DateType => java.lang.Integer.valueOf(v.toInt)
+    case LongType | TimestampType | TimestampNTZType =>
+      java.lang.Long.valueOf(v.toLong)
+    case FloatType => java.lang.Float.valueOf(v.toFloat)
+    case DoubleType => java.lang.Double.valueOf(v.toDouble)
+    case BooleanType => java.lang.Boolean.valueOf(v.toBoolean)
+    case StringType =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    case d: DecimalType =>
+      org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(v).setScale(d.scale), d.precision, d.scale)
+    case other =>
+      throw new IllegalStateException(
+        s"no stats-internal conversion for $other") // unreachable: stats
+      // are only collected for orderable atomic types
+  }
+}
+
+/** The one pre-computed aggregate row, riding the partition. */
+case class GraftAggPartition(values: Array[Any]) extends InputPartition
+
+final class GraftAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val values = p.asInstanceOf[GraftAggPartition].values
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** The batch scan: WRAPS THE STORE'S OWN CATALYST PLAN. At planning

@@ -2522,6 +2522,28 @@ final class FeatureStore(
   def getTableInfo(name: String): FeatureTableInfo =
     resolveMeta(name).info
 
+  /** Per-segment (row count, column stats) of the CURRENT version,
+    * when every current segment recorded its row count — the metadata
+    * the V2 aggregate pushdown answers COUNT / MIN / MAX from in
+    * O(#segments) driver work, zero data reads
+    * ([[graft.sources.GraftScanBuilder]]). None when any segment
+    * predates row-count stats (the caller falls back to a real scan).
+    * Stats may legitimately lack a column entry or a bound (NaN,
+    * over-long string, past the column cap) — the CALLER must refuse
+    * per-aggregate on those, this surface only guarantees the row
+    * counts.
+    */
+  def currentSegmentStats(
+      name: String): Option[Seq[(Long, Map[String, ColStat])]] =
+    this.synchronized {
+      val meta = resolveMeta(name)
+      val segs = meta.segments.getOrElse(meta.version, Seq.empty)
+      val entries = segs.map(sg =>
+        meta.segRows.get(sg).map(r =>
+          (r, meta.segColStats.getOrElse(sg, Map.empty[String, ColStat]))))
+      if (entries.forall(_.isDefined)) Some(entries.flatten) else None
+    }
+
   /** Drop a table and all versions; returns false (never throws) when the
     * table does not exist (reference: store.py:362-375).
     *

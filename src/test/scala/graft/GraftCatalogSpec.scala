@@ -307,4 +307,59 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
       assert(viaSql.collect().toSeq == viaV1.collect().toSeq, s"predicate: $p")
     }
   }
+  test("COUNT/MIN/MAX push into a metadata-only scan; filters fall back") {
+    val root = freshRoot("aggpd")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    store.registerAppend("feat", sampleFeatures.limit(2)) // two segments
+    val c = cat(root)
+    val agg = spark.sql(
+      s"""SELECT count(*) AS n, count(feature_b) AS nb,
+         |       min(feature_b) AS mn, max(feature_b) AS mx,
+         |       min(entity_id) AS me, max(`timestamp`) AS mt
+         |FROM $c.feat""".stripMargin)
+    val scans = agg.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    assert(scans.exists(_.isInstanceOf[graft.sources.GraftAggScan]),
+      agg.queryExecution.executedPlan.toString)
+    assert(!agg.queryExecution.executedPlan.toString.contains("Scan parquet"))
+    val r = agg.head()
+    assert(r.getLong(0) == 7L && r.getLong(1) == 7L)
+    assert(r.getLong(2) == 100L && r.getLong(3) == 2000L)
+    assert(r.getString(4) == "user_1")
+    assert(r.getTimestamp(5) == ts("2024-02-01"))
+
+    // nulls: COUNT(col) excludes them, MIN/MAX ignore them, an
+    // all-null column aggregates to null
+    val s = spark
+    import s.implicits._
+    store.register("nul", Seq(
+      ("u1", ts("2024-01-01"), Some(5L), Option.empty[Long]),
+      ("u2", ts("2024-01-02"), None, Option.empty[Long]),
+      ("u3", ts("2024-01-03"), Some(9L), Option.empty[Long])
+    ).toDF("entity_id", "timestamp", "x", "y"))
+    val nr = spark.sql(
+      s"SELECT count(x), min(x), max(x), min(y), count(y) FROM $c.nul")
+    assert(nr.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.exists(_.isInstanceOf[graft.sources.GraftAggScan]))
+    val nrow = nr.head()
+    assert(nrow.getLong(0) == 2L && nrow.getLong(1) == 5L && nrow.getLong(2) == 9L)
+    assert(nrow.isNullAt(3) && nrow.getLong(4) == 0L)
+
+    // a WHERE clause refuses the pushdown and still answers exactly
+    val filtered = spark.sql(
+      s"SELECT count(*) FROM $c.feat WHERE feature_b >= 1000")
+    assert(!filtered.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.exists(_.isInstanceOf[graft.sources.GraftAggScan]))
+    assert(filtered.head().getLong(0) == 2L)
+
+    // GROUP BY refuses too
+    val grouped = spark.sql(
+      s"SELECT entity_id, count(*) FROM $c.feat GROUP BY entity_id")
+    assert(grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("user_1" -> 5L, "user_2" -> 2L))
+  }
 }
