@@ -628,13 +628,46 @@ final class GraftBatchScan(
     pushed: Seq[Filter],
     required: StructType,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"graft table ${t.name()} " +
       s"[pushed: ${pushed.mkString(", ")}] [columns: ${required.fieldNames.mkString(", ")}]"
+
+  // ------------------------------------------------- runtime filtering
+  //
+  // Dynamic partition pruning for joins: Spark evaluates the build side
+  // of a broadcast join, converts the observed join keys into IN
+  // predicates, and hands them here AT RUNTIME. They fold into the
+  // same `scanWhere` path planning-time filters use — per-segment
+  // column-stats skipping drops whole segments whose key range misses
+  // the probe set before any file opens, and the surviving rows are
+  // FILTERED (not just skipped), which is exact (the join re-checks
+  // nothing it did not already). At 100 TB a selective dim join reads
+  // the matching slice of the fact table, not all of it.
+
+  @volatile private var runtimePushed: Seq[Filter] = Seq.empty
+
+  /** Test hook: how many runtime predicates reached this scan. */
+  private[graft] def runtimeFilterCount: Int = runtimePushed.size
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(predicates: Array[Predicate]): Unit = synchronized {
+    val translated = predicates.toSeq
+      .flatMap(p => bridge.predicateToV1(p))
+      .filter(f => GraftRelation.translate(f).isDefined)
+    if (translated.nonEmpty) {
+      runtimePushed = runtimePushed ++ translated
+      cachedRdd = null // re-plan with the narrowed predicate set
+    }
+  }
 
   override def toBatch: Batch = this
 
@@ -667,7 +700,8 @@ final class GraftBatchScan(
     */
   private[sources] def storeFrame: DataFrame = {
     val s = t.store
-    val cond = pushed.flatMap(GraftRelation.translate).reduceOption(_ && _)
+    val cond = (pushed ++ runtimePushed)
+      .flatMap(GraftRelation.translate).reduceOption(_ && _)
     val base = (t.pinnedVersion, cond) match {
       // stats-skipping applies to CURRENT-version reads; a pinned
       // (time-travel) snapshot filters above its own segment read
@@ -678,29 +712,34 @@ final class GraftBatchScan(
     base.select(required.fieldNames.toSeq.map(col): _*)
   }
 
-  private lazy val rdd: RDD[InternalRow] = {
-    val df = storeFrame
-    val plan = bridge.executedPlan(df)
-    val exchanges = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+  @volatile private var cachedRdd: RDD[InternalRow] = null
+
+  private def rdd: RDD[InternalRow] = synchronized {
+    if (cachedRdd == null) {
+      val df = storeFrame
+      val plan = bridge.executedPlan(df)
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      if (exchanges.nonEmpty)
+        throw new IllegalStateException(
+          s"graft batch scan requires an exchange-free snapshot plan; got: $plan")
+      val r = bridge.toRdd(df)
+      GraftBatchScan.forceDag(r)
+      cachedRdd = r
     }
-    if (exchanges.nonEmpty)
-      throw new IllegalStateException(
-        s"graft batch scan requires an exchange-free snapshot plan; got: $plan")
-    val r = bridge.toRdd(df)
-    GraftBatchScan.forceDag(r)
-    r
+    cachedRdd
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val r = rdd
     r.partitions.map { p =>
-      GraftPlanPartition(p, r.preferredLocations(p).toArray)
+      GraftPlanPartition(r, p, r.preferredLocations(p).toArray)
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftPlanReaderFactory(rdd)
+    new GraftPlanReaderFactory
 }
 
 object GraftBatchScan {
@@ -726,22 +765,25 @@ object GraftBatchScan {
   * scheduler).
   */
 case class GraftPlanPartition(
+    rdd: RDD[InternalRow],
     split: org.apache.spark.Partition,
     locs: Array[String]) extends InputPartition {
   override def preferredLocations(): Array[String] = locs
 }
 
-/** Carries the wrapped RDD to executors (serialized once per stage
-  * with the factory — the standard task-binary mechanism every Spark
-  * job uses for its RDD chain) and evaluates the requested partition
-  * inside the V2 task.
+/** Evaluates the requested partition inside the V2 task. The RDD rides
+  * in the PARTITION, not here: runtime filtering (`filter()`) can
+  * re-plan the wrapped RDD after Spark has already created this
+  * factory (BatchScanExec builds it at planning, e.g. for the columnar
+  * check), so the partition must stay self-consistent with whatever
+  * RDD generation produced it — pairing a pre-filter factory with
+  * post-filter partitions is then still correct.
   */
-final class GraftPlanReaderFactory(rdd: RDD[InternalRow])
-    extends PartitionReaderFactory {
+final class GraftPlanReaderFactory extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val it = rdd.iterator(
-      p.asInstanceOf[GraftPlanPartition].split, TaskContext.get())
+    val gp = p.asInstanceOf[GraftPlanPartition]
+    val it = gp.rdd.iterator(gp.split, TaskContext.get())
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =

@@ -362,4 +362,50 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       == Map("user_1" -> 5L, "user_2" -> 2L))
   }
+  test("runtime V2 filtering: a broadcast join narrows the fact scan at runtime") {
+    val root = freshRoot("dpp")
+    val store = new FeatureStore(spark, root)
+    val s = spark
+    import s.implicits._
+    def slice(p: String) = (1 to 50)
+      .map(i => (s"${p}_$i", ts(f"2024-01-${i % 27 + 1}%02d"), i.toLong))
+      .toDF("entity_id", "timestamp", "feature_b")
+    store.register("fact", slice("a"))
+    store.registerAppend("fact", slice("b")) // entity-disjoint segments
+    val c = cat(root)
+    // parquet-backed dim: a LocalRelation dim gets its selective filter
+    // constant-folded away before PartitionPruning can see it
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("a_3", 1), ("a_7", 1), ("zz", 0)).toDF("id", "flag")
+      .write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("dpp_dim")
+    val q = spark.sql(
+      s"""SELECT f.entity_id, f.feature_b
+         |FROM $c.fact f JOIN dpp_dim d ON f.entity_id = d.id
+         |WHERE d.flag = 1""".stripMargin)
+    assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("a_3", "a_7"))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("RuntimeFilters: [dynamicpruning"),
+      q.queryExecution.executedPlan.toString)
+    // walk through AQE wrappers and query stages to reach the scan
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(allNodes)
+    }
+    val scans = allNodes(q.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[graft.sources.GraftBatchScan] =>
+        b.scan.asInstanceOf[graft.sources.GraftBatchScan]
+    }
+    assert(scans.nonEmpty, q.queryExecution.executedPlan.toString)
+    assert(scans.exists(_.runtimeFilterCount > 0),
+      q.queryExecution.executedPlan.toString)
+  }
 }
