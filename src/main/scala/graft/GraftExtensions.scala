@@ -11,6 +11,9 @@ import graft.plans.AsOfJoinStrategy
   *     ([[graft.functions.FloatVectorDot]]), callable from SQL;
   *   - `graft_md5_long(s, n)` — native md5-prefix hash
   *     ([[graft.functions.Md5PrefixLong]]), callable from SQL;
+  *   - `graft_changes(root, table, from, to)` — the change data feed
+  *     as a table-valued function
+  *     ([[graft.functions.GraftChangesTvf]]);
   *   - [[graft.plans.AsOfJoinStrategy]] — plans the native as-of join
   *     operator ([[graft.plans.AsOfJoinNode]]).
   *
@@ -29,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val (hid, hinfo, hbuilder) = Md5PrefixLong.descriptor
     e.injectFunction((hid, hinfo, hbuilder))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // graft_changes(root, table, from, to): the change feed as a SQL
+    // table-valued function resolving to the store's own plan
+    e.injectTableFunction(graft.functions.GraftChangesTvf.descriptor)
     // SQL UPDATE / MERGE INTO on graft catalog tables
     // ([[graft.plans.GraftDmlRule]]); config-path only — analyzer
     // rules cannot attach to an already-built session

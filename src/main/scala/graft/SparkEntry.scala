@@ -1045,6 +1045,16 @@ object SparkEntry {
         .getChanges("events", 2, 3)
         .orderBy("entity_id", "timestamp", "event_id")),
 
+    // the SQL twin: the change feed through the graft_changes
+    // TABLE-VALUED FUNCTION (session extension) — resolves to the same
+    // store plan, so the same oracle must hash-match
+    "store_changes_tvf" -> ((s, dir) => {
+      val store = deleteStore(s, dir)
+      s.sql(
+        s"""SELECT * FROM graft_changes('${store.rootPath}', 'events', 2, 3)
+           |ORDER BY entity_id, `timestamp`, event_id""".stripMargin)
+    }),
+
     // CHANGE DATA FEED over a MERGE step: delete+insert pairs for
     // replaced rows, a lone insert for the new key
     "store_cdf_upsert" -> ((s, dir) =>
@@ -1581,6 +1591,15 @@ object SparkEntry {
 
     // change feed of the delete step: exactly the deleted rows
     "store_cdf_delete" ->
+      """SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type,
+        |       value, props,
+        |       'delete' AS _change_type, 3 AS _commit_version
+        |FROM events
+        |WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+        |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
+
+    // the TVF twin answers the identical feed
+    "store_changes_tvf" ->
       """SELECT user_id AS entity_id, ts AS "timestamp", event_id, event_type,
         |       value, props,
         |       'delete' AS _change_type, 3 AS _commit_version
