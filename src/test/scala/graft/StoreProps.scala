@@ -266,6 +266,28 @@ object StoreProps extends Properties("FeatureStore") {
             throw new AssertionError(s"pruned version $v still readable after $op")
           } catch { case _: FeatureTableNotFoundError => () }
         }
+        // incremental view maintenance: whenever the WHOLE lineage is
+        // retained, the change-feed-maintained rollup (seed v1, fold
+        // every later commit's change set) must equal the model's
+        // from-scratch rollup of the current content — across random
+        // interleavings of append/delete/upsert/restore/compact
+        if (current >= 1 &&
+            model.keys.toSeq.sorted.dropRight(maxVersions).isEmpty) {
+          import org.apache.spark.sql.functions.col
+          val got = graft.store.IncrementalRollup
+            .maintained(store, "t", Seq("entity_id"),
+              (col("val") * 10).cast("long"))
+            .collect()
+            .map(r => r.getString(0) ->
+              ((r.getAs[Long]("n_rows"), r.getAs[Long]("sum_value"))))
+            .toMap
+          val want = model(current).groupBy(_._1).map { case (e, rs) =>
+            e -> ((rs.size.toLong, rs.toSeq.map(r => math.round(r._3 * 10)).sum))
+          }
+          if (got != want)
+            throw new AssertionError(
+              s"IVM rollup mismatch after op #$i $op: got $got expected $want")
+        }
         if (model.isEmpty) {
           try {
             store.getVersion("t", 1)
