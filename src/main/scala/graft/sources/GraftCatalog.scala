@@ -629,9 +629,37 @@ final class GraftBatchScan(
     required: StructType,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Exact row count from the catalog (the addressed version's own
+    * rowCount) and a byte size from the PRUNED read schema's default
+    * widths — without this a V2 relation defaults to
+    * spark.sql.defaultSizeInBytes = Long.Max and a 5-row graft dim
+    * never auto-broadcasts in a join. Pushed filters keep the
+    * unfiltered estimate (a sound overestimate: Spark's own filter
+    * selectivity applies above).
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val s = t.store
+    val rows = t.pinnedVersion match {
+      case Some(v) => s.getTableHistory(t.table)
+        .find(_.version == v).flatMap(_.rows)
+        .getOrElse(s.getTableInfo(t.table).rowCount)
+      case None => s.getTableInfo(t.table).rowCount
+    }
+    val width = math.max(1, required.fields.map(_.dataType.defaultSize).sum)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(
+          math.max(1L, rows * width.toLong))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def description(): String =
     s"graft table ${t.name()} " +

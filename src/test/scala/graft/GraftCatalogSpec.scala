@@ -408,4 +408,26 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(scans.exists(_.runtimeFilterCount > 0),
       q.queryExecution.executedPlan.toString)
   }
+  test("reported statistics make a small graft dim auto-broadcast") {
+    val root = freshRoot("stats")
+    val store = new FeatureStore(spark, root)
+    store.register("dim", sampleFeatures) // 5 rows
+    val c = cat(root)
+    val s = spark
+    import s.implicits._
+    (1 to 5000).map(i => (s"user_${i % 3 + 1}", i.toLong))
+      .toDF("entity_id", "n").createOrReplaceTempView("stats_fact")
+    // no broadcast hint anywhere: the join must pick broadcast-hash
+    // because the scan REPORTS its true (tiny) size — a V2 relation
+    // without statistics defaults to Long.Max and plans a shuffle join
+    val q = spark.sql(
+      s"""SELECT f.n, d.feature_b FROM stats_fact f
+         |JOIN $c.dim d ON f.entity_id = d.entity_id""".stripMargin)
+    assert(q.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      q.queryExecution.sparkPlan.toString)
+    // user_1 has 3 dim rows, user_2 has 2; fact has ~5000/3 rows per key
+    val perKey = (1 to 5000).groupBy(i => s"user_${i % 3 + 1}").view.mapValues(_.size).toMap
+    val expected = perKey.getOrElse("user_1", 0) * 3L + perKey.getOrElse("user_2", 0) * 2L
+    assert(q.count() == expected)
+  }
 }
