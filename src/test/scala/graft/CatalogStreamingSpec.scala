@@ -114,4 +114,31 @@ class CatalogStreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(asOf.head.getAs[Double]("value") == 1.0)
     } finally q.stop()
   }
+  test("readStream.table pushes filters and pruned columns into each batch") {
+    val root = freshRoot("push")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures) // 5 rows, 2 entities
+    val c = cat(root)
+    val ck = java.nio.file.Files.createTempDirectory("graft_catstream_pck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_catstream_pout").toString
+    val q = spark.readStream
+      .table(s"$c.feat")
+      .where(col("entity_id") === "user_1")
+      .select("entity_id", "feature_b")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable()
+      // first 4 rows = 3x user_1 + 1x user_2: the user_2 row must be
+      // filtered out of the delta batch
+      store.registerAppend("feat", sampleFeatures.limit(4))
+      q.processAllAvailable()
+      val sunk = spark.read.parquet(out)
+      assert(sunk.schema.fieldNames.toSet == Set("entity_id", "feature_b"))
+      assert(sunk.count() == 6) // 3 snapshot + 3 delta, user_1 only
+      assert(sunk.collect().forall(_.getString(0) == "user_1"))
+    } finally q.stop()
+  }
 }

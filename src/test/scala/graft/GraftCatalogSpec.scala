@@ -430,4 +430,20 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     val expected = perKey.getOrElse("user_1", 0) * 3L + perKey.getOrElse("user_2", 0) * 2L
     assert(q.count() == expected)
   }
+  test("metadata aggregates on an empty table: zero count, null extremes") {
+    val root = freshRoot("aggempty")
+    val c = cat(root)
+    spark.sql(
+      s"""CREATE TABLE $c.e
+         |(entity_id STRING, timestamp TIMESTAMP, v BIGINT) USING graft"""
+        .stripMargin)
+    val r = spark.sql(s"SELECT count(*), count(v), min(v), max(v) FROM $c.e")
+    assert(r.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.exists(_.isInstanceOf[graft.sources.GraftAggScan]),
+      r.queryExecution.executedPlan.toString)
+    val row = r.head()
+    assert(row.getLong(0) == 0L && row.getLong(1) == 0L)
+    assert(row.isNullAt(2) && row.isNullAt(3))
+  }
 }
