@@ -698,6 +698,13 @@ object NorthStar {
     "dedup_embedding" -> ((s, dir) =>
       Similarity.cosineNearDupPairsAuto(emb(s, dir), threshold = 0.4)
         .orderBy("id_a", "id_b")),
+    // contrastive training pairs: positives = exact near-dups above
+    // the threshold, negatives = deterministic md5-derived partners
+    // with self/near-dup exclusion — the embedding-model training set,
+    // fully reproducible in SQL
+    "contrastive_pairs" -> ((s, dir) =>
+      Similarity.contrastivePairs(emb(s, dir), threshold = 0.4, negPerAnchor = 2)
+        .orderBy("anchor_id", "other_id", "label")),
     // SemDeDup (cluster-then-prune): candidate pairs only WITHIN a
     // deterministic coarse cluster — the shape that replaces the n²
     // pair join at corpus scale; min-id survivor policy. dup_of is
@@ -2154,6 +2161,48 @@ object NorthStar {
         |  WHERE o.o_custkey = c.c_custkey
         |    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+
+    // same cosine arithmetic as dedup_embedding for positives; the
+    // negative partner of (anchor, k) is md5("neg:anchor:k") mod n
+    // (portable hash family), minus self-pairs and true near-dups
+    "contrastive_pairs" -> {
+      val h = Md5Long60.format(
+        "concat_ws(':', 'neg', CAST(e.vec_id AS VARCHAR), CAST(k.k AS VARCHAR))")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(list_sum(list_transform(embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings
+         |),
+         |pos AS (
+         |  SELECT a.vec_id AS anchor_id, b.vec_id AS other_id
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |         / (a.nrm * b.nrm) >= 0.4
+         |),
+         |pos_both AS (
+         |  SELECT anchor_id, other_id FROM pos
+         |  UNION ALL SELECT other_id, anchor_id FROM pos
+         |),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         |negc AS (
+         |  SELECT e.vec_id AS anchor_id, $h % n.n AS other_id
+         |  FROM embeddings e CROSS JOIN n
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k
+         |),
+         |negs AS (
+         |  SELECT DISTINCT anchor_id, other_id FROM negc c
+         |  WHERE other_id <> anchor_id
+         |    AND NOT EXISTS (SELECT 1 FROM pos_both p
+         |                    WHERE p.anchor_id = c.anchor_id
+         |                      AND p.other_id = c.other_id)
+         |)
+         |SELECT anchor_id, other_id, CAST(1 AS INT) AS label FROM pos
+         |UNION ALL
+         |SELECT anchor_id, other_id, CAST(0 AS INT) AS label FROM negs
+         |ORDER BY anchor_id, other_id, label""".stripMargin
+    },
 
     "dedup_embedding" ->
       """WITH v AS (

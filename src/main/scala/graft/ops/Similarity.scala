@@ -559,7 +559,56 @@ object Similarity extends Serializable {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    /** Contrastive training-pair mining — the dataset an embedding model
+    * trains on: POSITIVES are the exact near-duplicate pairs above
+    * `threshold` (the same size-routed machinery as
+    * [[cosineNearDupPairsAuto]]: exact broadcast kernel inside the
+    * measured envelope, banded-LSH candidates + exact rescore past it);
+    * NEGATIVES are `negPerAnchor` deterministic md5-derived partners
+    * per anchor over a DENSE id space [0, n), with self-pairs and true
+    * near-dups excluded by an anti-join. Output
+    * (anchor_id, other_id, label 1|0); negatives are reproducible
+    * in plain SQL (the portable md5 hash family), so the whole mining
+    * run is oracle-checkable.
+    *
+    * Scale shape: positives inherit the routed near-dup path (never
+    * all-pairs); negatives are a per-row hash map plus one broadcast
+    * scalar (n) and one anti-join against the positive set — pair-set
+    * sized, key-partitioned past broadcast scale. Requires dense ids
+    * 0..n-1 (remap through a dictionary first otherwise — the usual
+    * state of a curated embedding corpus).
+    */
+  def contrastivePairs(
+      emb: DataFrame,
+      threshold: Double = 0.4,
+      negPerAnchor: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(negPerAnchor >= 1, s"negPerAnchor must be >= 1, got $negPerAnchor")
+    val pos = cosineNearDupPairsAuto(emb, threshold, idCol = idCol, vecCol = vecCol)
+      .select(col("id_a").as("anchor_id"), col("id_b").as("other_id"))
+    val posBoth = pos.unionByName(pos.select(
+      col("other_id").as("anchor_id"), col("anchor_id").as("other_id")))
+    val nRow = emb.agg(count(lit(1)).as("_n"))
+    val negs = emb.select(col(idCol).as("anchor_id"))
+      .crossJoin(broadcast(nRow))
+      .select(
+        col("anchor_id"),
+        explode(sequence(lit(0), lit(negPerAnchor - 1))).as("_k"),
+        col("_n"))
+      .withColumn(
+        "other_id",
+        Hashing.md5Long60(
+          concat_ws(":", lit("neg"), col("anchor_id"), col("_k"))) % col("_n"))
+      .filter(col("other_id") =!= col("anchor_id"))
+      .select("anchor_id", "other_id")
+      .join(broadcast(posBoth), Seq("anchor_id", "other_id"), "left_anti")
+      .distinct()
+    pos.withColumn("label", lit(1))
+      .unionByName(negs.withColumn("label", lit(0)))
+  }
+
+/** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540): assign every vector to a
     * deterministic coarse cluster ([[ivfCentroids]] seed scored by the

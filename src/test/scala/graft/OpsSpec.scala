@@ -1206,4 +1206,26 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= target,
       s"measured recall@1 $recall < target $target at nProbe=$probes")
   }
+  test("contrastivePairs: positives above threshold, negatives exclude self and near-dups") {
+    val s = spark
+    import s.implicits._
+    // 0 and 1 nearly parallel (positive); 2 orthogonal
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.14f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity
+      .contrastivePairs(emb, threshold = 0.9, negPerAnchor = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val pos = out.filter(_._3 == 1)
+    val neg = out.filter(_._3 == 0)
+    assert(pos.toSeq == Seq((0L, 1L, 1)))
+    assert(neg.nonEmpty)
+    assert(neg.forall { case (a, o, _) => a != o }) // no self pairs
+    // a negative never duplicates a positive in either order
+    assert(neg.forall { case (a, o, _) =>
+      !pos.exists(p => (p._1, p._2) == (a, o) || (p._2, p._1) == (a, o)) })
+  }
 }
