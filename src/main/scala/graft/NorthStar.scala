@@ -135,6 +135,14 @@ object NorthStar {
         .hashSplit(docs(s, dir), Seq("train" -> 80, "valid" -> 10, "test" -> 10))
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
+    // leakage-safe variant: the split key is the near-dup CLUSTER, so
+    // training near-copies can never contaminate valid/test
+    "split_leakage_safe" -> ((s, dir) =>
+      graft.ops.Sampling
+        .leakageSafeSplit(docs(s, dir),
+          Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
     // reproducible training-order shuffle: the op's OUTPUT ORDER is the
     // contract (compared row-by-row against the oracle's ORDER BY) —
     // same permutation on any engine at any parallelism
@@ -1574,6 +1582,37 @@ object NorthStar {
         |SELECT source, doc_id, n_tokens, tokens_before,
         |       tokens_before // 256 AS pack_id
         |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    // clusters CTE identical to dedup_clusters; singleton docs key on
+    // their own id; split hash = the split_assign arithmetic over the key
+    "split_leakage_safe" ->
+      (s"WITH RECURSIVE $MinhashPairCtes,\n" +
+        """edges AS (
+          |  SELECT id_a AS u, id_b AS v FROM pairs
+          |  UNION
+          |  SELECT id_b, id_a FROM pairs
+          |),
+          |reach(u, v) AS (
+          |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+          |),
+          |comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+          |keyed AS (
+          |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS k
+          |  FROM documents d LEFT JOIN comp c USING (doc_id)
+          |)
+          |SELECT doc_id,
+          |       CASE WHEN h < 80 THEN 'train'
+          |            WHEN h < 90 THEN 'valid'
+          |            ELSE 'test' END AS split
+          |FROM (
+          |  SELECT doc_id,
+          |         CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
+          |           % 100 AS h
+          |  FROM keyed
+          |)
+          |ORDER BY doc_id""".stripMargin),
 
     "split_assign" ->
       """SELECT doc_id,

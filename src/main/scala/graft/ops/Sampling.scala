@@ -76,6 +76,40 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Leakage-safe train/valid/test split: near-duplicate documents
+    * must land in the SAME split, or eval scores inflate on training
+    * near-copies (the dedup papers' contamination failure). The split
+    * key is the near-dup CLUSTER id ([[Dedup.connectedComponents]]
+    * over banded-LSH candidates; singletons key on their own id),
+    * hashed through the same portable bucket arithmetic as
+    * [[hashSplit]] — so the assignment is deterministic across
+    * engines AND every member of a cluster shares it by construction.
+    *
+    * Scale shape: clusters come from the banded candidate path (never
+    * all-pairs), the cluster map joins back doc-keyed, and the split
+    * itself is a pure per-row map.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      weights: Seq[(String, Int)],
+      numPerms: Int = 16,
+      rowsPerBand: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      splitCol: String = "split"): DataFrame = {
+    val comp = Dedup.connectedComponents(
+      Dedup.lshCandidatePairs(
+        docs.select(col(idCol), col(textCol)),
+        numPerms, rowsPerBand, idCol = idCol, textCol = textCol))
+      .withColumnRenamed("doc_id", idCol)
+    hashSplit(
+      docs
+        .join(comp, Seq(idCol), "left")
+        .withColumn("_split_key", coalesce(col("cluster_id"), col(idCol))),
+      weights, idCol = "_split_key", splitCol = splitCol)
+      .drop("_split_key", "cluster_id")
+  }
+
   /** Dataset mixing: keep each stratum (source) at its own rate — the
     * pretraining-mix step ("3x down-weight crawl, keep books whole")
     * as a pure per-row filter. Rates are per-mille so the cut is exact

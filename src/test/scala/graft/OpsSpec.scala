@@ -1228,4 +1228,22 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(neg.forall { case (a, o, _) =>
       !pos.exists(p => (p._1, p._2) == (a, o) || (p._2, p._1) == (a, o)) })
   }
+  test("leakageSafeSplit keeps every near-dup cluster in one split") {
+    val s = spark
+    import s.implicits._
+    // 0/1 near-identical (one token differs in a long doc), 2 distinct
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("tok40", "tokX")),
+      (2L, (100 to 140).map(i => s"zz$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Sampling
+      .leakageSafeSplit(docs, Seq("train" -> 50, "valid" -> 25, "test" -> 25))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(out.size == 3)
+    // the near-dup pair must share a split; plain hashSplit on doc ids
+    // would separate them for SOME id pair, this one by construction not
+    assert(out(0L) == out(1L), out)
+  }
 }
