@@ -160,4 +160,16 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(!e.isInstanceOf[FeatureValidationError])
   }
+  test("graft_changes TVF validates its arguments") {
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_changes('/tmp/x', 't')").collect()
+    }
+    assert(e1.getMessage.contains("takes (root, table, from_version, to_version)"),
+      e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_changes('/tmp/x', 't', 1 + rand(), 3)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("must be an integer literal"), e2.getMessage)
+  }
 }
