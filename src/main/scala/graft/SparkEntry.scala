@@ -256,6 +256,51 @@ object SparkEntry {
   private val delStores =
     new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
 
+  /** Expectation-gated ingestion twin: the events load split by TWO
+    * named expectations (`no_errors`: event_type != 'error';
+    * `small_value`: value <= 300) — clean rows land in `events`,
+    * violating rows in `events_quarantine` with the comma-joined
+    * failed-expectation labels. Both sides are oracle-checked against
+    * the same split computed in SQL.
+    */
+  private val expectStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def expectStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    expectStores.computeIfAbsent(dir, _ => {
+      val feats = eventsFeatures(s, dir)
+      val (rows, idSum) = sourceFingerprints.computeIfAbsent(dir, _ => {
+        val fp = feats.agg(count(lit(1)), sum(col("event_id"))).head()
+        (fp.getLong(0), fp.getLong(1))
+      })
+      val san = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val prefix = "graft_store_expect_v1"
+      val root =
+        s"${sys.props("java.io.tmpdir")}/${prefix}_${san}_${rows}_$idSum"
+      graft.store.FeatureStore.vacuumSiblingRoots(root, s"${prefix}_${san}_",
+        minAgeMillis = 15L * 60 * 1000)
+      val store = new graft.store.FeatureStore(s, root)
+      // complete iff both sides of the split exist and partition the
+      // source exactly (a crash mid-init re-runs the whole split)
+      val names = store.tableNames
+      val fresh = !(names.contains("events") &&
+        names.contains("events_quarantine")) ||
+        store.getTableInfo("events").rowCount +
+          store.getTableInfo("events_quarantine").rowCount != rows
+      if (fresh) {
+        store.delete("events")
+        store.delete("events_quarantine")
+        store.registerWithExpectations(
+          "events", feats,
+          Seq(
+            "no_errors" -> (col("event_type") =!= "error"),
+            "small_value" -> (col("value") <= 300.0)),
+          quarantine = "events_quarantine")
+        ()
+      }
+      store
+    })
+
   private def deleteStore(s: SparkSession, dir: String): graft.store.FeatureStore =
     fingerprintStore(delStores, s, dir, "graft_store_del_v2", minVersion = 3) {
       (store, feats) =>
@@ -1029,6 +1074,35 @@ object SparkEntry {
         .currentState(s, ivmStreamState(s, dir)).get
         .orderBy("event_type")),
 
+    // EXPECTATION-GATED INGESTION, quarantine side: rows failing ANY
+    // named expectation land in the quarantine table carrying the
+    // comma-joined labels of the expectations they broke
+    "store_quarantine_roundtrip" -> ((s, dir) => {
+      val store = expectStore(s, dir)
+      store.getVersion("events_quarantine",
+          store.getTableInfo("events_quarantine").version)
+        .orderBy("entity_id", "timestamp", "event_id")
+    }),
+
+    // ... and the clean side: exactly the rows every expectation passed
+    // — together the two reads partition the source load
+    "store_expect_clean" -> ((s, dir) => {
+      val store = expectStore(s, dir)
+      store.getVersion("events", store.getTableInfo("events").version)
+        .orderBy("entity_id", "timestamp", "event_id")
+    }),
+
+    // NON-INVERTIBLE IVM: min/max maintained over the same change
+    // feed — inserts fold closed-form, and the v3 row delete dirties
+    // exactly the groups whose deleted values touch a bound, which are
+    // recomputed from current content alone (O(dirty groups), never a
+    // full-state rescan) — must equal the from-scratch min/max rollup
+    "store_ivm_minmax" -> ((s, dir) =>
+      graft.store.IncrementalRollup.maintainedMinMax(
+          deleteStore(s, dir), "events", Seq("event_type"),
+          round(col("value") * 100).cast("long"))
+        .orderBy("event_type")),
+
     // CHANGE DATA FEED, append fast path: the v1→v2 step of the
     // chained build reads ONLY the delta segment and emits it as
     // inserts — no diff, no full scan
@@ -1505,6 +1579,40 @@ object SparkEntry {
     // shared by the batch fold and the streaming follower
     "store_ivm_rollup" -> EventsIvmRollupOracle,
     "store_ivm_stream" -> EventsIvmRollupOracle,
+    "store_quarantine_roundtrip" ->
+      """WITH labeled AS (
+        |  SELECT user_id AS entity_id, ts AS "timestamp", event_id,
+        |         event_type, value, props,
+        |         concat_ws(',',
+        |           CASE WHEN NOT coalesce(event_type != 'error', false)
+        |                THEN 'no_errors' END,
+        |           CASE WHEN NOT coalesce(value <= 300.0, false)
+        |                THEN 'small_value' END) AS violated
+        |  FROM events)
+        |SELECT * FROM labeled WHERE violated != ''
+        |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
+    "store_expect_clean" ->
+      """WITH labeled AS (
+        |  SELECT user_id AS entity_id, ts AS "timestamp", event_id,
+        |         event_type, value, props,
+        |         concat_ws(',',
+        |           CASE WHEN NOT coalesce(event_type != 'error', false)
+        |                THEN 'no_errors' END,
+        |           CASE WHEN NOT coalesce(value <= 300.0, false)
+        |                THEN 'small_value' END) AS violated
+        |  FROM events)
+        |SELECT entity_id, "timestamp", event_id, event_type, value, props
+        |FROM labeled WHERE violated = ''
+        |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
+    "store_ivm_minmax" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(CAST(round(value * 100) AS BIGINT)) AS min_value,
+        |       max(CAST(round(value * 100) AS BIGINT)) AS max_value
+        |FROM events
+        |WHERE NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // the change-feed REPLICA of the same mutation series must answer
     // the identical oracle — the source→feed→cdc-apply pipeline is

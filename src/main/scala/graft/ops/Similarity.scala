@@ -602,7 +602,12 @@ object Similarity extends Serializable {
           concat_ws(":", lit("neg"), col("anchor_id"), col("_k"))) % col("_n"))
       .filter(col("other_id") =!= col("anchor_id"))
       .select("anchor_id", "other_id")
-      .join(broadcast(posBoth), Seq("anchor_id", "other_id"), "left_anti")
+      // no broadcast hint: the positive pair set is PAIR-set-sized (the
+      // near-dup graph of the corpus), which a dup-heavy corpus can push
+      // far past the driver envelope — let AQE broadcast it only when
+      // its measured size is actually small; the anti-join otherwise
+      // runs as a shuffle join keyed on the pair
+      .join(posBoth, Seq("anchor_id", "other_id"), "left_anti")
       .distinct()
     pos.withColumn("label", lit(1))
       .unionByName(negs.withColumn("label", lit(0)))

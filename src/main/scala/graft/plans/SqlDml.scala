@@ -20,16 +20,19 @@ import graft.store.{FeatureStore, FeatureValidationError}
   * command that executes through the store's own PROVEN mutation
   * operators — `UPDATE` and `MERGE ... WHEN MATCHED UPDATE / DELETE,
   * WHEN NOT MATCHED INSERT, WHEN NOT MATCHED BY SOURCE ...` all land
-  * as one key-addressed MERGE upsert (copy-on-write, O(affected
-  * segments + delta)) plus, when rows or keys vanish, one distributed
-  * key-set delete. Requires `spark.sql.extensions=graft.GraftExtensions`
-  * (analyzer rules cannot attach to an already-built session).
+  * as ONE commit: a key-addressed MERGE rewrite (copy-on-write,
+  * O(affected segments + delta)) that replaces touched keys and drops
+  * vanished ones atomically ([[FeatureStore.registerRewrite]]).
+  * Requires `spark.sql.extensions=graft.GraftExtensions` (analyzer
+  * rules cannot attach to an already-built session).
   *
-  * Row identity is the store key `(entity_id, timestamp)` — exactly
-  * [[FeatureStore.registerUpsert]]'s contract. The cardinality guard
-  * rejects a MERGE whose matches collapse under that identity
-  * (several source rows onto one key, or duplicate-key target rows
-  * matched), instead of silently losing rows.
+  * The store's primitives address WHOLE `(entity_id, timestamp)` keys
+  * while SQL DML addresses ROWS, and duplicate-key observations are
+  * legal — so both commands carry every untouched row of a touched key
+  * ("duplicate-key siblings") through the delta unchanged, and MERGE's
+  * cardinality guard fails only the SQL-standard ambiguity (one target
+  * ROW matched by several source rows), never sibling rows matched
+  * independently.
   *
   * `DELETE FROM` needs none of this: it resolves through
   * [[graft.sources.GraftCatalogTable]]'s `SupportsDeleteV2` with no
@@ -153,8 +156,15 @@ private[plans] object GraftDml {
 }
 
 /** `UPDATE <graft table> SET ... [WHERE ...]`: matched rows re-written
-  * through the key-addressed MERGE upsert; an update that REKEYS rows
-  * (assigns entity_id / timestamp) first key-deletes the originals.
+  * through the key-addressed MERGE upsert, as ONE commit. Because the
+  * store allows duplicate `(entity_id, timestamp)` observations while
+  * the upsert replaces ALL current rows of a touched key, every
+  * UNMATCHED row of a touched key (a duplicate-key sibling the WHERE
+  * skipped, or a pre-existing row at a key the update rekeys ONTO)
+  * rides along in the delta unchanged — row-level SQL semantics over
+  * the key-addressed primitive. An update that REKEYS rows (assigns
+  * entity_id / timestamp) additionally drops the originals, in the
+  * SAME commit via [[FeatureStore.registerRewrite]].
   */
 case class GraftUpdateCommand(
     root: String,
@@ -173,21 +183,31 @@ case class GraftUpdateCommand(
     val snapshot = store
       .getVersion(table, store.getTableInfo(table).version)
       .select(tableSchema.fieldNames.toSeq.map(col): _*)
-    val matched = condition
-      .map(c => snapshot.filter(GraftDml.remap(c, names)))
-      .getOrElse(snapshot)
-      .persist()
+    val condCol = condition.map(c => GraftDml.remap(c, names))
+    val matched = condCol.map(snapshot.filter).getOrElse(snapshot).persist()
     try {
       if (!matched.isEmpty) {
         val keyCols = graft.store.Validation.RequiredColumns
-        if (keyCols.exists(assignedBy.contains)) {
-          // rekeying update: the original keys must vanish
-          store.deleteRowsByKeys(table, matched.select(keyCols.map(col): _*))
-          ()
-        }
+        val keys = keyCols.map(col)
+        val rekeying = keyCols.exists(assignedBy.contains)
         val updated = matched.select(
           GraftDml.projectRow(tableSchema, assignedBy, col): _*)
-        store.registerUpsert(table, updated)
+        // duplicate-key siblings: rows the WHERE did NOT match, at keys
+        // the rewrite touches (matched keys, plus rekey targets), must
+        // ride along unchanged — the key-addressed upsert replaces ALL
+        // rows of a key, and a rekeying drop removes all rows of the
+        // original keys
+        val touchedKeys = (if (rekeying)
+            matched.select(keys: _*).unionByName(updated.select(keys: _*))
+          else matched.select(keys: _*)).distinct()
+        val siblings = condCol
+          .map(c => snapshot.filter(!coalesce(c, lit(false))))
+          .getOrElse(snapshot.limit(0))
+          .join(touchedKeys, keyCols, "left_semi")
+        val delta = updated.unionByName(siblings)
+        if (rekeying)
+          store.registerRewrite(table, delta, matched.select(keys: _*))
+        else store.registerUpsert(table, delta)
         ()
       }
     } finally { matched.unpersist(); () }
@@ -199,9 +219,11 @@ case class GraftUpdateCommand(
   * SQL-standard action set executed as set operations: one full-outer
   * join computes matched pairs, unmatched source rows, and unmatched
   * target rows; per row the FIRST action whose condition holds
-  * applies; the results land as one key-set delete (matched/by-source
-  * DELETE actions, plus originals of rekeying updates) and one MERGE
-  * upsert (all UPDATE results + INSERT rows).
+  * applies; the results land as ONE atomic commit
+  * ([[FeatureStore.registerRewrite]]): the upsert delta (all UPDATE
+  * results + INSERT rows + untouched duplicate-key siblings of touched
+  * keys) plus the dropped key set (matched/by-source DELETE actions and
+  * originals of rekeying updates).
   */
 case class GraftMergeCommand(
     root: String,
@@ -229,10 +251,26 @@ case class GraftMergeCommand(
     def actionCond(a: MergeAction): Column =
       a.condition.map(remap).getOrElse(lit(true))
 
+    // a per-row tag within each key group gives the guard ROW identity:
+    // duplicate-key siblings each matched once are a legal merge (each
+    // row updates independently), while one row matched by several
+    // source rows is the SQL-standard cardinality violation. Ordered by
+    // the orderable columns — ties can only be bit-identical rows (or
+    // rows differing in non-orderable columns, where the tag is used
+    // solely for counting), so the tag never influences row content.
+    val keyCols = graft.store.Validation.RequiredColumns
+    val orderable = tableSchema.fields.toSeq
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(f => col(TP + f.name))
     val target = store
       .getVersion(table, store.getTableInfo(table).version)
       .select(tNames.map(col): _*)
       .toDF(tNames.map(TP + _): _*)
+      .withColumn("_graft_t_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(k => col(TP + k)): _*)
+          .orderBy(orderable: _*)))
       .withColumn("_graft_t_present", lit(true))
     val src = bridge.ofRows(spark, source)
       .toDF(source.output.indices.map(i => s"_graft_s_$i"): _*)
@@ -242,36 +280,39 @@ case class GraftMergeCommand(
     try {
       val isMatched =
         col("_graft_t_present").isNotNull && col("_graft_s_present").isNotNull
-      val keyCols = graft.store.Validation.RequiredColumns
       val tKeys = keyCols.map(k => col(TP + k).as(k))
 
-      // cardinality guard under key-addressed row identity: more
-      // matched pairs than target rows for some key = several source
-      // rows hit one row, or duplicate-key target rows got matched —
-      // the upsert would silently collapse them, so fail instead
+      // SQL-standard cardinality guard, under ROW identity: a target
+      // ROW matched by more than one source row is ambiguous (which
+      // update wins?), so fail loudly. Duplicate-key sibling rows each
+      // matched once pass — each updates independently, and the delta
+      // carries all of the key's resulting rows.
       if (matchedActions.nonEmpty) {
-        val matchedPerKey = joined.filter(isMatched)
-          .groupBy(keyCols.map(k => col(TP + k)): _*)
+        val matchedPerRow = joined.filter(isMatched)
+          .groupBy(keyCols.map(k => col(TP + k)) :+ col("_graft_t_rn"): _*)
           .agg(count(lit(1)).as("_graft_n"))
           .filter(col("_graft_n") > 1)
           .limit(1)
-        if (!matchedPerKey.isEmpty)
+        if (!matchedPerRow.isEmpty)
           throw new FeatureValidationError(
-            "MERGE INTO matched one (entity_id, timestamp) key more than " +
-              "once; the key-addressed upsert would collapse rows — " +
-              "dedupe the source (or the target's duplicate keys) first")
+            "MERGE INTO matched one target row more than once (several " +
+              "source rows satisfy the ON clause for it); dedupe the " +
+              "source first")
       }
+
+      /** First-match-wins action index per row: -1 = no action applies
+        * (the row stays untouched).
+        */
+      def actionTag(actions: Seq[MergeAction]): Column =
+        actions.zipWithIndex.foldRight(lit(-1)) {
+          case ((a, j), els) => when(actionCond(a), lit(j)).otherwise(els)
+        }
 
       /** Rows of `frame` to which action `i` (first-match-wins) of
         * `actions` applies.
         */
-      def applying(frame: DataFrame, actions: Seq[MergeAction], i: Int): DataFrame = {
-        val tag = actions.zipWithIndex.foldRight(lit(-1)) {
-          case ((a, j), els) => when(actionCond(a), lit(j)).otherwise(els)
-        }
-        frame.withColumn("_graft_tag", tag).filter(col("_graft_tag") === i)
-          .drop("_graft_tag")
-      }
+      def applying(frame: DataFrame, actions: Seq[MergeAction], i: Int): DataFrame =
+        frame.filter(actionTag(actions) === i)
 
       def updateRows(frame: DataFrame, actions: Seq[MergeAction]): Seq[DataFrame] =
         actions.zipWithIndex.collect { case (UpdateAction(_, as, _), i) =>
@@ -322,11 +363,35 @@ case class GraftMergeCommand(
           rekeyedOriginals(matchedFrame, matchedActions) ++
           rekeyedOriginals(bySourceFrame, notMatchedBySourceActions)
 
-      deletes.reduceOption(_ unionByName _).foreach { d =>
-        if (!d.isEmpty) { store.deleteRowsByKeys(table, d); () }
-      }
-      upserts.reduceOption(_ unionByName _).foreach { u =>
-        if (!u.isEmpty) { store.registerUpsert(table, u); () }
+      // Duplicate-key siblings: the store allows duplicate (entity_id,
+      // timestamp) observations, and the key-addressed primitives act
+      // on WHOLE keys — so every target row NO action touched, at a key
+      // the rewrite touches (an unmatched sibling of an updated/deleted
+      // row, a pre-existing row at an INSERT's or rekey's target key),
+      // rides along in the delta unchanged. Every target row is in
+      // exactly one of matchedFrame / bySourceFrame, so tag == -1 over
+      // both is the complete untouched set.
+      val untouched = matchedFrame.filter(actionTag(matchedActions) === -1)
+        .unionByName(
+          bySourceFrame.filter(actionTag(notMatchedBySourceActions) === -1))
+        .select(tNames.map(n => col(TP + n).as(n)): _*)
+      val upsertDelta = upserts.reduceOption(_ unionByName _)
+      val dropKeys = deletes.reduceOption(_ unionByName _)
+      val touchedKeys = (upsertDelta.map(_.select(keyCols.map(col): _*)).toSeq ++
+        dropKeys.toSeq).reduceOption(_ unionByName _).map(_.distinct())
+      val siblings = touchedKeys.map(k => untouched.join(k, keyCols, "left_semi"))
+
+      // one commit whenever the statement has any effect: upsert-only
+      // and rewrite (upsert + key drops) are single commits; a pure
+      // no-sibling delete takes the key-set delete's segment-drop path
+      val delta = (upsertDelta.toSeq ++ siblings.toSeq)
+        .reduceOption(_ unionByName _).filterNot(_.isEmpty)
+      val drop = dropKeys.filterNot(_.isEmpty)
+      (delta, drop) match {
+        case (Some(d), Some(k)) => store.registerRewrite(table, d, k); ()
+        case (Some(d), None) => store.registerUpsert(table, d); ()
+        case (None, Some(k)) => store.deleteRowsByKeys(table, k); ()
+        case (None, None) => ()
       }
     } finally { joined.unpersist(); () }
     Seq.empty

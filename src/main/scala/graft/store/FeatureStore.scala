@@ -719,6 +719,60 @@ final class FeatureStore(
     registerAppendWith(name, df, maxSegments, watermark = None,
       mergeSchema = mergeSchema)
 
+  /** Expectation-gated ingestion with QUARANTINE routing — the
+    * Delta-Live-Tables "expect or quarantine" discipline, vs the
+    * store's CHECK constraints which FAIL the whole commit: each
+    * expectation is a named predicate that must hold per row; rows
+    * violating ANY expectation (false or NULL — an unevaluable row is
+    * not a clean row) are diverted to `quarantine` with a `violated`
+    * column naming the failed expectations (comma-joined, declaration
+    * order), and only clean rows land in `name`. Both tables
+    * create-or-append, so the call composes with incremental loads.
+    *
+    * Ordering: the quarantine commit lands FIRST — a crash between the
+    * two commits re-runs the load with the bad rows already safe,
+    * never silently dropped. One pass of predicate evaluation; the
+    * split is two filters over the same cached frame.
+    *
+    * Returns (table info, quarantine info) — either side None when it
+    * received no rows.
+    */
+  def registerWithExpectations(
+      name: String,
+      df: DataFrame,
+      expectations: Seq[(String, Column)],
+      quarantine: String): (Option[FeatureTableInfo], Option[FeatureTableInfo]) = {
+    if (expectations.isEmpty)
+      throw new FeatureValidationError(
+        "registerWithExpectations needs at least one expectation; " +
+          "use register for unconditional ingestion")
+    if (quarantine == name)
+      throw new FeatureValidationError(
+        s"quarantine table must differ from the target table ('$name')")
+    Validation.validateDataFrame(df, name)
+    val marker = "_graft_violated"
+    if (df.columns.contains(marker))
+      throw new FeatureValidationError(
+        s"registerWithExpectations reserves column '$marker'")
+    val labeled = df.withColumn(marker,
+      concat_ws(",", expectations.map { case (label, pred) =>
+        when(!coalesce(pred, lit(false)), lit(label))
+      }: _*)).persist()
+    try {
+      val bad = labeled.filter(col(marker) =!= "")
+        .withColumnRenamed(marker, "violated")
+      val good = labeled.filter(col(marker) === "").drop(marker)
+      def land(table: String, rows: DataFrame): Option[FeatureTableInfo] =
+        if (rows.isEmpty) None
+        else Some(
+          if (tableNames.contains(table)) registerAppend(table, rows)
+          else register(table, rows))
+      val q = land(quarantine, bad)
+      val t = land(name, good)
+      (t, q)
+    } finally { labeled.unpersist(); () }
+  }
+
   /** Evolved column list for an append/upsert delta: same-name columns
     * must keep their RECORDED types (checked even when the column sets
     * match — a same-shape delta with a retyped column would otherwise
@@ -1552,13 +1606,46 @@ final class FeatureStore(
       mergeSchema: Boolean = false): FeatureTableInfo =
     registerUpsertWith(name, df, watermark = None, mergeSchema = mergeSchema)
 
+  /** The ATOMIC merge-rewrite: ONE commit that both REPLACES every
+    * current row whose key appears in `df` (exactly [[registerUpsert]]'s
+    * contract) and DROPS every current row whose key appears in
+    * `dropKeys` but has no replacement in the delta. This is the
+    * single-commit primitive behind SQL UPDATE/MERGE (rekeying updates
+    * and DELETE actions): expressed as deleteRowsByKeys + registerUpsert
+    * those statements would span TWO versions, leaving a crash window
+    * with matched rows deleted but not yet re-inserted and a time-travel
+    * history showing a state no statement produced — Delta's MERGE is
+    * likewise one commit. Cost is identical to the upsert alone: the
+    * drop keys ride the same discovery scan, copy-on-write rewrite and
+    * recorded change set (dropped rows appear as `delete` images).
+    * `df` must be non-empty — a pure key-set delete is
+    * [[deleteRowsByKeys]].
+    */
+  def registerRewrite(
+      name: String,
+      df: DataFrame,
+      dropKeys: DataFrame,
+      mergeSchema: Boolean = false): FeatureTableInfo =
+    registerUpsertWith(name, df, watermark = None, mergeSchema = mergeSchema,
+      dropKeys = Some(dropKeys))
+
   private def registerUpsertWith(
       name: String,
       df: DataFrame,
       watermark: Option[(String, Long)],
-      mergeSchema: Boolean = false): FeatureTableInfo =
+      mergeSchema: Boolean = false,
+      dropKeys: Option[DataFrame] = None): FeatureTableInfo =
     this.synchronized {
       Validation.validateDataFrame(df, name)
+      dropKeys.foreach { dk =>
+        val missing = Seq(EntityIdColumn, TimestampColumn)
+          .filterNot(dk.columns.contains)
+        if (missing.nonEmpty)
+          throw new FeatureValidationError(
+            s"registerRewrite('$name') dropKeys needs columns " +
+              s"($EntityIdColumn, $TimestampColumn); missing: " +
+              missing.mkString(", "))
+      }
       if (catalog.get(name).isEmpty && !storage.arbitrates)
         return registerWith(name, df, watermark)
       val (curOpt, v) = claimVersion(name)
@@ -1582,16 +1669,33 @@ final class FeatureStore(
           min(col(EntityIdColumn)), max(col(EntityIdColumn)),
           min(col(TimestampColumn)), max(col(TimestampColumn))).head()
         val deltaCount = boundsRow.getLong(0)
-        val keys = prepared
-          .select(col(EntityIdColumn), col(TimestampColumn)).distinct()
+        val dropped = dropKeys.map { dk =>
+          if (deltaCount == 0L)
+            throw new FeatureValidationError(
+              s"registerRewrite('$name') got an empty delta; a pure " +
+                "key-set delete is deleteRowsByKeys")
+          dk.select(col(EntityIdColumn),
+            col(TimestampColumn).cast(TimestampType).as(TimestampColumn))
+            .distinct()
+        }
+        val keys = dropped.fold(
+          prepared.select(col(EntityIdColumn), col(TimestampColumn)).distinct())(
+          d => prepared.select(col(EntityIdColumn), col(TimestampColumn))
+            .unionByName(d).distinct())
+        // with drop keys the skip bounds must span delta AND drops —
+        // one extra tiny agg on the (small) key frame, only on that path
+        val kb = dropped.fold(boundsRow)(_ => keys.agg(
+          count(lit(1)),
+          min(col(EntityIdColumn)), max(col(EntityIdColumn)),
+          min(col(TimestampColumn)), max(col(TimestampColumn))).head())
         val segs = cur.segmentsOf(cur.version)
         // key-range skipping: a segment disjoint from the delta's
         // (entity, ts) bounds on EITHER dimension holds no matched key
         // — with time-sliced appends a CDC delta of recent keys
         // classifies against recent segments only, O(delta) not O(table)
         val resolvedBounds = (for {
-          loE <- Option(boundsRow.get(1)); hiE <- Option(boundsRow.get(2))
-          loT <- Option(boundsRow.get(3)); hiT <- Option(boundsRow.get(4))
+          loE <- Option(kb.get(1)); hiE <- Option(kb.get(2))
+          loT <- Option(kb.get(3)); hiT <- Option(kb.get(4))
         } yield scala.util.Try(resolveCondition(name, cur,
           col(EntityIdColumn).between(lit(loE), lit(hiE)) &&
             col(TimestampColumn).between(lit(loT), lit(hiT)))).toOption.flatten)

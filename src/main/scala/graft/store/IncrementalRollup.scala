@@ -60,15 +60,27 @@ object IncrementalRollup {
       keyCols: Seq[String],
       measure: Column): DataFrame = {
     val sign = when(col(FS.ChangeTypeCol) === "insert", 1L).otherwise(-1L)
+    // the merge join must be NULL-SAFE (<=> per key): GROUP BY treats
+    // NULL key values as one group, but a plain equi-join never matches
+    // them — a nullable group key would silently fork divergent
+    // state/delta rows. EqualNullSafe keys still hash-partition, so the
+    // join stays a co-located shuffle join, never a nested loop.
+    val dKeys = keyCols.map("_d_" + _)
     val delta = changes
       .groupBy(keyCols.map(col): _*)
       .agg(
         sum(sign).as("_dn"),
         sum(sign * measure).as("_dsum"))
+      .toDF(dKeys ++ Seq("_dn", "_dsum"): _*)
+    val nullSafeOn = keyCols.zip(dKeys)
+      .map { case (k, d) => col(k) <=> col(d) }
+      .reduce(_ && _)
     state
-      .join(delta, keyCols, "outer")
+      .join(delta, nullSafeOn, "outer")
       .select(
-        keyCols.map(col) ++ Seq(
+        keyCols.zip(dKeys).map { case (k, d) =>
+          coalesce(col(k), col(d)).as(k)
+        } ++ Seq(
           (coalesce(col("n_rows"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
             .as("n_rows"),
           (coalesce(col("sum_value"), lit(0L)) + coalesce(col("_dsum"), lit(0L)))
@@ -91,5 +103,118 @@ object IncrementalRollup {
     if (current <= 1) seed
     else applyChanges(
       seed, store.getChanges(table, 1, current), keyCols, measure)
+  }
+
+  // ------------------------------------------------- non-invertible IVM
+
+  /** From-scratch MIN/MAX state of `snapshot`: one row per key with
+    * `n_rows`, `min_value`, `max_value`. Unlike count/sum these
+    * aggregates are NOT invertible — a delete can expose a new extreme
+    * only a rescan can find — so the maintained fold
+    * ([[applyChangesMinMax]]) is selective: it folds insert-only groups
+    * closed-form and rescans ONLY the groups whose recorded deletes
+    * touch a boundary.
+    */
+  def initialStateMinMax(
+      snapshot: DataFrame,
+      keyCols: Seq[String],
+      measure: Column): DataFrame = {
+    require(keyCols.nonEmpty, "incremental rollup needs at least one key column")
+    snapshot
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(measure).as("min_value"),
+        max(measure).as("max_value"))
+  }
+
+  /** Fold an interval of change-feed rows into a MIN/MAX state.
+    *
+    * The fold is closed-form wherever algebra allows: inserts only
+    * widen bounds (`least`/`greatest`), and a delete STRICTLY inside
+    * the state's (min, max) cannot move either extreme — the boundary
+    * rows themselves are provably still present (deleting one would put
+    * the delete AT the boundary). Only groups with a boundary-touching
+    * delete (or deletes on a group born inside the interval, where no
+    * prior bounds exist) are "dirty" and recomputed EXACTLY, from
+    * `current` filtered to just those keys.
+    *
+    * Scale shape: the delta aggregation is O(changes) partial-
+    * aggregated; the state merge is one null-safe key join bounded by
+    * group cardinality; the rescan reads only dirty groups' rows (a
+    * key semi-join the scan prunes on) — an append-heavy feed rescans
+    * NOTHING, and a mutation-heavy feed pays per dirty group, never
+    * O(table).
+    */
+  def applyChangesMinMax(
+      state: DataFrame,
+      changes: DataFrame,
+      current: DataFrame,
+      keyCols: Seq[String],
+      measure: Column): DataFrame = {
+    val isIns = col(FS.ChangeTypeCol) === "insert"
+    val dKeys = keyCols.map("_d_" + _)
+    val delta = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(when(isIns, 1L).otherwise(-1L)).as("_dn"),
+        sum(when(isIns, 0L).otherwise(1L)).as("_del_n"),
+        min(when(isIns, measure)).as("_ins_min"),
+        max(when(isIns, measure)).as("_ins_max"),
+        min(when(!isIns, measure)).as("_del_min"),
+        max(when(!isIns, measure)).as("_del_max"))
+      .toDF(dKeys ++ Seq(
+        "_dn", "_del_n", "_ins_min", "_ins_max", "_del_min", "_del_max"): _*)
+    val nullSafeOn = keyCols.zip(dKeys)
+      .map { case (k, d) => col(k) <=> col(d) }
+      .reduce(_ && _)
+    val outKeys = keyCols.zip(dKeys).map { case (k, d) =>
+      coalesce(col(k), col(d)).as(k)
+    }
+    val newN =
+      coalesce(col("n_rows"), lit(0L)) + coalesce(col("_dn"), lit(0L))
+    // a deleted NULL measure never moves min/max; non-null deletes are
+    // compared against the state bounds (absent state = no bounds =
+    // dirty; all-null state bounds with a non-null delete cannot arise,
+    // but route it to the exact rescan anyway)
+    val dirty = coalesce(col("_del_n"), lit(0L)) > 0L &&
+      (col("_del_min").isNotNull || col("_del_max").isNotNull) &&
+      (col("n_rows").isNull || col("min_value").isNull ||
+        col("_del_min") <= col("min_value") ||
+        col("_del_max") >= col("max_value"))
+    val merged = state.join(delta, nullSafeOn, "outer")
+      .select(outKeys ++ Seq(
+        newN.as("n_rows"),
+        least(col("min_value"), col("_ins_min")).as("min_value"),
+        greatest(col("max_value"), col("_ins_max")).as("max_value"),
+        dirty.as("_dirty")): _*)
+      .filter(col("n_rows") > 0L)
+    val dirtyKeys = merged.filter(col("_dirty")).select(keyCols.map(col): _*)
+    val clean = merged.filter(!col("_dirty")).drop("_dirty")
+    // exact recompute of just the dirty groups, from current content;
+    // null-group keys must survive the semi-join, hence <=> again
+    val rescanOn = keyCols
+      .map(k => current(k) <=> dirtyKeys(k))
+      .reduce(_ && _)
+    val rescanned = initialStateMinMax(
+      current.join(dirtyKeys, rescanOn, "left_semi"), keyCols, measure)
+    clean.unionByName(rescanned)
+  }
+
+  /** The maintained MIN/MAX rollup of `table` at its current version —
+    * [[maintained]]'s non-invertible sibling, same contract: equals the
+    * from-scratch [[initialStateMinMax]] of the current content.
+    */
+  def maintainedMinMax(
+      store: FeatureStore,
+      table: String,
+      keyCols: Seq[String],
+      measure: Column): DataFrame = {
+    val current = store.getTableInfo(table).version
+    val seed = initialStateMinMax(store.getVersion(table, 1), keyCols, measure)
+    if (current <= 1) seed
+    else applyChangesMinMax(
+      seed, store.getChanges(table, 1, current),
+      store.getVersion(table, current), keyCols, measure)
   }
 }

@@ -15,11 +15,15 @@ import graft.store.IncrementalRollup
   * `applyChanges` — O(batch changes) per fold, never a table rescan.
   *
   * Exactly-once without a transactional sink: the state is versioned
-  * by BATCH ID — batch `b` writes `state_v<b>` (skipped if it already
-  * exists, so a post-crash replay of the same batch cannot
-  * double-fold) and older state dirs are pruned after the write.
-  * Readers take the max version present; a crash between write and
-  * prune leaves both, which the next batch or reader resolves. This is
+  * by BATCH ID — batch `b` writes `state_v<b>` and then an explicit
+  * completion marker (`_GRAFT_FOLDED`, the same discipline as
+  * [[graft.sources]]' `_GRAFT_STAGED`). A replay of batch `b` is
+  * skipped only when the MARKER exists; a bare directory is a crashed
+  * partial write (the job died mid-parquet) and is re-folded with an
+  * overwrite — a bare-existence check would both lose the fold and let
+  * readers pick the corrupt directory as current. Readers and the
+  * prior-state lookup honor only marker-carrying directories; older
+  * state dirs (marked or partial) are pruned after each fold. This is
   * the standard idempotent-foreachBatch discipline, with the state
   * directory as the ledger.
   *
@@ -31,9 +35,11 @@ import graft.store.IncrementalRollup
 object StreamingRollup {
 
   private val StatePrefix = "state_v"
+  private val Marker = "_GRAFT_FOLDED"
 
-  /** The current maintained state under `stateDir` (max batch version
-    * present), or None before the first fold.
+  /** The current maintained state under `stateDir` (max COMPLETED batch
+    * version — marker-carrying; a partial crashed write is invisible),
+    * or None before the first fold.
     */
   def currentState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
     val dir = new Path(stateDir)
@@ -41,9 +47,10 @@ object StreamingRollup {
     if (!fs.exists(dir)) None
     else {
       val vs = fs.listStatus(dir).toSeq
-        .map(_.getPath.getName)
-        .filter(_.startsWith(StatePrefix))
-        .map(_.drop(StatePrefix.length).toLong)
+        .map(_.getPath)
+        .filter(_.getName.startsWith(StatePrefix))
+        .filter(p => fs.exists(new Path(p, Marker)))
+        .map(_.getName.drop(StatePrefix.length).toLong)
       if (vs.isEmpty) None
       else Some(spark.read.parquet(s"$stateDir/$StatePrefix${vs.max}"))
     }
@@ -74,13 +81,16 @@ object StreamingRollup {
         val s = batch.sparkSession
         val target = new Path(s"$stateDir/$StatePrefix$batchId")
         val fs = target.getFileSystem(s.sessionState.newHadoopConf())
-        if (!fs.exists(target)) { // replayed batch: already folded
+        // replay guard on the explicit marker, never bare existence: a
+        // marker-less dir is a crashed partial write — overwrite it
+        if (!fs.exists(new Path(target, Marker))) {
           val prior = currentState(s, stateDir).getOrElse(
             IncrementalRollup.initialState(
               batch.limit(0), keyCols, measure))
           IncrementalRollup
             .applyChanges(prior, batch, keyCols, measure)
-            .write.parquet(target.toString)
+            .write.mode("overwrite").parquet(target.toString)
+          fs.create(new Path(target, Marker), true).close()
           fs.listStatus(new Path(stateDir)).toSeq
             .map(_.getPath)
             .filter(p => p.getName.startsWith(StatePrefix) &&

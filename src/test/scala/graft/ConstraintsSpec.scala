@@ -156,4 +156,66 @@ class ConstraintsSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(c.getConstraints("t") == Map("a_positive" -> "feature_a > 0"))
   }
+
+  // ------------------------------------------- expectations + quarantine
+
+  test("registerWithExpectations splits clean vs quarantined rows with labels") {
+    val store = new FeatureStore(spark, tmpRoot("graft_expect"))
+    val s = spark
+    import s.implicits._
+    val load = Seq(
+      ("u1", ts("2024-01-01"), 1.0, Some(10L)),  // clean
+      ("u2", ts("2024-01-02"), -3.0, Some(20L)), // fails a_nonneg
+      ("u3", ts("2024-01-03"), 2.0, Some(99999L)), // fails b_small
+      ("u4", ts("2024-01-04"), -1.0, Some(99999L)), // fails BOTH
+      ("u5", ts("2024-01-05"), 4.0, None) // NULL predicate = violation
+    ).toDF("entity_id", "timestamp", "feature_a", "feature_b")
+    val (t, q) = store.registerWithExpectations(
+      "feat", load,
+      Seq(
+        "a_nonneg" -> (col("feature_a") >= 0),
+        "b_small" -> (col("feature_b") < 1000L)),
+      quarantine = "feat_bad")
+    assert(t.get.rowCount == 1 && q.get.rowCount == 4)
+    val bad = store.getVersion("feat_bad", 1).collect()
+      .map(r => r.getAs[String]("entity_id") -> r.getAs[String]("violated"))
+      .toMap
+    assert(bad == Map(
+      "u2" -> "a_nonneg", "u3" -> "b_small",
+      "u4" -> "a_nonneg,b_small", "u5" -> "b_small"))
+    assert(store.getVersion("feat", 1).select("entity_id")
+      .head().getString(0) == "u1")
+
+    // second load APPENDS to both sides
+    val (t2, q2) = store.registerWithExpectations(
+      "feat", Seq(
+        ("u6", ts("2024-02-01"), 5.0, Some(1L)),
+        ("u7", ts("2024-02-02"), -9.0, Some(1L)))
+        .toDF("entity_id", "timestamp", "feature_a", "feature_b"),
+      Seq("a_nonneg" -> (col("feature_a") >= 0)),
+      quarantine = "feat_bad")
+    assert(t2.get.rowCount == 2 && q2.get.rowCount == 5)
+    assert(t2.get.version == 2 && q2.get.version == 2)
+
+    // an all-clean load leaves the quarantine side untouched (None)
+    val (t3, q3) = store.registerWithExpectations(
+      "feat", Seq(("u8", ts("2024-03-01"), 6.0, Some(2L)))
+        .toDF("entity_id", "timestamp", "feature_a", "feature_b"),
+      Seq("a_nonneg" -> (col("feature_a") >= 0)),
+      quarantine = "feat_bad")
+    assert(t3.isDefined && q3.isEmpty)
+  }
+
+  test("registerWithExpectations validates its arguments") {
+    val store = new FeatureStore(spark, tmpRoot("graft_expect_args"))
+    intercept[FeatureValidationError] {
+      store.registerWithExpectations(
+        "t", sampleFeatures, Seq.empty, quarantine = "t_bad")
+    }
+    intercept[FeatureValidationError] {
+      store.registerWithExpectations(
+        "t", sampleFeatures,
+        Seq("x" -> (col("feature_a") > 0)), quarantine = "t")
+    }
+  }
 }

@@ -559,4 +559,92 @@ class MutationSpec extends AnyFunSuite with SparkTestBase {
     assert(m("user_1") == (3L, 100L + 205L + 300L)) // upsert netted +5
     assert(m("user_3") == (2L, 1500L))
   }
+
+  test("IncrementalRollup folds NULL-valued group keys (null-safe merge join)") {
+    // GROUP BY treats NULLs as one group but a plain equi-join never
+    // matches them — the merge must use <=> or the null group's state
+    // and delta rows silently diverge from the from-scratch rollup
+    val store = freshStore()
+    val s = spark
+    import s.implicits._
+    def df(rows: Seq[(String, java.sql.Timestamp, Option[String], Long)]) =
+      rows.toDF("entity_id", "timestamp", "color", "v")
+    store.register("t", df(Seq(
+      ("u1", ts("2024-01-01"), Some("red"), 10L),
+      ("u2", ts("2024-01-01"), None, 20L),
+      ("u3", ts("2024-01-02"), None, 30L))))
+    store.deleteRows("t", col("entity_id") === "u2") // null group −20
+    store.registerUpsert("t", df(Seq( // null group 30 → 35
+      ("u3", ts("2024-01-02"), None, 35L))))
+    store.registerAppend("t", df(Seq( // null group +5
+      ("u4", ts("2024-01-03"), None, 5L))))
+    val maintained = graft.store.IncrementalRollup
+      .maintained(store, "t", Seq("color"), col("v"))
+    val scratch = graft.store.IncrementalRollup
+      .initialState(store.getVersion("t", 4), Seq("color"), col("v"))
+    assert(maintained.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(maintained).isEmpty)
+    val m = maintained.collect()
+      .map(r => Option(r.getAs[String]("color")) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_value"))).toMap
+    assert(m(None) == (2L, 40L))
+    assert(m(Some("red")) == (1L, 10L))
+  }
+
+  test("IncrementalRollup min/max: clean closed-form folds vs dirty rescans") {
+    val store = freshStore()
+    val s = spark
+    import s.implicits._
+    def df(rows: Seq[(String, java.sql.Timestamp, Long)]) =
+      rows.toDF("entity_id", "timestamp", "v")
+    store.register("t", df(Seq(
+      ("a", ts("2024-01-01"), 10L), ("a", ts("2024-01-02"), 20L),
+      ("a", ts("2024-01-03"), 30L),
+      ("b", ts("2024-01-01"), 5L), ("b", ts("2024-01-02"), 50L))))
+    // v2 append: pure inserts — 'a' widens its max closed-form, 'c' is
+    // a brand-new group (no bounds, no deletes → still closed-form)
+    store.registerAppend("t", df(Seq(
+      ("a", ts("2024-01-04"), 99L), ("c", ts("2024-01-05"), 7L))))
+    // v3 delete: kills 'a''s CURRENT MIN (boundary hit → dirty rescan
+    // must surface 20 as the new min) but only a STRICTLY INTERIOR row
+    // of 'b'... there is none interior, so delete b's max instead —
+    // also dirty — while 'c' stays untouched (clean path)
+    store.deleteRows("t",
+      (col("entity_id") === "a" && col("v") === 10L) ||
+        (col("entity_id") === "b" && col("v") === 50L))
+    // v4 upsert: replace one 'a' row (30 → 35), adding a delete+insert
+    // pair to the same fold interval
+    store.registerUpsert("t", df(Seq(("a", ts("2024-01-03"), 35L))))
+
+    val maintained = graft.store.IncrementalRollup
+      .maintainedMinMax(store, "t", Seq("entity_id"), col("v"))
+    val scratch = graft.store.IncrementalRollup.initialStateMinMax(
+      store.getVersion("t", store.getTableInfo("t").version),
+      Seq("entity_id"), col("v"))
+    assert(maintained.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(maintained).isEmpty)
+    val m = maintained.collect().map(r => r.getAs[String]("entity_id") ->
+      ((r.getAs[Long]("n_rows"), r.getAs[Long]("min_value"),
+        r.getAs[Long]("max_value")))).toMap
+    assert(m("a") == ((3L, 20L, 99L))) // min rescanned past the deleted 10
+    assert(m("b") == ((1L, 5L, 5L)))   // max rescanned past the deleted 50
+    assert(m("c") == ((1L, 7L, 7L)))   // insert-only group, closed-form
+  }
+
+  test("IncrementalRollup min/max: group deleted to zero rows vanishes") {
+    val store = freshStore()
+    val s = spark
+    import s.implicits._
+    store.register("t", Seq(
+      ("a", ts("2024-01-01"), 1L), ("b", ts("2024-01-01"), 2L),
+      ("b", ts("2024-01-02"), 3L))
+      .toDF("entity_id", "timestamp", "v"))
+    store.deleteRows("t", col("entity_id") === "a")
+    val m = graft.store.IncrementalRollup
+      .maintainedMinMax(store, "t", Seq("entity_id"), col("v"))
+      .collect().map(r => r.getAs[String]("entity_id") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("min_value"),
+          r.getAs[Long]("max_value")))).toMap
+    assert(m == Map("b" -> ((2L, 2L, 3L))))
+  }
 }

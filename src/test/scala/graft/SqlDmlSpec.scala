@@ -151,6 +151,154 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("more than"))
   }
 
+  /** Duplicate-(entity_id, timestamp) observations are legal in the
+    * store, but the mutation primitives address WHOLE keys — these
+    * tests pin that SQL DML stays ROW-addressed: siblings a statement
+    * did not touch must survive, and each statement is ONE commit.
+    */
+  private def dupKeyTable(root: String): FeatureStore = {
+    val store = new FeatureStore(spark, root)
+    val s = spark
+    import s.implicits._
+    store.register("feat", Seq(
+      ("user_1", ts("2024-01-15"), "a", 1L),
+      ("user_1", ts("2024-01-15"), "b", 2L), // duplicate-key sibling
+      ("user_2", ts("2024-01-20"), "c", 3L)
+    ).toDF("entity_id", "timestamp", "tag", "v"))
+    store
+  }
+
+  test("UPDATE matching one duplicate-key sibling preserves the other, one commit") {
+    val root = freshRoot("sib_upd")
+    val store = dupKeyTable(root)
+    val c = cat(root)
+    spark.sql(s"UPDATE $c.feat SET v = 100 WHERE tag = 'a'")
+    store.refresh()
+    assert(store.getTableInfo("feat").version == 2) // exactly one commit
+    val now = store.getVersion("feat", 2)
+    assert(now.count() == 3)
+    val byTag = now.collect().map(r =>
+      r.getAs[String]("tag") -> r.getAs[Long]("v")).toMap
+    assert(byTag == Map("a" -> 100L, "b" -> 2L, "c" -> 3L))
+  }
+
+  test("rekeying UPDATE preserves siblings at the old AND new key, one commit") {
+    val root = freshRoot("sib_rekey")
+    val store = dupKeyTable(root)
+    val c = cat(root)
+    // move 'a' onto user_2's existing key: the sibling left at the old
+    // key ('b') and the pre-existing row at the target key ('c') both
+    // survive
+    spark.sql(
+      s"""UPDATE $c.feat SET entity_id = 'user_2',
+         |timestamp = TIMESTAMP '2024-01-20 00:00:00' WHERE tag = 'a'"""
+        .stripMargin)
+    store.refresh()
+    assert(store.getTableInfo("feat").version == 2) // atomic: ONE commit
+    val now = store.getVersion("feat", 2)
+    assert(now.count() == 3)
+    val rows = now.collect().map(r => (r.getAs[String]("entity_id"),
+      r.getAs[String]("tag"), r.getAs[Long]("v"))).toSet
+    assert(rows == Set(
+      ("user_2", "a", 1L), ("user_1", "b", 2L), ("user_2", "c", 3L)))
+  }
+
+  test("MERGE matched on a subset of a key group preserves unmatched siblings") {
+    val root = freshRoot("sib_merge")
+    val store = dupKeyTable(root)
+    val c = cat(root)
+    val s = spark
+    import s.implicits._
+    Seq(("user_1", ts("2024-01-15"), "a", 500L))
+      .toDF("entity_id", "timestamp", "tag", "v")
+      .createOrReplaceTempView("graft_sib_src")
+    // ON adds a non-key predicate: only sibling 'a' of the duplicate
+    // key matches; 'b' is untouched and must ride through the rewrite
+    spark.sql(
+      s"""MERGE INTO $c.feat t USING graft_sib_src s
+         |ON t.entity_id = s.entity_id AND t.timestamp = s.timestamp
+         |   AND t.tag = s.tag
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED BY SOURCE AND t.tag = 'nope' THEN DELETE"""
+        .stripMargin)
+    store.refresh()
+    assert(store.getTableInfo("feat").version == 2)
+    val byTag = store.getVersion("feat", 2).collect().map(r =>
+      r.getAs[String]("tag") -> r.getAs[Long]("v")).toMap
+    assert(byTag == Map("a" -> 500L, "b" -> 2L, "c" -> 3L))
+  }
+
+  test("MERGE DELETE of one sibling keeps the other, one commit") {
+    val root = freshRoot("sib_del")
+    val store = dupKeyTable(root)
+    val c = cat(root)
+    val s = spark
+    import s.implicits._
+    Seq(("user_1", ts("2024-01-15"), "a"))
+      .toDF("entity_id", "timestamp", "tag")
+      .createOrReplaceTempView("graft_sibdel_src")
+    spark.sql(
+      s"""MERGE INTO $c.feat t USING graft_sibdel_src s
+         |ON t.entity_id = s.entity_id AND t.timestamp = s.timestamp
+         |   AND t.tag = s.tag
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    store.refresh()
+    assert(store.getTableInfo("feat").version == 2)
+    val byTag = store.getVersion("feat", 2).collect().map(r =>
+      r.getAs[String]("tag") -> r.getAs[Long]("v")).toMap
+    assert(byTag == Map("b" -> 2L, "c" -> 3L))
+  }
+
+  test("MERGE INSERT onto an existing key preserves the key's current rows") {
+    val root = freshRoot("sib_ins")
+    val store = dupKeyTable(root)
+    val c = cat(root)
+    val s = spark
+    import s.implicits._
+    Seq(("user_2", ts("2024-01-20"), "d", 4L))
+      .toDF("entity_id", "timestamp", "tag", "v")
+      .createOrReplaceTempView("graft_sibins_src")
+    // ON never matches (tag 'd' doesn't exist), so the row INSERTs —
+    // at a key that already holds 'c', which must survive
+    spark.sql(
+      s"""MERGE INTO $c.feat t USING graft_sibins_src s
+         |ON t.entity_id = s.entity_id AND t.timestamp = s.timestamp
+         |   AND t.tag = s.tag
+         |WHEN NOT MATCHED THEN INSERT (entity_id, timestamp, tag, v)
+         |  VALUES (s.entity_id, s.timestamp, s.tag, s.v)""".stripMargin)
+    store.refresh()
+    assert(store.getTableInfo("feat").version == 2)
+    val now = store.getVersion("feat", 2)
+    assert(now.count() == 4)
+    val byTag = now.collect().map(r =>
+      r.getAs[String]("tag") -> r.getAs[Long]("v")).toMap
+    assert(byTag == Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L))
+  }
+
+  test("MERGE updating both duplicate-key siblings independently is legal") {
+    val root = freshRoot("sib_both")
+    val store = dupKeyTable(root)
+    val c = cat(root)
+    val s = spark
+    import s.implicits._
+    Seq(("user_1", ts("2024-01-15"), "a", 10L),
+      ("user_1", ts("2024-01-15"), "b", 20L))
+      .toDF("entity_id", "timestamp", "tag", "v")
+      .createOrReplaceTempView("graft_sibboth_src")
+    // two source rows, one per sibling ROW — each target row matched
+    // exactly once, so the SQL cardinality rule holds even though the
+    // (entity, ts) KEY is matched twice
+    spark.sql(
+      s"""MERGE INTO $c.feat t USING graft_sibboth_src s
+         |ON t.entity_id = s.entity_id AND t.timestamp = s.timestamp
+         |   AND t.tag = s.tag
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    store.refresh()
+    val byTag = store.getVersion("feat", 2).collect().map(r =>
+      r.getAs[String]("tag") -> r.getAs[Long]("v")).toMap
+    assert(byTag == Map("a" -> 10L, "b" -> 20L, "c" -> 3L))
+  }
+
   test("UPDATE / MERGE without the extension still fail cleanly elsewhere: non-graft table untouched") {
     // the rule must leave non-graft targets alone (they follow Spark's
     // own unsupported-table error path, not ours)

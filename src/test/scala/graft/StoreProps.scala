@@ -287,6 +287,24 @@ object StoreProps extends Properties("FeatureStore") {
           if (got != want)
             throw new AssertionError(
               s"IVM rollup mismatch after op #$i $op: got $got expected $want")
+          // the NON-INVERTIBLE sibling under the same interleavings:
+          // min/max maintained with selective dirty-group rescans must
+          // also equal the from-scratch rollup
+          val gotMm = graft.store.IncrementalRollup
+            .maintainedMinMax(store, "t", Seq("entity_id"),
+              (col("val") * 10).cast("long"))
+            .collect()
+            .map(r => r.getString(0) ->
+              ((r.getAs[Long]("n_rows"),
+                r.getAs[Long]("min_value"), r.getAs[Long]("max_value"))))
+            .toMap
+          val wantMm = model(current).groupBy(_._1).map { case (e, rs) =>
+            val vs = rs.toSeq.map(r => math.round(r._3 * 10))
+            e -> ((rs.size.toLong, vs.min, vs.max))
+          }
+          if (gotMm != wantMm)
+            throw new AssertionError(
+              s"IVM min/max mismatch after op #$i $op: got $gotMm expected $wantMm")
         }
         if (model.isEmpty) {
           try {

@@ -62,4 +62,57 @@ class StreamingRollupSpec extends AnyFunSuite with SparkTestBase {
     val dirs = new java.io.File(stateDir).list().filter(_.startsWith("state_v"))
     assert(dirs.length == 1, dirs.mkString(","))
   }
+
+  test("crashed partial state write is invisible to readers and re-folded on replay") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sroll_crash").toString
+    val root = s"$base/root"
+    val stateDir = s"$base/state"
+    val ck = s"$base/ck"
+    val store = new FeatureStore(spark, root)
+    store.register("t", sampleFeatures)
+
+    def run(): Unit = {
+      val q = StreamingRollup.start(
+        spark, root, "t", Seq("entity_id"), col("feature_b"),
+        stateDir, ck, maxVersionsPerBatch = Some(1))
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    run() // batch 0: snapshot folded, state_v0 carries the marker
+
+    // simulate a crash DURING batch 1's parquet job: the table has a
+    // new commit, and a marker-less partial state_v1 (only _temporary
+    // debris) was left behind before the fold completed
+    store.registerAppend("t", {
+      val s = spark
+      import s.implicits._
+      Seq(("user_3", ts("2024-03-01"), 7.0, 700L))
+        .toDF("entity_id", "timestamp", "feature_a", "feature_b")
+    })
+    val partial = new java.io.File(s"$stateDir/state_v1/_temporary")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$stateDir/state_v1/_temporary/part-0"),
+      Array[Byte](1, 2, 3))
+
+    // a reader between crash and restart must see the last COMPLETED
+    // state (v0), never the corrupt max-version directory
+    val mid = StreamingRollup.currentState(spark, stateDir).get.collect()
+      .map(r => r.getAs[String]("entity_id") -> r.getAs[Long]("sum_value")).toMap
+    assert(mid == Map("user_1" -> 600L, "user_2" -> 3000L))
+
+    // restart: batch 1 replays, sees NO marker, overwrites the partial
+    // dir and folds the append exactly once
+    run()
+    val fin = StreamingRollup.currentState(spark, stateDir).get
+    val scratch = IncrementalRollup.initialState(
+      store.getVersion("t", store.getTableInfo("t").version),
+      Seq("entity_id"), col("feature_b"))
+    assert(fin.exceptAll(scratch).isEmpty && scratch.exceptAll(fin).isEmpty)
+    val m = fin.collect().map(r => r.getAs[String]("entity_id") ->
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_value"))).toMap
+    assert(m == Map(
+      "user_1" -> ((3L, 600L)), "user_2" -> ((2L, 3000L)),
+      "user_3" -> ((1L, 700L))))
+  }
 }
