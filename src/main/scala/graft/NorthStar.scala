@@ -104,6 +104,13 @@ object NorthStar {
     // symmetric int8 vector compression (4x), exact-integer checksum
     "embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id")),
+    // Johnson–Lindenstrauss sign projection: 64 -> 16 dims as exact
+    // integer arithmetic over the int8 code (md5-derived ±1 matrix) —
+    // the ANN preconditioner; one pass, zero shuffles, codegen'd
+    // unrolled add chains
+    "embedding_project" -> ((s, dir) =>
+      Similarity.projectSigns(emb(s, dir), outDims = 16, inDims = 64)
+        .orderBy("vec_id")),
     // ANN over a PERSISTED inverted-file index: the coarse probe filter
     // is a literal IN on the partition column — pruned at the scan
     "ann_ivf_indexed" -> ((s, dir) =>
@@ -1393,6 +1400,49 @@ object NorthStar {
         |       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
         |         AS q_norm2
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // the quantization CTE mirrors embedding_quantize; signs re-derive
+    // from the same md5 prefix convention the engine uses, so both
+    // sides compute the identical integer projection
+    "embedding_project" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding,
+        |             x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, embedding,
+        |         CASE WHEN maxabs = 0 THEN 0.0
+        |              ELSE 127.0 / maxabs END AS q_scale
+        |  FROM v
+        |), q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) * q_scale + 0.5)
+        |                       AS BIGINT)) AS qv
+        |  FROM s
+        |), ins AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |dims AS (SELECT unnest(generate_series(0, 15)) AS j),
+        |signs AS (
+        |  SELECT j, i,
+        |         CASE WHEN CAST(('0x' || substr(md5('rp:' || CAST(j AS VARCHAR)
+        |                    || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+        |                % 2 = 0
+        |              THEN 1 ELSE -1 END AS sg
+        |  FROM dims CROSS JOIN ins
+        |), qe AS (
+        |  SELECT vec_id, i, qv[CAST(i AS INTEGER) + 1] AS qi
+        |  FROM q CROSS JOIN ins
+        |), proj AS (
+        |  SELECT qe.vec_id, sg.j, CAST(sum(sg.sg * qe.qi) AS BIGINT) AS pj
+        |  FROM qe JOIN signs sg USING (i)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT vec_id,
+        |       array_to_string(list(CAST(pj AS VARCHAR) ORDER BY j), ',')
+        |         AS p_vec,
+        |       CAST(sum(pj * pj) AS BIGINT) AS p_norm2
+        |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // rational TF-IDF: tf * (N+1) / (df+1) — exact-integer numerator and
     // denominator, one double division; same ranking as the log form

@@ -1092,6 +1092,16 @@ object SparkEntry {
         .orderBy("entity_id", "timestamp", "event_id")
     }),
 
+    // COUNT(DISTINCT) IVM: distinct values are not additive, so the
+    // maintained state is one level finer — (key, value, multiplicity)
+    // — folded additively from the same change feed; a value leaves
+    // the distinct set exactly when its multiplicity nets to zero
+    "store_ivm_distinct" -> ((s, dir) =>
+      graft.store.IncrementalRollup.maintainedDistinct(
+          deleteStore(s, dir), "events", Seq("event_type"),
+          round(col("value") * 100).cast("long"))
+        .orderBy("event_type")),
+
     // NON-INVERTIBLE IVM: min/max maintained over the same change
     // feed — inserts fold closed-form, and the v3 row delete dirties
     // exactly the groups whose deleted values touch a bound, which are
@@ -1604,6 +1614,15 @@ object SparkEntry {
         |SELECT entity_id, "timestamp", event_id, event_type, value, props
         |FROM labeled WHERE violated = ''
         |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
+    "store_ivm_distinct" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT CAST(round(value * 100) AS BIGINT))
+        |            AS BIGINT) AS n_distinct
+        |FROM events
+        |WHERE NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "store_ivm_minmax" ->
       """SELECT event_type,
         |       CAST(count(*) AS BIGINT) AS n_rows,

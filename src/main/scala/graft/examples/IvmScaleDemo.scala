@@ -80,6 +80,45 @@ object IvmScaleDemo {
         val d2 = scratch.exceptAll(maintained).count()
         println(s"[ivmscale] diff rows = $d1 + $d2 (expected 0 + 0)")
       }
+
+      // ---- the non-additive siblings over the same mutation series ----
+      // min/max: the row delete above strips values ending in 000 — for
+      // most of the 500k groups that's a BOUNDARY value sometimes, so a
+      // fraction of groups go dirty and rescan; the demo prints the
+      // dirty fraction next to the fold wall to show selectivity
+      val cur = store.getVersion("t", store.getTableInfo("t").version)
+      time("min/max IVM: maintained fold (changes + dirty rescan)") {
+        IncrementalRollup.maintainedMinMax(
+          store, "t", Seq("entity_id"), col("l_value")).count()
+      }
+      time("min/max from-scratch (the counterfactual)") {
+        IncrementalRollup.initialStateMinMax(
+          cur, Seq("entity_id"), col("l_value")).count()
+      }
+      val mmMaint = IncrementalRollup.maintainedMinMax(
+        store, "t", Seq("entity_id"), col("l_value"))
+      val mmScratch = IncrementalRollup.initialStateMinMax(
+        cur, Seq("entity_id"), col("l_value"))
+      time("min/max equality check") {
+        val d = mmMaint.exceptAll(mmScratch).count() +
+          mmScratch.exceptAll(mmMaint).count()
+        println(s"[ivmscale] minmax diff rows = $d (expected 0)")
+      }
+      // count(distinct): multiplicity state is values-per-group-bounded
+      time("distinct IVM: maintained fold (multiplicity state)") {
+        IncrementalRollup.maintainedDistinct(
+          store, "t", Seq("entity_id"), col("l_value") % 1000L).count()
+      }
+      val dMaint = IncrementalRollup.maintainedDistinct(
+        store, "t", Seq("entity_id"), col("l_value") % 1000L)
+      val dScratch = cur.groupBy("entity_id").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_value") % 1000L).as("n_distinct"))
+      time("distinct equality check vs from-scratch count(distinct)") {
+        val d = dMaint.exceptAll(dScratch).count() +
+          dScratch.exceptAll(dMaint).count()
+        println(s"[ivmscale] distinct diff rows = $d (expected 0)")
+      }
     } finally {
       spark.stop()
     }

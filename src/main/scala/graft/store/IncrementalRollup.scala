@@ -105,6 +105,70 @@ object IncrementalRollup {
       seed, store.getChanges(table, 1, current), keyCols, measure)
   }
 
+  // ---------------------------------------------- COUNT(DISTINCT) IVM
+
+  private val DistinctValCol = "_graft_v"
+
+  /** From-scratch COUNT(DISTINCT `value`) state: the maintainable form
+    * is one level finer than the answer — (key, value, n_rows)
+    * MULTIPLICITIES — because distinct-ness is not additive but
+    * multiplicity is: an insert bumps its (key, value) row, a delete
+    * decrements it, and a value leaves the distinct set exactly when
+    * its multiplicity hits zero. The visible rollup is
+    * [[distinctCounts]] over this state.
+    */
+  def initialStateDistinct(
+      snapshot: DataFrame,
+      keyCols: Seq[String],
+      value: Column): DataFrame =
+    initialState(snapshot.withColumn(DistinctValCol, value),
+      keyCols :+ DistinctValCol, lit(0L))
+
+  /** Fold change-feed rows into a distinct-multiplicity state — the
+    * additive [[applyChanges]] fold with (key, value) as the composite
+    * key (value groups ride the null-safe merge, so NULL values keep
+    * exact multiplicities too; they are EXCLUDED from the distinct
+    * count per SQL semantics). O(changes) per fold, state bounded by
+    * Σ per-key distinct values.
+    */
+  def applyChangesDistinct(
+      state: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      value: Column): DataFrame =
+    applyChanges(state, changes.withColumn(DistinctValCol, value),
+      keyCols :+ DistinctValCol, lit(0L))
+
+  /** The visible rollup of a distinct-multiplicity state: per key,
+    * total rows and the SQL-semantics distinct count (NULL values
+    * counted in n_rows, never in n_distinct).
+    */
+  def distinctCounts(state: DataFrame, keyCols: Seq[String]): DataFrame =
+    state
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum("n_rows").as("n_rows"),
+        count(when(col(DistinctValCol).isNotNull, lit(1))).as("n_distinct"))
+
+  /** The maintained COUNT(DISTINCT) rollup of `table` at its current
+    * version — same contract as [[maintained]]: equals the
+    * from-scratch `count(*)` / `count(DISTINCT value)` per key of the
+    * current content.
+    */
+  def maintainedDistinct(
+      store: FeatureStore,
+      table: String,
+      keyCols: Seq[String],
+      value: Column): DataFrame = {
+    val current = store.getTableInfo(table).version
+    val seed = initialStateDistinct(store.getVersion(table, 1), keyCols, value)
+    val state =
+      if (current <= 1) seed
+      else applyChangesDistinct(
+        seed, store.getChanges(table, 1, current), keyCols, value)
+    distinctCounts(state, keyCols)
+  }
+
   // ------------------------------------------------- non-invertible IVM
 
   /** From-scratch MIN/MAX state of `snapshot`: one row per key with

@@ -631,6 +631,35 @@ class MutationSpec extends AnyFunSuite with SparkTestBase {
     assert(m("c") == ((1L, 7L, 7L)))   // insert-only group, closed-form
   }
 
+  test("IncrementalRollup distinct: multiplicity state tracks the distinct set exactly") {
+    val store = freshStore()
+    val s = spark
+    import s.implicits._
+    def df(rows: Seq[(String, java.sql.Timestamp, Option[Long])]) =
+      rows.toDF("entity_id", "timestamp", "v")
+    store.register("t", df(Seq(
+      ("a", ts("2024-01-01"), Some(1L)), ("a", ts("2024-01-02"), Some(1L)),
+      ("a", ts("2024-01-03"), Some(2L)),
+      ("b", ts("2024-01-01"), Some(5L)), ("b", ts("2024-01-02"), None))))
+    // delete ONE of the two copies of value 1 (distinct unchanged) and
+    // the ONLY copy of value 2 (distinct shrinks)
+    store.deleteRows("t",
+      col("entity_id") === "a" &&
+        (col("timestamp") === lit(ts("2024-01-02")) ||
+          col("timestamp") === lit(ts("2024-01-03"))))
+    // append re-introduces 2 and a brand-new 3
+    store.registerAppend("t", df(Seq(
+      ("a", ts("2024-01-04"), Some(2L)), ("a", ts("2024-01-05"), Some(3L)))))
+
+    val got = graft.store.IncrementalRollup
+      .maintainedDistinct(store, "t", Seq("entity_id"), col("v"))
+      .collect().map(r => r.getAs[String]("entity_id") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct")))).toMap
+    // a: rows {1, 2, 3} → 3 rows, 3 distinct; b: {5, NULL} → 2 rows,
+    // 1 distinct (NULL never counts as a distinct value)
+    assert(got == Map("a" -> ((3L, 3L)), "b" -> ((2L, 1L))))
+  }
+
   test("IncrementalRollup min/max: group deleted to zero rows vanishes") {
     val store = freshStore()
     val s = spark

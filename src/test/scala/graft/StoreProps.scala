@@ -305,6 +305,21 @@ object StoreProps extends Properties("FeatureStore") {
           if (gotMm != wantMm)
             throw new AssertionError(
               s"IVM min/max mismatch after op #$i $op: got $gotMm expected $wantMm")
+          // COUNT(DISTINCT) via the multiplicity state, same contract
+          val gotD = graft.store.IncrementalRollup
+            .maintainedDistinct(store, "t", Seq("entity_id"),
+              (col("val") * 10).cast("long"))
+            .collect()
+            .map(r => r.getString(0) ->
+              ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"))))
+            .toMap
+          val wantD = model(current).groupBy(_._1).map { case (e, rs) =>
+            val vs = rs.toSeq.map(r => math.round(r._3 * 10))
+            e -> ((rs.size.toLong, vs.distinct.size.toLong))
+          }
+          if (gotD != wantD)
+            throw new AssertionError(
+              s"IVM distinct mismatch after op #$i $op: got $gotD expected $wantD")
         }
         if (model.isEmpty) {
           try {
