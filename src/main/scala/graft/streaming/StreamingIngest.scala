@@ -118,6 +118,70 @@ object StreamingIngest {
         .start()
     }
 
+  /** Expectation-gated streaming ingest — [[startIncremental]] with
+    * [[FeatureStore.registerWithExpectations]]'s split applied per
+    * micro-batch: rows failing any named predicate (false or NULL)
+    * divert to `quarantine` with the comma-joined labels in a
+    * `violated` column; clean rows append to `name`. Exactly-once on
+    * BOTH tables: each side registers under the same (stream id, batch
+    * id) high-water line, so a crash between the two commits replays
+    * into a quarantine-side skip plus the missing main-side append —
+    * quarantine lands FIRST, the same never-lose-bad-rows ordering as
+    * the batch API.
+    */
+  def startWithExpectations(
+      stream: DataFrame,
+      store: FeatureStore,
+      name: String,
+      expectations: Seq[(String, org.apache.spark.sql.Column)],
+      quarantine: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxSegments: Int = 16): StreamingQuery =
+    withQueryId { queryId =>
+      val body: (DataFrame, Long) => Unit =
+        (batch, bid) => processBatchExpectations(
+          store, name, expectations, quarantine, maxSegments,
+          queryId.join())(batch, bid)
+      stream.writeStream
+        .outputMode("append")
+        .trigger(trigger)
+        .foreachBatch(body)
+        .start()
+    }
+
+  /** foreachBatch body of [[startWithExpectations]]. */
+  def processBatchExpectations(
+      store: FeatureStore,
+      name: String,
+      expectations: Seq[(String, org.apache.spark.sql.Column)],
+      quarantine: String,
+      maxSegments: Int = 16,
+      streamId: String = graft.store.CatalogIO.LegacyStreamId)(
+      batch: DataFrame,
+      batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit, not, when}
+      val marker = "_graft_violated"
+      val labeled = batch.withColumn(marker,
+        concat_ws(",", expectations.map { case (label, pred) =>
+          when(not(coalesce(pred, lit(false))), lit(label))
+        }: _*)).persist()
+      try {
+        val bad = labeled.filter(col(marker) =!= "")
+          .withColumnRenamed(marker, "violated")
+        val good = labeled.filter(col(marker) === "").drop(marker)
+        if (!bad.isEmpty) {
+          store.registerAppendBatch(
+            quarantine, bad, batchId, maxSegments, streamId + ":q")
+          ()
+        }
+        if (!good.isEmpty) {
+          store.registerAppendBatch(name, good, batchId, maxSegments, streamId)
+          ()
+        }
+      } finally { labeled.unpersist(); () }
+    }
+
   /** Capture the started query's checkpoint-stable id into the future
     * the foreachBatch closure blocks on: the id exists only after
     * `.start()` returns the [[StreamingQuery]], while the closure is

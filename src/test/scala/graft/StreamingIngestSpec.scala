@@ -373,6 +373,40 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(io.saves == 1, s"registerUpsertBatch must also commit once, got ${io.saves}")
   }
 
+  test("startWithExpectations splits each micro-batch into table + quarantine") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = new FeatureStore(s)
+    val source = MemoryStream[(String, Timestamp, Double)]
+    val stream = source.toDF().toDF("entity_id", "timestamp", "value")
+    val query = StreamingIngest.startWithExpectations(
+      stream, store, "clean",
+      Seq("v_nonneg" -> (org.apache.spark.sql.functions.col("value") >= 0)),
+      quarantine = "dirty",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      source.addData(("u1", ts("2024-01-01"), 1.0), ("u2", ts("2024-01-02"), -5.0))
+      query.processAllAvailable()
+      assert(store.getTableInfo("clean").rowCount == 1)
+      assert(store.getTableInfo("dirty").rowCount == 1)
+      assert(store.getVersion("dirty", 1).head()
+        .getAs[String]("violated") == "v_nonneg")
+
+      // an all-clean batch touches only the main table
+      source.addData(("u3", ts("2024-01-03"), 2.0))
+      query.processAllAvailable()
+      assert(store.getTableInfo("clean").rowCount == 2)
+      assert(store.getTableInfo("dirty").rowCount == 1)
+
+      // an all-dirty batch touches only the quarantine
+      source.addData(("u4", ts("2024-01-04"), -1.0))
+      query.processAllAvailable()
+      assert(store.getTableInfo("clean").rowCount == 2)
+      assert(store.getTableInfo("dirty").rowCount == 2)
+    } finally query.stop()
+  }
+
   test("startUpsert applies a change stream as exactly-once MERGE batches") {
     val s = spark
     import s.implicits._
