@@ -111,6 +111,15 @@ object NorthStar {
     "embedding_project" -> ((s, dir) =>
       Similarity.projectSigns(emb(s, dir), outDims = 16, inDims = 64)
         .orderBy("vec_id")),
+    // compressed-prune ANN: rank in the 32-dim projected space (integer
+    // dots), exact-rescore only the 64-candidate sliver — the JL
+    // pruner composed end-to-end; candidate membership and rescored
+    // ranks both hash-checked against the oracle
+    "ann_rp_topk" -> ((s, dir) =>
+      Similarity
+        .annTopKProjected(emb(s, dir), AnnQueryIds, k = 3,
+          candidates = 64, outDims = 32, inDims = 64)
+        .orderBy("query_id", "rank")),
     // ANN over a PERSISTED inverted-file index: the coarse probe filter
     // is a literal IN on the partition column — pruned at the scan
     "ann_ivf_indexed" -> ((s, dir) =>
@@ -1443,6 +1452,73 @@ object NorthStar {
         |         AS p_vec,
         |       CAST(sum(pj * pj) AS BIGINT) AS p_norm2
         |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // prune in the 32-dim integer projection, exact-rescore the
+    // 64-candidate sliver; the projected norms go through the same
+    // BIGINT -> DOUBLE -> sqrt chain as the engine (IEEE-portable)
+    "ann_rp_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding,
+        |             x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+        |         sqrt(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, embedding, nrm,
+        |         CASE WHEN maxabs = 0 THEN 0.0
+        |              ELSE 127.0 / maxabs END AS q_scale
+        |  FROM v
+        |), q AS (
+        |  SELECT vec_id, embedding, nrm,
+        |         list_transform(embedding,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) * q_scale + 0.5)
+        |                       AS BIGINT)) AS qv
+        |  FROM s
+        |), ins AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |dims AS (SELECT unnest(generate_series(0, 31)) AS j),
+        |signs AS (
+        |  SELECT j, i,
+        |         CASE WHEN CAST(('0x' || substr(md5('rp:' || CAST(j AS VARCHAR)
+        |                    || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+        |                % 2 = 0
+        |              THEN 1 ELSE -1 END AS sg
+        |  FROM dims CROSS JOIN ins
+        |), qe AS (
+        |  SELECT vec_id, i, qv[CAST(i AS INTEGER) + 1] AS qi
+        |  FROM q CROSS JOIN ins
+        |), proj AS (
+        |  SELECT qe.vec_id, sg.j, CAST(sum(sg.sg * qe.qi) AS BIGINT) AS pj
+        |  FROM qe JOIN signs sg USING (i)
+        |  GROUP BY 1, 2
+        |), pv AS (
+        |  SELECT vec_id, list(pj ORDER BY j) AS p,
+        |         sqrt(CAST(CAST(sum(pj * pj) AS BIGINT) AS DOUBLE)) AS pn
+        |  FROM proj GROUP BY vec_id
+        |), pruned AS (
+        |  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+        |         CAST(CAST(list_sum(list_transform(list_zip(qq.p, cc.p),
+        |              x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+        |           / (qq.pn * cc.pn) AS pscore
+        |  FROM pv qq JOIN pv cc ON cc.vec_id != qq.vec_id
+        |  WHERE qq.vec_id IN (0,1,2,3,4,5,6,7,8,9)
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |             ORDER BY pscore DESC, neighbor_id ASC) <= 64
+        |), rescored AS (
+        |  SELECT p.query_id, p.neighbor_id,
+        |         list_sum(list_transform(list_zip(qv.embedding, cv.embedding),
+        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |           / (qv.nrm * cv.nrm) AS score
+        |  FROM pruned p
+        |  JOIN q qv ON qv.vec_id = p.query_id
+        |  JOIN q cv ON cv.vec_id = p.neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, score,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+        |FROM rescored
+        |QUALIFY rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
 
     // rational TF-IDF: tf * (N+1) / (df+1) — exact-integer numerator and
     // denominator, one double division; same ranking as the log form

@@ -1390,7 +1390,26 @@ object Similarity extends Serializable {
       outDims: Int = 16,
       inDims: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    withProjection(emb, outDims, inDims, vecCol)
+      .select(
+        col(idCol),
+        concat_ws(",",
+          (0 until outDims).map(j => col(s"_rp_p$j").cast("string")): _*)
+          .as("p_vec"),
+        (0 until outDims).map(j => col(s"_rp_p$j") * col(s"_rp_p$j"))
+          .reduce(_ + _).as("p_norm2"))
+
+  /** `emb` plus the exact-integer JL projection as columns
+    * `_rp_p0.._rp_p{outDims-1}` — the shared kernel behind
+    * [[projectSigns]] (portable string/checksum shape) and
+    * [[annTopKProjected]] (prune-then-rescore).
+    */
+  private def withProjection(
+      emb: DataFrame,
+      outDims: Int,
+      inDims: Int,
+      vecCol: String): DataFrame = {
     require(outDims >= 1, s"outDims must be >= 1, got $outDims")
     require(inDims >= 1, s"inDims must be >= 1, got $inDims")
     val signs = Array.tabulate(outDims, inDims)((j, i) =>
@@ -1405,17 +1424,109 @@ object Similarity extends Serializable {
         .reduce(_ + _)
         .as(s"_rp_p$j")
     }
+    val keep = emb.columns.toSeq.map(col)
     emb
       .withColumn("_rp_scale", scale)
       .withColumn("_rp_q", q)
-      .select(col(idCol) +: pCols: _*)
+      .select(keep ++ pCols: _*)
+  }
+
+  /** Compressed-prune ANN: rank the corpus per query in the
+    * [[projectSigns]] space (exact integer dots, double-sqrt norms —
+    * IEEE-portable), keep the top-`candidates` prefix, and EXACT-rescore
+    * only that sliver with the full-width cosine kernel. The projected
+    * prefix is where the JL guarantee actually bites (see the measured
+    * recall table in PLANS.md round-10): top-k RANKING at 16-32 dims is
+    * noise-limited, top-C MEMBERSHIP is not.
+    *
+    * Scale shape: the prune pass reads outDims BIGINTs per row instead
+    * of inDims floats and broadcasts only the (tiny) query projections;
+    * the d-dim kernel then touches candidates·|queries| rows, not
+    * n·|queries|. Composes with IVF for corpora where even the linear
+    * projected scan is too much.
+    */
+  def annTopKProjected(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      candidates: Int = 64,
+      outDims: Int = 32,
+      inDims: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    // The projection here is built by EXPLODE + sign-join + aggregate,
+    // not withProjection's unrolled add chains: inside a self-join the
+    // chains inline into an expression tree Catalyst canonicalization
+    // cannot afford (measured OOM at 32x64 terms x 2 sides), while the
+    // aggregate form keeps the plan O(1) regardless of dimensionality —
+    // one map-side-combined shuffle of n·inDims skinny rows. Projected
+    // values are <= 127·inDims, exactly representable as FLOAT, so the
+    // codegen'd FloatVectorDot over the packed array is still EXACT
+    // integer arithmetic in double form (every product < 2^53).
+    val signs = Array.tabulate(outDims, inDims)((j, i) =>
+      if (Hashing.md5Long60Jvm(s"rp:$j:$i") % 2 == 0L) 1L else -1L)
+    val s = emb.sparkSession
+    import s.implicits._
+    val signDf = (for { j <- 0 until outDims; i <- 0 until inDims }
+      yield (j, i, signs(j)(i))).toDF("_j", "_i", "_s")
+    val projected = emb
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v0"))
+      .withColumn("_rp_scale",
+        array_max(transform(col("_v0"), x => abs(x.cast("double")))))
+      .withColumn("_rp_scale",
+        when(col("_rp_scale") === 0d, lit(0d))
+          .otherwise(lit(127d) / col("_rp_scale")))
+      .select(col("_id"), posexplode(
+        transform(col("_v0"), x =>
+          floor(x.cast("double") * col("_rp_scale") + lit(0.5d)).cast("long")))
+        .as(Seq("_i", "_qi")))
+      .join(broadcast(signDf), "_i")
+      .groupBy(col("_id"), col("_j"))
+      .agg(sum(col("_s") * col("_qi")).as("_pj"))
+      .groupBy(col("_id"))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("_j"), col("_pj")))),
+          x => x.getField("_pj").cast("float")).as("_p"))
+      .withColumn("_pn", sqrt(dotFast(col("_p"), col("_p"))))
+    // the raw vectors rejoin by id AFTER the skinny projection shuffle
+    // — they never ride the explode
+    val proj = emb
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .join(projected, "_id")
+    val corpus = proj.select(
+      col("_id").as("neighbor_id"), col("_v"), col("_p"), col("_pn"))
+    val queries = proj
+      .filter(col("_id").isin(queryIds: _*))
       .select(
-        col(idCol),
-        concat_ws(",",
-          (0 until outDims).map(j => col(s"_rp_p$j").cast("string")): _*)
-          .as("p_vec"),
-        (0 until outDims).map(j => col(s"_rp_p$j") * col(s"_rp_p$j"))
-          .reduce(_ + _).as("p_norm2"))
+        col("_id").as("query_id"),
+        col("_v").as("_qv"), col("_p").as("_qp"), col("_pn").as("_qpn"))
+    val pruned = corpus
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"), col("_qv"), col("_v"),
+        (dotFast(col("_qp"), col("_p")) / (col("_qpn") * col("_pn")))
+          .as("_pscore"))
+    val wC = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_pscore").desc, col("neighbor_id").asc)
+    val sliver = pruned
+      .withColumn("_crank", row_number().over(wC))
+      .filter(col("_crank") <= candidates)
+    val wK = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    sliver
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (dotFast(col("_qv"), col("_v")) /
+          (sqrt(dotFast(col("_qv"), col("_qv"))) *
+            sqrt(dotFast(col("_v"), col("_v"))))).as("score"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
   }
 
   def quantizeInt8(

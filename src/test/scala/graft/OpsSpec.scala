@@ -444,6 +444,18 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     // deterministic given the md5-derived sign matrix; measured 0.80 on
     // this corpus (PLANS.md round-10 JL table: k=16/32 x C=16/32/64)
     assert(recall >= 0.75)
+
+    // the composed prune-then-rescore op must realize exactly that
+    // recall: exact rescoring recovers true ranks within the sliver,
+    // so its top-3 agreement with brute force EQUALS the membership
+    // recall above
+    val composed = Similarity
+      .annTopKProjected(e, ids, k = 3, candidates = 64, outDims = 32)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val composedRecall = exact.intersect(composed).size.toDouble / exact.size
+    info(f"annTopKProjected recall@3 = $composedRecall%.2f")
+    assert(composedRecall == recall)
   }
 
   test("broadcast envelope is a hard boundary: Auto routes, direct kernels refuse") {
