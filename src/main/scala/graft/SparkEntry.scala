@@ -585,6 +585,33 @@ object SparkEntry {
         store.refresh()
     }
 
+  /** REKEYING SQL UPDATE roundtrip: assigning a KEY column routes
+    * through [[graft.store.FeatureStore.registerRewrite]] — the
+    * originals' keys drop and the rekeyed rows land in the SAME commit
+    * (one version, no delete-then-upsert crash window). The WHERE is
+    * key-complete (whole key groups match), so the rekey moves every
+    * row of entities 0-9's pre-cutoff keys to entity+1000000.
+    */
+  private val sqlRekStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def sqlRekeyStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(sqlRekStores, s, dir, "graft_store_sqlrek_v1", minVersion = 2) {
+      (store, feats) =>
+        store.delete("events")
+        store.register("events", feats)
+        val c = graftCatalogFor(s, store.rootPath)
+        s.sql(
+          s"""UPDATE $c.events SET entity_id = entity_id + 1000000
+             |WHERE entity_id < 10 AND timestamp <= TIMESTAMP '$PitAsOf'"""
+            .stripMargin)
+        store.refresh()
+        if (store.getTableInfo("events").version != 2)
+          throw new IllegalStateException(
+            "rekeying UPDATE must be ONE commit (got version " +
+              s"${store.getTableInfo("events").version})")
+    }
+
   /** SQL MERGE twin of [[upsertStore]]: the identical delta (replaced
     * pre-cutoff rows of entities 0-9, +1000 on value, plus the brand
     * new key for entity 999999) lands through `MERGE INTO ... WHEN
@@ -1265,6 +1292,19 @@ object SparkEntry {
         .get("events", PitIds, PitAsOf)
         .orderBy("entity_id")),
 
+    // REKEYING SQL UPDATE roundtrip: key-column assignment = ONE
+    // atomic registerRewrite commit (originals dropped + rekeyed rows
+    // landed together); reads back both the moved and the untouched
+    // rows of the affected entities
+    "store_sql_update_rekey" -> ((s, dir) => {
+      val store = sqlRekeyStore(s, dir)
+      store
+        .getVersion("events", store.getTableInfo("events").version)
+        .filter(col("entity_id") < 10 ||
+          (col("entity_id") >= 1000000L && col("entity_id") < 1000010L))
+        .orderBy("entity_id", "timestamp", "event_id")
+    }),
+
     // SQL MERGE roundtrip: the upsert delta landed through MERGE INTO
     // (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT *) — same oracle
     // as the Scala-API upsert roundtrip
@@ -1694,6 +1734,14 @@ object SparkEntry {
          |ORDER BY entity_id""".stripMargin,
 
     "store_sql_merge" -> EventsUpsertOracle,
+
+    "store_sql_update_rekey" ->
+      s"""SELECT CASE WHEN user_id < 10 AND ts <= TIMESTAMP '$PitAsOf'
+         |            THEN user_id + 1000000 ELSE user_id END AS entity_id,
+         |       ts AS "timestamp", event_id, event_type, value, props
+         |FROM events
+         |WHERE user_id < 10
+         |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
 
     // change feed of the append step: the delta rows, all inserts
     "store_cdf_roundtrip" ->

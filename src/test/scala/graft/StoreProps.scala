@@ -34,6 +34,9 @@ object StoreProps extends Properties("FeatureStore") {
   private case class DeleteRows(sel: Int) extends Op
   // MERGE: replace up to nReplace existing keys (value shifted), insert one new
   private case class Upsert(nReplace: Int) extends Op
+  // ATOMIC rewrite: replace nReplace keys + insert one + DROP nDrop
+  // other keys, all in ONE commit (registerRewrite — the SQL DML shape)
+  private case class Rewrite(nReplace: Int, nDrop: Int) extends Op
   // RESTORE to the oldest retained version (zero-copy manifest re-reference)
   private case object Restore extends Op
   private case object Compact extends Op
@@ -51,6 +54,9 @@ object StoreProps extends Properties("FeatureStore") {
     },
     2 -> Gen.choose(1, 3).map(DeleteRows(_)),
     2 -> Gen.choose(1, 3).map(Upsert(_)),
+    2 -> Gen.zip(Gen.choose(1, 2), Gen.choose(1, 2)).map {
+      case (r, d) => Rewrite(r, d)
+    },
     1 -> Gen.const(Restore),
     1 -> Gen.const(Compact),
     1 -> Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false))
@@ -156,6 +162,32 @@ object StoreProps extends Properties("FeatureStore") {
       (base.filterNot(r => keys((r._1, r._2))) ++ delta)), info.version)
   }
 
+  /** Atomic rewrite against engine AND model: replace nReplace keys
+    * (value shifted +0.5, keeping val*10 integral for the exact-integer
+    * IVM cross-check), insert one new key, and DROP the next
+    * nDrop keys — one registerRewrite commit; the model applies all
+    * three effects to one new version.
+    */
+  private def applyRewrite(
+      store: FeatureStore, nReplace: Int, nDrop: Int, opIdx: Int,
+      model: Model, current: Int): (Model, Int) = {
+    import org.apache.spark.sql.functions.col
+    if (current == 0) return (model, current)
+    val base = model(current)
+    val sorted = base.toSeq.sortBy(r => (r._1, r._2.getTime, r._3))
+    val replaced = sorted.take(nReplace).map(r => (r._1, r._2, r._3 + 0.5))
+    val dropped = sorted.drop(nReplace).take(nDrop)
+    val delta = replaced ++ rowsFor(opIdx, 1)
+    val info = store.registerRewrite(
+      "t", toDF(delta),
+      toDF(dropped.map(r => (r._1, r._2, 0.0)))
+        .select(col("entity_id"), col("timestamp")))
+    val touched = (delta.map(r => (r._1, r._2)) ++
+      dropped.map(r => (r._1, r._2))).toSet
+    (model + (info.version ->
+      (base.filterNot(r => touched((r._1, r._2))) ++ delta)), info.version)
+  }
+
   /** The model check, parameterized over the storage seam: every
     * [[graft.store.VersionStorage]] implementation must satisfy the
     * identical lifecycle contract.
@@ -211,6 +243,9 @@ object StoreProps extends Properties("FeatureStore") {
             model = m2; current = c2
           case Upsert(nr) =>
             val (m2, c2) = applyUpsert(store, nr, i, model, current)
+            model = m2; current = c2
+          case Rewrite(nr, nd) =>
+            val (m2, c2) = applyRewrite(store, nr, nd, i, model, current)
             model = m2; current = c2
           case Restore =>
             val (m2, c2) = applyRestore(store, model, current, maxVersions)
@@ -346,6 +381,9 @@ object StoreProps extends Properties("FeatureStore") {
       3 -> Gen.choose(1, 5).map(Append(_)),
       2 -> Gen.choose(1, 3).map(DeleteRows(_)),
       2 -> Gen.choose(1, 3).map(Upsert(_)),
+      2 -> Gen.zip(Gen.choose(1, 2), Gen.choose(1, 2)).map {
+        case (r, d) => Rewrite(r, d)
+      },
       1 -> Gen.const(Restore),
       1 -> Gen.const(Compact),
       1 -> Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false))
@@ -414,6 +452,10 @@ object StoreProps extends Properties("FeatureStore") {
             mutated()
           case Upsert(nr) =>
             val (m2, c2) = applyUpsert(store, nr, i, model, current)
+            model = m2; current = c2
+            mutated()
+          case Rewrite(nr, nd) =>
+            val (m2, c2) = applyRewrite(store, nr, nd, i, model, current)
             model = m2; current = c2
             mutated()
           case Restore =>
