@@ -1119,6 +1119,15 @@ object SparkEntry {
         .orderBy("entity_id", "timestamp", "event_id")
     }),
 
+    // SECOND-MOMENT IVM: mean/variance state (n, sum, sum of squares)
+    // folded additively — squares sign-fold like sums, so the exact
+    // integer state cancels deletes exactly
+    "store_ivm_stats" -> ((s, dir) =>
+      graft.store.IncrementalRollup.maintainedStats(
+          deleteStore(s, dir), "events", Seq("event_type"),
+          round(col("value") * 100).cast("long"))
+        .orderBy("event_type")),
+
     // COUNT(DISTINCT) IVM: distinct values are not additive, so the
     // maintained state is one level finer — (key, value, multiplicity)
     // — folded additively from the same change feed; a value leaves
@@ -1654,6 +1663,18 @@ object SparkEntry {
         |SELECT entity_id, "timestamp", event_id, event_type, value, props
         |FROM labeled WHERE violated = ''
         |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
+    "store_ivm_stats" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_value,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |                * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_sq
+        |FROM events
+        |WHERE NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "store_ivm_distinct" ->
       """SELECT event_type,
         |       CAST(count(*) AS BIGINT) AS n_rows,

@@ -105,6 +105,82 @@ object IncrementalRollup {
       seed, store.getChanges(table, 1, current), keyCols, measure)
   }
 
+  // --------------------------------------------------- moment-IVM
+
+  /** From-scratch SECOND-MOMENT state: per key `n_rows`, `sum_value`,
+    * `sum_sq` — everything mean/variance/stddev derive from, kept as
+    * exact integers so folds cancel exactly (the measure must be
+    * integral cents-style; its square must fit a BIGINT, i.e.
+    * |measure| < ~3M at a billion rows per group).
+    */
+  def initialStateStats(
+      snapshot: DataFrame,
+      keyCols: Seq[String],
+      measure: Column): DataFrame = {
+    require(keyCols.nonEmpty, "incremental rollup needs at least one key column")
+    snapshot
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(measure).as("sum_value"),
+        sum(measure * measure).as("sum_sq"))
+  }
+
+  /** Fold change-feed rows into a second-moment state — the same
+    * signed additive fold as [[applyChanges]] with the squared sum
+    * riding along (squares are sign-folded too: a delete subtracts its
+    * square exactly). Null-safe merge, zero-row groups vanish.
+    */
+  def applyChangesStats(
+      state: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      measure: Column): DataFrame = {
+    val sign = when(col(FS.ChangeTypeCol) === "insert", 1L).otherwise(-1L)
+    val dKeys = keyCols.map("_d_" + _)
+    val delta = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(sign).as("_dn"),
+        sum(sign * measure).as("_dsum"),
+        sum(sign * measure * measure).as("_dsq"))
+      .toDF(dKeys ++ Seq("_dn", "_dsum", "_dsq"): _*)
+    val nullSafeOn = keyCols.zip(dKeys)
+      .map { case (k, d) => col(k) <=> col(d) }
+      .reduce(_ && _)
+    state
+      .join(delta, nullSafeOn, "outer")
+      .select(
+        keyCols.zip(dKeys).map { case (k, d) =>
+          coalesce(col(k), col(d)).as(k)
+        } ++ Seq(
+          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
+            .as("n_rows"),
+          (coalesce(col("sum_value"), lit(0L)) + coalesce(col("_dsum"), lit(0L)))
+            .as("sum_value"),
+          (coalesce(col("sum_sq"), lit(0L)) + coalesce(col("_dsq"), lit(0L)))
+            .as("sum_sq")): _*)
+      .filter(col("n_rows") > 0L)
+  }
+
+  /** The maintained second-moment rollup of `table` at its current
+    * version — equals the from-scratch [[initialStateStats]] of the
+    * current content. Mean/variance derive downstream:
+    * mean = sum/n, var = (sum_sq - sum²/n)/n — one or two IEEE double
+    * divisions over exact integers, bit-portable.
+    */
+  def maintainedStats(
+      store: FeatureStore,
+      table: String,
+      keyCols: Seq[String],
+      measure: Column): DataFrame = {
+    val current = store.getTableInfo(table).version
+    val seed = initialStateStats(store.getVersion(table, 1), keyCols, measure)
+    if (current <= 1) seed
+    else applyChangesStats(
+      seed, store.getChanges(table, 1, current), keyCols, measure)
+  }
+
   // ---------------------------------------------- COUNT(DISTINCT) IVM
 
   private val DistinctValCol = "_graft_v"

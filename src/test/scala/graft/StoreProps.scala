@@ -355,6 +355,22 @@ object StoreProps extends Properties("FeatureStore") {
           if (gotD != wantD)
             throw new AssertionError(
               s"IVM distinct mismatch after op #$i $op: got $gotD expected $wantD")
+          // second-moment state (n, sum, sum_sq), same contract
+          val gotS = graft.store.IncrementalRollup
+            .maintainedStats(store, "t", Seq("entity_id"),
+              (col("val") * 10).cast("long"))
+            .collect()
+            .map(r => r.getString(0) ->
+              ((r.getAs[Long]("n_rows"), r.getAs[Long]("sum_value"),
+                r.getAs[Long]("sum_sq"))))
+            .toMap
+          val wantS = model(current).groupBy(_._1).map { case (e, rs) =>
+            val vs = rs.toSeq.map(r => (r._3 * 10).toLong)
+            e -> ((rs.size.toLong, vs.sum, vs.map(v => v * v).sum))
+          }
+          if (gotS != wantS)
+            throw new AssertionError(
+              s"IVM stats mismatch after op #$i $op: got $gotS expected $wantS")
         }
         if (model.isEmpty) {
           try {
