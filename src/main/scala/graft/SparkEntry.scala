@@ -301,6 +301,68 @@ object SparkEntry {
       store
     })
 
+  /** STREAMING twin of [[expectStore]]: the same expectation split
+    * executed per micro-batch by
+    * [[graft.streaming.StreamingIngest.startWithExpectations]] (file
+    * stream over the raw events, exactly-once on BOTH tables); the
+    * post-stream tables must answer the identical split oracles.
+    */
+  private val streamExpectStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def streamExpectStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    streamExpectStores.computeIfAbsent(dir, _ => {
+      val feats = eventsFeatures(s, dir)
+      val (rows, idSum) = sourceFingerprints.computeIfAbsent(dir, _ => {
+        val fp = feats.agg(count(lit(1)), sum(col("event_id"))).head()
+        (fp.getLong(0), fp.getLong(1))
+      })
+      val san = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val prefix = "graft_store_sexpect_v1"
+      val root =
+        s"${sys.props("java.io.tmpdir")}/${prefix}_${san}_${rows}_$idSum"
+      graft.store.FeatureStore.vacuumSiblingRoots(root, s"${prefix}_${san}_",
+        minAgeMillis = 15L * 60 * 1000)
+      val store = new graft.store.FeatureStore(s, root)
+      val names = store.tableNames
+      val fresh = !(names.contains("events") &&
+        names.contains("events_quarantine")) ||
+        store.getTableInfo("events").rowCount +
+          store.getTableInfo("events_quarantine").rowCount != rows
+      if (fresh) {
+        store.delete("events")
+        store.delete("events_quarantine")
+        val ck = root + "_ck"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ck))
+        val raw = read(s, dir, "events")
+        val stream = s.readStream.schema(raw.schema)
+          .parquet(s"$dir/events.parque[t]")
+        val tsCol = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            expr("timestamp_micros(ts div 1000)")
+          case _ => col("ts")
+        }
+        val q = graft.streaming.StreamingIngest.startWithExpectations(
+          stream.select(
+            col("user_id").as("entity_id"),
+            tsCol.as("timestamp"),
+            col("event_id"),
+            col("event_type"),
+            col("value"),
+            col("props")),
+          store, "events",
+          Seq(
+            "no_errors" -> (col("event_type") =!= "error"),
+            "small_value" -> (col("value") <= 300.0)),
+          quarantine = "events_quarantine",
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        try q.processAllAvailable() finally q.stop()
+        store.refresh()
+        ()
+      }
+      store
+    })
+
   private def deleteStore(s: SparkSession, dir: String): graft.store.FeatureStore =
     fingerprintStore(delStores, s, dir, "graft_store_del_v2", minVersion = 3) {
       (store, feats) =>
@@ -1138,6 +1200,16 @@ object SparkEntry {
           round(col("value") * 100).cast("long"))
         .orderBy("event_type")),
 
+    // STREAMING expectation split: the same quarantine contract under
+    // a running micro-batch ingest (exactly-once on both tables) —
+    // answers the identical oracle as the batch split
+    "store_stream_quarantine" -> ((s, dir) => {
+      val store = streamExpectStore(s, dir)
+      store.getVersion("events_quarantine",
+          store.getTableInfo("events_quarantine").version)
+        .orderBy("entity_id", "timestamp", "event_id")
+    }),
+
     // NON-INVERTIBLE IVM: min/max maintained over the same change
     // feed — inserts fold closed-form, and the v3 row delete dirties
     // exactly the groups whose deleted values touch a bound, which are
@@ -1534,6 +1606,23 @@ object SparkEntry {
     * the IVM contract both the batch fold (`store_ivm_rollup`) and the
     * streaming follower (`store_ivm_stream`) must answer.
     */
+  /** The expectation split's quarantine side — shared by the batch
+    * registerWithExpectations roundtrip and its streaming twin (one
+    * contract, two ingest paths).
+    */
+  private lazy val EventsQuarantineOracle: String =
+    """WITH labeled AS (
+      |  SELECT user_id AS entity_id, ts AS "timestamp", event_id,
+      |         event_type, value, props,
+      |         concat_ws(',',
+      |           CASE WHEN NOT coalesce(event_type != 'error', false)
+      |                THEN 'no_errors' END,
+      |           CASE WHEN NOT coalesce(value <= 300.0, false)
+      |                THEN 'small_value' END) AS violated
+      |  FROM events)
+      |SELECT * FROM labeled WHERE violated != ''
+      |ORDER BY entity_id, "timestamp", event_id""".stripMargin
+
   private lazy val EventsIvmRollupOracle: String =
     """SELECT event_type,
       |       CAST(count(*) AS BIGINT) AS n_rows,
@@ -1638,18 +1727,8 @@ object SparkEntry {
     // shared by the batch fold and the streaming follower
     "store_ivm_rollup" -> EventsIvmRollupOracle,
     "store_ivm_stream" -> EventsIvmRollupOracle,
-    "store_quarantine_roundtrip" ->
-      """WITH labeled AS (
-        |  SELECT user_id AS entity_id, ts AS "timestamp", event_id,
-        |         event_type, value, props,
-        |         concat_ws(',',
-        |           CASE WHEN NOT coalesce(event_type != 'error', false)
-        |                THEN 'no_errors' END,
-        |           CASE WHEN NOT coalesce(value <= 300.0, false)
-        |                THEN 'small_value' END) AS violated
-        |  FROM events)
-        |SELECT * FROM labeled WHERE violated != ''
-        |ORDER BY entity_id, "timestamp", event_id""".stripMargin,
+    "store_quarantine_roundtrip" -> EventsQuarantineOracle,
+    "store_stream_quarantine" -> EventsQuarantineOracle,
     "store_expect_clean" ->
       """WITH labeled AS (
         |  SELECT user_id AS entity_id, ts AS "timestamp", event_id,
