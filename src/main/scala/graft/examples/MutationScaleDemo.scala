@@ -126,8 +126,27 @@ object MutationScaleDemo {
       }
       report("upsert", before)
 
+      // ---- ATOMIC rewrite: rekey 50k of month 10's keys into month 12
+      // in ONE commit (drop old keys + land rekeyed rows) — cost must
+      // match the plain upsert's shape (affected segments + delta),
+      // the atomicity is free
+      before = segsNow()
+      val rek = spark.range(50000).select(
+        (col("id") % 500000L).as("entity_id"),
+        date_add(to_date(lit("2024-12-01")),
+          (col("id") % 27).cast("int")).cast("timestamp").as("timestamp"),
+        (col("id") + 991L).as("l_value"))
+      val rekOldKeys = spark.range(50000).select(
+        (col("id") % 500000L).as("entity_id"),
+        date_add(to_date(lit("2024-10-01")),
+          (col("id") % 27).cast("int")).cast("timestamp").as("timestamp"))
+      time("registerRewrite: rekey 50k keys month 10 -> 12 (ONE commit)") {
+        store.registerRewrite("t", rek, rekOldKeys)
+      }
+      report("atomic rewrite", before)
+
       // ---- catch-up follow: O(changes), not O(table)
-      follow("cdc follow: CATCH-UP (3 mutation commits)")
+      follow("cdc follow: CATCH-UP (4 mutation commits)")
 
       // ---- OPTIMIZE: full pass, then append + INCREMENTAL pass
       time("OPTIMIZE full (range cluster by timestamp)") {
