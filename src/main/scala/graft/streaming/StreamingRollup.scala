@@ -6,13 +6,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.store.IncrementalRollup
 
-/** A STREAMING materialized view: an additive rollup maintained as a
-  * Structured Streaming query over a graft table's change feed — the
-  * continuous half of [[graft.store.IncrementalRollup]] (whose batch
-  * fold is oracle-gated by `store_ivm_rollup`). Each micro-batch of
-  * feed rows (the initial snapshot as inserts, then every commit's
-  * recorded change set) folds into the prior state via
-  * `applyChanges` — O(batch changes) per fold, never a table rescan.
+/** A STREAMING materialized view: a rollup maintained as a Structured
+  * Streaming query over a graft table's change feed — the continuous
+  * half of [[graft.store.IncrementalRollup]] (whose batch fold is
+  * oracle-gated by `store_ivm_rollup`). Each micro-batch of feed rows
+  * (the initial snapshot as inserts, then every commit's recorded
+  * change set) folds into the prior state — O(batch changes) per fold,
+  * never a table rescan. All four IVM flavors stream: additive
+  * sum/count ([[start]]), second-moment ([[startStats]]),
+  * COUNT(DISTINCT) via multiplicity state ([[startDistinct]]), and
+  * min/max with version-pinned dirty-group rescans ([[startMinMax]]).
   *
   * Exactly-once without a transactional sink: the state is versioned
   * by BATCH ID — batch `b` writes `state_v<b>` and then an explicit
@@ -70,7 +73,97 @@ object StreamingRollup {
       measure: Column,
       stateDir: String,
       checkpointLocation: String,
-      maxVersionsPerBatch: Option[Int] = None): StreamingQuery = {
+      maxVersionsPerBatch: Option[Int] = None): StreamingQuery =
+    maintain(spark, root, table, stateDir, checkpointLocation,
+      maxVersionsPerBatch,
+      seed = b => IncrementalRollup.initialState(b, keyCols, measure),
+      fold = (prior, batch) =>
+        IncrementalRollup.applyChanges(prior, batch, keyCols, measure))
+
+  /** [[start]] for the SECOND-MOMENT state (n, sum, sum_sq) — same
+    * additive exactly-once fold, mean/variance derive at read time.
+    */
+  def startStats(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      keyCols: Seq[String],
+      measure: Column,
+      stateDir: String,
+      checkpointLocation: String,
+      maxVersionsPerBatch: Option[Int] = None): StreamingQuery =
+    maintain(spark, root, table, stateDir, checkpointLocation,
+      maxVersionsPerBatch,
+      seed = b => IncrementalRollup.initialStateStats(b, keyCols, measure),
+      fold = (prior, batch) =>
+        IncrementalRollup.applyChangesStats(prior, batch, keyCols, measure))
+
+  /** [[start]] for the COUNT(DISTINCT) multiplicity state; read the
+    * visible rollup with [[IncrementalRollup.distinctCounts]] over
+    * [[currentState]].
+    */
+  def startDistinct(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      keyCols: Seq[String],
+      value: Column,
+      stateDir: String,
+      checkpointLocation: String,
+      maxVersionsPerBatch: Option[Int] = None): StreamingQuery =
+    maintain(spark, root, table, stateDir, checkpointLocation,
+      maxVersionsPerBatch,
+      seed = b => IncrementalRollup.initialStateDistinct(b, keyCols, value),
+      fold = (prior, batch) =>
+        IncrementalRollup.applyChangesDistinct(prior, batch, keyCols, value))
+
+  /** [[start]] for the NON-INVERTIBLE min/max state: each batch's
+    * dirty-group rescan reads the table AS OF the batch's own last
+    * commit (`_commit_version` rides every feed row), so a replayed or
+    * lagging fold rescans the exact snapshot its changes end at —
+    * never a newer one that would leak future values into the state.
+    * A follower lagging past version retention fails loudly on the
+    * time-travel read (the [[ChangeFeedFollower]] policy).
+    */
+  def startMinMax(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      keyCols: Seq[String],
+      measure: Column,
+      stateDir: String,
+      checkpointLocation: String,
+      maxVersionsPerBatch: Option[Int] = None): StreamingQuery =
+    maintain(spark, root, table, stateDir, checkpointLocation,
+      maxVersionsPerBatch,
+      seed = b => IncrementalRollup.initialStateMinMax(b, keyCols, measure),
+      fold = (prior, batch) => {
+        val s = batch.sparkSession
+        val ver = batch
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions
+              .col(graft.store.FeatureStore.CommitVersionCol)))
+          .head().getInt(0)
+        val current = new graft.store.FeatureStore(s, root)
+          .getVersion(table, ver)
+        IncrementalRollup.applyChangesMinMax(
+          prior, batch, current, keyCols, measure)
+      })
+
+  /** The shared exactly-once fold harness: batch-id-versioned state
+    * dirs, explicit completion marker, prune-after-write. `seed` builds
+    * the empty initial state from the (emptied) first batch; `fold`
+    * folds one batch of change rows into the prior state.
+    */
+  private def maintain(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      stateDir: String,
+      checkpointLocation: String,
+      maxVersionsPerBatch: Option[Int],
+      seed: DataFrame => DataFrame,
+      fold: (DataFrame, DataFrame) => DataFrame): StreamingQuery = {
     val reader = spark.readStream.format("graft")
       .option("root", root).option("table", table)
     maxVersionsPerBatch.foreach(m =>
@@ -84,11 +177,9 @@ object StreamingRollup {
         // replay guard on the explicit marker, never bare existence: a
         // marker-less dir is a crashed partial write — overwrite it
         if (!fs.exists(new Path(target, Marker))) {
-          val prior = currentState(s, stateDir).getOrElse(
-            IncrementalRollup.initialState(
-              batch.limit(0), keyCols, measure))
-          IncrementalRollup
-            .applyChanges(prior, batch, keyCols, measure)
+          val prior = currentState(s, stateDir)
+            .getOrElse(seed(batch.limit(0)))
+          fold(prior, batch)
             .write.mode("overwrite").parquet(target.toString)
           fs.create(new Path(target, Marker), true).close()
           fs.listStatus(new Path(stateDir)).toSeq

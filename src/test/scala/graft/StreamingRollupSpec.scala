@@ -63,6 +63,69 @@ class StreamingRollupSpec extends AnyFunSuite with SparkTestBase {
     assert(dirs.length == 1, dirs.mkString(","))
   }
 
+  test("all four IVM flavors stream: stats, distinct, min/max converge across mutations") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sroll4").toString
+    val root = s"$base/root"
+    val store = new FeatureStore(spark, root)
+    store.register("t", sampleFeatures)
+
+    def runAll(): Unit = {
+      val qs = Seq(
+        StreamingRollup.startStats(
+          spark, root, "t", Seq("entity_id"), col("feature_b"),
+          s"$base/st_state", s"$base/st_ck", maxVersionsPerBatch = Some(1)),
+        StreamingRollup.startDistinct(
+          spark, root, "t", Seq("entity_id"), col("feature_b") % 1000L,
+          s"$base/d_state", s"$base/d_ck", maxVersionsPerBatch = Some(1)),
+        StreamingRollup.startMinMax(
+          spark, root, "t", Seq("entity_id"), col("feature_b"),
+          s"$base/mm_state", s"$base/mm_ck", maxVersionsPerBatch = Some(1)))
+      try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
+    }
+
+    runAll() // snapshot batches
+    // mutate while the followers are DOWN: the delete strips user_2's
+    // max (2000) — a boundary hit the min/max rescan must recover —
+    // and the upsert + append reshape user_1/user_3
+    store.deleteRows("t",
+      col("entity_id") === "user_2" && col("feature_b") === 2000L)
+    val s = spark
+    import s.implicits._
+    store.registerUpsert("t", Seq(
+      ("user_1", ts("2024-01-15"), 2.0, 205L),
+      ("user_3", ts("2024-03-01"), 7.0, 700L)
+    ).toDF("entity_id", "timestamp", "feature_a", "feature_b"))
+    store.registerAppend("t", Seq(
+      ("user_3", ts("2024-03-02"), 8.0, 1700L)
+    ).toDF("entity_id", "timestamp", "feature_a", "feature_b"))
+    runAll() // catch-up: each commit folds as its own batch
+
+    val cur = store.getVersion("t", store.getTableInfo("t").version)
+    val stats = StreamingRollup.currentState(spark, s"$base/st_state").get
+    val statsScratch = IncrementalRollup.initialStateStats(
+      cur, Seq("entity_id"), col("feature_b"))
+    assert(stats.exceptAll(statsScratch).isEmpty &&
+      statsScratch.exceptAll(stats).isEmpty)
+
+    val dist = IncrementalRollup.distinctCounts(
+      StreamingRollup.currentState(spark, s"$base/d_state").get,
+      Seq("entity_id"))
+    val dm = dist.collect().map(r => r.getAs[String]("entity_id") ->
+      ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct")))).toMap
+    // user_3: values 700 and 1700 — SAME value mod 1000, one distinct
+    assert(dm("user_3") == ((2L, 1L)), dm.toString)
+    assert(dm("user_2") == ((1L, 1L)))
+
+    val mm = StreamingRollup.currentState(spark, s"$base/mm_state").get
+    val mmScratch = IncrementalRollup.initialStateMinMax(
+      cur, Seq("entity_id"), col("feature_b"))
+    assert(mm.exceptAll(mmScratch).isEmpty &&
+      mmScratch.exceptAll(mm).isEmpty)
+    val mmm = mm.collect().map(r => r.getAs[String]("entity_id") ->
+      ((r.getAs[Long]("min_value"), r.getAs[Long]("max_value")))).toMap
+    assert(mmm("user_2") == ((1000L, 1000L))) // rescan found the new max
+  }
+
   test("crashed partial state write is invisible to readers and re-folded on replay") {
     val base = java.nio.file.Files.createTempDirectory("graft_sroll_crash").toString
     val root = s"$base/root"
