@@ -586,6 +586,38 @@ object SparkEntry {
       s"$base/state"
     })
 
+  /** Streaming MIN/MAX IVM state over the same mutation series: the
+    * v3 row delete strips boundary values, so the live follower's
+    * version-pinned dirty-group rescan must recover the true extremes
+    * — the non-invertible flavor under the oracle gate.
+    */
+  private val ivmMmStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivmMinMaxStreamState(s: SparkSession, dir: String): String =
+    ivmMmStreamDirs.computeIfAbsent(dir, _ => {
+      val feats = eventsFeatures(s, dir)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_ivm_mm_stream").toString
+      val store = new graft.store.FeatureStore(s, s"$base/root")
+      val cutoff = lit(utcTs("2024-01-10 00:00:00"))
+      store.register("events", feats.filter(col("timestamp") < cutoff))
+      val q = graft.streaming.StreamingRollup.startMinMax(
+        s, store.rootPath, "events", Seq("event_type"),
+        round(col("value") * 100).cast("long"),
+        s"$base/state", s"$base/ck", maxVersionsPerBatch = Some(1))
+      try {
+        q.processAllAvailable() // the v1 snapshot fold
+        store.registerAppend("events",
+          feats.filter(col("timestamp") >= cutoff))
+        store.deleteRows("events",
+          col("event_type") === "click" &&
+            col("timestamp") < lit(utcTs("2024-01-05 00:00:00")))
+        q.processAllAvailable() // v2 and v3 fold as separate batches
+      } finally q.stop()
+      s"$base/state"
+    })
+
   /** Register (idempotently) a graft SQL catalog over `root` and
     * return its name — the session surface the SQL-DML roundtrips
     * address ([[graft.sources.GraftCatalog]]); one catalog name per
@@ -1163,6 +1195,15 @@ object SparkEntry {
         .currentState(s, ivmStreamState(s, dir)).get
         .orderBy("event_type")),
 
+    // STREAMING NON-INVERTIBLE IVM: min/max maintained LIVE — the v3
+    // delete strips boundary values and the follower's version-pinned
+    // dirty-group rescan must recover the true extremes; answers the
+    // same from-scratch oracle as the batch fold
+    "store_ivm_minmax_stream" -> ((s, dir) =>
+      graft.streaming.StreamingRollup
+        .currentState(s, ivmMinMaxStreamState(s, dir)).get
+        .orderBy("event_type")),
+
     // EXPECTATION-GATED INGESTION, quarantine side: rows failing ANY
     // named expectation land in the quarantine table carrying the
     // comma-joined labels of the expectations they broke
@@ -1623,6 +1664,19 @@ object SparkEntry {
       |SELECT * FROM labeled WHERE violated != ''
       |ORDER BY entity_id, "timestamp", event_id""".stripMargin
 
+  /** From-scratch min/max of the delete-series final content — shared
+    * by the batch fold and the streaming follower.
+    */
+  private lazy val EventsIvmMinMaxOracle: String =
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       min(CAST(round(value * 100) AS BIGINT)) AS min_value,
+      |       max(CAST(round(value * 100) AS BIGINT)) AS max_value
+      |FROM events
+      |WHERE NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00')
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   private lazy val EventsIvmRollupOracle: String =
     """SELECT event_type,
       |       CAST(count(*) AS BIGINT) AS n_rows,
@@ -1763,15 +1817,8 @@ object SparkEntry {
         |WHERE NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00')
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
-    "store_ivm_minmax" ->
-      """SELECT event_type,
-        |       CAST(count(*) AS BIGINT) AS n_rows,
-        |       min(CAST(round(value * 100) AS BIGINT)) AS min_value,
-        |       max(CAST(round(value * 100) AS BIGINT)) AS max_value
-        |FROM events
-        |WHERE NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00')
-        |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
+    "store_ivm_minmax" -> EventsIvmMinMaxOracle,
+    "store_ivm_minmax_stream" -> EventsIvmMinMaxOracle,
 
     // the change-feed REPLICA of the same mutation series must answer
     // the identical oracle — the source→feed→cdc-apply pipeline is
