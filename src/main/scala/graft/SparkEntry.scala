@@ -618,6 +618,33 @@ object SparkEntry {
       s"$base/state"
     })
 
+  /** Serving-table IVM store: v1 = full events; v2 DELETES the LATE
+    * clicks (ts >= 2024-01-10) — for many entities that removes the
+    * current latest row, forcing the serving fold's dirty rescan to
+    * surface the next-newest survivor; v3 appends strictly-newer
+    * synthetic rows for entities 0-99 — the clean closed-form advance.
+    */
+  private val servingStores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.FeatureStore]()
+
+  private def servingStore(s: SparkSession, dir: String): graft.store.FeatureStore =
+    fingerprintStore(servingStores, s, dir, "graft_store_serving_v1",
+      minVersion = 3) { (store, feats) =>
+      store.delete("events")
+      store.register("events", feats)
+      store.deleteRows("events",
+        col("event_type") === "click" &&
+          col("timestamp") >= lit(utcTs("2024-01-10 00:00:00")))
+      store.registerAppend("events", s.range(100).select(
+        col("id").as("entity_id"),
+        lit(utcTs("2099-01-01 00:00:00")).as("timestamp"),
+        (col("id") + 900000000L).as("event_id"),
+        lit("synthetic").as("event_type"),
+        lit(1.0).as("value"),
+        lit(null).cast("string").as("props")))
+      ()
+    }
+
   /** Register (idempotently) a graft SQL catalog over `root` and
     * return its name — the session surface the SQL-DML roundtrips
     * address ([[graft.sources.GraftCatalog]]); one catalog name per
@@ -1194,6 +1221,16 @@ object SparkEntry {
       graft.streaming.StreamingRollup
         .currentState(s, ivmStreamState(s, dir)).get
         .orderBy("event_type")),
+
+    // SERVING-TABLE IVM: the online store — each entity's single
+    // latest row maintained O(changes): appends advance closed-form,
+    // and only entities whose DELETES reach the current latest key
+    // rescan (v2 deletes the late clicks, so many do); must equal the
+    // from-scratch latest-per-entity of the final content
+    "store_ivm_serving" -> ((s, dir) =>
+      graft.store.IncrementalRollup.maintainedServing(
+          servingStore(s, dir), "events", tieCols = Seq("event_id"))
+        .orderBy("entity_id")),
 
     // STREAMING NON-INVERTIBLE IVM: min/max maintained LIVE — the v3
     // delete strips boundary values and the follower's version-pinned
@@ -1819,6 +1856,23 @@ object SparkEntry {
         |ORDER BY event_type""".stripMargin,
     "store_ivm_minmax" -> EventsIvmMinMaxOracle,
     "store_ivm_minmax_stream" -> EventsIvmMinMaxOracle,
+    "store_ivm_serving" ->
+      """WITH content AS (
+        |  SELECT user_id AS entity_id, ts AS "timestamp", event_id,
+        |         event_type, value, props
+        |  FROM events
+        |  WHERE NOT (event_type = 'click'
+        |             AND ts >= TIMESTAMP '2024-01-10 00:00:00')
+        |  UNION ALL
+        |  SELECT i, TIMESTAMP '2099-01-01 00:00:00', 900000000 + i,
+        |         'synthetic', 1.0, NULL
+        |  FROM range(0, 100) t(i)
+        |)
+        |SELECT entity_id, "timestamp", event_id, event_type, value, props
+        |FROM content
+        |QUALIFY row_number() OVER (PARTITION BY entity_id
+        |          ORDER BY "timestamp" DESC, event_id DESC) = 1
+        |ORDER BY entity_id""".stripMargin,
 
     // the change-feed REPLICA of the same mutation series must answer
     // the identical oracle — the source→feed→cdc-apply pipeline is

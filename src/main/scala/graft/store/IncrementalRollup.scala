@@ -105,6 +105,98 @@ object IncrementalRollup {
       seed, store.getChanges(table, 1, current), keyCols, measure)
   }
 
+  // ----------------------------------------------- serving-table IVM
+
+  /** From-scratch SERVING TABLE: one row per entity — its latest
+    * observation by `(tsCol, tieCols...)`, which together with
+    * `entityCol` must uniquely identify a row (events: `event_id`).
+    * This is the online-store materialization of the reference's
+    * `get(..., now)` semantics, in the maintainable form
+    * [[applyChangesServing]] keeps current O(changes) per fold.
+    */
+  def initialStateServing(
+      snapshot: DataFrame,
+      tieCols: Seq[String],
+      entityCol: String = "entity_id",
+      tsCol: String = "timestamp"): DataFrame = {
+    val cols = snapshot.columns.toSeq
+    val key = struct((tsCol +: tieCols).map(col): _*)
+    snapshot
+      .groupBy(col(entityCol).as("_e"))
+      .agg(max_by(struct(cols.map(col): _*), key).as("_row"))
+      .select(col("_row.*"))
+  }
+
+  /** Fold change-feed rows into a serving table. The latest-row
+    * aggregate is non-invertible like min/max, and the same boundary
+    * argument gives the selective fold: an APPENDED row either
+    * advances the entity's latest (strictly greater key) or is
+    * shadowed; a DELETE strictly below the entity's current latest
+    * key provably cannot change it. Only entities whose deletes reach
+    * the current latest key (or entities born-and-shrunk inside the
+    * interval) are dirty and rescanned EXACTLY from `current`. An
+    * append-only serving feed — the production shape — never rescans.
+    */
+  def applyChangesServing(
+      state: DataFrame,
+      changes: DataFrame,
+      current: DataFrame,
+      tieCols: Seq[String],
+      entityCol: String = "entity_id",
+      tsCol: String = "timestamp"): DataFrame = {
+    val cols = state.columns.toSeq
+    val isIns = col(FS.ChangeTypeCol) === "insert"
+    val key = struct((tsCol +: tieCols).map(col): _*)
+    val delta = changes
+      .groupBy(col(entityCol).as("_e"))
+      .agg(
+        max_by(when(isIns, struct(cols.map(col): _*)), when(isIns, key))
+          .as("_ins_row"),
+        max(when(isIns, key)).as("_ins_key"),
+        max(when(!isIns, key)).as("_del_key"),
+        sum(when(isIns, 0L).otherwise(1L)).as("_del_n"))
+    val joined = state
+      .withColumn("_s_present", lit(true))
+      .join(delta, col(entityCol) <=> col("_e"), "outer")
+    val stateKey = struct((tsCol +: tieCols).map(col): _*)
+    val dirty = coalesce(col("_del_n"), lit(0L)) > 0L &&
+      (col("_s_present").isNull || col("_del_key") >= stateKey)
+    val advanced = col("_s_present").isNull ||
+      (col("_ins_key").isNotNull && col("_ins_key") > stateKey)
+    val merged = joined.select(
+      coalesce(col(entityCol), col("_e")).as("_ent"),
+      when(advanced, col("_ins_row"))
+        .otherwise(struct(cols.map(col): _*)).as("_row"),
+      dirty.as("_dirty"))
+    val clean = merged
+      .filter(!col("_dirty") && col("_row").isNotNull)
+      .select(col("_row.*"))
+    val dirtyEntities = merged.filter(col("_dirty")).select(col("_ent"))
+    val rescanOn = current(entityCol) <=> dirtyEntities("_ent")
+    val rescanned = initialStateServing(
+      current.join(dirtyEntities, rescanOn, "left_semi"),
+      tieCols, entityCol, tsCol)
+    clean.unionByName(rescanned)
+  }
+
+  /** The maintained serving table of `table` at its current version —
+    * equals the from-scratch latest-per-entity of the current content.
+    */
+  def maintainedServing(
+      store: FeatureStore,
+      table: String,
+      tieCols: Seq[String],
+      entityCol: String = "entity_id",
+      tsCol: String = "timestamp"): DataFrame = {
+    val current = store.getTableInfo(table).version
+    val seed = initialStateServing(
+      store.getVersion(table, 1), tieCols, entityCol, tsCol)
+    if (current <= 1) seed
+    else applyChangesServing(
+      seed, store.getChanges(table, 1, current),
+      store.getVersion(table, current), tieCols, entityCol, tsCol)
+  }
+
   // --------------------------------------------------- moment-IVM
 
   /** From-scratch SECOND-MOMENT state: per key `n_rows`, `sum_value`,

@@ -660,6 +660,53 @@ class MutationSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("a" -> ((3L, 3L)), "b" -> ((2L, 1L))))
   }
 
+  test("IncrementalRollup serving table: appends advance closed-form, latest-deletes rescan") {
+    val store = freshStore()
+    val s = spark
+    import s.implicits._
+    def df(rows: Seq[(String, java.sql.Timestamp, Long, Long)]) =
+      rows.toDF("entity_id", "timestamp", "event_id", "v")
+    store.register("t", df(Seq(
+      ("a", ts("2024-01-01"), 1L, 10L), ("a", ts("2024-01-05"), 2L, 20L),
+      ("b", ts("2024-01-02"), 3L, 30L), ("b", ts("2024-01-06"), 4L, 40L),
+      ("c", ts("2024-01-03"), 5L, 50L))))
+    // v2: delete 'a''s LATEST (dirty → rescan surfaces event 1) and an
+    // OLD row of 'b' (clean — latest untouched)
+    store.deleteRows("t", col("event_id") === 2L || col("event_id") === 3L)
+    // v3: append a strictly-newer row for 'c' (clean advance) and a
+    // brand-new entity 'd'
+    store.registerAppend("t", df(Seq(
+      ("c", ts("2024-02-01"), 6L, 60L), ("d", ts("2024-02-02"), 7L, 70L))))
+
+    val maintained = graft.store.IncrementalRollup
+      .maintainedServing(store, "t", tieCols = Seq("event_id"))
+    val scratch = graft.store.IncrementalRollup.initialStateServing(
+      store.getVersion("t", store.getTableInfo("t").version),
+      tieCols = Seq("event_id"))
+    assert(maintained.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(maintained).isEmpty)
+    val m = maintained.collect().map(r => r.getAs[String]("entity_id") ->
+      r.getAs[Long]("event_id")).toMap
+    assert(m == Map("a" -> 1L, "b" -> 4L, "c" -> 6L, "d" -> 7L))
+  }
+
+  test("IncrementalRollup serving: duplicate-timestamp ties resolve by tie column") {
+    val store = freshStore()
+    val s = spark
+    import s.implicits._
+    store.register("t", Seq(
+      ("a", ts("2024-01-01"), 1L, 10L), ("a", ts("2024-01-01"), 9L, 90L))
+      .toDF("entity_id", "timestamp", "event_id", "v"))
+    // same timestamp, higher event_id wins — then delete it: the
+    // rescan must fall back to the lower-id sibling at the SAME ts
+    store.deleteRows("t", col("event_id") === 9L)
+    val m = graft.store.IncrementalRollup
+      .maintainedServing(store, "t", tieCols = Seq("event_id"))
+      .collect().map(r => r.getAs[String]("entity_id") ->
+        r.getAs[Long]("event_id")).toMap
+    assert(m == Map("a" -> 1L))
+  }
+
   test("IncrementalRollup min/max: group deleted to zero rows vanishes") {
     val store = freshStore()
     val s = spark
