@@ -150,6 +150,42 @@ object StreamingRollup {
           prior, batch, current, keyCols, measure)
       })
 
+  /** [[start]] for the SERVING TABLE (each entity's single latest row,
+    * by ts + `tieCols`): the ONLINE STORE maintained live — appends
+    * advance closed-form, and an entity whose delete reaches its
+    * current latest key rescans from the table AS OF the batch's own
+    * last commit (version-pinned like [[startMinMax]]). An append-only
+    * feed — the production serving shape — never rescans.
+    */
+  def startServing(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      tieCols: Seq[String],
+      stateDir: String,
+      checkpointLocation: String,
+      entityCol: String = "entity_id",
+      tsCol: String = "timestamp",
+      maxVersionsPerBatch: Option[Int] = None): StreamingQuery =
+    maintain(spark, root, table, stateDir, checkpointLocation,
+      maxVersionsPerBatch,
+      seed = b => IncrementalRollup.initialStateServing(
+        b.drop(graft.store.FeatureStore.ChangeTypeCol,
+          graft.store.FeatureStore.CommitVersionCol),
+        tieCols, entityCol, tsCol),
+      fold = (prior, batch) => {
+        val s = batch.sparkSession
+        val ver = batch
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions
+              .col(graft.store.FeatureStore.CommitVersionCol)))
+          .head().getInt(0)
+        val current = new graft.store.FeatureStore(s, root)
+          .getVersion(table, ver)
+        IncrementalRollup.applyChangesServing(
+          prior, batch, current, tieCols, entityCol, tsCol)
+      })
+
   /** The shared exactly-once fold harness: batch-id-versioned state
     * dirs, explicit completion marker, prune-after-write. `seed` builds
     * the empty initial state from the (emptied) first batch; `fold`

@@ -371,6 +371,20 @@ object StoreProps extends Properties("FeatureStore") {
           if (gotS != wantS)
             throw new AssertionError(
               s"IVM stats mismatch after op #$i $op: got $gotS expected $wantS")
+          // serving table (latest row per entity; (entity, ts) unique
+          // in this model, so no tie columns needed)
+          val gotServe = graft.store.IncrementalRollup
+            .maintainedServing(store, "t", tieCols = Seq.empty)
+            .collect()
+            .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+            .toSet
+          val wantServe = model(current).groupBy(_._1).values
+            .map(rs => rs.toSeq.maxBy(_._2.getTime))
+            .toSet
+          if (gotServe != wantServe)
+            throw new AssertionError(
+              s"IVM serving mismatch after op #$i $op: " +
+                s"got $gotServe expected $wantServe")
         }
         if (model.isEmpty) {
           try {

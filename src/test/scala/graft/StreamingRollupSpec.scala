@@ -63,7 +63,7 @@ class StreamingRollupSpec extends AnyFunSuite with SparkTestBase {
     assert(dirs.length == 1, dirs.mkString(","))
   }
 
-  test("all four IVM flavors stream: stats, distinct, min/max converge across mutations") {
+  test("every IVM flavor streams: stats, distinct, min/max, serving converge across mutations") {
     val base = java.nio.file.Files.createTempDirectory("graft_sroll4").toString
     val root = s"$base/root"
     val store = new FeatureStore(spark, root)
@@ -79,7 +79,10 @@ class StreamingRollupSpec extends AnyFunSuite with SparkTestBase {
           s"$base/d_state", s"$base/d_ck", maxVersionsPerBatch = Some(1)),
         StreamingRollup.startMinMax(
           spark, root, "t", Seq("entity_id"), col("feature_b"),
-          s"$base/mm_state", s"$base/mm_ck", maxVersionsPerBatch = Some(1)))
+          s"$base/mm_state", s"$base/mm_ck", maxVersionsPerBatch = Some(1)),
+        StreamingRollup.startServing(
+          spark, root, "t", tieCols = Seq("feature_b"),
+          s"$base/sv_state", s"$base/sv_ck", maxVersionsPerBatch = Some(1)))
       try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
     }
 
@@ -124,6 +127,18 @@ class StreamingRollupSpec extends AnyFunSuite with SparkTestBase {
     val mmm = mm.collect().map(r => r.getAs[String]("entity_id") ->
       ((r.getAs[Long]("min_value"), r.getAs[Long]("max_value")))).toMap
     assert(mmm("user_2") == ((1000L, 1000L))) // rescan found the new max
+
+    // the live SERVING table: user_2's deleted latest rescanned back to
+    // the Jan-1 survivor; user_3 advanced to its newest append
+    val sv = StreamingRollup.currentState(spark, s"$base/sv_state").get
+    val svScratch = IncrementalRollup.initialStateServing(
+      cur, tieCols = Seq("feature_b"))
+    assert(sv.exceptAll(svScratch).isEmpty &&
+      svScratch.exceptAll(sv).isEmpty)
+    val svm = sv.collect().map(r => r.getAs[String]("entity_id") ->
+      r.getAs[Long]("feature_b")).toMap
+    assert(svm == Map(
+      "user_1" -> 300L, "user_2" -> 1000L, "user_3" -> 1700L))
   }
 
   test("crashed partial state write is invisible to readers and re-folded on replay") {
