@@ -111,6 +111,13 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
     println(s"bench json written to: $outPath")
+    // A SHORT summary line, printed LAST: the full line above is ~6KB
+    // and has been truncated mid-object by the driver's bounded
+    // log-tail capture every round ("parsed": null since r1). This one
+    // is ~150 bytes — it survives any tail window and parses on its
+    // own; per-query detail lives in the file above.
+    println(s"""GRAFT_BENCH {"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","bench_out":"$outPath"$paired}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","bench_out":"$outPath"$paired}""")
     spark.stop()
   }
 }

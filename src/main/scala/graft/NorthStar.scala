@@ -1502,6 +1502,7 @@ object NorthStar {
         |           / (qq.pn * cc.pn) AS pscore
         |  FROM pv qq JOIN pv cc ON cc.vec_id != qq.vec_id
         |  WHERE qq.vec_id IN (0,1,2,3,4,5,6,7,8,9)
+        |    AND qq.pn > 0 AND cc.pn > 0
         |  QUALIFY row_number() OVER (PARTITION BY query_id
         |             ORDER BY pscore DESC, neighbor_id ASC) <= 64
         |), rescored AS (

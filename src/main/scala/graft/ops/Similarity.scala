@@ -1084,6 +1084,17 @@ object Similarity extends Serializable {
       vecCol: String = "embedding"): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
+    // the probe computation collects |Q| (vector + norm) rows to the
+    // driver — bounded for interactive batches, unguarded OOM at 1M
+    // queries. Gate on cardinality BEFORE any job (4 KiB/row budget =
+    // a 1024-dim float vector, against a 256 MiB driver allowance;
+    // same discipline as pqTopK's LUT guard) and route, don't crash.
+    if (queryIds.size.toLong * 4096 > (256L << 20))
+      throw new graft.store.FeatureValidationError(
+        s"ivfTopKIndexed computes probe lists on the driver " +
+          s"(${queryIds.size} query vectors exceeds the 256 MiB " +
+          "collect envelope); batch the queries, or use " +
+          "allPairsTopKIvf for corpus-wide scoring")
     val qRows = index
       .filter(col(idCol).isin(queryIds: _*))
       .select(
@@ -1503,8 +1514,14 @@ object Similarity extends Serializable {
       .select(
         col("_id").as("query_id"),
         col("_v").as("_qv"), col("_p").as("_qp"), col("_pn").as("_qpn"))
+    // a zero projected norm (all-zero embedding, or full integer
+    // cancellation) has no cosine: without this filter _pscore is
+    // NaN, which desc-orders LARGEST in Spark and floods the
+    // candidate prefix with meaningless pairs
     val pruned = corpus
-      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .filter(col("_pn") > 0d)
+      .join(broadcast(queries.filter(col("_qpn") > 0d)),
+        col("neighbor_id") =!= col("query_id"))
       .select(
         col("query_id"), col("neighbor_id"), col("_qv"), col("_v"),
         (dotFast(col("_qp"), col("_p")) / (col("_qpn") * col("_pn")))

@@ -371,9 +371,16 @@ case class GraftMergeCommand(
       // rides along in the delta unchanged. Every target row is in
       // exactly one of matchedFrame / bySourceFrame, so tag == -1 over
       // both is the complete untouched set.
+      // Dedupe by target-ROW identity before projecting: with no
+      // matched action (guard not applicable — multi-match is legal
+      // SQL there), a target row matched by k source rows appears k
+      // times in matchedFrame; without this it would ride the delta k
+      // times and be silently duplicated. The joined copies agree on
+      // every _graft_t_ column, so the arbitrary pick is content-safe.
       val untouched = matchedFrame.filter(actionTag(matchedActions) === -1)
         .unionByName(
           bySourceFrame.filter(actionTag(notMatchedBySourceActions) === -1))
+        .dropDuplicates(keyCols.map(TP + _) :+ "_graft_t_rn")
         .select(tNames.map(n => col(TP + n).as(n)): _*)
       val upsertDelta = upserts.reduceOption(_ unionByName _)
       val dropKeys = deletes.reduceOption(_ unionByName _)

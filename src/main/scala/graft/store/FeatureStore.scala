@@ -1646,11 +1646,23 @@ final class FeatureStore(
               s"($EntityIdColumn, $TimestampColumn); missing: " +
               missing.mkString(", "))
       }
-      if (catalog.get(name).isEmpty && !storage.arbitrates)
+      // a rewrite (dropKeys present) addresses EXISTING rows — on a
+      // table that doesn't exist it must fail like any other lookup,
+      // not silently degrade to a plain register that ignores the drops
+      def requireExistsForRewrite(): Unit =
+        dropKeys.foreach(_ => catalog.getOrThrow(name))
+      if (catalog.get(name).isEmpty && !storage.arbitrates) {
+        requireExistsForRewrite()
         return registerWith(name, df, watermark)
+      }
       val (curOpt, v) = claimVersion(name)
       val cur = curOpt.getOrElse {
         storage.releaseVersion(name, v)
+        // the arbitrated log says the table is absent — the local
+        // catalog may be stale, so don't consult it here
+        dropKeys.foreach(_ => throw new FeatureTableNotFoundError(
+          s"registerRewrite('$name'): table not found (a rewrite " +
+            "addresses existing rows; register the table first)"))
         return registerWith(name, df, watermark)
       }
       val meta = completeClaim(name, v) {

@@ -49,11 +49,26 @@ object SkewStats {
         .select(col("_he"))
         .collect()
         .map(_.get(0))
-      if (cache.size >= MaxEntries) cache.clear()
-      cache.put(key, hot)
+      memoize(key, hot)
       hot
     })
   }
+
+  /** Insert under the eviction policy: a full memo displaces a SINGLE
+    * arbitrary entry, never the whole cache — clearing would dump
+    * every classification (and force a re-count job each) just because
+    * one new key arrived. Package-visible so tests can exercise the
+    * policy without running 256 count jobs.
+    */
+  private[graft] def memoize(
+      key: (Int, String, Long), value: Array[Any]): Unit = {
+    if (cache.size >= MaxEntries)
+      cache.headOption.foreach { case (k, _) => cache.remove(k) }
+    cache.put(key, value)
+    ()
+  }
+
+  private[graft] def maxEntries: Int = MaxEntries
 
   /** Drop all memoized classifications — called by
     * [[graft.Tables.invalidate]], the in-place-rewrite escape hatch

@@ -139,15 +139,21 @@ object StreamingRollup {
       seed = b => IncrementalRollup.initialStateMinMax(b, keyCols, measure),
       fold = (prior, batch) => {
         val s = batch.sparkSession
-        val ver = batch
+        // an empty micro-batch (a commit whose change set cancels out)
+        // has no _commit_version to pin — the state is unchanged, so
+        // carry the prior forward rather than NPE on the null max
+        val verRow = batch
           .agg(org.apache.spark.sql.functions.max(
             org.apache.spark.sql.functions
               .col(graft.store.FeatureStore.CommitVersionCol)))
-          .head().getInt(0)
-        val current = new graft.store.FeatureStore(s, root)
-          .getVersion(table, ver)
-        IncrementalRollup.applyChangesMinMax(
-          prior, batch, current, keyCols, measure)
+          .head()
+        if (verRow.isNullAt(0)) prior
+        else {
+          val current = new graft.store.FeatureStore(s, root)
+            .getVersion(table, verRow.getInt(0))
+          IncrementalRollup.applyChangesMinMax(
+            prior, batch, current, keyCols, measure)
+        }
       })
 
   /** [[start]] for the SERVING TABLE (each entity's single latest row,
@@ -175,15 +181,20 @@ object StreamingRollup {
         tieCols, entityCol, tsCol),
       fold = (prior, batch) => {
         val s = batch.sparkSession
-        val ver = batch
+        // empty micro-batch: no version to pin, state unchanged (see
+        // startMinMax) — carry the prior forward
+        val verRow = batch
           .agg(org.apache.spark.sql.functions.max(
             org.apache.spark.sql.functions
               .col(graft.store.FeatureStore.CommitVersionCol)))
-          .head().getInt(0)
-        val current = new graft.store.FeatureStore(s, root)
-          .getVersion(table, ver)
-        IncrementalRollup.applyChangesServing(
-          prior, batch, current, tieCols, entityCol, tsCol)
+          .head()
+        if (verRow.isNullAt(0)) prior
+        else {
+          val current = new graft.store.FeatureStore(s, root)
+            .getVersion(table, verRow.getInt(0))
+          IncrementalRollup.applyChangesServing(
+            prior, batch, current, tieCols, entityCol, tsCol)
+        }
       })
 
   /** The shared exactly-once fold harness: batch-id-versioned state

@@ -193,6 +193,32 @@ class MutationSpec extends AnyFunSuite with SparkTestBase {
     assert(store.getTableHistory("t").head.operation.contains("register"))
   }
 
+  test("rewrite on a missing table fails; it never degrades to register") {
+    // a rewrite addresses EXISTING rows (its dropKeys delete them) —
+    // silently registering instead would ignore the drops and skip the
+    // empty-delta validation
+    val store = freshStore()
+    val s = spark
+    import s.implicits._
+    val keys = Seq(("user_1", ts("2024-01-01")))
+      .toDF("entity_id", "timestamp")
+    intercept[FeatureTableNotFoundError] {
+      store.registerRewrite("nope", sampleFeatures, keys)
+    }
+    assert(store.tableNames.isEmpty)
+    // same contract under arbitration, where the claim (not the local
+    // catalog) is what says the table is absent
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mut-rwmiss-").toString
+    val txn = new FeatureStore(spark, root,
+      storageFactory = new TxnLogStorage(_, _, _),
+      arbitrationWaitMillis = 2000)
+    intercept[FeatureTableNotFoundError] {
+      txn.registerRewrite("nope", sampleFeatures, keys)
+    }
+    assert(txn.tableNames.isEmpty)
+  }
+
   test("upsert leaves untouched segments un-rewritten") {
     val s = spark
     import s.implicits._

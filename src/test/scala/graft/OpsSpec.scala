@@ -458,6 +458,25 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(composedRecall == recall)
   }
 
+  test("annTopKProjected excludes zero vectors (no NaN flooding the candidate prefix)") {
+    // a zero embedding has projected norm 0: its pscore would be NaN,
+    // and NaN desc-orders LARGEST in Spark — unguarded it floods the
+    // candidate sliver and can ride NaN scores into the final top-k
+    val e = embDF(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0.9f, 0.1f, 0f, 0f),
+      2L -> Seq(0f, 0f, 1f, 0f),
+      3L -> Seq(0f, 0f, 0f, 0f)) // zero vector
+    val out = Similarity
+      .annTopKProjected(e, Seq(0L), k = 2, candidates = 2,
+        outDims = 4, inDims = 4)
+      .collect()
+    val neighbors = out.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(!neighbors.contains(3L), s"zero vector ranked: $neighbors")
+    assert(out.forall(r => !r.getAs[Double]("score").isNaN))
+    assert(neighbors.contains(1L)) // the genuine neighbor survives
+  }
+
   test("broadcast envelope is a hard boundary: Auto routes, direct kernels refuse") {
     val e = embDF(
       0L -> Seq(1f, 0f, 0f),
@@ -499,6 +518,19 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       Similarity.pqTopK(e, hugeQ, k = 1, m = 2, codebookSize = 16)
     }
     assert(err.getMessage.contains("lookup tables"))
+  }
+
+  test("ivfTopKIndexed guards its driver-side probe collect") {
+    // |Q| query vectors are collected to compute probe lists — an
+    // oversized batch must get a routing error BEFORE any job, not a
+    // driver OOM mid-collect (4 KiB/row budget against 256 MiB)
+    val e = embDF(0L -> Seq(1f, 0f, 0f), 1L -> Seq(0f, 1f, 0f))
+    val hugeQ = (0L until 70000L).toSeq
+    val err = intercept[graft.store.FeatureValidationError] {
+      Similarity.ivfTopKIndexed(
+        e, Array(Array(1.0, 0.0, 0.0)), hugeQ, k = 1)
+    }
+    assert(err.getMessage.contains("collect envelope"), err.getMessage)
   }
 
   test("pinned ANN recall floors at sf0.01 (every path, one corpus)") {

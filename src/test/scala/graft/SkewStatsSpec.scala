@@ -27,6 +27,19 @@ class SkewStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(SkewStats.cachedEntries == 2)
   }
 
+  test("a full memo evicts ONE entry, not the whole cache") {
+    SkewStats.invalidate()
+    val cap = SkewStats.maxEntries
+    // fill to cap through the policy seam (no count jobs needed)
+    (1 to cap).foreach(i => SkewStats.memoize((i, "e", 1L), Array("x")))
+    assert(SkewStats.cachedEntries == cap)
+    // the cap+1-th key displaces exactly one victim — the remaining
+    // cap-1 memoized classifications survive
+    SkewStats.memoize((cap + 1, "e", 1L), Array("y"))
+    assert(SkewStats.cachedEntries == cap)
+    SkewStats.invalidate()
+  }
+
   test("Tables.invalidate drops the skew memo (in-place rewrite hook)") {
     val s = spark
     import s.implicits._

@@ -299,6 +299,44 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
     assert(byTag == Map("a" -> 10L, "b" -> 20L, "c" -> 3L))
   }
 
+  test("MERGE with only NOT MATCHED INSERT: a multi-matched target row is not duplicated") {
+    // SQL-standard: multi-match is a cardinality violation only when a
+    // MATCHED action could apply. With insert-only actions it is legal
+    // — but the untouched multi-matched row (one joined pair per source
+    // row) must ride the delta ONCE, even when an insert lands at its
+    // own key and pulls it into the sibling set.
+    val root = freshRoot("mins")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    val s = spark
+    import s.implicits._
+    Seq(
+      // two 'm' rows both match target user_1@2024-01-15 via the ON;
+      // the 'i' row fails the ON (op filter) and inserts AT THE SAME KEY
+      ("user_1", ts("2024-01-15"), 500.0, 50L, "m"),
+      ("user_1", ts("2024-01-15"), 600.0, 60L, "m"),
+      ("user_1", ts("2024-01-15"), 700.0, 70L, "i")
+    ).toDF("entity_id", "timestamp", "feature_a", "feature_b", "op")
+      .createOrReplaceTempView("graft_merge_multi_src")
+    spark.sql(
+      s"""MERGE INTO $c.feat t
+         |USING graft_merge_multi_src s
+         |ON t.entity_id = s.entity_id AND t.timestamp = s.timestamp
+         |   AND s.op = 'm'
+         |WHEN NOT MATCHED THEN
+         |  INSERT (entity_id, timestamp, feature_a, feature_b)
+         |  VALUES (s.entity_id, s.timestamp, s.feature_a, s.feature_b)"""
+        .stripMargin)
+    store.refresh()
+    val now = store.getVersion("feat", store.getTableInfo("feat").version)
+    assert(now.count() == 6, "5 original + 1 inserted, nothing duplicated")
+    val atKey = now.filter(col("entity_id") === "user_1" &&
+      col("timestamp") === lit(ts("2024-01-15")))
+      .select("feature_a").as[Double].collect().sorted.toSeq
+    assert(atKey == Seq(2.0, 700.0), s"got $atKey")
+  }
+
   test("UPDATE / MERGE without the extension still fail cleanly elsewhere: non-graft table untouched") {
     // the rule must leave non-graft targets alone (they follow Spark's
     // own unsupported-table error path, not ours)

@@ -141,6 +141,58 @@ class StreamingRollupSpec extends AnyFunSuite with SparkTestBase {
       "user_1" -> 300L, "user_2" -> 1000L, "user_3" -> 1700L))
   }
 
+  test("version-pinned folds survive an empty micro-batch (no-op upsert commit)") {
+    // an upsert re-writing identical bytes commits a version whose
+    // change set is EMPTY (identical-content pairs cancel) — the
+    // min/max and serving folds pin the rescan version from
+    // max(_commit_version), which is null on that batch; they must
+    // carry the prior state forward, not NPE and kill the query
+    val base = java.nio.file.Files.createTempDirectory("graft_sroll_empty").toString
+    val root = s"$base/root"
+    val store = new FeatureStore(spark, root)
+    store.register("t", sampleFeatures)
+
+    def runAll(): Unit = {
+      val qs = Seq(
+        StreamingRollup.startMinMax(
+          spark, root, "t", Seq("entity_id"), col("feature_b"),
+          s"$base/mm_state", s"$base/mm_ck", maxVersionsPerBatch = Some(1)),
+        StreamingRollup.startServing(
+          spark, root, "t", tieCols = Seq("feature_b"),
+          s"$base/sv_state", s"$base/sv_ck", maxVersionsPerBatch = Some(1)))
+      try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
+    }
+
+    runAll() // snapshot batches
+    // a no-op upsert: same keys, identical content — new commit, zero
+    // change rows. With maxVersionsPerBatch=1 it arrives as its own
+    // (empty) micro-batch. Then a real append the followers must still
+    // fold after surviving the empty one.
+    store.registerUpsert("t", sampleFeatures)
+    val s = spark
+    import s.implicits._
+    store.registerAppend("t", Seq(
+      ("user_3", ts("2024-03-01"), 7.0, 700L)
+    ).toDF("entity_id", "timestamp", "feature_a", "feature_b"))
+    runAll()
+
+    val cur = store.getVersion("t", store.getTableInfo("t").version)
+    val mm = StreamingRollup.currentState(spark, s"$base/mm_state").get
+    val mmScratch = IncrementalRollup.initialStateMinMax(
+      cur, Seq("entity_id"), col("feature_b"))
+    assert(mm.exceptAll(mmScratch).isEmpty &&
+      mmScratch.exceptAll(mm).isEmpty)
+    val sv = StreamingRollup.currentState(spark, s"$base/sv_state").get
+    val svScratch = IncrementalRollup.initialStateServing(
+      cur, tieCols = Seq("feature_b"))
+    assert(sv.exceptAll(svScratch).isEmpty &&
+      svScratch.exceptAll(sv).isEmpty)
+    val svm = sv.collect().map(r => r.getAs[String]("entity_id") ->
+      r.getAs[Long]("feature_b")).toMap
+    assert(svm == Map(
+      "user_1" -> 300L, "user_2" -> 2000L, "user_3" -> 700L))
+  }
+
   test("crashed partial state write is invisible to readers and re-folded on replay") {
     val base = java.nio.file.Files.createTempDirectory("graft_sroll_crash").toString
     val root = s"$base/root"
