@@ -723,22 +723,16 @@ final class GraftBatchScan(
       skip, checkpointLocation)
   }
 
-  /** The store-planned frame this scan executes — also the hook the
-    * equivalence property test uses to prove V2 ≡ Scala-API reads.
+  /** The store-planned frame this scan executes — DELEGATED to the one
+    * shared batch read plan ([[GraftRelation.storeFrame]]), the same
+    * translation + routing site the V1 relation uses, so the two
+    * surfaces cannot drift (ReadPathEquivalenceProps holds them
+    * row-equal over fuzzed predicates and projections).
     */
-  private[sources] def storeFrame: DataFrame = {
-    val s = t.store
-    val cond = (pushed ++ runtimePushed)
-      .flatMap(GraftRelation.translate).reduceOption(_ && _)
-    val base = (t.pinnedVersion, cond) match {
-      // stats-skipping applies to CURRENT-version reads; a pinned
-      // (time-travel) snapshot filters above its own segment read
-      case (Some(v), c) => c.fold(s.getVersion(t.table, v))(s.getVersion(t.table, v).filter)
-      case (None, Some(c)) => s.scanWhere(t.table, c)
-      case (None, None) => s.getVersion(t.table, s.getTableInfo(t.table).version)
-    }
-    base.select(required.fieldNames.toSeq.map(col): _*)
-  }
+  private[sources] def storeFrame: DataFrame =
+    GraftRelation.storeFrame(
+      t.store, t.table, t.pinnedVersion, timestampAsOf = None,
+      pushed ++ runtimePushed, required.fieldNames.toSeq)
 
   @volatile private var cachedRdd: RDD[InternalRow] = null
 

@@ -194,17 +194,10 @@ final class GraftRelation(
     else snapshot(store).schema
 
   override def buildScan(
-      requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val s = store
-    val cond = filters.flatMap(GraftRelation.translate).reduceOption(_ && _)
-    val base = (versionAsOf, timestampAsOf, cond) match {
-      // stats-skipping path: current-version read with the pushed
-      // predicate deciding which segments are even planned
-      case (None, None, Some(c)) => s.scanWhere(table, c)
-      case (_, _, c) => c.fold(snapshot(s))(snapshot(s).filter)
-    }
-    base.select(requiredColumns.toSeq.map(col): _*).rdd
-  }
+      requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] =
+    GraftRelation.storeFrame(
+      store, table, versionAsOf, timestampAsOf,
+      filters.toSeq, requiredColumns.toSeq).rdd
 
   /** SQL DML entry (`InsertIntoDataSourceCommand`): the planner has
     * already reordered and cast the query's output to this relation's
@@ -223,6 +216,43 @@ final class GraftRelation(
 }
 
 object GraftRelation {
+
+  /** THE batch read plan — the single translation + routing site every
+    * batch path shares: the V1 relation ([[GraftRelation.buildScan]])
+    * and the V2 catalog scan ([[GraftBatchScan.storeFrame]]) both
+    * delegate here, so their semantics cannot drift (the reference has
+    * exactly one read path, `get()`: ml_feature_store/store.py:218-259;
+    * ReadPathEquivalenceProps holds the two surfaces row-equal).
+    *
+    * Routing: a CURRENT-version read with a translatable predicate
+    * goes through [[FeatureStore.scanWhere]] (column-stats segment
+    * skipping decides which segments are even planned; surviving rows
+    * are FILTERED, not just skipped, so nothing above needs
+    * re-evaluation); a time-travel snapshot filters above its own
+    * segment read. Untranslated filters are the caller's to re-apply
+    * (V1 keeps the default unhandledFilters = all; V2 only pushes what
+    * translates).
+    */
+  private[sources] def storeFrame(
+      s: FeatureStore,
+      table: String,
+      versionAsOf: Option[Int],
+      timestampAsOf: Option[String],
+      filters: Seq[Filter],
+      requiredColumns: Seq[String]): DataFrame = {
+    val cond = filters.flatMap(translate).reduceOption(_ && _)
+    def snapshot: DataFrame = (versionAsOf, timestampAsOf) match {
+      case (Some(v), _) => s.getVersion(table, v)
+      case (_, Some(t)) => s.getVersionAsOf(table, t)
+      case _ => s.getVersion(table, s.getTableInfo(table).version)
+    }
+    val base = (versionAsOf, timestampAsOf, cond) match {
+      case (None, None, Some(c)) => s.scanWhere(table, c)
+      case (_, _, c) => c.fold(snapshot)(snapshot.filter)
+    }
+    base.select(requiredColumns.map(col): _*)
+  }
+
   /** Source-filter → Column, best effort: None = not translated (Spark
     * still applies it above the scan).
     */
