@@ -62,5 +62,8 @@ object Tables {
       cache.values.forEach(m => if (m != null) { m.remove(path); () })
     }
     graft.store.SkewStats.invalidate()
+    // same hazard class: a rewritten path whose memoized footer schema
+    // would otherwise be served stale
+    graft.store.Storage.invalidateAllSchemas()
   }
 }

@@ -345,7 +345,7 @@ final class Storage(
       version: Int,
       columns: Seq[String],
       asOf: Option[java.sql.Timestamp]): DataFrame = {
-    val base = spark.read.parquet(versionPath(name, version))
+    val base = Storage.readParquetMemo(spark, versionPath(name, version))
     val pruned =
       asOf.fold(base)(t => base.filter(col(DateCol) <= period(lit(t))))
     pruned.select(columns.map(col): _*)
@@ -365,7 +365,7 @@ final class Storage(
       asOf: Option[java.sql.Timestamp],
       columnTypes: Map[String, String]): DataFrame =
     segments.map { s =>
-      val base = spark.read.parquet(versionPath(name, s))
+      val base = Storage.readParquetMemo(spark, versionPath(name, s))
       val pruned = asOf.fold(base)(t => base.filter(col(DateCol) <= period(lit(t))))
       // pad columns this segment predates (merge-schema evolution) with
       // typed nulls from the catalog's type record; columns without a
@@ -395,15 +395,22 @@ final class Storage(
 
   override def readChangeData(name: String, version: Int): Option[DataFrame] = {
     val p = new Path(changeDataPath(name, version))
-    if (fs(p).exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (fs(p).exists(p))
+      Some(Storage.readParquetMemo(spark, p.toString))
+    else None
   }
 
   def deleteVersion(name: String, version: Int): Unit = {
     delete(versionPath(name, version))
     delete(changeDataPath(name, version))
+    Storage.invalidateSchemas(versionPath(name, version))
+    Storage.invalidateSchemas(changeDataPath(name, version))
   }
 
-  def deleteTable(name: String): Unit = delete(tablePath(name))
+  def deleteTable(name: String): Unit = {
+    delete(tablePath(name))
+    Storage.invalidateSchemas(tablePath(name))
+  }
 
   /** One atomic directory rename — the whole lineage (every `v=<n>`
     * segment, `_cdf`, a colocated `_txn` log) moves as a metadata
@@ -422,6 +429,9 @@ final class Storage(
     if (!f.rename(src, dst))
       throw new FeatureStorageError(
         s"filesystem refused to rename $src to $dst")
+    // the old path is free for a future re-register; the new path's
+    // schemas re-infer on first read
+    Storage.invalidateSchemas(tablePath(from))
   }
 
   /** `v=<n>` version directories physically present for `name` —
@@ -466,6 +476,50 @@ final class Storage(
 }
 
 object Storage {
+
+  /** Inferred-parquet-schema memo, keyed by directory path. A
+    * COMMITTED version (or change-data) directory is IMMUTABLE —
+    * versions are claimed monotonically, mutations always mint a new
+    * directory — so its footer schema is a constant of the path: infer
+    * once per JVM, then pass the known schema and every later read of
+    * the same lineage skips the footer-inference job entirely. Each
+    * `spark.read.parquet` call otherwise dispatches one such job
+    * (~20-40 ms of pure driver latency); a maintained-IVM read that
+    * touches the seed snapshot, two change sets and a three-segment
+    * manifest was paying 5 of its 16 jobs there (JobProfile
+    * store_ivm_minmax, round 11). A real metastore-backed deployment
+    * pays this once at catalog registration — this memo is that, for
+    * the path-addressed layout.
+    *
+    * Invalidated on deleteVersion / deleteTable / renameTable (a
+    * deleted table can be re-registered at the same path with a new
+    * schema) and by [[graft.Tables.invalidate]]. Cross-PROCESS
+    * delete-then-recreate follows the store's existing long-lived
+    * reader contract (call `refresh()` after external commits).
+    */
+  private val schemaMemo = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
+  private[store] def readParquetMemo(
+      spark: SparkSession, path: String): DataFrame =
+    schemaMemo.get(path) match {
+      case Some(sch) => spark.read.schema(sch).parquet(path)
+      case None =>
+        val df = spark.read.parquet(path)
+        schemaMemo.put(path, df.schema)
+        df
+    }
+
+  /** Drop memoized schemas at `path` and below. Exact-or-child match:
+    * "t/v=1" must not sweep "t/v=10".
+    */
+  private[store] def invalidateSchemas(path: String): Unit =
+    schemaMemo.keys
+      .filter(k => k == path || k.startsWith(path + "/"))
+      .foreach(schemaMemo.remove)
+
+  private[graft] def invalidateAllSchemas(): Unit = schemaMemo.clear()
+
   /** A fresh session-local storage root under java.io.tmpdir — keeps the
     * reference's zero-infrastructure stance (README.md:122) while being
     * swappable for any Hadoop-compatible URI (s3a://, hdfs://) at scale.
