@@ -152,6 +152,105 @@ object SqlDmlProps extends Properties("SqlDmlMerge") {
   private def canon(rows: Seq[Row4]): Seq[String] =
     rows.map(r => s"${r._1}|${r._2}|${r._3}|${r._4}").sorted
 
+  // ---------------------------------------------- UPDATE / DELETE
+
+  private sealed trait Stmt
+  private case class UpdateV(add: Long, pred: Pred) extends Stmt
+  private case class Rekey(to: String, pred: Pred) extends Stmt
+  private case class Delete(pred: Pred) extends Stmt
+
+  private sealed trait Pred { def sql: String; def apply(r: Row4): Boolean }
+  private case class EntityIs(e: String) extends Pred {
+    def sql = s"entity_id = '$e'"
+    def apply(r: Row4): Boolean = r._1 == e
+  }
+  private case class VBelow(c: Long) extends Pred {
+    def sql = s"v < $c"
+    def apply(r: Row4): Boolean = r._4 < c
+  }
+  private case class TsAtMost(d: String) extends Pred {
+    def sql = s"timestamp <= TIMESTAMP'$d 00:00:00'"
+    def apply(r: Row4): Boolean = !r._2.after(t(d))
+  }
+  private case class AndP(l: Pred, r: Pred) extends Pred {
+    def sql = s"(${l.sql} AND ${r.sql})"
+    def apply(x: Row4): Boolean = l(x) && r(x)
+  }
+
+  private val predGen: Gen[Pred] = {
+    val leaf: Gen[Pred] = Gen.oneOf(
+      Gen.oneOf(entities :+ "e9").map(EntityIs),
+      Gen.choose(0L, 11L).map(VBelow),
+      Gen.oneOf(days).map(TsAtMost))
+    Gen.frequency(3 -> leaf,
+      1 -> (for { l <- leaf; r <- leaf } yield AndP(l, r)))
+  }
+
+  private val stmtGen: Gen[Stmt] = Gen.oneOf(
+    for { c <- Gen.choose(1L, 50L); p <- predGen } yield UpdateV(c, p),
+    for { e <- Gen.oneOf("e7", "e0"); p <- predGen } yield Rekey(e, p),
+    predGen.map(Delete))
+
+  private def stmtSql(cat: String, st: Stmt): String = st match {
+    case UpdateV(add, p) =>
+      s"UPDATE $cat.feat SET v = v + $add WHERE ${p.sql}"
+    case Rekey(to, p) =>
+      s"UPDATE $cat.feat SET entity_id = '$to' WHERE ${p.sql}"
+    case Delete(p) => s"DELETE FROM $cat.feat WHERE ${p.sql}"
+  }
+
+  private def stmtModel(target: List[Row4], st: Stmt): Expected = {
+    val fin = st match {
+      case UpdateV(add, p) =>
+        target.map(r => if (p(r)) (r._1, r._2, r._3, r._4 + add) else r)
+      case Rekey(to, p) =>
+        target.map(r => if (p(r)) (to, r._2, r._3, r._4) else r)
+      case Delete(p) => target.filterNot(p(_))
+    }
+    if (fin.isEmpty) EmptiesTableError else Rows(fin)
+  }
+
+  property("UPDATE / DELETE ≡ row-addressed model") =
+    forAll(targetGen, stmtGen) { (target, st) =>
+      val s = spark
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_dmlprops_ud").toString
+      val cat = "gdu_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+      s.conf.set(
+        s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val store = new FeatureStore(s, root)
+      store.register("feat",
+        target.toDF("entity_id", "timestamp", "tag", "v"))
+      def current: Seq[Row4] = {
+        store.refresh()
+        store.getVersion("feat", store.getTableInfo("feat").version)
+          .collect()
+          .map(r => (r.getString(0), r.getTimestamp(1),
+            r.getString(2), r.getLong(3)))
+          .toSeq
+      }
+      (stmtModel(target, st), scala.util.Try(s.sql(stmtSql(cat, st)))) match {
+        case (EmptiesTableError, scala.util.Failure(e: FeatureValidationError)) =>
+          (e.getMessage.contains("every row") :| s"wrong error: $e") &&
+            ((canon(current) == canon(target)) :|
+              "failed statement mutated the table")
+        case (EmptiesTableError, other) =>
+          false :| s"expected every-row rejection, got $other " +
+            s"(target=$target st=$st)"
+        case (Rows(exp), scala.util.Success(_)) =>
+          (canon(current) == canon(exp)) :|
+            s"target=$target\nstmt=${stmtSql(cat, st)}\n" +
+              s"expected=${canon(exp)}\ngot=${canon(current)}"
+        case (Rows(_), scala.util.Failure(e)) =>
+          false :| s"unexpected failure: $e (target=$target st=$st)"
+        case (CardinalityError, _) =>
+          false :| "unreachable: UPDATE/DELETE has no cardinality guard"
+      }
+    }
+
   property("MERGE ≡ row-addressed SQL-standard model") =
     forAll(targetGen, sourceGen, actionsGen) { (target, source, a) =>
       val s = spark
