@@ -63,7 +63,8 @@ object Tables {
     }
     graft.store.SkewStats.invalidate()
     // same hazard class: a rewritten path whose memoized footer schema
-    // would otherwise be served stale
-    graft.store.Storage.invalidateAllSchemas()
+    // would otherwise be served stale — precise (exact-or-child), not
+    // a wholesale clear
+    graft.store.Storage.invalidateSchemas(path)
   }
 }

@@ -72,9 +72,12 @@ object ServingScaleDemo {
       // are the top slice of the v1 register for entities with no
       // newer append rows — dirty entities rescan, the rest stay
       // closed-form
+      // BOUNDED above — an open >= would also sweep every appended
+      // row (event_ids 2e9/3e9), dirtying ~150k entities, not 50k
       time("delete: strip 50k entities' latest rows") {
         store.deleteRows("t",
-          col("event_id") >= lit(1000000000L + totalRows - 50000L))
+          col("event_id") >= lit(1000000000L + totalRows - 50000L) &&
+            col("event_id") < lit(1000000000L + totalRows))
       }
       maintained("serving fold: + latest-hitting delete (dirty rescan)")
 

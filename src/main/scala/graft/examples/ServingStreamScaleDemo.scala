@@ -80,10 +80,13 @@ object ServingStreamScaleDemo {
 
       // delete the CURRENT LATEST of ~50k entities (top event_ids of
       // the v1 register for entities no append touched): the follower
-      // rescans exactly the dirty entities, pinned at this commit
+      // rescans exactly the dirty entities, pinned at this commit.
+      // BOUNDED above — an open >= would also sweep every appended
+      // row (event_ids 2e9/3e9) and turn both later legs into lies
       time("delete: strip 50k entities' latest rows") {
         store.deleteRows("t",
-          col("event_id") >= lit(1000000000L + totalRows - 50000L))
+          col("event_id") >= lit(1000000000L + totalRows - 50000L) &&
+            col("event_id") < lit(1000000000L + totalRows))
       }
       catchUp("follower fold: latest-hitting delete (dirty rescan)")
 

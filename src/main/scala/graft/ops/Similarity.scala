@@ -1086,14 +1086,16 @@ object Similarity extends Serializable {
     import spark.implicits._
     // the probe computation collects |Q| (vector + norm) rows to the
     // driver — bounded for interactive batches, unguarded OOM at 1M
-    // queries. Gate on cardinality BEFORE any job (4 KiB/row budget =
-    // a 1024-dim float vector, against a 256 MiB driver allowance;
-    // same discipline as pqTopK's LUT guard) and route, don't crash.
-    if (queryIds.size.toLong * 4096 > (256L << 20))
+    // queries. Gate on the ACTUAL payload BEFORE any job: the query
+    // vectors share the centroids' dimensionality, so |Q| x (d floats
+    // + norm + ~64 B of Row overhead) is exact without touching data
+    // (same discipline as pqTopK's LUT guard). Route, don't crash.
+    val qBytesPerRow = centroids.headOption.fold(4096L)(_.length * 4L + 72L)
+    if (queryIds.size.toLong * qBytesPerRow > (256L << 20))
       throw new graft.store.FeatureValidationError(
         s"ivfTopKIndexed computes probe lists on the driver " +
-          s"(${queryIds.size} query vectors exceeds the 256 MiB " +
-          "collect envelope); batch the queries, or use " +
+          s"(${queryIds.size} query vectors x $qBytesPerRow B exceeds " +
+          "the 256 MiB collect envelope); batch the queries, or use " +
           "allPairsTopKIvf for corpus-wide scoring")
     val qRows = index
       .filter(col(idCol).isin(queryIds: _*))

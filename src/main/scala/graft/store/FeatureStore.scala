@@ -403,6 +403,12 @@ final class FeatureStore(
           // every commit preserves it, and same-lineage merges fold it
           // at min.)
           if (d.registeredAt != o.registeredAt) {
+            // a foreign drop + re-register reuses the same version
+            // PATHS (root/t/v=1...) with a possibly different schema —
+            // the memoized footer schemas of the retired lineage must
+            // go with it, or reads of the adopted lineage would apply
+            // the stale schema silently
+            Storage.invalidateSchemas(s"$root/${d.name}")
             if (d.registeredAt > o.registeredAt) d else o
           } else {
             // refresh is the user saying "adopt the disk state": the
@@ -424,7 +430,12 @@ final class FeatureStore(
     catalog.names
       .filterNot(diskNames.contains)
       .filter(n => retiredTableAt(n).isDefined)
-      .foreach(catalog.remove)
+      .foreach { n =>
+        // a cross-session DROP frees the paths for re-registration —
+        // retire their memoized schemas with the catalog entry
+        Storage.invalidateSchemas(s"$root/$n")
+        catalog.remove(n)
+      }
     if (storage.arbitrates) catalog.names.foreach(reconcileFromLog)
   }
 

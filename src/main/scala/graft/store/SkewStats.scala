@@ -61,12 +61,16 @@ object SkewStats {
     * policy without running 256 count jobs.
     */
   private[graft] def memoize(
-      key: (Int, String, Long), value: Array[Any]): Unit = {
-    if (cache.size >= MaxEntries)
-      cache.headOption.foreach { case (k, _) => cache.remove(k) }
-    cache.put(key, value)
-    ()
-  }
+      key: (Int, String, Long), value: Array[Any]): Unit =
+    // one critical section for evict+put: unsynchronized check-then-act
+    // lets two racing inserts at the cap both remove the same head and
+    // ratchet the size permanently past MaxEntries
+    cache.synchronized {
+      if (cache.size >= MaxEntries)
+        cache.headOption.foreach { case (k, _) => cache.remove(k) }
+      cache.put(key, value)
+      ()
+    }
 
   private[graft] def maxEntries: Int = MaxEntries
 

@@ -513,7 +513,7 @@ object Storage {
   /** Drop memoized schemas at `path` and below. Exact-or-child match:
     * "t/v=1" must not sweep "t/v=10".
     */
-  private[store] def invalidateSchemas(path: String): Unit =
+  private[graft] def invalidateSchemas(path: String): Unit =
     schemaMemo.keys
       .filter(k => k == path || k.startsWith(path + "/"))
       .foreach(schemaMemo.remove)

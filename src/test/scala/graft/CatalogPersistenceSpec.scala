@@ -125,4 +125,32 @@ class CatalogPersistenceSpec extends AnyFunSuite with SparkTestBase {
       .map(_.getAs[Long]("feature_b")).toSeq == Seq(9L))
     assert(stale.getVersion("t", 1).count() == 1) // lineage B's own v1
   }
+
+  test("refresh retires the replaced lineage's memoized segment schemas") {
+    // the re-registered lineage REUSES the same version paths
+    // (root/t/v=1); if the stale handle read lineage A first, its
+    // footer schema is memoized per path — refresh must retire it, or
+    // lineage B's differently-shaped v1 would be read under A's schema
+    val root = tmpRoot("graft_cat_schemamemo")
+    val s = spark
+    import s.implicits._
+    val stale = new FeatureStore(spark, root)
+    stale.register("t", Seq(("u1", ts("2024-01-05"), 1L))
+      .toDF("entity_id", "timestamp", "feature_b"))
+    // populate the schema memo under lineage A
+    assert(stale.getVersion("t", 1).collect()
+      .map(_.getAs[Long]("feature_b")).toSeq == Seq(1L))
+    // foreign drop + re-register with a DIFFERENT shape at the same path
+    val other = new FeatureStore(spark, root)
+    other.delete("t")
+    other.register("t", Seq(("u9", ts("2024-02-05"), 2.5, "hello"))
+      .toDF("entity_id", "timestamp", "feature_x", "note"))
+    stale.refresh()
+    val got = stale.getVersion("t", 1)
+    assert(got.columns.toSeq ==
+      Seq("entity_id", "timestamp", "feature_x", "note"), got.columns.toSeq)
+    val row = got.head()
+    assert(row.getAs[Double]("feature_x") == 2.5)
+    assert(row.getAs[String]("note") == "hello")
+  }
 }

@@ -523,14 +523,20 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
   test("ivfTopKIndexed guards its driver-side probe collect") {
     // |Q| query vectors are collected to compute probe lists — an
     // oversized batch must get a routing error BEFORE any job, not a
-    // driver OOM mid-collect (4 KiB/row budget against 256 MiB)
+    // driver OOM mid-collect. The budget scales by the ACTUAL vector
+    // width (shared with the centroids): 70k queries pass at 3 dims
+    // but refuse at 4096 dims, where the payload is ~1.1 GiB
     val e = embDF(0L -> Seq(1f, 0f, 0f), 1L -> Seq(0f, 1f, 0f))
     val hugeQ = (0L until 70000L).toSeq
     val err = intercept[graft.store.FeatureValidationError] {
       Similarity.ivfTopKIndexed(
-        e, Array(Array(1.0, 0.0, 0.0)), hugeQ, k = 1)
+        e, Array(Array.fill(4096)(0.0)), hugeQ, k = 1)
     }
     assert(err.getMessage.contains("collect envelope"), err.getMessage)
+    // the same cardinality with 3-dim vectors is ~6 MB — legal, the
+    // guard must not fire (narrow-width answers are covered by the
+    // ann_ivf_indexed contract query; here we only check the gate math)
+    assert(70000L * (3 * 4 + 72) <= (256L << 20))
   }
 
   test("pinned ANN recall floors at sf0.01 (every path, one corpus)") {
