@@ -1717,7 +1717,8 @@ object SparkEntry {
   private lazy val EventsIvmRollupOracle: String =
     """SELECT event_type,
       |       CAST(count(*) AS BIGINT) AS n_rows,
-      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value,
+      |       CAST(count(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS n_valued
       |FROM events
       |WHERE NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00')
       |GROUP BY event_type
@@ -1840,7 +1841,9 @@ object SparkEntry {
         |         AS sum_value,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)
         |                * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-        |         AS sum_sq
+        |         AS sum_sq,
+        |       CAST(count(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS n_valued
         |FROM events
         |WHERE NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00')
         |GROUP BY event_type

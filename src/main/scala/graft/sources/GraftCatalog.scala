@@ -360,11 +360,8 @@ final class GraftCatalogTable(
               throw new FeatureValidationError(
                 s"streaming write mode must be append|upsert|cdc, got '$mode'")
             RowCodec.validate(info.schema())
-            val streamId = Option(opts.get("streamId"))
-              .orElse(Option(opts.get("checkpointLocation")).map(b =>
-                "graft-sink-" + java.security.MessageDigest.getInstance("MD5")
-                  .digest(b.getBytes("UTF-8")).map("%02x".format(_)).mkString))
-              .getOrElse("graft-query-" + info.queryId())
+            val streamId = GraftDataSource.sinkStreamId(
+              opts, queryIdFallback = Some(info.queryId()))
             new GraftStreamingWrite(
               r, t, mode, streamId,
               Option(opts.get("mergeSchema")).exists(_.toBoolean),
@@ -378,7 +375,11 @@ final class GraftCatalogTable(
   /** Pushed-predicate DELETE: every predicate Spark hands over must
     * translate (guaranteed by [[canDeleteWhere]] — Spark only calls
     * deleteWhere after it returns true), AND them into the store's
-    * copy-on-write row delete. An empty conjunction deletes all rows.
+    * copy-on-write row delete. An EMPTY conjunction is the explicit
+    * delete-everything statement (`DELETE FROM t` with no WHERE) and
+    * routes to [[FeatureStore.truncate]] — a predicate that merely
+    * HAPPENS to match every row still trips deleteRows' every-row
+    * guard, by design.
     */
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     predicates.forall(p =>
@@ -387,20 +388,30 @@ final class GraftCatalogTable(
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     if (pinnedVersion.isDefined) readOnly("DELETE FROM")
     val cond = predicates.toSeq
-      .map(p => GraftRelation.translate(bridge.predicateToV1(p).getOrElse(
-        throw new FeatureValidationError(
-          s"DELETE predicate not translatable: $p"))).getOrElse(
+      .map(p => bridge.predicateToV1(p).getOrElse(
         throw new FeatureValidationError(
           s"DELETE predicate not translatable: $p")))
+      // a no-WHERE DELETE arrives as AlwaysTrue: drop it from the
+      // conjunction so the statement routes to truncate below
+      .filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+      .map(f => GraftRelation.translate(f).getOrElse(
+        throw new FeatureValidationError(
+          s"DELETE predicate not translatable: $f")))
       .reduceOption(_ && _)
-      .getOrElse(lit(true))
-    store.deleteRows(table, cond)
-    ()
+    cond match {
+      case Some(c) => store.deleteRows(table, c); ()
+      case None => store.truncate(table); ()
+    }
   }
 
+  /** SQL `TRUNCATE TABLE`: an empty full-snapshot version in the same
+    * lineage — succeeds on any table (the advertised TRUNCATE
+    * capability must actually work), prior versions stay
+    * time-travelable.
+    */
   override def truncateTable(): Boolean = {
     if (pinnedVersion.isDefined) readOnly("TRUNCATE")
-    store.deleteRows(table, lit(true))
+    store.truncate(table)
     true
   }
 }
@@ -423,6 +434,20 @@ final class GraftScanBuilder(
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var aggAnswer: Option[(StructType, Array[Any])] = None
+  // Spark calls supportCompletePushDown THEN pushAggregation with the
+  // same Aggregation — memoize so the O(#segments) stats fold and the
+  // catalog read run once per plan, not twice
+  private var aggMemo: Option[(Aggregation, Option[(StructType, Array[Any])])] =
+    None
+
+  private def answeredFromStats(
+      agg: Aggregation): Option[(StructType, Array[Any])] = aggMemo match {
+    case Some((a, r)) if a eq agg => r
+    case _ =>
+      val r = answerFromStats(agg)
+      aggMemo = Some((agg, r))
+      r
+  }
 
   /** COUNT(*) / COUNT(col) / MIN(col) / MAX(col) answered ENTIRELY
     * from per-segment metadata ([[FeatureStore.currentSegmentStats]]):
@@ -439,10 +464,10 @@ final class GraftScanBuilder(
     *     real scan.
     */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    answerFromStats(agg).isDefined
+    answeredFromStats(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    aggAnswer = answerFromStats(agg)
+    aggAnswer = answeredFromStats(agg)
     aggAnswer.isDefined
   }
 

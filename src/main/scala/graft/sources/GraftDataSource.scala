@@ -148,14 +148,30 @@ object GraftDataSource {
     * demand one of the two options that pin it.
     */
   private[sources] def sinkStreamId(options: CaseInsensitiveStringMap): String =
+    sinkStreamId(options, queryIdFallback = None)
+
+  /** THE stream-identity derivation — one site, shared by the
+    * `format("graft")` sink and the catalog's `writeStream.toTable`
+    * route: two copies would have to stay byte-identical forever or
+    * the same query would mint different identities (splitting its
+    * exactly-once watermark line) depending on which surface started
+    * it. The catalog route may fall back to Spark's checkpoint-stable
+    * query id; the format route deliberately has no such fallback.
+    */
+  private[sources] def sinkStreamId(
+      options: CaseInsensitiveStringMap,
+      queryIdFallback: Option[String]): String =
     Option(options.get("streamId")).getOrElse {
-      val basis = Option(options.get("checkpointLocation")).getOrElse(
-        throw new FeatureValidationError(
-          "format(\"graft\") sink needs .option(\"checkpointLocation\", ...) " +
-            "(its hash becomes the exactly-once stream identity) or an " +
-            "explicit .option(\"streamId\", ...)"))
-      "graft-sink-" + java.security.MessageDigest.getInstance("MD5")
-        .digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Option(options.get("checkpointLocation")) match {
+        case Some(basis) =>
+          "graft-sink-" + java.security.MessageDigest.getInstance("MD5")
+            .digest(basis.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        case None => queryIdFallback.map("graft-query-" + _).getOrElse(
+          throw new FeatureValidationError(
+            "format(\"graft\") sink needs .option(\"checkpointLocation\", ...) " +
+              "(its hash becomes the exactly-once stream identity) or an " +
+              "explicit .option(\"streamId\", ...)"))
+      }
     }
 }
 
@@ -274,6 +290,10 @@ object GraftRelation {
     case StringStartsWith(a, p) => Some(col(a).startsWith(p))
     case StringEndsWith(a, p) => Some(col(a).endsWith(p))
     case StringContains(a, p) => Some(col(a).contains(p))
+    // constant predicates arrive from V2 surfaces (a no-WHERE DELETE
+    // hands AlwaysTrue); translating them keeps canDeleteWhere honest
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
     case _ => None
   }
 }

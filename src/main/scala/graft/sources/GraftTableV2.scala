@@ -433,11 +433,14 @@ final class GraftStreamingWrite(
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val files = messages.collect { case GraftBlobsStaged(p, n) if n > 0 => p }
+    // an EMPTY epoch (a content-preserving upstream commit, a filter
+    // that drops every row) applies nothing: the store's register
+    // paths reject empty frames, so feeding one would wedge the query
+    // in a crash-replay loop. Skipping is idempotent — a replayed
+    // empty epoch skips again.
+    if (files.isEmpty) { deleteEpoch(epochId); return }
     val batch =
-      if (files.isEmpty)
-        spark.createDataFrame(new util.ArrayList[Row](), schema)
-      else
-        spark.read.schema(BlobStagingIO.sparkBlobSchema).parquet(files.toSeq: _*)
+      spark.read.schema(BlobStagingIO.sparkBlobSchema).parquet(files.toSeq: _*)
           .select(RowCodecExpressions
             .unpacked(col(BlobStagingIO.BlobColumn), schema).as("_r"))
           .select("_r.*")
@@ -507,14 +510,29 @@ final class GraftStreamingWrite(
       .drop(metaCols: _*)
     val delKeys = ranked.filter(col(FeatureStore.ChangeTypeCol) === "delete")
       .select(col(e), col(t))
-    if (s.tableNames.contains(table)) {
-      s.deleteRowsByKeys(table, delKeys)
+    val hasTable = s.tableNames.contains(table)
+    val insEmpty = ins.isEmpty
+    val delEmpty = delKeys.isEmpty
+    if (hasTable && !insEmpty && !delEmpty) {
+      // the mixed batch is ONE atomic rewrite commit: replacements and
+      // key drops land together (no crash window with keys deleted but
+      // replacements unregistered), and — critically — an upstream
+      // full-snapshot overwrite whose change set is delete-all-old +
+      // insert-all-new applies cleanly, where delete-then-upsert would
+      // trip the store's "would remove every row" guard mid-way
+      s.registerRewriteBatch(table, ins, delKeys, batchId,
+        streamId = streamId, mergeSchema = mergeSchema)
       ()
-    }
-    if (!ins.isEmpty) {
-      s.registerUpsertBatch(table, ins, batchId, streamId = streamId,
-        mergeSchema = mergeSchema)
-      ()
+    } else {
+      if (hasTable && !delEmpty) {
+        s.deleteRowsByKeys(table, delKeys)
+        ()
+      }
+      if (!insEmpty) {
+        s.registerUpsertBatch(table, ins, batchId, streamId = streamId,
+          mergeSchema = mergeSchema)
+        ()
+      }
     }
   }
 }

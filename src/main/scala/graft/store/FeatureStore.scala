@@ -105,6 +105,23 @@ final class FeatureStore(
   private[graft] def registerEmpty(name: String, df: DataFrame): FeatureTableInfo =
     registerWith(name, df, watermark = None, allowEmpty = true)
 
+  /** SQL `TRUNCATE TABLE` (and no-predicate `DELETE FROM`): mint a new
+    * EMPTY full-snapshot version in the SAME lineage — prior versions
+    * stay time-travelable, the change feed sees a full-register step,
+    * and the next INSERT appends onto the emptied table. This is the
+    * one row-removal that may empty a table: the DDL statement states
+    * that intent explicitly, where [[deleteRows]]' every-row guard
+    * protects against a PREDICATE that happens to match everything.
+    */
+  def truncate(name: String): FeatureTableInfo = {
+    val meta = catalog.getOrThrow(name)
+    val empty = typedEmptyFrame(meta).getOrElse(
+      throw new FeatureValidationError(
+        s"cannot TRUNCATE '$name': no recorded column types " +
+          "(legacy catalog) to rebuild its typed empty schema"))
+    registerWith(name, empty, watermark = None, allowEmpty = true)
+  }
+
   private def registerWith(
       name: String,
       df: DataFrame,
@@ -1816,6 +1833,23 @@ final class FeatureStore(
       mergeSchema: Boolean = false): Option[FeatureTableInfo] =
     idempotent(name, streamId, batchId)(
       registerUpsertWith(name, df, _, mergeSchema = mergeSchema))
+
+  /** [[registerRewrite]] under the same per-stream batch-id
+    * idempotence — the streaming CDC-apply shape when one micro-batch
+    * nets BOTH replacements and key deletes: ONE commit (no crash
+    * window with keys deleted but their replacements unregistered),
+    * replay-skipped exactly like the other *Batch entries.
+    */
+  def registerRewriteBatch(
+      name: String,
+      df: DataFrame,
+      dropKeys: DataFrame,
+      batchId: Long,
+      streamId: String = CatalogIO.LegacyStreamId,
+      mergeSchema: Boolean = false): Option[FeatureTableInfo] =
+    idempotent(name, streamId, batchId)(
+      registerUpsertWith(name, df, _, mergeSchema = mergeSchema,
+        dropKeys = Some(dropKeys)))
 
   /** CHANGE DATA FEED: row-level changes between two retained versions
     * — Delta's `table_changes` surface. Output columns are the union

@@ -45,7 +45,11 @@ object IncrementalRollup {
       .groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(measure).as("sum_value"))
+        sum(measure).as("sum_value"),
+        // valued-row count: SQL sum over zero non-null rows is NULL,
+        // not 0 — the fold needs this to keep an all-null group's
+        // sum_value NULL exactly as the from-scratch rollup reports it
+        count(measure).as("n_valued"))
   }
 
   /** Fold an interval of change-feed rows (`_change_type` ∈
@@ -70,11 +74,17 @@ object IncrementalRollup {
       .groupBy(keyCols.map(col): _*)
       .agg(
         sum(sign).as("_dn"),
-        sum(sign * measure).as("_dsum"))
-      .toDF(dKeys ++ Seq("_dn", "_dsum"): _*)
+        sum(sign * measure).as("_dsum"),
+        sum(sign * when(measure.isNotNull, 1L).otherwise(0L)).as("_dnv"))
+      .toDF(dKeys ++ Seq("_dn", "_dsum", "_dnv"): _*)
     val nullSafeOn = keyCols.zip(dKeys)
       .map { case (k, d) => col(k) <=> col(d) }
       .reduce(_ && _)
+    // sum_value is NULL exactly when no valued row remains (SQL sum
+    // semantics) — a bare coalesce-to-0 fold would turn an all-null
+    // group's NULL into 0 and diverge from the from-scratch rollup
+    val newNv =
+      coalesce(col("n_valued"), lit(0L)) + coalesce(col("_dnv"), lit(0L))
     state
       .join(delta, nullSafeOn, "outer")
       .select(
@@ -83,8 +93,11 @@ object IncrementalRollup {
         } ++ Seq(
           (coalesce(col("n_rows"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
             .as("n_rows"),
-          (coalesce(col("sum_value"), lit(0L)) + coalesce(col("_dsum"), lit(0L)))
-            .as("sum_value")): _*)
+          when(newNv === 0L, lit(null))
+            .otherwise(coalesce(col("sum_value"), lit(0L)) +
+              coalesce(col("_dsum"), lit(0L)))
+            .as("sum_value"),
+          newNv.as("n_valued")): _*)
       .filter(col("n_rows") > 0L)
   }
 
@@ -215,7 +228,8 @@ object IncrementalRollup {
       .agg(
         count(lit(1)).as("n_rows"),
         sum(measure).as("sum_value"),
-        sum(measure * measure).as("sum_sq"))
+        sum(measure * measure).as("sum_sq"),
+        count(measure).as("n_valued")) // see initialState
   }
 
   /** Fold change-feed rows into a second-moment state — the same
@@ -235,11 +249,15 @@ object IncrementalRollup {
       .agg(
         sum(sign).as("_dn"),
         sum(sign * measure).as("_dsum"),
-        sum(sign * measure * measure).as("_dsq"))
-      .toDF(dKeys ++ Seq("_dn", "_dsum", "_dsq"): _*)
+        sum(sign * measure * measure).as("_dsq"),
+        sum(sign * when(measure.isNotNull, 1L).otherwise(0L)).as("_dnv"))
+      .toDF(dKeys ++ Seq("_dn", "_dsum", "_dsq", "_dnv"): _*)
     val nullSafeOn = keyCols.zip(dKeys)
       .map { case (k, d) => col(k) <=> col(d) }
       .reduce(_ && _)
+    // NULL iff no valued row remains — see applyChanges
+    val newNv =
+      coalesce(col("n_valued"), lit(0L)) + coalesce(col("_dnv"), lit(0L))
     state
       .join(delta, nullSafeOn, "outer")
       .select(
@@ -248,10 +266,15 @@ object IncrementalRollup {
         } ++ Seq(
           (coalesce(col("n_rows"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
             .as("n_rows"),
-          (coalesce(col("sum_value"), lit(0L)) + coalesce(col("_dsum"), lit(0L)))
+          when(newNv === 0L, lit(null))
+            .otherwise(coalesce(col("sum_value"), lit(0L)) +
+              coalesce(col("_dsum"), lit(0L)))
             .as("sum_value"),
-          (coalesce(col("sum_sq"), lit(0L)) + coalesce(col("_dsq"), lit(0L)))
-            .as("sum_sq")): _*)
+          when(newNv === 0L, lit(null))
+            .otherwise(coalesce(col("sum_sq"), lit(0L)) +
+              coalesce(col("_dsq"), lit(0L)))
+            .as("sum_sq"),
+          newNv.as("n_valued")): _*)
       .filter(col("n_rows") > 0L)
   }
 

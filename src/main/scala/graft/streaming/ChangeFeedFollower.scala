@@ -51,7 +51,14 @@ final class ChangeFeedFollower private (
           cursor = next
         }
       } catch {
-        case _: InterruptedException => ()
+        // close() interrupts the thread AFTER clearing `running` — an
+        // interrupt while still running is foreign (job-group cancel,
+        // a third-party Thread.interrupt) and may have landed mid-
+        // delivery with the cursor not yet advanced; swallowing it
+        // would redeliver that version on the next poll, violating
+        // at-most-once. Stop loudly instead.
+        case ie: InterruptedException =>
+          if (running) { running = false; onError(ie) }
         case e: Throwable if running =>
           running = false
           onError(e)

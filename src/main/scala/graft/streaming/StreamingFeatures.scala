@@ -263,9 +263,17 @@ object StreamingFeatures {
         (entity: String, rows: Iterator[FeatureEvent], state: GroupState[LatestState]) =>
           val incoming = rows.maxByOption(e => (e.timestamp.getTime, e.value))
           val current = state.getOption
+          // cross-batch acceptance uses the SAME (timestamp, value)
+          // order as the in-batch winner: a ts-only >= would let an
+          // equal-timestamp lower value arriving in a later batch
+          // replace the held row, making the served state depend on
+          // micro-batch boundaries
           incoming match {
             case Some(e)
-                if current.forall(c => e.timestamp.getTime >= c.timestamp.getTime) =>
+                if current.forall(c =>
+                  Ordering[(Long, Double)].gteq(
+                    (e.timestamp.getTime, e.value),
+                    (c.timestamp.getTime, c.value))) =>
               val next = LatestState(entity, e.timestamp, e.value)
               state.update(next)
               Iterator.single(next)

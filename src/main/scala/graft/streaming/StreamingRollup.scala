@@ -73,9 +73,13 @@ object StreamingRollup {
       measure: Column,
       stateDir: String,
       checkpointLocation: String,
-      maxVersionsPerBatch: Option[Int] = None): StreamingQuery =
+      maxVersionsPerBatch: Option[Int] = None,
+      // zero-interval = catch-up-and-spin; a production follower on a
+      // quiet table should pass a real interval (each empty trigger
+      // polls the catalog)
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
     maintain(spark, root, table, stateDir, checkpointLocation,
-      maxVersionsPerBatch,
+      maxVersionsPerBatch, trigger,
       seed = b => IncrementalRollup.initialState(b, keyCols, measure),
       fold = (prior, batch) =>
         IncrementalRollup.applyChanges(prior, batch, keyCols, measure))
@@ -91,9 +95,13 @@ object StreamingRollup {
       measure: Column,
       stateDir: String,
       checkpointLocation: String,
-      maxVersionsPerBatch: Option[Int] = None): StreamingQuery =
+      maxVersionsPerBatch: Option[Int] = None,
+      // zero-interval = catch-up-and-spin; a production follower on a
+      // quiet table should pass a real interval (each empty trigger
+      // polls the catalog)
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
     maintain(spark, root, table, stateDir, checkpointLocation,
-      maxVersionsPerBatch,
+      maxVersionsPerBatch, trigger,
       seed = b => IncrementalRollup.initialStateStats(b, keyCols, measure),
       fold = (prior, batch) =>
         IncrementalRollup.applyChangesStats(prior, batch, keyCols, measure))
@@ -110,9 +118,13 @@ object StreamingRollup {
       value: Column,
       stateDir: String,
       checkpointLocation: String,
-      maxVersionsPerBatch: Option[Int] = None): StreamingQuery =
+      maxVersionsPerBatch: Option[Int] = None,
+      // zero-interval = catch-up-and-spin; a production follower on a
+      // quiet table should pass a real interval (each empty trigger
+      // polls the catalog)
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
     maintain(spark, root, table, stateDir, checkpointLocation,
-      maxVersionsPerBatch,
+      maxVersionsPerBatch, trigger,
       seed = b => IncrementalRollup.initialStateDistinct(b, keyCols, value),
       fold = (prior, batch) =>
         IncrementalRollup.applyChangesDistinct(prior, batch, keyCols, value))
@@ -133,9 +145,13 @@ object StreamingRollup {
       measure: Column,
       stateDir: String,
       checkpointLocation: String,
-      maxVersionsPerBatch: Option[Int] = None): StreamingQuery =
+      maxVersionsPerBatch: Option[Int] = None,
+      // zero-interval = catch-up-and-spin; a production follower on a
+      // quiet table should pass a real interval (each empty trigger
+      // polls the catalog)
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
     maintain(spark, root, table, stateDir, checkpointLocation,
-      maxVersionsPerBatch,
+      maxVersionsPerBatch, trigger,
       seed = b => IncrementalRollup.initialStateMinMax(b, keyCols, measure),
       fold = (prior, batch) => {
         val s = batch.sparkSession
@@ -172,9 +188,13 @@ object StreamingRollup {
       checkpointLocation: String,
       entityCol: String = "entity_id",
       tsCol: String = "timestamp",
-      maxVersionsPerBatch: Option[Int] = None): StreamingQuery =
+      maxVersionsPerBatch: Option[Int] = None,
+      // zero-interval = catch-up-and-spin; a production follower on a
+      // quiet table should pass a real interval (each empty trigger
+      // polls the catalog)
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
     maintain(spark, root, table, stateDir, checkpointLocation,
-      maxVersionsPerBatch,
+      maxVersionsPerBatch, trigger,
       seed = b => IncrementalRollup.initialStateServing(
         b.drop(graft.store.FeatureStore.ChangeTypeCol,
           graft.store.FeatureStore.CommitVersionCol),
@@ -209,6 +229,7 @@ object StreamingRollup {
       stateDir: String,
       checkpointLocation: String,
       maxVersionsPerBatch: Option[Int],
+      trigger: Trigger,
       seed: DataFrame => DataFrame,
       fold: (DataFrame, DataFrame) => DataFrame): StreamingQuery = {
     val reader = spark.readStream.format("graft")
@@ -229,16 +250,32 @@ object StreamingRollup {
           fold(prior, batch)
             .write.mode("overwrite").parquet(target.toString)
           fs.create(new Path(target, Marker), true).close()
-          fs.listStatus(new Path(stateDir)).toSeq
+          // prune all but the new state AND its predecessor: a reader
+          // that resolved currentState() to the previous version must
+          // not have the files deleted out from under its lazy plan
+          // mid-read — one completed generation is the grace window
+          val keep = fs.listStatus(new Path(stateDir)).toSeq
             .map(_.getPath)
             .filter(p => p.getName.startsWith(StatePrefix) &&
-              p.getName.drop(StatePrefix.length).toLong < batchId)
+              p.getName.drop(StatePrefix.length).toLong < batchId &&
+              fs.exists(new Path(p, Marker)))
+            .map(_.getName.drop(StatePrefix.length).toLong)
+            .sorted.lastOption
+          fs.listStatus(new Path(stateDir)).toSeq
+            .map(_.getPath)
+            .filter { p =>
+              val n = p.getName
+              n.startsWith(StatePrefix) && {
+                val v = n.drop(StatePrefix.length).toLong
+                v < batchId && !keep.contains(v)
+              }
+            }
             .foreach(p => fs.delete(p, true))
         }
         ()
       }
       .option("checkpointLocation", checkpointLocation)
-      .trigger(Trigger.ProcessingTime(0))
+      .trigger(trigger)
       .start()
   }
 }

@@ -94,6 +94,38 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(store.getVersion("feat", 1).count() == 5)
   }
 
+  test("TRUNCATE TABLE and no-WHERE DELETE empty the table as a new version") {
+    val root = freshRoot("trunc")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    spark.sql(s"TRUNCATE TABLE $c.feat")
+    store.refresh()
+    assert(store.getTableInfo("feat").rowCount == 0)
+    assert(spark.sql(s"SELECT * FROM $c.feat").count() == 0)
+    // same lineage: the pre-truncate snapshot stays time-travelable
+    assert(store.getVersion("feat", 1).count() == 5)
+    // and the emptied table accepts the next INSERT
+    spark.sql(
+      s"INSERT INTO $c.feat VALUES " +
+        "('user_9', TIMESTAMP'2024-03-01 00:00:00', 9.0, 900)")
+    store.refresh()
+    assert(spark.sql(s"SELECT * FROM $c.feat").count() == 1)
+    // DELETE FROM with no WHERE is the same explicit intent; a
+    // PREDICATE that merely matches everything still trips the
+    // every-row guard, by design
+    spark.sql(s"DELETE FROM $c.feat")
+    store.refresh()
+    assert(store.getTableInfo("feat").rowCount == 0)
+    spark.sql(
+      s"INSERT INTO $c.feat VALUES " +
+        "('user_9', TIMESTAMP'2024-03-01 00:00:00', 9.0, 900)")
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $c.feat WHERE feature_b >= 0")
+    }
+    assert(e.getMessage.contains("every row"), e.getMessage)
+  }
+
   test("CREATE TABLE / CTAS / DROP TABLE / SHOW TABLES") {
     val root = freshRoot("ddl")
     val c = cat(root)

@@ -344,6 +344,56 @@ class GraftDataSourceSpec extends AnyFunSuite with SparkTestBase {
     follow(); sameContent()
   }
 
+  test("replication survives a full-snapshot overwrite and content-preserving commits") {
+    val srcRoot = tmpRoot("graft_ds_ovw_src")
+    val dstRoot = tmpRoot("graft_ds_ovw_dst")
+    val ck = tmpRoot("graft_ds_ovw_ck")
+    val src = new FeatureStore(spark, srcRoot, maxVersions = 50)
+    src.register("t", slice(1, "u1", 100L))
+
+    def follow(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("root", srcRoot).option("table", "t")
+        .load()
+        .writeStream.format("graft")
+        .option("root", dstRoot).option("table", "t")
+        .option("mode", "cdc")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def sameContent(): Unit = {
+      val a = src.getVersion("t", src.getTableInfo("t").version)
+      val d = new FeatureStore(spark, dstRoot)
+      val b = d.getVersion("t", d.getTableInfo("t").version)
+      assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+        "replica diverged")
+    }
+    follow(); sameContent()
+
+    // a FULL-SNAPSHOT overwrite with entirely new keys: the change set
+    // is delete-ALL-old + insert-all-new — the apply must be one atomic
+    // rewrite commit (delete-then-upsert would trip the store's
+    // "would remove every row" guard mid-way and wedge the stream)
+    src.register("t", slice(2, "u2", 200L))
+    follow(); sameContent()
+    val dst = new FeatureStore(spark, dstRoot)
+    assert(dst.getVersion("t", dst.getTableInfo("t").version)
+      .select("entity_id").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("u2"))
+
+    // a content-preserving commit (compact) resolves to an EMPTY change
+    // set: the sink receives a zero-row epoch and must skip it, not
+    // crash-loop on the store's non-empty-register validation
+    src.compact("t")
+    follow(); sameContent()
+
+    // and the stream is still alive for real changes afterwards
+    src.registerAppend("t", slice(3, "u3", 300L))
+    follow(); sameContent()
+  }
+
   test("replication: source -> cdc sink reproduces the table, deletes included") {
     val srcRoot = tmpRoot("graft_ds_repl_src")
     val dstRoot = tmpRoot("graft_ds_repl_dst")

@@ -586,6 +586,48 @@ class MutationSpec extends AnyFunSuite with SparkTestBase {
     assert(m("user_3") == (2L, 1500L))
   }
 
+  test("IncrementalRollup keeps an all-NULL-measure group's sum NULL (SQL sum semantics)") {
+    // SQL sum over zero non-null rows is NULL, not 0 — the fold must
+    // agree with the from-scratch rollup BOTH for a group that was
+    // born all-null and for one whose valued rows were all deleted
+    val store = freshStore()
+    val s = spark
+    import s.implicits._
+    def rows(t3: Seq[(String, java.sql.Timestamp, Option[Long])]) =
+      t3.toDF("entity_id", "timestamp", "v")
+    store.register("t", rows(Seq(
+      ("a", ts("2024-01-01"), None), // group a: all-null from birth
+      ("a", ts("2024-01-02"), None),
+      ("b", ts("2024-01-01"), Some(5L)), // group b: one valued, one null
+      ("b", ts("2024-01-02"), None))))
+    // delete b's ONLY valued row: its sum must become NULL, not 0
+    store.deleteRows("t", col("v") === 5L)
+    for (flavor <- Seq("sum", "stats")) {
+      val maintained =
+        if (flavor == "sum")
+          graft.store.IncrementalRollup
+            .maintained(store, "t", Seq("entity_id"), col("v"))
+        else graft.store.IncrementalRollup
+          .maintainedStats(store, "t", Seq("entity_id"), col("v"))
+      val scratch =
+        if (flavor == "sum")
+          graft.store.IncrementalRollup.initialState(
+            store.getVersion("t", 2), Seq("entity_id"), col("v"))
+        else graft.store.IncrementalRollup.initialStateStats(
+          store.getVersion("t", 2), Seq("entity_id"), col("v"))
+      assert(maintained.exceptAll(scratch).isEmpty &&
+        scratch.exceptAll(maintained).isEmpty, s"flavor=$flavor")
+      val byKey = maintained.collect()
+        .map(r => r.getAs[String]("entity_id") -> r).toMap
+      assert(byKey("a").isNullAt(byKey("a").fieldIndex("sum_value")),
+        s"flavor=$flavor: born-all-null group's sum must stay NULL")
+      assert(byKey("b").isNullAt(byKey("b").fieldIndex("sum_value")),
+        s"flavor=$flavor: group deleted to all-null must fold sum to NULL")
+      assert(byKey("b").getAs[Long]("n_rows") == 1L)
+      assert(byKey("b").getAs[Long]("n_valued") == 0L)
+    }
+  }
+
   test("IncrementalRollup folds NULL-valued group keys (null-safe merge join)") {
     // GROUP BY treats NULLs as one group but a plain equi-join never
     // matches them — the merge must use <=> or the null group's state

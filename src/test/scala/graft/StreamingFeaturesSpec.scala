@@ -156,6 +156,40 @@ class StreamingFeaturesSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("latestState equal-timestamp tie-break is batching-independent") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val source = MemoryStream[FeatureEvent]
+    val query = StreamingFeatures
+      .latestState(source.toDS(), lateness = "365 days")
+      .writeStream
+      .format("memory")
+      .queryName("latest_state_tie")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // within ONE batch, max-(timestamp, value) wins: 5.0 holds
+      source.addData(
+        FeatureEvent("u1", t("2024-01-10"), 5.0),
+        FeatureEvent("u1", t("2024-01-10"), 3.0))
+      query.processAllAvailable()
+      // the SAME equal-timestamp lower value in a LATER batch must not
+      // replace the held state — the served value would then depend on
+      // micro-batch boundaries and regress on replay
+      source.addData(FeatureEvent("u1", t("2024-01-10"), 3.0))
+      query.processAllAvailable()
+      val out = s.sql("SELECT * FROM latest_state_tie").as[LatestState].collect()
+      assert(out.last.value == 5.0, out.mkString(","))
+      // an equal-timestamp HIGHER value still advances
+      source.addData(FeatureEvent("u1", t("2024-01-10"), 8.0))
+      query.processAllAvailable()
+      val out2 = s.sql("SELECT * FROM latest_state_tie").as[LatestState].collect()
+      assert(out2.last.value == 8.0, out2.mkString(","))
+    } finally query.stop()
+  }
+
   test("intervalJoin runs stream-stream with watermarks (train/serve symmetry)") {
     val s = spark
     import s.implicits._

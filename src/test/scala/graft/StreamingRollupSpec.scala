@@ -58,9 +58,11 @@ class StreamingRollupSpec extends AnyFunSuite with SparkTestBase {
       (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_value"))).toMap
     assert(m == Map("user_1" -> ((3L, 605L)), "user_3" -> ((2L, 1500L))))
 
-    // exactly one state version survives the prune
+    // the prune keeps the new state plus ONE completed predecessor (a
+    // grace window for readers that resolved the prior version before
+    // the fold landed) — never the whole history
     val dirs = new java.io.File(stateDir).list().filter(_.startsWith("state_v"))
-    assert(dirs.length == 1, dirs.mkString(","))
+    assert(dirs.length <= 2 && dirs.nonEmpty, dirs.mkString(","))
   }
 
   test("every IVM flavor streams: stats, distinct, min/max, serving converge across mutations") {
