@@ -3358,6 +3358,8 @@ object NorthStar {
          |         CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
          |         CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
          |  FROM lineitem
+         |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+         |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
          |), a AS (
          |  SELECT CAST(count(*) AS HUGEINT) AS n,
          |         ${sumDefs.mkString(",\n         ")},

@@ -46,9 +46,14 @@ object MediaCodecs {
   /** Registered codecs, probed in order by [[decode]]. */
   val registry: Seq[MediaCodec] = Seq(WavCodec, BmpCodec)
 
-  /** Decode with the first codec whose magic matches. */
+  /** Decode with the first codec whose magic matches. A NULL payload
+    * (failed upstream fetch — the most common corrupt form at corpus
+    * scale) is data, not an exception: None, like any other
+    * undecodable row.
+    */
   def decode(bytes: Array[Byte]): Option[Decoded] =
-    registry.find(_.detect(bytes)).flatMap(_.decode(bytes))
+    if (bytes == null) None
+    else registry.find(_.detect(bytes)).flatMap(_.decode(bytes))
 }
 
 /** Canonical-form PCM WAV: RIFF / fmt(16, PCM, 16-bit) / data. */
@@ -68,40 +73,44 @@ object WavCodec extends MediaCodec {
 
   def decode(bytes: Array[Byte]): Option[Decoded] = {
     if (!detect(bytes)) return None
-    // walk the chunk list: fmt must precede data (canonical order)
-    var off = 12
+    // walk the chunk list: fmt must precede data (canonical order).
+    // ALL offset arithmetic in Long: a crafted/corrupt u32 chunk size
+    // near Int.MaxValue would wrap 32-bit offsets negative, slipping
+    // past the bounds checks into an AIOOBE / ~2 GB allocation — the
+    // exact task-killing throw this module's contract forbids
+    var off = 12L
     var sampleRate = 0
     var channels = 0
     var bits = 0
     var haveFmt = false
     while (off + 8 <= bytes.length) {
-      val size = u32(bytes, off + 4)
-      if (size < 0 || size > Int.MaxValue - 8) return None
+      val size = u32(bytes, off.toInt + 4) // off+8 <= length, so toInt is safe
       val body = off + 8
-      if (tag(bytes, off, "fmt ")) {
+      if (tag(bytes, off.toInt, "fmt ")) {
         if (size < 16 || body + 16 > bytes.length) return None
-        val audioFormat = u16(bytes, body)
-        channels = u16(bytes, body + 2)
-        sampleRate = u32(bytes, body + 4).toInt
-        bits = u16(bytes, body + 14)
+        val audioFormat = u16(bytes, body.toInt)
+        channels = u16(bytes, body.toInt + 2)
+        sampleRate = u32(bytes, body.toInt + 4).toInt
+        bits = u16(bytes, body.toInt + 14)
         if (audioFormat != 1 || bits != 16 || channels < 1 || sampleRate < 1)
           return None // only canonical PCM16 here; other formats → other codecs
         haveFmt = true
-      } else if (tag(bytes, off, "data")) {
+      } else if (tag(bytes, off.toInt, "data")) {
         if (!haveFmt) return None
-        val n = size.toInt
-        if (body + n > bytes.length || n % 2 != 0) return None
+        if (body + size > bytes.length || size % 2 != 0) return None
+        val n = size.toInt // bounded by bytes.length via the Long check
+        val base = body.toInt
         val samples = new Array[Short](n / 2)
         var i = 0
         while (i < samples.length) {
           samples(i) =
-            ((bytes(body + 2 * i) & 0xff) | (bytes(body + 2 * i + 1) << 8)).toShort
+            ((bytes(base + 2 * i) & 0xff) | (bytes(base + 2 * i + 1) << 8)).toShort
           i += 1
         }
         return Some(DecodedAudio(sampleRate, channels, samples))
       }
       // chunks are word-aligned: odd sizes carry a pad byte
-      off = body + size.toInt + (size.toInt & 1)
+      off = body + size + (size & 1L)
     }
     None
   }

@@ -69,7 +69,10 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .select(col("doc_id").cast("long"), col("media"))
+      .select(col("doc_id").cast("long"),
+        // a NULL payload (failed upstream fetch) must be corrupt DATA,
+        // not a task-killing NPE in the row function
+        coalesce(col("media"), lit(Array.empty[Byte])).as("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition init for a real decoder would happen here
@@ -94,7 +97,10 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .select(col("doc_id").cast("long"), col("media"))
+      .select(col("doc_id").cast("long"),
+        // a NULL payload (failed upstream fetch) must be corrupt DATA,
+        // not a task-killing NPE in the row function
+        coalesce(col("media"), lit(Array.empty[Byte])).as("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
@@ -170,7 +176,10 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .select(col("doc_id").cast("long"), col("media"))
+      .select(col("doc_id").cast("long"),
+        // a NULL payload (failed upstream fetch) must be corrupt DATA,
+        // not a task-killing NPE in the row function
+        coalesce(col("media"), lit(Array.empty[Byte])).as("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
@@ -234,7 +243,10 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .select(col("doc_id").cast("long"), col("media"))
+      .select(col("doc_id").cast("long"),
+        // a NULL payload (failed upstream fetch) must be corrupt DATA,
+        // not a task-killing NPE in the row function
+        coalesce(col("media"), lit(Array.empty[Byte])).as("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
@@ -270,7 +282,10 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .select(col("doc_id").cast("long"), col("media"))
+      .select(col("doc_id").cast("long"),
+        // a NULL payload (failed upstream fetch) must be corrupt DATA,
+        // not a task-killing NPE in the row function
+        coalesce(col("media"), lit(Array.empty[Byte])).as("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
@@ -304,7 +319,10 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .select(col("doc_id").cast("long"), col("media"))
+      .select(col("doc_id").cast("long"),
+        // a NULL payload (failed upstream fetch) must be corrupt DATA,
+        // not a task-killing NPE in the row function
+        coalesce(col("media"), lit(Array.empty[Byte])).as("media"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         Iterator.from(0)
@@ -343,7 +361,10 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media
-      .select(col("doc_id").cast("long"), col("media"))
+      .select(col("doc_id").cast("long"),
+        // a NULL payload (failed upstream fetch) must be corrupt DATA,
+        // not a task-killing NPE in the row function
+        coalesce(col("media"), lit(Array.empty[Byte])).as("media"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         MediaCodecs.decode(bytes) match {

@@ -354,30 +354,46 @@ object Profiling {
         s"correlationMatrix needs >= 2 columns, got $valueCols")
     val session = df.sparkSession
     val idx = valueCols.indices
-    val pairs = for { i <- idx; j <- idx if i <= j } yield (i, j)
+    val upairs = for { i <- idx; j <- idx if i < j } yield (i, j)
     // contract: pre-integerized feature columns (integer units in long
     // range — cents, counts); the long cast is a no-op for integral
     // values and pins the arithmetic type the width gate reasons about
     val prepared = df.select(valueCols.map(c => col(c).cast("long").as(c)): _*)
     def hiOf(c: Column) = shiftright(c, 16)
     def loOf(c: Column) = c.bitwiseAND(lit(0xFFFFL))
+    // PAIRWISE-COMPLETE statistics: every sufficient statistic of pair
+    // (i, j) — n, Σx, Σy, Σxy, Σx², Σy² — aggregates over exactly the
+    // rows where BOTH sides are non-null. A shared global n with
+    // null-skipping sums would count rows the sums never saw,
+    // fabricating variance for constant columns and letting |r| exceed
+    // 1 on mixed-null input; a pair with NO complete row drops.
+    def bothNN(i: Int, j: Int): Column =
+      col(valueCols(i)).isNotNull && col(valueCols(j)).isNotNull
+    def pcond(i: Int, j: Int, c: Column): Column = when(bothNN(i, j), c)
 
-    // THE one optimistic pass: count + per-column range + all moments
-    // in split-long form, a single partial-aggregated job
+    // THE one optimistic pass: per-column range (the width gate) + the
+    // full per-pair moment set in split-long form, a single
+    // partial-aggregated job
     val optimisticAggs: Seq[Column] =
       count(lit(1)).as("_n") +:
         (idx.map(i => max(abs(col(valueCols(i)))).as(s"_m_$i")) ++
-          idx.map(i => try_sum(col(valueCols(i))).as(s"_s_$i")) ++
-          pairs.flatMap { case (i, j) =>
+          upairs.flatMap { case (i, j) =>
             val x = col(valueCols(i))
             val y = col(valueCols(j))
-            val base = s"_p_${i}_$j"
+            def prod(a: Column, b: Column, tagg: String) = Seq(
+              try_sum(pcond(i, j, try_multiply(hiOf(a), hiOf(b))))
+                .as(s"_p_${i}_${j}_${tagg}_hh"),
+              try_sum(pcond(i, j, try_add(
+                try_multiply(hiOf(a), loOf(b)),
+                try_multiply(hiOf(b), loOf(a)))))
+                .as(s"_p_${i}_${j}_${tagg}_hl"),
+              try_sum(pcond(i, j, try_multiply(loOf(a), loOf(b))))
+                .as(s"_p_${i}_${j}_${tagg}_ll"))
             Seq(
-              try_sum(try_multiply(hiOf(x), hiOf(y))).as(s"${base}_hh"),
-              try_sum(try_add(
-                try_multiply(hiOf(x), loOf(y)),
-                try_multiply(hiOf(y), loOf(x)))).as(s"${base}_hl"),
-              try_sum(try_multiply(loOf(x), loOf(y))).as(s"${base}_ll"))
+              count(pcond(i, j, lit(1))).as(s"_n_${i}_$j"),
+              try_sum(pcond(i, j, x)).as(s"_s_${i}_${j}_a"),
+              try_sum(pcond(i, j, y)).as(s"_s_${i}_${j}_b")) ++
+              prod(x, y, "xy") ++ prod(x, x, "xx") ++ prod(y, y, "yy")
           })
     val row = prepared.agg(optimisticAggs.head, optimisticAggs.tail: _*).head()
     val n = row.getLong(row.fieldIndex("_n"))
@@ -392,7 +408,8 @@ object Profiling {
 
     // post-hoc width gate from the measured ranges: every long
     // accumulator provably stayed under 2^62 → the optimistic sums are
-    // exact (and none of the try_* ops nulled)
+    // exact (and none of the try_* ops nulled). Global n and per-column
+    // max|x| upper-bound every pair-conditioned accumulator.
     val maxAbs = idx.map { i =>
       val f = row.fieldIndex(s"_m_$i")
       if (row.isNullAt(f)) 0L else row.getLong(f)
@@ -410,60 +427,78 @@ object Profiling {
         nn * lo * lo < lim
     }
     val gateHolds = idx.forall(sumFits) &&
-      pairs.forall { case (i, j) => splitFits(i, j) }
+      upairs.forall { case (i, j) =>
+        splitFits(i, j) && splitFits(i, i) && splitFits(j, j)
+      }
 
-    // exact sufficient statistics, either from the optimistic row or —
-    // gate failed — from ONE unconditional decimal(38,0) recompute. A
-    // stat is None when its aggregate saw NO rows (an all-null column,
-    // or a pair with no row where both sides are non-null) — those
-    // pairs drop below, matching SQL sum-over-nothing semantics (the
-    // pre-rewrite plan produced a null corr_r there and filtered it)
-    val (sumsB, prodB): (IndexedSeq[Option[BigInt]], Map[(Int, Int), Option[BigInt]]) =
+    // exact per-pair sufficient statistics, either from the optimistic
+    // row or — gate failed — from ONE unconditional decimal(38,0)
+    // recompute. A stat is None when its aggregate saw NO complete row
+    // for the pair — those pairs drop below (SQL sum-over-nothing).
+    final case class PairStats(
+        n: Long, sa: Option[BigInt], sb: Option[BigInt],
+        pxy: Option[BigInt], pxx: Option[BigInt], pyy: Option[BigInt])
+    val stats: Map[(Int, Int), PairStats] =
       if (gateHolds) {
         def l(name: String): Option[BigInt] = {
           val f = row.fieldIndex(name)
           if (row.isNullAt(f)) None else Some(BigInt(row.getLong(f)))
         }
-        (idx.map(i => l(s"_s_$i")),
-          pairs.map { case (i, j) =>
-            val base = s"_p_${i}_$j"
-            (i, j) -> (for {
-              hh <- l(s"${base}_hh"); hl <- l(s"${base}_hl"); ll <- l(s"${base}_ll")
-            } yield (hh << 32) + (hl << 16) + ll)
-          }.toMap)
+        def prod(i: Int, j: Int, tagg: String): Option[BigInt] = for {
+          hh <- l(s"_p_${i}_${j}_${tagg}_hh")
+          hl <- l(s"_p_${i}_${j}_${tagg}_hl")
+          ll <- l(s"_p_${i}_${j}_${tagg}_ll")
+        } yield (hh << 32) + (hl << 16) + ll
+        upairs.map { case (i, j) =>
+          (i, j) -> PairStats(
+            row.getLong(row.fieldIndex(s"_n_${i}_$j")),
+            l(s"_s_${i}_${j}_a"), l(s"_s_${i}_${j}_b"),
+            prod(i, j, "xy"), prod(i, j, "xx"), prod(i, j, "yy"))
+        }.toMap
       } else {
         val dec = "decimal(38,0)"
-        val decAggs: Seq[Column] =
-          idx.map(i => sum(col(valueCols(i)).cast(dec)).as(s"_s_$i")) ++
-            pairs.map { case (i, j) =>
-              sum(col(valueCols(i)).cast(dec) * col(valueCols(j)).cast(dec))
-                .as(s"_p_${i}_$j")
-            }
+        val decAggs: Seq[Column] = upairs.flatMap { case (i, j) =>
+          val x = col(valueCols(i)).cast(dec)
+          val y = col(valueCols(j)).cast(dec)
+          Seq(
+            count(pcond(i, j, lit(1))).as(s"_n_${i}_$j"),
+            sum(pcond(i, j, x)).as(s"_s_${i}_${j}_a"),
+            sum(pcond(i, j, y)).as(s"_s_${i}_${j}_b"),
+            sum(pcond(i, j, x * y)).as(s"_p_${i}_${j}_xy"),
+            sum(pcond(i, j, x * x)).as(s"_p_${i}_${j}_xx"),
+            sum(pcond(i, j, y * y)).as(s"_p_${i}_${j}_yy"))
+        }
         val r2 = prepared.agg(decAggs.head, decAggs.tail: _*).head()
         def d(name: String): Option[BigInt] = {
           val f = r2.fieldIndex(name)
           if (r2.isNullAt(f)) None
           else Some(BigInt(r2.getDecimal(f).toBigIntegerExact))
         }
-        (idx.map(i => d(s"_s_$i")),
-          pairs.map { case (i, j) => (i, j) -> d(s"_p_${i}_$j") }.toMap)
+        upairs.map { case (i, j) =>
+          (i, j) -> PairStats(
+            r2.getLong(r2.fieldIndex(s"_n_${i}_$j")),
+            d(s"_s_${i}_${j}_a"), d(s"_s_${i}_${j}_b"),
+            d(s"_p_${i}_${j}_xy"), d(s"_p_${i}_${j}_xx"), d(s"_p_${i}_${j}_yy"))
+        }.toMap
       }
 
     // exact BigInt combination + the oracle's identical float tail:
     // double(num via decimal string) / (sqrt(double d1) * sqrt(double d2))
     def toD(v: BigInt): Double = java.lang.Double.parseDouble(v.toString)
     val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    for { i <- idx; j <- idx if i < j } {
+    for { (i, j) <- upairs } {
+      val st = stats((i, j))
+      val np = BigInt(st.n)
       for {
-        si <- sumsB(i); sj <- sumsB(j)
-        pij <- prodB((i, j)); pii <- prodB((i, i)); pjj <- prodB((j, j))
+        si <- st.sa; sj <- st.sb
+        pij <- st.pxy; pii <- st.pxx; pjj <- st.pyy
       } {
-        val num = nn * pij - si * sj
-        val d1 = nn * pii - si * si
-        val d2 = nn * pjj - sj * sj
+        val num = np * pij - si * sj
+        val d1 = np * pii - si * si
+        val d2 = np * pjj - sj * sj
         if (d1 > 0 && d2 > 0)
           out.add(org.apache.spark.sql.Row(
-            valueCols(i), valueCols(j), n,
+            valueCols(i), valueCols(j), st.n,
             toD(num) / (math.sqrt(toD(d1)) * math.sqrt(toD(d2)))))
       }
     }

@@ -64,16 +64,24 @@ object Sampling {
       s"weights must be positive and sum to 100, got $weights")
     val h = idHash(col(idCol)) % 100
     val cuts = weights.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
-    val assigned = weights.init.zip(cuts) match {
+    // a NULL id has no stable identity to hash: every when() branch is
+    // null, so it would silently fall into the LAST otherwise() split —
+    // inflating the eval holdout with exactly the malformed rows. Fail
+    // loudly instead (deterministicSample DROPS null ids; a split must
+    // not silently change the row set, so it refuses).
+    val assigned0 = weights.init.zip(cuts) match {
       case Seq() => lit(weights.head._1) // single bucket: everything
       case (n0, hi0) +: rest =>
         rest
           .foldLeft(when(h < hi0, lit(n0._1))) {
             case (acc, (nm, hi)) => acc.when(h < hi, lit(nm._1))
           }
-          .otherwise(lit(weights.last._1))
+          .when(h.isNotNull, lit(weights.last._1))
+          .otherwise(raise_error(concat(
+            lit(s"hashSplit: null $idCol has no stable split identity; " +
+              "filter null ids or repair them upstream"))))
     }
-    df.withColumn(splitCol, assigned)
+    df.withColumn(splitCol, assigned0)
   }
 
   /** Leakage-safe train/valid/test split: near-duplicate documents

@@ -78,10 +78,14 @@ object Similarity extends Serializable {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = queryIds match {
     case Some(ids) =>
+      // zero-norm (or null) vectors have no cosine: their scores are
+      // NaN, which Spark desc-sort ranks FIRST — one padding row would
+      // otherwise occupy rank 1 of every query's top-k
       val withNorm = emb.select(
         col(idCol),
         col(vecCol),
         sqrt(dotFast(col(vecCol), col(vecCol))).as("_nrm"))
+        .filter(col("_nrm") > 0d)
       val q = withNorm.filter(col(idCol).isin(ids: _*))
         .select(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("_nrm").as("_qn"))
       val scored = withNorm
@@ -120,6 +124,7 @@ object Similarity extends Serializable {
     import spark.implicits._
     val rows = emb
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .filter(col(vecCol).isNotNull)
       .as[(Long, Array[Float])]
     val side = rows.collect().sortBy(_._1)
     val ids = side.map(_._1)
@@ -140,6 +145,7 @@ object Similarity extends Serializable {
         var sq = 0.0; var i = 0
         while (i < qv.length) { sq += qv(i) * qv(i); i += 1 }
         val qn = math.sqrt(sq)
+        if (qn == 0d) Iterator.empty else {
         // k-bounded selection: sel* hold the current top rows, worst last
         val m = math.min(k, math.max(0, oIds.length - 1))
         val selScore = new Array[Double](m)
@@ -147,7 +153,7 @@ object Similarity extends Serializable {
         var filled = 0
         var j = 0
         while (j < oIds.length) {
-          if (oIds(j) != qid) {
+          if (oIds(j) != qid && oNorms(j) > 0d) {
             val vb = oVecs(j)
             var d = 0.0; var t = 0
             val n = math.min(qv.length, vb.length)
@@ -178,6 +184,7 @@ object Similarity extends Serializable {
           j += 1
         }
         (0 until filled).map(r => (qid, selId(r), selScore(r), r + 1))
+        }
       }
       .toDF("query_id", "neighbor_id", "score", "rank")
   }
@@ -536,16 +543,20 @@ object Similarity extends Serializable {
       vecCol: String = "embedding"): DataFrame = {
     val cents = ivfCentroids(emb, numCentroids, idCol, vecCol)
     val fv = col(vecCol).cast("array<float>")
+    // zero/null-norm rows have no cosine — and their NaN scores would
+    // rank FIRST under Spark's desc sort (NaN greatest)
     val corpus = emb.select(
       graft.functions.FloatVectorArgmaxDot(fv, cents).as("_list"),
       col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("_v"),
       sqrt(dotFast(col(vecCol), col(vecCol))).as("_nrm"))
+      .filter(col("_nrm") > 0d)
     val queries = emb.select(
       col(idCol).cast("long").as("query_id"),
       col(vecCol).as("_qv"),
       sqrt(dotFast(col(vecCol), col(vecCol))).as("_qn"),
       explode(graft.functions.FloatVectorTopCentroids(fv, cents, nProbe)).as("_list"))
+      .filter(col("_qn") > 0d)
     val scored = corpus
       .join(queries, Seq("_list"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -649,10 +660,14 @@ object Similarity extends Serializable {
       fv.as("_v"),
       graft.functions.FloatVectorArgmaxDot(fv, cents).as("cluster"),
       sqrt(dotFast(col(vecCol), col(vecCol))).as("_nrm"))
-    val left = assigned.select(
+    // Spark SQL orders NaN LARGEST even in comparisons, so a zero-norm
+    // vector's NaN cosine would PASS the >= threshold filter — exclude
+    // them from pairing (they stay in the output listing as non-dups)
+    val valued = assigned.filter(col("_nrm") > 0d)
+    val left = valued.select(
       col("cluster"), col("vec_id").as("id_a"),
       col("_v").as("_va"), col("_nrm").as("_na"))
-    val right = assigned.select(
+    val right = valued.select(
       col("cluster"), col("vec_id").as("id_b"),
       col("_v").as("_vb"), col("_nrm").as("_nb"))
     val dups = left.join(right, "cluster")
@@ -740,23 +755,23 @@ object Similarity extends Serializable {
           while (i < subDim) { acc += qd(s * subDim + i) * w(i); i += 1 }
           acc
         }.map(_.toSeq)
-        val nsq = Seq.tabulate(m, seed.length) { (s, c) =>
-          val w = codebooks(s)(c)
-          var acc = 0.0; var i = 0
-          while (i < subDim) { acc += w(i) * w(i); i += 1 }
-          acc
-        }.map(_.toSeq)
         var qn = 0.0; var i = 0
         while (i < qd.length) { qn += qd(i) * qd(i); i += 1 }
-        (qid, lut, nsq, qv, math.sqrt(qn))
+        (qid, lut, qv, math.sqrt(qn))
       }.toSeq
-    val q = lutRows.toDF("query_id", "_lut", "_nsq", "_qv", "_qn")
-    val fv = col(vecCol).cast("array<float>")
-    val corpus = emb.select(
-      col(idCol).cast("long").as("neighbor_id"),
-      fv.as("_v"),
-      sqrt(dotFast(col(vecCol), col(vecCol))).as("_nrm"),
-      graft.functions.FloatVectorPqEncode(fv, codebooks).as("_codes"))
+    // codeword squared norms are QUERY-INDEPENDENT: computed once and
+    // folded per corpus row (not per (query, neighbor) pair, where the
+    // former per-query _nsq copy re-ran the fold |Q|x|corpus| times and
+    // rode every broadcast row)
+    val nsq: Seq[Seq[Double]] = Seq.tabulate(m, seed.length) { (s, c) =>
+      val w = codebooks(s)(c)
+      var acc = 0.0; var i = 0
+      while (i < subDim) { acc += w(i) * w(i); i += 1 }
+      acc
+    }.map(_.toSeq)
+    // zero-norm queries have no cosine (their exact rescore is NaN)
+    val q = lutRows.filter(_._4 > 0d)
+      .toDF("query_id", "_lut", "_qv", "_qn")
     // ADC = Σ_s lut[s][code_s], folded in subspace order (bit-identical
     // to the oracle's list_sum over an s-ordered list); approximate
     // cosine divides by the reconstruction norm √Σ_s ‖w(code_s)‖²
@@ -764,8 +779,16 @@ object Similarity extends Serializable {
       aggregate(
         zip_with(col("_codes"), lutCol, (code, row) => element_at(row, code + lit(1))),
         lit(0.0), (acc, x) => acc + x)
+    val fv = col(vecCol).cast("array<float>")
+    val corpus = emb.select(
+      col(idCol).cast("long").as("neighbor_id"),
+      fv.as("_v"),
+      sqrt(dotFast(col(vecCol), col(vecCol))).as("_nrm"),
+      graft.functions.FloatVectorPqEncode(fv, codebooks).as("_codes"))
+      .filter(col("_nrm") > 0d) // NaN rescores rank first — exclude
+      .withColumn("_recon", sqrt(lutSum(typedLit(nsq))))
     val scored = corpus.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("_adc", lutSum(col("_lut")) / sqrt(lutSum(col("_nsq"))))
+      .withColumn("_adc", lutSum(col("_lut")) / col("_recon"))
     val wCand = Window.partitionBy(col("query_id"))
       .orderBy(col("_adc").desc, col("neighbor_id").asc)
     val wExact = Window.partitionBy(col("query_id"))
@@ -789,7 +812,7 @@ object Similarity extends Serializable {
       numPlanes: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val dims = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val dims = vectorDims(emb, vecCol)
     // Hyperplanes derived on the driver from the portable md5 family
     // (plane p, dim d ← md5("p:d") mapped to [-1, 1)) and embedded in a
     // codegen'd signature expression; each vector's signature is one
@@ -806,6 +829,21 @@ object Similarity extends Serializable {
     * `first = band * planesPerBand` so every band draws fresh planes
     * from the same portable family.
     */
+  /** Corpus vector width, via ONE bounded aggregate: `head()` of a
+    * distributed frame is not stable under ragged widths (a rerun can
+    * pick a different first row -> different hyperplanes -> different
+    * buckets), crashes on an empty corpus, and NPEs on a null first
+    * vector — max(size) is deterministic against all three.
+    */
+  private def vectorDims(emb: DataFrame, vecCol: String): Int = {
+    val r = emb.agg(max(size(col(vecCol)))).head()
+    if (r.isNullAt(0))
+      throw new graft.store.FeatureValidationError(
+        "cannot derive hyperplane dimensionality: corpus is empty or " +
+          "every vector is null")
+    r.getInt(0)
+  }
+
   private def hyperplanes(first: Int, count: Int, dims: Int): Array[Array[Double]] =
     Array.tabulate(count, dims) {
       (p, d) => Hashing.md5Long60Jvm(s"${first + p}:$d").toDouble / math.pow(2, 59) - 1.0
@@ -885,19 +923,24 @@ object Similarity extends Serializable {
           .cast("long")).as(s"_s$d")
       }
       val rows = emb
+        // a null embedding makes the (null-intolerant) argmax null: its
+        // group would NPE the driver's getInt before the range guard
+        .filter(col(vecCol).isNotNull)
         .groupBy(graft.functions.FloatVectorArgmaxDot(
           col(vecCol).cast("array<float>"), cents).as("_c"))
         .agg(count(lit(1)).as("_n"), sumAggs: _*)
         .collect()
       val next = cents.map(_.clone())
       rows.foreach { r =>
-        val c = r.getInt(0)
-        val n = r.getLong(1)
-        if (c >= 0 && c < next.length) {
-          var d = 0
-          while (d < dims) {
-            next(c)(d) = r.getLong(d + 2).toDouble / n / 1e6
-            d += 1
+        if (r.isNullAt(0)) () else {
+          val c = r.getInt(0)
+          val n = r.getLong(1)
+          if (c >= 0 && c < next.length) {
+            var d = 0
+            while (d < dims) {
+              next(c)(d) = r.getLong(d + 2).toDouble / n / 1e6
+              d += 1
+            }
           }
         }
       }
@@ -947,6 +990,7 @@ object Similarity extends Serializable {
     val assigned = emb
       .withColumn("_list", graft.functions.FloatVectorArgmaxDot(fv, cents))
       .withColumn("_nrm", sqrt(dotFast(col(vecCol), col(vecCol))))
+      .filter(col("_nrm") > 0d) // NaN cosines rank first — see bruteForceTopKFor
     val q = assigned
       .filter(col(idCol).isin(queryIds: _*))
       .select(
@@ -1051,10 +1095,13 @@ object Similarity extends Serializable {
       sqrt(dotFast(col(vecCol), col(vecCol))).as("_qn"),
       explode(graft.functions.FloatVectorTopCentroids(fv, centroids, nProbe))
         .as("ivf_list"))
+      // Spark SQL treats NaN as LARGEST even in >=, so a zero-norm
+      // vector's NaN cosine would pass the threshold — exclude both sides
+      .filter(col("_qn") > 0d)
     val probeLists: Seq[Any] = q.select("ivf_list").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     index
-      .filter(col("ivf_list").isin(probeLists: _*))
+      .filter(col("ivf_list").isin(probeLists: _*) && col("ivf_norm") > 0d)
       .join(broadcast(q), Seq("ivf_list"))
       .select(
         col("new_id"),
@@ -1105,14 +1152,17 @@ object Similarity extends Serializable {
         col("ivf_norm").cast("double"))
       .as[(Long, Array[Float], Double)]
       .collect()
-    val probes = qRows.map { case (id, v, n) =>
+    // zero-norm queries have no cosine — drop them here (NaN scores
+    // would rank first under the desc window)
+    val probes = qRows.filter(_._3 > 0d).map { case (id, v, n) =>
       val s = centroidDots(centroids, v)
       val pr = s.zipWithIndex.sortBy { case (sc, i) => (-sc, i) }
         .take(nProbe).map(_._2)
       (id, v, n, pr)
     }
     val allProbes: Seq[Any] = probes.flatMap(_._4).distinct.sorted.toSeq
-    val pruned = index.filter(col("ivf_list").isin(allProbes: _*))
+    val pruned = index.filter(
+      col("ivf_list").isin(allProbes: _*) && col("ivf_norm") > 0d)
     val qDf = probes.toSeq.toDF("query_id", "_qv", "_qn", "_probes")
     val w = Window
       .partitionBy(col("query_id"))
@@ -1143,10 +1193,16 @@ object Similarity extends Serializable {
       numPlanes: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val buckets = lshBuckets(emb, numPlanes, idCol, vecCol)
+    // the signature is a pure per-row expression: attach it as a
+    // column (one narrow pass, the buildIvfIndex pattern) instead of
+    // shuffle-joining lshBuckets' (id, bucket) output back on by id
+    val dims = vectorDims(emb, vecCol)
     val withBucket = emb
-      .join(buckets, idCol)
+      .withColumn("bucket",
+        graft.functions.FloatVectorHyperplaneSignature(
+          col(vecCol).cast("array<float>"), hyperplanes(0, numPlanes, dims)))
       .withColumn("_nrm", sqrt(dotFast(col(vecCol), col(vecCol))))
+      .filter(col("_nrm") > 0d) // NaN scores rank first — exclude
     val q = withBucket
       .filter(col(idCol).isin(queryIds: _*))
       .select(

@@ -38,6 +38,30 @@ class MediaCodecsSpec extends AnyFunSuite with SparkTestBase {
     assert(WavCodec.decode(oddData).isEmpty)
   }
 
+  test("wav: near-Int.MaxValue chunk sizes decode to None, never AIOOBE or a 2GB alloc") {
+    // a crafted JUNK chunk size of 0x7FFFFFF0 wrapped the former 32-bit
+    // offset walk negative, slipping past the bounds checks into an
+    // ArrayIndexOutOfBoundsException — the walk is now done in Long
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val junk = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++ le32(0x7FFFFFF0L) ++
+      Array.fill[Byte](32)(0)
+    assert(WavCodec.decode(junk).isEmpty)
+    // same crafted size on the data chunk: the old Int bounds check
+    // wrapped and attempted a ~1 GiB Array[Short] on a 60-byte payload
+    val fmt = WavCodec.encode(Array[Short](1), 8000, 1).slice(12, 36)
+    val data = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+      "WAVE".getBytes("US-ASCII") ++ fmt ++
+      "data".getBytes("US-ASCII") ++ le32(0x7FFFFFF0L) ++
+      Array.fill[Byte](16)(0)
+    assert(WavCodec.decode(data).isEmpty)
+    // and a NULL payload is corrupt data, not an exception
+    assert(graft.ops.MediaCodecs.decode(null).isEmpty)
+  }
+
   test("bmp: encode/decode round-trips pixels top-down, including stride padding") {
     // width 3 → row stride 12 with 3 pad bytes: exercises padding
     val w = 3; val h = 2

@@ -458,6 +458,42 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(composedRecall == recall)
   }
 
+  test("every ANN kernel excludes zero/null vectors (NaN ranks first under desc sort)") {
+    val s = spark
+    import s.implicits._
+    // id 3 is all-zero, id 4 is null: both have no cosine; unguarded,
+    // their NaN scores occupy rank 1 of every query's top-k
+    val e = Seq(
+      (0L, Some(Seq(1f, 0f, 0f))),
+      (1L, Some(Seq(0.9f, 0.1f, 0f))),
+      (2L, Some(Seq(0f, 0f, 1f))),
+      (3L, Some(Seq(0f, 0f, 0f))),
+      (4L, None: Option[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    def neighbors(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val brute = Similarity.bruteForceTopK(e, Seq(0L), k = 2)
+    assert(!neighbors(brute).contains(3L) && !neighbors(brute).contains(4L))
+    assert(brute.collect().forall(r => !r.getAs[Double]("score").isNaN))
+    val all = Similarity.bruteForceTopKFor(e, None, k = 2)
+    assert(!neighbors(all).contains(3L) && !neighbors(all).contains(4L))
+    // the zero vector also emits no rows as a QUERY
+    assert(all.filter(col("query_id").isin(3L, 4L)).isEmpty)
+    val ivf = Similarity.allPairsTopKIvf(e, k = 2, numCentroids = 2, nProbe = 2)
+    assert(!neighbors(ivf).contains(3L) && !neighbors(ivf).contains(4L))
+    val lsh = Similarity.lshTopK(e, Seq(0L), k = 2, numPlanes = 1)
+    assert(!neighbors(lsh).contains(3L) && !neighbors(lsh).contains(4L))
+    val pq = Similarity.pqTopK(e.filter(col("embedding").isNotNull),
+      Seq(0L), k = 2, m = 3, codebookSize = 2)
+    assert(!neighbors(pq).contains(3L))
+    // near-dup thresholds: Spark SQL treats NaN as LARGEST even in >=,
+    // so an unguarded zero vector would "match" everything
+    val sem = Similarity.semanticDedup(
+      e.filter(col("embedding").isNotNull), threshold = 0.9, numCentroids = 1)
+    val dupRows = sem.filter(col("is_dup")).collect()
+    assert(!dupRows.exists(_.getAs[Long]("vec_id") == 3L), dupRows.mkString(","))
+  }
+
   test("annTopKProjected excludes zero vectors (no NaN flooding the candidate prefix)") {
     // a zero embedding has projected norm 0: its pscore would be NaN,
     // and NaN desc-orders LARGEST in Spark — unguarded it floods the
@@ -749,6 +785,48 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       .ivfTopKIndexed(idx, cents, Seq(0L, 1L), k = 3, nProbe = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(topk(appended) == topk(oneShot))
+  }
+
+  test("multimodal: a NULL payload is corrupt data, not a task-killing NPE") {
+    val s = spark
+    import s.implicits._
+    val media = Seq(
+      (1L, Some("abcd".getBytes("UTF-8"))),
+      (2L, None: Option[Array[Byte]])) // failed upstream fetch
+      .toDF("doc_id", "media")
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(2L).n_bytes == 0) // null coalesced to empty = corrupt row
+    val down = Multimodal.byteDownsample(media, factor = 2).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(down(2L).media.isEmpty)
+    val meta = Multimodal.mediaMeta(media).collect()
+    assert(meta.length == 2)
+  }
+
+  test("hashSplit: null ids fail loudly instead of silently landing in the last split") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(Some(1L), Some(2L), None).toDF("doc_id")
+    val e = intercept[Exception] {
+      graft.ops.Sampling
+        .hashSplit(docs, Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+        .collect()
+    }
+    assert(e.getMessage.contains("null doc_id") ||
+      Option(e.getCause).exists(_.getMessage.contains("null doc_id")),
+      e.toString)
+  }
+
+  test("ivfCentroidsKMeans skips null embeddings instead of a driver NPE") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (0L, Some(Seq(1f, 0f))), (1L, Some(Seq(0.9f, 0.1f))),
+      (2L, Some(Seq(0f, 1f))), (3L, None: Option[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroidsKMeans(e, numCentroids = 2, iters = 2)
+    assert(cents.length == 2 && cents.forall(_.forall(v => !v.isNaN)))
   }
 
   test("multimodal: byteDownsample keeps every factor-th byte, factor 1 is identity") {

@@ -116,6 +116,35 @@ class ProfilingSpec extends AnyFunSuite with SparkTestBase {
     assert(Profiling.correlationMatrix(disjoint, Seq("x", "y")).isEmpty)
   }
 
+  test("correlationMatrix is PAIRWISE-complete: partial nulls never fabricate variance") {
+    val s = spark
+    import s.implicits._
+    // x is CONSTANT on its non-null rows: with a shared global n (3)
+    // and null-skipping sums (over 2 rows), n*Σx² - (Σx)² = 3*50-100 =
+    // 50 > 0 would fabricate variance and emit a bogus r — the pairwise
+    // n (2) must make d1 exactly 0 and drop the pair
+    val constWithNull = Seq(
+      (Some(5L), Some(1L)),
+      (Some(5L), Some(2L)),
+      (None: Option[Long], Some(3L)))
+      .toDF("x", "y")
+    assert(Profiling.correlationMatrix(constWithNull, Seq("x", "y")).isEmpty)
+    // and the statistics of a mixed-null pair cover exactly the
+    // complete rows: (1,1),(2,2),(3,3) perfectly correlate (r = 1)
+    // regardless of the interleaved one-sided nulls
+    val mixed = Seq(
+      (Some(1L), Some(1L)),
+      (None: Option[Long], Some(9L)),
+      (Some(2L), Some(2L)),
+      (Some(9L), None: Option[Long]),
+      (Some(3L), Some(3L)))
+      .toDF("x", "y")
+    val r = Profiling.correlationMatrix(mixed, Seq("x", "y")).head()
+    assert(r.getAs[Long]("n") == 3L)
+    // sqrt(d)*sqrt(d) is an ulp off d — the documented float tail
+    assert(math.abs(r.getAs[Double]("corr_r") - 1.0) < 1e-12)
+  }
+
   test("standardize: z-scores from sample std, min-max in [0,1], constants null") {
     val s = spark
     import s.implicits._
