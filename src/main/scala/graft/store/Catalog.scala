@@ -406,10 +406,16 @@ object CatalogPersistence extends CatalogIO {
       else {
         import scala.jdk.CollectionConverters._
         val files = Files.list(dir)
+        // racing a concurrent session's DROP: the directory listing
+        // already yielded the file, delete lands before the read —
+        // gone = dropped, same policy as the legacy path below
         try files.iterator().asScala
           .filter(_.getFileName.toString.endsWith(".tsv"))
           .toSeq
-          .flatMap(f => parseLines(readLines(f)))
+          .flatMap { f =>
+            try parseLines(readLines(f))
+            catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
+          }
         finally files.close()
       }
     val legacy = legacyCatalogFile(root)

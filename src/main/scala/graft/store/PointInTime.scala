@@ -96,7 +96,8 @@ object PointInTime {
       tsCol: String = TimestampColumn,
       tieBreakCols: Seq[String] = Nil,
       tableName: String = "<anonymous>"): DataFrame = {
-    columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
+    columns.foreach(cs => Validation.validateColumns(
+      cs, dropInternal(table.columns), tableName, Seq(entityCol, tsCol)))
     // Prune to the requested columns BEFORE the argmax: the projection
     // reaches the parquet scan (ReadSchema shrinks) and the aggregation
     // payload carries only what the caller asked for.
@@ -124,7 +125,8 @@ object PointInTime {
       tsCol: String = TimestampColumn,
       tieBreakCols: Seq[String] = Nil,
       tableName: String = "<anonymous>"): DataFrame = {
-    columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
+    columns.foreach(cs => Validation.validateColumns(
+      cs, dropInternal(table.columns), tableName, Seq(entityCol, tsCol)))
     val ids = entities
       .select(col(entityCol).cast(table.schema(entityCol).dataType).as(entityCol))
       .distinct()
@@ -180,13 +182,19 @@ object PointInTime {
     val ageOk: Column = maxAgeSeconds match {
       case None => lit(true)
       case Some(age) =>
-        val floor = table.schema(tsCol).dataType match {
+        val m = col("_match").getField(tsCol)
+        table.schema(tsCol).dataType match {
           case _: org.apache.spark.sql.types.TimestampType |
               _: org.apache.spark.sql.types.TimestampNTZType =>
-            col("_t") - expr(s"INTERVAL $age SECOND")
-          case _ => col("_t") - lit(age)
+            m >= col("_t") - expr(s"INTERVAL $age SECOND")
+          // DateType: compare at timestamp precision (midnight under
+          // the UTC-pinned session) — the numeric fallback would
+          // subtract DAYS, a ~86400x looser staleness bound
+          case _: org.apache.spark.sql.types.DateType =>
+            m.cast("timestamp") >=
+              col("_t").cast("timestamp") - expr(s"INTERVAL $age SECOND")
+          case _ => m >= col("_t") - lit(age)
         }
-        col("_match").getField(tsCol) >= floor
     }
 
     val matched = unioned
@@ -233,13 +241,15 @@ object PointInTime {
     val entityType = table.schema(entityCol).dataType
     val tsType = table.schema(tsCol).dataType
 
-    val featSide = table.select(
-      col(entityCol).as("_e"),
-      col(tsCol).as("_t"),
-      lit(0).as("_side"),
-      fPayload.as("_p"),
-      lit(null).cast(sPayloadType).as("_sp"),
-      ord.as("_o"))
+    val featSide = table
+      .filter(col(tsCol).isNotNull) // no as-of position — see taggedUnion
+      .select(
+        col(entityCol).as("_e"),
+        col(tsCol).as("_t"),
+        lit(0).as("_side"),
+        fPayload.as("_p"),
+        lit(null).cast(sPayloadType).as("_sp"),
+        ord.as("_o"))
     val spineSide = spine.select(
       col(entityCol).cast(entityType).as("_e"),
       col(tsCol).cast(tsType).as("_t"),
@@ -279,7 +289,8 @@ object PointInTime {
       tableName: String,
       checkEmpty: Boolean = true): (DataFrame, Seq[String]) = {
     Validation.validateSpine(spine, entityCol, tsCol, checkEmpty)
-    columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
+    columns.foreach(cs => Validation.validateColumns(
+      cs, dropInternal(table.columns), tableName, Seq(entityCol, tsCol)))
 
     // With an explicit projection the payload struct carries only the
     // requested columns — the pruning reaches the feature-table scan and
@@ -295,12 +306,19 @@ object PointInTime {
     val entityType = prunedTable.schema(entityCol).dataType
     val tsType = prunedTable.schema(tsCol).dataType
 
-    val featSide = prunedTable.select(
-      col(entityCol).as("_e"),
-      col(tsCol).as("_t"),
-      lit(0).as("_side"),
-      payload.as("_p"),
-      ord.as("_o"))
+    // a null-ts feature row has no as-of position: ASC NULLS FIRST
+    // would sort it before every probe and make it the running match,
+    // while the join-based strategies (three-valued ts <= t) and the
+    // PIT snapshot all exclude it — drop it here so the whole strategy
+    // family stays value-identical
+    val featSide = prunedTable
+      .filter(col(tsCol).isNotNull)
+      .select(
+        col(entityCol).as("_e"),
+        col(tsCol).as("_t"),
+        lit(0).as("_side"),
+        payload.as("_p"),
+        ord.as("_o"))
     val spineSide = spine.select(
       col(entityCol).cast(entityType).as("_e"),
       col(tsCol).cast(tsType).as("_t"),
@@ -355,7 +373,12 @@ object PointInTime {
         throw new FeatureValidationError(
           s"asOfJoinBucketed needs a temporal or numeric $tsCol, got $other")
     }
-    val unioned = unionedRaw.withColumn("_b", floor(seconds / bucketSeconds))
+    // bucket key = the exact floor MULTIPLE (negative-safe): dividing
+    // Long/Long rounds through a double and loses low bits past 2^53
+    // for numeric ts columns in their own units; the multiple groups,
+    // orders and joins identically
+    val unioned = unionedRaw.withColumn("_b",
+      seconds - pmod(seconds, lit(bucketSeconds)))
 
     val orderCols = Seq(col("_t").asc, col("_side").asc, col("_o").asc)
     val wRun = Window
@@ -458,27 +481,23 @@ object PointInTime {
     // this particular probe (see [[SkewStats]]; any hot set routes
     // correctly, so the cache can never corrupt the answer)
     val hot = SkewStats.hotEntities(table, entityCol, hotRowThreshold)
-    if (hot.isEmpty)
+    // a STREAMING spine cannot be split-and-probed (the emptiness
+    // probes are batch actions) — the plain kernel is the shape
+    // Validation.validateSpine carved out for streaming frames
+    if (hot.isEmpty || spine.isStreaming)
       asOfJoin(spine, table, columns, entityCol, tsCol, tieBreakCols, tableName)
     else {
       val missing = Seq(entityCol, tsCol).filterNot(spine.columns.contains)
       if (missing.nonEmpty)
         throw new FeatureValidationError(
           s"entity_timestamps is missing required columns: ${missing.mkString(", ")}")
-      // null-safe split: a null entity can be hot (Window groups nulls);
-      // isin() would drop it, so route null membership explicitly.
-      // The predicate is built per side because the SPINE side must be
+      // null-safe split (shared: SkewStats.hotColdPredicates). The
+      // predicate is built per side because the SPINE side must be
       // compared post-cast to the table's entity type — taggedUnion casts
       // the spine entity before matching, so classifying the raw spine
       // value would route a narrowing-cast probe to the wrong side and
       // silently drop its match.
-      val nonNullHot = hot.filter(_ != null)
-      def hotPredOn(e: Column): Column =
-        if (hot.contains(null))
-          e.isNull ||
-            (if (nonNullHot.isEmpty) lit(false) else e.isin(nonNullHot: _*))
-        else e.isin(nonNullHot: _*)
-      def coldPredOn(e: Column): Column = !coalesce(hotPredOn(e), lit(false))
+      val (hotPredOn, coldPredOn) = SkewStats.hotColdPredicates(hot)
       val spineEntity = col(entityCol).cast(table.schema(entityCol).dataType)
       val hotSpine = spine.filter(hotPredOn(spineEntity))
       val coldSpine = spine.filter(coldPredOn(spineEntity))
@@ -534,7 +553,8 @@ object PointInTime {
       tieBreakCols: Seq[String] = Nil,
       tableName: String = "<anonymous>"): DataFrame = {
     Validation.validateSpine(spine, entityCol, tsCol)
-    columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
+    columns.foreach(cs => Validation.validateColumns(
+      cs, dropInternal(table.columns), tableName, Seq(entityCol, tsCol)))
     val spark = table.sparkSession
     graft.GraftExtensions.ensureRegistered(spark)
     val prunedTable = pruneFor(table, columns, entityCol, tsCol, tieBreakCols)
@@ -567,7 +587,8 @@ object PointInTime {
       tsCol: String = TimestampColumn,
       tieBreakCols: Seq[String] = Nil,
       tableName: String = "<anonymous>"): DataFrame = {
-    columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
+    columns.foreach(cs => Validation.validateColumns(
+      cs, dropInternal(table.columns), tableName, Seq(entityCol, tsCol)))
     val pruned = pruneFor(table, columns, entityCol, tsCol, tieBreakCols)
     val entityType = pruned.schema(entityCol).dataType
     val tsType = pruned.schema(tsCol).dataType
@@ -633,7 +654,8 @@ object PointInTime {
       tieBreakCols: Seq[String] = Nil,
       tableName: String = "<anonymous>"): DataFrame = {
     Validation.validateSpine(spine, entityCol, tsCol)
-    columns.foreach(cs => Validation.validateColumns(cs, dropInternal(table.columns), tableName))
+    columns.foreach(cs => Validation.validateColumns(
+      cs, dropInternal(table.columns), tableName, Seq(entityCol, tsCol)))
     val pruned = pruneFor(table, columns, entityCol, tsCol, tieBreakCols)
     val entityType = pruned.schema(entityCol).dataType
     val tsType = pruned.schema(tsCol).dataType

@@ -74,6 +74,29 @@ object SkewStats {
 
   private[graft] def maxEntries: Int = MaxEntries
 
+  /** Null-safe hot/cold routing predicates over a hot-entity set —
+    * shared by the skew hybrids ([[PointInTime.asOfJoinSkewHybrid]],
+    * [[WindowFeatures.windowAggJoinHybrid]]), which previously carried
+    * verbatim copies of this subtle logic. A null entity can be hot
+    * (Window.partitionBy groups nulls); `isin` would drop it, so null
+    * membership routes explicitly, and the cold side is the null-safe
+    * complement.
+    */
+  private[graft] def hotColdPredicates(hot: Array[Any])
+      : (org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val nonNullHot = hot.filter(_ != null)
+    def hotPredOn(e: Column): Column =
+      if (hot.contains(null))
+        e.isNull ||
+          (if (nonNullHot.isEmpty) lit(false) else e.isin(nonNullHot: _*))
+      else e.isin(nonNullHot: _*)
+    def coldPredOn(e: Column): Column = !coalesce(hotPredOn(e), lit(false))
+    (hotPredOn, coldPredOn)
+  }
+
   /** Drop all memoized classifications — called by
     * [[graft.Tables.invalidate]], the in-place-rewrite escape hatch
     * where a re-read plan can hash equal to the pre-rewrite plan while

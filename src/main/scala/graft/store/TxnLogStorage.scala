@@ -203,10 +203,23 @@ final class TxnLogStorage(
     val out = f.create(tmp, true)
     try out.write(TxnLogStorage.render(meta).getBytes(UTF_8))
     finally out.close()
-    // the reservation serializes writers of this version, so no rename
-    // race remains here; an existing marker can only be a retired
-    // lineage's (see resetVersionAuthority) or this writer's own retry
-    if (f.exists(target)) f.delete(target, false)
+    // the reservation serializes writers of this version; an existing
+    // marker under a HELD reservation can only be a retired lineage's
+    // (see resetVersionAuthority) or this writer's own retry. But the
+    // entry check above is stale by now (the render+write took time,
+    // and a vacuum could have reclaimed a presumed-crashed writer):
+    // re-verify ownership IMMEDIATELY before removing, so a marker
+    // another writer published after reclaiming the number is never
+    // clobbered — fail loudly instead
+    if (f.exists(target)) {
+      if (!ownsReservation(name, version))
+        throw new FeatureConcurrencyError(
+          s"commit of '$name' version $version found a foreign marker " +
+            "and no longer holds its reservation (vacuum reclaimed it " +
+            "as crashed and another writer committed); re-read the log " +
+            "and retry at the next version")
+      f.delete(target, false)
+    }
     if (!f.rename(tmp, target)) {
       f.delete(tmp, false)
       throw new FeatureConcurrencyError(

@@ -58,8 +58,13 @@ object Validation {
   def validateColumns(
       requested: Seq[String],
       tableColumns: Seq[String],
-      tableName: String): Unit = {
-    val featureCols = tableColumns.filterNot(RequiredColumns.contains).toSet
+      tableName: String,
+      // the kernel's ACTUAL key columns: with custom entityCol/tsCol,
+      // excluding the fixed defaults would both reject an ordinary
+      // feature column that happens to be NAMED "entity_id" and accept
+      // a projection of the real key (emitting it twice)
+      keyCols: Seq[String] = RequiredColumns): Unit = {
+    val featureCols = tableColumns.filterNot(keyCols.contains).toSet
     val unknown = requested.filterNot(featureCols.contains)
     if (unknown.nonEmpty)
       throw new FeatureValidationError(

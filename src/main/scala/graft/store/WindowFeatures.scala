@@ -27,6 +27,26 @@ object WindowFeatures {
 
   import Validation.{EntityIdColumn, TimestampColumn}
 
+
+  /** Ordering value + frame width for a window/session kernel, in
+    * matching units: temporal columns at microsecond precision, numeric
+    * ts columns in their own units. ONE dispatch site — three kernels
+    * previously carried identical copies, exactly the block a new
+    * ts-type support would have to be added to N times (intervalJoin's
+    * missed DateType branch was this drift realized).
+    */
+  private def ordAndWidth(
+      tsType: org.apache.spark.sql.types.DataType,
+      seconds: Long,
+      kernel: String): (Column => Column, Long) = tsType match {
+    case _: TimestampType | _: TimestampNTZType | _: DateType =>
+      ((c: Column) => unix_micros(c.cast(TimestampType)), seconds * 1000000L)
+    case _: NumericType =>
+      ((c: Column) => c.cast(LongType), seconds)
+    case other =>
+      throw new FeatureValidationError(
+        s"$kernel needs a temporal or numeric timestamp column, got $other")
+  }
   /** One requested aggregate: `fn` ∈ {rows, count, sum, min, max},
     * evaluated over the feature rows inside the probe's window.
     * `rows` counts feature rows (input ignored); the rest apply to
@@ -90,18 +110,7 @@ object WindowFeatures {
 
     val entityType = table.schema(entityCol).dataType
     val tsType = table.schema(tsCol).dataType
-    // ordering value + frame width in matching units: temporal columns
-    // at microsecond precision, numeric ts columns in their own units
-    // (same convention as asOfJoinBucketed's bucket key)
-    val (ordOf, width): (Column => Column, Long) = tsType match {
-      case _: TimestampType | _: TimestampNTZType | _: DateType =>
-        ((c: Column) => unix_micros(c.cast(TimestampType)), windowSeconds * 1000000L)
-      case _: NumericType =>
-        ((c: Column) => c.cast(LongType), windowSeconds)
-      case other =>
-        throw new FeatureValidationError(
-          s"windowAggJoin needs a temporal or numeric $tsCol, got $other")
-    }
+    val (ordOf, width) = ordAndWidth(tsType, windowSeconds, "windowAggJoin")
 
     // null-ts feature rows can be inside NO window — but unfiltered they
     // would sort as null-ordering peers of null-ts probes and leak into
@@ -223,15 +232,7 @@ object WindowFeatures {
 
     val entityType = table.schema(entityCol).dataType
     val tsType = table.schema(tsCol).dataType
-    val (ordOf, width): (Column => Column, Long) = tsType match {
-      case _: TimestampType | _: TimestampNTZType | _: DateType =>
-        ((c: Column) => unix_micros(c.cast(TimestampType)), windowSeconds * 1000000L)
-      case _: NumericType =>
-        ((c: Column) => c.cast(LongType), windowSeconds)
-      case other =>
-        throw new FeatureValidationError(
-          s"windowAggJoin needs a temporal or numeric $tsCol, got $other")
-    }
+    val (ordOf, width) = ordAndWidth(tsType, windowSeconds, "windowAggJoinBucketed")
 
     // distinct probes: halves recombine on (entity, t), so duplicates
     // must collapse first and re-expand at the end (asOfJoinViaJoin's
@@ -257,12 +258,13 @@ object WindowFeatures {
     val unioned = featSide
       .unionByName(probeSide(1, col("_us0")))           // reads bucket-k prefix
       .unionByName(probeSide(2, col("_us0") - width))   // reads bucket-(k-1) suffix
-      // true floor division (negative-safe): (x - pmod(x, w)) is the
-      // exact floor multiple, so the double division is exact too
+      // bucket key = the exact floor MULTIPLE (x - pmod(x, w)),
+      // negative-safe and pure Long arithmetic: dividing would round
+      // through a double (Long/Long is DoubleType in Spark), losing
+      // low bits past 2^53 — the multiple groups and orders identically
       .withColumn("_bk",
         when(col("_us").isNull, lit(null).cast(LongType))
-          .otherwise(((col("_us") - pmod(col("_us"), lit(width))) / width)
-            .cast(LongType)))
+          .otherwise(col("_us") - pmod(col("_us"), lit(width))))
 
     // forward: features sort BEFORE probes at equal ts (inclusive upper
     // bound); backward: the suffix probe sorts before equal-ts features
@@ -358,19 +360,17 @@ object WindowFeatures {
         s"hotRowThreshold must be >= 1, got $hotRowThreshold")
     // memoized per (table plan, entityCol, threshold) — see [[SkewStats]]
     val hot = SkewStats.hotEntities(table, entityCol, hotRowThreshold)
-    if (hot.isEmpty)
+    // a STREAMING spine cannot be split-and-probed (the emptiness
+    // probes are batch actions) — route it to the plain kernel, the
+    // shape Validation.validateSpine carved out for streaming frames
+    if (hot.isEmpty || spine.isStreaming)
       return windowAggJoin(spine, table, windowSeconds, aggs, entityCol, tsCol)
     val missing = Seq(entityCol, tsCol).filterNot(spine.columns.contains)
     if (missing.nonEmpty)
       throw new FeatureValidationError(
         s"entity_timestamps is missing required columns: ${missing.mkString(", ")}")
-    val nonNullHot = hot.filter(_ != null)
-    def hotPredOn(e: Column): Column =
-      if (hot.contains(null))
-        e.isNull ||
-          (if (nonNullHot.isEmpty) lit(false) else e.isin(nonNullHot: _*))
-      else e.isin(nonNullHot: _*)
-    def coldPredOn(e: Column): Column = !coalesce(hotPredOn(e), lit(false))
+    // null-safe split — shared with the as-of hybrid
+    val (hotPredOn, coldPredOn) = SkewStats.hotColdPredicates(hot)
     val spineEntity = col(entityCol).cast(table.schema(entityCol).dataType)
     // limit-1 emptiness probes, not a full-spine aggregate — see the
     // as-of hybrid ([[PointInTime.asOfJoinSkewHybrid]]) for the argument
@@ -432,15 +432,21 @@ object WindowFeatures {
     val r = prefixed(right, "r_")
     val lTs = col(s"l_$tsCol")
     val rTs = col(s"r_$tsCol")
-    val floor = left.schema(tsCol).dataType match {
+    val bound: Column = left.schema(tsCol).dataType match {
       case _: TimestampType | _: TimestampNTZType =>
-        lTs - expr(s"INTERVAL $maxGapSeconds SECOND")
-      case _ => lTs - lit(maxGapSeconds)
+        rTs >= lTs - expr(s"INTERVAL $maxGapSeconds SECOND")
+      // DateType: compare at timestamp precision (midnight, UTC-pinned
+      // session) — the numeric fallback would subtract DAYS, pairing
+      // events maxGapSeconds DAYS apart (or failing analysis)
+      case _: DateType =>
+        rTs.cast(TimestampType) >=
+          lTs.cast(TimestampType) - expr(s"INTERVAL $maxGapSeconds SECOND")
+      case _ => rTs >= lTs - lit(maxGapSeconds)
     }
     l.join(
         r,
         col(s"l_$entityCol") === col(s"r_$entityCol") &&
-          rTs <= lTs && rTs >= floor)
+          rTs <= lTs && bound)
       .withColumn(entityCol, col(s"l_$entityCol"))
       .drop(s"l_$entityCol", s"r_$entityCol")
   }
@@ -471,15 +477,7 @@ object WindowFeatures {
       throw new FeatureValidationError(s"gapSeconds must be >= 1, got $gapSeconds")
     Validation.validateSpine(events, entityCol, tsCol)
     val tsType = events.schema(tsCol).dataType
-    val (ordOf, gapWidth): (Column => Column, Long) = tsType match {
-      case _: TimestampType | _: TimestampNTZType | _: DateType =>
-        ((c: Column) => unix_micros(c.cast(TimestampType)), gapSeconds * 1000000L)
-      case _: NumericType =>
-        ((c: Column) => c.cast(LongType), gapSeconds)
-      case other =>
-        throw new FeatureValidationError(
-          s"sessionize needs a temporal or numeric $tsCol, got $other")
-    }
+    val (ordOf, gapWidth) = ordAndWidth(tsType, gapSeconds, "sessionize")
     val order = (col("_us") +: tieBreakCols.map(col)).map(_.asc)
     val we = Window.partitionBy(col(entityCol)).orderBy(order: _*)
     val marked = events

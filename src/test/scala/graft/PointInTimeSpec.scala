@@ -318,4 +318,68 @@ class PointInTimeSpec extends AnyFunSuite with SparkTestBase {
     assert(plain == List((1L, 20L), (1L, 20L)))
     assert(hybrid == plain)
   }
+
+  test("null-timestamp feature rows have no as-of position in ANY strategy") {
+    // ASC NULLS FIRST would sort a null-ts row before every probe and
+    // make it the running match in the window family, while ts <= t is
+    // three-valued-false in the join family — the families must agree:
+    // a row with unknown time never reaches training output
+    val s = spark
+    import s.implicits._
+    val feat = Seq(
+      ("e1", Some(ts("2024-01-05")), 1.0),
+      ("e1", None: Option[java.sql.Timestamp], 7.0), // no as-of position
+      ("e2", None, 9.0)) // entity with ONLY a null-ts row
+      .toDF("entity_id", "timestamp", "f")
+    val spine = Seq(
+      ("e1", ts("2024-01-10")), ("e2", ts("2024-01-10")))
+      .toDF("entity_id", "timestamp")
+    def fs(df: org.apache.spark.sql.DataFrame): List[(String, Double)] =
+      df.select("entity_id", "f").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toList.sorted
+    val expected = List(("e1", 1.0)) // e2 has no timed history
+    assert(fs(PointInTime.asOfJoin(spine, feat)) == expected)
+    assert(fs(PointInTime.asOfJoinBucketed(spine, feat, 86400L)) == expected)
+    assert(fs(PointInTime.asOfJoinViaJoin(spine, feat)) == expected)
+    val left = PointInTime.asOfJoinLeft(spine, feat, prefix = "t_")
+      .select(col("entity_id"), col("t_f")).collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toMap
+    assert(left("e1").contains(1.0) && left("e2").isEmpty)
+  }
+
+  test("maxAgeSeconds on a DateType table is second-precision, not day units") {
+    val s = spark
+    import s.implicits._
+    val feat = Seq(("e1", java.sql.Date.valueOf("2024-01-01"), 1.0))
+      .toDF("entity_id", "timestamp", "f")
+    val spine = Seq(("e1", java.sql.Date.valueOf("2024-01-10")))
+      .toDF("entity_id", "timestamp")
+    // 9 days stale: a 1-day SLA drops it (the former numeric fallback
+    // subtracted 86400 DAYS from a date — or failed analysis)
+    assert(PointInTime
+      .asOfJoin(spine, feat, maxAgeSeconds = Some(86400L)).isEmpty)
+    // a 9-day SLA keeps it (inclusive at the floor)
+    assert(PointInTime
+      .asOfJoin(spine, feat, maxAgeSeconds = Some(9L * 86400)).count() == 1)
+  }
+
+  test("custom entity/ts column names validate projections against the REAL keys") {
+    val s = spark
+    import s.implicits._
+    // a feature column literally NAMED "entity_id" on a table whose
+    // real key is "user": must be projectable (it is a feature here)
+    val feat = Seq(("u1", ts("2024-01-05"), "shadow", 5.0))
+      .toDF("user", "ts", "entity_id", "f")
+    val out = PointInTime.pitSnapshot(
+      feat, lit(ts("2024-01-10")), columns = Some(Seq("entity_id")),
+      entityCol = "user", tsCol = "ts")
+    assert(out.columns.toSeq == Seq("user", "ts", "entity_id"))
+    assert(out.head().getString(2) == "shadow")
+    // and the REAL key cannot be re-requested (it is always prepended)
+    intercept[FeatureValidationError] {
+      PointInTime.pitSnapshot(
+        feat, lit(ts("2024-01-10")), columns = Some(Seq("user")),
+        entityCol = "user", tsCol = "ts").collect()
+    }
+  }
 }

@@ -121,4 +121,42 @@ class WindowFeaturesSpec extends AnyFunSuite with SparkTestBase {
       WindowFeatures.windowAggJoin(spine, feat, 5L,
         Seq(WindowAgg("x", "rows", "", Some(0L)))))
   }
+
+  test("intervalJoin on DateType bounds at second precision, not day units") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    def d(x: String) = java.sql.Date.valueOf(x)
+    val left = Seq(("e1", d("2024-01-10"))).toDF("entity_id", "timestamp")
+    val right = Seq(
+      ("e1", d("2024-01-10")), // same instant: inside any bound
+      ("e1", d("2024-01-09"))) // 86400s earlier
+      .toDF("entity_id", "timestamp")
+    // one-hour lookback: only the same-day row pairs (the former
+    // numeric fallback subtracted 3600 DAYS — a ten-year lookback)
+    assert(WindowFeatures.intervalJoin(left, right, 3600L).count() == 1)
+    // a full-day lookback (inclusive) pairs both
+    assert(WindowFeatures.intervalJoin(left, right, 86400L).count() == 2)
+  }
+
+  test("bucketed window agg is exact for numeric timestamps past 2^53") {
+    // Long/Long division in Spark rounds through a double: two rows in
+    // one true bucket could land in different keys past 2^53 — the
+    // bucket key is now the exact floor multiple in Long arithmetic
+    val s = spark
+    import s.implicits._
+    val base = (1L << 53) + 1L // not representable as double + 1
+    val feat = Seq(
+      ("e1", base, 1L), ("e1", base + 2L, 10L), // same 5-unit bucket
+      ("e1", base - 4L, 100L)) // previous bucket
+      .toDF("entity_id", "timestamp", "v")
+    val spine = Seq(("e1", base + 2L)).toDF("entity_id", "timestamp")
+    val aggs = Seq(WindowAgg("sv", "sum", "v"))
+    val exact = WindowFeatures
+      .windowAggJoin(spine, feat, 3L, aggs).head().getAs[Long]("sv")
+    val bucketed = WindowFeatures
+      .windowAggJoinBucketed(spine, feat, 3L, aggs).head().getAs[Long]("sv")
+    assert(exact == 11L, s"exact=$exact") // window [base-1, base+2]
+    assert(bucketed == exact)
+  }
 }
