@@ -153,6 +153,23 @@ private[plans] object GraftDml {
         .getOrElse(fallback(f.name))
         .as(f.name)
     }
+
+  /** NULL-SAFE left-semi join on the key columns: a sibling at a key
+    * with a NULL component (null keys are legal observations) must
+    * ride the delta exactly like any other touched key — the store's
+    * key-addressed primitives address null keys null-safely, so a
+    * null-unsafe sibling carry would silently drop those rows from the
+    * rewrite. The key frame is renamed first so the condition stays
+    * unambiguous under the shared snapshot lineage.
+    */
+  def semiJoinKeys(
+      rows: DataFrame, keys: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val renamed = keys.select(keyCols.map(k => col(k).as(s"_graft_k_$k")): _*)
+    rows.join(
+      renamed,
+      keyCols.map(k => col(k) <=> col(s"_graft_k_$k")).reduce(_ && _),
+      "left_semi")
+  }
 }
 
 /** `UPDATE <graft table> SET ... [WHERE ...]`: matched rows re-written
@@ -200,10 +217,11 @@ case class GraftUpdateCommand(
         val touchedKeys = (if (rekeying)
             matched.select(keys: _*).unionByName(updated.select(keys: _*))
           else matched.select(keys: _*)).distinct()
-        val siblings = condCol
-          .map(c => snapshot.filter(!coalesce(c, lit(false))))
-          .getOrElse(snapshot.limit(0))
-          .join(touchedKeys, keyCols, "left_semi")
+        val siblings = GraftDml.semiJoinKeys(
+          condCol
+            .map(c => snapshot.filter(!coalesce(c, lit(false))))
+            .getOrElse(snapshot.limit(0)),
+          touchedKeys, keyCols)
         val delta = updated.unionByName(siblings)
         if (rekeying)
           store.registerRewrite(table, delta, matched.select(keys: _*))
@@ -386,7 +404,8 @@ case class GraftMergeCommand(
       val dropKeys = deletes.reduceOption(_ unionByName _)
       val touchedKeys = (upsertDelta.map(_.select(keyCols.map(col): _*)).toSeq ++
         dropKeys.toSeq).reduceOption(_ unionByName _).map(_.distinct())
-      val siblings = touchedKeys.map(k => untouched.join(k, keyCols, "left_semi"))
+      val siblings = touchedKeys.map(k =>
+        GraftDml.semiJoinKeys(untouched, k, keyCols))
 
       // one commit whenever the statement has any effect: upsert-only
       // and rewrite (upsert + key drops) are single commits; a pure

@@ -1519,7 +1519,9 @@ final class FeatureStore(
         val boundsRow = keys.agg(
           count(lit(1)),
           min(col(EntityIdColumn)), max(col(EntityIdColumn)),
-          min(col(TimestampColumn)), max(col(TimestampColumn))).head()
+          min(col(TimestampColumn)), max(col(TimestampColumn)),
+          count(when(col(EntityIdColumn).isNull, 1)),
+          count(when(col(TimestampColumn).isNull, 1))).head()
         if (boundsRow.getLong(0) == 0L) {
           storage.releaseVersion(name, v)
           return None
@@ -1529,16 +1531,15 @@ final class FeatureStore(
           loE <- Option(boundsRow.get(1)); hiE <- Option(boundsRow.get(2))
           loT <- Option(boundsRow.get(3)); hiT <- Option(boundsRow.get(4))
         } yield scala.util.Try(resolveCondition(name, cur,
-          col(EntityIdColumn).between(lit(loE), lit(hiE)) &&
-            col(TimestampColumn).between(lit(loT), lit(hiT)))).toOption.flatten)
+          keyRangeCondition(loE, hiE, loT, hiT,
+            boundsRow.getLong(5) > 0L, boundsRow.getLong(6) > 0L)))
+          .toOption.flatten)
           .flatten
         val (scanSegs, skipped) = pruneSegments(cur, segs, resolvedBounds)
         val perSeg = (if (scanSegs.isEmpty) Map.empty[Int, (Long, Long)]
           else classifySegments(name, cur, scanSegs,
             Seq(EntityIdColumn, TimestampColumn))(df =>
-            (df.join(keys.withColumn("_graft_hit", lit(1)),
-              Seq(EntityIdColumn, TimestampColumn), "left"),
-              col("_graft_hit")))) ++
+            (joinKeysHit(df, keys), col("_graft_hit")))) ++
           skipped.map(s => s -> (cur.segRows(s), 0L))
         val total = perSeg.values.map(_._1).sum
         val hits = perSeg.values.map(_._2).sum
@@ -1564,10 +1565,10 @@ final class FeatureStore(
             versionOps = cur.versionOps + (v -> "delete"),
             versionRows = cur.versionRows + (v -> (total - hits)))
         } else {
-          val survivors = storage
-            .readSegments(name, affected, cur.columns :+ IngestKeyCol, None,
-              cur.columnTypes)
-            .join(keys, Seq(EntityIdColumn, TimestampColumn), "left_anti")
+          val survivors = joinKeysNullSafe(
+            storage.readSegments(name, affected, cur.columns :+ IngestKeyCol,
+              None, cur.columnTypes),
+            keys, "left_anti")
           val wr = writeKeepingLayout(cur, name, v, survivors)
           if (wr.rows != affectedTotal - hits)
             throw new FeatureValidationError(
@@ -1576,9 +1577,10 @@ final class FeatureStore(
                 s"(expected ${affectedTotal - hits}) — key frame must be " +
                 "deterministic")
           val cdfRows = storage.writeChangeData(name, v,
-            storage.readSegments(name, affected, cur.columns, None,
-              cur.columnTypes)
-              .join(keys, Seq(EntityIdColumn, TimestampColumn), "left_semi")
+            joinKeysNullSafe(
+              storage.readSegments(name, affected, cur.columns, None,
+                cur.columnTypes),
+              keys, "left_semi")
               .withColumn(FeatureStore.ChangeTypeCol, lit("delete")))
           if (cdfRows >= 0 && cdfRows != hits)
             throw new FeatureValidationError(
@@ -1627,6 +1629,14 @@ final class FeatureStore(
     * insert — the store allows duplicate (entity, ts) observations,
     * ordered by its deterministic ingest-key tie-break. Prior
     * versions are untouched (time travel across upserts works).
+    *
+    * Key matching is NULL-SAFE: a delta key with a NULL component
+    * replaces exactly the current rows whose component IS NULL (null
+    * keys are legal observations, and "every current row whose key
+    * appears in df" must mean them too — a null-unsafe match would
+    * silently accumulate duplicates for rows with unknown time).
+    * [[deleteRowsByKeys]] and [[registerRewrite]] drop keys the same
+    * way.
     */
   def registerUpsert(
       name: String,
@@ -1707,7 +1717,9 @@ final class FeatureStore(
         val boundsRow = prepared.agg(
           count(lit(1)),
           min(col(EntityIdColumn)), max(col(EntityIdColumn)),
-          min(col(TimestampColumn)), max(col(TimestampColumn))).head()
+          min(col(TimestampColumn)), max(col(TimestampColumn)),
+          count(when(col(EntityIdColumn).isNull, 1)),
+          count(when(col(TimestampColumn).isNull, 1))).head()
         val deltaCount = boundsRow.getLong(0)
         val dropped = dropKeys.map { dk =>
           if (deltaCount == 0L)
@@ -1727,7 +1739,9 @@ final class FeatureStore(
         val kb = dropped.fold(boundsRow)(_ => keys.agg(
           count(lit(1)),
           min(col(EntityIdColumn)), max(col(EntityIdColumn)),
-          min(col(TimestampColumn)), max(col(TimestampColumn))).head())
+          min(col(TimestampColumn)), max(col(TimestampColumn)),
+          count(when(col(EntityIdColumn).isNull, 1)),
+          count(when(col(TimestampColumn).isNull, 1))).head())
         val segs = cur.segmentsOf(cur.version)
         // key-range skipping: a segment disjoint from the delta's
         // (entity, ts) bounds on EITHER dimension holds no matched key
@@ -1737,24 +1751,24 @@ final class FeatureStore(
           loE <- Option(kb.get(1)); hiE <- Option(kb.get(2))
           loT <- Option(kb.get(3)); hiT <- Option(kb.get(4))
         } yield scala.util.Try(resolveCondition(name, cur,
-          col(EntityIdColumn).between(lit(loE), lit(hiE)) &&
-            col(TimestampColumn).between(lit(loT), lit(hiT)))).toOption.flatten)
+          keyRangeCondition(loE, hiE, loT, hiT,
+            kb.getLong(5) > 0L, kb.getLong(6) > 0L)))
+          .toOption.flatten)
           .flatten
         val (scanSegs, skipped) = pruneSegments(cur, segs, resolvedBounds)
         val perSeg = (if (scanSegs.isEmpty) Map.empty[Int, (Long, Long)]
           else classifySegments(name, cur, scanSegs,
             Seq(EntityIdColumn, TimestampColumn))(df =>
-            (df.join(keys.withColumn("_graft_hit", lit(1)),
-              Seq(EntityIdColumn, TimestampColumn), "left"),
-              col("_graft_hit")))) ++
+            (joinKeysHit(df, keys), col("_graft_hit")))) ++
           skipped.map(s => s -> (cur.segRows(s), 0L))
         val affected = segs.filter(s => perSeg.get(s).exists(_._2 > 0L))
         val untouched = segs.filterNot(affected.contains)
         val untouchedRows = untouched.map(s => perSeg.get(s).fold(0L)(_._1)).sum
         val survivors = Option.when(affected.nonEmpty)(
-          storage.readSegments(name, affected, evolved :+ IngestKeyCol,
-            None, newTypes)
-            .join(keys, Seq(EntityIdColumn, TimestampColumn), "left_anti"))
+          joinKeysNullSafe(
+            storage.readSegments(name, affected, evolved :+ IngestKeyCol,
+              None, newTypes),
+            keys, "left_anti"))
         val newSeg = survivors.fold(prepared)(_.unionByName(prepared))
         val (guarded, checksOk) = constraintGuard(cur.constraints, newSeg)
         val wr = writeKeepingLayout(cur, name, v, guarded)
@@ -1779,9 +1793,9 @@ final class FeatureStore(
           if (affected.isEmpty)
             deltaRows.withColumn(FeatureStore.ChangeTypeCol, lit("insert"))
           else {
-            val replacedRows = storage
-              .readSegments(name, affected, evolved, None, newTypes)
-              .join(keys, Seq(EntityIdColumn, TimestampColumn), "left_semi")
+            val replacedRows = joinKeysNullSafe(
+              storage.readSegments(name, affected, evolved, None, newTypes),
+              keys, "left_semi")
             replacedRows.exceptAll(deltaRows)
               .withColumn(FeatureStore.ChangeTypeCol, lit("delete"))
               .unionByName(deltaRows.exceptAll(replacedRows)
@@ -2800,6 +2814,64 @@ final class FeatureStore(
     }
     storage.readSegments(meta.name, kept, meta.columns :+ IngestKeyCol, asOf,
       meta.columnTypes)
+  }
+
+  /** Null-safe key-addressed join of `rows` against a distinct
+    * (entity_id, timestamp) key frame: a NULL key component addresses
+    * the rows whose component IS NULL — the documented key-addressed
+    * contract ("every current row whose key appears in df"), which a
+    * null-unsafe using-join silently violates for rows with unknown
+    * time or entity (an upsert would duplicate them instead of
+    * replacing, a key delete would no-op on them; the IVM folds were
+    * already null-safe for exactly this reason). The key frame's
+    * columns are renamed before the join so semi/anti output stays
+    * unambiguous; `<=>` on both key columns still plans as a hash
+    * equi-join.
+    */
+  private def joinKeysNullSafe(
+      rows: DataFrame, keys: DataFrame, joinType: String): DataFrame = {
+    val k = keys.select(
+      col(EntityIdColumn).as("_graft_ke"),
+      col(TimestampColumn).as("_graft_kt"))
+    rows.join(
+      k,
+      rows(EntityIdColumn) <=> col("_graft_ke") &&
+        rows(TimestampColumn) <=> col("_graft_kt"),
+      joinType)
+  }
+
+  /** [[joinKeysNullSafe]] shaped for the segment-classification pass:
+    * left join with a `_graft_hit` marker column (1 on matched rows).
+    */
+  private def joinKeysHit(rows: DataFrame, keys: DataFrame): DataFrame = {
+    val k = keys.select(
+      col(EntityIdColumn).as("_graft_ke"),
+      col(TimestampColumn).as("_graft_kt"),
+      lit(1).as("_graft_hit"))
+    rows.join(
+      k,
+      rows(EntityIdColumn) <=> col("_graft_ke") &&
+        rows(TimestampColumn) <=> col("_graft_kt"),
+      "left")
+  }
+
+  /** Key-range segment-skip condition for a key frame with bounds
+    * `(loE, hiE, loT, hiT)` (nulls skipped by min/max): each dimension
+    * must ALSO admit IS NULL when the key frame contains a null on it —
+    * under null-safe key addressing a segment whose non-null values sit
+    * outside the bounds can still hold addressed null-key rows, and the
+    * column stats know per-segment null counts, so segments without
+    * nulls stay skippable.
+    */
+  private def keyRangeCondition(
+      loE: Any, hiE: Any, loT: Any, hiT: Any,
+      nullE: Boolean, nullT: Boolean): Column = {
+    def dim(c: Column, lo: Any, hi: Any, withNull: Boolean): Column = {
+      val base = c.between(lit(lo), lit(hi))
+      if (withNull) base || c.isNull else base
+    }
+    dim(col(EntityIdColumn), loE, hiE, nullE) &&
+      dim(col(TimestampColumn), loT, hiT, nullT)
   }
 
   /** Cast timestamp + attach the deterministic ingest key

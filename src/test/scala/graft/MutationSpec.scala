@@ -791,4 +791,102 @@ class MutationSpec extends AnyFunSuite with SparkTestBase {
           r.getAs[Long]("max_value")))).toMap
     assert(m == Map("b" -> ((2L, 2L, 3L))))
   }
+
+  // ------------------------------------------- null-key addressing
+  // Null keys are legal observations (prepare casts null → null, the
+  // reference's NaT analogue). The key-addressed primitives must
+  // address them NULL-SAFELY: a null-unsafe match silently accumulates
+  // duplicates on upsert and no-ops on key delete — the same class of
+  // defect the IVM folds already guard against with <=> joins.
+
+  /** u1 has one dated and one unknown-time observation. */
+  private def nullKeyedTable(store: FeatureStore): Unit = {
+    val s = spark
+    import s.implicits._
+    store.register("t", Seq(
+      ("u1", Option(ts("2024-01-01")), 1.0),
+      ("u1", Option.empty[java.sql.Timestamp], 2.0),
+      ("u2", Option(ts("2024-01-02")), 3.0))
+      .toDF("entity_id", "timestamp", "v"))
+  }
+
+  test("upsert replaces a NULL-timestamp key null-safely (no duplicate accumulation)") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    nullKeyedTable(store)
+    val delta = Seq(("u1", Option.empty[java.sql.Timestamp], 20.0))
+      .toDF("entity_id", "timestamp", "v")
+    val info = store.registerUpsert("t", delta)
+    assert(info.rowCount == 3) // replaced in place, not inserted alongside
+    val nullRows = store.getVersion("t", info.version)
+      .filter(col("timestamp").isNull).collect()
+    assert(nullRows.map(_.getAs[Double]("v")).toSeq == Seq(20.0))
+    // the change feed records the replacement (delete image + insert)
+    val ch = store.getChanges("t", 1, info.version)
+      .collect().map(r =>
+        (r.getAs[String](FeatureStore.ChangeTypeCol), r.getAs[Double]("v")))
+    assert(ch.toSet == Set(("delete", 2.0), ("insert", 20.0)))
+  }
+
+  test("upsert replaces a NULL-entity key null-safely") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    store.register("t", Seq(
+      (Option.empty[String], Option(ts("2024-01-01")), 1.0),
+      (Option("u1"), Option(ts("2024-01-01")), 2.0))
+      .toDF("entity_id", "timestamp", "v"))
+    val delta = Seq((Option.empty[String], Option(ts("2024-01-01")), 10.0))
+      .toDF("entity_id", "timestamp", "v")
+    val info = store.registerUpsert("t", delta)
+    assert(info.rowCount == 2)
+    assert(store.getVersion("t", info.version)
+      .filter(col("entity_id").isNull)
+      .collect().map(_.getAs[Double]("v")).toSeq == Seq(10.0))
+  }
+
+  test("deleteRowsByKeys addresses a NULL-timestamp key null-safely") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    nullKeyedTable(store)
+    val keys = Seq(("u1", Option.empty[java.sql.Timestamp]))
+      .toDF("entity_id", "timestamp")
+    val info = store.deleteRowsByKeys("t", keys)
+    assert(info.isDefined)
+    val cur = store.getVersion("t", info.get.version)
+    assert(cur.count() == 2)
+    assert(cur.filter(col("timestamp").isNull).count() == 0)
+    // a second delete of the same (now absent) key is a no-op
+    assert(store.deleteRowsByKeys("t", keys).isEmpty)
+  }
+
+  test("null-key upsert is not defeated by key-range segment skipping") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore()
+    // segment 1: January rows + the null-ts observation (its non-null
+    // ts bounds are January-only); segment 2: March rows
+    store.register("t", Seq(
+      ("u1", Option(ts("2024-01-01")), 1.0),
+      ("u9", Option.empty[java.sql.Timestamp], 2.0))
+      .toDF("entity_id", "timestamp", "v"))
+    store.registerAppend("t", Seq(
+      ("u3", Option(ts("2024-03-01")), 3.0))
+      .toDF("entity_id", "timestamp", "v"))
+    // delta spans a March key AND the null-ts key: the March-only time
+    // bounds would prune segment 1 unless the skip condition admits
+    // IS NULL on the dimension the key frame has nulls in
+    val delta = Seq(
+      ("u3", Option(ts("2024-03-01")), 30.0),
+      ("u9", Option.empty[java.sql.Timestamp], 20.0))
+      .toDF("entity_id", "timestamp", "v")
+    val info = store.registerUpsert("t", delta)
+    assert(info.rowCount == 3)
+    val byEntity = store.getVersion("t", info.version)
+      .collect().map(r => r.getAs[String]("entity_id") -> r.getAs[Double]("v"))
+      .toMap
+    assert(byEntity == Map("u1" -> 1.0, "u9" -> 20.0, "u3" -> 30.0))
+  }
 }
