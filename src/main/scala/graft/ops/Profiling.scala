@@ -329,8 +329,8 @@ object Profiling {
     * overflows (null, never an exception — and the gate independently
     * rejects exactly those runs from the measured ranges). If the gate
     * holds — every realistic feature table; it fails only past ~2^31
-    * integer units or ~2^62/65535² rows — the p·(p+3)/2 aggregate longs
-    * are combined EXACTLY in BigInt driver-side (a bounded handful, the
+    * integer units or ~2^62/65535² rows — the aggregate longs are
+    * combined EXACTLY in BigInt driver-side (a bounded handful, the
     * same shape as the skew-classification collects), with the double
     * conversion through the decimal STRING — the identical expression
     * tree the all-decimal formulation and the oracle compute. If it
@@ -339,12 +339,37 @@ object Profiling {
     * scans only in the astronomically-wide case, where the retired
     * pre-scan design also took two.
     *
+    * Pairwise completeness comes from NULL-PATTERN GROUPING rather than
+    * per-pair conditioned aggregates: rows group by the bitmask of
+    * which profiled columns are non-null, so within a pattern every sum
+    * is unconditioned (a set bit cannot see a null; an unset bit's
+    * products are null and SQL sums skip them), squares are computed
+    * once per column instead of once per pair, and the exact
+    * pair-(i, j)-complete statistic is the BigInt total over the
+    * patterns with bits i and j set. That keeps the aggregate list at
+    * O(p²) simple expressions instead of O(p²) CASE-wrapped ones — the
+    * per-pair-conditioned formulation measured 8× slower at p = 4
+    * (4.1 s vs 0.5 s on 600k rows; the 77-expression aggregate's
+    * per-row CASE evaluation dominated). Collected rows are bounded by
+    * the null patterns PRESENT (≤ 2^p; p is capped at 16).
+    *
+    * The optimistic pass itself is tiered: the FIRST scan is a flat
+    * GLOBAL aggregate (no grouping key — measured ~30% cheaper per row
+    * than the grouped form's per-row hash-map probe) that also carries
+    * per-column non-null counts. When no profiled column has a null —
+    * the overwhelmingly common case for pre-integerized feature
+    * columns — the global statistics ARE the (single, full-mask)
+    * pattern, pairwise-complete by vacuity, and no second scan runs.
+    * Only a table with nulls in profiled columns pays the
+    * pattern-grouped second scan (same two-scan acceptance as the
+    * decimal fallback).
+    *
     * Output: one row per unordered pair (col_a < col_b by argument
     * order) with n and corr_r, materialized driver-side (the aggregate
-    * is a single row either way).
+    * output is driver-bounded either way).
     *
-    * Scale shape: ONE partial-aggregated shuffle carrying a few numbers
-    * total — the input is scanned once, never materialized. The gate
+    * Scale shape: ONE partial-aggregated shuffle carrying ≤ 2^p tiny
+    * rows — the input is scanned once, never materialized. The gate
     * re-derives from ranges measured in the same pass, not from a tuned
     * constant.
     */
@@ -352,9 +377,17 @@ object Profiling {
     if (valueCols.size < 2)
       throw new FeatureValidationError(
         s"correlationMatrix needs >= 2 columns, got $valueCols")
+    if (valueCols.size > 16)
+      throw new FeatureValidationError(
+        s"correlationMatrix supports at most 16 columns (${valueCols.size} " +
+          "requested): the null-pattern pass collects up to 2^p rows — " +
+          "split the matrix into column blocks")
     val session = df.sparkSession
     val idx = valueCols.indices
     val upairs = for { i <- idx; j <- idx if i < j } yield (i, j)
+    // products include the squares as the (i, i) diagonal — computed
+    // once per column, shared by every pair using that column
+    val spairs = for { i <- idx; j <- idx if i <= j } yield (i, j)
     // contract: pre-integerized feature columns (integer units in long
     // range — cents, counts); the long cast is a no-op for integral
     // values and pins the arithmetic type the width gate reasons about
@@ -371,32 +404,37 @@ object Profiling {
       col(valueCols(i)).isNotNull && col(valueCols(j)).isNotNull
     def pcond(i: Int, j: Int, c: Column): Column = when(bothNN(i, j), c)
 
-    // THE one optimistic pass: per-column range (the width gate) + the
-    // full per-pair moment set in split-long form, a single
-    // partial-aggregated job
+    // the optimistic aggregate set: per-column range (the width gate),
+    // per-column sum, and the upper-triangle product set in split-long
+    // form — all UNCONDITIONED (see Scaladoc)
     val optimisticAggs: Seq[Column] =
       count(lit(1)).as("_n") +:
-        (idx.map(i => max(abs(col(valueCols(i)))).as(s"_m_$i")) ++
-          upairs.flatMap { case (i, j) =>
+        (idx.flatMap(i => Seq(
+          max(abs(col(valueCols(i)))).as(s"_m_$i"),
+          try_sum(col(valueCols(i))).as(s"_s_$i"))) ++
+          spairs.flatMap { case (i, j) =>
             val x = col(valueCols(i))
             val y = col(valueCols(j))
-            def prod(a: Column, b: Column, tagg: String) = Seq(
-              try_sum(pcond(i, j, try_multiply(hiOf(a), hiOf(b))))
-                .as(s"_p_${i}_${j}_${tagg}_hh"),
-              try_sum(pcond(i, j, try_add(
-                try_multiply(hiOf(a), loOf(b)),
-                try_multiply(hiOf(b), loOf(a)))))
-                .as(s"_p_${i}_${j}_${tagg}_hl"),
-              try_sum(pcond(i, j, try_multiply(loOf(a), loOf(b))))
-                .as(s"_p_${i}_${j}_${tagg}_ll"))
             Seq(
-              count(pcond(i, j, lit(1))).as(s"_n_${i}_$j"),
-              try_sum(pcond(i, j, x)).as(s"_s_${i}_${j}_a"),
-              try_sum(pcond(i, j, y)).as(s"_s_${i}_${j}_b")) ++
-              prod(x, y, "xy") ++ prod(x, x, "xx") ++ prod(y, y, "yy")
+              try_sum(try_multiply(hiOf(x), hiOf(y)))
+                .as(s"_p_${i}_${j}_hh"),
+              try_sum(try_add(
+                try_multiply(hiOf(x), loOf(y)),
+                try_multiply(hiOf(y), loOf(x))))
+                .as(s"_p_${i}_${j}_hl"),
+              try_sum(try_multiply(loOf(x), loOf(y)))
+                .as(s"_p_${i}_${j}_ll"))
           })
-    val row = prepared.agg(optimisticAggs.head, optimisticAggs.tail: _*).head()
-    val n = row.getLong(row.fieldIndex("_n"))
+
+    // tier 1: flat global aggregate + per-column non-null counts
+    val fullMask = (1 << valueCols.size) - 1
+    val globalAggs = optimisticAggs ++
+      idx.map(i => count(col(valueCols(i))).as(s"_nn_$i"))
+    val gRow = prepared
+      .agg(globalAggs.head, globalAggs.tail: _*)
+      .select(lit(fullMask).as("_np"), col("*"))
+      .head()
+    val n = gRow.getLong(gRow.fieldIndex("_n"))
     val outSchema = StructType(Seq(
       StructField("col_a", StringType, nullable = false),
       StructField("col_b", StringType, nullable = false),
@@ -405,14 +443,33 @@ object Profiling {
     if (n == 0L)
       return session.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val nullFree =
+      idx.forall(i => gRow.getLong(gRow.fieldIndex(s"_nn_$i")) == n)
+
+    // tier 2 (only with nulls present): re-scan grouped by null pattern
+    val patterns: Array[org.apache.spark.sql.Row] =
+      if (nullFree) Array(gRow)
+      else {
+        val maskCol = idx
+          .map(i =>
+            when(col(valueCols(i)).isNotNull, lit(1 << i)).otherwise(lit(0)))
+          .reduce(_ + _)
+        prepared
+          .groupBy(maskCol.as("_np"))
+          .agg(optimisticAggs.head, optimisticAggs.tail: _*)
+          .collect()
+      }
 
     // post-hoc width gate from the measured ranges: every long
     // accumulator provably stayed under 2^62 → the optimistic sums are
     // exact (and none of the try_* ops nulled). Global n and per-column
-    // max|x| upper-bound every pair-conditioned accumulator.
+    // max|x| upper-bound every per-pattern accumulator (a pattern's
+    // rows are a subset of the table's).
     val maxAbs = idx.map { i =>
-      val f = row.fieldIndex(s"_m_$i")
-      if (row.isNullAt(f)) 0L else row.getLong(f)
+      patterns.iterator.map { r =>
+        val f = r.fieldIndex(s"_m_$i")
+        if (r.isNullAt(f)) 0L else r.getLong(f)
+      }.foldLeft(0L)(math.max)
     }
     val lim = BigInt(1) << 62
     val nn = BigInt(n)
@@ -432,28 +489,45 @@ object Profiling {
       }
 
     // exact per-pair sufficient statistics, either from the optimistic
-    // row or — gate failed — from ONE unconditional decimal(38,0)
-    // recompute. A stat is None when its aggregate saw NO complete row
-    // for the pair — those pairs drop below (SQL sum-over-nothing).
+    // pattern rows or — gate failed — from ONE unconditional
+    // decimal(38,0) recompute. A stat is None when its aggregate saw NO
+    // complete row for the pair — those pairs drop below (SQL
+    // sum-over-nothing).
     final case class PairStats(
         n: Long, sa: Option[BigInt], sb: Option[BigInt],
         pxy: Option[BigInt], pxx: Option[BigInt], pyy: Option[BigInt])
     val stats: Map[(Int, Int), PairStats] =
       if (gateHolds) {
-        def l(name: String): Option[BigInt] = {
-          val f = row.fieldIndex(name)
-          if (row.isNullAt(f)) None else Some(BigInt(row.getLong(f)))
+        // pair-(i, j)-complete = the patterns with bits i AND j set;
+        // within them every needed aggregate is exact (gate) and
+        // non-null (set bits see no nulls), so plain BigInt addition
+        // of the pattern subtotals IS the pairwise-complete statistic
+        def pairPatterns(i: Int, j: Int) = {
+          val need = (1 << i) | (1 << j)
+          patterns.filter(r => (r.getInt(r.fieldIndex("_np")) & need) == need)
         }
-        def prod(i: Int, j: Int, tagg: String): Option[BigInt] = for {
-          hh <- l(s"_p_${i}_${j}_${tagg}_hh")
-          hl <- l(s"_p_${i}_${j}_${tagg}_hl")
-          ll <- l(s"_p_${i}_${j}_${tagg}_ll")
+        def sumOf(rs: Array[org.apache.spark.sql.Row], name: String): Option[BigInt] =
+          rs.foldLeft(Option(BigInt(0))) { (acc, r) =>
+            val f = r.fieldIndex(name)
+            if (r.isNullAt(f)) None
+            else acc.map(_ + BigInt(r.getLong(f)))
+          }
+        def prodOf(rs: Array[org.apache.spark.sql.Row], i: Int, j: Int): Option[BigInt] = for {
+          hh <- sumOf(rs, s"_p_${i}_${j}_hh")
+          hl <- sumOf(rs, s"_p_${i}_${j}_hl")
+          ll <- sumOf(rs, s"_p_${i}_${j}_ll")
         } yield (hh << 32) + (hl << 16) + ll
         upairs.map { case (i, j) =>
-          (i, j) -> PairStats(
-            row.getLong(row.fieldIndex(s"_n_${i}_$j")),
-            l(s"_s_${i}_${j}_a"), l(s"_s_${i}_${j}_b"),
-            prod(i, j, "xy"), prod(i, j, "xx"), prod(i, j, "yy"))
+          val rs = pairPatterns(i, j)
+          val nij = rs.iterator
+            .map(r => r.getLong(r.fieldIndex("_n"))).foldLeft(0L)(_ + _)
+          (i, j) -> (if (nij == 0L)
+            PairStats(0L, None, None, None, None, None)
+          else
+            PairStats(
+              nij,
+              sumOf(rs, s"_s_$i"), sumOf(rs, s"_s_$j"),
+              prodOf(rs, i, j), prodOf(rs, i, i), prodOf(rs, j, j)))
         }.toMap
       } else {
         val dec = "decimal(38,0)"

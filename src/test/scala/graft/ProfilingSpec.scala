@@ -145,6 +145,17 @@ class ProfilingSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(r.getAs[Double]("corr_r") - 1.0) < 1e-12)
   }
 
+  test("correlationMatrix rejects more than 16 columns (null-pattern collect bound)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1L).toDF("c0")
+    val wide = (1 until 17).foldLeft(df)((d, i) => d.withColumn(s"c$i", col("c0")))
+    val e = intercept[graft.store.FeatureValidationError] {
+      Profiling.correlationMatrix(wide, (0 until 17).map(i => s"c$i"))
+    }
+    assert(e.getMessage.contains("at most 16"))
+  }
+
   test("standardize: z-scores from sample std, min-max in [0,1], constants null") {
     val s = spark
     import s.implicits._
