@@ -3152,7 +3152,7 @@ object NorthStar {
       s"""WITH toks AS (
          |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
          |),
-         |h AS (SELECT source, $h AS hv FROM toks),
+         |h AS (SELECT source, $h AS hv FROM toks WHERE tok IS NOT NULL),
          |br AS (
          |  SELECT source, hv // 18014398509481984 AS bucket,
          |         hv % 18014398509481984 AS rem
@@ -3200,6 +3200,7 @@ object NorthStar {
          |  SELECT CAST(ts AS DATE) AS d, CAST(user_id AS VARCHAR) AS v,
          |         $h AS hv
          |  FROM events
+         |  WHERE user_id IS NOT NULL
          |),
          |br AS (
          |  SELECT d, v, hv // 18014398509481984 AS bucket,

@@ -80,6 +80,14 @@ object Sketches {
     * Registers aggregate as `max(rank)` per (group, bucket) — partially
     * map-side, so the exchange carries ≤ m rows per group per partition
     * regardless of input size.
+    *
+    * NULL values are excluded from the registers, matching
+    * `exact_distinct`'s `count(DISTINCT)` null-skipping (an unfiltered
+    * null would hash to a phantom bucket that contributes nothing to
+    * the sum yet occupies an empty-bucket slot — and the typed
+    * [[hllDistinctAgg]] would register it differently, breaking the
+    * two formulations' equality). A group with ONLY null values drops
+    * from the output (its sketch is empty and its exact count is 0).
     */
   def hllDistinct(
       df: DataFrame,
@@ -103,6 +111,7 @@ object Sketches {
       .as("rank")
 
     val registers = df
+      .filter(col(valueCol).isNotNull)
       .select(gcols :+ bucket :+ r: _*)
       .select(gcols :+ col("bucket") :+ rank: _*)
       .groupBy(gcols :+ col("bucket"): _*)
@@ -180,7 +189,9 @@ object Sketches {
       s"sequence(date '$startDay', date '$endDay', interval 1 day)")).as("day"))
 
     val h = Hashing.md5Long60(col(valueCol).cast("string"))
-    val hashed = df.select(
+    // null values are excluded from registers AND the ride-along exact
+    // count (count(DISTINCT) skips them anyway) — see [[hllDistinct]]
+    val hashed = df.filter(col(valueCol).isNotNull).select(
       to_date(col(tsCol)).as("d"),
       col(valueCol).cast("string").as("_v"),
       shiftright(h, rem).as("bucket"),
@@ -238,7 +249,13 @@ object Sketches {
       p: Int = 6): DataFrame = {
     val gcols = groupCols.map(col)
     val sketch = udaf(new graft.functions.HllAggregator(p))
+    // null values are filtered BEFORE the aggregator: a null hash would
+    // reach the typed buffer as the primitive encoder's 0L and register
+    // bucket 0 at max rank — diverging from the column formulation's
+    // (also wrong) phantom null bucket; both formulations instead skip
+    // nulls, like the exact count they ride with (see [[hllDistinct]])
     val summed = df
+      .filter(col(valueCol).isNotNull)
       .select(gcols :+ Hashing.md5Long60(col(valueCol)).as("_h"): _*)
       .groupBy(gcols: _*)
       .agg(sketch(col("_h")).as("_sk"))

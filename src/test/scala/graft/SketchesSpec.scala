@@ -66,6 +66,31 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("HLL registers skip null values in BOTH formulations (match exact_distinct)") {
+    val s = spark
+    import s.implicits._
+    // pre-fix, a null diverged three ways: the column path minted a
+    // phantom null bucket (occupying an empty slot, contributing no
+    // register), the typed path decoded the null hash as the primitive
+    // encoder's 0L (bucket 0 at max rank), and exact_distinct skipped
+    // it — now all three agree: nulls are not values
+    val withNulls = Seq(Some("a"), Some("b"), None, None).toDF("v")
+      .withColumn("g", lit(1))
+    val noNulls = Seq(Some("a"), Some("b")).toDF("v").withColumn("g", lit(1))
+    val ref = Sketches.hllDistinct(noNulls, "v", Seq("g")).head()
+    for (r <- Seq(
+        Sketches.hllDistinct(withNulls, "v", Seq("g")).head(),
+        Sketches.hllDistinctAgg(withNulls, "v", Seq("g")).head())) {
+      assert(r.getAs[Long]("exact_distinct") == 2L)
+      assert(r.getAs[Long]("hll_sum_scaled") == ref.getAs[Long]("hll_sum_scaled"))
+      assert(r.getAs[Long]("n_empty_buckets") == ref.getAs[Long]("n_empty_buckets"))
+    }
+    // a group with ONLY nulls has an empty sketch and drops
+    val onlyNulls = Seq(Option.empty[String]).toDF("v").withColumn("g", lit(1))
+    assert(Sketches.hllDistinct(onlyNulls, "v", Seq("g")).isEmpty)
+    assert(Sketches.hllDistinctAgg(onlyNulls, "v", Seq("g")).isEmpty)
+  }
+
   test("hllRollingDistinct: merged daily registers equal the union's registers") {
     val ev = SparkEntry.eventsForNorthStar(spark, Sf)
     val rolled = Sketches
