@@ -538,4 +538,126 @@ object StoreProps extends Properties("FeatureStore") {
       }
       true
     }
+
+  // ------------------------------------------------ null-keyed model
+
+  /** Key domain for null-key addressing: every combination of
+    * {a, b, NULL} × {t1, t2, NULL} — null components are legal
+    * observations the key-addressed primitives must match NULL-SAFELY
+    * (a null-unsafe join accumulates duplicates on upsert and no-ops
+    * on key delete; the model's plain Scala `==` over Options IS the
+    * null-safe semantics).
+    */
+  private val nkTs = Vector(
+    Some(Timestamp.valueOf("2024-01-05 00:00:00")),
+    Some(Timestamp.valueOf("2024-03-15 00:00:00")),
+    Option.empty[Timestamp])
+  private val nkKeys: Vector[(Option[String], Option[Timestamp])] =
+    for { e <- Vector(Some("a"), Some("b"), Option.empty[String]); t <- nkTs }
+      yield (e, t)
+
+  private sealed trait NOp
+  private case class NUpsert(keys: Seq[Int]) extends NOp
+  private case class NDeleteKeys(keys: Seq[Int]) extends NOp
+  private case class NAppend(keys: Seq[Int]) extends NOp
+
+  private val genNKeys: Gen[Seq[Int]] =
+    Gen.choose(1, 3).flatMap(k =>
+      Gen.pick(k, nkKeys.indices).map(_.toSeq.sorted))
+  private val genNOp: Gen[NOp] = Gen.frequency(
+    3 -> genNKeys.map(NUpsert(_)),
+    2 -> genNKeys.map(NDeleteKeys(_)),
+    2 -> genNKeys.map(NAppend(_)))
+  private val genNOps: Gen[(Seq[Int], List[NOp])] = for {
+    init <- genNKeys
+    n <- Gen.choose(2, 6)
+    ops <- Gen.listOfN(n, genNOp)
+  } yield (init, ops)
+
+  private def toNDF(rows: Seq[(Option[String], Option[Timestamp], Double)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("entity_id", "timestamp", "val")
+  }
+
+  /** Random upsert/append/key-delete sequences over a key domain with
+    * null entity and null timestamp components: the store's multiset of
+    * current rows must always equal a plain Scala model whose key
+    * equality is Option `==` (null-safe by construction). Appends grow
+    * multi-segment manifests, so the key-range segment-skip condition's
+    * IS NULL admission is exercised whenever a delta carries a null
+    * component across segments.
+    */
+  property("null-keyed upsert/append/delete match the null-safe multiset model") =
+    forAll(genNOps) { case (init, ops) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_store_props_nk").toString
+      val store = new FeatureStore(spark, root, maxVersions = 20)
+      var valueSeq = 0.0
+      def rowsAt(keys: Seq[Int]): Seq[(Option[String], Option[Timestamp], Double)] =
+        keys.map { k =>
+          valueSeq += 1.0
+          val (e, t) = nkKeys(k)
+          (e, t, valueSeq)
+        }
+      var model: Vector[(Option[String], Option[Timestamp], Double)] =
+        rowsAt(init).toVector
+      store.register("t", toNDF(model))
+      var current = 1
+      def check(op: String): Unit = {
+        val got = store.getVersion("t", current).collect()
+          .map(r => (Option(r.getString(0)), Option(r.getTimestamp(1)),
+            r.getDouble(2)))
+          .toSeq.sortBy(r => (r._1.toString, r._2.map(_.getTime), r._3))
+        val want = model
+          .sortBy(r => (r._1.toString, r._2.map(_.getTime), r._3))
+        if (got != want)
+          throw new AssertionError(
+            s"null-key mismatch after $op: got $got expected $want")
+      }
+      check("register")
+      ops.foreach { op =>
+        op match {
+          case NUpsert(keys) =>
+            val delta = rowsAt(keys)
+            val dk = delta.map(r => (r._1, r._2)).toSet
+            val info = store.registerUpsert("t", toNDF(delta))
+            model = model.filterNot(r => dk((r._1, r._2))) ++ delta
+            current = info.version
+          case NAppend(keys) =>
+            val delta = rowsAt(keys)
+            val info = store.registerAppend("t", toNDF(delta))
+            model = model ++ delta
+            current = info.version
+          case NDeleteKeys(keys) =>
+            val dk = keys.map(nkKeys).toSet
+            val hits = model.count(r => dk((r._1, r._2)))
+            val keyRows = keys.map { k =>
+              val (e, t) = nkKeys(k); (e, t, 0.0)
+            }
+            def callDelete() = store.deleteRowsByKeys(
+              "t", toNDF(keyRows).select(
+                org.apache.spark.sql.functions.col("entity_id"),
+                org.apache.spark.sql.functions.col("timestamp")))
+            if (model.size == hits && hits > 0) {
+              // delete-all via keys is rejected like predicate delete-all
+              try {
+                callDelete()
+                throw new AssertionError("delete-all by keys was not rejected")
+              } catch { case _: graft.store.FeatureValidationError => () }
+            } else if (hits == 0) {
+              if (callDelete().isDefined)
+                throw new AssertionError("no-hit key delete minted a version")
+            } else {
+              val info = callDelete()
+              if (info.isEmpty)
+                throw new AssertionError("matching key delete was a no-op")
+              model = model.filterNot(r => dk((r._1, r._2)))
+              current = info.get.version
+            }
+        }
+        check(op.toString)
+      }
+      true
+    }
 }
