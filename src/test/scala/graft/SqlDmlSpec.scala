@@ -346,6 +346,58 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(!e.isInstanceOf[FeatureValidationError])
   }
+  test("UPDATE rekeying a NULL-timestamp key carries its sibling (null-safe)") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot("nullsib")
+    val store = new FeatureStore(spark, root)
+    // two observations share the key (u1, NULL-ts); one more is dated
+    store.register("feat", Seq(
+      ("u1", Option.empty[java.sql.Timestamp], 1.0),
+      ("u1", Option.empty[java.sql.Timestamp], 2.0),
+      ("u2", Option(ts("2024-01-02")), 3.0))
+      .toDF("entity_id", "timestamp", "v"))
+    val c = cat(root)
+    // rekey ONLY the v=1 observation away from (u1, NULL): the v=2
+    // sibling at the same null key must ride the rewrite delta — a
+    // null-unsafe sibling semi-join silently dropped it from the table
+    spark.sql(s"UPDATE $c.feat SET entity_id = 'u9' WHERE v = 1.0")
+    store.refresh()
+    val now = store.getVersion("feat", store.getTableInfo("feat").version)
+      .collect()
+      .map(r => (Option(r.getString(0)).getOrElse("<null>"),
+        r.getAs[Double]("v")))
+      .toSet
+    assert(now == Set(("u9", 1.0), ("u1", 2.0), ("u2", 3.0)), s"got $now")
+  }
+
+  test("MERGE touching a NULL-timestamp key carries its sibling (null-safe)") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot("nullmrg")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", Seq(
+      ("u1", Option.empty[java.sql.Timestamp], 1.0),
+      ("u1", Option.empty[java.sql.Timestamp], 2.0),
+      ("u2", Option(ts("2024-01-02")), 3.0))
+      .toDF("entity_id", "timestamp", "v"))
+    val c = cat(root)
+    Seq(("u1", Option.empty[java.sql.Timestamp], 10.0))
+      .toDF("entity_id", "timestamp", "v")
+      .createOrReplaceTempView("graft_dml_null_src")
+    // ON matches the v=1 row only; the untouched v=2 row at the same
+    // (u1, NULL) key is a sibling the delta must carry null-safely
+    spark.sql(
+      s"""MERGE INTO $c.feat t USING graft_dml_null_src s
+         |ON t.entity_id = s.entity_id AND t.timestamp <=> s.timestamp
+         |   AND t.v = 1.0
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    store.refresh()
+    val now = store.getVersion("feat", store.getTableInfo("feat").version)
+      .collect().map(r => r.getAs[Double]("v")).toSeq.sorted
+    assert(now == Seq(2.0, 3.0, 10.0), s"got $now")
+  }
+
   test("graft_changes TVF validates its arguments") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM graft_changes('/tmp/x', 't')").collect()
