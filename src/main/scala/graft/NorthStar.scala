@@ -3181,8 +3181,8 @@ object NorthStar {
          |       CAST(64 - agg.n_buckets AS BIGINT) AS n_empty_buckets,
          |       $alphaNum / (agg.sum_present
          |           + (64 - agg.n_buckets) * (1::BIGINT << 55)) AS hll_estimate
-         |FROM ex JOIN agg USING (source)
-         |ORDER BY source""".stripMargin
+         |FROM ex JOIN agg ON ex.source IS NOT DISTINCT FROM agg.source
+         |ORDER BY ex.source""".stripMargin
     },
 
     // same bit-slicing as Sketches.cmsBucket: row i's bucket is bits

@@ -410,7 +410,8 @@ object Profiling {
     val optimisticAggs: Seq[Column] =
       count(lit(1)).as("_n") +:
         (idx.flatMap(i => Seq(
-          max(abs(col(valueCols(i)))).as(s"_m_$i"),
+          min(col(valueCols(i))).as(s"_lo_$i"),
+          max(col(valueCols(i))).as(s"_hi_$i"),
           try_sum(col(valueCols(i))).as(s"_s_$i"))) ++
           spairs.flatMap { case (i, j) =>
             val x = col(valueCols(i))
@@ -460,25 +461,32 @@ object Profiling {
           .collect()
       }
 
-    // post-hoc width gate from the measured ranges: every long
+    // post-hoc width gate from EXACT measured ranges: every long
     // accumulator provably stayed under 2^62 → the optimistic sums are
     // exact (and none of the try_* ops nulled). Global n and per-column
     // max|x| upper-bound every per-pattern accumulator (a pattern's
-    // rows are a subset of the table's).
-    val maxAbs = idx.map { i =>
-      patterns.iterator.map { r =>
-        val f = r.fieldIndex(s"_m_$i")
-        if (r.isNullAt(f)) 0L else r.getLong(f)
-      }.foldLeft(0L)(math.max)
-    }
+    // rows are a subset of the table's). Magnitude comes from per-column
+    // MIN and MAX taken |·| in BigInt driver-side — never max(abs(x)):
+    // abs(Long.MinValue) wraps negative under non-ANSI arithmetic, and
+    // an understated range would let the gate accept an overflowing run
+    // (whose nulled try_* sums would then silently drop the pair
+    // instead of routing to the exact decimal recompute).
+    val maxAbs: IndexedSeq[BigInt] = idx.map { i =>
+      patterns.iterator.flatMap { r =>
+        Seq(s"_lo_$i", s"_hi_$i").map { name =>
+          val f = r.fieldIndex(name)
+          if (r.isNullAt(f)) BigInt(0) else BigInt(r.getLong(f)).abs
+        }
+      }.foldLeft(BigInt(0))(_ max _)
+    }.toIndexedSeq
     val lim = BigInt(1) << 62
     val nn = BigInt(n)
     val lo = BigInt(65535)
-    def sumFits(i: Int): Boolean = BigInt(maxAbs(i)) * nn < lim
+    def sumFits(i: Int): Boolean = maxAbs(i) * nn < lim
     def splitFits(i: Int, j: Int): Boolean = {
-      val hiI = BigInt(maxAbs(i) >> 16) + 1
-      val hiJ = BigInt(maxAbs(j) >> 16) + 1
-      maxAbs(i) < (1L << 31) && maxAbs(j) < (1L << 31) &&
+      val hiI = (maxAbs(i) >> 16) + 1
+      val hiJ = (maxAbs(j) >> 16) + 1
+      maxAbs(i) < (BigInt(1) << 31) && maxAbs(j) < (BigInt(1) << 31) &&
         nn * hiI * hiJ < lim &&
         nn * (hiI * lo + hiJ * lo) < lim &&
         nn * lo * lo < lim
@@ -496,8 +504,13 @@ object Profiling {
     final case class PairStats(
         n: Long, sa: Option[BigInt], sb: Option[BigInt],
         pxy: Option[BigInt], pxx: Option[BigInt], pyy: Option[BigInt])
-    val stats: Map[(Int, Int), PairStats] =
-      if (gateHolds) {
+    // the optimistic extraction yields None when the gate fails OR any
+    // required aggregate nulled anyway (belt over the gate's braces:
+    // a nulled sum under a holding gate should be impossible, but it
+    // must route to the exact recompute, never silently drop a pair)
+    val optimistic: Option[Map[(Int, Int), PairStats]] =
+      if (!gateHolds) None
+      else {
         // pair-(i, j)-complete = the patterns with bits i AND j set;
         // within them every needed aggregate is exact (gate) and
         // non-null (set bits see no nulls), so plain BigInt addition
@@ -517,7 +530,7 @@ object Profiling {
           hl <- sumOf(rs, s"_p_${i}_${j}_hl")
           ll <- sumOf(rs, s"_p_${i}_${j}_ll")
         } yield (hh << 32) + (hl << 16) + ll
-        upairs.map { case (i, j) =>
+        val m = upairs.map { case (i, j) =>
           val rs = pairPatterns(i, j)
           val nij = rs.iterator
             .map(r => r.getLong(r.fieldIndex("_n"))).foldLeft(0L)(_ + _)
@@ -529,7 +542,13 @@ object Profiling {
               sumOf(rs, s"_s_$i"), sumOf(rs, s"_s_$j"),
               prodOf(rs, i, j), prodOf(rs, i, i), prodOf(rs, j, j)))
         }.toMap
-      } else {
+        val consistent = m.values.forall(st =>
+          st.n == 0L || (st.sa.isDefined && st.sb.isDefined &&
+            st.pxy.isDefined && st.pxx.isDefined && st.pyy.isDefined))
+        if (consistent) Some(m) else None
+      }
+    val stats: Map[(Int, Int), PairStats] =
+      optimistic.getOrElse {
         val dec = "decimal(38,0)"
         val decAggs: Seq[Column] = upairs.flatMap { case (i, j) =>
           val x = col(valueCols(i)).cast(dec)

@@ -49,6 +49,25 @@ object Sketches {
     alpha(m) * m.toDouble * m.toDouble * math.pow(2.0, (remBits(p) + 1).toDouble)
   }
 
+  /** Null-safe inner join of the exact and register sides on the group
+    * columns: a NULL group key is a legal group (groupBy groups nulls),
+    * and a null-unsafe USING join would silently drop it from the
+    * output — the same defect class the store's key-addressed joins
+    * guard against. The oracle SQL joins with IS NOT DISTINCT FROM to
+    * match.
+    */
+  private def joinOnGroups(
+      exact: DataFrame, summed: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val renamed = summed.select(
+      groupCols.map(c => col(c).as(s"_g_$c")) ++
+        summed.columns.filterNot(groupCols.contains).map(col): _*)
+    exact
+      .join(
+        renamed,
+        groupCols.map(c => exact(c) <=> col(s"_g_$c")).reduce(_ && _))
+      .drop(groupCols.map(c => s"_g_$c"): _*)
+  }
+
   /** Flajolet's small-range correction (linear counting), applied on the
     * driver/consumer side: the raw estimate is the oracle-facing value
     * (bit-exact across engines) because ln()'s last-ulp behavior is
@@ -134,8 +153,7 @@ object Sketches {
       .groupBy(gcols: _*)
       .agg(countDistinct(col(valueCol)).as("exact_distinct"))
 
-    exact
-      .join(summed, groupCols)
+    joinOnGroups(exact, summed, groupCols)
       .withColumn(
         "hll_estimate",
         lit(alphaNumerator(p)) / col("hll_sum_scaled"))
@@ -265,8 +283,7 @@ object Sketches {
     val exact = df
       .groupBy(gcols: _*)
       .agg(countDistinct(col(valueCol)).as("exact_distinct"))
-    exact
-      .join(summed, groupCols)
+    joinOnGroups(exact, summed, groupCols)
       .withColumn(
         "hll_estimate",
         lit(alphaNumerator(p)) / col("hll_sum_scaled"))

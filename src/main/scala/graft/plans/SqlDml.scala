@@ -156,20 +156,13 @@ private[plans] object GraftDml {
 
   /** NULL-SAFE left-semi join on the key columns: a sibling at a key
     * with a NULL component (null keys are legal observations) must
-    * ride the delta exactly like any other touched key — the store's
-    * key-addressed primitives address null keys null-safely, so a
-    * null-unsafe sibling carry would silently drop those rows from the
-    * rewrite. The key frame is renamed first so the condition stays
-    * unambiguous under the shared snapshot lineage.
+    * ride the delta exactly like any other touched key — ONE shared
+    * definition with the store's key-addressed mutations
+    * ([[graft.store.KeyJoins]]).
     */
   def semiJoinKeys(
-      rows: DataFrame, keys: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val renamed = keys.select(keyCols.map(k => col(k).as(s"_graft_k_$k")): _*)
-    rows.join(
-      renamed,
-      keyCols.map(k => col(k) <=> col(s"_graft_k_$k")).reduce(_ && _),
-      "left_semi")
-  }
+      rows: DataFrame, keys: DataFrame, keyCols: Seq[String]): DataFrame =
+    graft.store.KeyJoins.onKeys(rows, keys, keyCols, "left_semi")
 }
 
 /** `UPDATE <graft table> SET ... [WHERE ...]`: matched rows re-written

@@ -2816,44 +2816,20 @@ final class FeatureStore(
       meta.columnTypes)
   }
 
-  /** Null-safe key-addressed join of `rows` against a distinct
-    * (entity_id, timestamp) key frame: a NULL key component addresses
-    * the rows whose component IS NULL — the documented key-addressed
-    * contract ("every current row whose key appears in df"), which a
-    * null-unsafe using-join silently violates for rows with unknown
-    * time or entity (an upsert would duplicate them instead of
-    * replacing, a key delete would no-op on them; the IVM folds were
-    * already null-safe for exactly this reason). The key frame's
-    * columns are renamed before the join so semi/anti output stays
-    * unambiguous; `<=>` on both key columns still plans as a hash
-    * equi-join.
+  /** Null-safe key-addressed join on (entity_id, timestamp) — the
+    * documented key-addressed contract ("every current row whose key
+    * appears in df" includes rows with NULL key components). ONE shared
+    * definition with the DML sibling carry: [[KeyJoins]].
     */
   private def joinKeysNullSafe(
-      rows: DataFrame, keys: DataFrame, joinType: String): DataFrame = {
-    val k = keys.select(
-      col(EntityIdColumn).as("_graft_ke"),
-      col(TimestampColumn).as("_graft_kt"))
-    rows.join(
-      k,
-      rows(EntityIdColumn) <=> col("_graft_ke") &&
-        rows(TimestampColumn) <=> col("_graft_kt"),
-      joinType)
-  }
+      rows: DataFrame, keys: DataFrame, joinType: String): DataFrame =
+    KeyJoins.onKeys(rows, keys, Seq(EntityIdColumn, TimestampColumn), joinType)
 
   /** [[joinKeysNullSafe]] shaped for the segment-classification pass:
     * left join with a `_graft_hit` marker column (1 on matched rows).
     */
-  private def joinKeysHit(rows: DataFrame, keys: DataFrame): DataFrame = {
-    val k = keys.select(
-      col(EntityIdColumn).as("_graft_ke"),
-      col(TimestampColumn).as("_graft_kt"),
-      lit(1).as("_graft_hit"))
-    rows.join(
-      k,
-      rows(EntityIdColumn) <=> col("_graft_ke") &&
-        rows(TimestampColumn) <=> col("_graft_kt"),
-      "left")
-  }
+  private def joinKeysHit(rows: DataFrame, keys: DataFrame): DataFrame =
+    KeyJoins.onKeysHit(rows, keys, Seq(EntityIdColumn, TimestampColumn))
 
   /** Key-range segment-skip condition for a key frame with bounds
     * `(loE, hiE, loT, hiT)` (nulls skipped by min/max): each dimension

@@ -145,6 +145,23 @@ class ProfilingSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(r.getAs[Double]("corr_r") - 1.0) < 1e-12)
   }
 
+  test("correlationMatrix at Long.MinValue routes to the exact path, never drops the pair") {
+    val s = spark
+    import s.implicits._
+    // abs(Long.MinValue) wraps negative under non-ANSI arithmetic: a
+    // max(abs(x))-based range would understate the magnitude, the gate
+    // would wrongly hold, the overflowed try_* sums would be null, and
+    // the pair would silently vanish. The min/max-based BigInt range
+    // fails the gate instead and the decimal recompute emits the pair.
+    val df = Seq((Long.MinValue, 1L), (1000L, 2L)).toDF("x", "y")
+    val out = Profiling.correlationMatrix(df, Seq("x", "y")).collect()
+    assert(out.length == 1, s"pair dropped: ${out.toSeq}")
+    assert(out.head.getAs[Long]("n") == 2L)
+    // two points with increasing x and y correlate exactly +1 (modulo
+    // the documented sqrt float tail)
+    assert(math.abs(out.head.getAs[Double]("corr_r") - 1.0) < 1e-9)
+  }
+
   test("correlationMatrix rejects more than 16 columns (null-pattern collect bound)") {
     val s = spark
     import s.implicits._

@@ -91,6 +91,26 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(Sketches.hllDistinctAgg(onlyNulls, "v", Seq("g")).isEmpty)
   }
 
+  test("a NULL group KEY is a group, not a dropped row (null-safe final join)") {
+    val s = spark
+    import s.implicits._
+    // group key null on two rows with two distinct values: a
+    // null-unsafe USING join between the exact and register sides
+    // silently lost the whole group
+    val df = Seq(
+      (Option.empty[String], "a"), (Option.empty[String], "b"),
+      (Option("g1"), "a"))
+      .toDF("g", "v")
+    for (out <- Seq(
+        Sketches.hllDistinct(df, "v", Seq("g")),
+        Sketches.hllDistinctAgg(df, "v", Seq("g")))) {
+      val rows = out.collect()
+        .map(r => Option(r.getString(0)) -> r.getAs[Long]("exact_distinct"))
+        .toMap
+      assert(rows == Map(None -> 2L, Some("g1") -> 1L), s"got $rows")
+    }
+  }
+
   test("hllRollingDistinct: merged daily registers equal the union's registers") {
     val ev = SparkEntry.eventsForNorthStar(spark, Sf)
     val rolled = Sketches
