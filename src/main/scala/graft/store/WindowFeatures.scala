@@ -346,6 +346,16 @@ object WindowFeatures {
     * (the spine entity is classified AFTER casting to the table's
     * entity type, matching what the kernels compare) and the
     * driver-side hot set bounded by totalRows / hotRowThreshold.
+    *
+    * Threshold note (examples/WindowSkewDemo, 20M rows): the plain
+    * plan's hot-entity cost is probes × in-frame rows inside ONE
+    * indivisible task (Spark's sliding RANGE frame re-aggregates on
+    * frame change), measured 981s for a 10M-row entity with 1M probes
+    * and ~1800-row frames, vs 7.6s bucketed. The default threshold is
+    * row-count-based like the as-of hybrid's, but the window family
+    * degrades faster than as-of's sort-bound plain path — for wide
+    * frames or probe-heavy spines, set `hotRowThreshold` well below
+    * the as-of default.
     */
   def windowAggJoinHybrid(
       spine: DataFrame,
