@@ -2,7 +2,7 @@ package graft.store
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Memoized heavy-hitter classification for the skew-routed kernels
@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
 object SkewStats {
 
   private val MaxEntries = 256
-  private val cache = TrieMap.empty[(Int, String, Long), Array[Any]]
+  // third component: the classification's parameter signature — a bare
+  // row threshold (Long) for [[hotEntities]], a descriptor tuple for
+  // [[hotEntitiesByWindowWork]] — so the two classifications of the
+  // same (plan, column) never collide
+  private val cache = TrieMap.empty[(Int, String, Any), Array[Any]]
 
   /** Entities of `table` with at least `threshold` rows — memoized per
     * (table plan, entityCol, threshold).
@@ -40,12 +44,66 @@ object SkewStats {
       table: DataFrame,
       entityCol: String,
       threshold: Long): Array[Any] = {
-    val key = (table.semanticHash(), entityCol, threshold)
+    val key = (table.semanticHash(), entityCol, threshold: Any)
     cache.getOrElse(key, {
       val hot = table
         .groupBy(col(entityCol).as("_he"))
         .agg(count(lit(1)).as("_hc"))
         .filter(col("_hc") >= threshold)
+        .select(col("_he"))
+        .collect()
+        .map(_.get(0))
+      memoize(key, hot)
+      hot
+    })
+  }
+
+  /** Frame-aware classification for the WINDOW family: an entity is hot
+    * if its row count reaches `rowThreshold` (the as-of rule) OR its
+    * estimated plain-window work reaches `workThreshold`. The window
+    * family's plain plan re-aggregates the frame on every frame change
+    * inside ONE indivisible task, so its hot-entity cost is
+    * probes × in-frame rows — quadratic-ish in density, not linear in
+    * rows (examples/WindowSkewDemo: a 10M-row entity with ~1800-row
+    * frames cost 981 s plain vs 7.6 s bucketed). Per-entity estimate
+    * from one aggregate pass (count, min/max of the normalized ts):
+    *
+    *   frameRows ≈ n · min(1, width / span)   (uniform-density model)
+    *   work      ≈ n · frameRows              (probe count proxied by n —
+    *                                           the spine is not consulted)
+    *
+    * A dense burst entity (span < width ⇒ every row in every frame) is
+    * classified hot at n ≥ √workThreshold rows, far below the row
+    * threshold — the shape the row rule misses. Null-ts rows join no
+    * frame and are excluded from the estimate. Memoized like
+    * [[hotEntities]]; misclassification costs routing, never
+    * correctness (the hybrids are answer-equivalent on any partition).
+    */
+  def hotEntitiesByWindowWork(
+      table: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      ordOf: Column => Column,
+      width: Long,
+      rowThreshold: Long,
+      workThreshold: Long): Array[Any] = {
+    val key = (table.semanticHash(), entityCol,
+      ("windowWork", tsCol, width, rowThreshold, workThreshold): Any)
+    cache.getOrElse(key, {
+      val n = col("_hc")
+      val span = (col("_hmax") - col("_hmin")).cast("double")
+      val frameRows = least(
+        n.cast("double"),
+        n.cast("double") * lit(width.toDouble) / greatest(span, lit(1.0)))
+      val hot = table
+        .filter(col(tsCol).isNotNull)
+        .groupBy(col(entityCol).as("_he"))
+        .agg(
+          count(lit(1)).as("_hc"),
+          min(ordOf(col(tsCol))).as("_hmin"),
+          max(ordOf(col(tsCol))).as("_hmax"))
+        .filter(n >= rowThreshold ||
+          n.cast("double") * frameRows >= lit(workThreshold.toDouble))
         .select(col("_he"))
         .collect()
         .map(_.get(0))
@@ -61,7 +119,7 @@ object SkewStats {
     * policy without running 256 count jobs.
     */
   private[graft] def memoize(
-      key: (Int, String, Long), value: Array[Any]): Unit =
+      key: (Int, String, Any), value: Array[Any]): Unit =
     // one critical section for evict+put: unsynchronized check-then-act
     // lets two racing inserts at the cap both remove the same head and
     // ratchet the size permanently past MaxEntries

@@ -353,9 +353,19 @@ object WindowFeatures {
     * frame change), measured 981s for a 10M-row entity with 1M probes
     * and ~1800-row frames, vs 7.6s bucketed. The default threshold is
     * row-count-based like the as-of hybrid's, but the window family
-    * degrades faster than as-of's sort-bound plain path — for wide
-    * frames or probe-heavy spines, set `hotRowThreshold` well below
-    * the as-of default.
+    * degrades faster than as-of's sort-bound plain path — so the
+    * classification is additionally FRAME-AWARE: an entity whose
+    * estimated plain-plan work (rows × estimated in-frame rows, see
+    * [[SkewStats.hotEntitiesByWindowWork]]) reaches `hotWorkThreshold`
+    * routes bucketed even far below the row threshold. The default
+    * (1e8) is ~5 s of single-task frame re-aggregation at
+    * WindowSkewDemo's measured ~1.8e7 frame-rows/s — about where the
+    * plain plan's one indivisible hot task starts losing to the
+    * bucketed decomposition's two extra shuffles. Dense-burst entities
+    * (whole history inside one frame) hit it at √1e8 = 10k rows; an
+    * entity with ~1800-row frames at 75k rows; a sparse entity whose
+    * frames hold a handful of rows stays on the plain path at any
+    * count below `hotRowThreshold`.
     */
   def windowAggJoinHybrid(
       spine: DataFrame,
@@ -364,12 +374,33 @@ object WindowFeatures {
       aggs: Seq[WindowAgg],
       hotRowThreshold: Long = 10000000L,
       entityCol: String = EntityIdColumn,
-      tsCol: String = TimestampColumn): DataFrame = {
+      tsCol: String = TimestampColumn,
+      hotWorkThreshold: Long = 100000000L): DataFrame = {
     if (hotRowThreshold < 1)
       throw new FeatureValidationError(
         s"hotRowThreshold must be >= 1, got $hotRowThreshold")
-    // memoized per (table plan, entityCol, threshold) — see [[SkewStats]]
-    val hot = SkewStats.hotEntities(table, entityCol, hotRowThreshold)
+    if (hotWorkThreshold < 1)
+      throw new FeatureValidationError(
+        s"hotWorkThreshold must be >= 1, got $hotWorkThreshold")
+    // memoized per (table plan, entityCol, thresholds) — see [[SkewStats]].
+    // ordAndWidth validates the ts type up front (same error the kernels
+    // would raise), then the one classification pass reads count + ts
+    // span per entity and applies BOTH the row and the work rule.
+    val hot = {
+      val tsTypeCls = table.schema.find(_.name == tsCol).map(_.dataType)
+      tsTypeCls match {
+        case Some(t) =>
+          val (ordOfCls, widthCls) =
+            ordAndWidth(t, windowSeconds, "windowAggJoinHybrid")
+          SkewStats.hotEntitiesByWindowWork(
+            table, entityCol, tsCol, ordOfCls, widthCls,
+            hotRowThreshold, hotWorkThreshold)
+        case None =>
+          // missing ts column: fall through to the plain kernel's
+          // canonical validation error instead of raising our own shape
+          SkewStats.hotEntities(table, entityCol, hotRowThreshold)
+      }
+    }
     // a STREAMING spine cannot be split-and-probed (the emptiness
     // probes are batch actions) — route it to the plain kernel, the
     // shape Validation.validateSpine carved out for streaming frames

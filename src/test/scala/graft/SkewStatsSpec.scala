@@ -27,6 +27,42 @@ class SkewStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(SkewStats.cachedEntries == 2)
   }
 
+  test("hotEntitiesByWindowWork: dense burst is hot below the row threshold, sparse is not") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    SkewStats.invalidate()
+    // burst: 300 rows inside ONE 3600 s frame (span 300 s) → every row
+    // in every frame, work ≈ 300² = 90 000; sparse: 300 rows over
+    // ~35 days → ~0.36 rows per 3600 s frame, work ≈ 108
+    val df = (
+      (0 until 300).map(i => ("burst", i.toLong)) ++
+        (0 until 300).map(i => ("sparse", i.toLong * 10000L))
+    ).toDF("entity_id", "ts")
+    val ordOf = (c: org.apache.spark.sql.Column) => c.cast("long")
+    val hot = SkewStats.hotEntitiesByWindowWork(
+      df, "entity_id", "ts", ordOf, width = 3600L,
+      rowThreshold = 1000000L, workThreshold = 50000L)
+    assert(hot.toSeq == Seq("burst"))
+    assert(SkewStats.cachedEntries == 1)
+    // row rule still applies independently of density
+    val hotByRows = SkewStats.hotEntitiesByWindowWork(
+      df, "entity_id", "ts", ordOf, width = 3600L,
+      rowThreshold = 300L, workThreshold = Long.MaxValue)
+    assert(hotByRows.toSeq.map(_.toString).sorted == Seq("burst", "sparse"))
+    assert(SkewStats.cachedEntries == 2)
+    // null-ts rows join no frame: an entity that is all-null never
+    // classifies hot, and null rows don't inflate a live entity's count
+    val withNulls = df.select(col("entity_id"),
+      org.apache.spark.sql.functions
+        .when(col("entity_id") === "sparse", null).otherwise(col("ts")).as("ts"))
+    val hotNulls = SkewStats.hotEntitiesByWindowWork(
+      withNulls, "entity_id", "ts", ordOf, width = 3600L,
+      rowThreshold = 250L, workThreshold = Long.MaxValue)
+    assert(hotNulls.toSeq == Seq("burst"))
+    SkewStats.invalidate()
+  }
+
   test("a full memo evicts ONE entry, not the whole cache") {
     SkewStats.invalidate()
     val cap = SkewStats.maxEntries

@@ -112,8 +112,11 @@ object WindowFeaturesProps extends Properties("WindowFeatures") {
   }
 
   property("windowAggJoinHybrid equals windowAggJoin at any hot threshold") = forAll(
-    genRows, genSpine, Gen.choose(1, 10), Gen.oneOf(1L, 2L, 3L, 1000L)) {
-    (rows, spineRaw, wDays, hotThRaw) =>
+    genRows, genSpine, Gen.choose(1, 10), Gen.oneOf(1L, 2L, 3L, 1000L),
+    // exercise the frame-aware work rule at every routing extreme:
+    // 1 = everything hot, MaxValue = row rule only, middle = mixed
+    Gen.oneOf(1L, 16L, 10000L, Long.MaxValue)) {
+    (rows, spineRaw, wDays, hotThRaw, workTh) =>
       val hotTh = math.max(1L, hotThRaw)
       val spine = if (spineRaw.isEmpty) List(("a", 1)) else spineRaw
       val s = spark
@@ -129,7 +132,7 @@ object WindowFeaturesProps extends Properties("WindowFeatures") {
         .windowAggJoin(spineDf, toDF(rows), wDays * 86400L, aggSet))
       val hybrid = run(WindowFeatures
         .windowAggJoinHybrid(spineDf, toDF(rows), wDays * 86400L, aggSet,
-          hotRowThreshold = hotTh))
+          hotRowThreshold = hotTh, hotWorkThreshold = workTh))
       plain == hybrid
   }
 
