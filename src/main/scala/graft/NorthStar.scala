@@ -101,6 +101,15 @@ object NorthStar {
     // most characteristic term per doc by rational TF-IDF
     "text_tfidf_top" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerm(docs(s, dir)).orderBy("doc_id")),
+    // BM25 ranked retrieval (k1=1.2, b=0.75) in exact integer
+    // micro-units — logs/double sums are not engine-portable, floor'd
+    // rationals are. tf is computed only for the broadcast term set.
+    "text_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(
+        docs(s, dir),
+        Bm25Queries,
+        k = 10)
+        .orderBy("query_id", "rank")),
     // symmetric int8 vector compression (4x), exact-integer checksum
     "embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id")),
@@ -200,6 +209,17 @@ object NorthStar {
       graft.ops.Sampling
         .stratifiedSample(docs(s, dir), percent = 20)
         .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+    // probability-proportional-to-size Bernoulli sample, weight = token
+    // count, expected size 100 — exact integer rates (2^20 units), no
+    // floating point, so inclusion is bit-stable on any engine
+    "sample_weighted" -> ((s, dir) =>
+      graft.ops.Sampling
+        .weightedSample(
+          docs(s, dir).withColumn(
+            "w_tokens", size(split(col("text"), " ")).cast("long")),
+          expectK = 100L, weightCol = "w_tokens")
+        .select(col("doc_id"), col("w_tokens"), col("rate_pm"))
         .orderBy("doc_id")),
     // fixed-token-budget sequence packing per source shard
     "pack_sequences" -> ((s, dir) =>
@@ -1149,6 +1169,15 @@ object NorthStar {
 
   private val Md5Long60 = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
 
+  /** The bm25 demo's fixed term queries — shared verbatim by the Spark
+    * plan and the oracle SQL ("skew" is absent from the corpus: a
+    * zero-df term contributes nothing on either side).
+    */
+  private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join", "skew"),
+    2 -> Seq("window", "agg", "stream"),
+    3 -> Seq("vector", "scan", "filter"))
+
   /** CTE chain ending in `pairs(id_a, id_b)` — the MinHash+LSH candidate
     * pairs, shared by the pair listing and the cluster-closure oracles.
     */
@@ -1545,6 +1574,55 @@ object NorthStar {
         |                           ORDER BY tfidf DESC, token ASC) = 1
         |ORDER BY doc_id""".stripMargin,
 
+    // integer-unit BM25 (see TextAnalysis.bm25TopK): every division is
+    // a BIGINT floor division, so scores are bit-identical across engines
+    "text_bm25_topk" -> {
+      val qvals = Bm25Queries
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+        .mkString(", ")
+      val terms = Bm25Queries.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents
+         |),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM tok GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |q(query_id, term) AS (VALUES $qvals),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE term IN ($terms) GROUP BY 1, 2
+         |),
+         |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |         CAST(SUM(
+         |           ((1000 * (2 * st.n_docs - 2 * dfc.df + 1))
+         |              // (2 * dfc.df + 1))
+         |           * ((2200000 * tf.tf)
+         |              // (1000 * tf.tf + 300
+         |                 + (9 * ((1000 * dl.dl * st.n_docs) // st.sum_dl))
+         |                   // 10))
+         |         ) AS BIGINT) AS score_u
+         |  FROM q
+         |  JOIN tf USING (term)
+         |  JOIN dfc USING (term)
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN st
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, doc_id, score_u,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY score_u DESC, doc_id ASC)
+         |            AS BIGINT) AS rank
+         |FROM scored
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
     "text_gopher" ->
       """WITH t AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
@@ -1690,6 +1768,26 @@ object NorthStar {
         |SELECT doc_id, source FROM r
         |WHERE rk <= (n * 20 + 99) // 100
         |ORDER BY doc_id""".stripMargin,
+
+    // PPS Bernoulli: rate_pm = min(2^20, (2^20·k·w) // Σw); keep iff
+    // hash60 // 2^40 < rate_pm — pure integer arithmetic on both sides
+    "sample_weighted" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w_tokens
+         |  FROM documents
+         |), t AS (SELECT CAST(sum(w_tokens) AS BIGINT) AS tot FROM w),
+         |r AS (
+         |  SELECT doc_id, w_tokens,
+         |         least(CAST(1048576 AS BIGINT),
+         |               (1048576 * 100 * w_tokens) // tot) AS rate_pm
+         |  FROM w CROSS JOIN t
+         |)
+         |SELECT doc_id, w_tokens, rate_pm
+         |FROM r
+         |WHERE ${Md5Long60.format("CAST(doc_id AS VARCHAR)")}
+         |        // 1099511627776 < rate_pm
+         |ORDER BY doc_id""".stripMargin,
 
     // exclusive running token total per source shard; a doc joins the
     // pack where it starts

@@ -249,6 +249,60 @@ object Sampling {
       .drop("_rk", "_n")
   }
 
+  /** Probability-proportional-to-size (PPS) Bernoulli sampling: keep
+    * each row with probability min(1, expectK · w / Σw) — expected
+    * sample size `expectK`, heavy rows (w ≥ Σw / expectK) kept
+    * deterministically. The quality-weighted corpus subset op: weight by
+    * token count, a quality score, or any importance signal, and the
+    * subset's weight mass concentrates where the signal says it should
+    * while every row keeps a nonzero, id-stable chance.
+    *
+    * Exact integer arithmetic end to end: the inclusion rate is
+    * `rate_pm = min(2^20, (2^20 · expectK · w) div Σw)` per-mega units
+    * and the row is kept iff `hash60(id) div 2^40 < rate_pm` — no
+    * floating point anywhere, so the assignment is bit-reproducible on
+    * any engine and any rerun. (The classic Efraimidis–Spirakis
+    * exponential-key reservoir needs pow(u, 1/w), whose ulp differences
+    * are NOT portable across engines — and a reservoir is a sequential
+    * structure anyway; Bernoulli PPS is the one-pass distributed form.)
+    *
+    * Scale shape: one 1-row total broadcast + one codegen'd filter pass,
+    * no shuffle, no state. Non-positive weights never sample. The
+    * integer envelope (expectK · maxW ≤ 2^43) is enforced IN the plan
+    * with raise_error — a silent Long wrap would quietly invert rates.
+    */
+  def weightedSample(
+      df: DataFrame,
+      expectK: Long,
+      weightCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(expectK >= 1, s"expectK must be >= 1, got $expectK")
+    val wRaw = col(weightCol).cast("long")
+    val w = when(wRaw > 0, wRaw).otherwise(lit(0L))
+    val tot = df.agg(
+      coalesce(sum(w), lit(0L)).as("_tot_w"),
+      coalesce(max(w), lit(0L)).as("_max_w"))
+    // 2^20 · expectK · maxW must fit in a signed 64-bit long; the bound
+    // is computed driver-side so the plan-side check cannot itself wrap
+    val maxWAllowed = Long.MaxValue / (1L << 20) / expectK
+    df.crossJoin(broadcast(tot))
+      .withColumn("_w_pps", w)
+      .withColumn("_gr_ws_hash", idHash(col(idCol)))
+      .withColumn(
+        "rate_pm",
+        when(col("_max_w") > maxWAllowed,
+          raise_error(concat(
+            lit(s"weightedSample overflow: expectK=$expectK * max weight "),
+            col("_max_w").cast("string"),
+            lit(s" exceeds the 2^43 integer envelope — rescale the weights"))))
+          .when(col("_tot_w") <= 0L, lit(0L))
+          .otherwise(least(
+            lit(1L << 20),
+            expr(s"(${1L << 20} * ${expectK}L * _w_pps) div _tot_w"))))
+      .filter(expr(s"_gr_ws_hash div ${1L << 40}") < col("rate_pm"))
+      .drop("_w_pps", "_gr_ws_hash", "_tot_w", "_max_w")
+  }
+
   /** Budgeted selection: within each stratum, take rows in priority
     * order while the running cost stays within budget — the "best docs
     * until the token budget runs out" curation step. A row is kept iff

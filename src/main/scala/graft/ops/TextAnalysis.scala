@@ -236,6 +236,77 @@ object TextAnalysis {
         col("_top.tfidf").as("tfidf"))
   }
 
+  /** BM25 ranked retrieval over the corpus for a fixed set of term
+    * queries — the curation/inspection op ("the docs most about X") and
+    * the lexical half of retrieval/contamination checks. Standard
+    * Robertson BM25 shape (k1 = 1.2, b = 0.75) re-expressed in EXACT
+    * integer micro-units so the score is bit-identical on any engine:
+    * logs and raw double sums are not portable (ulp drift + summation
+    * order), so the idf and tf-saturation terms are floor-divided
+    * rationals instead —
+    *
+    *   nd      = (1000 · dl · N) div Σdl                  (dl/avgdl, milli)
+    *   tf_part = (2_200_000 · tf) div (1000·tf + 300 + (9·nd) div 10)
+    *   idf_m   = (1000 · (2N − 2·df + 1)) div (2·df + 1)
+    *   score_u = Σ_terms idf_m · tf_part                  (exact BIGINT)
+    *
+    * (idf_m ≤ 2·10³·N, tf_part < 2 200, terms per query small — the sum
+    * stays far inside int64 even at 10⁹ documents.)
+    *
+    * Scale shape: document length is one narrow pass; tf is computed
+    * ONLY for the broadcast query-term set (the token stream filters
+    * before any aggregation, so corpus-wide term statistics are never
+    * materialized); df over those terms is a tiny aggregate; the top-k
+    * is a per-query window over the scored docs. At 100 TB: one
+    * documents pass + small keyed shuffles on (doc, term).
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      k: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queries.nonEmpty, "bm25TopK needs at least one query")
+    require(queries.forall(_._2.nonEmpty), "every query needs at least one term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }.distinct
+      .toDF("_q", "_t")
+    val termSet = queries.flatMap(_._2).distinct
+    val tok = docs.select(
+      col(idCol).as("_d"), explode(tokens(col(textCol))).as("_t"))
+    val dl = tok.groupBy(col("_d")).agg(count(lit(1)).as("_dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("_n_docs"), sum(col("_dl")).as("_sum_dl"))
+    val tf = tok
+      .filter(col("_t").isin(termSet: _*))
+      .groupBy(col("_d"), col("_t"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfc = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    val scored = tf
+      .join(broadcast(dfc), "_t")
+      .join(broadcast(qterms), "_t")
+      .join(dl, "_d")
+      .crossJoin(broadcast(stats))
+      .withColumn("_nd", expr("(1000 * _dl * _n_docs) div _sum_dl"))
+      .withColumn("_tfp",
+        expr("(2200000 * _tf) div (1000 * _tf + 300 + (9 * _nd) div 10)"))
+      .withColumn("_idfm",
+        expr("(1000 * (2 * _n_docs - 2 * _df + 1)) div (2 * _df + 1)"))
+      .groupBy(col("_q"), col("_d"))
+      .agg(sum(col("_idfm") * col("_tfp")).as("score_u"))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_q"))
+      .orderBy(col("score_u").desc, col("_d").asc)
+    scored
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("_q").as("query_id"), col("_d").as(idCol),
+        col("score_u"), col("rank"))
+  }
+
   /** Sequential sequence packing — the standard pretraining step that
     * concatenates documents into fixed-token-budget training rows. Docs
     * are taken in id order within each shard and a doc joins the pack

@@ -949,6 +949,74 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(all == 1010L)
   }
 
+  test("weightedSample: PPS rates, heavy-row certainty, and the overflow guard") {
+    val s = spark
+    import s.implicits._
+    // 1000 unit-weight rows + one heavy row carrying half the mass:
+    // with expectK=20 the heavy row's rate saturates at 1 (always kept)
+    val df = ((1L to 1000L).map(i => (i, 1L)) :+ (2000L, 1000L))
+      .toDF("doc_id", "w")
+    val out = graft.ops.Sampling.weightedSample(df, expectK = 20L, weightCol = "w")
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(2000L), "a row with w >= tot/k must always be kept")
+    // expected light-row keeps = 19 * (1/2000) * 1000 ≈ 10; the hash cut
+    // is exact, so just bound it loosely
+    val light = kept.count(_ <= 1000L)
+    assert(light > 1 && light < 40, s"light keeps out of range: $light")
+    // deterministic: same input, same subset
+    val again = graft.ops.Sampling.weightedSample(df, expectK = 20L, weightCol = "w")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+    // non-positive weights never sample
+    val withZero = df.union(Seq((3000L, 0L), (3001L, -5L)).toDF("doc_id", "w"))
+    val kept2 = graft.ops.Sampling.weightedSample(withZero, 20L, "w")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept2.contains(3000L) && !kept2.contains(3001L))
+    // the integer envelope is enforced in the plan, not silently wrapped
+    val huge = Seq((1L, Long.MaxValue / 4), (2L, 3L)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      graft.ops.Sampling.weightedSample(huge, 1000L, "w").count()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("bm25TopK ranks by saturated tf, rewards rarity, and caps at k") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "apple apple apple banana"),
+      (2L, "apple banana banana banana"),
+      (3L, "apple cherry cherry cherry"),
+      (4L, "durian durian durian durian"),
+      (5L, "apple")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .bm25TopK(docs, Seq(1 -> Seq("cherry"), 2 -> Seq("apple", "banana")), k = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    // query 1: only doc 3 contains 'cherry'
+    val q1 = out.filter(_._1 == 1)
+    assert(q1.map(_._2).toSeq == Seq(3L))
+    // query 2: doc 2 (banana-heavy + apple) outranks the rest; k=2 caps
+    val q2 = out.filter(_._1 == 2)
+    assert(q2.length == 2 && q2.head._2 == 2L)
+    assert(q2.forall(_._3 > 0L))
+    // a query term absent from the corpus contributes nothing — same
+    // result with and without it
+    val withGhost = graft.ops.TextAnalysis
+      .bm25TopK(docs, Seq(2 -> Seq("apple", "banana", "zzz_ghost")), k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(withGhost == q2.map(t => (t._2, t._3)).toSeq.sorted)
+    // validation
+    intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.bm25TopK(docs, Seq(1 -> Seq("x")), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.bm25TopK(docs, Seq(1 -> Seq.empty[String]))
+    }
+  }
+
   test("deterministicShuffle is a stable total permutation; seeds are independent") {
     val s = spark
     import s.implicits._
