@@ -110,6 +110,19 @@ object NorthStar {
         Bm25Queries,
         k = 10)
         .orderBy("query_id", "rank")),
+    // reciprocal-rank fusion of the lexical (BM25) and dense (cosine)
+    // retrievers for the same three queries — rank reciprocals in exact
+    // integer micro-units, so fused order is bit-stable across engines
+    "retrieval_rrf_fusion" -> ((s, dir) => {
+      val lex = TextAnalysis.bm25TopK(docs(s, dir), Bm25Queries, k = 20)
+      val dense = Similarity
+        .bruteForceTopK(emb(s, dir), Bm25Queries.map(_._1.toLong), k = 20)
+        .select(col("query_id").cast("int").as("query_id"),
+          col("neighbor_id"), col("rank"))
+      graft.ops.Retrieval
+        .rrfFuse(lex, dense, k = 10, idColB = "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
     // symmetric int8 vector compression (4x), exact-integer checksum
     "embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id")),
@@ -1178,6 +1191,58 @@ object NorthStar {
     2 -> Seq("window", "agg", "stream"),
     3 -> Seq("vector", "scan", "filter"))
 
+  /** CTE chain ending in `bm25_ranked(query_id, doc_id, score_u, rank)`
+    * — the full integer-unit BM25 ranking, shared by the bm25 oracle and
+    * the RRF-fusion oracle. Mirrors [[TextAnalysis.bm25TopK]] term by
+    * term (k1 = 1.2, b = 0.75, floor-divided rationals).
+    */
+  private lazy val Bm25Ctes: String = {
+    val qvals = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    val terms = Bm25Queries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents
+       |),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |       FROM tok GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |q(query_id, term) AS (VALUES $qvals),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok WHERE term IN ($terms) GROUP BY 1, 2
+       |),
+       |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |        FROM tf GROUP BY 1),
+       |bm25_scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |         CAST(SUM(
+       |           ((1000 * (2 * st.n_docs - 2 * dfc.df + 1))
+       |              // (2 * dfc.df + 1))
+       |           * ((2200000 * tf.tf)
+       |              // (1000 * tf.tf + 300
+       |                 + (9 * ((1000 * dl.dl * st.n_docs) // st.sum_dl))
+       |                   // 10))
+       |         ) AS BIGINT) AS score_u
+       |  FROM q
+       |  JOIN tf USING (term)
+       |  JOIN dfc USING (term)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN st
+       |  GROUP BY 1, 2
+       |),
+       |bm25_ranked AS (
+       |  SELECT query_id, doc_id, score_u,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score_u DESC, doc_id ASC)
+       |              AS BIGINT) AS rank
+       |  FROM bm25_scored
+       |)""".stripMargin
+  }
+
   /** CTE chain ending in `pairs(id_a, id_b)` — the MinHash+LSH candidate
     * pairs, shared by the pair listing and the cluster-closure oracles.
     */
@@ -1576,52 +1641,57 @@ object NorthStar {
 
     // integer-unit BM25 (see TextAnalysis.bm25TopK): every division is
     // a BIGINT floor division, so scores are bit-identical across engines
-    "text_bm25_topk" -> {
-      val qvals = Bm25Queries
-        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
-        .mkString(", ")
-      val terms = Bm25Queries.flatMap(_._2).distinct
-        .map(t => s"'$t'").mkString(", ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         |  FROM documents
+    "text_bm25_topk" ->
+      s"""WITH $Bm25Ctes
+         |SELECT query_id, doc_id, score_u, rank
+         |FROM bm25_ranked
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // RRF over the BM25 list and the dense cosine list (query vectors =
+    // embeddings 1..3, mirroring the engine's Bm25Queries ids); rank
+    // reciprocals are integral divisions — exact on both engines
+    "retrieval_rrf_fusion" ->
+      s"""WITH $Bm25Ctes,
+         |lex AS (SELECT query_id, doc_id, rank FROM bm25_ranked
+         |        WHERE rank <= 20),
+         |v AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(list_sum(list_transform(embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings
          |),
-         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-         |       FROM tok GROUP BY 1),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-         |q(query_id, term) AS (VALUES $qvals),
-         |tf AS (
-         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |  FROM tok WHERE term IN ($terms) GROUP BY 1, 2
+         |dscored AS (
+         |  SELECT CAST(q.vec_id AS INT) AS query_id, c.vec_id AS doc_id,
+         |         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+         |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |           / (q.nrm * c.nrm) AS score
+         |  FROM v q JOIN v c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id IN (${Bm25Queries.map(_._1).mkString(", ")})
+         |    AND q.nrm > 0 AND c.nrm > 0
          |),
-         |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-         |        FROM tf GROUP BY 1),
-         |scored AS (
-         |  SELECT q.query_id, tf.doc_id,
-         |         CAST(SUM(
-         |           ((1000 * (2 * st.n_docs - 2 * dfc.df + 1))
-         |              // (2 * dfc.df + 1))
-         |           * ((2200000 * tf.tf)
-         |              // (1000 * tf.tf + 300
-         |                 + (9 * ((1000 * dl.dl * st.n_docs) // st.sum_dl))
-         |                   // 10))
-         |         ) AS BIGINT) AS score_u
-         |  FROM q
-         |  JOIN tf USING (term)
-         |  JOIN dfc USING (term)
-         |  JOIN dl ON dl.doc_id = tf.doc_id
-         |  CROSS JOIN st
-         |  GROUP BY 1, 2
+         |dense AS (
+         |  SELECT query_id, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM dscored
+         |  QUALIFY rank <= 20
+         |),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         |         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         |         coalesce(1000000 // (60 + l.rank), 0)
+         |           + coalesce(1000000 // (60 + d.rank), 0) AS rrf_u
+         |  FROM lex l
+         |  FULL OUTER JOIN dense d
+         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
          |)
-         |SELECT query_id, doc_id, score_u,
+         |SELECT query_id, doc_id, CAST(rrf_u AS BIGINT) AS rrf_u,
          |       CAST(row_number() OVER (PARTITION BY query_id
-         |                               ORDER BY score_u DESC, doc_id ASC)
-         |            AS BIGINT) AS rank
-         |FROM scored
+         |            ORDER BY rrf_u DESC, doc_id ASC) AS BIGINT) AS rank
+         |FROM fused
          |QUALIFY rank <= 10
-         |ORDER BY query_id, rank""".stripMargin
-    },
+         |ORDER BY query_id, rank""".stripMargin,
 
     "text_gopher" ->
       """WITH t AS (

@@ -1017,6 +1017,29 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("rrfFuse: both-list docs outrank single-list docs; exact reciprocal units") {
+    val s = spark
+    import s.implicits._
+    // query 1: doc 10 is rank 2 in BOTH lists; doc 11 is rank 1 in A
+    // only; doc 12 rank 1 in B only. RRF: 10 → 2·(1000000 div 62) =
+    // 32256, 11/12 → 1000000 div 61 = 16393 each → 10 wins, then the
+    // 11/12 tie breaks on doc_id
+    val a = Seq((1, 11L, 1L), (1, 10L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1, 12L, 1L), (1, 10L, 2L)).toDF("query_id", "doc_id", "rank")
+    val out = graft.ops.Retrieval.rrfFuse(a, b, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._3)
+    assert(out.toSeq == Seq(
+      (10L, 2L * (1000000L / 62L), 1L),
+      (11L, 1000000L / 61L, 2L),
+      (12L, 1000000L / 61L, 3L)))
+    // k caps the fused list
+    assert(graft.ops.Retrieval.rrfFuse(a, b, k = 1).count() == 1L)
+    intercept[IllegalArgumentException] {
+      graft.ops.Retrieval.rrfFuse(a, b, k = 0)
+    }
+  }
+
   test("deterministicShuffle is a stable total permutation; seeds are independent") {
     val s = spark
     import s.implicits._
