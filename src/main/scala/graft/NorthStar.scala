@@ -123,6 +123,15 @@ object NorthStar {
         .rrfFuse(lex, dense, k = 10, idColB = "neighbor_id")
         .orderBy("query_id", "rank")
     }),
+    // MMR diversity reranking over each query's exact cosine pool —
+    // greedy λ·rel − (1−λ)·max-sim-to-selected trajectory, bit-stable
+    // across engines (same double folds + id tie-breaks); the oracle
+    // walks the identical trajectory with a recursive CTE
+    "retrieval_mmr_topk" -> ((s, dir) =>
+      graft.ops.Retrieval
+        .mmrRerank(emb(s, dir), Bm25Queries.map(_._1.toLong),
+          k = 5, poolSize = 16, lambdaPermille = 700)
+        .orderBy("query_id", "rank")),
     // symmetric int8 vector compression (4x), exact-integer checksum
     "embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id")),
@@ -1691,6 +1700,82 @@ object NorthStar {
          |            ORDER BY rrf_u DESC, doc_id ASC) AS BIGINT) AS rank
          |FROM fused
          |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // greedy MMR trajectory as a recursive CTE: each step appends the
+    // argmax of lam*rel - (1-lam)*max_sim_to_selected (tie: smaller doc
+    // id, via max over a (score, -doc) struct); doubles match the
+    // engine's folds bit for bit, so the trajectories are identical
+    "retrieval_mmr_topk" ->
+      s"""WITH RECURSIVE
+         |v AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(list_sum(list_transform(embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings
+         |),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+         |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |           / (q.nrm * c.nrm) AS rel
+         |  FROM v q JOIN v c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id IN (${Bm25Queries.map(_._1).mkString(", ")})
+         |    AND q.nrm > 0 AND c.nrm > 0
+         |),
+         |cand AS (
+         |  SELECT query_id, doc_id, rel FROM (
+         |    SELECT query_id, doc_id, rel,
+         |           row_number() OVER (PARTITION BY query_id
+         |                ORDER BY rel DESC, doc_id ASC) AS rnk
+         |    FROM scored) WHERE rnk <= 16
+         |),
+         |cv AS (
+         |  SELECT c.query_id, c.doc_id, c.rel, v.embedding, v.nrm
+         |  FROM cand c JOIN v ON v.vec_id = c.doc_id
+         |),
+         |sim AS (
+         |  SELECT a.query_id, a.doc_id AS d1, b.doc_id AS d2,
+         |         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |           / (a.nrm * b.nrm) AS s
+         |  FROM cv a JOIN cv b
+         |    ON a.query_id = b.query_id AND a.doc_id != b.doc_id
+         |),
+         |pick AS (
+         |  SELECT query_id, [doc_id] AS sel, 1 AS it
+         |  FROM (SELECT query_id, doc_id,
+         |               row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY rel DESC, doc_id ASC) AS rn
+         |        FROM cand) WHERE rn = 1
+         |  UNION ALL
+         |  SELECT p.query_id,
+         |         list_append(p.sel, -(max(struct_pack(
+         |           m := (CAST(700 AS DOUBLE) / 1000.0) * c.rel
+         |                - (1.0 - CAST(700 AS DOUBLE) / 1000.0)
+         |                  * (SELECT max(s.s) FROM sim s
+         |                     WHERE s.query_id = p.query_id
+         |                       AND s.d1 = c.doc_id
+         |                       AND list_contains(p.sel, s.d2)),
+         |           nd := -c.doc_id)).nd)) AS sel,
+         |         p.it + 1 AS it
+         |  FROM pick p
+         |  JOIN cand c
+         |    ON c.query_id = p.query_id AND NOT list_contains(p.sel, c.doc_id)
+         |  WHERE p.it < 5
+         |  GROUP BY p.query_id, p.sel, p.it
+         |),
+         |last AS (
+         |  SELECT query_id, sel FROM (
+         |    SELECT query_id, sel,
+         |           row_number() OVER (PARTITION BY query_id
+         |                ORDER BY it DESC) AS rn
+         |    FROM pick) WHERE rn = 1
+         |)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |       CAST(unnest(sel) AS BIGINT) AS doc_id,
+         |       CAST(unnest(range(1, len(sel) + 1)) AS BIGINT) AS rank
+         |FROM last
          |ORDER BY query_id, rank""".stripMargin,
 
     "text_gopher" ->

@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -59,5 +61,116 @@ object Retrieval {
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rrf_u"), col("rank"))
+  }
+
+  /** Maximal-marginal-relevance reranking (Carbonell & Goldstein): from
+    * each query's exact top-`poolSize` cosine pool, greedily select `k`
+    * docs maximizing `λ·rel − (1−λ)·max_sim_to_selected` — relevance
+    * first, redundancy penalized. The diversity op for retrieval-set
+    * curation: a near-duplicate of an already-selected doc is pushed
+    * down even when its raw relevance ranks it next.
+    *
+    * Determinism/portability: relevance and pairwise similarity use the
+    * SAME left-to-right widen-to-double fold as
+    * [[Similarity.bruteForceTopK]] (and the DuckDB oracle's
+    * `list_sum(list_transform(...))`), λ derives from an integer
+    * per-mille, and every comparison tie-breaks on doc id — so the
+    * greedy trajectory is bit-identical on any engine. The oracle is a
+    * recursive CTE walking the same trajectory.
+    *
+    * Scale shape: the pool step is the ANN family's (broadcast queries,
+    * or swap in an IVF top-k upstream); the greedy step is
+    * per-query-bounded — poolSize vectors per group, O(poolSize·k)
+    * similarity evaluations, no shuffle beyond the pool's own. This is
+    * deliberately NOT a window/SQL plan: the marginal term makes each
+    * pick depend on all previous picks, which no frame can express.
+    */
+  def mmrRerank(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      poolSize: Int,
+      lambdaPermille: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      s"lambdaPermille must be in [0,1000], got $lambdaPermille")
+    val lam = lambdaPermille / 1000.0
+    val omLam = 1.0 - lam
+    val pool = Similarity
+      .bruteForceTopK(emb, queryIds, poolSize, idCol, vecCol)
+      .select(col("query_id").cast("long").as("_q"),
+        col("neighbor_id").cast("long").as("_d"),
+        col("score").cast("double").as("_rel"))
+    val withVec = pool.join(
+      emb.select(col(idCol).cast("long").as("_d"),
+        col(vecCol).cast("array<float>").as("_v")),
+      "_d")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    withVec
+      .select(col("_q"), col("_d"), col("_rel"), col("_v"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        // rel desc, id asc — the same total order the pool was ranked by
+        val cand = it.toArray.sortBy(c => (-c._3, c._2))
+        val n = cand.length
+        // the oracle's list_sum fold: left-to-right, floats widened
+        def dot(a: Array[Float], b: Array[Float]): Double = {
+          var s = 0.0; var i = 0
+          val m = math.min(a.length, b.length)
+          while (i < m) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+          s
+        }
+        val nrm = cand.map(c => math.sqrt(dot(c._4, c._4)))
+        def sim(i: Int, j: Int): Double =
+          dot(cand(i)._4, cand(j)._4) / (nrm(i) * nrm(j))
+        // true max-sim-to-selected, which can be NEGATIVE for
+        // anti-correlated vectors — never clamp at 0, or diversity
+        // bonuses for opposite-direction docs are silently erased
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val selected = ArrayBuffer.empty[Int]
+        val picked = Array.fill(n)(false)
+        def select(ci: Int): Unit = {
+          picked(ci) = true
+          selected += ci
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              val s = sim(j, ci)
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+        }
+        if (n > 0) select(0) // seed by pure relevance, like the oracle
+        while (selected.length < math.min(k, n)) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val m = lam * cand(i)._3 - omLam * maxSim(i)
+              // strict > plus candidate order (rel desc, id asc) would
+              // tie-break on POOL rank; the contract is doc-id asc, and
+              // the scan meets candidates in that order only per equal
+              // mmr — so compare (score, then id) explicitly
+              if (m > bestScore ||
+                (m == bestScore && best >= 0 && cand(i)._2 < cand(best)._2)) {
+                best = i; bestScore = m
+              }
+            }
+            i += 1
+          }
+          select(best)
+        }
+        selected.iterator.zipWithIndex.map { case (ci, r) =>
+          (q, cand(ci)._2, (r + 1).toLong)
+        }
+      }
+      .toDF("query_id", "doc_id", "rank")
   }
 }

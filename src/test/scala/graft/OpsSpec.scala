@@ -1040,6 +1040,44 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mmrRerank demotes near-duplicates; lambda=1000 reduces to pure relevance") {
+    val s = spark
+    import s.implicits._
+    // query 0 = [1,0]; docs 1 and 2 are near-identical high-relevance
+    // twins, doc 3 is moderately relevant but diverse, doc 4 weak
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.99f, 0.10f)),
+      (2L, Array(0.992f, 0.10f)),
+      (3L, Array(0.60f, 0.80f)),
+      (4L, Array(0.10f, 0.99f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Retrieval
+      .mmrRerank(emb, Seq(0L), k = 3, poolSize = 4, lambdaPermille = 300)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2)
+    // rank 1: the top-relevance twin (doc 2, marginally closer); at a
+    // diversity-heavy lambda rank 2 is the most-orthogonal doc 4
+    // (maxsim to doc 2 only ~0.20), NOT the twin doc 1 that raw
+    // relevance would pick — the twin drops to last
+    assert(out.map(_._1).toSeq == Seq(2L, 4L, 1L), s"got ${out.toSeq}")
+    // lambda = 1 is pure relevance: order matches brute-force cosine
+    val pure = graft.ops.Retrieval
+      .mmrRerank(emb, Seq(0L), k = 3, poolSize = 4, lambdaPermille = 1000)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2).map(_._1)
+    val brute = graft.ops.Similarity.bruteForceTopK(emb, Seq(0L), k = 3)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(pure.toSeq == brute.toSeq)
+    // deterministic across runs
+    val again = graft.ops.Retrieval
+      .mmrRerank(emb, Seq(0L), k = 3, poolSize = 4, lambdaPermille = 300)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2).map(_._1)
+    assert(again.toSeq == out.map(_._1).toSeq)
+    intercept[IllegalArgumentException] {
+      graft.ops.Retrieval.mmrRerank(emb, Seq(0L), k = 5, poolSize = 4,
+        lambdaPermille = 700)
+    }
+  }
+
   test("deterministicShuffle is a stable total permutation; seeds are independent") {
     val s = spark
     import s.implicits._
