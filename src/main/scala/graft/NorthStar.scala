@@ -1096,6 +1096,13 @@ object NorthStar {
     "text_dup_spans" -> ((s, dir) =>
       TextAnalysis.duplicateSpans(docs(s, dir), width = 8, stride = 4)
         .orderBy("span_hash")),
+    // maximal verbatim token runs shared between doc PAIRS — alignments
+    // (pa, pb) per content-hashed stride-1 shingle, merged per diagonal
+    // (pa − pb) by gaps-and-islands; the Lee-et-al-style cut list
+    "dedup_cross_spans" -> ((s, dir) =>
+      TextAnalysis.crossDupSpans(docs(s, dir),
+        width = 8, minSpanTokens = 16, maxShingleOcc = 64)
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")),
 
     // the end-to-end curation DAG as ONE declarative plan: quality
     // scoring, repetition filtering and exact-dup canonicalization
@@ -1886,6 +1893,49 @@ object NorthStar {
          |GROUP BY span_hash
          |HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY span_hash""").stripMargin,
+
+    // pairwise maximal shared runs: stride-1 shingles, df-capped, one
+    // diagonal (pa − pb) per alignment family, islands by pa − rn
+    "dedup_cross_spans" ->
+      (s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tok
+         |  FROM documents WHERE doc_id IS NOT NULL
+         |),
+         |idx AS (
+         |  SELECT doc_id, tok, unnest(generate_series(1, len(tok) - 7)) AS i
+         |  FROM t WHERE len(tok) >= 8
+         |),
+         |sh AS (
+         |  SELECT doc_id, CAST(i AS INT) AS pos,
+         |         ${Md5Long60.format(
+              "array_to_string(list_slice(tok, CAST(i AS INT), CAST(i AS INT) + 7), ' ')")}
+         |           AS h
+         |  FROM idx
+         |),
+         |c AS (SELECT h FROM sh GROUP BY h
+         |      HAVING count(*) >= 2 AND count(*) <= 64),
+         |k AS (SELECT sh.doc_id, sh.pos, sh.h FROM sh JOIN c USING (h)),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.pos AS pa, b.pos AS pb, a.pos - b.pos AS d
+         |  FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
+         |),
+         |r AS (
+         |  SELECT doc_a, doc_b, d, pa, pb,
+         |         row_number() OVER (PARTITION BY doc_a, doc_b, d
+         |                            ORDER BY pa ASC) AS rn
+         |  FROM p
+         |),
+         |s AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(min(pa) AS BIGINT) AS start_a,
+         |         CAST(min(pb) AS BIGINT) AS start_b,
+         |         CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_tokens
+         |  FROM r GROUP BY doc_a, doc_b, d, pa - rn
+         |)
+         |SELECT doc_a, doc_b, start_a, start_b, span_tokens
+         |FROM s WHERE span_tokens >= 16
+         |ORDER BY doc_a, doc_b, start_a, start_b""").stripMargin,
 
     // T=2 temperature rebalancing: rate = floor(1000 / sqrt(n_s/n_min))
     // — sqrt and division are IEEE-correctly-rounded in both engines

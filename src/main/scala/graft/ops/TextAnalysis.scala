@@ -614,6 +614,81 @@ object TextAnalysis {
     * corpus's spans identically short of a 2^-64-per-pair collision,
     * the same accepted class as every hash-keyed operator here.
     */
+  /** Cross-document duplicate spans: the maximal token runs (length ≥
+    * `minSpanTokens`) shared verbatim between two DIFFERENT documents —
+    * the exact-substring dedup signal pretraining pipelines cut on
+    * (boilerplate, mirrored passages, licensing blocks), where document-
+    * level near-dup metrics stay silent because the rest of the docs
+    * differ.
+    *
+    * Mechanics: stride-1 `width`-token shingles keyed by content hash;
+    * matching shingles across a doc pair are alignments (pa, pb), and
+    * alignments on one DIAGONAL (pa − pb constant) with consecutive pa
+    * merge into maximal runs (gaps-and-islands per diagonal): a run of m
+    * consecutive shingle starts is a shared span of `width + m − 1`
+    * tokens. Emits (doc_a, doc_b, start_a, start_b, span_tokens), one
+    * row per maximal run.
+    *
+    * Scale shape: shingling is stride-1, so the explode carries ~one row
+    * per corpus token — the honest cost of exact-substring dedup (what a
+    * suffix array pays too), partitioned by the scan. The only
+    * quadratic risk is the shingle self-join; `maxShingleOcc` drops
+    * shingles whose total occurrence exceeds the cap (the standard
+    * df-cap on boilerplate n-grams), bounding pair fan-out at cap² per
+    * shingle. Spans built purely from window + groupBy — no driver state.
+    */
+  def crossDupSpans(
+      docs: DataFrame,
+      width: Int = 8,
+      minSpanTokens: Int = 16,
+      maxShingleOcc: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(minSpanTokens >= width,
+      s"minSpanTokens ($minSpanTokens) must be >= width ($width)")
+    require(maxShingleOcc >= 2, s"maxShingleOcc must be >= 2, got $maxShingleOcc")
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val sh = docs
+      .filter(col(idCol).isNotNull && size(toks) >= width)
+      .select(
+        col(idCol).as("_doc"), toks.as("_toks"),
+        explode(sequence(lit(1), size(toks) - (width - 1))).as("_pos"))
+      .select(
+        col("_doc"), col("_pos"),
+        Hashing.md5Long60(
+          array_join(slice(col("_toks"), col("_pos"), lit(width)), " "))
+          .as("_h"))
+    val counted = sh.groupBy(col("_h")).agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") >= 2 && col("_occ") <= maxShingleOcc)
+      .select(col("_h"))
+    val kept = sh.join(counted, "_h")
+    val pairs = kept
+      .select(col("_h"), col("_doc").as("doc_a"), col("_pos").as("pa"))
+      .join(
+        kept.select(col("_h"), col("_doc").as("doc_b"), col("_pos").as("pb")),
+        Seq("_h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("_d", col("pa") - col("pb"))
+    // per diagonal, (doc_a, pa) determines the shingle, so pa values are
+    // distinct — row_number over pa is a total order and pa − rn is the
+    // classic island key for consecutive runs
+    val byDiag = Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("_d"))
+      .orderBy(col("pa").asc)
+    pairs
+      .withColumn("_grp", col("pa") - row_number().over(byDiag))
+      .groupBy(col("doc_a"), col("doc_b"), col("_d"), col("_grp"))
+      .agg(
+        min(col("pa")).cast("long").as("start_a"),
+        min(col("pb")).cast("long").as("start_b"),
+        (max(col("pa")) - min(col("pa")) + width).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc_a"), col("doc_b"),
+        col("start_a"), col("start_b"), col("span_tokens"))
+  }
+
   def duplicateSpans(
       docs: DataFrame,
       width: Int,

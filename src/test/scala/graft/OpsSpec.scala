@@ -1078,6 +1078,38 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("crossDupSpans merges diagonal alignments into maximal pair spans") {
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("dup", 10) // a 10-token run shared verbatim
+    val docs = Seq(
+      (1L, words("a", 3) + " " + shared + " " + words("z", 4)),
+      (2L, words("b", 6) + " " + shared + " " + words("y", 2)),
+      (3L, words("c", 12)) // no overlap
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .crossDupSpans(docs, width = 4, minSpanTokens = 8, maxShingleOcc = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // one maximal span: doc 1 pos 4..13 aligns with doc 2 pos 7..16 —
+    // 7 consecutive 4-token shingle starts = 10 tokens
+    assert(out.toSeq == Seq((1L, 2L, 4L, 7L, 10L)), s"got ${out.toSeq}")
+    // raising the floor above the span length empties the result
+    assert(graft.ops.TextAnalysis
+      .crossDupSpans(docs, width = 4, minSpanTokens = 11, maxShingleOcc = 8)
+      .count() == 0L)
+    // a boilerplate shingle past the occurrence cap never forms pairs
+    val boiler = (1L to 10L).map(i => (i, shared)).toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis
+      .crossDupSpans(boiler, width = 4, minSpanTokens = 8, maxShingleOcc = 5)
+      .count() == 0L)
+    intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.crossDupSpans(docs, width = 8, minSpanTokens = 4)
+    }
+  }
+
   test("deterministicShuffle is a stable total permutation; seeds are independent") {
     val s = spark
     import s.implicits._
