@@ -243,6 +243,17 @@ object NorthStar {
           expectK = 100L, weightCol = "w_tokens")
         .select(col("doc_id"), col("w_tokens"), col("rate_pm"))
         .orderBy("doc_id")),
+    // exact-size systematic PPS: k=100 picks on the hash line, heavy
+    // rows carry multiplicity — distributed prefix sum over 256
+    // contiguous hash buckets, never a global-order window
+    "sample_systematic" -> ((s, dir) =>
+      graft.ops.Sampling
+        .systematicSample(
+          docs(s, dir).withColumn(
+            "w_tokens", size(split(col("text"), " ")).cast("long")),
+          k = 100L, weightCol = "w_tokens")
+        .select(col("doc_id"), col("w_tokens"), col("n_picks"))
+        .orderBy("doc_id")),
     // fixed-token-budget sequence packing per source shard
     "pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(docs(s, dir), budgetTokens = 256L)
@@ -1992,6 +2003,30 @@ object NorthStar {
          |FROM r
          |WHERE ${Md5Long60.format("CAST(doc_id AS VARCHAR)")}
          |        // 1099511627776 < rate_pm
+         |ORDER BY doc_id""".stripMargin,
+
+    // systematic PPS: global running sum over the (hash, id) line;
+    // n_picks counts the multiples of tot/k inside each row's interval
+    // — all integral divisions, so the pick set is bit-identical
+    "sample_systematic" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w_tokens,
+         |         ${Md5Long60.format("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents
+         |), t AS (SELECT CAST(sum(w_tokens) AS BIGINT) AS tot FROM w),
+         |c AS (
+         |  SELECT doc_id, w_tokens,
+         |         CAST(sum(w_tokens) OVER (ORDER BY h ASC, doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum
+         |  FROM w
+         |)
+         |SELECT doc_id, w_tokens,
+         |       CAST((cum * 100) // tot
+         |            - ((cum - w_tokens) * 100) // tot AS BIGINT) AS n_picks
+         |FROM c CROSS JOIN t
+         |WHERE (cum * 100) // tot - ((cum - w_tokens) * 100) // tot >= 1
          |ORDER BY doc_id""".stripMargin,
 
     // exclusive running token total per source shard; a doc joins the

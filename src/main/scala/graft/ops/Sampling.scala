@@ -303,6 +303,80 @@ object Sampling {
       .drop("_w_pps", "_gr_ws_hash", "_tot_w", "_max_w")
   }
 
+  /** Systematic PPS sampling — the EXACT-size companion to
+    * [[weightedSample]]: lay the rows on a line in a deterministic
+    * hash order, each occupying an interval of its weight, and pick the
+    * rows whose interval contains a multiple of Σw / k. Exactly `k`
+    * picks (heavy rows with w > Σw/k are hit multiple times and carry
+    * `n_picks` > 1 — the standard PPS-with-multiplicity contract), zero
+    * variance in sample size, still probability-proportional-to-size.
+    * Used where the budget is exact: eval sets, fixed-size calibration
+    * subsets, per-shard quotas.
+    *
+    * Pick rule in exact integers: row i (cumulative weight interval
+    * [c_{i−1}, c_i)) is selected with
+    * `n_picks = (c_i · k) div Σw − (c_{i−1} · k) div Σw` — integer
+    * multiples of Σw/k are found without ever forming the fraction, so
+    * the sample is bit-reproducible on any engine. Overflow envelope
+    * (Σw · k < 2^63) enforced in-plan with raise_error.
+    *
+    * Scale shape: the global running sum is NOT a global-order window
+    * (one indivisible task — the scale-killer): the hash line is cut
+    * into 256 contiguous buckets by hash prefix, per-bucket totals fold
+    * into broadcast offsets (a 256-row window), and each bucket scans
+    * its own prefix sum in parallel — offset + local cumsum IS the
+    * global cumsum because the bucket key is monotone in the order key.
+    */
+  def systematicSample(
+      df: DataFrame,
+      k: Long,
+      weightCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val wRaw = col(weightCol).cast("long")
+    val w = when(wRaw > 0, wRaw).otherwise(lit(0L))
+    val tot = df.agg(coalesce(sum(w), lit(0L)).as("_tot_w"))
+    val totAllowed = Long.MaxValue / k
+    // 256 contiguous hash-line segments: 2^60-bit hash div 2^52
+    val bucketWidth = (1L << 60) / 256
+    val base = df
+      .withColumn("_w_ss", w)
+      .withColumn("_gr_ss_hash", idHash(col(idCol)))
+      .withColumn("_bk_ss", expr(s"_gr_ss_hash div ${bucketWidth}L"))
+    val offsets = base
+      .groupBy(col("_bk_ss"))
+      .agg(sum(col("_w_ss")).as("_bsum"))
+      .withColumn("_boff",
+        coalesce(
+          sum(col("_bsum")).over(
+            Window.orderBy(col("_bk_ss"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_bk_ss"), col("_boff"))
+    base
+      .join(broadcast(offsets), "_bk_ss")
+      .crossJoin(broadcast(tot))
+      .withColumn("_cum",
+        col("_boff") + sum(col("_w_ss")).over(
+          Window.partitionBy(col("_bk_ss"))
+            .orderBy(col("_gr_ss_hash").asc, col(idCol).asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn(
+        "n_picks",
+        when(col("_tot_w") > totAllowed,
+          raise_error(concat(
+            lit(s"systematicSample overflow: k=$k * total weight "),
+            col("_tot_w").cast("string"),
+            lit(" exceeds the 2^63 integer envelope — rescale the weights"))))
+          .when(col("_tot_w") <= 0L, lit(0L))
+          .otherwise(
+            expr(s"(_cum * ${k}L) div _tot_w") -
+              expr(s"((_cum - _w_ss) * ${k}L) div _tot_w")))
+      .filter(col("n_picks") >= 1L)
+      .drop("_w_ss", "_gr_ss_hash", "_bk_ss", "_boff", "_tot_w", "_cum")
+  }
+
   /** Budgeted selection: within each stratum, take rows in priority
     * order while the running cost stays within budget — the "best docs
     * until the token budget runs out" curation step. A row is kept iff

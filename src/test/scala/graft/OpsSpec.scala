@@ -1110,6 +1110,37 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("systematicSample: exactly k picks with multiplicity; zero-weight rows never picked") {
+    val s = spark
+    import s.implicits._
+    val df = ((1L to 500L).map(i => (i, 2L)) :+ (9999L, 500L))
+      .toDF("doc_id", "w") // heavy row carries 1/3 of the mass
+    val out = graft.ops.Sampling.systematicSample(df, k = 30L, weightCol = "w")
+      .select("doc_id", "n_picks").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exact size: multiplicities sum to k, always
+    assert(out.map(_._2).sum == 30L)
+    // the heavy row holds ~1/3 of the line: ~10 multiples land in it
+    val heavy = out.find(_._1 == 9999L)
+    assert(heavy.isDefined && heavy.get._2 >= 9L && heavy.get._2 <= 11L,
+      s"heavy picks: $heavy")
+    // deterministic
+    val again = graft.ops.Sampling.systematicSample(df, k = 30L, weightCol = "w")
+      .select("doc_id", "n_picks").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSet == out.toSet)
+    // zero/negative weights occupy no interval
+    val withZero = df.union(Seq((8888L, 0L), (8887L, -1L)).toDF("doc_id", "w"))
+    val kept = graft.ops.Sampling.systematicSample(withZero, 30L, "w")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(8888L) && !kept.contains(8887L))
+    // in-plan overflow guard
+    val huge = Seq((1L, Long.MaxValue / 8), (2L, 5L)).toDF("doc_id", "w")
+    intercept[Exception] {
+      graft.ops.Sampling.systematicSample(huge, 100L, "w").count()
+    }
+  }
+
   test("deterministicShuffle is a stable total permutation; seeds are independent") {
     val s = spark
     import s.implicits._
