@@ -2017,7 +2017,8 @@ object NorthStar {
          |), t AS (SELECT CAST(sum(w_tokens) AS BIGINT) AS tot FROM w),
          |c AS (
          |  SELECT doc_id, w_tokens,
-         |         CAST(sum(w_tokens) OVER (ORDER BY h ASC, doc_id ASC
+         |         CAST(sum(w_tokens) OVER (ORDER BY h ASC, doc_id ASC,
+         |             w_tokens ASC
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |           AS BIGINT) AS cum
          |  FROM w

@@ -357,10 +357,14 @@ object Sampling {
     base
       .join(broadcast(offsets), "_bk_ss")
       .crossJoin(broadcast(tot))
+      // the weight joins the sort key so duplicate ids with DIFFERENT
+      // weights still order totally; rows identical in (id, w) remain
+      // interchangeable — their interval boundaries (and therefore the
+      // output multiset) don't depend on which physical row goes first
       .withColumn("_cum",
         col("_boff") + sum(col("_w_ss")).over(
           Window.partitionBy(col("_bk_ss"))
-            .orderBy(col("_gr_ss_hash").asc, col(idCol).asc)
+            .orderBy(col("_gr_ss_hash").asc, col(idCol).asc, col("_w_ss").asc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn(
         "n_picks",
