@@ -650,6 +650,10 @@ object TextAnalysis {
     require(maxShingleOcc >= 2, s"maxShingleOcc must be >= 2, got $maxShingleOcc")
     import org.apache.spark.sql.expressions.Window
     val toks = tokens(col(textCol))
+    // content key: xxhash64 over the sliced token array directly — no
+    // join-to-string, no cryptographic hash (duplicateSpans' choice);
+    // the key never reaches the output, so the oracle is free to group
+    // by the raw shingle text instead
     val sh = docs
       .filter(col(idCol).isNotNull && size(toks) >= width)
       .select(
@@ -657,13 +661,17 @@ object TextAnalysis {
         explode(sequence(lit(1), size(toks) - (width - 1))).as("_pos"))
       .select(
         col("_doc"), col("_pos"),
-        Hashing.md5Long60(
-          array_join(slice(col("_toks"), col("_pos"), lit(width)), " "))
-          .as("_h"))
-    val counted = sh.groupBy(col("_h")).agg(count(lit(1)).as("_occ"))
+        xxhash64(slice(col("_toks"), col("_pos"), lit(width))).as("_h"))
+    // occurrence cap via a count window on the SAME exchange the
+    // self-join needs — and because both join sides are then identical
+    // subtrees, ReuseExchange evaluates the tokenize+hash pipeline once
+    // (the groupBy+join-back form re-scanned it three times)
+    val kept = sh
+      .withColumn("_occ",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))))
       .filter(col("_occ") >= 2 && col("_occ") <= maxShingleOcc)
-      .select(col("_h"))
-    val kept = sh.join(counted, "_h")
+      .drop("_occ")
     val pairs = kept
       .select(col("_h"), col("_doc").as("doc_a"), col("_pos").as("pa"))
       .join(
