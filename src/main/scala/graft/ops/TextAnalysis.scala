@@ -662,22 +662,32 @@ object TextAnalysis {
       .select(
         col("_doc"), col("_pos"),
         xxhash64(slice(col("_toks"), col("_pos"), lit(width))).as("_h"))
-    // occurrence cap via a count window on the SAME exchange the
-    // self-join needs — and because both join sides are then identical
-    // subtrees, ReuseExchange evaluates the tokenize+hash pipeline once
-    // (the groupBy+join-back form re-scanned it three times)
-    val kept = sh
-      .withColumn("_occ",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))))
+    // TWO narrow scans, tiny-only shuffles — neither of the obvious
+    // shapes survives scale: a count window shuffles the corpus-sized
+    // shingle stream by _h and buffers each df-capped boilerplate key
+    // inside ONE task; a kept⋈kept self-join re-evaluates the shingle
+    // pipeline on both sides (3 scans). Instead: (1) groupBy count
+    // partial-aggregates map-side, so its shuffle carries ~one row per
+    // distinct hash per map partition, never the corpus; the surviving
+    // duplicate-hash set is usually tiny and AQE broadcasts the
+    // join-back, so the corpus-sized stream is NEVER exchanged; (2) the
+    // filtered survivors group into per-hash occurrence lists (the cap
+    // bounds every list at maxShingleOcc) and pairs explode from the
+    // list — pair fan-out ≤ cap² per shingle by construction, and the
+    // only exchange of real rows is the tiny survivor set.
+    val counted = sh.groupBy(col("_h")).agg(count(lit(1)).as("_occ"))
       .filter(col("_occ") >= 2 && col("_occ") <= maxShingleOcc)
-      .drop("_occ")
-    val pairs = kept
-      .select(col("_h"), col("_doc").as("doc_a"), col("_pos").as("pa"))
-      .join(
-        kept.select(col("_h"), col("_doc").as("doc_b"), col("_pos").as("pb")),
-        Seq("_h"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("_h"))
+    val occs = sh.join(counted, "_h")
+      .groupBy(col("_h"))
+      .agg(collect_list(struct(col("_doc"), col("_pos"))).as("_occs"))
+    val pairs = occs
+      .select(explode(col("_occs")).as("_a"), col("_occs"))
+      .select(col("_a"), explode(col("_occs")).as("_b"))
+      .filter(col("_a._doc") < col("_b._doc"))
+      .select(
+        col("_a._doc").as("doc_a"), col("_b._doc").as("doc_b"),
+        col("_a._pos").as("pa"), col("_b._pos").as("pb"))
       .withColumn("_d", col("pa") - col("pb"))
     // per diagonal, (doc_a, pa) determines the shingle, so pa values are
     // distinct — row_number over pa is a total order and pa − rn is the
