@@ -97,14 +97,36 @@ object Retrieval {
     require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
     require(lambdaPermille >= 0 && lambdaPermille <= 1000,
       s"lambdaPermille must be in [0,1000], got $lambdaPermille")
-    val lam = lambdaPermille / 1000.0
-    val omLam = 1.0 - lam
     val pool = Similarity
       .bruteForceTopK(emb, queryIds, poolSize, idCol, vecCol)
+    mmrRerankPool(emb, pool, k, lambdaPermille, idCol, vecCol)
+  }
+
+  /** [[mmrRerank]] over a caller-supplied candidate pool — the 100 TB
+    * form: at scale the pool comes from the approximate family
+    * ([[Similarity.ivfTopK]]/[[Similarity.lshTopK]] emit the same
+    * (query_id, neighbor_id, score) shape), so the exact all-pairs
+    * scorer is never on the path; the greedy step only ever sees the
+    * pool. The pool must carry one row per (query, candidate) with the
+    * candidate's relevance in `score`.
+    */
+  def mmrRerankPool(
+      emb: DataFrame,
+      pool: DataFrame,
+      k: Int,
+      lambdaPermille: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      s"lambdaPermille must be in [0,1000], got $lambdaPermille")
+    val lam = lambdaPermille / 1000.0
+    val omLam = 1.0 - lam
+    val poolN = pool
       .select(col("query_id").cast("long").as("_q"),
         col("neighbor_id").cast("long").as("_d"),
         col("score").cast("double").as("_rel"))
-    val withVec = pool.join(
+    val withVec = poolN.join(
       emb.select(col(idCol).cast("long").as("_d"),
         col(vecCol).cast("array<float>").as("_v")),
       "_d")

@@ -1076,6 +1076,13 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       graft.ops.Retrieval.mmrRerank(emb, Seq(0L), k = 5, poolSize = 4,
         lambdaPermille = 700)
     }
+    // the caller-supplied-pool form (the scale path: IVF/LSH pools)
+    // walks the same trajectory when handed the same candidates
+    val pool = graft.ops.Similarity.bruteForceTopK(emb, Seq(0L), k = 4)
+    val viaPool = graft.ops.Retrieval
+      .mmrRerankPool(emb, pool, k = 3, lambdaPermille = 300)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2).map(_._1)
+    assert(viaPool.toSeq == out.map(_._1).toSeq)
   }
 
   test("crossDupSpans merges diagonal alignments into maximal pair spans") {
