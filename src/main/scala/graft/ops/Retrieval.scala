@@ -126,10 +126,19 @@ object Retrieval {
       .select(col("query_id").cast("long").as("_q"),
         col("neighbor_id").cast("long").as("_d"),
         col("score").cast("double").as("_rel"))
-    val withVec = poolN.join(
-      emb.select(col(idCol).cast("long").as("_d"),
-        col(vecCol).cast("array<float>").as("_v")),
-      "_d")
+    // zero-norm (or null-vector / NaN-relevance) candidates have no
+    // cosine: a caller-supplied pool may carry them (the brute pool
+    // pre-filters, IVF/LSH pools might not), and a NaN similarity would
+    // leave maxSim untouched, handing the garbage vector an infinite
+    // marginal score — same guard every ANN kernel applies at its scan
+    val withVec = poolN
+      .filter(col("_rel").isNotNull && !isnan(col("_rel")))
+      .join(
+        emb.select(col(idCol).cast("long").as("_d"),
+          col(vecCol).cast("array<float>").as("_v"))
+          .filter(col("_v").isNotNull &&
+            graft.functions.FloatVectorDot(col("_v"), col("_v")) > 0d),
+        "_d")
     val spark = emb.sparkSession
     import spark.implicits._
     withVec
@@ -169,7 +178,8 @@ object Retrieval {
           }
         }
         if (n > 0) select(0) // seed by pure relevance, like the oracle
-        while (selected.length < math.min(k, n)) {
+        var pickable = true
+        while (pickable && selected.length < math.min(k, n)) {
           var best = -1
           var bestScore = Double.NegativeInfinity
           var i = 0
@@ -187,7 +197,10 @@ object Retrieval {
             }
             i += 1
           }
-          select(best)
+          // defense in depth behind the scan-side NaN filters: if every
+          // remaining marginal score is NaN, stop with the picks we have
+          // rather than indexing -1
+          if (best < 0) pickable = false else select(best)
         }
         selected.iterator.zipWithIndex.map { case (ci, r) =>
           (q, cand(ci)._2, (r + 1).toLong)

@@ -279,9 +279,14 @@ object Sampling {
     require(expectK >= 1, s"expectK must be >= 1, got $expectK")
     val wRaw = col(weightCol).cast("long")
     val w = when(wRaw > 0, wRaw).otherwise(lit(0L))
+    // the double shadow sum cannot wrap — it detects Long sum()
+    // overflow (non-ANSI sum wraps silently; a wrapped negative total
+    // would empty the sample, a wrapped small-positive one would pass
+    // the other guards with inverted rates)
     val tot = df.agg(
       coalesce(sum(w), lit(0L)).as("_tot_w"),
-      coalesce(max(w), lit(0L)).as("_max_w"))
+      coalesce(max(w), lit(0L)).as("_max_w"),
+      coalesce(sum(w.cast("double")), lit(0.0)).as("_tot_d"))
     // 2^20 · expectK · maxW must fit in a signed 64-bit long; the bound
     // is computed driver-side so the plan-side check cannot itself wrap
     val maxWAllowed = Long.MaxValue / (1L << 20) / expectK
@@ -290,7 +295,11 @@ object Sampling {
       .withColumn("_gr_ws_hash", idHash(col(idCol)))
       .withColumn(
         "rate_pm",
-        when(col("_max_w") > maxWAllowed,
+        when(col("_tot_d") > 9.0e18,
+          raise_error(lit(
+            "weightedSample overflow: the weight TOTAL exceeds the " +
+              "64-bit envelope (sum would wrap) — rescale the weights")))
+          .when(col("_max_w") > maxWAllowed,
           raise_error(concat(
             lit(s"weightedSample overflow: expectK=$expectK * max weight "),
             col("_max_w").cast("string"),
@@ -300,7 +309,7 @@ object Sampling {
             lit(1L << 20),
             expr(s"(${1L << 20} * ${expectK}L * _w_pps) div _tot_w"))))
       .filter(expr(s"_gr_ws_hash div ${1L << 40}") < col("rate_pm"))
-      .drop("_w_pps", "_gr_ws_hash", "_tot_w", "_max_w")
+      .drop("_w_pps", "_gr_ws_hash", "_tot_w", "_max_w", "_tot_d")
   }
 
   /** Systematic PPS sampling — the EXACT-size companion to
@@ -336,7 +345,10 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val wRaw = col(weightCol).cast("long")
     val w = when(wRaw > 0, wRaw).otherwise(lit(0L))
-    val tot = df.agg(coalesce(sum(w), lit(0L)).as("_tot_w"))
+    // double shadow sum detects Long sum() wrap — see weightedSample
+    val tot = df.agg(
+      coalesce(sum(w), lit(0L)).as("_tot_w"),
+      coalesce(sum(w.cast("double")), lit(0.0)).as("_tot_d"))
     val totAllowed = Long.MaxValue / k
     // 256 contiguous hash-line segments: 2^60-bit hash div 2^52
     val bucketWidth = (1L << 60) / 256
@@ -368,7 +380,11 @@ object Sampling {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn(
         "n_picks",
-        when(col("_tot_w") > totAllowed,
+        when(col("_tot_d") > 9.0e18,
+          raise_error(lit(
+            "systematicSample overflow: the weight TOTAL exceeds the " +
+              "64-bit envelope (sum would wrap) — rescale the weights")))
+          .when(col("_tot_w") > totAllowed,
           raise_error(concat(
             lit(s"systematicSample overflow: k=$k * total weight "),
             col("_tot_w").cast("string"),
@@ -378,7 +394,7 @@ object Sampling {
             expr(s"(_cum * ${k}L) div _tot_w") -
               expr(s"((_cum - _w_ss) * ${k}L) div _tot_w")))
       .filter(col("n_picks") >= 1L)
-      .drop("_w_ss", "_gr_ss_hash", "_bk_ss", "_boff", "_tot_w", "_cum")
+      .drop("_w_ss", "_gr_ss_hash", "_bk_ss", "_boff", "_tot_w", "_tot_d", "_cum")
   }
 
   /** Budgeted selection: within each stratum, take rows in priority

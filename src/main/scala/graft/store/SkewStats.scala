@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   * can therefore cost performance, never correctness — which is what
   * makes driver-side memoization admissible here at all.
   *
-  * The hot set is bounded by totalRows / threshold (the broadcast-join
+  * The row-rule hot set is bounded by totalRows / threshold (the
+  * frame-aware rule is additionally capped — see
+  * [[hotEntitiesByWindowWork]]) (the broadcast-join
   * cardinality contract), so entries are small; the cache is cleared
   * wholesale past a size bound rather than LRU-tracked.
   */
@@ -78,6 +80,15 @@ object SkewStats {
     * frame and are excluded from the estimate. Memoized like
     * [[hotEntities]]; misclassification costs routing, never
     * correctness (the hybrids are answer-equivalent on any partition).
+    *
+    * Boundedness: unlike the row rule (≤ totalRows/rowThreshold hits by
+    * construction), the work rule can admit totalRows/√workThreshold
+    * entities — a corpus of uniform dense bursts would qualify them
+    * ALL, and the hot set is collected to the driver and expanded into
+    * isin literals. The driver-side set is therefore capped at
+    * [[maxWorkHotSet]] entities, row-rule hits first, then the worst
+    * work offenders — entities past the cap route down the plain path,
+    * a performance (never correctness) concession.
     */
   def hotEntitiesByWindowWork(
       table: DataFrame,
@@ -102,8 +113,11 @@ object SkewStats {
           count(lit(1)).as("_hc"),
           min(ordOf(col(tsCol))).as("_hmin"),
           max(ordOf(col(tsCol))).as("_hmax"))
+        .withColumn("_work", n.cast("double") * frameRows)
         .filter(n >= rowThreshold ||
-          n.cast("double") * frameRows >= lit(workThreshold.toDouble))
+          col("_work") >= lit(workThreshold.toDouble))
+        .orderBy((n >= rowThreshold).desc, col("_work").desc)
+        .limit(MaxWorkHotSet)
         .select(col("_he"))
         .collect()
         .map(_.get(0))
@@ -111,6 +125,10 @@ object SkewStats {
       hot
     })
   }
+
+  /** Cap on the frame-aware hot set (see [[hotEntitiesByWindowWork]]). */
+  private val MaxWorkHotSet = 4096
+  private[graft] def maxWorkHotSet: Int = MaxWorkHotSet
 
   /** Insert under the eviction policy: a full memo displaces a SINGLE
     * arbitrary entry, never the whole cache — clearing would dump

@@ -345,7 +345,9 @@ object WindowFeatures {
     * [[PointInTime.asOfJoinSkewHybrid]], including the cast-aware split
     * (the spine entity is classified AFTER casting to the table's
     * entity type, matching what the kernels compare) and the
-    * driver-side hot set bounded by totalRows / hotRowThreshold.
+    * driver-side hot set bounded by totalRows / hotRowThreshold for
+    * the row rule and capped at [[SkewStats.maxWorkHotSet]] for the
+    * work rule (worst offenders first; the remainder routes plain).
     *
     * Threshold note (examples/WindowSkewDemo, 20M rows): the plain
     * plan's hot-entity cost is probes × in-frame rows inside ONE
@@ -387,7 +389,13 @@ object WindowFeatures {
     // would raise), then the one classification pass reads count + ts
     // span per entity and applies BOTH the row and the work rule.
     val hot = {
-      val tsTypeCls = table.schema.find(_.name == tsCol).map(_.dataType)
+      // exact match first, then case-insensitive — Spark resolves
+      // columns case-insensitively by default, and a casing mismatch
+      // must not silently disable the work rule (the dense-burst shape
+      // it exists to catch would run the plain single-task path)
+      val tsTypeCls = table.schema.find(_.name == tsCol)
+        .orElse(table.schema.find(_.name.equalsIgnoreCase(tsCol)))
+        .map(_.dataType)
       tsTypeCls match {
         case Some(t) =>
           val (ordOfCls, widthCls) =

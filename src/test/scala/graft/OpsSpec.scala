@@ -1083,6 +1083,17 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       .mmrRerankPool(emb, pool, k = 3, lambdaPermille = 300)
       .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2).map(_._1)
     assert(viaPool.toSeq == out.map(_._1).toSeq)
+    // a dirty caller pool carrying a zero-norm candidate: the garbage
+    // vector must be dropped at the scan (a NaN similarity would hand
+    // it an infinite marginal score), leaving the real picks intact
+    val dirtyEmb = emb.union(Seq((9L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val dirtyPool = pool.select(col("query_id"), col("neighbor_id"), col("score"))
+      .union(Seq((0L, 9L, Double.NaN)).toDF("query_id", "neighbor_id", "score"))
+    val cleaned = graft.ops.Retrieval
+      .mmrRerankPool(dirtyEmb, dirtyPool, k = 3, lambdaPermille = 300)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2).map(_._1)
+    assert(cleaned.toSeq == out.map(_._1).toSeq)
+    assert(!cleaned.contains(9L))
   }
 
   test("crossDupSpans merges diagonal alignments into maximal pair spans") {

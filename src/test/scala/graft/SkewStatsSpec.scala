@@ -63,6 +63,26 @@ class SkewStatsSpec extends AnyFunSuite with SparkTestBase {
     SkewStats.invalidate()
   }
 
+  test("hotEntitiesByWindowWork caps the driver-side set at the worst offenders") {
+    val s = spark
+    import s.implicits._
+    SkewStats.invalidate()
+    // 5000 dense-burst entities all qualify under a tiny work threshold;
+    // the driver-side set must stay capped, keeping the worst offender
+    val rows = (0 until 5000).flatMap(e =>
+      Seq((s"e$e", 1L), (s"e$e", 2L))) ++
+      (0 until 10).map(i => ("whale", i.toLong))
+    val df = rows.toDF("entity_id", "ts")
+    val ordOf = (c: org.apache.spark.sql.Column) => c.cast("long")
+    val hot = SkewStats.hotEntitiesByWindowWork(
+      df, "entity_id", "ts", ordOf, width = 3600L,
+      rowThreshold = Long.MaxValue, workThreshold = 1L)
+    assert(hot.length == SkewStats.maxWorkHotSet,
+      s"expected cap ${SkewStats.maxWorkHotSet}, got ${hot.length}")
+    assert(hot.contains("whale"), "the highest-work entity must survive the cap")
+    SkewStats.invalidate()
+  }
+
   test("a full memo evicts ONE entry, not the whole cache") {
     SkewStats.invalidate()
     val cap = SkewStats.maxEntries
