@@ -43,6 +43,87 @@ object OpsProps extends Properties("Ops") {
       hotter.subsetOf(cooler) && ids(1000).size == rows.size
     }
 
+  private val genWeighted: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 80)
+    ws <- Gen.listOfN(n, Gen.oneOf(Gen.choose(0L, 5L), Gen.choose(1L, 500L)))
+  } yield ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+
+  property("systematicSample emits exactly k picks over any weights") =
+    forAll(genWeighted, Gen.choose(1L, 50L)) { (rows, k) =>
+      val s = spark
+      import s.implicits._
+      val df = rows.toDF("doc_id", "w")
+      val out = Sampling.systematicSample(df, k, "w")
+        .select("doc_id", "n_picks").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val byId = rows.toMap
+      val totalPos = rows.map(_._2).filter(_ > 0).sum
+      // exactly k picks when any weight mass exists; picked rows carry
+      // positive weight; multiplicities are all >= 1
+      (if (totalPos > 0) out.map(_._2).sum == k else out.isEmpty) &&
+        out.forall { case (id, np) => np >= 1 && byId(id) > 0 }
+    }
+
+  property("weightedSample keeps every heavy row and never a zero-weight row") =
+    forAll(genWeighted, Gen.choose(1L, 50L)) { (rows, k) =>
+      val s = spark
+      import s.implicits._
+      val df = rows.toDF("doc_id", "w")
+      val kept = Sampling.weightedSample(df, k, "w")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val tot = rows.map(_._2).filter(_ > 0).sum
+      rows.forall { case (id, w) =>
+        if (w <= 0) !kept.contains(id)
+        // rate saturates at 2^20 ⇔ (2^20·k·w) div tot >= 2^20 ⇔ k·w >= tot
+        // (plus any div remainder): k·w >= tot guarantees inclusion
+        else if (tot > 0 && k * w >= tot) kept.contains(id)
+        else true
+      }
+    }
+
+  property("crossDupSpans equals the O(n²) diagonal-run model") =
+    forAll(
+      Gen.choose(2, 6).flatMap(n => Gen.listOfN(n,
+        Gen.choose(4, 14).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))))),
+      Gen.choose(2, 3), Gen.choose(4, 8)) { (docsToks, w, minSpan0) =>
+      val minSpan = math.max(w, minSpan0)
+      val s = spark
+      import s.implicits._
+      val rows = docsToks.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val df = rows.toDF("doc_id", "text")
+      val got = graft.ops.TextAnalysis
+        .crossDupSpans(df, width = w, minSpanTokens = minSpan,
+          maxShingleOcc = 1000)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      // model: all cross-doc shingle alignments, merged per diagonal
+      val toks = docsToks.map(_.toArray)
+      val want = (for {
+        a <- toks.indices; b <- toks.indices if a < b
+        da = toks(a); db = toks(b)
+        d <- -(db.length) to da.length // every possible diagonal
+      } yield {
+        // positions (1-based) pa on this diagonal where shingles match
+        val pas = (1 to da.length - w + 1).filter { pa =>
+          val pb = pa - d
+          pb >= 1 && pb <= db.length - w + 1 &&
+            (0 until w).forall(j => da(pa - 1 + j) == db(pb - 1 + j))
+        }
+        // merge consecutive pa into maximal runs
+        val runs = pas.foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e) :: rest, p) if p == e + 1 => (s0, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }
+        runs.collect {
+          case (s0, e) if e - s0 + w >= minSpan =>
+            (a.toLong, b.toLong, s0.toLong, (s0 - d).toLong, (e - s0 + w).toLong)
+        }
+      }).flatten.toSet
+      got == want
+    }
+
   private val genCorpus: Gen[List[(Long, List[String])]] = for {
     n <- Gen.choose(2, 10)
     docs <- Gen.listOfN(
