@@ -124,6 +124,89 @@ object OpsProps extends Properties("Ops") {
       got == want
     }
 
+  property("bm25TopK equals the nested-loop integer model") =
+    forAll(
+      Gen.choose(2, 8).flatMap(n => Gen.listOfN(n,
+        Gen.choose(2, 12).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("x", "y", "z", "q", "r"))))),
+      Gen.choose(1, 4)) { (docsToks, k) =>
+      val s = spark
+      import s.implicits._
+      val queries = Seq(1 -> Seq("x", "q"), 2 -> Seq("z"))
+      val df = docsToks.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.TextAnalysis.bm25TopK(df, queries, k)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // independent model: direct nested loops, same integer contract
+      val nDocs = docsToks.size.toLong
+      val dls = docsToks.map(_.size.toLong)
+      val sumDl = dls.sum
+      def tf(d: Int, t: String) = docsToks(d).count(_ == t).toLong
+      def df0(t: String) = docsToks.count(_.contains(t)).toLong
+      val want = queries.flatMap { case (q, terms) =>
+        val scored = docsToks.indices.flatMap { d =>
+          val sc = terms.distinct.map { t =>
+            val f = tf(d, t); val dfv = df0(t)
+            if (f == 0) 0L
+            else {
+              val nd = (1000L * dls(d) * nDocs) / sumDl
+              val tfp = (2200000L * f) / (1000L * f + 300L + (9L * nd) / 10L)
+              val idfm = (1000L * (2 * nDocs - 2 * dfv + 1)) / (2 * dfv + 1)
+              idfm * tfp
+            }
+          }.sum
+          if (sc > 0 || terms.exists(t => tf(d, t) > 0)) Some((d.toLong, sc)) else None
+        }
+        scored.sortBy(t => (-t._2, t._1)).take(k).zipWithIndex
+          .map { case ((d, sc), i) => (q, d, sc, (i + 1).toLong) }
+      }.toSet
+      got == want
+    }
+
+  property("mmrRerank equals the local greedy model") =
+    forAll(
+      Gen.choose(3, 10).flatMap(n => Gen.listOfN(n,
+        Gen.listOfN(4, Gen.choose(-5, 5).map(_.toFloat / 4f)))),
+      Gen.choose(1, 3), Gen.oneOf(0, 300, 700, 1000)) { (vecsRaw, k, lamPm) =>
+      val s = spark
+      import s.implicits._
+      // vec 0 is the query; guarantee nonzero norms by bumping dim 0
+      val vecs = vecsRaw.zipWithIndex.map { case (v, i) =>
+        val a = v.toArray; if (a.forall(_ == 0f)) a(0) = 1f; (i.toLong, a)
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      val pool = math.min(vecs.size - 1, math.max(k, 3))
+      val got = graft.ops.Retrieval
+        .mmrRerank(df, Seq(0L), k, pool, lamPm)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2).map(_._1)
+      // local model with the same fold/tie-break contract
+      def dot(a: Array[Float], b: Array[Float]) =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      def nrm(a: Array[Float]) = math.sqrt(dot(a, a))
+      val qv = vecs.head._2; val qn = nrm(qv)
+      val cands0 = vecs.tail
+        .map { case (id, v) => (id, v, dot(qv, v) / (qn * nrm(v))) }
+        .sortBy(c => (-c._3, c._1)).take(pool)
+      val lam = lamPm / 1000.0; val om = 1.0 - lam
+      var sel = List.empty[(Long, Array[Float])]
+      var rest = cands0
+      var wantIds = List.empty[Long]
+      while (wantIds.size < math.min(k, cands0.size)) {
+        val pick =
+          if (sel.isEmpty) rest.head
+          else rest.minBy(c => (
+            -(lam * c._3 - om * sel.map(p => dot(c._2, p._2) / (nrm(c._2) * nrm(p._2))).max),
+            c._1))
+        wantIds = wantIds :+ pick._1
+        sel = sel :+ ((pick._1, pick._2))
+        rest = rest.filterNot(_._1 == pick._1)
+      }
+      got.toList == wantIds
+    }
+
   private val genCorpus: Gen[List[(Long, List[String])]] = for {
     n <- Gen.choose(2, 10)
     docs <- Gen.listOfN(
