@@ -253,12 +253,14 @@ object TextAnalysis {
     * (idf_m ≤ 2·10³·N, tf_part < 2 200, terms per query small — the sum
     * stays far inside int64 even at 10⁹ documents.)
     *
-    * Scale shape: document length is one narrow pass; tf is computed
-    * ONLY for the broadcast query-term set (the token stream filters
-    * before any aggregation, so corpus-wide term statistics are never
-    * materialized); df over those terms is a tiny aggregate; the top-k
-    * is a per-query window over the scored docs. At 100 TB: one
-    * documents pass + small keyed shuffles on (doc, term).
+    * Scale shape: ONE pass and ONE exchange over the token stream — the
+    * per-doc aggregation computes document length and a conditional
+    * count per query term (terms are plan-time literals) in the same
+    * groupBy, so corpus-wide term statistics are never materialized,
+    * there is no second tf pass, and no dl re-join; term counts melt
+    * back to rows (bounded by |terms| per doc), df is a tiny broadcast
+    * aggregate over the melt, and the top-k is a per-query window over
+    * the scored docs.
     */
   def bm25TopK(
       docs: DataFrame,
@@ -269,26 +271,38 @@ object TextAnalysis {
     require(k >= 1, s"k must be >= 1, got $k")
     require(queries.nonEmpty, "bm25TopK needs at least one query")
     require(queries.forall(_._2.nonEmpty), "every query needs at least one term")
+    val termSet = queries.flatMap(_._2).distinct
+    require(termSet.size <= 256,
+      s"bm25TopK holds one aggregate column per distinct term; " +
+        s"${termSet.size} terms exceeds the 256 cap — batch the queries")
     val spark = docs.sparkSession
     import spark.implicits._
     val qterms = queries
       .flatMap { case (q, ts) => ts.map(t => (q, t)) }.distinct
       .toDF("_q", "_t")
-    val termSet = queries.flatMap(_._2).distinct
     val tok = docs.select(
       col(idCol).as("_d"), explode(tokens(col(textCol))).as("_t"))
-    val dl = tok.groupBy(col("_d")).agg(count(lit(1)).as("_dl"))
-    val stats = dl.agg(
+    // dl + per-term tf in ONE aggregation (terms are plan-time
+    // literals), then melt the term columns back to rows
+    val aggCols = count(lit(1)).as("_dl") +:
+      termSet.zipWithIndex.map { case (t, i) =>
+        sum(when(col("_t") === t, 1L).otherwise(0L)).as(s"_tfc_$i")
+      }
+    val perDoc = tok.groupBy(col("_d")).agg(aggCols.head, aggCols.tail: _*)
+    val stats = perDoc.agg(
       count(lit(1)).as("_n_docs"), sum(col("_dl")).as("_sum_dl"))
-    val tf = tok
-      .filter(col("_t").isin(termSet: _*))
-      .groupBy(col("_d"), col("_t"))
-      .agg(count(lit(1)).as("_tf"))
+    val tf = perDoc
+      .select(col("_d"), col("_dl"),
+        explode(array(termSet.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("_t"), col(s"_tfc_$i").as("_tf"))
+        }: _*)).as("_x"))
+      .select(col("_d"), col("_dl"),
+        col("_x._t").as("_t"), col("_x._tf").as("_tf"))
+      .filter(col("_tf") > 0L)
     val dfc = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
     val scored = tf
       .join(broadcast(dfc), "_t")
       .join(broadcast(qterms), "_t")
-      .join(dl, "_d")
       .crossJoin(broadcast(stats))
       .withColumn("_nd", expr("(1000 * _dl * _n_docs) div _sum_dl"))
       .withColumn("_tfp",
