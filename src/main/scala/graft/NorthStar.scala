@@ -243,6 +243,24 @@ object NorthStar {
           expectK = 100L, weightCol = "w_tokens")
         .select(col("doc_id"), col("w_tokens"), col("rate_pm"))
         .orderBy("doc_id")),
+    // topic-balanced curation as ONE composition of existing units:
+    // codegen'd seed-centroid assignment (the IVF coarse quantizer)
+    // stratifies the corpus by semantic cluster, then the per-stratum
+    // hash quota keeps 25% of EACH topic — over-represented topics
+    // cannot crowd out rare ones, the cluster-balancing step of
+    // embedding-aware data curation
+    "sample_cluster_balanced" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Similarity.ivfCentroids(e, numCentroids = 16)
+      val assigned = e.select(
+        col("vec_id"),
+        graft.functions.FloatVectorArgmaxDot(
+          col("embedding").cast("array<float>"), cents).as("cluster"))
+      graft.ops.Sampling
+        .stratifiedSample(assigned, percent = 25,
+          stratumCol = "cluster", idCol = "vec_id")
+        .orderBy("vec_id")
+    }),
     // exact-size systematic PPS: k=100 picks on the hash line, heavy
     // rows carry multiplicity — distributed prefix sum over 256
     // contiguous hash buckets, never a global-order window
@@ -2004,6 +2022,43 @@ object NorthStar {
          |WHERE ${Md5Long60.format("CAST(doc_id AS VARCHAR)")}
          |        // 1099511627776 < rate_pm
          |ORDER BY doc_id""".stripMargin,
+
+    // seed-centroid dot argmax (the dedup_semantic/IVF convention:
+    // raw dot, ties to the lower cluster id) + per-cluster hash quota
+    "sample_cluster_balanced" ->
+      s"""WITH cents AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+         |         embedding AS cv
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |),
+         |cscore AS (
+         |  SELECT v.vec_id, ct.c,
+         |         list_sum(list_transform(list_zip(v.embedding, ct.cv),
+         |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS s
+         |  FROM embeddings v CROSS JOIN cents ct
+         |),
+         |assign AS (
+         |  SELECT vec_id, c AS cluster FROM (
+         |    SELECT vec_id, c,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY s DESC, c ASC) AS rn
+         |    FROM cscore) WHERE rn = 1
+         |),
+         |h AS (
+         |  SELECT vec_id, cluster,
+         |         ${Md5Long60.format("CAST(vec_id AS VARCHAR)")} AS hh
+         |  FROM assign
+         |),
+         |r AS (
+         |  SELECT vec_id, cluster,
+         |         row_number() OVER (PARTITION BY cluster
+         |              ORDER BY hh ASC, vec_id ASC) AS rk,
+         |         count(*) OVER (PARTITION BY cluster) AS n
+         |  FROM h
+         |)
+         |SELECT vec_id, cluster FROM r
+         |WHERE rk <= (n * 25 + 99) // 100
+         |ORDER BY vec_id""".stripMargin,
 
     // systematic PPS: global running sum over the (hash, id) line;
     // n_picks counts the multiples of tot/k inside each row's interval
