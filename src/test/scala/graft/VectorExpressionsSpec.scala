@@ -26,6 +26,43 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase {
       .toDF("id", "a", "b")
   }
 
+  test("every vector kernel: interpreted eval equals generated code bit-for-bit") {
+    // the classic custom-Expression bug class is nullSafeEval and
+    // doGenCode drifting apart — force both factory modes over random
+    // adversarial vectors and compare collected results exactly
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    def fvec() = Array.fill(dim)((rnd.nextFloat() - 0.5f) * math.pow(10, rnd.nextInt(6) - 3).toFloat)
+    val rows = (1L to 64L).map(i => (i, fvec(), fvec()))
+    val matrix = Array.fill(4)(Array.fill(dim)(rnd.nextDouble() - 0.5))
+    val codebooks = Array.fill(4)(Array.fill(8)(Array.fill(dim / 4)(rnd.nextDouble() - 0.5)))
+    def results(): Seq[org.apache.spark.sql.Row] = {
+      val df = rows.toDF("id", "a", "b").select(
+        col("id"),
+        graft.functions.FloatVectorDot(col("a"), col("b")).as("dot"),
+        graft.functions.FloatVectorArgmaxDot(col("a"), matrix).as("am"),
+        graft.functions.FloatVectorTopCentroids(col("a"), matrix, 2).as("tc"),
+        graft.functions.FloatVectorHyperplaneSignature(col("a"), matrix).as("sig"),
+        graft.functions.FloatVectorPqEncode(col("a"), codebooks).as("pq"),
+        graft.functions.Hashing.md5Long60(col("id").cast("string")).as("h"))
+      df.orderBy("id").collect().toSeq
+    }
+    val genMode = results()
+    val (ws0, fm0) = (s.conf.get("spark.sql.codegen.wholeStage"),
+      s.conf.getOption("spark.sql.codegen.factoryMode").getOrElse("FALLBACK"))
+    try {
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = results()
+      assert(interp.map(_.toString) == genMode.map(_.toString))
+    } finally {
+      s.conf.set("spark.sql.codegen.wholeStage", ws0)
+      s.conf.set("spark.sql.codegen.factoryMode", fm0)
+    }
+  }
+
   test("graft_dot equals the interpreted HOF fold bit-for-bit") {
     // equal-length rows only: zip_with null-pads a shorter array (→
     // NULL), graft_dot takes min length like the engine's former UDF.
