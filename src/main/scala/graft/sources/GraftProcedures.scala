@@ -59,6 +59,17 @@ private[sources] object GraftProcedures {
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
+  /** NULL arguments must fail loudly (or take the documented default):
+    * `InternalRow`'s primitive getters return 0/false for NULL, so an
+    * unguarded `restore(version => NULL)` would silently restore to
+    * version 0 and `vacuum(grace_millis => NULL)` would reclaim with
+    * ZERO grace — the worst possible misreading of "no argument".
+    */
+  private def requireArg(in: InternalRow, i: Int, name: String): Unit =
+    if (in.isNullAt(i))
+      throw new FeatureValidationError(
+        s"procedure argument '$name' must not be NULL")
+
   /** OPTIMIZE: cluster (range or Z-ORDER) the current version into a
     * new content-identical one; `incremental => true` rewrites only
     * the unclustered tail.
@@ -76,6 +87,8 @@ private[sources] object GraftProcedures {
         paramD("zorder", BooleanType, "false"),
         paramD("incremental", BooleanType, "false"))
       override def call(in: InternalRow): java.util.Iterator[Scan] = {
+        requireArg(in, 0, "table"); requireArg(in, 1, "cluster_by")
+        requireArg(in, 2, "zorder"); requireArg(in, 3, "incremental")
         val table = in.getUTF8String(0).toString
         val cols = in.getUTF8String(1).toString.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
@@ -104,6 +117,7 @@ private[sources] object GraftProcedures {
         param("table", StringType),
         param("version", IntegerType))
       override def call(in: InternalRow): java.util.Iterator[Scan] = {
+        requireArg(in, 0, "table"); requireArg(in, 1, "version")
         val table = in.getUTF8String(0).toString
         val info = store(root).restoreVersion(table, in.getInt(1))
         resultScan(
@@ -127,6 +141,7 @@ private[sources] object GraftProcedures {
       override def parameters(): Array[ProcedureParameter] = Array(
         param("table", StringType))
       override def call(in: InternalRow): java.util.Iterator[Scan] = {
+        requireArg(in, 0, "table")
         val table = in.getUTF8String(0).toString
         val hist = store(root).getTableHistory(table)
         resultScan(
@@ -159,7 +174,9 @@ private[sources] object GraftProcedures {
       override def parameters(): Array[ProcedureParameter] = Array(
         paramD("grace_millis", LongType, "-1"))
       override def call(in: InternalRow): java.util.Iterator[Scan] = {
-        val grace = in.getLong(0) match {
+        // NULL takes the documented default — never zero grace
+        val grace = if (in.isNullAt(0)) FeatureStore.DefaultRetireGraceMillis
+        else in.getLong(0) match {
           case g if g < 0 => FeatureStore.DefaultRetireGraceMillis
           case g => g
         }

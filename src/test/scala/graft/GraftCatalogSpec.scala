@@ -221,6 +221,30 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $c.feat").head().getLong(0) == 5L)
   }
 
+  test("CALL procedures reject NULL arguments instead of misreading them") {
+    val root = freshRoot("procnull")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    // InternalRow's primitive getters read NULL as 0 — unguarded,
+    // restore(version => NULL) would silently restore to v0 and
+    // vacuum(grace_millis => NULL) would reclaim with ZERO grace
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL $c.restore(`table` => 'feat', version => CAST(NULL AS INT))").collect()
+    }
+    assert(e1.getMessage.contains("must not be NULL"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $c.optimize(`table` => CAST(NULL AS STRING), cluster_by => 'timestamp')").collect()
+    }
+    assert(e2.getMessage.contains("must not be NULL"))
+    // NULL grace takes the documented default (nothing young reclaimed),
+    // never zero grace
+    val reclaimed = spark
+      .sql(s"CALL $c.vacuum(grace_millis => CAST(NULL AS BIGINT))").collect()
+    assert(reclaimed.isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $c.feat").head().getLong(0) == 5L)
+  }
+
   test("ALTER TABLE ADD/DROP CONSTRAINT maps to the store's CHECK ledger") {
     val root = freshRoot("chk")
     val store = new FeatureStore(spark, root)
