@@ -54,6 +54,29 @@ object Dedup {
     * tokenization change here applies to the whole Jaccard/MinHash
     * family at once.
     */
+  /** Fan a narrow scan out to the session's parallelism before a
+    * compute-heavy per-row pipeline (tokenize + shingle explode +
+    * hash): a small corpus arrives as a handful of parquet splits and
+    * would otherwise run the whole pipeline on as many cores. The
+    * narrow-scan condition bounds the repartition's shuffle at
+    * parallelism × maxPartitionBytes; a wide scan (the 100 TB shape,
+    * thousands of splits) never triggers it. Routing-only: the fanned
+    * frame holds exactly the same rows.
+    *
+    * Apply ONLY where the scan pipeline's compute dominates and the
+    * next operator is not an immediate aggregation: measured on the
+    * shingle→groupBy paths (ngramJaccardPairs), fanning out made them
+    * SLOWER (1.36 → 1.70 s at bench) — with one input task the
+    * map-side combine collapses duplicate keys in one hash table,
+    * while 32 tasks push 32 partial states per key through the
+    * shuffle. crossDupSpans (scan feeding a count-only aggregate and a
+    * tiny self-join) measured 3.6 → 1.8 s.
+    */
+  private[ops] def fanOutNarrowScan(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   private def shingleOccurrences(
       docs: DataFrame,
       n: Int,

@@ -668,19 +668,12 @@ object TextAnalysis {
     // join-to-string, no cryptographic hash (duplicateSpans' choice);
     // the key never reaches the output, so the oracle is free to group
     // by the raw shingle text instead
-    // the tokenize+explode+hash pipeline is the op's compute body; a
-    // small corpus arrives as a handful of parquet splits and would run
-    // it on as many cores (measured: 2 of 3.6 bench seconds in ONE task
-    // at sf0.1). Fan the source out only when the scan is narrower than
-    // the session's parallelism — the narrow-scan condition bounds the
-    // repartition's shuffle at parallelism × maxPartitionBytes, and a
-    // 100 TB scan (already thousands of splits) never triggers it.
-    val eligibleDocs = docs.filter(col(idCol).isNotNull && size(toks) >= width)
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val fanned =
-      if (eligibleDocs.rdd.getNumPartitions < par) eligibleDocs.repartition(par)
-      else eligibleDocs
-    val sh = fanned
+    // the tokenize+explode+hash pipeline is the op's compute body; fan
+    // a narrow scan out first (measured: 2 of 3.6 bench seconds in ONE
+    // task at sf0.1 — the documents table is one parquet split). See
+    // [[Dedup.fanOutNarrowScan]] for the scale-safety argument.
+    val sh = Dedup
+      .fanOutNarrowScan(docs.filter(col(idCol).isNotNull && size(toks) >= width))
       .select(
         col(idCol).as("_doc"), toks.as("_toks"),
         explode(sequence(lit(1), size(toks) - (width - 1))).as("_pos"))
