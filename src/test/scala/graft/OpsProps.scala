@@ -178,9 +178,13 @@ object OpsProps extends Properties("Ops") {
         val a = v.toArray; if (a.forall(_ == 0f)) a(0) = 1f; (i.toLong, a)
       }
       val df = vecs.toDF("vec_id", "embedding")
-      val pool = math.min(vecs.size - 1, math.max(k, 3))
+      // the pool can hold at most n-1 candidates and must cover k —
+      // clamp k inside the property (shrinkers also wander outside the
+      // generator's range, so derive, don't trust, the arguments)
+      val kEff = math.max(1, math.min(k, vecs.size - 1))
+      val pool = math.min(vecs.size - 1, math.max(kEff, 3))
       val got = graft.ops.Retrieval
-        .mmrRerank(df, Seq(0L), k, pool, lamPm)
+        .mmrRerank(df, Seq(0L), kEff, pool, lamPm)
         .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2).map(_._1)
       // local model with the same fold/tie-break contract
       def dot(a: Array[Float], b: Array[Float]) =
@@ -194,7 +198,7 @@ object OpsProps extends Properties("Ops") {
       var sel = List.empty[(Long, Array[Float])]
       var rest = cands0
       var wantIds = List.empty[Long]
-      while (wantIds.size < math.min(k, cands0.size)) {
+      while (wantIds.size < math.min(kEff, cands0.size)) {
         val pick =
           if (sel.isEmpty) rest.head
           else rest.minBy(c => (
