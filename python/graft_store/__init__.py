@@ -1,0 +1,238 @@
+"""PySpark-facing binding for the graft feature store.
+
+The reference engine's audience is ``pip install`` Python users
+(reference: README.md:18); this package closes that gap for the Spark
+re-implementation: the same ``FeatureStore`` surface — ``register`` /
+``get`` / ``get_training_set`` / ``get_version`` / ``list_tables`` /
+``get_table_info`` / ``delete`` / ``table_names`` / ``max_versions`` —
+over PySpark DataFrames instead of pandas.
+
+Everything stays lazy and distributed: a Python ``DataFrame`` and the
+JVM ``Dataset`` it wraps are the same plan, so ``register`` ships no
+rows through Python and ``get``/``get_training_set`` return distributed
+frames whose point-in-time / as-of kernels run in the JVM exactly as
+from Scala. The only Python-side work is argument marshalling through
+the ``graft.python.PyFeatureStore`` facade.
+
+Usage::
+
+    from graft_store import FeatureStore
+
+    store = FeatureStore(spark, root="/data/fs", max_versions=10)
+    store.register("user_features", df)
+    snap = store.get("user_features", [1, 2], "2024-01-15 10:30:00")
+    train = store.get_training_set("user_features", spine_df)
+
+The classpath must carry the graft jar/classes (e.g.
+``spark.driver.extraClassPath``); see ``python/tests`` for a runnable
+session recipe.
+"""
+
+import datetime as _dt
+from dataclasses import dataclass
+from typing import Any, List, Optional, Sequence
+
+from py4j.protocol import Py4JJavaError
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "FeatureStore",
+    "FeatureTableInfo",
+    "FeatureStoreError",
+    "FeatureTableNotFoundError",
+    "FeatureValidationError",
+]
+
+
+class FeatureStoreError(Exception):
+    """Base exception for feature store errors (reference: store.py:72)."""
+
+
+class FeatureTableNotFoundError(FeatureStoreError):
+    """Raised when a feature table or version is not registered."""
+
+
+class FeatureValidationError(FeatureStoreError):
+    """Raised when input data fails validation."""
+
+
+@dataclass
+class FeatureTableInfo:
+    """Metadata about a registered feature table (reference: store.py:31).
+
+    ``registered_at`` / ``updated_at`` are epoch SECONDS (float), the
+    reference's convention; the JVM side records epoch millis.
+    """
+
+    name: str
+    columns: List[str]
+    version: int
+    row_count: int
+    registered_at: float
+    updated_at: float
+
+
+# JVM exception class name (suffix) -> Python type. Py4J surfaces JVM
+# exceptions with the class name embedded in the message; re-raise as
+# the reference-named Python exception so callers can except precisely.
+_ERROR_MAP = {
+    "FeatureTableNotFoundError": FeatureTableNotFoundError,
+    "FeatureValidationError": FeatureValidationError,
+    "FeatureConcurrencyError": FeatureStoreError,
+    "FeatureStorageError": FeatureStoreError,
+}
+
+
+def _translate(err: Py4JJavaError) -> Exception:
+    jexc = err.java_exception
+    jclass = jexc.getClass().getName()
+    message = jexc.getMessage() or str(err)
+    for suffix, pytype in _ERROR_MAP.items():
+        if jclass.endswith(suffix):
+            return pytype(message)
+    return err
+
+
+def _ts_arg(timestamp: Any) -> Any:
+    """Coerce a Python timestamp-ish value to what the JVM boundary
+    accepts: datetime/date become naive-as-UTC ISO strings (the store's
+    documented convention), strings pass through untouched."""
+    if isinstance(timestamp, _dt.datetime):
+        return timestamp.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(timestamp, _dt.date):
+        return timestamp.isoformat()
+    return timestamp
+
+
+class FeatureStore:
+    """Feature store over a Spark session (reference: store.py:84).
+
+    Args:
+        spark: the active :class:`~pyspark.sql.SparkSession`.
+        root: storage root directory; ``None`` uses the engine default.
+        max_versions: retained versions per table (must be >= 1; the
+            constructor raises ``FeatureValidationError`` parity-style
+            on ``< 1`` — surfaced from the JVM check).
+        partition_granularity: ``"month"`` (default) or ``"day"`` —
+            the physical time-partitioning of stored versions.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: Optional[str] = None,
+        max_versions: int = 10,
+        partition_granularity: str = "month",
+    ) -> None:
+        self._spark = spark
+        if int(max_versions) < 1:
+            # mirror the reference's eager __init__ check without a JVM
+            # round-trip (reference: store.py:103-104)
+            raise FeatureValidationError(
+                f"max_versions must be >= 1, got {max_versions}"
+            )
+        try:
+            self._j = spark._jvm.graft.python.PyFeatureStore.open(
+                spark._jsparkSession, root, int(max_versions),
+                partition_granularity,
+            )
+        except Py4JJavaError as err:  # pragma: no cover - defensive
+            raise _translate(err) from None
+
+    # -- properties ----------------------------------------------------
+
+    @property
+    def max_versions(self) -> int:
+        return self._j.maxVersions()
+
+    @property
+    def table_names(self) -> List[str]:
+        return list(self._j.tableNames())
+
+    # -- core API ------------------------------------------------------
+
+    def register(self, name: str, df: DataFrame, description: str = "") -> FeatureTableInfo:
+        """Register (or version-bump) a feature table from a DataFrame."""
+        try:
+            return self._info(self._j.register(name, df._jdf, description))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def get(
+        self,
+        name: str,
+        entity_ids: Sequence[Any],
+        timestamp: Any,
+        columns: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """Point-in-time snapshot: latest row per entity at/before
+        ``timestamp``, restricted to ``entity_ids``."""
+        try:
+            jdf = self._j.get(
+                name, list(entity_ids), _ts_arg(timestamp),
+                list(columns) if columns is not None else None,
+            )
+            return self._wrap(jdf)
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def get_training_set(
+        self,
+        name: str,
+        entity_timestamps: DataFrame,
+        columns: Optional[Sequence[str]] = None,
+        max_age_seconds: Optional[int] = None,
+    ) -> DataFrame:
+        """As-of join: for each spine row (entity_id, timestamp), the
+        latest feature row at/before that timestamp; non-matches drop."""
+        try:
+            jdf = self._j.getTrainingSet(
+                name, entity_timestamps._jdf,
+                list(columns) if columns is not None else None,
+                None if max_age_seconds is None else int(max_age_seconds),
+            )
+            return self._wrap(jdf)
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def get_version(self, name: str, version: int) -> DataFrame:
+        """A specific retained version of a table (time travel)."""
+        try:
+            return self._wrap(self._j.getVersion(name, int(version)))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def list_tables(self) -> List[FeatureTableInfo]:
+        return [self._info(m) for m in self._j.listTables()]
+
+    def get_table_info(self, name: str) -> FeatureTableInfo:
+        try:
+            return self._info(self._j.getTableInfo(name))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def delete(self, name: str) -> bool:
+        """Drop a table; ``False`` (never an exception) when absent."""
+        return bool(self._j.delete(name))
+
+    def refresh(self) -> None:
+        """Re-read the on-disk catalog — picks up tables/versions
+        committed by other sessions or surfaces (e.g. SQL ``INSERT``
+        through the V2 catalog) since this handle opened."""
+        self._j.refresh()
+
+    # -- plumbing ------------------------------------------------------
+
+    def _wrap(self, jdf) -> DataFrame:
+        return DataFrame(jdf, self._spark)
+
+    @staticmethod
+    def _info(jmap) -> FeatureTableInfo:
+        return FeatureTableInfo(
+            name=jmap["name"],
+            columns=list(jmap["columns"]),
+            version=int(jmap["version"]),
+            row_count=int(jmap["row_count"]),
+            registered_at=jmap["registered_at"] / 1000.0,
+            updated_at=jmap["updated_at"] / 1000.0,
+        )

@@ -1,0 +1,218 @@
+"""End-to-end test of the Python binding: the same lifecycle fixtures as
+src/test/scala/graft/FeatureStoreSpec.scala (themselves ports of the
+reference's tests/test_core.py:54-116), driven through the
+``graft_store`` wrapper AND the SQL surface in one PySpark session.
+
+Run from the repo root (after ``sbt compile``)::
+
+    python3 python/tests/test_feature_store.py
+
+Plain asserts, no pytest dependency — the script exits non-zero on the
+first failure and prints PASS lines per case, mirroring how the repo's
+other out-of-harness evidence runners report.
+"""
+
+import datetime
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import Row, SparkSession
+
+from graft_store import (
+    FeatureStore,
+    FeatureTableNotFoundError,
+    FeatureValidationError,
+)
+
+CLASSES = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..",
+                 "target", "scala-2.13", "classes"))
+
+
+def ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def sample_features(spark):
+    # SparkTestBase.sampleFeatures, byte for byte
+    return spark.createDataFrame(
+        [
+            ("user_1", ts("2024-01-01"), 1.0, 100),
+            ("user_1", ts("2024-01-15"), 2.0, 200),
+            ("user_1", ts("2024-02-01"), 3.0, 300),
+            ("user_2", ts("2024-01-01"), 10.0, 1000),
+            ("user_2", ts("2024-01-20"), 20.0, 2000),
+        ],
+        "entity_id string, timestamp timestamp, feature_a double, feature_b long",
+    )
+
+
+def single_row(spark, value):
+    return spark.createDataFrame(
+        [("user_1", ts("2024-01-01"), value)],
+        "entity_id string, timestamp timestamp, val double",
+    )
+
+
+PASSED = 0
+
+
+def check(label, cond):
+    global PASSED
+    if not cond:
+        print(f"FAIL {label}")
+        sys.exit(1)
+    PASSED += 1
+    print(f"PASS {label}")
+
+
+def main():
+    if not os.path.isdir(CLASSES):
+        print(f"FAIL classpath: {CLASSES} missing - run `sbt compile` first")
+        return 1
+    root = tempfile.mkdtemp(prefix="graft_pytest_")
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("graft-python-binding-test")
+        .config("spark.driver.extraClassPath", CLASSES)
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        # --- init (FeatureStoreSpec "default max_versions is 10") ---
+        check("default max_versions is 10",
+              FeatureStore(spark, root=root).max_versions == 10)
+        try:
+            FeatureStore(spark, root=root, max_versions=0)
+            check("max_versions < 1 rejected", False)
+        except FeatureValidationError:
+            check("max_versions < 1 rejected", True)
+
+        store = FeatureStore(spark, root=root, max_versions=5)
+
+        # --- register returns correct metadata ---
+        info = store.register("user_features", sample_features(spark))
+        check("register returns correct metadata",
+              info.name == "user_features" and info.version == 1
+              and info.row_count == 5
+              and set(info.columns) ==
+              {"entity_id", "timestamp", "feature_a", "feature_b"}
+              and store.table_names == ["user_features"])
+
+        # --- re-register increments version ---
+        check("re-register increments version",
+              store.register("t", single_row(spark, 1.0)).version == 1
+              and store.register("t", single_row(spark, 2.0)).version == 2)
+
+        # --- register rejects missing required columns ---
+        bad = spark.createDataFrame([(1, 2)], "x int, y int")
+        try:
+            store.register("bad", bad)
+            check("register rejects missing required columns", False)
+        except FeatureValidationError:
+            check("register rejects missing required columns", True)
+
+        # --- register rejects empty DataFrame ---
+        try:
+            store.register("empty", sample_features(spark).limit(0))
+            check("register rejects empty DataFrame", False)
+        except FeatureValidationError:
+            check("register rejects empty DataFrame", True)
+
+        # --- get round-trips through parquet storage ---
+        store.register("f", sample_features(spark))
+        rows = store.get("f", ["user_1"], ts("2024-01-20")).collect()
+        check("get round-trips through parquet storage",
+              len(rows) == 1 and rows[0]["feature_a"] == 2.0
+              and list(rows[0].asDict().keys()) ==
+              ["entity_id", "timestamp", "feature_a", "feature_b"])
+
+        # --- string timestamp accepted too (O25 coercion) ---
+        rows2 = store.get("f", ["user_1"], "2024-01-20").collect()
+        check("string timestamp accepted",
+              [r.asDict() for r in rows2] == [r.asDict() for r in rows])
+
+        # --- column projection ---
+        got = store.get("f", ["user_1"], "2024-01-20", columns=["feature_a"])
+        check("get with column projection",
+              got.columns == ["entity_id", "timestamp", "feature_a"])
+
+        # --- get on unknown table raises with available-tables message ---
+        try:
+            store.get("nope", ["u"], "2024-01-01")
+            check("get on unknown table raises", False)
+        except FeatureTableNotFoundError as e:
+            check("get on unknown table raises", "f" in str(e))
+
+        # --- get_training_set through the store ---
+        spine = spark.createDataFrame(
+            [("user_1", ts("2024-01-20")), ("user_2", ts("2024-01-15"))],
+            "entity_id string, timestamp timestamp",
+        )
+        out = store.get_training_set("f", spine).collect()
+        check("get_training_set through the store",
+              len(out) == 2 and
+              {r["entity_id"]: r["feature_a"] for r in out} ==
+              {"user_1": 2.0, "user_2": 10.0})
+
+        # --- max_age_seconds drops stale matches ---
+        aged = store.get_training_set("f", spine, max_age_seconds=3600)
+        check("get_training_set max_age drops stale", aged.count() == 0)
+
+        # --- get_version time travel ---
+        v1 = store.get_version("t", 1).collect()
+        v2 = store.get_version("t", 2).collect()
+        check("get_version time travel",
+              v1[0]["val"] == 1.0 and v2[0]["val"] == 2.0)
+        try:
+            store.get_version("t", 99)
+            check("get_version unknown raises", False)
+        except FeatureTableNotFoundError as e:
+            check("get_version unknown raises", "99" in str(e))
+
+        # --- list_tables / get_table_info ---
+        names = {i.name for i in store.list_tables()}
+        check("list_tables", {"user_features", "t", "f"} <= names)
+        ti = store.get_table_info("t")
+        check("get_table_info",
+              ti.version == 2 and ti.row_count == 1
+              and ti.updated_at >= ti.registered_at > 1e9)
+
+        # --- delete returns bool, never throws ---
+        check("delete returns True then False",
+              store.delete("t") is True and store.delete("t") is False)
+        check("deleted table leaves table_names",
+              "t" not in store.table_names)
+
+        # --- the same store through the SQL surface (V2 catalog) ---
+        spark.conf.set("spark.sql.catalog.fs", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.fs.root", root)
+        sql_rows = spark.sql(
+            "SELECT entity_id, feature_a FROM fs.f "
+            "WHERE entity_id = 'user_1' ORDER BY timestamp"
+        ).collect()
+        check("SQL surface reads the wrapper's table",
+              [r["feature_a"] for r in sql_rows] == [1.0, 2.0, 3.0])
+        spark.sql("INSERT INTO fs.f VALUES "
+                  "('user_3', TIMESTAMP '2024-03-01 00:00:00', 7.0, 70)")
+        store.refresh()  # the INSERT committed via the catalog's store
+        check("SQL INSERT visible through the wrapper",
+              store.get("f", ["user_3"], "2024-03-02")
+              .collect()[0]["feature_a"] == 7.0)
+
+        print(f"ALL {PASSED} PYTHON BINDING CHECKS GREEN")
+        return 0
+    finally:
+        spark.stop()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

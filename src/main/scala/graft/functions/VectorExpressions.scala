@@ -339,6 +339,128 @@ object FloatVectorHyperplaneSignature {
     bridge.column(FloatVectorHyperplaneSignature(bridge.expression(v), matrix))
 }
 
+/** Fused int8-quantize + random-sign projection (the JL preconditioner
+  * behind [[graft.ops.Similarity.annTopKProjected]]): the child vector
+  * is scaled by `127 / max|x|` (0 for an all-zero vector), rounded to
+  * integer levels `floor(x·scale + 0.5)`, and each output dim `j` is
+  * `Σ_i signs(j)(i) · q(i)` over `min(len, inDims)` elements — all in
+  * one codegen'd pass, no explode, no shuffle. Replaces the former
+  * explode → sign-join → double-groupBy plan, whose two corpus-sized
+  * skinny exchanges and 64× row inflation were pure projection
+  * overhead (the map-side kernel is ~2k integer madds per row).
+  *
+  * Determinism contract (oracle-facing): the scale is the exact double
+  * `127.0 / max(abs(widen(x)))` over the FULL vector; levels are the
+  * exact `(long) floor(x·scale + 0.5)`; per-dim sums are exact 64-bit
+  * integer arithmetic, order-free. Output elements are the sums cast
+  * long→float — exact whenever `|sum| ≤ 127·inDims < 2^24`, so
+  * downstream [[FloatVectorDot]] scores stay EXACT integer arithmetic
+  * in double form (every product < 2^53), bit-identical to the SQL
+  * oracle's BIGINT pipeline.
+  *
+  * Null semantics: null vector → null (nullIntolerant); an EMPTY
+  * vector yields all-zero sums, which the caller's `norm > 0` guard
+  * excludes exactly as the old explode form's no-rows path did.
+  */
+case class FloatVectorSignProject(child: Expression, signs: Array[Array[Long]])
+    extends UnaryExpression {
+
+  require(signs.nonEmpty, "signs matrix must hold at least one output dim")
+  require(signs.forall(_.length == signs(0).length),
+    "all sign rows must share one input width")
+
+  private def inDims: Int = signs(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_sign_project"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val len = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < len) {
+      val x = math.abs(v.getFloat(i).toDouble)
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = if (maxAbs == 0.0) 0.0 else 127.0 / maxAbs
+    val n = math.min(len, inDims)
+    val q = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      q(i) = math.floor(v.getFloat(i).toDouble * scale + 0.5).toLong
+      i += 1
+    }
+    val out = new Array[Float](signs.length)
+    var j = 0
+    while (j < signs.length) {
+      val row = signs(j)
+      var acc = 0L
+      i = 0
+      while (i < n) { acc += row(i) * q(i); i += 1 }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, vec => {
+      val m = ctx.addReferenceObj("signs", signs, "long[][]")
+      val len = ctx.freshName("len")
+      val maxAbs = ctx.freshName("maxAbs")
+      val scale = ctx.freshName("scale")
+      val n = ctx.freshName("n")
+      val q = ctx.freshName("q")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      s"""
+         |final int $len = $vec.numElements();
+         |double $maxAbs = 0.0;
+         |for (int $i = 0; $i < $len; $i++) {
+         |  final double $x = java.lang.Math.abs((double) $vec.getFloat($i));
+         |  if ($x > $maxAbs) $maxAbs = $x;
+         |}
+         |final double $scale = ($maxAbs == 0.0) ? 0.0 : 127.0 / $maxAbs;
+         |final int $n = java.lang.Math.min($len, $inDims);
+         |final long[] $q = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $q[$i] = (long) java.lang.Math.floor(
+         |    ((double) $vec.getFloat($i)) * $scale + 0.5);
+         |}
+         |final float[] $out = new float[$m.length];
+         |for (int $j = 0; $j < $m.length; $j++) {
+         |  final long[] _row = $m[$j];
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) { $acc += _row[$i] * $q[$i]; }
+         |  $out[$j] = (float) $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FloatVectorSignProject {
+  def apply(v: Column, signs: Array[Array[Long]]): Column =
+    bridge.column(FloatVectorSignProject(bridge.expression(v), signs))
+}
+
 /** Product-quantization encoder: the child vector is split into
   * `codebooks.length` contiguous subvectors and each is assigned the
   * index of its nearest codeword by squared L2 distance (strict `<`

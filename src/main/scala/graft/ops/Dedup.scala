@@ -71,10 +71,27 @@ object Dedup {
     * while 32 tasks push 32 partial states per key through the
     * shuffle. crossDupSpans (scan feeding a count-only aggregate and a
     * tiny self-join) measured 3.6 → 1.8 s.
+    *
+    * The narrow-scan test reads the OPTIMIZED-plan size statistic (for
+    * a parquet relation, the summed file sizes already gathered at
+    * read time) against parallelism × maxPartitionBytes — a pure
+    * driver-side arithmetic check. The previous probe
+    * (`df.rdd.getNumPartitions`) physical-planned the whole upstream
+    * query once just to count splits, then the real execution planned
+    * it a second time, and under AQE the pre-execution count could
+    * disagree with the runtime partitioning anyway. A relation without
+    * file-backed stats reports a huge default size and simply never
+    * triggers the fan-out — routing-only, rows unchanged either way.
     */
   private[ops] def fanOutNarrowScan(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.bridge
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val maxPartitionBytes =
+      math.max(1L, bridge.filesMaxPartitionBytes(df.sparkSession))
+    val sizeBytes = bridge.optimizedPlan(df).stats.sizeInBytes
+    val estSplits =
+      (sizeBytes + (maxPartitionBytes - 1)) / maxPartitionBytes
+    if (estSplits < BigInt(par)) df.repartition(par) else df
   }
 
   private def shingleOccurrences(

@@ -29,9 +29,13 @@ object Retrieval {
     * `neighbor_id`). Output: (query_id, doc_id, rrf_u, rank), top `k`
     * per query, ties broken on doc_id.
     *
-    * Scale shape: one keyed join + one per-query window over rank-bounded
-    * lists — the inputs are already top-k'd, so volume is |queries| × k,
-    * never corpus-sized.
+    * Scale shape: one union + one map-side-combined aggregation + one
+    * per-query window over rank-bounded lists — the inputs are already
+    * top-k'd, so volume is |queries| × k, never corpus-sized. The union
+    * form (contributions summed by groupBy) costs ONE exchange where a
+    * full-outer join on (query, doc) costs two plus the join itself; a
+    * doc absent from a list simply contributes no row, which is exactly
+    * the join form's null → 0 coalesce.
     */
   def rrfFuse(
       a: DataFrame,
@@ -42,19 +46,15 @@ object Retrieval {
       idColB: String = "doc_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rrfK >= 0, s"rrfK must be >= 0, got $rrfK")
-    val an = a.select(
-      col("query_id"), col(idColA).as("doc_id"),
-      col("rank").cast("long").as("_ra"))
-    val bn = b.select(
-      col("query_id"), col(idColB).as("doc_id"),
-      col("rank").cast("long").as("_rb"))
-    val fused = an
-      .join(bn, Seq("query_id", "doc_id"), "full_outer")
-      // integral div keeps the reciprocal exact; a missing rank is a
-      // null div → coalesce 0 (absent from that list = no contribution)
-      .withColumn("rrf_u",
-        coalesce(expr(s"1000000 div (${rrfK}L + _ra)"), lit(0L)) +
-          coalesce(expr(s"1000000 div (${rrfK}L + _rb)"), lit(0L)))
+    // integral div keeps the reciprocal exact; summing exact longs is
+    // order-free, so the fused score is independent of union order
+    def contrib(df: DataFrame, idCol: String): DataFrame = df.select(
+      col("query_id"), col(idCol).as("doc_id"),
+      expr(s"1000000 div (${rrfK}L + CAST(rank AS BIGINT))").as("_u"))
+    val fused = contrib(a, idColA)
+      .unionByName(contrib(b, idColB))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("_u")).as("rrf_u"))
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_u").desc, col("doc_id").asc)
     fused

@@ -1525,75 +1525,70 @@ object Similarity extends Serializable {
       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
-    // The projection here is built by EXPLODE + sign-join + aggregate,
-    // not withProjection's unrolled add chains: inside a self-join the
-    // chains inline into an expression tree Catalyst canonicalization
-    // cannot afford (measured OOM at 32x64 terms x 2 sides), while the
-    // aggregate form keeps the plan O(1) regardless of dimensionality —
-    // one map-side-combined shuffle of n·inDims skinny rows. Projected
-    // values are <= 127·inDims, exactly representable as FLOAT, so the
-    // codegen'd FloatVectorDot over the packed array is still EXACT
-    // integer arithmetic in double form (every product < 2^53).
+    // The projection is one fused codegen'd kernel
+    // ([[graft.functions.FloatVectorSignProject]]): quantize + 2k
+    // integer madds per row, computed INLINE on the scan — no explode,
+    // no shuffle, no per-dim expression chains (the unrolled add-chain
+    // form OOM'd Catalyst canonicalization at 32x64 terms x 2 join
+    // sides; a reference-object matrix keeps the plan O(1) in
+    // dimensionality). Projected values are <= 127·inDims, exactly
+    // representable as FLOAT, so the codegen'd FloatVectorDot over the
+    // packed array is still EXACT integer arithmetic in double form
+    // (every product < 2^53).
     val signs = Array.tabulate(outDims, inDims)((j, i) =>
       if (Hashing.md5Long60Jvm(s"rp:$j:$i") % 2 == 0L) 1L else -1L)
-    val s = emb.sparkSession
-    import s.implicits._
-    val signDf = (for { j <- 0 until outDims; i <- 0 until inDims }
-      yield (j, i, signs(j)(i))).toDF("_j", "_i", "_s")
-    val projected = emb
-      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v0"))
-      .withColumn("_rp_scale",
-        array_max(transform(col("_v0"), x => abs(x.cast("double")))))
-      .withColumn("_rp_scale",
-        when(col("_rp_scale") === 0d, lit(0d))
-          .otherwise(lit(127d) / col("_rp_scale")))
-      .select(col("_id"), posexplode(
-        transform(col("_v0"), x =>
-          floor(x.cast("double") * col("_rp_scale") + lit(0.5d)).cast("long")))
-        .as(Seq("_i", "_qi")))
-      .join(broadcast(signDf), "_i")
-      .groupBy(col("_id"), col("_j"))
-      .agg(sum(col("_s") * col("_qi")).as("_pj"))
-      .groupBy(col("_id"))
-      .agg(
-        transform(
-          sort_array(collect_list(struct(col("_j"), col("_pj")))),
-          x => x.getField("_pj").cast("float")).as("_p"))
+    def projectedOf(df: DataFrame): DataFrame = df
+      .select(
+        col(idCol).cast("long").as("_id"),
+        col(vecCol).as("_v"),
+        graft.functions.FloatVectorSignProject(col(vecCol), signs).as("_p"))
       .withColumn("_pn", sqrt(dotFast(col("_p"), col("_p"))))
-    // the raw vectors rejoin by id AFTER the skinny projection shuffle
-    // — they never ride the explode
-    val proj = emb
-      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
-      .join(projected, "_id")
-    val corpus = proj.select(
-      col("_id").as("neighbor_id"), col("_v"), col("_p"), col("_pn"))
-    val queries = proj
-      .filter(col("_id").isin(queryIds: _*))
+    // a zero projected norm (all-zero or empty embedding, or full
+    // integer cancellation) has no cosine: without this filter _pscore
+    // is NaN, which desc-orders LARGEST in Spark and floods the
+    // candidate prefix with meaningless pairs
+    // SKINNY corpus for the prune pass: outDims floats + a norm per
+    // row — the raw inDims-wide vectors never ride the candidate-rank
+    // exchange. The query side re-derives its (tiny) projections from
+    // a second scan with the id filter pushed down. The projection
+    // kernel + |corpus|·|queries| prune dots are the op's compute
+    // body; fan a narrow scan out first (a small corpus arrives as one
+    // parquet split and would otherwise prune on one core — measured
+    // 0.55 s of the bench total in a single task; see
+    // [[Dedup.fanOutNarrowScan]] for the scale-safety argument).
+    val corpus = projectedOf(Dedup.fanOutNarrowScan(emb))
+      .select(col("_id").as("neighbor_id"), col("_p"), col("_pn"))
+      .filter(col("_pn") > 0d)
+    val queries = projectedOf(emb.filter(col(idCol).isin(queryIds: _*)))
       .select(
         col("_id").as("query_id"),
         col("_v").as("_qv"), col("_p").as("_qp"), col("_pn").as("_qpn"))
-    // a zero projected norm (all-zero embedding, or full integer
-    // cancellation) has no cosine: without this filter _pscore is
-    // NaN, which desc-orders LARGEST in Spark and floods the
-    // candidate prefix with meaningless pairs
+      .filter(col("_qpn") > 0d)
     val pruned = corpus
-      .filter(col("_pn") > 0d)
-      .join(broadcast(queries.filter(col("_qpn") > 0d)),
+      .join(broadcast(queries.select(col("query_id"), col("_qp"), col("_qpn"))),
         col("neighbor_id") =!= col("query_id"))
       .select(
-        col("query_id"), col("neighbor_id"), col("_qv"), col("_v"),
+        col("query_id"), col("neighbor_id"),
         (dotFast(col("_qp"), col("_p")) / (col("_qpn") * col("_pn")))
           .as("_pscore"))
     val wC = Window
       .partitionBy(col("query_id"))
       .orderBy(col("_pscore").desc, col("neighbor_id").asc)
+    // candidates·|queries| skinny rows — broadcastable at any corpus
+    // size, so the exact rescore re-reads the raw vectors with a
+    // broadcast-hash join against the scan (no corpus-wide exchange,
+    // unlike the former plan's emb ⋈ projected shuffle join)
     val sliver = pruned
       .withColumn("_crank", row_number().over(wC))
       .filter(col("_crank") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
     val wK = Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    sliver
+    emb
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_v"))
+      .join(broadcast(sliver), "neighbor_id")
+      .join(broadcast(queries.select(col("query_id"), col("_qv"))), "query_id")
       .select(
         col("query_id"),
         col("neighbor_id"),

@@ -238,12 +238,11 @@ object TextAnalysis {
 
   /** BM25 ranked retrieval over the corpus for a fixed set of term
     * queries — the curation/inspection op ("the docs most about X") and
-    * the lexical half of retrieval/contamination checks. Standard
-    * Robertson BM25 shape (k1 = 1.2, b = 0.75) re-expressed in EXACT
-    * integer micro-units so the score is bit-identical on any engine:
-    * logs and raw double sums are not portable (ulp drift + summation
-    * order), so the idf and tf-saturation terms are floor-divided
-    * rationals instead —
+    * the lexical half of retrieval/contamination checks. BM25's tf
+    * saturation (k1 = 1.2, b = 0.75) re-expressed in EXACT integer
+    * micro-units so the score is bit-identical on any engine: logs and
+    * raw double sums are not portable (ulp drift + summation order), so
+    * the idf and tf-saturation terms are floor-divided rationals —
     *
     *   nd      = (1000 · dl · N) div Σdl                  (dl/avgdl, milli)
     *   tf_part = (2_200_000 · tf) div (1000·tf + 300 + (9·nd) div 10)
@@ -253,14 +252,30 @@ object TextAnalysis {
     * (idf_m ≤ 2·10³·N, tf_part < 2 200, terms per query small — the sum
     * stays far inside int64 even at 10⁹ documents.)
     *
+    * DELIBERATE DEVIATION from Robertson's idf: `idf_m` is the raw
+    * rational (N − df + ½)/(df + ½) in milli-units, NOT its log. A log
+    * is not exactly computable in integer arithmetic, and the monotone
+    * transform preserves every single-term ranking; for multi-term
+    * queries the linear idf weights rare terms MORE steeply than
+    * log-idf, so a multi-term ranking can diverge from textbook BM25
+    * where a common term's high tf would otherwise outvote a rare
+    * term's presence. Callers wanting textbook multi-term blending
+    * should apply their own float idf downstream; this op's contract
+    * is bit-stable cross-engine ordering, not Robertson fidelity.
+    *
     * Scale shape: ONE pass and ONE exchange over the token stream — the
     * per-doc aggregation computes document length and a conditional
     * count per query term (terms are plan-time literals) in the same
-    * groupBy, so corpus-wide term statistics are never materialized,
-    * there is no second tf pass, and no dl re-join; term counts melt
-    * back to rows (bounded by |terms| per doc), df is a tiny broadcast
-    * aggregate over the melt, and the top-k is a per-query window over
-    * the scored docs.
+    * groupBy, so corpus-wide term statistics are never materialized and
+    * there is no second tf pass; document frequencies ride the SAME
+    * one-row stats aggregate as N and Σdl (one `sum(tf_i > 0)` per
+    * term), so the per-query scores are pure plan-time literal
+    * expressions over the per-doc row × one broadcast stats row — no
+    * term melt, no df join, no query-terms join. The top-k is a
+    * per-query window over docs with a positive score (score_u > 0 ⇔
+    * at least one query term matches: idf_m is always positive and
+    * tf_part(0) = 0, so the filter reproduces the presence semantics
+    * of a term-match join exactly).
     */
   def bm25TopK(
       docs: DataFrame,
@@ -275,46 +290,43 @@ object TextAnalysis {
     require(termSet.size <= 256,
       s"bm25TopK holds one aggregate column per distinct term; " +
         s"${termSet.size} terms exceeds the 256 cap — batch the queries")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val qterms = queries
-      .flatMap { case (q, ts) => ts.map(t => (q, t)) }.distinct
-      .toDF("_q", "_t")
+    val termIdx = termSet.zipWithIndex.toMap
     val tok = docs.select(
       col(idCol).as("_d"), explode(tokens(col(textCol))).as("_t"))
-    // dl + per-term tf in ONE aggregation (terms are plan-time
-    // literals), then melt the term columns back to rows
+    // dl + per-term tf in ONE aggregation (terms are plan-time literals)
     val aggCols = count(lit(1)).as("_dl") +:
       termSet.zipWithIndex.map { case (t, i) =>
         sum(when(col("_t") === t, 1L).otherwise(0L)).as(s"_tfc_$i")
       }
     val perDoc = tok.groupBy(col("_d")).agg(aggCols.head, aggCols.tail: _*)
-    val stats = perDoc.agg(
-      count(lit(1)).as("_n_docs"), sum(col("_dl")).as("_sum_dl"))
-    val tf = perDoc
-      .select(col("_d"), col("_dl"),
-        explode(array(termSet.zipWithIndex.map { case (t, i) =>
-          struct(lit(t).as("_t"), col(s"_tfc_$i").as("_tf"))
-        }: _*)).as("_x"))
-      .select(col("_d"), col("_dl"),
-        col("_x._t").as("_t"), col("_x._tf").as("_tf"))
-      .filter(col("_tf") > 0L)
-    val dfc = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
-    val scored = tf
-      .join(broadcast(dfc), "_t")
-      .join(broadcast(qterms), "_t")
-      .crossJoin(broadcast(stats))
-      .withColumn("_nd", expr("(1000 * _dl * _n_docs) div _sum_dl"))
-      .withColumn("_tfp",
-        expr("(2200000 * _tf) div (1000 * _tf + 300 + (9 * _nd) div 10)"))
-      .withColumn("_idfm",
-        expr("(1000 * (2 * _n_docs - 2 * _df + 1)) div (2 * _df + 1)"))
-      .groupBy(col("_q"), col("_d"))
-      .agg(sum(col("_idfm") * col("_tfp")).as("score_u"))
+    // N, Σdl AND every term's document frequency in one 1-row aggregate
+    val statAggs = Seq(
+      count(lit(1)).as("_n_docs"), sum(col("_dl")).as("_sum_dl")) ++
+      termSet.indices.map(i =>
+        sum(when(col(s"_tfc_$i") > 0L, 1L).otherwise(0L)).as(s"_dfc_$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    // per-query scores as literal expressions: Σ over the query's
+    // (distinct) terms of idf_m(df_t) · tf_part(tf_t) — exact BIGINT
+    val nd = expr("(1000 * _dl * _n_docs) div _sum_dl")
+    def tfp(i: Int) = expr(
+      s"(2200000 * _tfc_$i) div (1000 * _tfc_$i + 300 + (9 * _nd) div 10)")
+    def idfm(i: Int) = expr(
+      s"(1000 * (2 * _n_docs - 2 * _dfc_$i + 1)) div (2 * _dfc_$i + 1)")
+    val qScores = queries.map { case (q, ts) =>
+      struct(
+        lit(q).as("_q"),
+        ts.distinct.map(t => idfm(termIdx(t)) * tfp(termIdx(t)))
+          .reduce(_ + _).as("_s"))
+    }
     val byQuery = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_q"))
       .orderBy(col("score_u").desc, col("_d").asc)
-    scored
+    perDoc
+      .crossJoin(broadcast(stats))
+      .withColumn("_nd", nd)
+      .select(col("_d"), explode(array(qScores: _*)).as("_x"))
+      .select(col("_d"), col("_x._q").as("_q"), col("_x._s").as("score_u"))
+      .filter(col("score_u") > 0L)
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= k)
       .select(col("_q").as("query_id"), col("_d").as(idCol),

@@ -1,0 +1,102 @@
+package graft.python
+
+import java.util.{ArrayList => JArrayList, HashMap => JHashMap, List => JList, Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.store.{FeatureStore, FeatureTableInfo}
+
+/** Py4J-facing facade over [[graft.store.FeatureStore]] — the seam the
+  * `python/graft_store` package calls through `spark._jvm`.
+  *
+  * Why a facade instead of calling the store directly from Python: the
+  * store's API is idiomatic Scala (`Seq`, `Option`, default arguments),
+  * none of which Py4J can construct from the Python side without
+  * fragile collection-converter gymnastics. This class speaks only
+  * Java types — `java.util.List`, boxed `java.lang.Long`, `null` for
+  * "absent" — and converts at the boundary. Exceptions from the store
+  * (the reference-parity error hierarchy, `store/errors.scala`) cross
+  * Py4J with class name + message intact; the Python wrapper maps them
+  * back to reference-named exception types.
+  *
+  * DataFrames cross as-is: PySpark's `df._jdf` IS the JVM `Dataset`,
+  * and a returned JVM DataFrame wraps back into a Python `DataFrame`
+  * with zero data movement — the plan stays lazy, distributed, and
+  * Catalyst-optimized exactly as from Scala. No pandas boundary
+  * anywhere (the reference's per-call `.copy()` has no analogue here;
+  * laziness is the Spark-native contract).
+  */
+final class PyFeatureStore(val store: FeatureStore) {
+
+  private def infoMap(i: FeatureTableInfo): JMap[String, Object] = {
+    val m = new JHashMap[String, Object]()
+    m.put("name", i.name)
+    m.put("columns", new JArrayList[String](i.columns.asJava))
+    m.put("version", Int.box(i.version))
+    m.put("row_count", Long.box(i.rowCount))
+    m.put("registered_at", Long.box(i.registeredAt))
+    m.put("updated_at", Long.box(i.updatedAt))
+    m
+  }
+
+  private def optCols(columns: JList[String]): Option[Seq[String]] =
+    Option(columns).map(_.asScala.toSeq)
+
+  def register(name: String, df: DataFrame, description: String): JMap[String, Object] =
+    infoMap(store.register(name, df, Option(description).getOrElse("")))
+
+  def get(
+      name: String,
+      entityIds: JList[Object],
+      timestamp: Object,
+      columns: JList[String]): DataFrame =
+    store.get(name, entityIds.asScala.toSeq, timestamp, optCols(columns))
+
+  def getTrainingSet(
+      name: String,
+      entityTimestamps: DataFrame,
+      columns: JList[String],
+      maxAgeSeconds: java.lang.Long): DataFrame =
+    store.getTrainingSet(
+      name, entityTimestamps, optCols(columns),
+      Option(maxAgeSeconds).map(_.longValue()))
+
+  def getVersion(name: String, version: Int): DataFrame =
+    store.getVersion(name, version)
+
+  def listTables(): JList[JMap[String, Object]] =
+    new JArrayList(store.listTables().map(infoMap).asJava)
+
+  def getTableInfo(name: String): JMap[String, Object] =
+    infoMap(store.getTableInfo(name))
+
+  def tableNames(): JList[String] =
+    new JArrayList[String](store.tableNames.asJava)
+
+  def maxVersions(): Int = store.maxVersions
+
+  def delete(name: String): Boolean = store.delete(name)
+
+  /** Re-read the on-disk catalog: picks up tables/versions committed
+    * by OTHER sessions or surfaces (e.g. a SQL `INSERT` through the V2
+    * catalog, which writes via its own store instance) since this
+    * handle opened.
+    */
+  def refresh(): Unit = store.refresh()
+}
+
+object PyFeatureStore {
+
+  /** Entry point for the Python wrapper: `null` root resolves to the
+    * storage default, exactly as the Scala constructor's default.
+    */
+  def open(
+      spark: SparkSession,
+      root: String,
+      maxVersions: Int,
+      partitionGranularity: String): PyFeatureStore =
+    new PyFeatureStore(
+      new FeatureStore(spark, root, maxVersions, partitionGranularity))
+}

@@ -59,16 +59,22 @@ private[sources] object GraftProcedures {
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
-  /** NULL arguments must fail loudly (or take the documented default):
+  /** NULL-argument convention, uniform across all procedures:
+    * a REQUIRED parameter rejects NULL loudly ([[requireArg]] —
     * `InternalRow`'s primitive getters return 0/false for NULL, so an
     * unguarded `restore(version => NULL)` would silently restore to
-    * version 0 and `vacuum(grace_millis => NULL)` would reclaim with
-    * ZERO grace — the worst possible misreading of "no argument".
+    * version 0); a DEFAULTED parameter treats NULL as "take the
+    * documented default" ([[boolOrDefault]], vacuum's grace mapping) —
+    * explicit NULL and omitted argument behave identically, never as a
+    * zero-value misreading.
     */
   private def requireArg(in: InternalRow, i: Int, name: String): Unit =
     if (in.isNullAt(i))
       throw new FeatureValidationError(
         s"procedure argument '$name' must not be NULL")
+
+  private def boolOrDefault(in: InternalRow, i: Int, default: Boolean): Boolean =
+    if (in.isNullAt(i)) default else in.getBoolean(i)
 
   /** OPTIMIZE: cluster (range or Z-ORDER) the current version into a
     * new content-identical one; `incremental => true` rewrites only
@@ -88,12 +94,13 @@ private[sources] object GraftProcedures {
         paramD("incremental", BooleanType, "false"))
       override def call(in: InternalRow): java.util.Iterator[Scan] = {
         requireArg(in, 0, "table"); requireArg(in, 1, "cluster_by")
-        requireArg(in, 2, "zorder"); requireArg(in, 3, "incremental")
         val table = in.getUTF8String(0).toString
         val cols = in.getUTF8String(1).toString.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
         val info = store(root).optimizeTable(
-          table, cols, zorder = in.getBoolean(2), incremental = in.getBoolean(3))
+          table, cols,
+          zorder = boolOrDefault(in, 2, default = false),
+          incremental = boolOrDefault(in, 3, default = false))
         resultScan(
           StructType(Seq.empty).add("table", StringType).add("version", IntegerType)
             .add("row_count", LongType),

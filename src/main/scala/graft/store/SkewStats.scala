@@ -116,7 +116,13 @@ object SkewStats {
         .withColumn("_work", n.cast("double") * frameRows)
         .filter(n >= rowThreshold ||
           col("_work") >= lit(workThreshold.toDouble))
-        .orderBy((n >= rowThreshold).desc, col("_work").desc)
+        // final entity-asc key: entities tied on _work at the 4096
+        // boundary would otherwise be admitted or dropped by
+        // partitioning luck, making the memoized hot set (and thus the
+        // routed plan shape) vary across runs — performance-only under
+        // the answer-equivalence contract, but this repo promises
+        // bit-reproducible trajectories everywhere else too
+        .orderBy((n >= rowThreshold).desc, col("_work").desc, col("_he").asc)
         .limit(MaxWorkHotSet)
         .select(col("_he"))
         .collect()

@@ -33,6 +33,23 @@ object bridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[ClassicDataset[_]].queryExecution.analyzed
 
+  /** The optimized logical plan — for DRIVER-SIDE SIZE ESTIMATES
+    * (`.stats.sizeInBytes`) without forcing physical planning: for a
+    * file relation the statistic is the summed file sizes already
+    * gathered at read time, so reading it is pure arithmetic (unlike
+    * `df.rdd`, which builds the whole physical plan and RDD lineage).
+    */
+  def optimizedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[ClassicDataset[_]].queryExecution.optimizedPlan
+
+  /** `spark.sql.files.maxPartitionBytes` as the LONG the session
+    * actually resolves (handles "128m"-style suffixed settings, which
+    * a raw string conf read would misparse).
+    */
+  def filesMaxPartitionBytes(spark: SparkSession): Long =
+    spark.asInstanceOf[ClassicSparkSession]
+      .sessionState.conf.filesMaxPartitionBytes
+
   def registerFunction(
       spark: SparkSession,
       id: org.apache.spark.sql.catalyst.FunctionIdentifier,

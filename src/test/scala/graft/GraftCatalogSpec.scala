@@ -243,6 +243,15 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestBase {
       .sql(s"CALL $c.vacuum(grace_millis => CAST(NULL AS BIGINT))").collect()
     assert(reclaimed.isEmpty)
     assert(spark.sql(s"SELECT count(*) FROM $c.feat").head().getLong(0) == 5L)
+    // the uniform convention's other half: a DEFAULTED parameter maps
+    // explicit NULL to its default (here zorder/incremental => false),
+    // identically to omitting the argument — never a NULL error and
+    // never a read-as-false-by-accident distinction from vacuum's
+    val opt = spark.sql(
+      s"CALL $c.optimize(`table` => 'feat', cluster_by => 'timestamp', " +
+        "zorder => CAST(NULL AS BOOLEAN), incremental => CAST(NULL AS BOOLEAN))")
+      .collect()
+    assert(opt.head.getAs[Long]("row_count") == 5L)
   }
 
   test("ALTER TABLE ADD/DROP CONSTRAINT maps to the store's CHECK ledger") {

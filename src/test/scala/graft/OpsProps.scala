@@ -387,4 +387,70 @@ object OpsProps extends Properties("Ops") {
         routed == exact
       } finally conf.unset("spark.graft.similarity.broadcastBudgetBytes")
     }
+
+  // ---- retrieval COMPOSITION seams (the shapes the contract queries
+  // wire together): fusion over two rankings, MMR over an IVF pool ----
+
+  private val genRankedPair
+      : Gen[(List[(Int, Long, Long)], List[(Int, Long, Long)])] = {
+    def ranked(qs: Seq[Int]): Gen[List[(Int, Long, Long)]] =
+      Gen.sequence[List[List[(Int, Long, Long)]], List[(Int, Long, Long)]](
+        qs.map { q =>
+          for {
+            m <- Gen.choose(1, 12)
+            ids <- Gen.pick(m, 0L until 20L)
+          } yield ids.toList.zipWithIndex
+            .map { case (d, r) => (q, d, (r + 1).toLong) }
+        }).map(_.flatten)
+    for { a <- ranked(Seq(0, 1)); b <- ranked(Seq(0, 1)) } yield (a, b)
+  }
+
+  property("rrfFuse is a permutation-stable, symmetric function of the two rankings") =
+    forAll(genRankedPair, Gen.choose(1, 8)) { case ((a, b), k) =>
+      val s = spark
+      import s.implicits._
+      def df(rows: List[(Int, Long, Long)]) =
+        rows.toDF("query_id", "doc_id", "rank")
+      def fuse(x: DataFrame, y: DataFrame) = graft.ops.Retrieval
+        .rrfFuse(x, y, k)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val base = fuse(df(a), df(b))
+      // input ROW ORDER must not matter (the rankings are the input,
+      // not their physical layout) ...
+      val shuffled = fuse(
+        df(scala.util.Random.shuffle(a)), df(scala.util.Random.shuffle(b)))
+      // ... and neither must which retriever is "a" vs "b": reciprocal
+      // contributions are summed, so fusion is symmetric
+      val swapped = fuse(df(b), df(a))
+      base == shuffled && base == swapped
+    }
+
+  property("mmrRerankPool over an IVF pool selects only from the pool") =
+    forAll(
+      Gen.choose(5, 12).flatMap(n => Gen.listOfN(n,
+        Gen.listOfN(4, Gen.choose(-5, 5).map(_.toFloat / 4f)))),
+      Gen.choose(1, 4), Gen.oneOf(0, 500, 1000)) { (vecsRaw, k, lamPm) =>
+      val s = spark
+      import s.implicits._
+      val vecs = vecsRaw.zipWithIndex.map { case (v, i) =>
+        val a = v.toArray; if (a.forall(_ == 0f)) a(0) = 1f; (i.toLong, a)
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      val pool = Similarity.ivfTopK(
+        df, Seq(0L), k = math.max(k, 3), numCentroids = 4, nProbe = 2)
+      val poolIds = pool.collect().map(_.getAs[Long]("neighbor_id")).toSet
+      val sel = graft.ops.Retrieval
+        .mmrRerankPool(df, pool, k, lamPm)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val selIds = sel.map(_._1).toSet
+      // every MMR pick comes FROM the pool (the approximate pool is
+      // the only corpus the greedy step may see), picks are distinct,
+      // ranks are 1..|picks|, and MMR exhausts min(k, |pool|)
+      selIds.subsetOf(poolIds) &&
+        selIds.size == sel.length &&
+        sel.map(_._2).sorted.toList == (1L to sel.length).toList &&
+        sel.length == math.min(k, poolIds.size)
+    }
 }
