@@ -116,21 +116,43 @@ object Dedup {
   }
 
   /** Per-doc distinct shingle-hash sets: (id, _set array<long>, _n size).
-    * Shingles are hashed to the portable 60-bit family — ~8 bytes per
-    * key downstream instead of a 20+-byte string, with 2^-60 collision
-    * odds per pair. One aggregation dedups and sizes in a single
-    * shuffle.
+    * Shingles are hashed with codegen'd xxhash64 over the token SLICE
+    * directly ([[TextAnalysis.crossDupSpans]]'s choice): ~8 bytes per
+    * key downstream instead of a 20+-byte string, no concat_ws
+    * allocation, no cryptographic hash — these hashes never surface in
+    * any output (only intersection counts and set sizes do; every
+    * oracle groups raw shingle strings), so the portable md5 family is
+    * not needed here, and token tuples have identical equality classes
+    * to their space-joined strings (tokens are space-free by
+    * construction). Collision odds 2^-64 per pair. One aggregation
+    * dedups and sizes in a single shuffle. NOTE: a persisted
+    * [[NearDupIndex]] embeds these hashes — rebuild indexes when this
+    * function's hash family changes.
     */
   private def shingleHashSets(
       docs: DataFrame,
       n: Int,
       idCol: String,
-      textCol: String): DataFrame =
-    shingleOccurrences(docs, n, idCol, textCol)
-      .select(col(idCol), Hashing.md5Long60(col("shingle")).as("_sh"))
+      textCol: String): DataFrame = {
+    // NO narrow-scan fan-out here: re-measured round-12 (post-xxhash),
+    // fanning the docs scan out cost 0.46 → 0.65 s at bench — the
+    // repartition shuffles the raw text column, which outweighs
+    // parallelizing the shingle build (same verdict as bm25TopK's
+    // rejected experiment; the win only exists where the per-row
+    // compute dominates the text-shuffle cost, e.g. crossDupSpans)
+    val toks = split(col(textCol), " ")
+    docs
+      .select(col(idCol), toks.as("_toks"))
+      .filter(size(col("_toks")) >= n)
+      .select(
+        col(idCol),
+        col("_toks"),
+        explode(sequence(lit(1), size(col("_toks")) - (n - 1))).as("_pos"))
+      .select(col(idCol), xxhash64(slice(col("_toks"), col("_pos"), lit(n))).as("_sh"))
       .groupBy(col(idCol))
       .agg(collect_set(col("_sh")).as("_set"))
       .select(col(idCol), col("_set"), size(col("_set")).as("_n"))
+  }
 
   /** Exact n-gram Jaccard near-duplicate pairs (ids a < b with
     * J(a,b) >= threshold). Pairwise work is bounded by the
@@ -158,10 +180,11 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       carrySizes: Boolean = true): DataFrame = {
-    // Join on the 60-bit shingle hash, not the shingle string: ~8 bytes
+    // Join on the 64-bit shingle hash, not the shingle string: ~8 bytes
     // per key through the shuffle instead of ~20+, and cheap equality.
-    // Hash collisions are immaterial at 2^-60 per pair, and the oracle
-    // hashes with the same md5 formula so sets stay identical.
+    // Hash collisions are immaterial at 2^-64 per pair, and the hash
+    // never surfaces (the oracle joins raw shingle strings — only
+    // intersection counts and sizes cross the compare).
     // One aggregation builds each doc's distinct-shingle set (and its
     // size) — a single shuffle replacing separate distinct + size
     // passes; the re-explode is shuffle-free, and both join inputs are
