@@ -221,6 +221,59 @@ class FeatureStore:
         through the V2 catalog) since this handle opened."""
         self._j.refresh()
 
+    # -- beyond-reference surfaces (Spark-native extensions) -----------
+
+    def register_append(
+        self, name: str, df: DataFrame, merge_schema: bool = False
+    ) -> FeatureTableInfo:
+        """O(delta) append: a new version referencing prior segments plus
+        this batch — no rewrite of existing data. ``merge_schema=True``
+        allows new columns (prior segments read them as typed nulls)."""
+        try:
+            return self._info(
+                self._j.registerAppend(name, df._jdf, bool(merge_schema)))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def scan_where(self, name: str, condition_sql: str) -> DataFrame:
+        """Filtered read of the current version with segment-stats data
+        skipping; ``condition_sql`` is a SQL boolean expression."""
+        try:
+            return self._wrap(self._j.scanWhere(name, condition_sql))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def get_version_as_of(self, name: str, timestamp: Any) -> DataFrame:
+        """TIMESTAMP AS OF time travel over the retained commit history."""
+        try:
+            return self._wrap(self._j.getVersionAsOf(name, _ts_arg(timestamp)))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def get_feature_view(
+        self, spine: DataFrame, names: Sequence[str]
+    ) -> DataFrame:
+        """Multi-table left as-of view over the spine; feature columns
+        come back prefixed ``<table>_``; every spine row survives."""
+        try:
+            return self._wrap(self._j.getFeatureView(spine._jdf, list(names)))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def get_table_history(self, name: str) -> List[dict]:
+        """Retained version history, oldest first (DESCRIBE HISTORY)."""
+        try:
+            out = []
+            for m in self._j.getTableHistory(name):
+                d = dict(m)
+                d["columns"] = list(d["columns"])
+                if d.get("committed_at") is not None:
+                    d["committed_at"] = d["committed_at"] / 1000.0
+                out.append(d)
+            return out
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
     # -- plumbing ------------------------------------------------------
 
     def _wrap(self, jdf) -> DataFrame:

@@ -191,6 +191,29 @@ def main():
         check("deleted table leaves table_names",
               "t" not in store.table_names)
 
+        # --- beyond-reference surfaces ---
+        info2 = store.register_append(
+            "f",
+            spark.createDataFrame(
+                [("user_9", ts("2024-02-10"), 9.0, 900)],
+                "entity_id string, timestamp timestamp, feature_a double, feature_b long",
+            ),
+        )
+        check("register_append bumps version O(delta)",
+              info2.version == 2 and info2.row_count == 6)
+        check("scan_where with data skipping",
+              store.scan_where("f", "entity_id = 'user_9'").count() == 1)
+        check("get_version_as_of time travel",
+              store.get_version_as_of("f", "2100-01-01").count() == 6)
+        hist = store.get_table_history("f")
+        check("get_table_history",
+              [h["version"] for h in hist] == [1, 2]
+              and hist[-1]["is_current"] is True
+              and hist[-1]["rows"] == 6)
+        view = store.get_feature_view(spine, ["f"])
+        check("get_feature_view prefixes and keeps spine rows",
+              view.count() == 2 and "f_feature_a" in view.columns)
+
         # --- the same store through the SQL surface (V2 catalog) ---
         spark.conf.set("spark.sql.catalog.fs", "graft.sources.GraftCatalog")
         spark.conf.set("spark.sql.catalog.fs.root", root)

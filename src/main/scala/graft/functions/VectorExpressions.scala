@@ -390,7 +390,12 @@ case class FloatVectorSignProject(child: Expression, signs: Array[Array[Long]])
     var i = 0
     while (i < len) {
       val x = math.abs(v.getFloat(i).toDouble)
-      if (x > maxAbs) maxAbs = x
+      // NaN-as-greatest, exactly like Spark's array_max (whose ordering
+      // this kernel replaces): a NaN element poisons the scale, every
+      // level becomes (long) floor(NaN) = 0, and the caller's norm > 0
+      // guard drops the vector — identical to the pre-fused plan and
+      // to the oracle's list_max
+      if (x > maxAbs || java.lang.Double.isNaN(x)) maxAbs = x
       i += 1
     }
     val scale = if (maxAbs == 0.0) 0.0 else 127.0 / maxAbs
@@ -432,7 +437,8 @@ case class FloatVectorSignProject(child: Expression, signs: Array[Array[Long]])
          |double $maxAbs = 0.0;
          |for (int $i = 0; $i < $len; $i++) {
          |  final double $x = java.lang.Math.abs((double) $vec.getFloat($i));
-         |  if ($x > $maxAbs) $maxAbs = $x;
+         |  // NaN-as-greatest, matching array_max (see nullSafeEval)
+         |  if ($x > $maxAbs || java.lang.Double.isNaN($x)) $maxAbs = $x;
          |}
          |final double $scale = ($maxAbs == 0.0) ? 0.0 : 127.0 / $maxAbs;
          |final int $n = java.lang.Math.min($len, $inDims);

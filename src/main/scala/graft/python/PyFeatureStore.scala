@@ -85,6 +85,37 @@ final class PyFeatureStore(val store: FeatureStore) {
     * handle opened.
     */
   def refresh(): Unit = store.refresh()
+
+  // ---- beyond-reference surfaces worth having from Python ----------
+
+  def registerAppend(
+      name: String, df: DataFrame, mergeSchema: Boolean): JMap[String, Object] =
+    infoMap(store.registerAppend(name, df, mergeSchema = mergeSchema))
+
+  /** Filtered current-version read with segment-stats data skipping;
+    * the condition is a SQL boolean expression over the table columns.
+    */
+  def scanWhere(name: String, conditionSql: String): DataFrame =
+    store.scanWhere(name, org.apache.spark.sql.functions.expr(conditionSql))
+
+  def getVersionAsOf(name: String, timestamp: Object): DataFrame =
+    store.getVersionAsOf(name, timestamp)
+
+  /** Multi-table left as-of view: feature columns prefixed `<table>_`. */
+  def getFeatureView(spine: DataFrame, names: JList[String]): DataFrame =
+    store.getFeatureView(spine, names.asScala.toSeq)
+
+  def getTableHistory(name: String): JList[JMap[String, Object]] =
+    new JArrayList(store.getTableHistory(name).map { v =>
+      val m = new JHashMap[String, Object]()
+      m.put("version", Int.box(v.version))
+      m.put("columns", new JArrayList[String](v.columns.asJava))
+      m.put("is_current", Boolean.box(v.isCurrent))
+      m.put("committed_at", v.committedAt.map(Long.box).orNull)
+      m.put("operation", v.operation.orNull)
+      m.put("rows", v.rows.map(Long.box).orNull)
+      m
+    }.asJava)
 }
 
 object PyFeatureStore {

@@ -38,6 +38,7 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase {
     val rows = (1L to 64L).map(i => (i, fvec(), fvec()))
     val matrix = Array.fill(4)(Array.fill(dim)(rnd.nextDouble() - 0.5))
     val codebooks = Array.fill(4)(Array.fill(8)(Array.fill(dim / 4)(rnd.nextDouble() - 0.5)))
+    val signs = Array.fill(8)(Array.fill(dim)(if (rnd.nextBoolean()) 1L else -1L))
     def results(): Seq[org.apache.spark.sql.Row] = {
       val df = rows.toDF("id", "a", "b").select(
         col("id"),
@@ -46,6 +47,7 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase {
         graft.functions.FloatVectorTopCentroids(col("a"), matrix, 2).as("tc"),
         graft.functions.FloatVectorHyperplaneSignature(col("a"), matrix).as("sig"),
         graft.functions.FloatVectorPqEncode(col("a"), codebooks).as("pq"),
+        graft.functions.FloatVectorSignProject(col("a"), signs).as("sp"),
         graft.functions.Hashing.md5Long60(col("id").cast("string")).as("h"))
       df.orderBy("id").collect().toSeq
     }
@@ -101,6 +103,30 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1).getDouble(1) == (0.1f.toDouble * 0.3f.toDouble +
       0.2f.toDouble * 0.2f.toDouble + 0.3f.toDouble * 0.1f.toDouble))
     assert(out(3).getDouble(1) == 0.0) // empty side → empty zip → 0
+  }
+
+  test("sign projection: NaN poisons the scale like array_max; zero/empty/short vectors") {
+    val s = spark
+    import s.implicits._
+    val signs = Array(Array(1L, -1L, 1L), Array(-1L, 1L, 1L))
+    val df = Seq(
+      (1L, Array(2.0f, -4.0f, 1.0f)),   // plain: scale 127/4
+      (2L, Array(1.0f, Float.NaN, 1.0f)), // NaN → scale NaN → all-zero levels
+      (3L, Array(0.0f, 0.0f, 0.0f)),    // zero vector → scale 0 → all zero
+      (4L, Array.empty[Float]),         // empty → all-zero sums
+      (5L, Array(3.0f)))                // shorter than inDims: missing read as absent
+      .toDF("id", "v")
+      .select(col("id"),
+        graft.functions.FloatVectorSignProject(col("v"), signs).as("p"))
+      .orderBy("id").collect()
+    def p(i: Int) = df(i).getSeq[Float](1)
+    // id 1: q = (64, -127, 32) → j0: 64+127+32 = 223; j1: -64-127+32 = -159
+    assert(p(0) == Seq(223f, -159f))
+    assert(p(1) == Seq(0f, 0f)) // NaN-poisoned, matches the old array_max plan
+    assert(p(2) == Seq(0f, 0f))
+    assert(p(3) == Seq(0f, 0f))
+    // id 5: q = (127) → j0: 127; j1: -127
+    assert(p(4) == Seq(127f, -127f))
   }
 
   test("non-array input is rejected at analysis") {
