@@ -95,9 +95,15 @@ def _translate(err: Py4JJavaError) -> Exception:
 
 def _ts_arg(timestamp: Any) -> Any:
     """Coerce a Python timestamp-ish value to what the JVM boundary
-    accepts: datetime/date become naive-as-UTC ISO strings (the store's
-    documented convention), strings pass through untouched."""
+    accepts: datetimes become naive-as-UTC ISO strings (the store's
+    documented convention), strings pass through untouched. A
+    timezone-AWARE datetime is converted to UTC first — dropping tzinfo
+    and reinterpreting the wall clock as UTC would silently shift every
+    point-in-time cutoff by the offset (future-feature leakage, the
+    exact bug class a PIT store exists to prevent)."""
     if isinstance(timestamp, _dt.datetime):
+        if timestamp.tzinfo is not None:
+            timestamp = timestamp.astimezone(_dt.timezone.utc)
         return timestamp.strftime("%Y-%m-%dT%H:%M:%S.%f")
     if isinstance(timestamp, _dt.date):
         return timestamp.isoformat()

@@ -49,11 +49,6 @@ object Dedup {
       textCol: String = "text"): DataFrame =
     shingleOccurrences(docs, n, idCol, textCol).distinct()
 
-  /** All (id, shingle) occurrences, not yet deduplicated — the shared
-    * tokenization core of [[wordShingles]] and [[shingleHashSets]]; any
-    * tokenization change here applies to the whole Jaccard/MinHash
-    * family at once.
-    */
   /** Fan a narrow scan out to the session's parallelism before a
     * compute-heavy per-row pipeline (tokenize + shingle explode +
     * hash): a small corpus arrives as a handful of parquet splits and
@@ -72,29 +67,50 @@ object Dedup {
     * shuffle. crossDupSpans (scan feeding a count-only aggregate and a
     * tiny self-join) measured 3.6 → 1.8 s.
     *
-    * The narrow-scan test reads the OPTIMIZED-plan size statistic (for
-    * a parquet relation, the summed file sizes already gathered at
-    * read time) against parallelism × maxPartitionBytes — a pure
+    * The narrow-scan test applies ONLY to plans whose every leaf is a
+    * file-backed relation, and reads the OPTIMIZED-plan size statistic
+    * (for a parquet relation, the summed file sizes already gathered
+    * at read time) against parallelism × maxPartitionBytes — a pure
     * driver-side arithmetic check. The previous probe
     * (`df.rdd.getNumPartitions`) physical-planned the whole upstream
     * query once just to count splits, then the real execution planned
     * it a second time, and under AQE the pre-execution count could
-    * disagree with the runtime partitioning anyway. A relation without
-    * file-backed stats reports a huge default size and simply never
-    * triggers the fan-out — routing-only, rows unchanged either way.
+    * disagree with the runtime partitioning anyway. Non-file leaves
+    * (LocalRelation, a cached InMemoryRelation, streaming sources) are
+    * left untouched: their size statistic is small-and-accurate, so
+    * the estimate would repartition inputs that are ALREADY
+    * parallelized (a local scan fans out at conversion; a cached frame
+    * keeps its cached partitioning) — routing-only, rows unchanged
+    * either way.
     */
   private[ops] def fanOutNarrowScan(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.bridge
+    val plan = bridge.optimizedPlan(df)
+    val leaves = plan.collectLeaves()
+    val fileBacked = leaves.nonEmpty && leaves.forall { l =>
+      val n = l.getClass.getSimpleName
+      n == "LogicalRelation" || n == "DataSourceV2ScanRelation" ||
+        n == "HiveTableRelation"
+    }
+    if (!fileBacked) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
     val maxPartitionBytes =
       math.max(1L, bridge.filesMaxPartitionBytes(df.sparkSession))
-    val sizeBytes = bridge.optimizedPlan(df).stats.sizeInBytes
     val estSplits =
-      (sizeBytes + (maxPartitionBytes - 1)) / maxPartitionBytes
+      (plan.stats.sizeInBytes + (maxPartitionBytes - 1)) / maxPartitionBytes
     if (estSplits < BigInt(par)) df.repartition(par) else df
   }
 
-  private def shingleOccurrences(
+  /** The SHARED tokenization + windowing core of the whole
+    * Jaccard/MinHash family: (id, _toks array, _i 0-based window
+    * start), one row per n-token window. [[shingleOccurrences]] (the
+    * candidate/minhash side) and [[shingleHashSets]] (the verification
+    * side) both derive from THIS frame, so a tokenization change here
+    * applies to candidate generation and exact verification at once —
+    * they must never desynchronize, or LSH proposes pairs the verifier
+    * shingles differently.
+    */
+  private def tokenWindows(
       docs: DataFrame,
       n: Int,
       idCol: String,
@@ -107,13 +123,20 @@ object Dedup {
         col(idCol),
         col("_toks"),
         explode(sequence(lit(0), size(col("_toks")) - n)).as("_i"))
+  }
+
+  private def shingleOccurrences(
+      docs: DataFrame,
+      n: Int,
+      idCol: String,
+      textCol: String): DataFrame =
+    tokenWindows(docs, n, idCol, textCol)
       .select(
         col(idCol),
         concat_ws(
           " ",
           (1 to n).map(j => element_at(col("_toks"), col("_i") + j)): _*)
           .as("shingle"))
-  }
 
   /** Per-doc distinct shingle-hash sets: (id, _set array<long>, _n size).
     * Shingles are hashed with codegen'd xxhash64 over the token SLICE
@@ -133,26 +156,21 @@ object Dedup {
       docs: DataFrame,
       n: Int,
       idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
     // NO narrow-scan fan-out here: re-measured round-12 (post-xxhash),
     // fanning the docs scan out cost 0.46 → 0.65 s at bench — the
     // repartition shuffles the raw text column, which outweighs
     // parallelizing the shingle build (same verdict as bm25TopK's
     // rejected experiment; the win only exists where the per-row
-    // compute dominates the text-shuffle cost, e.g. crossDupSpans)
-    val toks = split(col(textCol), " ")
-    docs
-      .select(col(idCol), toks.as("_toks"))
-      .filter(size(col("_toks")) >= n)
+    // compute dominates the text-shuffle cost, e.g. crossDupSpans).
+    // slice is 1-based: window start _i (0-based) + 1.
+    tokenWindows(docs, n, idCol, textCol)
       .select(
         col(idCol),
-        col("_toks"),
-        explode(sequence(lit(1), size(col("_toks")) - (n - 1))).as("_pos"))
-      .select(col(idCol), xxhash64(slice(col("_toks"), col("_pos"), lit(n))).as("_sh"))
+        xxhash64(slice(col("_toks"), col("_i") + 1, lit(n))).as("_sh"))
       .groupBy(col(idCol))
       .agg(collect_set(col("_sh")).as("_set"))
       .select(col(idCol), col("_set"), size(col("_set")).as("_n"))
-  }
 
   /** Exact n-gram Jaccard near-duplicate pairs (ids a < b with
     * J(a,b) >= threshold). Pairwise work is bounded by the
@@ -439,7 +457,19 @@ object Dedup {
       minhashBandSignatures(corpus, numPerms, rowsPerBand, n, idCol, textCol)
         .select(col(idCol).as("corpus_id"), col("band"), col("sig")),
       shingleHashSets(corpus, n, idCol, textCol)
-        .select(col(idCol).as("corpus_id"), col("_set").as("_sb"), col("_n").as("_nb")))
+        .select(col(idCol).as("corpus_id"), col("_set").as("_sb"),
+          col("_n").as("_nb"), lit(true).as(ShingleHashFamilyMarker)))
+
+  /** Hash-family stamp carried as a COLUMN NAME in
+    * [[NearDupIndex.shingleSets]]: a persisted index's verification
+    * sets only compare equal against batches hashed by the same
+    * family, and a silent family change would zero every intersection
+    * (all near-dup pairs dropped, no error). Encoding the family in
+    * the schema makes the mismatch detectable from the frame alone —
+    * a pure driver-side check, no data read. Bump the suffix whenever
+    * [[shingleHashSets]]'s hash changes.
+    */
+  private[graft] val ShingleHashFamilyMarker = "_hf_xxh64slice_v1"
 
   /** [[incrementalNearDupPairs]] against a prebuilt corpus index — the
     * form a daily/streaming pipeline actually runs: only the incoming
@@ -454,6 +484,12 @@ object Dedup {
       n: Int,
       idCol: String,
       textCol: String): DataFrame = {
+    require(
+      index.shingleSets.columns.contains(ShingleHashFamilyMarker),
+      s"NearDupIndex.shingleSets lacks the '$ShingleHashFamilyMarker' " +
+        "hash-family marker: it was built by a different (older) shingle " +
+        "hash family, and verifying this batch against it would silently " +
+        "zero every intersection. Rebuild the index with buildNearDupIndex.")
     val sigNew = minhashBandSignatures(incoming, numPerms, rowsPerBand, n, idCol, textCol)
       .select(col(idCol).as("new_id"), col("band"), col("sig"))
     val cands = sigNew.join(index.signatures, Seq("band", "sig"))
@@ -463,7 +499,7 @@ object Dedup {
       .select(col(idCol).as("new_id"), col("_set").as("_sa"), col("_n").as("_na"))
     cands
       .join(setsNew, "new_id")
-      .join(index.shingleSets, "corpus_id")
+      .join(index.shingleSets.drop(ShingleHashFamilyMarker), "corpus_id")
       .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))))
       .select(
         col("new_id"),

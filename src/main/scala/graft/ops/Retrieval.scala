@@ -47,10 +47,16 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rrfK >= 0, s"rrfK must be >= 0, got $rrfK")
     // integral div keeps the reciprocal exact; summing exact longs is
-    // order-free, so the fused score is independent of union order
+    // order-free, so the fused score is independent of union order.
+    // coalesce preserves the join form's null -> 0 contract for
+    // degenerate rows (NULL rank from an upstream outer join, or
+    // rank 0 with rrfK = 0 dividing to NULL): the row still fuses,
+    // contributing 0 instead of poisoning the sum to NULL
     def contrib(df: DataFrame, idCol: String): DataFrame = df.select(
       col("query_id"), col(idCol).as("doc_id"),
-      expr(s"1000000 div (${rrfK}L + CAST(rank AS BIGINT))").as("_u"))
+      coalesce(
+        expr(s"1000000 div (${rrfK}L + CAST(rank AS BIGINT))"),
+        lit(0L)).as("_u"))
     val fused = contrib(a, idColA)
       .unionByName(contrib(b, idColB))
       .groupBy(col("query_id"), col("doc_id"))

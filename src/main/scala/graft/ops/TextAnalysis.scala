@@ -272,10 +272,11 @@ object TextAnalysis {
     * term), so the per-query scores are pure plan-time literal
     * expressions over the per-doc row × one broadcast stats row — no
     * term melt, no df join, no query-terms join. The top-k is a
-    * per-query window over docs with a positive score (score_u > 0 ⇔
-    * at least one query term matches: idf_m is always positive and
-    * tf_part(0) = 0, so the filter reproduces the presence semantics
-    * of a term-match join exactly).
+    * per-query window over docs where some query term is PRESENT
+    * (tf > 0 for at least one term) — presence, not score_u > 0,
+    * because the floored idf_m legitimately hits 0 for near-ubiquitous
+    * terms and such matching docs must still rank (tie-broken by id),
+    * the exact semantics of a term-match join.
     */
   def bm25TopK(
       docs: DataFrame,
@@ -306,17 +307,30 @@ object TextAnalysis {
         sum(when(col(s"_tfc_$i") > 0L, 1L).otherwise(0L)).as(s"_dfc_$i"))
     val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
     // per-query scores as literal expressions: Σ over the query's
-    // (distinct) terms of idf_m(df_t) · tf_part(tf_t) — exact BIGINT
+    // (distinct) terms of idf_m(df_t) · tf_part(tf_t) — exact BIGINT.
+    // Duplicate query ids merge first (union of their term lists), the
+    // semantics of the former distinct-(q, term)-pairs join.
     val nd = expr("(1000 * _dl * _n_docs) div _sum_dl")
     def tfp(i: Int) = expr(
       s"(2200000 * _tfc_$i) div (1000 * _tfc_$i + 300 + (9 * _nd) div 10)")
     def idfm(i: Int) = expr(
       s"(1000 * (2 * _n_docs - 2 * _dfc_$i + 1)) div (2 * _dfc_$i + 1)")
-    val qScores = queries.map { case (q, ts) =>
+    val merged = queries.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2).distinct).toSeq.sortBy(_._1)
+    // ranked-set membership is PRESENCE (some query term occurs in the
+    // doc — the semantics of the former tf > 0 melt filter), NOT
+    // score_u > 0: the floored idf_m hits 0 for near-ubiquitous terms
+    // (df within ~0.05% of N) and tf_part can floor to 0 for extreme
+    // dl, so a matching doc can carry a legitimate ZERO score and must
+    // still rank (ties broken by doc id), exactly like the oracle's
+    // presence join
+    val qScores = merged.map { case (q, ts) =>
       struct(
         lit(q).as("_q"),
-        ts.distinct.map(t => idfm(termIdx(t)) * tfp(termIdx(t)))
-          .reduce(_ + _).as("_s"))
+        ts.map(t => idfm(termIdx(t)) * tfp(termIdx(t)))
+          .reduce(_ + _).as("_s"),
+        ts.map(t => col(s"_tfc_${termIdx(t)}") > 0L)
+          .reduce(_ || _).as("_present"))
     }
     val byQuery = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_q"))
@@ -325,8 +339,8 @@ object TextAnalysis {
       .crossJoin(broadcast(stats))
       .withColumn("_nd", nd)
       .select(col("_d"), explode(array(qScores: _*)).as("_x"))
+      .filter(col("_x._present"))
       .select(col("_d"), col("_x._q").as("_q"), col("_x._s").as("score_u"))
-      .filter(col("score_u") > 0L)
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= k)
       .select(col("_q").as("query_id"), col("_d").as(idCol),

@@ -406,7 +406,8 @@ object OpsProps extends Properties("Ops") {
   }
 
   property("rrfFuse is a permutation-stable, symmetric function of the two rankings") =
-    forAll(genRankedPair, Gen.choose(1, 8)) { case ((a, b), k) =>
+    forAll(genRankedPair, Gen.choose(1, 8),
+      Gen.choose(Long.MinValue, Long.MaxValue)) { case ((a, b), k, seed) =>
       val s = spark
       import s.implicits._
       def df(rows: List[(Int, Long, Long)]) =
@@ -418,9 +419,10 @@ object OpsProps extends Properties("Ops") {
         .toSet
       val base = fuse(df(a), df(b))
       // input ROW ORDER must not matter (the rankings are the input,
-      // not their physical layout) ...
-      val shuffled = fuse(
-        df(scala.util.Random.shuffle(a)), df(scala.util.Random.shuffle(b)))
+      // not their physical layout); the permutation derives from a
+      // GENERATED seed so any failure replays from the reported args
+      val rnd = new scala.util.Random(seed)
+      val shuffled = fuse(df(rnd.shuffle(a)), df(rnd.shuffle(b)))
       // ... and neither must which retriever is "a" vs "b": reciprocal
       // contributions are summed, so fusion is symmetric
       val swapped = fuse(df(b), df(a))

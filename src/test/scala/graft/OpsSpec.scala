@@ -1017,6 +1017,36 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bm25TopK: membership is presence, not positive score; duplicate query ids merge") {
+    val s = spark
+    import s.implicits._
+    // a term in ALL of 600 docs floors idf_m to 0 (1000·(2(N−df)+1) <
+    // 2df+1 once N ≥ 500 at df = N): every matching doc scores a
+    // legitimate ZERO and must still rank, tie-broken by doc id — the
+    // presence semantics of a term-match join, not a score filter
+    val ubiq = (0L until 600L).map(i => (i, s"common filler_$i"))
+      .toDF("doc_id", "text")
+    val zeroScored = graft.ops.TextAnalysis
+      .bm25TopK(ubiq, Seq(1 -> Seq("common")), k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(zeroScored.toSeq == Seq((0L, 0L, 1L), (1L, 0L, 2L), (2L, 0L, 3L)))
+    // duplicate query ids merge into one ranking over the UNION of
+    // their term lists (the former distinct-(q, term)-pairs semantics),
+    // never two interleaved score streams
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana banana banana"),
+      (3L, "apple cherry")).toDF("doc_id", "text")
+    val dup = graft.ops.TextAnalysis
+      .bm25TopK(docs, Seq(1 -> Seq("apple"), 1 -> Seq("banana")), k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val merged = graft.ops.TextAnalysis
+      .bm25TopK(docs, Seq(1 -> Seq("apple", "banana")), k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(dup.sortBy(_._4).toSeq == merged.sortBy(_._4).toSeq)
+    assert(dup.map(_._2).distinct.length == dup.length)
+  }
+
   test("rrfFuse: both-list docs outrank single-list docs; exact reciprocal units") {
     val s = spark
     import s.implicits._
