@@ -96,9 +96,19 @@ object Dedup {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val maxPartitionBytes =
       math.max(1L, bridge.filesMaxPartitionBytes(df.sparkSession))
-    val estSplits =
-      (plan.stats.sizeInBytes + (maxPartitionBytes - 1)) / maxPartitionBytes
-    if (estSplits < BigInt(par)) df.repartition(par) else df
+    val sizeBytes = plan.stats.sizeInBytes
+    val estSplits = (sizeBytes + (maxPartitionBytes - 1)) / maxPartitionBytes
+    // two-sided narrowness: fewer estimated splits than cores AND at
+    // most ONE split's worth of bytes — the literal "small corpus in a
+    // single parquet split" shape the fan-out exists for (and where it
+    // was measured to win). A mid-size scan (say 250 MB in 2 splits on
+    // 32 cores) passes the split test, but the repartition would
+    // shuffle hundreds of MBs to buy task-count the per-row compute
+    // rarely justifies — measured 182 MB of pure shuffle for no wall
+    // win on a 1M×64-dim ANN prune (AnnRpScaleDemo).
+    val narrow =
+      estSplits < BigInt(par) && sizeBytes <= BigInt(maxPartitionBytes)
+    if (narrow) df.repartition(par) else df
   }
 
   /** The SHARED tokenization + windowing core of the whole
