@@ -429,6 +429,39 @@ object OpsProps extends Properties("Ops") {
       base == shuffled && base == swapped
     }
 
+  property("annTopKProjected with candidates >= corpus equals exact brute force") =
+    forAll(
+      Gen.choose(4, 14).flatMap(n => Gen.listOfN(n,
+        Gen.listOfN(4, Gen.choose(-8, 8).map(_.toFloat / 4f)))),
+      Gen.choose(1, 3)) { (vecsRaw, k) =>
+      val s = spark
+      import s.implicits._
+      // nonzero norms (an all-zero vector is excluded by BOTH paths —
+      // raw norm on the brute side, projected norm on the prune side)
+      val vecs = vecsRaw.zipWithIndex.map { case (v, i) =>
+        val a = v.toArray; if (a.forall(_ == 0f)) a(0) = 1f; (i.toLong, a)
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      val qIds = Seq(0L, 1L)
+      val kEff = math.min(k, vecs.size - 1)
+      def rows(out: org.apache.spark.sql.DataFrame) = out
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+          r.getInt(3)))
+        .toSet
+      // with the candidate prefix covering the whole corpus, the prune
+      // drops nothing and the exact rescore must reproduce brute force
+      // bit-for-bit — scores included (same dotFast fold both sides)
+      val pruned = rows(Similarity.annTopKProjected(
+        df, qIds, k = kEff, candidates = vecs.size,
+        outDims = 8, inDims = 4))
+      val brute = rows(Similarity.bruteForceTopK(df, qIds, kEff)
+        .selectExpr("CAST(query_id AS BIGINT)", "CAST(neighbor_id AS BIGINT)",
+          "score", "rank"))
+      pruned == brute
+    }
+
   property("mmrRerankPool over an IVF pool selects only from the pool") =
     forAll(
       Gen.choose(5, 12).flatMap(n => Gen.listOfN(n,
