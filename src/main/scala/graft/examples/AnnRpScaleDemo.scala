@@ -1,8 +1,5 @@
 package graft.examples
 
-import java.util.concurrent.atomic.LongAdder
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -39,8 +36,10 @@ object AnnRpScaleDemo {
 
   def main(args: Array[String]): Unit = {
     val nVecs = args.headOption.map(_.toLong).getOrElse(10000000L)
+    require(nVecs >= 100,
+      s"AnnRpScaleDemo needs >= 100 vectors for k=5 planted families, got $nVecs")
     val dim = 64
-    val plantEvery = math.max(nVecs / 10L, 4L) // ~10 plants per query
+    val plantEvery = nVecs / 10L // 9 plants per query (k=5 needs >= 5)
     val queryIds = Seq(1L, 2L, 3L)
 
     val spark = SparkSession.builder()
@@ -51,26 +50,8 @@ object AnnRpScaleDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val shuffleRead = new LongAdder
-    val shuffleWrite = new LongAdder
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val m = sc.stageInfo.taskMetrics
-        shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
-        shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
-      }
-    })
-    def time[A](name: String)(f: => A): A = {
-      val r0 = shuffleRead.sum(); val w0 = shuffleWrite.sum()
-      val t0 = System.nanoTime()
-      val r = f
-      val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
-      val dr = (shuffleRead.sum() - r0) / 1e6
-      val dw = (shuffleWrite.sum() - w0) / 1e6
-      println(f"[step] $name%-28s ${secs}%8.1fs  shuffle r=${dr}%9.1fMB w=${dw}%9.1fMB")
-      r
-    }
+    val meter = new ShuffleMeter(spark)
+    def time[A](name: String)(f: => A): A = meter.step(name)(f)
 
     println(s"[cfg] vectors=$nVecs dim=$dim plantEvery=$plantEvery " +
       s"queries=${queryIds.mkString(",")}")
@@ -121,10 +102,8 @@ object AnnRpScaleDemo {
       ok &&= rows.length == k && inFamily == k
     }
     println(s"[verdict] ${if (ok) "ALL CHECKS GREEN" else "CHECK FAILED"}")
-    println(f"[total-shuffle] read=${shuffleRead.sum() / 1e6}%.1fMB " +
-      f"write=${shuffleWrite.sum() / 1e6}%.1fMB " +
-      "(projection is map-side; the candidate exchange is " +
-      "WindowGroupLimit-capped; rescore broadcasts the sliver)")
+    meter.total("projection is map-side; the candidate exchange is " +
+      "WindowGroupLimit-capped; rescore broadcasts the sliver")
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(corpusPath).getParentFile)
     spark.stop()

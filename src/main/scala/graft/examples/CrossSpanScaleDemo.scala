@@ -1,8 +1,5 @@
 package graft.examples
 
-import java.util.concurrent.atomic.LongAdder
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,26 +42,8 @@ object CrossSpanScaleDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val shuffleRead = new LongAdder
-    val shuffleWrite = new LongAdder
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val m = sc.stageInfo.taskMetrics
-        shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
-        shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
-      }
-    })
-    def time[A](name: String)(f: => A): A = {
-      val r0 = shuffleRead.sum(); val w0 = shuffleWrite.sum()
-      val t0 = System.nanoTime()
-      val r = f
-      val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
-      val dr = (shuffleRead.sum() - r0) / 1e6
-      val dw = (shuffleWrite.sum() - w0) / 1e6
-      println(f"[step] $name%-28s ${secs}%8.1fs  shuffle r=${dr}%9.1fMB w=${dw}%9.1fMB")
-      r
-    }
+    val meter = new ShuffleMeter(spark)
+    def time[A](name: String)(f: => A): A = meter.step(name)(f)
 
     println(s"[cfg] docs=$nDocs plantEvery=$plantEvery twins=$nTwins " +
       s"tokens/doc=$tokensPerDoc header=$headerLen")
@@ -121,11 +100,10 @@ object CrossSpanScaleDemo {
     println(f"[cap] header shingles occur in every doc; uncapped they alone " +
       f"yield ${avoided.toDouble}%.2e pairs — capped contribution: 0")
 
-    println(f"[total-shuffle] read=${shuffleRead.sum() / 1e6}%.1fMB " +
-      f"write=${shuffleWrite.sum() / 1e6}%.1fMB " +
-      "(the df-count's (hash, partial-count) pairs — positions, doc ids " +
-      "and token arrays never leave their scan; real-row exchange = the " +
-      "tiny survivor set)")
+    meter.total(
+      "the df-count's (hash, partial-count) pairs — positions, doc ids " +
+        "and token arrays never leave their scan; real-row exchange = the " +
+        "tiny survivor set")
     spans.unpersist()
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(corpusPath).getParentFile)

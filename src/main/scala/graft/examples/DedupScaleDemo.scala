@@ -1,8 +1,5 @@
 package graft.examples
 
-import java.util.concurrent.atomic.LongAdder
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,27 +46,8 @@ object DedupScaleDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val shuffleRead = new LongAdder
-    val shuffleWrite = new LongAdder
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val m = sc.stageInfo.taskMetrics
-        shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
-        shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
-      }
-    })
-
-    def time[A](name: String)(f: => A): A = {
-      val r0 = shuffleRead.sum(); val w0 = shuffleWrite.sum()
-      val t0 = System.nanoTime()
-      val r = f
-      val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // listener bus drain
-      val dr = (shuffleRead.sum() - r0) / 1e9
-      val dw = (shuffleWrite.sum() - w0) / 1e9
-      println(f"[step] $name%-28s ${secs}%8.1fs  shuffle r=${dr}%7.2fGB w=${dw}%7.2fGB")
-      r
-    }
+    val meter = new ShuffleMeter(spark)
+    def time[A](name: String)(f: => A): A = meter.step(name)(f)
 
     println(s"[cfg] docs=$nDocs plantEvery=$plantEvery threshold=$threshold " +
       s"targetRecall=$targetRecall -> bands=$bands x $rowsPerBand perms (=$numPerms)")
@@ -135,8 +113,7 @@ object DedupScaleDemo {
     println(s"[clusters] $clusters distinct near-dup clusters")
     verified.unpersist()
 
-    println(f"[total-shuffle] read=${shuffleRead.sum() / 1e9}%.2fGB " +
-      f"write=${shuffleWrite.sum() / 1e9}%.2fGB")
+    meter.total("banded signatures + verification sets only")
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(corpusPath).getParentFile)
     spark.stop()

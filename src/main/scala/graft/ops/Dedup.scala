@@ -83,8 +83,11 @@ object Dedup {
     * keeps its cached partitioning) — routing-only, rows unchanged
     * either way.
     */
-  private[ops] def fanOutNarrowScan(df: DataFrame): DataFrame = {
+  private[ops] def fanOutNarrowScan(
+      df: DataFrame, maxSplitsOfBytes: Int = 1): DataFrame = {
     import org.apache.spark.sql.graftbridge.bridge
+    require(maxSplitsOfBytes >= 1,
+      s"maxSplitsOfBytes must be >= 1, got $maxSplitsOfBytes")
     val plan = bridge.optimizedPlan(df)
     val leaves = plan.collectLeaves()
     val fileBacked = leaves.nonEmpty && leaves.forall { l =>
@@ -99,15 +102,19 @@ object Dedup {
     val sizeBytes = plan.stats.sizeInBytes
     val estSplits = (sizeBytes + (maxPartitionBytes - 1)) / maxPartitionBytes
     // two-sided narrowness: fewer estimated splits than cores AND at
-    // most ONE split's worth of bytes — the literal "small corpus in a
-    // single parquet split" shape the fan-out exists for (and where it
-    // was measured to win). A mid-size scan (say 250 MB in 2 splits on
-    // 32 cores) passes the split test, but the repartition would
-    // shuffle hundreds of MBs to buy task-count the per-row compute
-    // rarely justifies — measured 182 MB of pure shuffle for no wall
-    // win on a 1M×64-dim ANN prune (AnnRpScaleDemo).
-    val narrow =
-      estSplits < BigInt(par) && sizeBytes <= BigInt(maxPartitionBytes)
+    // most `maxSplitsOfBytes` splits' worth of bytes. The default (1)
+    // is the literal "small corpus in a single parquet split" shape
+    // the fan-out exists for (and where it was measured to win); a
+    // mid-size scan (say 250 MB in 2 splits on 32 cores) passes the
+    // split test, but the repartition shuffles hundreds of MBs to buy
+    // task-count the per-row compute rarely justifies — measured
+    // 182 MB of pure shuffle for no wall win on a 1M×64-dim ANN prune
+    // (AnnRpScaleDemo). A caller whose per-row pipeline is MUCH
+    // heavier than a shuffle byte (cross-span shingling: measured
+    // 3.6 → 1.8 s) may raise the byte bound to keep the win on
+    // mid-size corpora.
+    val narrow = estSplits < BigInt(par) &&
+      sizeBytes <= BigInt(maxPartitionBytes) * maxSplitsOfBytes
     if (narrow) df.repartition(par) else df
   }
 

@@ -696,10 +696,15 @@ object TextAnalysis {
     // by the raw shingle text instead
     // the tokenize+explode+hash pipeline is the op's compute body; fan
     // a narrow scan out first (measured: 2 of 3.6 bench seconds in ONE
-    // task at sf0.1 — the documents table is one parquet split). See
+    // task at sf0.1 — the documents table is one parquet split). The
+    // byte bound is raised to 8 splits' worth: stride-1 shingling is
+    // heavy enough per row that the fan-out keeps winning on mid-size
+    // corpora where the cheap-per-row ops (ANN prune) stop. See
     // [[Dedup.fanOutNarrowScan]] for the scale-safety argument.
     val sh = Dedup
-      .fanOutNarrowScan(docs.filter(col(idCol).isNotNull && size(toks) >= width))
+      .fanOutNarrowScan(
+        docs.filter(col(idCol).isNotNull && size(toks) >= width),
+        maxSplitsOfBytes = 8)
       .select(
         col(idCol).as("_doc"), toks.as("_toks"),
         explode(sequence(lit(1), size(toks) - (width - 1))).as("_pos"))
