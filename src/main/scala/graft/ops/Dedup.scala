@@ -83,7 +83,7 @@ object Dedup {
     * keeps its cached partitioning) — routing-only, rows unchanged
     * either way.
     */
-  private[ops] def fanOutNarrowScan(
+  private[graft] def fanOutNarrowScan(
       df: DataFrame, maxSplitsOfBytes: Int = 1): DataFrame = {
     import org.apache.spark.sql.graftbridge.bridge
     require(maxSplitsOfBytes >= 1,
