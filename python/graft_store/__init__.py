@@ -266,6 +266,45 @@ class FeatureStore:
         except Py4JJavaError as err:
             raise _translate(err) from None
 
+    def get_recent(
+        self, name: str, entity_ids: Sequence[Any], timestamp: Any, k: int
+    ) -> DataFrame:
+        """The ``k`` most recent rows per entity at/before ``timestamp``,
+        each tagged with a 1-based ``recency_rank``."""
+        try:
+            return self._wrap(self._j.getRecent(
+                name, list(entity_ids), _ts_arg(timestamp), int(k)))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def get_window_features(
+        self,
+        name: str,
+        entity_timestamps: DataFrame,
+        window_seconds: int,
+        aggs: Sequence[tuple],
+    ) -> DataFrame:
+        """Windowed aggregates per spine row: ``aggs`` is a sequence of
+        ``(out_name, fn, input_col, window_seconds_override_or_None)``
+        with fn in rows/count/sum/min/max/distinct. One entity-keyed
+        shuffle computes every horizon."""
+        try:
+            jaggs = [[str(o), str(f), None if i is None else str(i),
+                      None if w is None else int(w)]
+                     for (o, f, i, w) in aggs]
+            return self._wrap(self._j.getWindowFeatures(
+                name, entity_timestamps._jdf, int(window_seconds), jaggs))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def get_sessions(self, name: str, gap_seconds: int) -> DataFrame:
+        """Gap-split sessions over the stored table (session bounds,
+        row counts, duration per entity session)."""
+        try:
+            return self._wrap(self._j.getSessions(name, int(gap_seconds)))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
     def get_table_history(self, name: str) -> List[dict]:
         """Retained version history, oldest first (DESCRIBE HISTORY)."""
         try:

@@ -213,6 +213,22 @@ def main():
         view = store.get_feature_view(spine, ["f"])
         check("get_feature_view prefixes and keeps spine rows",
               view.count() == 2 and "f_feature_a" in view.columns)
+        recent = store.get_recent("f", ["user_1"], "2024-03-01", 2).collect()
+        check("get_recent ranks latest-first under the PIT cutoff",
+              [(r["recency_rank"], r["feature_a"]) for r in
+               sorted(recent, key=lambda r: r["recency_rank"])] ==
+              [(1, 3.0), (2, 2.0)])
+        wf = store.get_window_features(
+            "f", spine, 30 * 86400,
+            [("cnt_30d", "count", "feature_a", None)]).collect()
+        check("get_window_features counts in-window rows per spine row",
+              {r["entity_id"]: r["cnt_30d"] for r in wf} ==
+              {"user_1": 2, "user_2": 1})
+        sess = store.get_sessions("f", gap_seconds=86400 * 10).collect()
+        check("get_sessions splits on the gap",
+              len(sess) >= 2 and
+              {"session_seq", "session_start", "session_end", "n_events"}
+              <= set(sess[0].asDict().keys()))
 
         # --- the same store through the SQL surface (V2 catalog) ---
         spark.conf.set("spark.sql.catalog.fs", "graft.sources.GraftCatalog")

@@ -105,6 +105,43 @@ final class PyFeatureStore(val store: FeatureStore) {
   def getFeatureView(spine: DataFrame, names: JList[String]): DataFrame =
     store.getFeatureView(spine, names.asScala.toSeq)
 
+  /** The k latest rows per entity at/before the timestamp, each with a
+    * 1-based `recency_rank`.
+    */
+  def getRecent(
+      name: String,
+      entityIds: JList[Object],
+      timestamp: Object,
+      k: Int): DataFrame =
+    store.getRecent(name, entityIds.asScala.toSeq, timestamp, k)
+
+  /** Windowed aggregation features over the stored table: each agg is
+    * (outName, fn, inputCol, windowSecondsOverride-or-null); fn ∈
+    * rows/count/sum/min/max/distinct, exactly the Scala surface's
+    * [[graft.store.WindowFeatures.WindowAgg]].
+    */
+  def getWindowFeatures(
+      name: String,
+      entityTimestamps: DataFrame,
+      windowSeconds: Long,
+      aggs: JList[JList[Object]]): DataFrame = {
+    val parsed = aggs.asScala.toSeq.map { a =>
+      require(a.size() == 4,
+        s"each agg needs [out, fn, input, window_seconds|null], got ${a.size()} fields")
+      graft.store.WindowFeatures.WindowAgg(
+        out = String.valueOf(a.get(0)),
+        fn = String.valueOf(a.get(1)),
+        input = Option(a.get(2)).map(String.valueOf).getOrElse(""),
+        windowSeconds =
+          Option(a.get(3)).map(v => v.asInstanceOf[Number].longValue()))
+    }
+    store.getWindowFeatures(name, entityTimestamps, windowSeconds, parsed)
+  }
+
+  /** Gap-split sessions over the stored table. */
+  def getSessions(name: String, gapSeconds: Long): DataFrame =
+    store.getSessions(name, gapSeconds)
+
   def getTableHistory(name: String): JList[JMap[String, Object]] =
     new JArrayList(store.getTableHistory(name).map { v =>
       val m = new JHashMap[String, Object]()
