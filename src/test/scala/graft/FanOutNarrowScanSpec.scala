@@ -13,14 +13,22 @@ import graft.ops.Dedup
   * mid-size shuffle (182 MB measured, AnnRpScaleDemo) or disabling the
   * small-corpus fan-out the bench plans rely on.
   */
-class FanOutNarrowScanSpec extends AnyFunSuite with SparkTestBase {
+class FanOutNarrowScanSpec extends AnyFunSuite with SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  private lazy val tempRoot =
+    java.nio.file.Files.createTempDirectory("graft_fanout_test")
 
   private lazy val smallParquet: String = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_fanout_test").toString + "/t"
+    val dir = tempRoot.toString + "/t"
     spark.range(200).selectExpr("id", "CAST(id AS STRING) AS s")
       .coalesce(1).write.mode("overwrite").parquet(dir)
     dir
+  }
+
+  override def afterAll(): Unit = {
+    org.apache.commons.io.FileUtils.deleteDirectory(tempRoot.toFile)
+    super.afterAll()
   }
 
   private def par = spark.sparkContext.defaultParallelism
@@ -45,9 +53,13 @@ class FanOutNarrowScanSpec extends AnyFunSuite with SparkTestBase {
 
   test("a scan estimated wider than the core count is left untouched") {
     // tiny maxPartitionBytes makes the same file estimate to far more
-    // splits than cores — the parallelism guard must decline
+    // splits than cores. A huge caller byte bound SATISFIES the byte
+    // test, so the parallelism guard alone must be the condition that
+    // declines here — deleting `estSplits < par` from the helper fails
+    // THIS assertion, not just the byte-bound test below
     withMaxPartitionBytes("64") {
       val df = spark.read.parquet(smallParquet)
+      assert(Dedup.fanOutNarrowScan(df, maxSplitsOfBytes = 1 << 20) eq df)
       assert(Dedup.fanOutNarrowScan(df) eq df)
     }
   }
