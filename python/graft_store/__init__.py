@@ -52,8 +52,14 @@ class FeatureTableNotFoundError(FeatureStoreError):
     """Raised when a feature table or version is not registered."""
 
 
-class FeatureValidationError(FeatureStoreError):
-    """Raised when input data fails validation."""
+class FeatureValidationError(FeatureStoreError, ValueError):
+    """Raised when input data fails validation.
+
+    Also subclasses :class:`ValueError`: the reference raises a plain
+    ``ValueError`` for argument-validation failures (e.g.
+    ``max_versions < 1``, reference: store.py:107), so code ported from
+    it that writes ``except ValueError`` keeps catching these.
+    """
 
 
 @dataclass
@@ -238,6 +244,52 @@ class FeatureStore:
         try:
             return self._info(
                 self._j.registerAppend(name, df._jdf, bool(merge_schema)))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def register_upsert(
+        self, name: str, df: DataFrame, merge_schema: bool = False
+    ) -> FeatureTableInfo:
+        """Key-wise merge: rows in ``df`` whose ``(entity_id, timestamp)``
+        matches a current row REPLACE it; the rest append — one O(delta)
+        commit (only segments containing matched keys rewrite)."""
+        try:
+            return self._info(
+                self._j.registerUpsert(name, df._jdf, bool(merge_schema)))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def delete_rows(self, name: str, condition_sql: str) -> FeatureTableInfo:
+        """Copy-on-write delete of rows matching the SQL boolean
+        expression; mints a new version (a no-match delete is a no-op,
+        deleting every row is rejected — use :meth:`delete`)."""
+        try:
+            return self._info(self._j.deleteRows(name, condition_sql))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def register_with_expectations(
+        self,
+        name: str,
+        df: DataFrame,
+        expectations: Sequence[Sequence[str]],
+        quarantine: str,
+    ) -> "tuple[Optional[FeatureTableInfo], Optional[FeatureTableInfo]]":
+        """Expectation-gated ingestion: each expectation is a
+        ``(label, predicate_sql)`` pair; passing rows land in ``name``,
+        violating rows in ``quarantine`` with a ``violated`` label
+        column. Returns ``(table_info, quarantine_info)`` — ``None`` on
+        a side where no rows landed (no empty versions are minted)."""
+        try:
+            exps = [[str(label), str(pred)] for label, pred in expectations]
+            m = self._j.registerWithExpectations(
+                name, df._jdf, exps, quarantine)
+            t = m.get("table")
+            q = m.get("quarantine")
+            return (
+                self._info(t) if t is not None else None,
+                self._info(q) if q is not None else None,
+            )
         except Py4JJavaError as err:
             raise _translate(err) from None
 

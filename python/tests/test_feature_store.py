@@ -230,6 +230,54 @@ def main():
               {"session_seq", "session_start", "session_end", "n_events"}
               <= set(sess[0].asDict().keys()))
 
+        # --- write-path extensions: upsert / delete_rows / expectations ---
+        up = store.register_upsert(
+            "f",
+            spark.createDataFrame(
+                [("user_9", ts("2024-02-10"), 9.5, 950),   # replaces
+                 ("user_7", ts("2024-02-15"), 7.5, 750)],  # appends
+                "entity_id string, timestamp timestamp, feature_a double, feature_b long",
+            ),
+        )
+        check("register_upsert replaces matched keys and appends new",
+              up.version == 3 and up.row_count == 7 and
+              store.scan_where("f", "entity_id = 'user_9' AND feature_a = 9.5")
+              .count() == 1)
+        dr = store.delete_rows("f", "entity_id = 'user_7'")
+        check("delete_rows mints a copy-on-write version",
+              dr.version == 4 and dr.row_count == 6 and
+              store.scan_where("f", "entity_id = 'user_7'").count() == 0)
+        try:
+            store.delete_rows("f", "1 = 1")
+            check("delete_rows rejects deleting every row", False)
+        except FeatureValidationError:
+            check("delete_rows rejects deleting every row", True)
+        good, quar = store.register_with_expectations(
+            "gated",
+            spark.createDataFrame(
+                [("user_1", ts("2024-01-01"), 1.0),
+                 ("user_2", ts("2024-01-02"), -5.0)],
+                "entity_id string, timestamp timestamp, val double",
+            ),
+            [("val_nonneg", "val >= 0")],
+            quarantine="gated_bad",
+        )
+        check("register_with_expectations splits pass/violate",
+              good is not None and good.row_count == 1 and
+              quar is not None and quar.row_count == 1 and
+              store.scan_where("gated_bad", "violated = 'val_nonneg'")
+              .count() == 1)
+        try:
+            store.register_with_expectations(
+                "gated", single_row(spark, 1.0), [], quarantine="gated_bad")
+            check("expectation violation surfaces as FeatureValidationError "
+                  "(and ValueError)", False)
+        except ValueError as e:
+            # FeatureValidationError subclasses ValueError (reference
+            # raises plain ValueError for argument validation)
+            check("expectation violation surfaces as FeatureValidationError "
+                  "(and ValueError)", isinstance(e, FeatureValidationError))
+
         # --- the same store through the SQL surface (V2 catalog) ---
         spark.conf.set("spark.sql.catalog.fs", "graft.sources.GraftCatalog")
         spark.conf.set("spark.sql.catalog.fs.root", root)

@@ -90,11 +90,7 @@ object Dedup {
       s"maxSplitsOfBytes must be >= 1, got $maxSplitsOfBytes")
     val plan = bridge.optimizedPlan(df)
     val leaves = plan.collectLeaves()
-    val fileBacked = leaves.nonEmpty && leaves.forall { l =>
-      val n = l.getClass.getSimpleName
-      n == "LogicalRelation" || n == "DataSourceV2ScanRelation" ||
-        n == "HiveTableRelation"
-    }
+    val fileBacked = leaves.nonEmpty && leaves.forall(bridge.isFileBackedLeaf)
     if (!fileBacked) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
     val maxPartitionBytes =
@@ -671,8 +667,23 @@ object Dedup {
     // several distributed rounds outright; past the threshold the
     // iterative path below takes over. Both produce the identical
     // min-reachable-id labeling (property-tested against each other).
-    if (edges.count() <= localEdgeThreshold)
-      return localComponents(pairs.sparkSession, edges, pairs.schema(aCol).dataType)
+    // ... but only when the id's EXTERNAL row type is Comparable (the
+    // union-find orders representatives with compareTo). Binary ids
+    // surface as Array[Byte], arrays/structs as WrappedArray/Row —
+    // none Comparable — so those route to the distributed path below,
+    // which only ever compares ids with Catalyst's own min/equality.
+    val idType = pairs.schema(aCol).dataType
+    val comparableIds = {
+      import org.apache.spark.sql.types._
+      idType match {
+        case StringType | BooleanType | ByteType | ShortType |
+            IntegerType | LongType | FloatType | DoubleType | DateType |
+            TimestampType | TimestampNTZType | _: DecimalType => true
+        case _ => false
+      }
+    }
+    if (comparableIds && edges.count() <= localEdgeThreshold)
+      return localComponents(pairs.sparkSession, edges, idType)
     var labels = edges
       .select(col("u").as("doc_id"))
       .distinct()

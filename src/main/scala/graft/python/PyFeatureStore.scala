@@ -92,6 +92,45 @@ final class PyFeatureStore(val store: FeatureStore) {
       name: String, df: DataFrame, mergeSchema: Boolean): JMap[String, Object] =
     infoMap(store.registerAppend(name, df, mergeSchema = mergeSchema))
 
+  /** Key-wise merge: replaces current rows whose (entity_id, timestamp)
+    * appears in `df`, appends the rest — one O(delta) commit.
+    */
+  def registerUpsert(
+      name: String, df: DataFrame, mergeSchema: Boolean): JMap[String, Object] =
+    infoMap(store.registerUpsert(name, df, mergeSchema = mergeSchema))
+
+  /** Copy-on-write row delete; the condition is a SQL boolean
+    * expression over the table columns (same convention as
+    * [[scanWhere]]).
+    */
+  def deleteRows(name: String, conditionSql: String): JMap[String, Object] =
+    infoMap(store.deleteRows(
+      name, org.apache.spark.sql.functions.expr(conditionSql)))
+
+  /** Expectation-gated ingestion: each expectation is a
+    * [label, predicateSql] pair; passing rows land in `name`, violating
+    * rows land in `quarantine` with a `violated` label column. Returns
+    * {"table": info|null, "quarantine": info|null} — null when no rows
+    * landed on that side (the store mints no empty versions).
+    */
+  def registerWithExpectations(
+      name: String,
+      df: DataFrame,
+      expectations: JList[JList[String]],
+      quarantine: String): JMap[String, Object] = {
+    val exps = Option(expectations).map(_.asScala.toSeq).getOrElse(Nil).map { e =>
+      require(e.size() == 2,
+        s"each expectation needs [label, predicate_sql], got ${e.size()} fields")
+      (String.valueOf(e.get(0)),
+        org.apache.spark.sql.functions.expr(String.valueOf(e.get(1))))
+    }
+    val (t, q) = store.registerWithExpectations(name, df, exps, quarantine)
+    val m = new JHashMap[String, Object]()
+    m.put("table", t.map(infoMap).orNull)
+    m.put("quarantine", q.map(infoMap).orNull)
+    m
+  }
+
   /** Filtered current-version read with segment-stats data skipping;
     * the condition is a SQL boolean expression over the table columns.
     */
@@ -128,9 +167,16 @@ final class PyFeatureStore(val store: FeatureStore) {
     val parsed = aggs.asScala.toSeq.map { a =>
       require(a.size() == 4,
         s"each agg needs [out, fn, input, window_seconds|null], got ${a.size()} fields")
+      val fn = String.valueOf(a.get(1))
+      // fail loudly HERE on a missing input column (Python None) for
+      // the fns that aggregate one: letting "" through surfaces later
+      // as a baffling `column "" not found` resolution error.
+      require(a.get(2) != null || fn == "rows" || fn == "count",
+        s"agg '${String.valueOf(a.get(0))}': fn '$fn' requires an input " +
+          "column, got None (only 'rows'/'count' take no input)")
       graft.store.WindowFeatures.WindowAgg(
         out = String.valueOf(a.get(0)),
-        fn = String.valueOf(a.get(1)),
+        fn = fn,
         input = Option(a.get(2)).map(String.valueOf).getOrElse(""),
         windowSeconds =
           Option(a.get(3)).map(v => v.asInstanceOf[Number].longValue()))

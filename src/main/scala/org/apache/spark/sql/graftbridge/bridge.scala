@@ -42,6 +42,26 @@ object bridge {
   def optimizedPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[ClassicDataset[_]].queryExecution.optimizedPlan
 
+  /** True iff a logical LEAF is a FILE-backed scan — a V1
+    * `LogicalRelation` over a `HadoopFsRelation`, a V2
+    * `DataSourceV2ScanRelation` whose scan is a `FileScan`, or a Hive
+    * table. Matched on the types, not class-name strings: a name match
+    * also caught non-file V2 batch sources (JDBC, Kafka batch) whose
+    * small size stats would trigger a pointless repartition, and a
+    * Spark rename would silently disable callers' routing.
+    */
+  def isFileBackedLeaf(leaf: LogicalPlan): Boolean = leaf match {
+    case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      r.relation.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+    case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation =>
+      r.scan.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.v2.FileScan]
+    case _: org.apache.spark.sql.catalyst.catalog.HiveTableRelation => true
+    case _ => false
+  }
+
   /** `spark.sql.files.maxPartitionBytes` as the LONG the session
     * actually resolves (handles "128m"-style suffixed settings, which
     * a raw string conf read would misparse).

@@ -331,6 +331,25 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents: non-Comparable (binary) ids route to the distributed path") {
+    val s = spark
+    import s.implicits._
+    // Array[Byte] external ids are NOT java.lang.Comparable — the
+    // driver-side union-find would CCE on them, so the size-adaptive
+    // routing must pick the distributed min-label path even for a tiny
+    // edge list, and still produce the min-reachable-id labeling.
+    def b(x: Int): Array[Byte] = Array(x.toByte)
+    val pairs = Seq((b(1), b(2)), (b(2), b(3)), (b(10), b(11)))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect()
+      .map(r => (r.getAs[Array[Byte]](0).head, r.getAs[Array[Byte]](1).head))
+      .toMap
+    assert(got == Map(
+      1.toByte -> 1.toByte, 2.toByte -> 1.toByte, 3.toByte -> 1.toByte,
+      10.toByte -> 10.toByte, 11.toByte -> 10.toByte))
+  }
+
   test("simhash: identical text → hamming 0, different text > 0") {
     val pairs = Dedup
       .simhashPairs(
