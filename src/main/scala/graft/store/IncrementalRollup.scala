@@ -194,6 +194,21 @@ object IncrementalRollup {
 
   /** The maintained serving table of `table` at its current version —
     * equals the from-scratch latest-per-entity of the current content.
+    *
+    * FUSED maintenance plan: because the seed here is known to be the
+    * argmax of the v1 snapshot (not an arbitrary pre-existing serving
+    * table), the seed aggregation, the change-delta aggregation, and
+    * their outer join collapse into ONE grouped pass over the tagged
+    * union (v1 rows side 0, feed rows side 1) — the conditional
+    * aggregates compute the state argmax, the best inserted row, and
+    * the delete boundary per entity in a single shuffle, and the
+    * per-entity merge becomes plain column arithmetic instead of a
+    * join. Semantics are [[applyChangesServing]]'s exactly (same
+    * advance and dirty-rescan conditions); that general fold remains
+    * the entry point for callers holding a materialized state (the
+    * streaming follower). Still O(changes): the union's map-side
+    * partial argmax collapses v1 to one candidate per (entity,
+    * partition) before the shuffle, and only dirty entities rescan.
     */
   def maintainedServing(
       store: FeatureStore,
@@ -202,12 +217,54 @@ object IncrementalRollup {
       entityCol: String = "entity_id",
       tsCol: String = "timestamp"): DataFrame = {
     val current = store.getTableInfo(table).version
-    val seed = initialStateServing(
-      store.getVersion(table, 1), tieCols, entityCol, tsCol)
-    if (current <= 1) seed
-    else applyChangesServing(
-      seed, store.getChanges(table, 1, current),
-      store.getVersion(table, current), tieCols, entityCol, tsCol)
+    if (current <= 1)
+      return initialStateServing(
+        store.getVersion(table, 1), tieCols, entityCol, tsCol)
+    val snapshot = store.getVersion(table, 1)
+    val changes = store.getChanges(table, 1, current)
+    val cols = snapshot.columns.toSeq
+    val key = struct((tsCol +: tieCols).map(col): _*)
+    val isIns = col(FS.ChangeTypeCol) === "insert"
+    val base = snapshot.select(
+      col(entityCol).as("_e"), lit(0).as("_side"), lit(true).as("_ins"),
+      key.as("_k"), struct(cols.map(col): _*).as("_row"))
+    val feed = changes.select(
+      col(entityCol).as("_e"), lit(1).as("_side"), isIns.as("_ins"),
+      key.as("_k"), struct(cols.map(col): _*).as("_row"))
+    val fromFeed = col("_side") === 1
+    val merged = base.unionByName(feed)
+      .groupBy(col("_e"))
+      .agg(
+        max_by(when(!fromFeed, col("_row")), when(!fromFeed, col("_k")))
+          .as("_state_row"),
+        max(when(!fromFeed, col("_k"))).as("_state_key"),
+        max_by(when(fromFeed && col("_ins"), col("_row")),
+          when(fromFeed && col("_ins"), col("_k"))).as("_ins_row"),
+        max(when(fromFeed && col("_ins"), col("_k"))).as("_ins_key"),
+        max(when(fromFeed && !col("_ins"), col("_k"))).as("_del_key"),
+        sum(when(fromFeed && !col("_ins"), 1L).otherwise(0L)).as("_del_n"))
+    val sPresent = col("_state_key").isNotNull
+    val dirty = col("_del_n") > 0L &&
+      (!sPresent || col("_del_key") >= col("_state_key"))
+    val advanced = !sPresent ||
+      (col("_ins_key").isNotNull && col("_ins_key") > col("_state_key"))
+    val resolved = merged.select(
+      col("_e"),
+      when(advanced, col("_ins_row")).otherwise(col("_state_row")).as("_row"),
+      dirty.as("_dirty"))
+    val clean = resolved
+      .filter(!col("_dirty") && col("_row").isNotNull)
+      .select(col("_row.*"))
+    val dirtyEntities = resolved.filter(col("_dirty")).select(col("_e"))
+    // no broadcast hint: the dirty set is usually tiny (auto-broadcast
+    // takes it), but a mass delete can dirty billions of entities and
+    // the planner must stay free to shuffle-join then
+    val currentDf = store.getVersion(table, current)
+    val rescanned = initialStateServing(
+      currentDf.join(dirtyEntities,
+        currentDf(entityCol) <=> dirtyEntities("_e"), "left_semi"),
+      tieCols, entityCol, tsCol)
+    clean.unionByName(rescanned)
   }
 
   // --------------------------------------------------- moment-IVM

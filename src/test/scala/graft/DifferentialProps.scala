@@ -1,0 +1,648 @@
+package graft
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.store.{FeatureStore, FeatureValidationError, PointInTime, WindowFeatures}
+
+/** Randomized DIFFERENTIAL fuzzing against DuckDB — the same operation
+  * runs through the engine and through generated ANSI SQL, and the
+  * results must match value-for-value (the driver's compare_oracle
+  * discipline: sort columns by name, exact values in emitted order).
+  *
+  * Rationale: the fixed 169-query contract is saturated — every future
+  * regression will come from inputs the fixed queries don't reach.
+  * These properties walk the input space the contract can't: duplicate
+  * timestamps at the argmax (tie-break totality, reference
+  * store.py:516-530), duplicate spine pairs (store.py:288-296),
+  * cutoff-boundary equality, staleness bounds landing exactly on a row,
+  * NULL values inside aggregates, and three-valued-logic DELETE
+  * predicates. Each case ships rows to DuckDB as literal VALUES CTEs —
+  * no parquet for inputs, one parquet dump for the engine result — and
+  * a persistent python worker (tools/duckdb_worker.py) does the exact
+  * compare, so a case costs one engine query plus one IPC round trip.
+  *
+  * Cancels (passes trivially, like PythonBindingSpec's assume) when
+  * python3+duckdb+pandas is absent, so `sbt test` stays green on hosts
+  * without the oracle toolchain.
+  */
+object DifferentialProps extends Properties("Differential") {
+
+  // 12 cases/family in CI; GRAFT_DIFF_N=<n> cranks the depth for
+  // dedicated soak runs (each case is one engine query + one IPC
+  // round trip to the persistent DuckDB worker, ~0.5s) and
+  // GRAFT_DIFF_SEED=<base64> replays a reported failing seed exactly
+  override def overrideParameters(p: Test.Parameters): Test.Parameters = {
+    val base = p.withMinSuccessfulTests(
+      sys.env.get("GRAFT_DIFF_N").map(_.toInt).getOrElse(12))
+      .withMaxSize(40)
+    sys.env.get("GRAFT_DIFF_SEED").fold(base)(s =>
+      base.withInitialSeed(org.scalacheck.rng.Seed.fromBase64(s).get))
+  }
+
+  private lazy val spark = SparkTestBase.session
+
+  // ---------------------------------------------------------------
+  // DuckDB worker plumbing
+  // ---------------------------------------------------------------
+
+  private object Duck {
+    import scala.sys.process._
+
+    lazy val available: Boolean =
+      try Process(Seq("python3", "-c", "import duckdb, pandas")).! == 0
+      catch { case _: Throwable => false }
+
+    private lazy val io = {
+      val script = new java.io.File("tools/duckdb_worker.py").getAbsolutePath
+      val pb = new java.lang.ProcessBuilder("python3", "-u", script)
+      pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      sys.addShutdownHook { p.destroy() }
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(p.getOutputStream, "UTF-8"))
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+      (p, w, r)
+    }
+
+    private def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+    /** Run the oracle SQL, compare against the engine parquet at
+      * `resultDir`; Left(first difference) on mismatch.
+      */
+    def compare(sql: String, resultDir: String): Either[String, Unit] =
+      synchronized {
+        val (_, w, r) = io
+        w.write(s"""{"sql": ${jstr(sql)}, "result": ${jstr(resultDir)}}""")
+        w.newLine(); w.flush()
+        val line = r.readLine()
+        if (line == null) Left("duckdb worker died")
+        else if (line.contains("\"ok\": true")) Right(())
+        else Left(line)
+      }
+  }
+
+  /** Prop that PASSES the whole property when the oracle toolchain is
+    * absent, otherwise checks every generated case against DuckDB.
+    */
+  private def differential[A](g: Gen[A])(f: A => Either[String, Unit]): Prop =
+    if (!Duck.available) Prop.passed
+    else forAll(g) { a =>
+      val r = f(a)
+      Prop.propBoolean(r.isRight) :| r.left.getOrElse("")
+    }
+
+  // ---------------------------------------------------------------
+  // Shared generators + SQL rendering
+  // ---------------------------------------------------------------
+
+  /** 2024-01-01T00:00:00Z — all generated times are whole seconds
+    * offset from here (tz-free: epoch-based on the Spark side, UTC
+    * wall-clock literals on the DuckDB side, session pinned UTC).
+    */
+  private val Base = 1704067200L
+
+  /** Small hour pool → dense (entity, ts) collisions, the tie-break
+    * edge the fixed contract can't reach.
+    */
+  private val HourPool: Seq[Long] = Seq(0L, 1L, 2L, 3L, 5L, 8L, 13L, 21L)
+
+  private case class F(e: Long, sec: Long, id: Long, v: Option[Long])
+
+  private val TsFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
+
+  private def tsLit(sec: Long): String =
+    s"TIMESTAMP '${TsFmt.format(Instant.ofEpochSecond(sec))}'"
+
+  private def longLit(v: Option[Long]): String =
+    v.map(x => s"CAST($x AS BIGINT)").getOrElse("CAST(NULL AS BIGINT)")
+
+  /** feat(entity_id, "timestamp", event_id, value) as a VALUES CTE. */
+  private def featCte(name: String, rows: Seq[F]): String = {
+    require(rows.nonEmpty, "feature CTE must be non-empty")
+    val vals = rows.map(r =>
+      s"(CAST(${r.e} AS BIGINT), ${tsLit(r.sec)}, CAST(${r.id} AS BIGINT), ${longLit(r.v)})")
+    s"""$name(entity_id, "timestamp", event_id, value) AS (VALUES ${vals.mkString(", ")})"""
+  }
+
+  /** spine(spine_id, entity_id, "timestamp") as a VALUES CTE; null
+    * spine timestamps render as CAST(NULL AS TIMESTAMP).
+    */
+  private def spineCte(name: String, rows: Seq[(Long, Option[Long])]): String = {
+    require(rows.nonEmpty, "spine CTE must be non-empty")
+    val vals = rows.zipWithIndex.map { case ((e, t), i) =>
+      val tl = t.map(tsLit).getOrElse("CAST(NULL AS TIMESTAMP)")
+      s"(CAST($i AS BIGINT), CAST($e AS BIGINT), $tl)"
+    }
+    s"""$name(spine_id, entity_id, "timestamp") AS (VALUES ${vals.mkString(", ")})"""
+  }
+
+  private val featSchema = StructType(Seq(
+    StructField("entity_id", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("event_id", LongType, nullable = false),
+    StructField("value", LongType, nullable = true)))
+
+  private def featDF(rows: Seq[F]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(
+        r.e, new java.sql.Timestamp(r.sec * 1000L), r.id,
+        r.v.map(java.lang.Long.valueOf).orNull)), 2),
+      featSchema)
+
+  private val spineSchema = StructType(Seq(
+    StructField("entity_id", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = true)))
+
+  private def spineDF(rows: Seq[(Long, Option[Long])]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (e, t) => Row(
+        e, t.map(s => new java.sql.Timestamp(s * 1000L)).orNull) }, 2),
+      spineSchema)
+
+  /** Feature rows: entities 0..3, times from the hour pool (dense
+    * duplicate (entity, ts) pairs), ~20% null values; event_id is the
+    * unique deterministic ingest key 0..n-1.
+    */
+  private val genFeatRows: Gen[List[F]] = for {
+    n <- Gen.choose(1, 30)
+    rows <- Gen.listOfN(n, for {
+      e <- Gen.choose(0L, 3L)
+      h <- Gen.oneOf(HourPool)
+      v <- Gen.frequency(4 -> Gen.choose(-50L, 50L).map(Some(_)),
+                         1 -> Gen.const(None))
+    } yield F(e, Base + h * 3600L, 0L, v))
+  } yield rows.zipWithIndex.map { case (r, i) => r.copy(id = i.toLong) }
+
+  /** A cutoff that often lands EXACTLY on a row's timestamp (boundary
+    * inclusivity), sometimes 1s before (exclusion), sometimes between.
+    */
+  private val genCutoff: Gen[Long] = for {
+    h <- Gen.oneOf(HourPool)
+    d <- Gen.oneOf(0L, 0L, 0L, -1L, 1800L, -3600L * 2)
+  } yield Base + h * 3600L + d
+
+  /** Spine rows: entities 0..4 (4 has no features), times around the
+    * pool including before-all-data, plus ~8% null timestamps.
+    */
+  private val genSpineRows: Gen[List[(Long, Option[Long])]] = for {
+    n <- Gen.choose(1, 20)
+    rows <- Gen.listOfN(n, for {
+      e <- Gen.choose(0L, 4L)
+      t <- Gen.frequency(
+        11 -> (for {
+          h <- Gen.oneOf(HourPool)
+          d <- Gen.oneOf(0L, 0L, -1L, 1L, 1800L, -3600L * 6)
+        } yield Some(Base + h * 3600L + d)),
+        1 -> Gen.const(None))
+    } yield (e, t))
+  } yield rows
+
+  private val caseIdx = new AtomicInteger()
+  private lazy val baseDir = {
+    val d = java.nio.file.Files.createTempDirectory("graft_diff_")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d.toFile)
+    }
+    d
+  }
+
+  /** Engine result → single sorted parquet file (the same
+    * coalesce-after-ORDER-BY shape Verify.scala dumps with); an
+    * all-empty plan that produces no part file gets an explicit empty
+    * single-partition write so DuckDB can still read the schema.
+    */
+  private def dump(df: DataFrame, tag: String): String = {
+    val dir = baseDir.resolve(s"$tag-${caseIdx.incrementAndGet()}").toString
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val hasPart = Option(new java.io.File(dir).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (!hasPart)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq.empty[Row], 1), df.schema)
+        .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  // ---------------------------------------------------------------
+  // Family 1: PIT snapshot (σ ts<=T → σ id∈set → γ argmax → π)
+  // ---------------------------------------------------------------
+
+  private case class PitCase(rows: List[F], cutoff: Long,
+      ids: Option[List[Long]], cols: Option[List[String]])
+
+  private val genPit: Gen[PitCase] = for {
+    rows <- genFeatRows
+    cutoff <- genCutoff
+    ids <- Gen.option(Gen.nonEmptyListOf(Gen.choose(0L, 5L)).map(_.distinct))
+    cols <- Gen.oneOf(None, Some(List("value")), Some(List("event_id")),
+      Some(List("event_id", "value")))
+  } yield PitCase(rows, cutoff, ids, cols)
+
+  property("pitSnapshot == DuckDB argmax (ties, boundary, projection)") =
+    differential(genPit) { c =>
+      val out = PointInTime.pitSnapshot(
+        featDF(c.rows), lit(new java.sql.Timestamp(c.cutoff * 1000L)),
+        entityIds = c.ids.map(_.map(x => x: Any)),
+        columns = c.cols,
+        tieBreakCols = Seq("event_id"))
+        .orderBy("entity_id")
+      val proj = (Seq("entity_id", "\"timestamp\"") ++
+        c.cols.getOrElse(List("event_id", "value"))).mkString(", ")
+      val idPred = c.ids
+        .map(ids => s"AND entity_id IN (${ids.mkString(", ")})").getOrElse("")
+      val sql =
+        s"""WITH ${featCte("feat", c.rows)}
+           |SELECT $proj FROM feat
+           |WHERE "timestamp" <= ${tsLit(c.cutoff)} $idPred
+           |QUALIFY row_number() OVER (PARTITION BY entity_id
+           |    ORDER BY "timestamp" DESC, event_id DESC) = 1
+           |ORDER BY entity_id""".stripMargin
+      Duck.compare(sql, dump(out, "pit"))
+    }
+
+  // ---------------------------------------------------------------
+  // Family 2: top-k recency (γ argmax generalized, rank totality)
+  // ---------------------------------------------------------------
+
+  property("latestKPerEntity == DuckDB ranked window") =
+    differential(for {
+      rows <- genFeatRows
+      k <- Gen.choose(1, 4)
+    } yield (rows, k)) { case (rows, k) =>
+      val out = PointInTime.latestKPerEntity(
+        featDF(rows), k, tieBreakCols = Seq("event_id"))
+        .orderBy("entity_id", "recency_rank")
+      val sql =
+        s"""WITH ${featCte("feat", rows)}
+           |SELECT entity_id, "timestamp", event_id, value,
+           |       CAST(row_number() OVER (PARTITION BY entity_id
+           |           ORDER BY "timestamp" DESC, event_id DESC) AS INT)
+           |         AS recency_rank
+           |FROM feat
+           |QUALIFY recency_rank <= $k
+           |ORDER BY entity_id, recency_rank""".stripMargin
+      Duck.compare(sql, dump(out, "topk"))
+    }
+
+  // ---------------------------------------------------------------
+  // Family 3: as-of join (duplicate spine pairs, staleness bound,
+  // null spine timestamps, entities with no history)
+  // ---------------------------------------------------------------
+
+  private case class AsOfCase(rows: List[F],
+      spine: List[(Long, Option[Long])], maxAge: Option[Long])
+
+  private val genAsOf: Gen[AsOfCase] = for {
+    rows <- genFeatRows
+    spine <- genSpineRows
+    // ages landing exactly on hour gaps fuzz the inclusive floor
+    maxAge <- Gen.option(Gen.oneOf(0L, 3600L, 2 * 3600L, 5 * 3600L,
+      7 * 3600L, 3600L - 1, 24 * 3600L))
+  } yield AsOfCase(rows, spine, maxAge)
+
+  property("asOfJoin == DuckDB lateral argmax (dup spine pairs, max_age)") =
+    differential(genAsOf) { c =>
+      val out = PointInTime.asOfJoin(
+        spineDF(c.spine), featDF(c.rows),
+        tieBreakCols = Seq("event_id"), maxAgeSeconds = c.maxAge)
+        .orderBy("entity_id", "timestamp", "event_id")
+      val agePred = c.maxAge
+        .map(a => s"""AND f."timestamp" >= s."timestamp" - INTERVAL $a SECOND""")
+        .getOrElse("")
+      val sql =
+        s"""WITH ${featCte("feat", c.rows)},
+           |${spineCte("spine", c.spine)},
+           |j AS (
+           |  SELECT s.spine_id, f.entity_id, f."timestamp", f.event_id, f.value,
+           |         row_number() OVER (PARTITION BY s.spine_id
+           |             ORDER BY f."timestamp" DESC, f.event_id DESC) AS rn
+           |  FROM spine s JOIN feat f
+           |    ON f.entity_id = s.entity_id AND f."timestamp" <= s."timestamp"
+           |       $agePred
+           |)
+           |SELECT entity_id, "timestamp", event_id, value FROM j WHERE rn = 1
+           |ORDER BY entity_id, "timestamp", event_id""".stripMargin
+      Duck.compare(sql, dump(out, "asof"))
+    }
+
+  // ---------------------------------------------------------------
+  // Family 4: windowed aggregates over a spine (frame boundaries,
+  // NULLs inside sum/min/max/distinct, empty windows)
+  // ---------------------------------------------------------------
+
+  private val genWindow: Gen[(List[F], List[(Long, Option[Long])], Long)] = for {
+    rows <- genFeatRows
+    spineRaw <- genSpineRows
+    w <- Gen.oneOf(3600L, 2 * 3600L, 5 * 3600L, 21 * 3600L)
+    // window probes need a timestamp; keep entity diversity, drop nulls
+  } yield (rows, spineRaw.collect { case (e, Some(t)) => (e, Option(t)) }, w)
+
+  property("windowAggJoin == DuckDB grouped left join (all six fns)") =
+    differential(genWindow.suchThat(_._2.nonEmpty)) { case (rows, spine, w) =>
+      import WindowFeatures.WindowAgg
+      val aggs = Seq(
+        WindowAgg("n_rows", "rows", "", None),
+        WindowAgg("n_vals", "count", "value", None),
+        WindowAgg("v_sum", "sum", "value", None),
+        WindowAgg("v_min", "min", "value", None),
+        WindowAgg("v_max", "max", "value", None),
+        WindowAgg("v_distinct", "distinct", "value", None),
+        WindowAgg("v_sum_wide", "sum", "value", Some(3 * w)))
+      val out = WindowFeatures.windowAggJoin(
+        spineDF(spine), featDF(rows), w, aggs)
+        .orderBy("entity_id", "timestamp")
+      def inWin(age: Long) =
+        s"""f."timestamp" > s."timestamp" - INTERVAL $age SECOND
+           | AND f."timestamp" <= s."timestamp"""".stripMargin.replace("\n", "")
+      val sql =
+        s"""WITH ${featCte("feat", rows)},
+           |${spineCte("spine", spine.map { case (e, t) => (e, t) })}
+           |SELECT s.entity_id, s."timestamp",
+           |  count(f.event_id) FILTER (WHERE ${inWin(w)}) AS n_rows,
+           |  count(f.value)    FILTER (WHERE ${inWin(w)}) AS n_vals,
+           |  CAST(sum(f.value) FILTER (WHERE ${inWin(w)}) AS BIGINT) AS v_sum,
+           |  min(f.value)      FILTER (WHERE ${inWin(w)}) AS v_min,
+           |  max(f.value)      FILTER (WHERE ${inWin(w)}) AS v_max,
+           |  count(DISTINCT f.value) FILTER (WHERE ${inWin(w)}) AS v_distinct,
+           |  CAST(sum(f.value) FILTER (WHERE ${inWin(3 * w)}) AS BIGINT) AS v_sum_wide
+           |FROM spine s LEFT JOIN feat f ON f.entity_id = s.entity_id
+           |GROUP BY s.spine_id, s.entity_id, s."timestamp"
+           |ORDER BY s.entity_id, s."timestamp"""".stripMargin
+      Duck.compare(sql, dump(out, "window"))
+    }
+
+  // ---------------------------------------------------------------
+  // Family 5: store upsert state (key-wise merge commit)
+  // ---------------------------------------------------------------
+
+  /** Distinct (entity, hour) key picks so upsert keys are unambiguous;
+    * values random, overlap between init and delta random.
+    */
+  private val genKeyed: Gen[(List[F], List[F])] = {
+    val combos = for { e <- 0L to 3L; h <- HourPool } yield (e, h)
+    for {
+      nInit <- Gen.choose(1, 16)
+      nDelta <- Gen.choose(1, 10)
+      initKeys <- Gen.pick(nInit min combos.size, combos)
+      deltaKeys <- Gen.pick(nDelta min combos.size, combos)
+      initVals <- Gen.listOfN(initKeys.size, Gen.option(Gen.choose(-50L, 50L)))
+      deltaVals <- Gen.listOfN(deltaKeys.size, Gen.option(Gen.choose(-50L, 50L)))
+    } yield {
+      val init = initKeys.toList.zip(initVals).zipWithIndex.map {
+        case (((e, h), v), i) => F(e, Base + h * 3600L, i.toLong, v) }
+      val delta = deltaKeys.toList.zip(deltaVals).zipWithIndex.map {
+        case (((e, h), v), i) => F(e, Base + h * 3600L, 1000L + i, v) }
+      (init, delta)
+    }
+  }
+
+  property("registerUpsert state == DuckDB anti-join ∪ delta") =
+    differential(genKeyed) { case (init, delta) =>
+      val root = baseDir.resolve(s"store-${caseIdx.incrementAndGet()}").toString
+      val store = new FeatureStore(spark, root, maxVersions = 4)
+      store.register("t", featDF(init))
+      val info = store.registerUpsert("t", featDF(delta))
+      val out = store.getVersion("t", info.version)
+        .orderBy("entity_id", "timestamp")
+      val sql =
+        s"""WITH ${featCte("init", init)},
+           |${featCte("delta", delta)}
+           |SELECT entity_id, "timestamp", event_id, value FROM delta
+           |UNION ALL
+           |SELECT i.entity_id, i."timestamp", i.event_id, i.value FROM init i
+           |WHERE NOT EXISTS (SELECT 1 FROM delta d
+           |  WHERE d.entity_id = i.entity_id AND d."timestamp" = i."timestamp")
+           |ORDER BY entity_id, "timestamp"""".stripMargin
+      Duck.compare(sql, dump(out, "upsert"))
+    }
+
+  // ---------------------------------------------------------------
+  // Family 6: store row delete under three-valued logic (NULL
+  // predicate rows survive; delete-all is rejected)
+  // ---------------------------------------------------------------
+
+  // ---------------------------------------------------------------
+  // Family 7: SQL MERGE (matched update + matched delete + not-matched
+  // insert, optional NOT MATCHED BY SOURCE purge) — state vs DuckDB
+  // ---------------------------------------------------------------
+
+  private def catalogFor(root: String): String = {
+    val name = "gdiff_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    spark.conf.set(
+      s"spark.sql.catalog.$name", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    name
+  }
+
+  private case class SrcRow(e: Long, sec: Long, sid: Long,
+      v: Option[Long], op: String)
+
+  private def srcCte(name: String, rows: Seq[SrcRow]): String = {
+    require(rows.nonEmpty)
+    val vals = rows.map(r =>
+      s"(CAST(${r.e} AS BIGINT), ${tsLit(r.sec)}, CAST(${r.sid} AS BIGINT), ${longLit(r.v)}, '${r.op}')")
+    s"""$name(entity_id, "timestamp", sid, value, op) AS (VALUES ${vals.mkString(", ")})"""
+  }
+
+  private val srcSchema = StructType(Seq(
+    StructField("entity_id", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("sid", LongType, nullable = false),
+    StructField("value", LongType, nullable = true),
+    StructField("op", StringType, nullable = false)))
+
+  private def srcDF(rows: Seq[SrcRow]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(
+        r.e, new java.sql.Timestamp(r.sec * 1000L), r.sid,
+        r.v.map(java.lang.Long.valueOf).orNull, r.op)), 2),
+      srcSchema)
+
+  private val genMerge: Gen[(List[F], List[SrcRow], Boolean)] = {
+    val combos = for { e <- 0L to 3L; h <- HourPool } yield (e, h)
+    for {
+      (init, _) <- genKeyed
+      nSrc <- Gen.choose(1, 12)
+      // distinct source keys: several source rows onto ONE target key
+      // trip the engine's cardinality guard by contract (SqlDmlSpec
+      // pins that); here we fuzz the multi-key semantics
+      srcKeys <- Gen.pick(nSrc min combos.size, combos)
+      ops <- Gen.listOfN(srcKeys.size, Gen.frequency(
+        3 -> Gen.const("update"), 2 -> Gen.const("delete"),
+        3 -> Gen.const("insert")))
+      vals <- Gen.listOfN(srcKeys.size, Gen.option(Gen.choose(-50L, 50L)))
+      nmbs <- Gen.oneOf(true, false)
+    } yield {
+      val src = srcKeys.toList.zip(ops).zip(vals).zipWithIndex.map {
+        case ((((e, h), op), v), i) =>
+          SrcRow(e, Base + h * 3600L, 1000L + i, v, op) }
+      (init, src, nmbs)
+    }
+  }
+
+  property("SQL MERGE state == DuckDB join-cases model") =
+    differential(genMerge) { case (init, src, nmbs) =>
+      val root = baseDir.resolve(s"merge-${caseIdx.incrementAndGet()}").toString
+      val store = new FeatureStore(spark, root, maxVersions = 4)
+      store.register("t", featDF(init))
+      val c = catalogFor(root)
+      srcDF(src).createOrReplaceTempView("graft_diff_merge_src")
+      val nmbsClause =
+        if (nmbs) "\nWHEN NOT MATCHED BY SOURCE THEN DELETE" else ""
+      def runMerge(): Unit = { spark.sql(
+        s"""MERGE INTO $c.t t
+           |USING graft_diff_merge_src s
+           |ON t.entity_id = s.entity_id AND t.timestamp = s.timestamp
+           |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET value = s.value
+           |WHEN NOT MATCHED AND s.op = 'insert' THEN
+           |  INSERT (entity_id, timestamp, event_id, value)
+           |  VALUES (s.entity_id, s.timestamp, s.sid, s.value)$nmbsClause"""
+          .stripMargin); () }
+      // A MERGE whose net result would EMPTY the table trips the
+      // store's non-empty invariant (the deleteRows contract: use
+      // delete(name) to drop a table) — found by this harness's first
+      // 100-case soak: a source matching nothing + NOT MATCHED BY
+      // SOURCE DELETE purges every row. The engine must refuse and
+      // leave the table intact.
+      val srcByKey = src.map(r => (r.e, r.sec) -> r).toMap
+      val expectedRows =
+        init.count { f =>
+          srcByKey.get((f.e, f.sec)) match {
+            case Some(m) => m.op != "delete"
+            case None => !nmbs
+          }
+        } + src.count(s => s.op == "insert" &&
+          !init.exists(f => f.e == s.e && f.sec == s.sec))
+      if (expectedRows == 0) {
+        val rejected =
+          try { runMerge(); false }
+          catch { case _: FeatureValidationError => true }
+        if (!rejected) Left("empty-result MERGE was not rejected")
+        else {
+          store.refresh()
+          val out = store.getVersion("t", 1).orderBy("event_id")
+          val sql =
+            s"""WITH ${featCte("init", init)}
+               |SELECT * FROM init ORDER BY event_id""".stripMargin
+          Duck.compare(sql, dump(out, "mergeEmpty"))
+        }
+      } else {
+        runMerge()
+        store.refresh()
+        val out = store.getVersion("t", store.getTableInfo("t").version)
+          .orderBy("event_id")
+        val survivorPred =
+          if (nmbs) "m.entity_id IS NOT NULL AND m.op <> 'delete'"
+          else "m.entity_id IS NULL OR m.op <> 'delete'"
+        val sql =
+          s"""WITH ${featCte("init", init)},
+             |${srcCte("src", src)}
+             |SELECT t.entity_id, t."timestamp", t.event_id,
+             |       CASE WHEN m.entity_id IS NOT NULL THEN m.value
+             |            ELSE t.value END AS value
+             |FROM init t LEFT JOIN src m
+             |  ON t.entity_id = m.entity_id AND t."timestamp" = m."timestamp"
+             |WHERE $survivorPred
+             |UNION ALL
+             |SELECT s.entity_id, s."timestamp", s.sid AS event_id, s.value
+             |FROM src s WHERE s.op = 'insert' AND NOT EXISTS (
+             |  SELECT 1 FROM init t
+             |  WHERE t.entity_id = s.entity_id AND t."timestamp" = s."timestamp")
+             |ORDER BY event_id""".stripMargin
+        Duck.compare(sql, dump(out, "merge"))
+      }
+    }
+
+  // ---------------------------------------------------------------
+  // Family 8: SQL UPDATE — rekeying SET (possibly onto colliding
+  // keys) and value SET, under a three-valued-logic WHERE
+  // ---------------------------------------------------------------
+
+  property("SQL UPDATE state == DuckDB CASE model (rekey + 3VL WHERE)") =
+    differential(for {
+      rows <- genFeatRows
+      threshold <- Gen.choose(-60L, 60L)
+      rekey <- Gen.oneOf(true, false)
+    } yield (rows, threshold, rekey)) { case (rows, threshold, rekey) =>
+      val root = baseDir.resolve(s"upd-${caseIdx.incrementAndGet()}").toString
+      val store = new FeatureStore(spark, root, maxVersions = 4)
+      store.register("t", featDF(rows))
+      val c = catalogFor(root)
+      val (setSql, caseSelect) =
+        if (rekey)
+          ("SET entity_id = entity_id + 10",
+            s"""CASE WHEN coalesce(value > $threshold, false)
+               |     THEN entity_id + 10 ELSE entity_id END AS entity_id,
+               |"timestamp", event_id, value""".stripMargin)
+        else
+          ("SET value = value + 7",
+            s"""entity_id, "timestamp", event_id,
+               |CASE WHEN coalesce(value > $threshold, false)
+               |     THEN value + 7 ELSE value END AS value""".stripMargin)
+      spark.sql(s"UPDATE $c.t $setSql WHERE value > $threshold")
+      store.refresh()
+      val out = store.getVersion("t", store.getTableInfo("t").version)
+        .orderBy("event_id")
+      val sql =
+        s"""WITH ${featCte("init", rows)}
+           |SELECT $caseSelect
+           |FROM init ORDER BY event_id""".stripMargin
+      Duck.compare(sql, dump(out, "update"))
+    }
+
+  property("deleteRows state == DuckDB NOT coalesce(pred, false)") =
+    differential(for {
+      kv <- genKeyed
+      threshold <- Gen.choose(-60L, 60L)
+    } yield (kv._1, threshold)) { case (init, threshold) =>
+      val root = baseDir.resolve(s"store-${caseIdx.incrementAndGet()}").toString
+      val store = new FeatureStore(spark, root, maxVersions = 4)
+      store.register("t", featDF(init))
+      val kept = init.filterNot(_.v.exists(_ > threshold))
+      if (kept.isEmpty) {
+        // engine contract: deleting every row is rejected, table intact
+        try { store.deleteRows("t", col("value") > threshold); Left(
+          "delete-all was not rejected") }
+        catch { case _: FeatureValidationError =>
+          val out = store.getVersion("t", 1).orderBy("entity_id", "timestamp")
+          val sql =
+            s"""WITH ${featCte("init", init)}
+               |SELECT * FROM init ORDER BY entity_id, "timestamp"""".stripMargin
+          Duck.compare(sql, dump(out, "delall"))
+        }
+      } else {
+        val info = store.deleteRows("t", col("value") > threshold)
+        val out = store.getVersion("t", info.version)
+          .orderBy("entity_id", "timestamp")
+        val sql =
+          s"""WITH ${featCte("init", init)}
+             |SELECT * FROM init
+             |WHERE NOT coalesce(value > $threshold, false)
+             |ORDER BY entity_id, "timestamp"""".stripMargin
+        Duck.compare(sql, dump(out, "del"))
+      }
+    }
+}

@@ -151,6 +151,59 @@ class SqlDmlSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("more than"))
   }
 
+  test("MERGE netting an EMPTY table is rejected; table left intact") {
+    // found by DifferentialProps' first 100-case soak (seed
+    // mIAb3fCMQPfevbk5oPycP_HHpljCdzy78vSkXP3P_0A=): a source matching
+    // NOTHING + NOT MATCHED BY SOURCE DELETE purges every current row.
+    // The store cannot represent an empty registered table, so the
+    // statement must refuse — and refuse ATOMICALLY (no half-applied
+    // version, no version bump).
+    val root = freshRoot("mempty")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    val s = spark
+    import s.implicits._
+    Seq(("nobody", ts("2030-01-01"), 0.0))
+      .toDF("entity_id", "timestamp", "feature_a")
+      .createOrReplaceTempView("graft_mempty_src")
+    intercept[FeatureValidationError] {
+      spark.sql(
+        s"""MERGE INTO $c.feat t USING graft_mempty_src s
+           |ON t.entity_id = s.entity_id AND t.timestamp = s.timestamp
+           |WHEN MATCHED THEN UPDATE SET feature_a = s.feature_a
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    store.refresh()
+    assert(store.getTableInfo("feat").version == 1)
+    assert(store.getVersion("feat", 1).count() == 5)
+  }
+
+  test("MERGE purging every current row but inserting new ones succeeds") {
+    // the adjacent edge: the NET state is non-empty (inserts survive),
+    // so the single-commit rewrite path must accept it
+    val root = freshRoot("mpurge")
+    val store = new FeatureStore(spark, root)
+    store.register("feat", sampleFeatures)
+    val c = cat(root)
+    val s = spark
+    import s.implicits._
+    Seq(("user_9", ts("2030-01-01"), 9.0, 9L))
+      .toDF("entity_id", "timestamp", "feature_a", "feature_b")
+      .createOrReplaceTempView("graft_mpurge_src")
+    spark.sql(
+      s"""MERGE INTO $c.feat t USING graft_mpurge_src s
+         |ON t.entity_id = s.entity_id AND t.timestamp = s.timestamp
+         |WHEN NOT MATCHED THEN
+         |  INSERT (entity_id, timestamp, feature_a, feature_b)
+         |  VALUES (s.entity_id, s.timestamp, s.feature_a, s.feature_b)
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    store.refresh()
+    val now = store.getVersion("feat", store.getTableInfo("feat").version)
+    assert(now.count() == 1)
+    assert(now.head().getAs[String]("entity_id") == "user_9")
+  }
+
   /** Duplicate-(entity_id, timestamp) observations are legal in the
     * store, but the mutation primitives address WHOLE keys — these
     * tests pin that SQL DML stays ROW-addressed: siblings a statement
