@@ -249,7 +249,7 @@ object DifferentialProps extends Properties("Differential") {
   // ---------------------------------------------------------------
 
   private case class PitCase(rows: List[F], cutoff: Long,
-      ids: Option[List[Long]], cols: Option[List[String]])
+      ids: Option[List[Long]], cols: Option[List[String]], viaDf: Boolean)
 
   private val genPit: Gen[PitCase] = for {
     rows <- genFeatRows
@@ -257,16 +257,29 @@ object DifferentialProps extends Properties("Differential") {
     ids <- Gen.option(Gen.nonEmptyListOf(Gen.choose(0L, 5L)).map(_.distinct))
     cols <- Gen.oneOf(None, Some(List("value")), Some(List("event_id")),
       Some(List("event_id", "value")))
-  } yield PitCase(rows, cutoff, ids, cols)
+    viaDf <- Gen.oneOf(true, false) // broadcast-semi-join scale form
+  } yield PitCase(rows, cutoff, ids, cols, viaDf)
 
   property("pitSnapshot == DuckDB argmax (ties, boundary, projection)") =
     differential(genPit) { c =>
-      val out = PointInTime.pitSnapshot(
-        featDF(c.rows), lit(new java.sql.Timestamp(c.cutoff * 1000L)),
-        entityIds = c.ids.map(_.map(x => x: Any)),
-        columns = c.cols,
-        tieBreakCols = Seq("event_id"))
-        .orderBy("entity_id")
+      val asOf = lit(new java.sql.Timestamp(c.cutoff * 1000L))
+      val engine =
+        if (c.viaDf && c.ids.isDefined)
+          // the entity-set-as-DataFrame form must agree with the
+          // IN-literal form on the same oracle
+          PointInTime.pitSnapshotForEntities(
+            featDF(c.rows), asOf,
+            entities = spark.createDataFrame(
+              spark.sparkContext.parallelize(
+                c.ids.get.map(Row(_)), 1),
+              StructType(Seq(StructField("entity_id", LongType, false)))),
+            columns = c.cols, tieBreakCols = Seq("event_id"))
+        else PointInTime.pitSnapshot(
+          featDF(c.rows), asOf,
+          entityIds = c.ids.map(_.map(x => x: Any)),
+          columns = c.cols,
+          tieBreakCols = Seq("event_id"))
+      val out = engine.orderBy("entity_id")
       val proj = (Seq("entity_id", "\"timestamp\"") ++
         c.cols.getOrElse(List("event_id", "value"))).mkString(", ")
       val idPred = c.ids
@@ -311,7 +324,8 @@ object DifferentialProps extends Properties("Differential") {
   // ---------------------------------------------------------------
 
   private case class AsOfCase(rows: List[F],
-      spine: List[(Long, Option[Long])], maxAge: Option[Long])
+      spine: List[(Long, Option[Long])], maxAge: Option[Long],
+      impl: String, bucket: Long)
 
   private val genAsOf: Gen[AsOfCase] = for {
     rows <- genFeatRows
@@ -319,15 +333,35 @@ object DifferentialProps extends Properties("Differential") {
     // ages landing exactly on hour gaps fuzz the inclusive floor
     maxAge <- Gen.option(Gen.oneOf(0L, 3600L, 2 * 3600L, 5 * 3600L,
       7 * 3600L, 3600L - 1, 24 * 3600L))
-  } yield AsOfCase(rows, spine, maxAge)
+    // every strategy variant must answer the same oracle (max_age is
+    // the native kernel's parameter only)
+    impl <- Gen.oneOf("native", "viaJoin", "viaScd2", "bucketed",
+      "skewHot", "skewCold")
+    bucket <- Gen.oneOf(3600L, 2 * 3600L, 5 * 3600L)
+  } yield AsOfCase(rows, spine, maxAge, impl, bucket)
 
   property("asOfJoin == DuckDB lateral argmax (dup spine pairs, max_age)") =
     differential(genAsOf) { c =>
-      val out = PointInTime.asOfJoin(
-        spineDF(c.spine), featDF(c.rows),
-        tieBreakCols = Seq("event_id"), maxAgeSeconds = c.maxAge)
-        .orderBy("entity_id", "timestamp", "event_id")
-      val agePred = c.maxAge
+      val sp = spineDF(c.spine)
+      val tb = featDF(c.rows)
+      val tie = Seq("event_id")
+      val engine = c.impl match {
+        case "native" => PointInTime.asOfJoin(
+          sp, tb, tieBreakCols = tie, maxAgeSeconds = c.maxAge)
+        case "viaJoin" => PointInTime.asOfJoinViaJoin(
+          sp, tb, tieBreakCols = tie)
+        case "viaScd2" => PointInTime.asOfJoinViaScd2(
+          sp, tb, tieBreakCols = tie)
+        case "bucketed" => PointInTime.asOfJoinBucketed(
+          sp, tb, bucketSeconds = c.bucket, tieBreakCols = tie)
+        case "skewHot" => PointInTime.asOfJoinSkewHybrid(
+          sp, tb, bucketSeconds = c.bucket, hotRowThreshold = 1L,
+          tieBreakCols = tie)
+        case "skewCold" => PointInTime.asOfJoinSkewHybrid(
+          sp, tb, bucketSeconds = c.bucket, tieBreakCols = tie)
+      }
+      val out = engine.orderBy("entity_id", "timestamp", "event_id")
+      val agePred = c.maxAge.filter(_ => c.impl == "native")
         .map(a => s"""AND f."timestamp" >= s."timestamp" - INTERVAL $a SECOND""")
         .getOrElse("")
       val sql =
@@ -351,30 +385,46 @@ object DifferentialProps extends Properties("Differential") {
   // NULLs inside sum/min/max/distinct, empty windows)
   // ---------------------------------------------------------------
 
-  private val genWindow: Gen[(List[F], List[(Long, Option[Long])], Long)] = for {
-    rows <- genFeatRows
-    spineRaw <- genSpineRows
-    w <- Gen.oneOf(3600L, 2 * 3600L, 5 * 3600L, 21 * 3600L)
-    // window probes need a timestamp; keep entity diversity, drop nulls
-  } yield (rows, spineRaw.collect { case (e, Some(t)) => (e, Option(t)) }, w)
+  private val genWindow: Gen[(List[F], List[(Long, Option[Long])], Long, Boolean)] =
+    for {
+      rows <- genFeatRows
+      spineRaw <- genSpineRows
+      w <- Gen.oneOf(3600L, 2 * 3600L, 5 * 3600L, 21 * 3600L)
+      bucketed <- Gen.oneOf(true, false)
+      // window probes need a timestamp; keep entity diversity, drop nulls
+    } yield
+      (rows, spineRaw.collect { case (e, Some(t)) => (e, Option(t)) }, w, bucketed)
 
   property("windowAggJoin == DuckDB grouped left join (all six fns)") =
-    differential(genWindow.suchThat(_._2.nonEmpty)) { case (rows, spine, w) =>
+    differential(genWindow.suchThat(_._2.nonEmpty)) { case (rows, spine, w, bucketed) =>
       import WindowFeatures.WindowAgg
+      // the bucketed decomposition rejects per-agg horizons and
+      // 'distinct' by contract — its arm fuzzes the five decomposable
+      // fns (prefix/suffix halves across the bucket grid)
       val aggs = Seq(
         WindowAgg("n_rows", "rows", "", None),
         WindowAgg("n_vals", "count", "value", None),
         WindowAgg("v_sum", "sum", "value", None),
         WindowAgg("v_min", "min", "value", None),
-        WindowAgg("v_max", "max", "value", None),
-        WindowAgg("v_distinct", "distinct", "value", None),
-        WindowAgg("v_sum_wide", "sum", "value", Some(3 * w)))
-      val out = WindowFeatures.windowAggJoin(
-        spineDF(spine), featDF(rows), w, aggs)
-        .orderBy("entity_id", "timestamp")
+        WindowAgg("v_max", "max", "value", None)) ++
+        (if (bucketed) Nil else Seq(
+          WindowAgg("v_distinct", "distinct", "value", None),
+          WindowAgg("v_sum_wide", "sum", "value", Some(3 * w))))
+      val engine =
+        if (bucketed) WindowFeatures.windowAggJoinBucketed(
+          spineDF(spine), featDF(rows), w, aggs)
+        else WindowFeatures.windowAggJoin(
+          spineDF(spine), featDF(rows), w, aggs)
+      val out = engine.orderBy("entity_id", "timestamp")
       def inWin(age: Long) =
         s"""f."timestamp" > s."timestamp" - INTERVAL $age SECOND
            | AND f."timestamp" <= s."timestamp"""".stripMargin.replace("\n", "")
+      val extraSelect =
+        if (bucketed) ""
+        else
+          s""",
+             |  count(DISTINCT f.value) FILTER (WHERE ${inWin(w)}) AS v_distinct,
+             |  CAST(sum(f.value) FILTER (WHERE ${inWin(3 * w)}) AS BIGINT) AS v_sum_wide""".stripMargin
       val sql =
         s"""WITH ${featCte("feat", rows)},
            |${spineCte("spine", spine.map { case (e, t) => (e, t) })}
@@ -383,13 +433,11 @@ object DifferentialProps extends Properties("Differential") {
            |  count(f.value)    FILTER (WHERE ${inWin(w)}) AS n_vals,
            |  CAST(sum(f.value) FILTER (WHERE ${inWin(w)}) AS BIGINT) AS v_sum,
            |  min(f.value)      FILTER (WHERE ${inWin(w)}) AS v_min,
-           |  max(f.value)      FILTER (WHERE ${inWin(w)}) AS v_max,
-           |  count(DISTINCT f.value) FILTER (WHERE ${inWin(w)}) AS v_distinct,
-           |  CAST(sum(f.value) FILTER (WHERE ${inWin(3 * w)}) AS BIGINT) AS v_sum_wide
+           |  max(f.value)      FILTER (WHERE ${inWin(w)}) AS v_max$extraSelect
            |FROM spine s LEFT JOIN feat f ON f.entity_id = s.entity_id
            |GROUP BY s.spine_id, s.entity_id, s."timestamp"
            |ORDER BY s.entity_id, s."timestamp"""".stripMargin
-      Duck.compare(sql, dump(out, "window"))
+      Duck.compare(sql, dump(out, if (bucketed) "windowB" else "window"))
     }
 
   // ---------------------------------------------------------------
