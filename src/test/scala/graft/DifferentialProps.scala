@@ -441,6 +441,49 @@ object DifferentialProps extends Properties("Differential") {
     }
 
   // ---------------------------------------------------------------
+  // Family 4b: sessionize (gap-split sessions; strict-> boundary,
+  // duplicate timestamps inside a session, singleton sessions)
+  // ---------------------------------------------------------------
+
+  property("sessionize == DuckDB lag/cumsum sessions (gap-exact edges)") =
+    differential(for {
+      rows <- genFeatRows
+      // 3600 is EXACTLY the smallest hour-pool gap: a diff of exactly
+      // the gap must NOT split (strict >), both engines
+      gap <- Gen.oneOf(3600L, 7199L, 7200L, 10800L)
+    } yield (rows, gap)) { case (rows, gap) =>
+      val out = WindowFeatures.sessionize(
+        featDF(rows).select(col("entity_id"), col("timestamp"), col("event_id")),
+        gapSeconds = gap, tieBreakCols = Seq("event_id"))
+        .orderBy("entity_id", "session_seq")
+      val sql =
+        s"""WITH ${featCte("feat", rows)},
+           |marked AS (
+           |  SELECT entity_id, "timestamp", event_id,
+           |         CASE WHEN lag("timestamp") OVER w IS NULL
+           |                OR "timestamp" - lag("timestamp") OVER w
+           |                   > INTERVAL $gap SECOND
+           |              THEN 1 ELSE 0 END AS is_new
+           |  FROM feat
+           |  WINDOW w AS (PARTITION BY entity_id ORDER BY "timestamp", event_id)
+           |), sess AS (
+           |  SELECT entity_id, "timestamp",
+           |         CAST(sum(is_new) OVER (
+           |             PARTITION BY entity_id ORDER BY "timestamp", event_id
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |           AS BIGINT) AS session_seq
+           |  FROM marked
+           |)
+           |SELECT entity_id, session_seq,
+           |       min("timestamp") AS session_start,
+           |       max("timestamp") AS session_end,
+           |       CAST(count(*) AS BIGINT) AS n_events
+           |FROM sess GROUP BY entity_id, session_seq
+           |ORDER BY entity_id, session_seq""".stripMargin
+      Duck.compare(sql, dump(out, "sess"))
+    }
+
+  // ---------------------------------------------------------------
   // Family 5: store upsert state (key-wise merge commit)
   // ---------------------------------------------------------------
 
