@@ -170,10 +170,12 @@ final class PyFeatureStore(val store: FeatureStore) {
       val fn = String.valueOf(a.get(1))
       // fail loudly HERE on a missing input column (Python None) for
       // the fns that aggregate one: letting "" through surfaces later
-      // as a baffling `column "" not found` resolution error.
-      require(a.get(2) != null || fn == "rows" || fn == "count",
+      // as a baffling `column "" not found` resolution error. 'count'
+      // DOES take one (it counts non-null values of it); only 'rows'
+      // is input-free.
+      require(a.get(2) != null || fn == "rows",
         s"agg '${String.valueOf(a.get(0))}': fn '$fn' requires an input " +
-          "column, got None (only 'rows'/'count' take no input)")
+          "column, got None (only 'rows' takes no input)")
       graft.store.WindowFeatures.WindowAgg(
         out = String.valueOf(a.get(0)),
         fn = fn,

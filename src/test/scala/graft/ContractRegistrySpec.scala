@@ -21,8 +21,8 @@ class ContractRegistrySpec extends AnyFunSuite {
       s"queries without an oracle (rows-only weak check): ${(q -- o).toSeq.sorted}")
   }
 
-  test("the oracle-verified surface only grows (117 as of round 6)") {
-    assert(SparkEntry.queries.size >= 117,
+  test("the oracle-verified surface only grows (169 as of round 13)") {
+    assert(SparkEntry.queries.size >= 169,
       s"contract shrank to ${SparkEntry.queries.size} queries — deliberate removals " +
         "must update this floor with a rationale")
   }

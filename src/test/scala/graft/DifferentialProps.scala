@@ -92,8 +92,11 @@ object DifferentialProps extends Properties("Differential") {
         w.write(s"""{"sql": ${jstr(sql)}, "result": ${jstr(resultDir)}}""")
         w.newLine(); w.flush()
         val line = r.readLine()
+        // the worker emits exactly json.dumps({"ok": True, ...}) —
+        // anchor on the prefix so a failure message that merely EMBEDS
+        // the substring can never be misread as a pass
         if (line == null) Left("duckdb worker died")
-        else if (line.contains("\"ok\": true")) Right(())
+        else if (line.startsWith("{\"ok\": true")) Right(())
         else Left(line)
       }
   }
@@ -735,5 +738,311 @@ object DifferentialProps extends Properties("Differential") {
              |ORDER BY entity_id, "timestamp"""".stripMargin
         Duck.compare(sql, dump(out, "del"))
       }
+    }
+
+  // ---------------------------------------------------------------
+  // Family 9: fixed-grid resample with forward fill (asOfJoinLeft
+  // over a generated time grid — grid cells exactly ON event
+  // timestamps, cells before any history, sentinel back-fill)
+  // ---------------------------------------------------------------
+
+  private case class GridCase(rows: List[F], startHour: Long,
+      stepSeconds: Long, nPoints: Int)
+
+  private val genGrid: Gen[GridCase] = for {
+    rows <- genFeatRows
+    // -6h start puts whole leading cells before ALL history (null
+    // arm); 0/5h starts land grid points exactly on hour-pool rows
+    // (inclusive <= boundary)
+    s0 <- Gen.oneOf(-6L, 0L, 5L)
+    step <- Gen.oneOf(6L * 3600, 8L * 3600, 13L * 3600)
+    n <- Gen.choose(3, 6)
+  } yield GridCase(rows, s0, step, n)
+
+  property("resampleFfill(asOfJoinLeft grid) == DuckDB grid left-argmax") =
+    differential(genGrid) { c =>
+      val start = Base + c.startHour * 3600L
+      val end = start + (c.nPoints - 1).toLong * c.stepSeconds
+      val (startStr, endStr) =
+        (TsFmt.format(Instant.ofEpochSecond(start)),
+          TsFmt.format(Instant.ofEpochSecond(end)))
+      val feat = featDF(c.rows)
+      val grid = feat.select(col("entity_id")).distinct()
+        .select(col("entity_id"), explode(expr(
+          s"sequence(timestamp '$startStr', timestamp '$endStr'," +
+            s" interval ${c.stepSeconds} second)")).as("timestamp"))
+      val epoch = lit(new java.sql.Timestamp(0L))
+      val out = PointInTime
+        .asOfJoinLeft(grid, feat, "last_", tieBreakCols = Seq("event_id"))
+        .select(
+          col("entity_id"),
+          col("timestamp").as("day"),
+          coalesce(col("last_timestamp"), epoch).as("last_event_ts"),
+          coalesce(col("last_event_id"), lit(-1L)).as("last_event_id"),
+          coalesce(col("last_value"), lit(-1L)).as("last_value"))
+        .orderBy("entity_id", "day")
+      val sql =
+        s"""WITH ${featCte("feat", c.rows)},
+           |users AS (SELECT DISTINCT entity_id FROM feat),
+           |days AS (
+           |  SELECT unnest(generate_series(TIMESTAMP '$startStr',
+           |      TIMESTAMP '$endStr', INTERVAL ${c.stepSeconds} SECOND)) AS d
+           |),
+           |grid AS (SELECT entity_id, d FROM users CROSS JOIN days),
+           |j AS (
+           |  SELECT g.entity_id, g.d, f."timestamp" AS fts, f.event_id, f.value,
+           |         row_number() OVER (PARTITION BY g.entity_id, g.d
+           |             ORDER BY f."timestamp" DESC, f.event_id DESC) AS rn
+           |  FROM grid g JOIN feat f
+           |    ON f.entity_id = g.entity_id AND f."timestamp" <= g.d
+           |)
+           |SELECT g.entity_id, g.d AS day,
+           |       coalesce(j.fts, TIMESTAMP '1970-01-01 00:00:00')
+           |         AS last_event_ts,
+           |       coalesce(j.event_id, -1) AS last_event_id,
+           |       coalesce(j.value, -1) AS last_value
+           |FROM grid g LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+           |  ON j.entity_id = g.entity_id AND j.d = g.d
+           |ORDER BY g.entity_id, day""".stripMargin
+      Duck.compare(sql, dump(out, "grid"))
+    }
+
+  // ---------------------------------------------------------------
+  // Family 10: SCD2 interval view (lead-based valid_to — duplicate
+  // (entity, ts) rows must get EMPTY intervals for all but the
+  // tie-break winner, current rows a NULL valid_to)
+  // ---------------------------------------------------------------
+
+  property("scd2 == DuckDB lead(ts) over (ts, tieBreak)") =
+    differential(genFeatRows) { rows =>
+      val out = PointInTime.scd2(featDF(rows), tieBreakCols = Seq("event_id"))
+        .orderBy("entity_id", "timestamp", "event_id")
+      val sql =
+        s"""WITH ${featCte("feat", rows)}
+           |SELECT entity_id, "timestamp", event_id, value,
+           |       lead("timestamp") OVER (PARTITION BY entity_id
+           |           ORDER BY "timestamp", event_id) AS valid_to
+           |FROM feat
+           |ORDER BY entity_id, "timestamp", event_id""".stripMargin
+      Duck.compare(sql, dump(out, "scd2"))
+    }
+
+  // ---------------------------------------------------------------
+  // Family 11: V2 catalog scanWhere pushdown under 3VL — a random
+  // predicate tree over (value NULLs, entity, timestamp) runs as SQL
+  // against the catalog table (filters push through GraftScanBuilder
+  // into scanWhere's stats-skipping read) and against DuckDB on the
+  // same rows. A pushdown that treats NULL as false at the wrong
+  // level, or prunes a segment whose stats straddle the predicate,
+  // diverges here and is invisible to the fixed contract.
+  // ---------------------------------------------------------------
+
+  private sealed trait Pred {
+    /** Render for one dialect: duck=false → Spark SQL (backticked
+      * `timestamp`, `<=>`); duck=true → DuckDB (quoted "timestamp",
+      * IS NOT DISTINCT FROM). Everything else is shared ANSI.
+      */
+    def sql(duck: Boolean): String
+  }
+  private def tsCol(duck: Boolean): String =
+    if (duck) "\"timestamp\"" else "`timestamp`"
+  private case class CmpV(op: String, k: Long) extends Pred {
+    def sql(duck: Boolean) = s"value $op $k"
+  }
+  private case class CmpE(k: Long) extends Pred {
+    def sql(duck: Boolean) = s"entity_id = $k"
+  }
+  private case class CmpTs(op: String, sec: Long) extends Pred {
+    def sql(duck: Boolean) = s"${tsCol(duck)} $op ${tsLit(sec)}"
+  }
+  private case class NullP(not: Boolean) extends Pred {
+    def sql(duck: Boolean) = s"value IS ${if (not) "NOT " else ""}NULL"
+  }
+  private case class Nseq(k: Option[Long]) extends Pred {
+    def sql(duck: Boolean) = {
+      val lit = k.map(_.toString).getOrElse("CAST(NULL AS BIGINT)")
+      if (duck) s"value IS NOT DISTINCT FROM $lit" else s"value <=> $lit"
+    }
+  }
+  private case class InV(vs: List[Long]) extends Pred {
+    def sql(duck: Boolean) = s"value IN (${vs.mkString(", ")})"
+  }
+  private case class InE(vs: List[Long]) extends Pred {
+    def sql(duck: Boolean) = s"entity_id IN (${vs.mkString(", ")})"
+  }
+  private case class NotP(p: Pred) extends Pred {
+    def sql(duck: Boolean) = s"NOT (${p.sql(duck)})"
+  }
+  private case class AndP(a: Pred, b: Pred) extends Pred {
+    def sql(duck: Boolean) = s"(${a.sql(duck)}) AND (${b.sql(duck)})"
+  }
+  private case class OrP(a: Pred, b: Pred) extends Pred {
+    def sql(duck: Boolean) = s"(${a.sql(duck)}) OR (${b.sql(duck)})"
+  }
+
+  private val genAtom: Gen[Pred] = Gen.oneOf(
+    for { op <- Gen.oneOf(">", ">=", "<", "<=", "=")
+          k <- Gen.choose(-50L, 50L) } yield CmpV(op, k),
+    Gen.choose(0L, 4L).map(CmpE),
+    for { h <- Gen.oneOf(HourPool); d <- Gen.oneOf(-1L, 0L, 1L)
+          op <- Gen.oneOf("<=", ">") } yield CmpTs(op, Base + h * 3600L + d),
+    Gen.oneOf(NullP(false), NullP(true)),
+    Gen.option(Gen.choose(-50L, 50L)).map(Nseq),
+    Gen.nonEmptyListOf(Gen.choose(-50L, 50L)).map(l => InV(l.take(4))),
+    Gen.nonEmptyListOf(Gen.choose(0L, 4L)).map(l => InE(l.distinct.take(3))))
+
+  private def genPred(depth: Int): Gen[Pred] =
+    if (depth <= 0) genAtom
+    else Gen.frequency(
+      3 -> genAtom,
+      1 -> Gen.lzy(genPred(depth - 1).map(NotP)),
+      2 -> Gen.lzy(for { a <- genPred(depth - 1); b <- genPred(depth - 1) }
+        yield AndP(a, b)),
+      2 -> Gen.lzy(for { a <- genPred(depth - 1); b <- genPred(depth - 1) }
+        yield OrP(a, b)))
+
+  property("V2 scanWhere pushdown == DuckDB WHERE (3VL predicate trees)") =
+    differential(for {
+      rows <- genFeatRows
+      p <- genPred(2)
+    } yield (rows, p)) { case (rows, p) =>
+      val root = baseDir.resolve(s"scan-${caseIdx.incrementAndGet()}").toString
+      val store = new FeatureStore(spark, root, maxVersions = 4)
+      store.register("t", featDF(rows))
+      val c = catalogFor(root)
+      val out = spark.sql(
+        s"""SELECT entity_id, `timestamp`, event_id, value
+           |FROM $c.t WHERE ${p.sql(duck = false)}
+           |ORDER BY event_id""".stripMargin)
+      val sql =
+        s"""WITH ${featCte("feat", rows)}
+           |SELECT entity_id, "timestamp", event_id, value
+           |FROM feat WHERE ${p.sql(duck = true)}
+           |ORDER BY event_id""".stripMargin
+      Duck.compare(sql, dump(out, "scan"))
+    }
+
+  // ---------------------------------------------------------------
+  // Family 12: the GENERAL serving fold (applyChangesServing) — since
+  // round 13's fusion, maintainedServing no longer routes through it;
+  // only the streaming follower does. Fold a randomized mutation
+  // history (upserts, predicate deletes) version-by-version from the
+  // v1 seed and compare the final state against DuckDB's argmax over
+  // an independently-chained SQL model of the same mutations.
+  // ---------------------------------------------------------------
+
+  private sealed trait Mut
+  private case class UpM(delta: List[F]) extends Mut
+  private case class DelM(threshold: Long) extends Mut
+
+  private val genMutSeq: Gen[(List[F], List[Mut])] = for {
+    (init, _) <- genKeyed
+    n <- Gen.choose(1, 2)
+    muts <- Gen.listOfN(n, Gen.frequency(
+      3 -> genKeyed.map { case (_, d) => UpM(d) },
+      2 -> Gen.choose(-60L, 60L).map(DelM(_))))
+  } yield (init, muts)
+
+  property("applyChangesServing fold == DuckDB argmax over mutation chain") =
+    differential(genMutSeq) { case (init, muts) =>
+      val root = baseDir.resolve(s"fold-${caseIdx.incrementAndGet()}").toString
+      val store = new FeatureStore(spark, root, maxVersions = 6)
+      store.register("t", featDF(init))
+      // model state tracked in-process ONLY to decide applicability
+      // (zero-hit deletes commit no version; delete-all is refused);
+      // the compared values come from the DuckDB chain below
+      var model: List[F] = init
+      var applied = List.empty[Mut]
+      muts.foreach {
+        case UpM(delta) =>
+          // fresh event_ids per step keep the tie-break deterministic
+          val d = delta.zipWithIndex.map { case (r, i) =>
+            r.copy(id = 1000L * (applied.size + 1) + i) }
+          store.registerUpsert("t", featDF(d))
+          val keys = d.map(r => (r.e, r.sec)).toSet
+          model = d ++ model.filterNot(r => keys.contains((r.e, r.sec)))
+          applied ::= UpM(d)
+        case DelM(thr) =>
+          val kept = model.filterNot(_.v.exists(_ > thr))
+          if (kept.nonEmpty && kept.size != model.size) {
+            store.deleteRows("t", col("value") > thr)
+            model = kept
+            applied ::= DelM(thr)
+          }
+      }
+      val steps = applied.reverse
+      val cur = store.getTableInfo("t").version
+      var state = graft.store.IncrementalRollup.initialStateServing(
+        store.getVersion("t", 1), tieCols = Seq("event_id"))
+      (2 to cur).foreach { v =>
+        state = graft.store.IncrementalRollup.applyChangesServing(
+          state, store.getChanges("t", v - 1, v), store.getVersion("t", v),
+          tieCols = Seq("event_id"))
+      }
+      val out = state
+        .select(col("entity_id"), col("timestamp"), col("event_id"),
+          col("value"))
+        .orderBy("entity_id")
+      val chain = steps.zipWithIndex.map { case (m, i) =>
+        val prior = if (i == 0) "init" else s"s${i - 1}"
+        m match {
+          case UpM(d) =>
+            s"""${featCte(s"d$i", d)},
+               |s$i AS (
+               |  SELECT entity_id, "timestamp", event_id, value FROM d$i
+               |  UNION ALL
+               |  SELECT p.entity_id, p."timestamp", p.event_id, p.value
+               |  FROM $prior p
+               |  WHERE NOT EXISTS (SELECT 1 FROM d$i d
+               |    WHERE d.entity_id = p.entity_id
+               |      AND d."timestamp" = p."timestamp")
+               |)""".stripMargin
+          case DelM(thr) =>
+            s"""s$i AS (
+               |  SELECT * FROM $prior
+               |  WHERE NOT coalesce(value > $thr, false)
+               |)""".stripMargin
+        }
+      }
+      val last = if (steps.isEmpty) "init" else s"s${steps.size - 1}"
+      val sql =
+        s"""WITH ${featCte("init", init)}${
+          if (chain.isEmpty) "" else ",\n" + chain.mkString(",\n")}
+           |SELECT entity_id, "timestamp", event_id, value FROM $last
+           |QUALIFY row_number() OVER (PARTITION BY entity_id
+           |    ORDER BY "timestamp" DESC, event_id DESC) = 1
+           |ORDER BY entity_id""".stripMargin
+      Duck.compare(sql, dump(out, "fold"))
+    }
+
+  // ---------------------------------------------------------------
+  // Harness self-probes (deterministic): the compare plumbing itself
+  // is part of the trusted base — prove the FAILURE path still fails
+  // (a harness that can only say "ok" verifies nothing) and that the
+  // worker's NaN canonicalization reaches INSIDE array values.
+  // ---------------------------------------------------------------
+
+  property("probe: a genuine mismatch is reported, not swallowed") =
+    if (!Duck.available) Prop.passed
+    else {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(1L)), 1),
+        StructType(Seq(StructField("v", LongType, nullable = false))))
+      Duck.compare("SELECT CAST(2 AS BIGINT) AS v", dump(df, "probeBad")) match {
+        case Left(msg) => Prop.propBoolean(!msg.startsWith("{\"ok\": true")) :|
+          s"mismatch line looked like a pass: $msg"
+        case Right(_) => Prop.falsified :| "wrong oracle compared equal"
+      }
+    }
+
+  property("probe: NULL inside an array column canonicalizes (NaN != NaN)") =
+    if (!Duck.available) Prop.passed
+    else {
+      val df = spark.range(1).select(
+        array(lit(1.0), lit(null).cast("double")).as("arr"))
+      val r = Duck.compare(
+        "SELECT [CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)] AS arr",
+        dump(df, "probeArr"))
+      Prop.propBoolean(r.isRight) :| r.left.getOrElse("")
     }
 }

@@ -26,22 +26,31 @@ import json
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 
+def _canon_val(v):
+    # recurse into list/array values so a NULL ELEMENT canonicalizes the
+    # same way a top-level NaN/NaT does. DuckDB hands a NULL-bearing
+    # list back as a numpy MaskedArray whose masked elements are 0-d
+    # MaskedConstants (they HAVE __len__ but raise on iteration), so
+    # masked values resolve to None before the generic branches.
+    if v is np.ma.masked:
+        return None
+    if isinstance(v, np.ma.MaskedArray):
+        return [_canon_val(e) for e in v.tolist()]
+    if isinstance(v, dict):
+        return {k: _canon_val(e) for k, e in v.items()}
+    if hasattr(v, "__len__") and not isinstance(v, str):
+        return [_canon_val(e) for e in v]
+    if v is not None and pd.isna(v):
+        return None
+    return v
+
+
 def canon(rows):
-    out = []
-    for row in rows:
-        vals = []
-        for v in row:
-            if hasattr(v, "__len__") and not isinstance(v, str):
-                vals.append(list(v))
-            elif v is not None and pd.isna(v):
-                vals.append(None)
-            else:
-                vals.append(v)
-        out.append(vals)
-    return out
+    return [[_canon_val(v) for v in row] for row in rows]
 
 
 def handle(req):
