@@ -371,6 +371,81 @@ class FeatureStore:
         except Py4JJavaError as err:
             raise _translate(err) from None
 
+    # -- pipeline ops (dedup / ANN / text analysis) ---------------------
+    #
+    # Stateless DataFrame -> DataFrame kernels from the training-data
+    # pipeline surface, reachable without writing Scala. Everything
+    # stays lazy and distributed; no rows cross Python.
+
+    def dedup_exact(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Exact duplicate groups by content hash: one row per distinct
+        text with ``content_hash``, the canonical survivor ``keep_id``
+        (min id) and ``n_copies``."""
+        try:
+            return self._wrap(self._j.dedupExact(docs._jdf, id_col, text_col))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def dedup_clusters(
+        self,
+        docs: DataFrame,
+        num_perms: int = 16,
+        rows_per_band: int = 4,
+        shingle_width: int = 3,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """MinHash+LSH near-duplicate clusters: banded signatures ->
+        candidate pairs -> connected components. Returns one
+        ``(doc_id, cluster_id)`` row per clustered document, with
+        ``cluster_id`` the component's min doc id; documents with no
+        near-duplicate do not appear."""
+        try:
+            return self._wrap(self._j.dedupClusters(
+                docs._jdf, id_col, text_col, int(num_perms),
+                int(rows_per_band), int(shingle_width)))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def ann_cosine_topk(
+        self,
+        emb: DataFrame,
+        query_ids: Optional[Sequence[int]] = None,
+        k: int = 10,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Exact cosine top-k neighbors per query: ``query_ids=None``
+        ranks EVERY vector against every other (corpus-broadcast
+        bounded-buffer plan — the scale path); otherwise only the given
+        ids' rows are queries. Returns ``(query_id, neighbor_id, score,
+        rank)``; zero-norm vectors are excluded (no cosine)."""
+        try:
+            jids = None if query_ids is None else [int(q) for q in query_ids]
+            return self._wrap(self._j.annCosineTopK(
+                emb._jdf, jids, int(k), id_col, vec_col))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def text_stats(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Per-document token statistics: ``n_chars``, ``n_tokens``
+        (whitespace), ``n_distinct_tokens``, ``avg_token_len``,
+        ``n_tokens_bpe`` (BPE-ish regex count)."""
+        try:
+            return self._wrap(self._j.textStats(docs._jdf, id_col, text_col))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
     # -- plumbing ------------------------------------------------------
 
     def _wrap(self, jdf) -> DataFrame:

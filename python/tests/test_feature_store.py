@@ -278,6 +278,40 @@ def main():
             check("expectation violation surfaces as FeatureValidationError "
                   "(and ValueError)", isinstance(e, FeatureValidationError))
 
+        # --- pipeline ops: dedup / ANN / text analysis ---
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today"),
+             (2, "the quick brown fox jumps over the lazy dog today"),
+             (3, "entirely different content with no overlap at all here"),
+             (4, "short text")],
+            "doc_id long, text string",
+        )
+        groups = {r["keep_id"]: r["n_copies"]
+                  for r in store.dedup_exact(docs).collect()}
+        check("dedup_exact groups identical texts under the min id",
+              groups.get(1) == 2 and groups.get(3) == 1 and groups.get(4) == 1)
+        clusters = {r["doc_id"]: r["cluster_id"]
+                    for r in store.dedup_clusters(docs).collect()}
+        check("dedup_clusters joins identical docs into one component",
+              clusters.get(1) == 1 and clusters.get(2) == 1 and
+              3 not in clusters)
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [1.0, 0.1]), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        nn = store.ann_cosine_topk(emb, query_ids=[1], k=2).collect()
+        check("ann_cosine_topk ranks the closest vector first",
+              [(r["neighbor_id"], r["rank"]) for r in
+               sorted(nn, key=lambda r: r["rank"])] == [(2, 1), (3, 2)])
+        all_nn = store.ann_cosine_topk(emb, k=1).collect()
+        check("ann_cosine_topk all-queries path yields one row per vector",
+              len(all_nn) == 3 and
+              {r["query_id"] for r in all_nn} == {1, 2, 3})
+        stats = {r["doc_id"]: r for r in store.text_stats(docs).collect()}
+        check("text_stats counts chars and tokens",
+              stats[4]["n_chars"] == 10 and stats[4]["n_tokens"] == 2 and
+              stats[1]["n_distinct_tokens"] == 9)
+
         # --- the same store through the SQL surface (V2 catalog) ---
         spark.conf.set("spark.sql.catalog.fs", "graft.sources.GraftCatalog")
         spark.conf.set("spark.sql.catalog.fs.root", root)

@@ -190,6 +190,57 @@ final class PyFeatureStore(val store: FeatureStore) {
   def getSessions(name: String, gapSeconds: Long): DataFrame =
     store.getSessions(name, gapSeconds)
 
+  // ------------------------------------------------------------------
+  // Pipeline ops (the north-star dedup/ANN/text surface): stateless
+  // DataFrame→DataFrame kernels, exposed here so a PySpark user can
+  // reach them without writing Scala. Plans stay lazy and distributed;
+  // only argument marshalling crosses Py4J.
+  // ------------------------------------------------------------------
+
+  /** Exact duplicate groups by content hash: one row per distinct
+    * text, with the canonical survivor (`keep_id` = min id) and the
+    * copy count.
+    */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.Dedup.exactDuplicates(docs, idCol, textCol)
+
+  /** MinHash+LSH near-duplicate clusters: banded-signature candidate
+    * pairs → connected components; one (doc_id, cluster_id) row per
+    * clustered document, cluster_id = the component's min doc id.
+    */
+  def dedupClusters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerms: Int,
+      rowsPerBand: Int,
+      shingleWidth: Int): DataFrame =
+    graft.ops.Dedup.connectedComponents(
+      graft.ops.Dedup.lshCandidatePairs(
+        docs, numPerms, rowsPerBand, shingleWidth, idCol, textCol))
+
+  /** Exact cosine top-k neighbors: `queryIds` null scores EVERY vector
+    * against every other (corpus-broadcast bounded-buffer plan);
+    * otherwise the given ids' rows rank against the corpus.
+    */
+  def annCosineTopK(
+      emb: DataFrame,
+      queryIds: JList[Object],
+      k: Int,
+      idCol: String,
+      vecCol: String): DataFrame =
+    graft.ops.Similarity.bruteForceTopKFor(
+      emb,
+      Option(queryIds).map(
+        _.asScala.toSeq.map(v => v.asInstanceOf[Number].longValue())),
+      k, idCol, vecCol)
+
+  /** Per-document token statistics (chars, whitespace + BPE-ish token
+    * counts, distinct tokens, average token length).
+    */
+  def textStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.TextAnalysis.textStats(docs, idCol, textCol)
+
   def getTableHistory(name: String): JList[JMap[String, Object]] =
     new JArrayList(store.getTableHistory(name).map { v =>
       val m = new JHashMap[String, Object]()

@@ -204,11 +204,24 @@ object IncrementalRollup {
     * the delete boundary per entity in a single shuffle, and the
     * per-entity merge becomes plain column arithmetic instead of a
     * join. Semantics are [[applyChangesServing]]'s exactly (same
-    * advance and dirty-rescan conditions); that general fold remains
-    * the entry point for callers holding a materialized state (the
-    * streaming follower). Still O(changes): the union's map-side
-    * partial argmax collapses v1 to one candidate per (entity,
-    * partition) before the shuffle, and only dirty entities rescan.
+    * advance and dirty conditions); that general fold remains the
+    * entry point for callers holding a materialized state (the
+    * streaming follower).
+    *
+    * Dirty entities (a delete reaching the state's latest key) resolve
+    * from the CURRENT version's rows carried as side 2 of the SAME
+    * grouped pass — per-entity argmax over side 2 is exactly the
+    * rescan's answer, without the dirty-set semi-join + second
+    * aggregate job chain the rescan formulation needs. Side 2 joins
+    * the union only when the version history says deletes are possible
+    * (any version > 1 whose operation isn't append/compact/optimize —
+    * a metadata check, no job): an append-only feed — the production
+    * shape — never reads the current version at all. That keeps the
+    * O(changes) claim honest: the union's map-side partial argmax
+    * collapses every side to one candidate per (entity, partition)
+    * before the shuffle, and a delete-bearing history pays one extra
+    * sequential scan of current — which the rescan plan also paid,
+    * plus a join — never an extra shuffle of it.
     */
   def maintainedServing(
       store: FeatureStore,
@@ -231,40 +244,43 @@ object IncrementalRollup {
     val feed = changes.select(
       col(entityCol).as("_e"), lit(1).as("_side"), isIns.as("_ins"),
       key.as("_k"), struct(cols.map(col): _*).as("_row"))
+    val deleteFree = Set("append") ++ FS.ContentPreservingOps
+    val mayDelete = store.getTableHistory(table).exists(h =>
+      h.version > 1 && !h.operation.exists(deleteFree.contains))
+    val union =
+      if (!mayDelete) base.unionByName(feed)
+      else base.unionByName(feed).unionByName(
+        store.getVersion(table, current).select(
+          col(entityCol).as("_e"), lit(2).as("_side"), lit(true).as("_ins"),
+          key.as("_k"), struct(cols.map(col): _*).as("_row")))
+    val fromBase = col("_side") === 0
     val fromFeed = col("_side") === 1
-    val merged = base.unionByName(feed)
+    val fromCur = col("_side") === 2
+    val merged = union
       .groupBy(col("_e"))
       .agg(
-        max_by(when(!fromFeed, col("_row")), when(!fromFeed, col("_k")))
+        max_by(when(fromBase, col("_row")), when(fromBase, col("_k")))
           .as("_state_row"),
-        max(when(!fromFeed, col("_k"))).as("_state_key"),
+        max(when(fromBase, col("_k"))).as("_state_key"),
         max_by(when(fromFeed && col("_ins"), col("_row")),
           when(fromFeed && col("_ins"), col("_k"))).as("_ins_row"),
         max(when(fromFeed && col("_ins"), col("_k"))).as("_ins_key"),
         max(when(fromFeed && !col("_ins"), col("_k"))).as("_del_key"),
-        sum(when(fromFeed && !col("_ins"), 1L).otherwise(0L)).as("_del_n"))
+        sum(when(fromFeed && !col("_ins"), 1L).otherwise(0L)).as("_del_n"),
+        max_by(when(fromCur, col("_row")), when(fromCur, col("_k")))
+          .as("_cur_row"))
     val sPresent = col("_state_key").isNotNull
     val dirty = col("_del_n") > 0L &&
       (!sPresent || col("_del_key") >= col("_state_key"))
     val advanced = !sPresent ||
       (col("_ins_key").isNotNull && col("_ins_key") > col("_state_key"))
-    val resolved = merged.select(
-      col("_e"),
-      when(advanced, col("_ins_row")).otherwise(col("_state_row")).as("_row"),
-      dirty.as("_dirty"))
-    val clean = resolved
-      .filter(!col("_dirty") && col("_row").isNotNull)
+    merged
+      .select(
+        when(dirty, col("_cur_row"))
+          .otherwise(when(advanced, col("_ins_row"))
+            .otherwise(col("_state_row"))).as("_row"))
+      .filter(col("_row").isNotNull)
       .select(col("_row.*"))
-    val dirtyEntities = resolved.filter(col("_dirty")).select(col("_e"))
-    // no broadcast hint: the dirty set is usually tiny (auto-broadcast
-    // takes it), but a mass delete can dirty billions of entities and
-    // the planner must stay free to shuffle-join then
-    val currentDf = store.getVersion(table, current)
-    val rescanned = initialStateServing(
-      currentDf.join(dirtyEntities,
-        currentDf(entityCol) <=> dirtyEntities("_e"), "left_semi"),
-      tieCols, entityCol, tsCol)
-    clean.unionByName(rescanned)
   }
 
   // --------------------------------------------------- moment-IVM
