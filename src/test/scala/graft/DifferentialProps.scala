@@ -388,22 +388,27 @@ object DifferentialProps extends Properties("Differential") {
   // NULLs inside sum/min/max/distinct, empty windows)
   // ---------------------------------------------------------------
 
-  private val genWindow: Gen[(List[F], List[(Long, Option[Long])], Long, Boolean)] =
+  private val genWindow: Gen[(List[F], List[(Long, Option[Long])], Long, String)] =
     for {
       rows <- genFeatRows
       spineRaw <- genSpineRows
       w <- Gen.oneOf(3600L, 2 * 3600L, 5 * 3600L, 21 * 3600L)
-      bucketed <- Gen.oneOf(true, false)
+      // every window strategy answers the same oracle: the bucketed
+      // decomposition, and the skew hybrid in BOTH routings (threshold
+      // 1 = all entities hot, default = all cold → plain fallback)
+      variant <- Gen.oneOf("plain", "bucketed", "hybridHot", "hybridCold")
       // window probes need a timestamp; keep entity diversity, drop nulls
     } yield
-      (rows, spineRaw.collect { case (e, Some(t)) => (e, Option(t)) }, w, bucketed)
+      (rows, spineRaw.collect { case (e, Some(t)) => (e, Option(t)) }, w, variant)
 
   property("windowAggJoin == DuckDB grouped left join (all six fns)") =
-    differential(genWindow.suchThat(_._2.nonEmpty)) { case (rows, spine, w, bucketed) =>
+    differential(genWindow.suchThat(_._2.nonEmpty)) { case (rows, spine, w, variant) =>
       import WindowFeatures.WindowAgg
       // the bucketed decomposition rejects per-agg horizons and
-      // 'distinct' by contract — its arm fuzzes the five decomposable
-      // fns (prefix/suffix halves across the bucket grid)
+      // 'distinct' by contract, and the skew hybrid routes its hot
+      // side through it — those arms fuzz the five decomposable fns
+      // (prefix/suffix halves across the bucket grid)
+      val bucketed = variant != "plain"
       val aggs = Seq(
         WindowAgg("n_rows", "rows", "", None),
         WindowAgg("n_vals", "count", "value", None),
@@ -413,11 +418,16 @@ object DifferentialProps extends Properties("Differential") {
         (if (bucketed) Nil else Seq(
           WindowAgg("v_distinct", "distinct", "value", None),
           WindowAgg("v_sum_wide", "sum", "value", Some(3 * w))))
-      val engine =
-        if (bucketed) WindowFeatures.windowAggJoinBucketed(
+      val engine = variant match {
+        case "bucketed" => WindowFeatures.windowAggJoinBucketed(
           spineDF(spine), featDF(rows), w, aggs)
-        else WindowFeatures.windowAggJoin(
+        case "hybridHot" => WindowFeatures.windowAggJoinHybrid(
+          spineDF(spine), featDF(rows), w, aggs, hotRowThreshold = 1L)
+        case "hybridCold" => WindowFeatures.windowAggJoinHybrid(
           spineDF(spine), featDF(rows), w, aggs)
+        case _ => WindowFeatures.windowAggJoin(
+          spineDF(spine), featDF(rows), w, aggs)
+      }
       val out = engine.orderBy("entity_id", "timestamp")
       def inWin(age: Long) =
         s"""f."timestamp" > s."timestamp" - INTERVAL $age SECOND
@@ -943,34 +953,72 @@ object DifferentialProps extends Properties("Differential") {
       2 -> Gen.choose(-60L, 60L).map(DelM(_))))
   } yield (init, muts)
 
+  /** Apply `muts` to the registered table 't', skipping inapplicable
+    * deletes (zero-hit deletes commit no version; delete-all is
+    * refused) — a model state is tracked in-process ONLY for that
+    * applicability decision; the compared values always come from the
+    * DuckDB chain [[chainCtes]] renders for the returned steps.
+    */
+  private def applyMutations(
+      store: FeatureStore, init: List[F], muts: List[Mut]): List[Mut] = {
+    var model: List[F] = init
+    var applied = List.empty[Mut]
+    muts.foreach {
+      case UpM(delta) =>
+        // fresh event_ids per step keep the tie-break deterministic
+        val d = delta.zipWithIndex.map { case (r, i) =>
+          r.copy(id = 1000L * (applied.size + 1) + i) }
+        store.registerUpsert("t", featDF(d))
+        val keys = d.map(r => (r.e, r.sec)).toSet
+        model = d ++ model.filterNot(r => keys.contains((r.e, r.sec)))
+        applied ::= UpM(d)
+      case DelM(thr) =>
+        val kept = model.filterNot(_.v.exists(_ > thr))
+        if (kept.nonEmpty && kept.size != model.size) {
+          store.deleteRows("t", col("value") > thr)
+          model = kept
+          applied ::= DelM(thr)
+        }
+    }
+    applied.reverse
+  }
+
+  /** DuckDB CTE chain modeling `steps` over the `init` CTE: upsert =
+    * delta ∪ anti-join survivors, delete = NOT coalesce(pred, false).
+    * Returns (rendered CTEs to append after the init CTE, final name).
+    */
+  private def chainCtes(steps: List[Mut]): (String, String) = {
+    val ctes = steps.zipWithIndex.map { case (m, i) =>
+      val prior = if (i == 0) "init" else s"s${i - 1}"
+      m match {
+        case UpM(d) =>
+          s"""${featCte(s"d$i", d)},
+             |s$i AS (
+             |  SELECT entity_id, "timestamp", event_id, value FROM d$i
+             |  UNION ALL
+             |  SELECT p.entity_id, p."timestamp", p.event_id, p.value
+             |  FROM $prior p
+             |  WHERE NOT EXISTS (SELECT 1 FROM d$i d
+             |    WHERE d.entity_id = p.entity_id
+             |      AND d."timestamp" = p."timestamp")
+             |)""".stripMargin
+        case DelM(thr) =>
+          s"""s$i AS (
+             |  SELECT * FROM $prior
+             |  WHERE NOT coalesce(value > $thr, false)
+             |)""".stripMargin
+      }
+    }
+    val rendered = if (ctes.isEmpty) "" else ",\n" + ctes.mkString(",\n")
+    (rendered, if (steps.isEmpty) "init" else s"s${steps.size - 1}")
+  }
+
   property("applyChangesServing fold == DuckDB argmax over mutation chain") =
     differential(genMutSeq) { case (init, muts) =>
       val root = baseDir.resolve(s"fold-${caseIdx.incrementAndGet()}").toString
       val store = new FeatureStore(spark, root, maxVersions = 6)
       store.register("t", featDF(init))
-      // model state tracked in-process ONLY to decide applicability
-      // (zero-hit deletes commit no version; delete-all is refused);
-      // the compared values come from the DuckDB chain below
-      var model: List[F] = init
-      var applied = List.empty[Mut]
-      muts.foreach {
-        case UpM(delta) =>
-          // fresh event_ids per step keep the tie-break deterministic
-          val d = delta.zipWithIndex.map { case (r, i) =>
-            r.copy(id = 1000L * (applied.size + 1) + i) }
-          store.registerUpsert("t", featDF(d))
-          val keys = d.map(r => (r.e, r.sec)).toSet
-          model = d ++ model.filterNot(r => keys.contains((r.e, r.sec)))
-          applied ::= UpM(d)
-        case DelM(thr) =>
-          val kept = model.filterNot(_.v.exists(_ > thr))
-          if (kept.nonEmpty && kept.size != model.size) {
-            store.deleteRows("t", col("value") > thr)
-            model = kept
-            applied ::= DelM(thr)
-          }
-      }
-      val steps = applied.reverse
+      val steps = applyMutations(store, init, muts)
       val cur = store.getTableInfo("t").version
       var state = graft.store.IncrementalRollup.initialStateServing(
         store.getVersion("t", 1), tieCols = Seq("event_id"))
@@ -983,36 +1031,53 @@ object DifferentialProps extends Properties("Differential") {
         .select(col("entity_id"), col("timestamp"), col("event_id"),
           col("value"))
         .orderBy("entity_id")
-      val chain = steps.zipWithIndex.map { case (m, i) =>
-        val prior = if (i == 0) "init" else s"s${i - 1}"
-        m match {
-          case UpM(d) =>
-            s"""${featCte(s"d$i", d)},
-               |s$i AS (
-               |  SELECT entity_id, "timestamp", event_id, value FROM d$i
-               |  UNION ALL
-               |  SELECT p.entity_id, p."timestamp", p.event_id, p.value
-               |  FROM $prior p
-               |  WHERE NOT EXISTS (SELECT 1 FROM d$i d
-               |    WHERE d.entity_id = p.entity_id
-               |      AND d."timestamp" = p."timestamp")
-               |)""".stripMargin
-          case DelM(thr) =>
-            s"""s$i AS (
-               |  SELECT * FROM $prior
-               |  WHERE NOT coalesce(value > $thr, false)
-               |)""".stripMargin
-        }
-      }
-      val last = if (steps.isEmpty) "init" else s"s${steps.size - 1}"
+      val (chain, last) = chainCtes(steps)
       val sql =
-        s"""WITH ${featCte("init", init)}${
-          if (chain.isEmpty) "" else ",\n" + chain.mkString(",\n")}
+        s"""WITH ${featCte("init", init)}$chain
            |SELECT entity_id, "timestamp", event_id, value FROM $last
            |QUALIFY row_number() OVER (PARTITION BY entity_id
            |    ORDER BY "timestamp" DESC, event_id DESC) = 1
            |ORDER BY entity_id""".stripMargin
       Duck.compare(sql, dump(out, "fold"))
+    }
+
+  // ---------------------------------------------------------------
+  // Family 13: V2 metadata aggregate pushdown — count(*)/count(col)/
+  // min/max answered from per-segment stats must stay exact across
+  // mutation histories (upsert rewrites, delete rewrites and
+  // whole-segment drops all fold new colStats into the catalog; a
+  // stale bound would silently corrupt the metadata-only answer). A
+  // WHERE arm forces the complete-pushdown refusal and checks the
+  // fallback scan path on the same history.
+  // ---------------------------------------------------------------
+
+  property("V2 aggregate pushdown == DuckDB aggregates over mutation chain") =
+    differential(for {
+      (init, muts) <- genMutSeq
+      where <- Gen.option(Gen.choose(-50L, 50L))
+    } yield (init, muts, where)) { case (init, muts, where) =>
+      val root = baseDir.resolve(s"agg-${caseIdx.incrementAndGet()}").toString
+      val store = new FeatureStore(spark, root, maxVersions = 6)
+      store.register("t", featDF(init))
+      val steps = applyMutations(store, init, muts)
+      val c = catalogFor(root)
+      val wh = where.map(k => s"WHERE value > $k").getOrElse("")
+      val out = spark.sql(
+        s"""SELECT count(*) AS n_rows, count(value) AS n_vals,
+           |       min(value) AS v_min, max(value) AS v_max,
+           |       min(`timestamp`) AS ts_min, max(`timestamp`) AS ts_max,
+           |       min(event_id) AS id_min, max(event_id) AS id_max
+           |FROM $c.t $wh""".stripMargin)
+      val (chain, last) = chainCtes(steps)
+      val sql =
+        s"""WITH ${featCte("init", init)}$chain
+           |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(count(value) AS BIGINT) AS n_vals,
+           |       min(value) AS v_min, max(value) AS v_max,
+           |       min("timestamp") AS ts_min, max("timestamp") AS ts_max,
+           |       min(event_id) AS id_min, max(event_id) AS id_max
+           |FROM $last $wh""".stripMargin
+      Duck.compare(sql, dump(out, "agg"))
     }
 
   // ---------------------------------------------------------------
