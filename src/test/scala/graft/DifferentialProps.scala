@@ -944,13 +944,22 @@ object DifferentialProps extends Properties("Differential") {
   private sealed trait Mut
   private case class UpM(delta: List[F]) extends Mut
   private case class DelM(threshold: Long) extends Mut
+  private case class AppM(delta: List[F]) extends Mut
+  /** Generator form: resolved to [[RestResolvedM]] against the version
+    * count at apply time (restoring the current version is a no-op the
+    * store short-circuits, so it is skipped like a zero-hit delete).
+    */
+  private case class RestM(pick: Int) extends Mut
+  private case class RestResolvedM(target: Int) extends Mut
 
   private val genMutSeq: Gen[(List[F], List[Mut])] = for {
     (init, _) <- genKeyed
-    n <- Gen.choose(1, 2)
+    n <- Gen.choose(1, 3)
     muts <- Gen.listOfN(n, Gen.frequency(
       3 -> genKeyed.map { case (_, d) => UpM(d) },
-      2 -> Gen.choose(-60L, 60L).map(DelM(_))))
+      2 -> Gen.choose(-60L, 60L).map(DelM(_)),
+      2 -> genKeyed.map { case (_, d) => AppM(d) },
+      1 -> Gen.choose(0, 100).map(RestM(_))))
   } yield (init, muts)
 
   /** Apply `muts` to the registered table 't', skipping inapplicable
@@ -961,24 +970,44 @@ object DifferentialProps extends Properties("Differential") {
     */
   private def applyMutations(
       store: FeatureStore, init: List[F], muts: List[Mut]): List[Mut] = {
-    var model: List[F] = init
+    // per-version model states: history(v - 1) = content at version v
+    // (restore targets resolve against it); the model decides ONLY
+    // applicability — compared values come from the DuckDB chain
+    var history = Vector[List[F]](init)
+    def model = history.last
     var applied = List.empty[Mut]
+    def freshIds(delta: List[F]): List[F] =
+      // fresh event_ids per step keep the tie-break deterministic
+      delta.zipWithIndex.map { case (r, i) =>
+        r.copy(id = 1000L * (applied.size + 1) + i) }
     muts.foreach {
       case UpM(delta) =>
-        // fresh event_ids per step keep the tie-break deterministic
-        val d = delta.zipWithIndex.map { case (r, i) =>
-          r.copy(id = 1000L * (applied.size + 1) + i) }
+        val d = freshIds(delta)
         store.registerUpsert("t", featDF(d))
         val keys = d.map(r => (r.e, r.sec)).toSet
-        model = d ++ model.filterNot(r => keys.contains((r.e, r.sec)))
+        history :+= d ++ model.filterNot(r => keys.contains((r.e, r.sec)))
         applied ::= UpM(d)
       case DelM(thr) =>
         val kept = model.filterNot(_.v.exists(_ > thr))
         if (kept.nonEmpty && kept.size != model.size) {
           store.deleteRows("t", col("value") > thr)
-          model = kept
+          history :+= kept
           applied ::= DelM(thr)
         }
+      case AppM(delta) =>
+        val d = freshIds(delta)
+        store.registerAppend("t", featDF(d))
+        history :+= d ++ model
+        applied ::= AppM(d)
+      case RestM(pick) =>
+        val target = 1 + math.floorMod(pick, history.size)
+        if (target != history.size) {
+          store.restoreVersion("t", target)
+          history :+= history(target - 1)
+          applied ::= RestResolvedM(target)
+        }
+      case RestResolvedM(_) =>
+        throw new IllegalArgumentException("resolved form is apply-output only")
     }
     applied.reverse
   }
@@ -988,6 +1017,8 @@ object DifferentialProps extends Properties("Differential") {
     * Returns (rendered CTEs to append after the init CTE, final name).
     */
   private def chainCtes(steps: List[Mut]): (String, String) = {
+    // CTE of store version v: v1 = init, each applied step i = s_i
+    def cteOf(v: Int): String = if (v == 1) "init" else s"s${v - 2}"
     val ctes = steps.zipWithIndex.map { case (m, i) =>
       val prior = if (i == 0) "init" else s"s${i - 1}"
       m match {
@@ -1007,6 +1038,18 @@ object DifferentialProps extends Properties("Differential") {
              |  SELECT * FROM $prior
              |  WHERE NOT coalesce(value > $thr, false)
              |)""".stripMargin
+        case AppM(d) =>
+          s"""${featCte(s"d$i", d)},
+             |s$i AS (
+             |  SELECT entity_id, "timestamp", event_id, value FROM d$i
+             |  UNION ALL
+             |  SELECT entity_id, "timestamp", event_id, value FROM $prior
+             |)""".stripMargin
+        case RestResolvedM(target) =>
+          s"""s$i AS (SELECT * FROM ${cteOf(target)})""".stripMargin
+        case RestM(_) =>
+          throw new IllegalArgumentException(
+            "chainCtes takes applyMutations output (RestM must be resolved)")
       }
     }
     val rendered = if (ctes.isEmpty) "" else ",\n" + ctes.mkString(",\n")
