@@ -758,6 +758,42 @@ class MutationSpec extends AnyFunSuite with SparkTestBase {
     assert(m == Map("a" -> 1L, "b" -> 4L, "c" -> 6L, "d" -> 7L))
   }
 
+  test("serving maintenance reads the current version ONLY when deletes are possible") {
+    // the O(changes) claim for the production append-only feed rides
+    // on the metadata routing: side 2 (the current version's rows)
+    // must be ABSENT from the fused union for delete-free histories
+    // and present once a delete-capable op lands. Pin the decision by
+    // the _side literals the union branches tag themselves with.
+    def sideTags(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.queryExecution.analyzed.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias
+              if a.name == "_side" => a.child
+        })
+      }.flatten.collect {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      }.toSet
+    val store = freshStore()
+    val s = spark
+    import s.implicits._
+    def df(rows: Seq[(String, java.sql.Timestamp, Long, Long)]) =
+      rows.toDF("entity_id", "timestamp", "event_id", "v")
+    store.register("t", df(Seq(("a", ts("2024-01-01"), 1L, 10L))))
+    store.registerAppend("t", df(Seq(("a", ts("2024-01-02"), 2L, 20L))))
+    def maintained() = graft.store.IncrementalRollup
+      .maintainedServing(store, "t", tieCols = Seq("event_id"))
+    assert(sideTags(maintained()) == Set(0, 1),
+      "append-only history must not carry the current version (side 2)")
+    store.registerAppend("t", df(Seq(("a", ts("2024-01-03"), 3L, 30L))))
+    assert(sideTags(maintained()) == Set(0, 1))
+    store.deleteRows("t", col("event_id") === 3L)
+    assert(sideTags(maintained()) == Set(0, 1, 2),
+      "a delete-bearing history must resolve dirty entities from side 2")
+    assert(maintained().collect().map(r =>
+      r.getAs[String]("entity_id") -> r.getAs[Long]("event_id")).toMap ==
+      Map("a" -> 2L))
+  }
+
   test("IncrementalRollup serving: duplicate-timestamp ties resolve by tie column") {
     val store = freshStore()
     val s = spark
