@@ -1124,6 +1124,60 @@ object DifferentialProps extends Properties("Differential") {
     }
 
   // ---------------------------------------------------------------
+  // Family 14: expectation-gated ingestion under 3VL — rows violating
+  // ANY expectation (false or NULL — an unevaluable row is not a
+  // clean row) land in quarantine carrying a comma-joined `violated`
+  // column in declaration order; only clean rows land in the target.
+  // Predicates come from the same grammar as the scanWhere family, so
+  // the NULL seams (null-safe eq, IN, NOT) hit the gate too.
+  // ---------------------------------------------------------------
+
+  property("expectation split == DuckDB 3VL gate (violated labels exact)") =
+    differential(for {
+      rows <- genFeatRows
+      n <- Gen.choose(1, 2)
+      preds <- Gen.listOfN(n, genPred(1))
+    } yield (rows, preds)) { case (rows, preds) =>
+      val root = baseDir.resolve(s"exp-${caseIdx.incrementAndGet()}").toString
+      val store = new FeatureStore(spark, root, maxVersions = 4)
+      val exps = preds.zipWithIndex.map { case (p, i) =>
+        s"e$i" -> expr(p.sql(duck = false)) }
+      val (goodInfo, quarInfo) = store.registerWithExpectations(
+        "t", featDF(rows), exps, quarantine = "q")
+      def read(info: Option[graft.store.FeatureTableInfo],
+          table: String, withViolated: Boolean): DataFrame = info match {
+        case Some(i) => store.getVersion(table, i.version)
+        case None => spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq.empty[Row], 1),
+          if (withViolated) featSchema.add(StructField("violated", StringType))
+          else featSchema)
+      }
+      val caseExprs = preds.zipWithIndex.map { case (p, i) =>
+        s"CASE WHEN NOT coalesce(${p.sql(duck = true)}, false) THEN 'e$i' END" }
+      val violated = s"concat_ws(',', ${caseExprs.mkString(", ")})"
+      val goodOut = read(goodInfo, "t", withViolated = false)
+        .orderBy("event_id")
+      val goodSql =
+        s"""WITH ${featCte("feat", rows)}
+           |SELECT entity_id, "timestamp", event_id, value FROM feat
+           |WHERE $violated = ''
+           |ORDER BY event_id""".stripMargin
+      val quarOut = read(quarInfo, "q", withViolated = true)
+        .orderBy("event_id")
+      val quarSql =
+        s"""WITH ${featCte("feat", rows)}
+           |SELECT entity_id, "timestamp", event_id, value,
+           |       $violated AS violated
+           |FROM feat
+           |WHERE $violated <> ''
+           |ORDER BY event_id""".stripMargin
+      for {
+        _ <- Duck.compare(goodSql, dump(goodOut, "expGood"))
+        _ <- Duck.compare(quarSql, dump(quarOut, "expQuar"))
+      } yield ()
+    }
+
+  // ---------------------------------------------------------------
   // Harness self-probes (deterministic): the compare plumbing itself
   // is part of the trusted base — prove the FAILURE path still fails
   // (a harness that can only say "ok" verifies nothing) and that the
