@@ -1178,6 +1178,426 @@ object DifferentialProps extends Properties("Differential") {
     }
 
   // ---------------------------------------------------------------
+  // Family 16: the change feed itself — getChangesBetween over a
+  // randomized mutation history, row-for-row against a DuckDB
+  // per-step diff model. Family 12 consumes getChanges only through
+  // the serving argmax (a missing preimage-delete can hide behind a
+  // row that loses the argmax anyway); this family compares the feed
+  // DIRECTLY: insert/delete attribution per commit, upsert preimage
+  // deletes, delete-commit recorded sets, composed restore diffs, and
+  // the wall-clock endpoint resolution (cutoff exactly ON a commit
+  // time, 1ms before, far before creation → "since creation" v1
+  // inserts, endpoints resolving to the same version → empty feed).
+  // ---------------------------------------------------------------
+
+  /** Per-step change rows (insert CTE sql, delete CTE sql options) for
+    * applied step i at store version `ver`, against the [[chainCtes]]
+    * naming (prior content CTE = version ver-1, `cteOf`).
+    */
+  private def feedArms(steps: List[Mut]): Seq[(Int, Option[String], Option[String])] = {
+    def cteOf(v: Int): String = if (v == 1) "init" else s"s${v - 2}"
+    steps.zipWithIndex.map { case (m, i) =>
+      val ver = i + 2
+      val prior = cteOf(ver - 1)
+      val cols = """entity_id, "timestamp", event_id, value"""
+      m match {
+        case UpM(_) => (ver,
+          Some(s"""SELECT $cols FROM d$i"""),
+          Some(s"""SELECT p.entity_id, p."timestamp", p.event_id, p.value
+                  |FROM $prior p WHERE EXISTS (SELECT 1 FROM d$i d
+                  |  WHERE d.entity_id = p.entity_id
+                  |    AND d."timestamp" = p."timestamp")""".stripMargin))
+        case DelM(thr) => (ver, None,
+          Some(s"""SELECT $cols FROM $prior
+                  |WHERE coalesce(value > $thr, false)""".stripMargin))
+        case AppM(_) => (ver, Some(s"""SELECT $cols FROM d$i"""), None)
+        case RestResolvedM(target) => (ver,
+          Some(s"""SELECT $cols FROM ${cteOf(target)}
+                  |EXCEPT ALL SELECT $cols FROM $prior""".stripMargin),
+          Some(s"""SELECT $cols FROM $prior
+                  |EXCEPT ALL SELECT $cols FROM ${cteOf(target)}"""
+            .stripMargin))
+        case RestM(_) => throw new IllegalArgumentException(
+          "feedArms takes applyMutations output (RestM must be resolved)")
+      }
+    }
+  }
+
+  property("getChangesBetween feed == DuckDB per-step diff model") =
+    differential(for {
+      (init, muts) <- genMutSeq
+      p1 <- Gen.choose(0, 1000)
+      d1 <- Gen.oneOf(-1L, 0L, 0L, 1L, -100000L, 100000L)
+      p2 <- Gen.choose(0, 1000)
+      d2 <- Gen.oneOf(-1L, 0L, 0L, 1L, -100000L, 100000L)
+    } yield (init, muts, (p1, d1), (p2, d2))) {
+      case (init, muts, (p1, d1), (p2, d2)) =>
+        val root =
+          baseDir.resolve(s"feed-${caseIdx.incrementAndGet()}").toString
+        val store = new FeatureStore(spark, root, maxVersions = 6)
+        store.register("t", featDF(init))
+        val steps = applyMutations(store, init, muts)
+        val hist = store.getTableHistory("t")
+        val times = hist.map(v => v.version -> v.committedAt.get).toMap
+        val cur = hist.map(_.version).max
+        def cutoff(p: Int, d: Long): Long =
+          times(1 + math.floorMod(p, cur)) + d
+        val (fromMs, toMs) = {
+          val (a, b) = (cutoff(p1, d1), cutoff(p2, d2))
+          (math.min(a, b), math.max(a, b))
+        }
+        def resolve(ms: Long): Option[Int] =
+          times.filter { case (_, t) => t <= ms }.keys.maxOption
+        val expTo = resolve(toMs)
+        val expFrom = resolve(fromMs).getOrElse(0)
+        def between(): DataFrame = store.getChangesBetween("t",
+          new java.sql.Timestamp(fromMs), new java.sql.Timestamp(toMs))
+        if (expTo.isEmpty) {
+          // before every commit: the resolution must refuse, loudly
+          try { between(); Left("expected FeatureTableNotFoundError") }
+          catch { case _: graft.store.FeatureTableNotFoundError => Right(()) }
+        } else {
+          val out = between()
+            .select(col("entity_id"), col("timestamp"), col("event_id"),
+              col("value"), col("_change_type"), col("_commit_version"))
+            .orderBy("_commit_version", "_change_type", "event_id")
+          val (chain, _) = chainCtes(steps)
+          val cols = """entity_id, "timestamp", event_id, value"""
+          val arms = feedArms(steps)
+            .filter { case (v, _, _) => v > expFrom && v <= expTo.get }
+            .flatMap { case (v, ins, del) =>
+              ins.map(s =>
+                s"""SELECT $cols, 'insert' AS ct, $v AS cv FROM ($s)""") ++
+                del.map(s =>
+                  s"""SELECT $cols, 'delete' AS ct, $v AS cv FROM ($s)""")
+            } ++
+            (if (expFrom == 0)
+              Seq(s"""SELECT $cols, 'insert' AS ct, 1 AS cv FROM init""")
+             else Nil)
+          val body =
+            if (arms.isEmpty)
+              s"""SELECT $cols, 'insert' AS ct, 1 AS cv FROM init WHERE false"""
+            else arms.mkString("\nUNION ALL\n")
+          val sql =
+            s"""WITH ${featCte("init", init)}$chain
+               |SELECT entity_id, "timestamp", event_id, value,
+               |       ct AS "_change_type",
+               |       CAST(cv AS INTEGER) AS "_commit_version"
+               |FROM ($body)
+               |ORDER BY cv, ct, event_id""".stripMargin
+          Duck.compare(sql, dump(out, "feed"))
+        }
+    }
+
+  // ---------------------------------------------------------------
+  // Family 15: multi-table feature view (getFeatureView — a fold of
+  // LEFT as-of joins, feature columns table-prefixed, every spine row
+  // surviving). Kernel arm: asOfJoinLeft composed directly over
+  // dense duplicate-(entity,ts) pools (tie-break totality inside the
+  // left variant, which family 3 never reaches); store arm: the full
+  // wiring through register → currentData → prefix projection, with
+  // distinct keys per table so the store's internal ingest-key
+  // tie-break is never load-bearing against the oracle.
+  // ---------------------------------------------------------------
+
+  private val genFeatureView: Gen[(List[F], List[F], List[(Long, Option[Long])], Boolean)] =
+    for {
+      viaStore <- Gen.oneOf(true, false)
+      ra <- if (viaStore) genKeyed.map(_._1) else genFeatRows
+      rb <- if (viaStore) genKeyed.map(_._1) else genFeatRows
+      spine <- genSpineRows
+    } yield (ra, rb, spine, viaStore)
+
+  property("getFeatureView == DuckDB chained left argmax (prefixed cols)") =
+    differential(genFeatureView) { case (ra, rb, spine, viaStore) =>
+      val sp = spineDF(spine)
+      val engine =
+        if (viaStore) {
+          val root =
+            baseDir.resolve(s"fview-${caseIdx.incrementAndGet()}").toString
+          val store = new FeatureStore(spark, root, maxVersions = 4)
+          store.register("fa", featDF(ra))
+          store.register("fb", featDF(rb))
+          store.getFeatureView(sp, Seq("fa", "fb"))
+        } else
+          Seq("fa" -> featDF(ra), "fb" -> featDF(rb)).foldLeft(sp) {
+            case (acc, (n, tb)) => PointInTime.asOfJoinLeft(
+              acc, tb, prefix = s"${n}_", tieBreakCols = Seq("event_id"))
+          }
+      val out = engine.orderBy(
+        col("entity_id"), col("timestamp").asc_nulls_first,
+        col("fa_event_id").asc_nulls_first,
+        col("fb_event_id").asc_nulls_first)
+      def arm(n: String, cte: String) =
+        s"""j$n AS (
+           |  SELECT s.spine_id, f."timestamp" AS ts, f.event_id AS eid,
+           |         f.value AS v,
+           |         row_number() OVER (PARTITION BY s.spine_id
+           |             ORDER BY f."timestamp" DESC, f.event_id DESC) AS rn
+           |  FROM spine s JOIN $cte f
+           |    ON f.entity_id = s.entity_id AND f."timestamp" <= s."timestamp"
+           |)""".stripMargin
+      val sql =
+        s"""WITH ${featCte("feat_a", ra)},
+           |${featCte("feat_b", rb)},
+           |${spineCte("spine", spine)},
+           |${arm("a", "feat_a")},
+           |${arm("b", "feat_b")}
+           |SELECT s.entity_id, s."timestamp",
+           |       a.ts AS fa_timestamp, a.eid AS fa_event_id, a.v AS fa_value,
+           |       b.ts AS fb_timestamp, b.eid AS fb_event_id, b.v AS fb_value
+           |FROM spine s
+           |LEFT JOIN ja a ON a.spine_id = s.spine_id AND a.rn = 1
+           |LEFT JOIN jb b ON b.spine_id = s.spine_id AND b.rn = 1
+           |ORDER BY s.entity_id, s."timestamp" NULLS FIRST,
+           |         fa_event_id NULLS FIRST, fb_event_id NULLS FIRST"""
+          .stripMargin
+      Duck.compare(sql, dump(out, "fview"))
+    }
+
+  // ---------------------------------------------------------------
+  // Family 17: schema evolution (mergeSchema append) through the
+  // state AND the change feed — a post-evolution read must pad every
+  // pre-evolution row's new column with NULL; the feed since creation
+  // must pad pre-evolution recorded changes the same way, report the
+  // merge-schema append as ONLY its inserted rows (pre-existing rows
+  // reading NULL are not "changes", Delta CDF semantics), and carry
+  // the evolved column through post-evolution upsert preimages and
+  // predicate deletes.
+  // ---------------------------------------------------------------
+
+  private case class G(e: Long, sec: Long, id: Long,
+      v: Option[Long], x: Option[Long])
+
+  private sealed trait EMut
+  private case class EApp(d: List[G]) extends EMut
+  private case class EUp(d: List[G]) extends EMut
+  private case class EDel(thr: Long) extends EMut
+
+  private def gCte(name: String, rows: Seq[G]): String = {
+    require(rows.nonEmpty)
+    val vals = rows.map(r =>
+      s"(CAST(${r.e} AS BIGINT), ${tsLit(r.sec)}, CAST(${r.id} AS BIGINT), " +
+        s"${longLit(r.v)}, ${longLit(r.x)})")
+    s"""$name(entity_id, "timestamp", event_id, value, extra) AS (VALUES ${vals.mkString(", ")})"""
+  }
+
+  private val gSchema = featSchema.add(StructField("extra", LongType))
+
+  private def gDF(rows: Seq[G]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(
+        r.e, new java.sql.Timestamp(r.sec * 1000L), r.id,
+        r.v.map(java.lang.Long.valueOf).orNull,
+        r.x.map(java.lang.Long.valueOf).orNull)), 2),
+      gSchema)
+
+  /** Keyed 5-col delta: distinct (entity, hour) keys, random value and
+    * extra (both nullable).
+    */
+  private val genGDelta: Gen[List[G]] = {
+    val combos = for { e <- 0L to 3L; h <- HourPool } yield (e, h)
+    for {
+      n <- Gen.choose(1, 10)
+      keys <- Gen.pick(n min combos.size, combos)
+      vals <- Gen.listOfN(keys.size, Gen.option(Gen.choose(-50L, 50L)))
+      xs <- Gen.listOfN(keys.size, Gen.option(Gen.choose(-50L, 50L)))
+    } yield keys.toList.zip(vals.zip(xs)).map { case ((e, h), (v, x)) =>
+      G(e, Base + h * 3600L, 0L, v, x) }
+  }
+
+  private val genEvo: Gen[(List[F], List[G], List[EMut])] = for {
+    (init, _) <- genKeyed
+    evo <- genGDelta
+    n <- Gen.choose(0, 2)
+    post <- Gen.listOfN(n, Gen.frequency(
+      2 -> genGDelta.map(EApp(_)),
+      2 -> genGDelta.map(EUp(_)),
+      1 -> Gen.choose(-60L, 60L).map(EDel(_))))
+  } yield (init, evo, post)
+
+  property("schema evolution: state + feed pad the new column exactly") =
+    differential(genEvo) { case (init, evo, post) =>
+      val root = baseDir.resolve(s"evo-${caseIdx.incrementAndGet()}").toString
+      val store = new FeatureStore(spark, root, maxVersions = 8)
+      store.register("t", featDF(init))
+      // model state per version: content AS G rows (pre-evolution rows
+      // carry x = None — exactly the NULL pad the engine must emit)
+      var history = Vector[List[G]](init.map(r => G(r.e, r.sec, r.id, r.v, None)))
+      def model = history.last
+      var applied = List.empty[EMut]
+      var nextId = 1000L
+      def fresh(d: List[G]): List[G] = d.map { r =>
+        nextId += 1; r.copy(id = nextId)
+      }
+      val evoD = fresh(evo)
+      store.registerAppend("t", gDF(evoD), mergeSchema = true)
+      history :+= evoD ++ model
+      applied ::= EApp(evoD)
+      post.foreach {
+        case EApp(d) =>
+          val dd = fresh(d)
+          store.registerAppend("t", gDF(dd))
+          history :+= dd ++ model
+          applied ::= EApp(dd)
+        case EUp(d) =>
+          val dd = fresh(d)
+          store.registerUpsert("t", gDF(dd))
+          val keys = dd.map(r => (r.e, r.sec)).toSet
+          history :+= dd ++ model.filterNot(r => keys.contains((r.e, r.sec)))
+          applied ::= EUp(dd)
+        case EDel(thr) =>
+          val kept = model.filterNot(_.v.exists(_ > thr))
+          if (kept.nonEmpty && kept.size != model.size) {
+            store.deleteRows("t", col("value") > thr)
+            history :+= kept
+            applied ::= EDel(thr)
+          }
+      }
+      val steps = applied.reverse
+      val cur = store.getTableInfo("t").version
+      val cols = """entity_id, "timestamp", event_id, value, extra"""
+      // per-version content CTEs: v1 = init padded, step i → version i+2
+      val ctes = steps.zipWithIndex.map { case (m, i) =>
+        val prior = if (i == 0) "v1" else s"v${i + 1}"
+        m match {
+          case EApp(d) =>
+            s"""${gCte(s"d$i", d)},
+               |v${i + 2} AS (
+               |  SELECT $cols FROM d$i UNION ALL SELECT $cols FROM $prior
+               |)""".stripMargin
+          case EUp(d) =>
+            s"""${gCte(s"d$i", d)},
+               |v${i + 2} AS (
+               |  SELECT $cols FROM d$i
+               |  UNION ALL
+               |  SELECT p.entity_id, p."timestamp", p.event_id, p.value,
+               |         p.extra
+               |  FROM $prior p
+               |  WHERE NOT EXISTS (SELECT 1 FROM d$i d
+               |    WHERE d.entity_id = p.entity_id
+               |      AND d."timestamp" = p."timestamp")
+               |)""".stripMargin
+          case EDel(thr) =>
+            s"""v${i + 2} AS (
+               |  SELECT * FROM $prior WHERE NOT coalesce(value > $thr, false)
+               |)""".stripMargin
+        }
+      }
+      val withCtes =
+        (s"""v1(entity_id, "timestamp", event_id, value, extra) AS (
+            |  SELECT entity_id, "timestamp", event_id, value,
+            |         CAST(NULL AS BIGINT)
+            |  FROM init
+            |)""".stripMargin +: ctes).mkString(",\n")
+      // (a) final state
+      val stateOut = store.getVersion("t", cur)
+        .select(col("entity_id"), col("timestamp"), col("event_id"),
+          col("value"), col("extra"))
+        .orderBy("event_id")
+      val stateSql =
+        s"""WITH ${featCte("init", init)},
+           |$withCtes
+           |SELECT $cols FROM v$cur ORDER BY event_id""".stripMargin
+      // (b) feed since creation: v1 inserts padded; merge-schema append
+      // = only its delta; upsert preimages carry their STORED extra
+      val feedParts = steps.zipWithIndex.flatMap { case (m, i) =>
+        val ver = i + 2
+        val prior = if (i == 0) "v1" else s"v${i + 1}"
+        m match {
+          case EApp(_) => Seq(
+            s"""SELECT $cols, 'insert' AS ct, $ver AS cv FROM d$i""")
+          case EUp(_) => Seq(
+            s"""SELECT $cols, 'insert' AS ct, $ver AS cv FROM d$i""",
+            s"""SELECT p.entity_id, p."timestamp", p.event_id, p.value,
+               |       p.extra, 'delete' AS ct, $ver AS cv
+               |FROM $prior p WHERE EXISTS (SELECT 1 FROM d$i d
+               |  WHERE d.entity_id = p.entity_id
+               |    AND d."timestamp" = p."timestamp")""".stripMargin)
+          case EDel(thr) => Seq(
+            s"""SELECT $cols, 'delete' AS ct, $ver AS cv FROM $prior
+               |WHERE coalesce(value > $thr, false)""".stripMargin)
+        }
+      } :+ s"""SELECT $cols, 'insert' AS ct, 1 AS cv FROM v1"""
+      val feedOut = store.getChanges("t", 0, cur)
+        .select(col("entity_id"), col("timestamp"), col("event_id"),
+          col("value"), col("extra"), col("_change_type"),
+          col("_commit_version"))
+        .orderBy("_commit_version", "_change_type", "event_id")
+      val feedSql =
+        s"""WITH ${featCte("init", init)},
+           |$withCtes
+           |SELECT entity_id, "timestamp", event_id, value, extra,
+           |       ct AS "_change_type", CAST(cv AS INTEGER) AS "_commit_version"
+           |FROM (${feedParts.mkString("\nUNION ALL\n")})
+           |ORDER BY cv, ct, event_id""".stripMargin
+      for {
+        _ <- Duck.compare(stateSql, dump(stateOut, "evoState"))
+        _ <- Duck.compare(feedSql, dump(feedOut, "evoFeed"))
+      } yield ()
+    }
+
+  // ---------------------------------------------------------------
+  // Family 18: the LIVE follower loop — a ChangeFeedFollower folds
+  // applyChangesServing while the writer is still committing
+  // mutations on the main thread (real concurrency: polls race
+  // commits), and the follower-built serving state must equal the
+  // DuckDB argmax over the same mutation chain. Family 12 drives the
+  // identical fold synchronously; this pins the delivery loop around
+  // it — strict version order, exactly-once per version, no skipped
+  // or re-applied commit under a racing writer.
+  // ---------------------------------------------------------------
+
+  property("live follower fold == DuckDB argmax over mutation chain") =
+    differential(genMutSeq) { case (init, muts) =>
+      val root =
+        baseDir.resolve(s"follow-${caseIdx.incrementAndGet()}").toString
+      val store = new FeatureStore(spark, root, maxVersions = 6)
+      store.register("t", featDF(init))
+      val tie = Seq("event_id")
+      @volatile var state = graft.store.IncrementalRollup
+        .initialStateServing(store.getVersion("t", 1), tieCols = tie)
+      @volatile var folded = 0
+      @volatile var err: Option[Throwable] = None
+      val follower = graft.streaming.ChangeFeedFollower.start(
+        store, "t", fromVersion = 1, pollMillis = 5L,
+        onError = e => err = Some(e)) { (changes, ver) =>
+        state = graft.store.IncrementalRollup.applyChangesServing(
+          state, changes, store.getVersion("t", ver), tieCols = tie)
+        folded += 1
+      }
+      val res = try {
+        val steps = applyMutations(store, init, muts)
+        val cur = store.getTableInfo("t").version
+        val deadline = System.currentTimeMillis() + 120000L
+        while (follower.position < cur && err.isEmpty &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(10L)
+        if (err.nonEmpty) Left(s"follower error: ${err.get}")
+        else if (follower.position < cur)
+          Left(s"follower stalled at ${follower.position} of $cur")
+        else if (folded != cur - 1)
+          Left(s"delivery count ${folded} != ${cur - 1} commits " +
+            "(skipped or duplicated a version)")
+        else Right(steps)
+      } finally follower.close()
+      res.flatMap { steps =>
+        val out = state
+          .select(col("entity_id"), col("timestamp"), col("event_id"),
+            col("value"))
+          .orderBy("entity_id")
+        val (chain, last) = chainCtes(steps)
+        val sql =
+          s"""WITH ${featCte("init", init)}$chain
+             |SELECT entity_id, "timestamp", event_id, value FROM $last
+             |QUALIFY row_number() OVER (PARTITION BY entity_id
+             |    ORDER BY "timestamp" DESC, event_id DESC) = 1
+             |ORDER BY entity_id""".stripMargin
+        Duck.compare(sql, dump(out, "follow"))
+      }
+    }
+
+  // ---------------------------------------------------------------
   // Harness self-probes (deterministic): the compare plumbing itself
   // is part of the trusted base — prove the FAILURE path still fails
   // (a harness that can only say "ok" verifies nothing) and that the
