@@ -308,6 +308,40 @@ class FeatureStore:
         except Py4JJavaError as err:
             raise _translate(err) from None
 
+    def get_changes(
+        self, name: str, from_version: int, to_version: int
+    ) -> DataFrame:
+        """CDC read: the change rows (``_change_type`` insert/delete,
+        ``_commit_version``) committed after ``from_version`` up to and
+        including ``to_version``; ``from_version = 0`` means since
+        creation. Apply the insert/delete rows downstream instead of
+        re-reading snapshots."""
+        try:
+            return self._wrap(self._j.getChanges(
+                name, int(from_version), int(to_version)))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def get_changes_between(
+        self, name: str, from_timestamp: Any, to_timestamp: Any
+    ) -> DataFrame:
+        """:meth:`get_changes` addressed by wall-clock commit time —
+        both endpoints resolve like TIMESTAMP AS OF."""
+        try:
+            return self._wrap(self._j.getChangesBetween(
+                name, _ts_arg(from_timestamp), _ts_arg(to_timestamp)))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
+    def restore_version(self, name: str, version: int) -> FeatureTableInfo:
+        """RESTORE TO VERSION: mint a new version whose content is
+        exactly the retained historical ``version`` — metadata-only,
+        no data copied; the rolled-over versions stay in history."""
+        try:
+            return self._info(self._j.restoreVersion(name, int(version)))
+        except Py4JJavaError as err:
+            raise _translate(err) from None
+
     def get_feature_view(
         self, spine: DataFrame, names: Sequence[str]
     ) -> DataFrame:

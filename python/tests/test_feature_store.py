@@ -252,6 +252,28 @@ def main():
             check("delete_rows rejects deleting every row", False)
         except FeatureValidationError:
             check("delete_rows rejects deleting every row", True)
+
+        # --- CDC + restore surface ---
+        feed = store.get_changes("f", 3, 4).collect()
+        check("get_changes surfaces the delete commit's rows",
+              len(feed) == 1 and feed[0]["_change_type"] == "delete" and
+              feed[0]["entity_id"] == "user_7" and
+              feed[0]["_commit_version"] == 4)
+        creation = store.get_changes("f", 0, 1).collect()
+        check("get_changes since creation replays v1 as inserts",
+              len(creation) == 5 and
+              {r["_change_type"] for r in creation} == {"insert"})
+        wide = store.get_changes_between("f", "2000-01-01", "2100-01-01")
+        check("get_changes_between resolves endpoints like time travel",
+              wide.count() == store.get_changes("f", 0, 4).count())
+        rv = store.restore_version("f", 3)
+        check("restore_version re-references the old manifest",
+              rv.version == 5 and rv.row_count == 7 and
+              store.scan_where("f", "entity_id = 'user_7'").count() == 1)
+        undo = store.get_changes("f", 4, 5).collect()
+        check("restore feed is the net inverse of the undone interval",
+              len(undo) == 1 and undo[0]["_change_type"] == "insert" and
+              undo[0]["entity_id"] == "user_7")
         good, quar = store.register_with_expectations(
             "gated",
             spark.createDataFrame(

@@ -140,6 +140,26 @@ final class PyFeatureStore(val store: FeatureStore) {
   def getVersionAsOf(name: String, timestamp: Object): DataFrame =
     store.getVersionAsOf(name, timestamp)
 
+  /** CDC read: the change rows (`_change_type` insert/delete,
+    * `_commit_version`) committed after `fromVersion` up to and
+    * including `toVersion`; `fromVersion = 0` means since creation.
+    */
+  def getChanges(name: String, fromVersion: Int, toVersion: Int): DataFrame =
+    store.getChanges(name, fromVersion, toVersion)
+
+  /** [[getChanges]] addressed by wall-clock commit time (both
+    * endpoints resolved like TIMESTAMP AS OF).
+    */
+  def getChangesBetween(
+      name: String, fromTimestamp: Object, toTimestamp: Object): DataFrame =
+    store.getChangesBetween(name, fromTimestamp, toTimestamp)
+
+  /** RESTORE TO VERSION: mint a new version whose content is exactly
+    * the retained historical version — metadata-only, no data copied.
+    */
+  def restoreVersion(name: String, version: Int): JMap[String, Object] =
+    infoMap(store.restoreVersion(name, version))
+
   /** Multi-table left as-of view: feature columns prefixed `<table>_`. */
   def getFeatureView(spine: DataFrame, names: JList[String]): DataFrame =
     store.getFeatureView(spine, names.asScala.toSeq)
