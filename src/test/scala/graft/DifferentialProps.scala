@@ -951,6 +951,16 @@ object DifferentialProps extends Properties("Differential") {
     */
   private case class RestM(pick: Int) extends Mut
   private case class RestResolvedM(target: Int) extends Mut
+  /** Maintenance rewrites (compact, optimize w/ optional Z-order):
+    * content-preserving by contract — they mint a version whose state
+    * is identical, whose change feed is EMPTY, and whose rewritten
+    * segments must carry exact colStats for the metadata-only
+    * aggregate path. Mixing them into the alphabet pins all three
+    * properties differentially (a compact that perturbed one stat or
+    * leaked a phantom change row would surface here).
+    */
+  private case object CompM extends Mut
+  private case class OptM(zorder: Boolean) extends Mut
 
   private val genMutSeq: Gen[(List[F], List[Mut])] = for {
     (init, _) <- genKeyed
@@ -959,7 +969,9 @@ object DifferentialProps extends Properties("Differential") {
       3 -> genKeyed.map { case (_, d) => UpM(d) },
       2 -> Gen.choose(-60L, 60L).map(DelM(_)),
       2 -> genKeyed.map { case (_, d) => AppM(d) },
-      1 -> Gen.choose(0, 100).map(RestM(_))))
+      1 -> Gen.choose(0, 100).map(RestM(_)),
+      1 -> Gen.const(CompM),
+      1 -> Gen.oneOf(true, false).map(OptM(_))))
   } yield (init, muts)
 
   /** Apply `muts` to the registered table 't', skipping inapplicable
@@ -1006,6 +1018,22 @@ object DifferentialProps extends Properties("Differential") {
           history :+= history(target - 1)
           applied ::= RestResolvedM(target)
         }
+      case CompM =>
+        // single-segment tables make compact a version-less no-op —
+        // detect by version delta, like zero-hit deletes
+        val before = store.getTableInfo("t").version
+        store.compact("t")
+        if (store.getTableInfo("t").version != before) {
+          history :+= model
+          applied ::= CompM
+        }
+      case OptM(z) =>
+        val before = store.getTableInfo("t").version
+        store.optimizeTable("t", Seq("entity_id"), zorder = z)
+        if (store.getTableInfo("t").version != before) {
+          history :+= model
+          applied ::= OptM(z)
+        }
       case RestResolvedM(_) =>
         throw new IllegalArgumentException("resolved form is apply-output only")
     }
@@ -1047,6 +1075,9 @@ object DifferentialProps extends Properties("Differential") {
              |)""".stripMargin
         case RestResolvedM(target) =>
           s"""s$i AS (SELECT * FROM ${cteOf(target)})""".stripMargin
+        case CompM | OptM(_) =>
+          // content-preserving maintenance: same state, new version
+          s"""s$i AS (SELECT * FROM $prior)"""
         case RestM(_) =>
           throw new IllegalArgumentException(
             "chainCtes takes applyMutations output (RestM must be resolved)")
@@ -1217,6 +1248,7 @@ object DifferentialProps extends Properties("Differential") {
           Some(s"""SELECT $cols FROM $prior
                   |EXCEPT ALL SELECT $cols FROM ${cteOf(target)}"""
             .stripMargin))
+        case CompM | OptM(_) => (ver, None, None)
         case RestM(_) => throw new IllegalArgumentException(
           "feedArms takes applyMutations output (RestM must be resolved)")
       }
@@ -1595,6 +1627,78 @@ object DifferentialProps extends Properties("Differential") {
              |ORDER BY entity_id""".stripMargin
         Duck.compare(sql, dump(out, "follow"))
       }
+    }
+
+  // ---------------------------------------------------------------
+  // Family 19: store read wiring — getRecent (PIT cutoff + entity
+  // IN-filter + recency ranks over currentData) and getSessions (the
+  // sessionize kernel fed by the store) against the same DuckDB
+  // models the kernel families use. Distinct (entity, ts) keys keep
+  // the store's internal ingest-key tie-break out of play; under test
+  // is the WIRING the kernel families bypass: cutoff filtering,
+  // entity filtering, projection order, rank/session columns computed
+  // on STORED data rather than in-memory frames.
+  // ---------------------------------------------------------------
+
+  property("store getRecent/getSessions == DuckDB ranked/session models") =
+    differential(for {
+      (init, _) <- genKeyed
+      cutoff <- genCutoff
+      ids <- Gen.nonEmptyListOf(Gen.choose(0L, 5L)).map(_.distinct)
+      k <- Gen.choose(1, 4)
+      gap <- Gen.oneOf(3600L, 7199L, 7200L, 10800L)
+    } yield (init, cutoff, ids, k, gap)) {
+      case (init, cutoff, ids, k, gap) =>
+        val root =
+          baseDir.resolve(s"sread-${caseIdx.incrementAndGet()}").toString
+        val store = new FeatureStore(spark, root, maxVersions = 4)
+        store.register("t", featDF(init))
+        val rec = store.getRecent("t", ids.map(Long.box),
+          new java.sql.Timestamp(cutoff * 1000L), k)
+          .orderBy("entity_id", "recency_rank")
+        val recSql =
+          s"""WITH ${featCte("feat", init)},
+             |r AS (
+             |  SELECT entity_id, "timestamp", event_id, value,
+             |         CAST(row_number() OVER (PARTITION BY entity_id
+             |             ORDER BY "timestamp" DESC) AS INTEGER)
+             |           AS recency_rank
+             |  FROM feat
+             |  WHERE "timestamp" <= ${tsLit(cutoff)}
+             |    AND entity_id IN (${ids.mkString(", ")})
+             |)
+             |SELECT * FROM r WHERE recency_rank <= $k
+             |ORDER BY entity_id, recency_rank""".stripMargin
+        val sess = store.getSessions("t", gap)
+          .orderBy("entity_id", "session_seq")
+        val sessSql =
+          s"""WITH ${featCte("feat", init)},
+             |marked AS (
+             |  SELECT entity_id, "timestamp",
+             |         CASE WHEN lag("timestamp") OVER w IS NULL
+             |                OR "timestamp" - lag("timestamp") OVER w
+             |                   > INTERVAL $gap SECOND
+             |              THEN 1 ELSE 0 END AS is_new
+             |  FROM feat
+             |  WINDOW w AS (PARTITION BY entity_id ORDER BY "timestamp")
+             |), sess AS (
+             |  SELECT entity_id, "timestamp",
+             |         CAST(sum(is_new) OVER (
+             |             PARTITION BY entity_id ORDER BY "timestamp"
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           AS BIGINT) AS session_seq
+             |  FROM marked
+             |)
+             |SELECT entity_id, session_seq,
+             |       min("timestamp") AS session_start,
+             |       max("timestamp") AS session_end,
+             |       CAST(count(*) AS BIGINT) AS n_events
+             |FROM sess GROUP BY entity_id, session_seq
+             |ORDER BY entity_id, session_seq""".stripMargin
+        for {
+          _ <- Duck.compare(recSql, dump(rec, "recent"))
+          _ <- Duck.compare(sessSql, dump(sess, "storeSess"))
+        } yield ()
     }
 
   // ---------------------------------------------------------------
