@@ -961,6 +961,31 @@ object DifferentialProps extends Properties("Differential") {
     */
   private case object CompM extends Mut
   private case class OptM(zorder: Boolean) extends Mut
+  /** Key-addressed delete (deleteRowsByKeys) — the streaming-CDC
+    * delete shape: rows matching the (entity, ts) key set go, no
+    * predicate involved.
+    */
+  private case class KeyDelM(keys: List[(Long, Long)]) extends Mut
+  /** registerRewrite: upsert `delta` AND drop `drop` keys in ONE
+    * commit (the compaction-with-tombstones shape). Preimages of both
+    * the overwritten and the dropped keys must surface as deletes in
+    * the feed, each exactly once.
+    */
+  private case class RewM(delta: List[F], drop: List[(Long, Long)]) extends Mut
+
+  private def keyCte(name: String, keys: Seq[(Long, Long)]): String = {
+    require(keys.nonEmpty)
+    val vals = keys.map { case (e, s) => s"(CAST($e AS BIGINT), ${tsLit(s)})" }
+    s"""$name(entity_id, "timestamp") AS (VALUES ${vals.mkString(", ")})"""
+  }
+
+  private def keyDF(keys: Seq[(Long, Long)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.map { case (e, s) =>
+        Row(e, new java.sql.Timestamp(s * 1000L)) }, 2),
+      StructType(Seq(
+        StructField("entity_id", LongType, nullable = false),
+        StructField("timestamp", TimestampType, nullable = false))))
 
   private val genMutSeq: Gen[(List[F], List[Mut])] = for {
     (init, _) <- genKeyed
@@ -971,7 +996,10 @@ object DifferentialProps extends Properties("Differential") {
       2 -> genKeyed.map { case (_, d) => AppM(d) },
       1 -> Gen.choose(0, 100).map(RestM(_)),
       1 -> Gen.const(CompM),
-      1 -> Gen.oneOf(true, false).map(OptM(_))))
+      1 -> Gen.oneOf(true, false).map(OptM(_)),
+      2 -> genKeyed.map { case (_, d) => KeyDelM(d.map(r => (r.e, r.sec))) },
+      2 -> Gen.zip(genKeyed, genKeyed).map { case ((_, d), (_, d2)) =>
+        RewM(d, d2.map(r => (r.e, r.sec))) }))
   } yield (init, muts)
 
   /** Apply `muts` to the registered table 't', skipping inapplicable
@@ -1034,6 +1062,23 @@ object DifferentialProps extends Properties("Differential") {
           history :+= model
           applied ::= OptM(z)
         }
+      case KeyDelM(keys) =>
+        val ks = keys.toSet
+        val kept = model.filterNot(r => ks.contains((r.e, r.sec)))
+        if (kept.nonEmpty && kept.size != model.size) {
+          store.deleteRowsByKeys("t", keyDF(keys))
+          history :+= kept
+          applied ::= KeyDelM(keys)
+        }
+      case RewM(delta, drop) =>
+        val d = freshIds(delta)
+        val ks = d.map(r => (r.e, r.sec)).toSet
+        val ds = drop.toSet
+        val kept = model.filterNot(r =>
+          ks.contains((r.e, r.sec)) || ds.contains((r.e, r.sec)))
+        store.registerRewrite("t", featDF(d), keyDF(drop))
+        history :+= d ++ kept
+        applied ::= RewM(d, drop)
       case RestResolvedM(_) =>
         throw new IllegalArgumentException("resolved form is apply-output only")
     }
@@ -1078,6 +1123,29 @@ object DifferentialProps extends Properties("Differential") {
         case CompM | OptM(_) =>
           // content-preserving maintenance: same state, new version
           s"""s$i AS (SELECT * FROM $prior)"""
+        case KeyDelM(keys) =>
+          s"""${keyCte(s"k$i", keys)},
+             |s$i AS (
+             |  SELECT * FROM $prior p
+             |  WHERE NOT EXISTS (SELECT 1 FROM k$i k
+             |    WHERE k.entity_id = p.entity_id
+             |      AND k."timestamp" = p."timestamp")
+             |)""".stripMargin
+        case RewM(d, drop) =>
+          s"""${featCte(s"d$i", d)},
+             |${keyCte(s"k$i", drop)},
+             |s$i AS (
+             |  SELECT entity_id, "timestamp", event_id, value FROM d$i
+             |  UNION ALL
+             |  SELECT p.entity_id, p."timestamp", p.event_id, p.value
+             |  FROM $prior p
+             |  WHERE NOT EXISTS (SELECT 1 FROM d$i d
+             |    WHERE d.entity_id = p.entity_id
+             |      AND d."timestamp" = p."timestamp")
+             |    AND NOT EXISTS (SELECT 1 FROM k$i k
+             |    WHERE k.entity_id = p.entity_id
+             |      AND k."timestamp" = p."timestamp")
+             |)""".stripMargin
         case RestM(_) =>
           throw new IllegalArgumentException(
             "chainCtes takes applyMutations output (RestM must be resolved)")
@@ -1249,6 +1317,20 @@ object DifferentialProps extends Properties("Differential") {
                   |EXCEPT ALL SELECT $cols FROM ${cteOf(target)}"""
             .stripMargin))
         case CompM | OptM(_) => (ver, None, None)
+        case KeyDelM(_) => (ver, None,
+          Some(s"""SELECT p.entity_id, p."timestamp", p.event_id, p.value
+                  |FROM $prior p WHERE EXISTS (SELECT 1 FROM k$i k
+                  |  WHERE k.entity_id = p.entity_id
+                  |    AND k."timestamp" = p."timestamp")""".stripMargin))
+        case RewM(_, _) => (ver,
+          Some(s"""SELECT $cols FROM d$i"""),
+          Some(s"""SELECT p.entity_id, p."timestamp", p.event_id, p.value
+                  |FROM $prior p WHERE EXISTS (SELECT 1 FROM d$i d
+                  |  WHERE d.entity_id = p.entity_id
+                  |    AND d."timestamp" = p."timestamp")
+                  |  OR EXISTS (SELECT 1 FROM k$i k
+                  |  WHERE k.entity_id = p.entity_id
+                  |    AND k."timestamp" = p."timestamp")""".stripMargin))
         case RestM(_) => throw new IllegalArgumentException(
           "feedArms takes applyMutations output (RestM must be resolved)")
       }
