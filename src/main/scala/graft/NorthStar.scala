@@ -326,16 +326,19 @@ object NorthStar {
     }),
     // method agreement: near-dup pairs found by BOTH MinHash-LSH and
     // SimHash vs by exactly one — the intersect/except sets computed as
-    // ONE plan (tag each method, sum tags per pair, count by class)
-    // instead of three separate set-op jobs
+    // ONE plan (tag each method, OR tags per pair, count by class)
+    // instead of three separate set-op jobs. RAW (pre-distinct) pair
+    // streams: a pair found in several bands/chunks repeats its tag,
+    // and bit_or is repeat-invariant — the same classes without either
+    // method's distinct exchange (the per-pair groupBy dedups once)
     "dedup_method_overlap" -> ((s, dir) => {
-      val mh = Dedup.lshCandidatePairs(docs(s, dir), numPerms = 16, rowsPerBand = 4)
+      val mh = Dedup.lshCandidatePairsRaw(docs(s, dir), numPerms = 16, rowsPerBand = 4)
         .select(col("id_a"), col("id_b"), lit(1L).as("m"))
-      val sh = Dedup.simhashPairs(docs(s, dir), maxHamming = 2)
+      val sh = Dedup.simhashPairsRaw(docs(s, dir), maxHamming = 2)
         .select(col("id_a"), col("id_b"), lit(2L).as("m"))
       mh.unionByName(sh)
         .groupBy(col("id_a"), col("id_b"))
-        .agg(sum(col("m")).as("cls")) // 1 = minhash only, 2 = simhash only, 3 = both
+        .agg(bit_or(col("m")).as("cls")) // 1 = minhash only, 2 = simhash only, 3 = both
         .agg(
           count(when(col("cls") === 3, 1)).as("n_both"),
           count(when(col("cls") === 1, 1)).as("n_minhash_only"),
@@ -736,11 +739,14 @@ object NorthStar {
           threshold = 0.5)
         .orderBy("new_id", "corpus_id")
     }),
-    // candidate pairs → dedup GROUPS: min-reachable-id components
+    // candidate pairs → dedup GROUPS: min-reachable-id components.
+    // RAW (per-band) candidate pairs: connectedComponents' own symmetric
+    // distinct dedups them, so lshCandidatePairs' final distinct would
+    // be a redundant exchange — same components either way
     "dedup_clusters" -> ((s, dir) =>
       Dedup
         .connectedComponents(
-          Dedup.lshCandidatePairs(docs(s, dir), numPerms = 16, rowsPerBand = 4))
+          Dedup.lshCandidatePairsRaw(docs(s, dir), numPerms = 16, rowsPerBand = 4))
         .orderBy("doc_id")),
     // the dedup pipeline's last mile: candidate pairs → components →
     // canonical survivor per cluster (min doc id) → per-source keep/drop
@@ -748,8 +754,9 @@ object NorthStar {
     // rewritten, only filtered
     "dedup_survivors" -> ((s, dir) => {
       val d = docs(s, dir)
+      // raw pairs: see dedup_clusters — the components dedup them anyway
       val comp = Dedup.connectedComponents(
-        Dedup.lshCandidatePairs(d, numPerms = 16, rowsPerBand = 4))
+        Dedup.lshCandidatePairsRaw(d, numPerms = 16, rowsPerBand = 4))
       val dropped = comp
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))

@@ -114,6 +114,51 @@ object Dedup {
     if (narrow) df.repartition(par) else df
   }
 
+  /** Hash-keyed sibling of [[fanOutNarrowScan]] for pipelines whose next
+    * aggregation groups by `keyCols`: repartition the narrow scan BY THE
+    * GROUP KEY, so the downstream groupBy reuses the exchange (no second
+    * shuffle) and the per-row compute between scan and aggregate runs at
+    * session parallelism instead of in the scan's single task.
+    *
+    * Why not the round-robin form: a keyless `repartition(n)` first pays
+    * a local sort of its input (sortBeforeRepartition, needed for
+    * deterministic retries — guide §2.5), and its exchange is EXTRA (the
+    * groupBy still shuffles by key afterwards). Hash-partitioning by the
+    * key needs no sort and replaces the aggregation's own exchange:
+    * measured round-14 on the minhash family, round-robin fan-out LOSES
+    * (lsh 0.46→0.63 s) while the keyed form wins (0.46→0.41 lsh,
+    * 0.50→0.45 jaccard-fine, 0.55→0.46 simhash) — shuffling raw text by
+    * id moves <1 MB at the narrow-scan sizes this gates on.
+    *
+    * Same scale-safety as [[fanOutNarrowScan]]: fires only when every
+    * leaf is file-backed and the whole input is under
+    * `maxSplitsOfBytes` splits' worth of bytes — a wide scan (the 100 TB
+    * shape) keeps its partial-aggregate-then-exchange plan, which
+    * shuffles per-key partial states instead of raw rows. Routing-only:
+    * the fanned frame holds exactly the same rows, and every aggregate
+    * downstream here is commutative (min / sum / count / collect_set
+    * whose consumers are order-invariant).
+    */
+  private[graft] def fanOutNarrowScanBy(
+      df: DataFrame, keyCols: Seq[String], maxSplitsOfBytes: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graftbridge.bridge
+    require(keyCols.nonEmpty, "fanOutNarrowScanBy needs at least one key column")
+    require(maxSplitsOfBytes >= 1,
+      s"maxSplitsOfBytes must be >= 1, got $maxSplitsOfBytes")
+    val plan = bridge.optimizedPlan(df)
+    val leaves = plan.collectLeaves()
+    val fileBacked = leaves.nonEmpty && leaves.forall(bridge.isFileBackedLeaf)
+    if (!fileBacked) return df
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val maxPartitionBytes =
+      math.max(1L, bridge.filesMaxPartitionBytes(df.sparkSession))
+    val sizeBytes = plan.stats.sizeInBytes
+    val estSplits = (sizeBytes + (maxPartitionBytes - 1)) / maxPartitionBytes
+    val narrow = estSplits < BigInt(par) &&
+      sizeBytes <= BigInt(maxPartitionBytes) * maxSplitsOfBytes
+    if (narrow) df.repartition(par, keyCols.map(col): _*) else df
+  }
+
   /** The SHARED tokenization + windowing core of the whole
     * Jaccard/MinHash family: (id, _toks array, _i 0-based window
     * start), one row per n-token window. [[shingleOccurrences]] (the
@@ -170,14 +215,15 @@ object Dedup {
       n: Int,
       idCol: String,
       textCol: String): DataFrame =
-    // NO narrow-scan fan-out here: re-measured round-12 (post-xxhash),
-    // fanning the docs scan out cost 0.46 → 0.65 s at bench — the
-    // repartition shuffles the raw text column, which outweighs
-    // parallelizing the shingle build (same verdict as bm25TopK's
-    // rejected experiment; the win only exists where the per-row
-    // compute dominates the text-shuffle cost, e.g. crossDupSpans).
+    // KEYED narrow-scan fan-out (round-14): the round-12 verdict against
+    // fan-out here was measured on the ROUND-ROBIN form, whose local
+    // sort + extra exchange cost 0.46 → 0.65 s; hash-repartitioning by
+    // the id makes the groupBy below REUSE the exchange (one shuffle
+    // either way, raw-text-sized only on narrow scans) and parallelizes
+    // the tokenize+hash body — measured 0.50 → 0.45 s on the
+    // jaccard-fine path in the same-JVM A/B (FanoutAB).
     // slice is 1-based: window start _i (0-based) + 1.
-    tokenWindows(docs, n, idCol, textCol)
+    tokenWindows(fanOutNarrowScanBy(docs, Seq(idCol)), n, idCol, textCol)
       .select(
         col(idCol),
         xxhash64(slice(col("_toks"), col("_i") + 1, lit(n))).as("_sh"))
@@ -321,8 +367,12 @@ object Dedup {
     // Straight from shingle occurrences: min under any permutation is
     // invariant to duplicate shingles, so no per-doc distinct pass (and
     // its extra shuffle + collect_set buffers) is needed — duplicates
-    // just lose the min() race map-side.
-    val hashed = shingleOccurrences(docs, shingleWidth, idCol, textCol)
+    // just lose the min() race map-side. Keyed narrow-scan fan-out: the
+    // groupBy below reuses the id-hash exchange, so a single-split
+    // corpus runs the shingle+md5 body at session parallelism (see
+    // [[fanOutNarrowScanBy]]; measured on the banded twin).
+    val hashed = shingleOccurrences(
+      fanOutNarrowScanBy(docs, Seq(idCol)), shingleWidth, idCol, textCol)
       .select(col(idCol), (Hashing.md5Long60(col("shingle")) % p).as("_h"))
     val minAggs = (0 until numPerms).map { i =>
       min((lit(Hashing.permA(i)) * col("_h") + lit(Hashing.permB(i))) % p)
@@ -350,6 +400,23 @@ object Dedup {
       rowsPerBand: Int,
       shingleWidth: Int = 3,
       idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    lshCandidatePairsRaw(docs, numPerms, rowsPerBand, shingleWidth, idCol, textCol)
+      .distinct()
+
+  /** [[lshCandidatePairs]] WITHOUT the final distinct: a pair sharing
+    * several bands appears once per shared band. For consumers that
+    * re-aggregate by pair anyway ([[connectedComponents]]' symmetric
+    * distinct, a per-pair groupBy), the extra exchange the distinct
+    * costs buys nothing — map-side combine absorbs the ≤numBands
+    * duplicates in the consumer's own aggregation.
+    */
+  private[graft] def lshCandidatePairsRaw(
+      docs: DataFrame,
+      numPerms: Int,
+      rowsPerBand: Int,
+      shingleWidth: Int = 3,
+      idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val banded = minhashBandSignatures(docs, numPerms, rowsPerBand, shingleWidth, idCol, textCol)
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
@@ -357,7 +424,6 @@ object Dedup {
     a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
   }
 
   /** Banded MinHash signatures: one row per (id, band, sig) — the
@@ -379,8 +445,11 @@ object Dedup {
     // Wide form: all k minhashes as k min-aggregates in ONE partial-
     // aggregated shuffle (no permutation join, no collect_list sort,
     // and no per-doc distinct pass — min is duplicate-invariant) — the
-    // shape that holds up at corpus scale.
-    val hashed = shingleOccurrences(docs, shingleWidth, idCol, textCol)
+    // shape that holds up at corpus scale. Keyed narrow-scan fan-out:
+    // measured 0.46 → 0.41 s on the LSH candidate path (FanoutAB); the
+    // groupBy(id) reuses the exchange, so no extra shuffle.
+    val hashed = shingleOccurrences(
+      fanOutNarrowScanBy(docs, Seq(idCol)), shingleWidth, idCol, textCol)
       .select(col(idCol), (Hashing.md5Long60(col("shingle")) % p).as("_h"))
     val minAggs = (0 until numPerms).map { i =>
       min((lit(Hashing.permA(i)) * col("_h") + lit(Hashing.permB(i))) % p)
@@ -530,7 +599,9 @@ object Dedup {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val tokenHashes = docs
+    // keyed narrow-scan fan-out: the sign-sum groupBy(id) below reuses
+    // the exchange; measured 0.55 → 0.46 s on simhashPairs (FanoutAB)
+    val tokenHashes = fanOutNarrowScanBy(docs, Seq(idCol))
       .select(col(idCol), explode(split(col(textCol), " ")).as("_tok"))
       .select(col(idCol), Hashing.md5Long32(col("_tok")).as("_h"))
     // All 32 per-bit sign sums as wide aggregates in ONE partial-
@@ -562,6 +633,20 @@ object Dedup {
     * |signatures| × chunks plus the (sparse) candidate pairs.
     */
   def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    simhashPairsRaw(docs, maxHamming, idCol, textCol)
+      // a pair can agree on several chunks — one row per pair
+      .distinct()
+
+  /** [[simhashPairs]] WITHOUT the final distinct — a pair agreeing on
+    * several chunks appears once per agreeing chunk. For consumers that
+    * re-aggregate by pair ([[graft.NorthStar]] method-overlap), the
+    * distinct's exchange is pure overhead.
+    */
+  private[graft] def simhashPairsRaw(
       docs: DataFrame,
       maxHamming: Int,
       idCol: String = "doc_id",
@@ -597,8 +682,6 @@ object Dedup {
         col("id_b"),
         bit_count(col("_sa").bitwiseXOR(col("_sb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      // a pair can agree on several chunks — one row per pair
-      .distinct()
   }
 
   /** Two-stage near-dup detection — the production shape at corpus
@@ -656,9 +739,17 @@ object Dedup {
       bCol: String = "id_b",
       maxIters: Int = 50,
       localEdgeThreshold: Long = 1L << 20): DataFrame = {
+    // symmetrize with a generator, not a self-union: a union's two
+    // branches re-evaluate the whole candidate pipeline unless an
+    // exchange happens to sit at the shared root (the former input's
+    // final distinct was exactly that exchange — with RAW per-band pairs
+    // there is none, and the LSH join ran twice). The explode doubles
+    // each row inline in one pass, whatever the input plan looks like.
     val edges = pairs
-      .select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .select(explode(array(
+        struct(col(aCol).as("u"), col(bCol).as("v")),
+        struct(col(bCol).as("u"), col(aCol).as("v")))).as("_e"))
+      .select(col("_e.u").as("u"), col("_e.v").as("v"))
       .distinct()
       .localCheckpoint()
     // Size-adaptive: after LSH banding the candidate graph is tiny
@@ -683,7 +774,7 @@ object Dedup {
       }
     }
     if (comparableIds && edges.count() <= localEdgeThreshold)
-      return localComponents(pairs.sparkSession, edges, idType)
+      return localComponents(pairs.sparkSession, edges.collect(), idType)
     var labels = edges
       .select(col("u").as("doc_id"))
       .distinct()
@@ -748,9 +839,9 @@ object Dedup {
     */
   private def localComponents(
       spark: org.apache.spark.sql.SparkSession,
-      edges: DataFrame,
+      collected: Array[org.apache.spark.sql.Row],
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
-    val es = edges.collect().map(r => (r.get(0), r.get(1)))
+    val es = collected.map(r => (r.get(0), r.get(1)))
     val parent = scala.collection.mutable.Map[Any, Any]()
     // iterative find with full path compression — min-union (no rank)
     // can build O(n)-deep chains, which a recursive find would blow the

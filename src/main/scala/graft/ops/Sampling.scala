@@ -105,8 +105,11 @@ object Sampling {
       idCol: String = "doc_id",
       textCol: String = "text",
       splitCol: String = "split"): DataFrame = {
+    // raw (per-band) candidate pairs: connectedComponents' symmetric
+    // distinct dedups them — lshCandidatePairs' own distinct would be a
+    // redundant exchange here
     val comp = Dedup.connectedComponents(
-      Dedup.lshCandidatePairs(
+      Dedup.lshCandidatePairsRaw(
         docs.select(col(idCol), col(textCol)),
         numPerms, rowsPerBand, idCol = idCol, textCol = textCol))
       .withColumnRenamed("doc_id", idCol)

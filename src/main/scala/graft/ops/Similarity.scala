@@ -120,6 +120,18 @@ object Similarity extends Serializable {
       vecCol: String): DataFrame = {
     assertBroadcastEnvelope(emb, vecCol,
       "bruteForceTopK over all queries", "knnLabelNoiseAuto / allPairsTopKIvf")
+    allPairsTopKUnchecked(emb, k, idCol, vecCol)
+  }
+
+  /** [[allPairsTopK]] body for callers that ALREADY measured the corpus
+    * (the Auto routers): skips the envelope re-assert, saving its
+    * classification aggregate — one fewer driver round-trip per call.
+    */
+  private def allPairsTopKUnchecked(
+      emb: DataFrame,
+      k: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val rows = emb
@@ -211,6 +223,18 @@ object Similarity extends Serializable {
       vecCol: String = "embedding"): DataFrame = {
     assertBroadcastEnvelope(emb, vecCol,
       "cosineNearDupPairs", "cosineNearDupPairsAuto")
+    cosineNearDupPairsUnchecked(emb, threshold, idCol, vecCol)
+  }
+
+  /** [[cosineNearDupPairs]] body for callers that ALREADY measured the
+    * corpus (the Auto router): skips the envelope re-assert and its
+    * classification aggregate — one fewer driver round-trip per call.
+    */
+  private def cosineNearDupPairsUnchecked(
+      emb: DataFrame,
+      threshold: Double,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val rows = emb
@@ -509,7 +533,9 @@ object Similarity extends Serializable {
       targetRecall: Option[Double] = None): DataFrame = {
     val (n, d) = corpusStats(emb, vecCol)
     if (fitsBudget(emb, n, d))
-      cosineNearDupPairs(emb, threshold, idCol, vecCol)
+      // the router IS the measurement — the unchecked kernel skips the
+      // envelope re-assert's second classification aggregate
+      cosineNearDupPairsUnchecked(emb, threshold, idCol, vecCol)
     else {
       val r = if (planesPerBand > 0) planesPerBand else planesFor(n, bands)
       val b = targetRecall
@@ -1306,7 +1332,8 @@ object Similarity extends Serializable {
       targetRecall: Option[Double] = None): DataFrame = {
     val (n, d) = corpusStats(emb, vecCol)
     val topk =
-      if (fitsBudget(emb, n, d)) bruteForceTopKFor(emb, None, k, idCol, vecCol)
+      // the router is the measurement — skip the kernel's re-assert
+      if (fitsBudget(emb, n, d)) allPairsTopKUnchecked(emb, k, idCol, vecCol)
       else {
         val lists = if (numCentroids > 0) numCentroids else derivedListCount(n)
         val probes = targetRecall.map(r => nProbeFor(r, lists)).getOrElse(nProbe)

