@@ -325,12 +325,16 @@ object Profiling {
     * prove, post hoc, whether any accumulator could have exceeded 2^62
     * (the same bounds the former pre-scan checked up front, so passing
     * them means every long sum is exact). The arithmetic is PLAIN long
-    * ops: a genuinely overflowing run can wrap, but the gate rejects
-    * exactly those runs from the measured min/max ranges (which wrap
-    * never corrupts — min/max do no arithmetic) and routes them to the
-    * decimal recompute, so a wrapped sum is never read. The former
+    * ops: under the default Spark 4 session (spark.sql.ansi.enabled =
+    * true) a genuinely overflowing run THROWS SparkArithmeticException
+    * mid-aggregate — the optimistic actions are wrapped in a catch that
+    * routes exactly those runs to the decimal recompute (driver-side,
+    * zero per-row cost); under a non-ANSI session the sums wrap instead,
+    * and the post-hoc width gate rejects the run from the measured
+    * min/max ranges (which wrap never corrupts — min/max do no
+    * arithmetic), so a wrapped sum is never read either way. The former
     * `try_*` forms nulled on overflow instead — a second, redundant
-    * guard that measured 19% slower per row (round-14 CorrProbe,
+    * per-row guard that measured 19% slower per row (round-14 CorrProbe,
     * 0.575 → 0.464 s on the 600k-row tier-1 pass). If the gate
     * holds — every realistic feature table; it fails only past ~2^31
     * integer units or ~2^62/65535² rows — the aggregate longs are
@@ -427,20 +431,41 @@ object Profiling {
               sum(loOf(x) * loOf(y)).as(s"_p_${i}_${j}_ll"))
           })
 
-    // tier 1: flat global aggregate + per-column non-null counts
-    val fullMask = (1 << valueCols.size) - 1
-    val globalAggs = optimisticAggs ++
-      idx.map(i => count(col(valueCols(i))).as(s"_nn_$i"))
-    val gRow = prepared
-      .agg(globalAggs.head, globalAggs.tail: _*)
-      .select(lit(fullMask).as("_np"), col("*"))
-      .head()
-    val n = gRow.getLong(gRow.fieldIndex("_n"))
     val outSchema = StructType(Seq(
       StructField("col_a", StringType, nullable = false),
       StructField("col_b", StringType, nullable = false),
       StructField("n", LongType, nullable = false),
       StructField("corr_r", DoubleType, nullable = false)))
+    // exact per-pair sufficient statistics, either from the optimistic
+    // pattern rows or — gate failed / ANSI overflow — from ONE
+    // unconditional decimal(38,0) recompute. A stat is None when its
+    // aggregate saw NO complete row for the pair — those pairs drop
+    // below (SQL sum-over-nothing).
+    final case class PairStats(
+        n: Long, sa: Option[BigInt], sb: Option[BigInt],
+        pxy: Option[BigInt], pxx: Option[BigInt], pyy: Option[BigInt])
+    // an ANSI overflow thrown inside a task surfaces from the driver
+    // action wrapped (SparkException → ... → SparkArithmeticException,
+    // which extends ArithmeticException) — walk the cause chain
+    def isOverflow(t: Throwable): Boolean = {
+      var c = t
+      while (c != null) {
+        if (c.isInstanceOf[ArithmeticException]) return true
+        c = c.getCause
+      }
+      false
+    }
+
+    // tier 1: flat global aggregate + per-column non-null counts
+    val fullMask = (1 << valueCols.size) - 1
+    val globalAggs = optimisticAggs ++
+      idx.map(i => count(col(valueCols(i))).as(s"_nn_$i"))
+    val optimistic: Option[Map[(Int, Int), PairStats]] = try {
+    val gRow = prepared
+      .agg(globalAggs.head, globalAggs.tail: _*)
+      .select(lit(fullMask).as("_np"), col("*"))
+      .head()
+    val n = gRow.getLong(gRow.fieldIndex("_n"))
     if (n == 0L)
       return session.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
@@ -463,14 +488,15 @@ object Profiling {
 
     // post-hoc width gate from EXACT measured ranges: every long
     // accumulator provably stayed under 2^62 → the optimistic sums are
-    // exact (and none of the try_* ops nulled). Global n and per-column
-    // max|x| upper-bound every per-pattern accumulator (a pattern's
-    // rows are a subset of the table's). Magnitude comes from per-column
-    // MIN and MAX taken |·| in BigInt driver-side — never max(abs(x)):
+    // exact. Under the default ANSI session an overflowing run never
+    // reaches this point (the catch below routes it to the decimal
+    // recompute); under a non-ANSI session the sums wrap silently, and
+    // this gate is what rejects them. Global n and per-column max|x|
+    // upper-bound every per-pattern accumulator (a pattern's rows are a
+    // subset of the table's). Magnitude comes from per-column MIN and
+    // MAX taken |·| in BigInt driver-side — never max(abs(x)):
     // abs(Long.MinValue) wraps negative under non-ANSI arithmetic, and
-    // an understated range would let the gate accept an overflowing run
-    // (whose nulled try_* sums would then silently drop the pair
-    // instead of routing to the exact decimal recompute).
+    // an understated range would let the gate accept a wrapped run.
     val maxAbs: IndexedSeq[BigInt] = idx.map { i =>
       patterns.iterator.flatMap { r =>
         Seq(s"_lo_$i", s"_hi_$i").map { name =>
@@ -496,20 +522,11 @@ object Profiling {
         splitFits(i, j) && splitFits(i, i) && splitFits(j, j)
       }
 
-    // exact per-pair sufficient statistics, either from the optimistic
-    // pattern rows or — gate failed — from ONE unconditional
-    // decimal(38,0) recompute. A stat is None when its aggregate saw NO
-    // complete row for the pair — those pairs drop below (SQL
-    // sum-over-nothing).
-    final case class PairStats(
-        n: Long, sa: Option[BigInt], sb: Option[BigInt],
-        pxy: Option[BigInt], pxx: Option[BigInt], pyy: Option[BigInt])
     // the optimistic extraction yields None when the gate fails OR any
     // required aggregate nulled anyway (belt over the gate's braces: in
     // a pattern with bits i and j set those inputs are non-null by
     // construction, so a null sum should be impossible — but it must
     // route to the exact recompute, never silently drop a pair)
-    val optimistic: Option[Map[(Int, Int), PairStats]] =
       if (!gateHolds) None
       else {
         // pair-(i, j)-complete = the patterns with bits i AND j set;
@@ -548,6 +565,14 @@ object Profiling {
             st.pxy.isDefined && st.pxx.isDefined && st.pyy.isDefined))
         if (consistent) Some(m) else None
       }
+    } catch {
+      // Spark 4's default ANSI session: plain long sum/* on a genuinely
+      // overflowing run throws mid-aggregate instead of wrapping —
+      // precisely the runs the width gate exists to reject. Route them
+      // to the exact decimal(38,0) recompute (driver-side catch, zero
+      // per-row cost on the non-overflowing fast path).
+      case e: Exception if isOverflow(e) => None
+    }
     val stats: Map[(Int, Int), PairStats] =
       optimistic.getOrElse {
         val dec = "decimal(38,0)"

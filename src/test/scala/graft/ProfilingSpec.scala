@@ -91,6 +91,15 @@ class ProfilingSpec extends AnyFunSuite with SparkTestBase {
     check(Seq(
       (3000000000000L, 2999999999999L), (-2999999999998L, 1500000000007L),
       (1234567890123L, -1987654321098L), (-1111111111111L, -3000000000000L)))
+    // tier 3 via ANSI overflow: x is large enough that the optimistic
+    // split-long DIAGONAL product hi(x)*hi(x) overflows a long PER ROW —
+    // under the default Spark 4 session (spark.sql.ansi.enabled=true)
+    // the optimistic aggregate throws SparkArithmeticException mid-task,
+    // and the driver-side catch must route to the exact decimal(38,0)
+    // recompute instead of failing the query (the sums fit decimal(38)).
+    check(Seq(
+      (4000000000000000000L, 1L), (-3999999999999999999L, 2L),
+      (1234567890123456789L, 3L), (-2876543210987654321L, 5L)))
   }
 
   test("correlationMatrix: all-null and pairwise-disjoint-null columns drop, not crash") {
