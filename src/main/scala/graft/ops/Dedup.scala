@@ -83,20 +83,34 @@ object Dedup {
     * keeps its cached partitioning) — routing-only, rows unchanged
     * either way.
     */
-  private[graft] def fanOutNarrowScan(
-      df: DataFrame, maxSplitsOfBytes: Int = 1): DataFrame = {
+  /** The shared narrowness gate of the fan-out helpers (and of
+    * [[graft.ops.TextAnalysis.crossDupSpans]]'s single-pass strategy
+    * pick): true iff every leaf is file-backed AND the whole input is
+    * estimated under both `par` splits and `maxSplitsOfBytes` splits'
+    * worth of bytes — i.e. the scan cannot feed the session's
+    * parallelism on its own. Routing-only by contract: callers may only
+    * use it to choose between result-identical physical strategies.
+    */
+  private[graft] def isNarrowScan(
+      df: DataFrame, maxSplitsOfBytes: Int): Boolean = {
     import org.apache.spark.sql.graftbridge.bridge
     require(maxSplitsOfBytes >= 1,
       s"maxSplitsOfBytes must be >= 1, got $maxSplitsOfBytes")
     val plan = bridge.optimizedPlan(df)
     val leaves = plan.collectLeaves()
     val fileBacked = leaves.nonEmpty && leaves.forall(bridge.isFileBackedLeaf)
-    if (!fileBacked) return df
+    if (!fileBacked) return false
     val par = df.sparkSession.sparkContext.defaultParallelism
     val maxPartitionBytes =
       math.max(1L, bridge.filesMaxPartitionBytes(df.sparkSession))
     val sizeBytes = plan.stats.sizeInBytes
     val estSplits = (sizeBytes + (maxPartitionBytes - 1)) / maxPartitionBytes
+    estSplits < BigInt(par) &&
+      sizeBytes <= BigInt(maxPartitionBytes) * maxSplitsOfBytes
+  }
+
+  private[graft] def fanOutNarrowScan(
+      df: DataFrame, maxSplitsOfBytes: Int = 1): DataFrame = {
     // two-sided narrowness: fewer estimated splits than cores AND at
     // most `maxSplitsOfBytes` splits' worth of bytes. The default (1)
     // is the literal "small corpus in a single parquet split" shape
@@ -109,9 +123,9 @@ object Dedup {
     // heavier than a shuffle byte (cross-span shingling: measured
     // 3.6 → 1.8 s) may raise the byte bound to keep the win on
     // mid-size corpora.
-    val narrow = estSplits < BigInt(par) &&
-      sizeBytes <= BigInt(maxPartitionBytes) * maxSplitsOfBytes
-    if (narrow) df.repartition(par) else df
+    if (isNarrowScan(df, maxSplitsOfBytes))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
   }
 
   /** Hash-keyed sibling of [[fanOutNarrowScan]] for pipelines whose next
@@ -141,22 +155,11 @@ object Dedup {
     */
   private[graft] def fanOutNarrowScanBy(
       df: DataFrame, keyCols: Seq[String], maxSplitsOfBytes: Int = 1): DataFrame = {
-    import org.apache.spark.sql.graftbridge.bridge
     require(keyCols.nonEmpty, "fanOutNarrowScanBy needs at least one key column")
-    require(maxSplitsOfBytes >= 1,
-      s"maxSplitsOfBytes must be >= 1, got $maxSplitsOfBytes")
-    val plan = bridge.optimizedPlan(df)
-    val leaves = plan.collectLeaves()
-    val fileBacked = leaves.nonEmpty && leaves.forall(bridge.isFileBackedLeaf)
-    if (!fileBacked) return df
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val maxPartitionBytes =
-      math.max(1L, bridge.filesMaxPartitionBytes(df.sparkSession))
-    val sizeBytes = plan.stats.sizeInBytes
-    val estSplits = (sizeBytes + (maxPartitionBytes - 1)) / maxPartitionBytes
-    val narrow = estSplits < BigInt(par) &&
-      sizeBytes <= BigInt(maxPartitionBytes) * maxSplitsOfBytes
-    if (narrow) df.repartition(par, keyCols.map(col): _*) else df
+    if (isNarrowScan(df, maxSplitsOfBytes))
+      df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, keyCols.map(col): _*)
+    else df
   }
 
   /** The SHARED tokenization + windowing core of the whole
@@ -310,8 +313,16 @@ object Dedup {
         // the id arrays to save fan-out that map-side combine already
         // absorbs.
         val toks = split(col(textCol), " ")
-        val bySh = docs
-          .filter(col(idCol).isNotNull)
+        // round-robin narrow-scan fan-out (crossDupSpans' pattern): the
+        // tokenize+explode+hash+partial-collect pipeline below otherwise
+        // runs in the scan's ONE task on a single-split corpus (measured
+        // 0.34 s of a ~1.0 s query in one task at sf0.1). The aggregate
+        // key (_sh) does not exist at scan time, so the keyed fan-out is
+        // unavailable; the round-robin sort cost is raw narrow doc rows
+        // (tiny under the byte gate), and a wide scan (the 100 TB shape)
+        // is untouched.
+        val bySh = fanOutNarrowScan(
+            docs.filter(col(idCol).isNotNull), maxSplitsOfBytes = 8)
           .select(col(idCol), toks.as("_toks"))
           .filter(size(col("_toks")) >= n)
           .select(
@@ -336,17 +347,24 @@ object Dedup {
           .select(col("_p.id_a"), col("_p.id_b"))
           .groupBy(col("id_a"), col("id_b"))
           .agg(count(lit(1)).as("_inter"))
-        val sizes = counts
-          .filter(col("id_a") === col("id_b"))
-          .select(col("id_a").as("_k"), col("_inter").as("_n"))
+        // Sizes attach by two WINDOWS over the tiny pair stream, not by
+        // broadcast-joining back two more copies of the whole pipeline:
+        // each side's size is the DIAGONAL row of its own partition
+        // ((a, a) sorts into both partitionBy(id_a)=a and
+        // partitionBy(id_b)=a — inclusive pair generation guarantees it
+        // exists for every id that reaches any pair), and the windowed
+        // stream is ≤ |groups|²/2 rows by construction. The former
+        // self-join-on-broadcast form planned the shingle pipeline
+        // THREE times (probe + two size sides) — exchange reuse
+        // deduplicated the shuffles but each consumer still re-ran the
+        // final aggregate + pair explosion (measured: two ~0.2-0.4 s
+        // 32-task stages where one suffices at sf0.1).
+        import org.apache.spark.sql.expressions.Window
+        val diag = when(col("id_a") === col("id_b"), col("_inter"))
         counts
+          .withColumn("_na", max(diag).over(Window.partitionBy(col("id_a"))))
+          .withColumn("_nb", max(diag).over(Window.partitionBy(col("id_b"))))
           .filter(col("id_a") < col("id_b"))
-          .join(
-            broadcast(sizes.select(col("_k").as("id_a"), col("_n").as("_na"))),
-            "id_a")
-          .join(
-            broadcast(sizes.select(col("_k").as("id_b"), col("_n").as("_nb"))),
-            "id_b")
       }
     pairs
       .select(col("id_a"), col("id_b"), jaccard)

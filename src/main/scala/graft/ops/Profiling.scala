@@ -398,7 +398,14 @@ object Profiling {
     val spairs = for { i <- idx; j <- idx if i <= j } yield (i, j)
     // contract: pre-integerized feature columns (integer units in long
     // range — cents, counts); the long cast is a no-op for integral
-    // values and pins the arithmetic type the width gate reasons about
+    // values and pins the arithmetic type the width gate reasons about.
+    // Deliberately NOT fanned out on narrow scans: the round-14/15
+    // fan-out family does not pay here — the ~40 long aggregates cost
+    // less per row than shuffling the row, so both the hash-keyed and
+    // the round-robin repartition LOSE to the flat single-split
+    // aggregate (CorrFanAB, 600k rows sf0.1: flat 0.49 s vs hash
+    // fan-out 0.65 s vs round-robin 0.98 s — the serial split read and
+    // shuffle write replace, not shrink, the serial aggregate).
     val prepared = df.select(valueCols.map(c => col(c).cast("long").as(c)): _*)
     def hiOf(c: Column) = shiftright(c, 16)
     def loOf(c: Column) = c.bitwiseAND(lit(0xFFFFL))

@@ -727,9 +727,34 @@ object TextAnalysis {
     val counted = sh.groupBy(col("_h")).agg(count(lit(1)).as("_occ"))
       .filter(col("_occ") >= 2 && col("_occ") <= maxShingleOcc)
       .select(col("_h"))
-    val occs = sh.join(counted, "_h")
-      .groupBy(col("_h"))
-      .agg(collect_list(struct(col("_doc"), col("_pos"))).as("_occs"))
+    // STRATEGY PICK, result-identical either way (size(collect_list) ==
+    // the count the pre-filter tests — both count every occurrence):
+    //
+    //   - narrow corpus (single-split shape, the bench scale): ONE
+    //     tokenize pass and ONE shuffle — groupBy(_h) collects every
+    //     occurrence list and the size filter culls afterwards. The
+    //     two-pass form tokenizes the corpus TWICE (measured: the two
+    //     shingle stages are 0.25 s + 0.29 s of a ~1.0 s query at
+    //     sf0.1), and its count pre-pass shuffles ~one (hash, count)
+    //     row per distinct hash anyway — on a narrow corpus the
+    //     one-pass (hash, doc, pos) shuffle costs the same bytes and
+    //     saves the whole second tokenize.
+    //
+    //   - wide corpus (the 100 TB shape): keep the two-pass form. The
+    //     count pre-filter is what BOUNDS collect_list — without it a
+    //     boilerplate shingle past maxShingleOcc would accumulate its
+    //     full occurrence list (unbounded) in the final aggregate
+    //     before the size filter could drop it. The pre-filtered join
+    //     shuffles survivors only, and the extra tokenize pass is a
+    //     scan-parallel map, not a shuffle.
+    val occs =
+      if (Dedup.isNarrowScan(docs, maxSplitsOfBytes = 8))
+        sh.groupBy(col("_h"))
+          .agg(collect_list(struct(col("_doc"), col("_pos"))).as("_occs"))
+          .filter(size(col("_occs")) >= 2 && size(col("_occs")) <= maxShingleOcc)
+      else sh.join(counted, "_h")
+        .groupBy(col("_h"))
+        .agg(collect_list(struct(col("_doc"), col("_pos"))).as("_occs"))
     val pairs = occs
       .select(explode(col("_occs")).as("_a"), col("_occs"))
       .select(col("_a"), explode(col("_occs")).as("_b"))

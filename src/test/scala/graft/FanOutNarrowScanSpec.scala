@@ -85,6 +85,36 @@ class FanOutNarrowScanSpec extends AnyFunSuite with SparkTestBase
     }
   }
 
+  test("crossDupSpans one-pass (narrow) and two-pass (wide) strategies agree") {
+    // the narrow gate picks a single-shuffle groupBy+collect_list plan
+    // for file-backed small corpora and the count-prefilter two-pass
+    // plan otherwise — both must produce the identical span list. The
+    // corpus repeats one 20-token run across three docs (split across
+    // doc boundaries differently) and includes a unique-text doc.
+    val run = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"$run alpha beta gamma"),
+      (2L, s"prefix words here $run"),
+      (3L, s"$run"),
+      (4L, "entirely unique text with no repeats at all whatsoever"))
+    val s = spark
+    import s.implicits._
+    val local = rows.toDF("doc_id", "text") // in-memory: wide branch
+    val dir = tempRoot.toString + "/spans"
+    local.coalesce(1).write.mode("overwrite").parquet(dir)
+    val fromFile = spark.read.parquet(dir) // single split: narrow branch
+    assume(Dedup.isNarrowScan(fromFile, 8), "fixture should gate narrow")
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextAnalysis
+        .crossDupSpans(df, width = 8, minSpanTokens = 16, maxShingleOcc = 64)
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+        .collect()
+        .toSeq
+    val wide = spans(local)
+    assert(wide.nonEmpty, "fixture must produce at least one span")
+    assert(spans(fromFile) == wide)
+  }
+
   test("non-file inputs (local/in-memory) are never repartitioned") {
     val s = spark
     import s.implicits._
