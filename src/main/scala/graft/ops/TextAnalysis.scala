@@ -602,11 +602,32 @@ object TextAnalysis {
     val evalGrams = evalSet
       .select(explode(wordNgrams(col(textCol), n)).as("_gram"))
       .distinct()
+    // Adaptive filter sizing from PLAN STATS (driver-side, no job): the
+    // eval set cannot hold more distinct n-grams than it has tokens,
+    // and its byte size bounds its token count (≥ 4 bytes per token
+    // with separator, conservatively). Sizing down keeps the default
+    // ~19 bits/gram FP budget while shrinking every partial-aggregate
+    // buffer, the merged filter, and the plan literal the probe embeds
+    // (8 MB at the 100 TB default — measured dominating this operator's
+    // build at bench scale, where the eval set is a few hundred KB).
+    // Undersizing is correctness-neutral by construction: false
+    // positives only, removed by the exact verify join; callers' caps
+    // are never EXCEEDED, only reduced when the stats prove it safe.
+    val statBytes = bridge.optimizedPlan(evalSet).stats.sizeInBytes
+    val expAdaptive =
+      if (statBytes > 0 && statBytes < BigInt(Long.MaxValue) / 2)
+        math.min(expectedGrams, math.max(4096L, (statBytes / 4).toLong))
+      else expectedGrams
+    val bitsAdaptive = math.min(
+      numBits,
+      math.max(
+        64L * 1024,
+        ((numBits.toDouble / expectedGrams) * expAdaptive).ceil.toLong))
     val bloomAgg = bridge.column(
       new BloomFilterAggregate(
         bridge.expression(xxhash64(col("_gram"))),
-        Literal(expectedGrams),
-        Literal(numBits)).toAggregateExpression())
+        Literal(expAdaptive),
+        Literal(bitsAdaptive)).toAggregateExpression())
     val bloom = evalGrams.select(bloomAgg.as("_bf")).head().getAs[Array[Byte]](0)
     val mightContain = bridge.column(
       BloomFilterMightContain(
