@@ -62,6 +62,10 @@ object Tables {
       cache.values.forEach(m => if (m != null) { m.remove(path); () })
     }
     graft.store.SkewStats.invalidate()
+    // the similarity routers' memoized corpus envelope has the same
+    // stale-on-in-place-rewrite hazard (and a sharper consequence: a
+    // grown corpus mis-routed into the broadcast kernel) — clear it here
+    graft.ops.Similarity.invalidateCorpusStats()
     // same hazard class: a rewritten path whose memoized footer schema
     // would otherwise be served stale — precise (exact-or-child), not
     // a wholesale clear

@@ -325,13 +325,39 @@ object Similarity extends Serializable {
   }
 
   /** The classification aggregate: (row count, max vector width) in one
-    * partial-aggregated pass.
+    * partial-aggregated pass — MEMOIZED per (analyzed-plan semantic
+    * hash, vecCol), [[graft.store.SkewStats]]'s discipline: the corpus
+    * envelope is a property of the table version, not of the probe, so
+    * the measuring job runs once per corpus per JVM instead of once per
+    * router call (it ran on EVERY call before — one whole Spark job per
+    * Auto-routed query). Cleared by [[graft.Tables.invalidate]]
+    * alongside the skew memo: an in-place rewrite is the one case where
+    * a re-read plan hashes equal while the data changed, and a stale
+    * entry here could route a grown corpus INTO the broadcast kernel —
+    * so the escape hatch clears this cache too. Store-API writes never
+    * need it (new version = new path = fresh hash).
     */
+  private val statsMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (Long, Int)]
+  private val StatsMemoMax = 256
+  private[graft] def invalidateCorpusStats(): Unit = statsMemo.clear()
+  private[graft] def corpusStatsMemoSize: Int = statsMemo.size
   private def corpusStats(emb: DataFrame, vecCol: String): (Long, Int) = {
-    val row = emb
-      .agg(count(lit(1)).as("n"), coalesce(max(size(col(vecCol))), lit(0)).as("d"))
-      .head()
-    (row.getLong(0), row.getInt(1))
+    val key = (emb.semanticHash(), vecCol)
+    statsMemo.getOrElse(key, {
+      val row = emb
+        .agg(count(lit(1)).as("n"), coalesce(max(size(col(vecCol))), lit(0)).as("d"))
+        .head()
+      val v = (row.getLong(0), row.getInt(1))
+      // one critical section for evict+put (see SkewStats.memoize)
+      statsMemo.synchronized {
+        if (statsMemo.size >= StatsMemoMax)
+          statsMemo.headOption.foreach { case (k, _) => statsMemo.remove(k) }
+        statsMemo.put(key, v)
+        ()
+      }
+      v
+    })
   }
 
   private def fitsBudget(emb: DataFrame, n: Long, d: Int): Boolean = {

@@ -1655,6 +1655,27 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(neg.forall { case (a, o, _) =>
       !pos.exists(p => (p._1, p._2) == (a, o) || (p._2, p._1) == (a, o)) })
   }
+  test("similarity corpus-stats memo: one measure per corpus plan, invalidate clears") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_statsmemo").toString + "/emb"
+    (0L to 9L).map(i => (i, Array(1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Similarity.invalidateCorpusStats()
+    assert(Similarity.corpusStatsMemoSize == 0)
+    assert(Similarity.fitsBroadcastEnvelope(spark.read.parquet(dir)))
+    assert(Similarity.corpusStatsMemoSize == 1)
+    // a fresh read of the same path hashes equal: no second entry (and
+    // no second measuring job — the memo IS the entry count here)
+    assert(Similarity.fitsBroadcastEnvelope(spark.read.parquet(dir)))
+    assert(Similarity.corpusStatsMemoSize == 1)
+    // the in-place-rewrite escape hatch must clear the envelope memo
+    Tables.invalidate(spark, dir)
+    assert(Similarity.corpusStatsMemoSize == 0)
+  }
+
   test("leakageSafeSplit keeps every near-dup cluster in one split") {
     val s = spark
     import s.implicits._
