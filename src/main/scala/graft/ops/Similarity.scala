@@ -337,28 +337,44 @@ object Similarity extends Serializable {
     * so the escape hatch clears this cache too. Store-API writes never
     * need it (new version = new path = fresh hash).
     */
-  private val statsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (Long, Int)]
+  /** Plan-keyed memo, COLLISION-PROOF: entries key on the canonicalized
+    * analyzed plan's 32-bit hash but a hit additionally verifies full
+    * STRUCTURAL equality against the stored plan — unlike SkewStats
+    * (whose hot sets are routing-only, so a hash collision could only
+    * cost performance), the values memoized here are result-bearing
+    * (route choice flips between non-identical kernels; IVF centroids
+    * surface in outputs), so a 2^-32 hash collision must fall through
+    * to a recompute, never serve another corpus's value.
+    */
+  private val statsMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Any)]
   private val StatsMemoMax = 256
   private[graft] def invalidateCorpusStats(): Unit = statsMemo.clear()
   private[graft] def corpusStatsMemoSize: Int = statsMemo.size
-  private def corpusStats(emb: DataFrame, vecCol: String): (Long, Int) = {
-    val key = (emb.semanticHash(), vecCol)
-    statsMemo.getOrElse(key, {
+  private def memoizedOnPlan[T](df: DataFrame, tag: String)(compute: => T): T = {
+    val plan = df.queryExecution.analyzed.canonicalized
+    val key = (plan.hashCode(), tag)
+    statsMemo.get(key) match {
+      case Some((p, v)) if p == plan => v.asInstanceOf[T]
+      case _ =>
+        val v = compute
+        // one critical section for evict+put (see SkewStats.memoize)
+        statsMemo.synchronized {
+          if (statsMemo.size >= StatsMemoMax)
+            statsMemo.headOption.foreach { case (k, _) => statsMemo.remove(k) }
+          statsMemo.put(key, (plan, v))
+          ()
+        }
+        v
+    }
+  }
+  private def corpusStats(emb: DataFrame, vecCol: String): (Long, Int) =
+    memoizedOnPlan(emb, s"stats:$vecCol") {
       val row = emb
         .agg(count(lit(1)).as("n"), coalesce(max(size(col(vecCol))), lit(0)).as("d"))
         .head()
-      val v = (row.getLong(0), row.getInt(1))
-      // one critical section for evict+put (see SkewStats.memoize)
-      statsMemo.synchronized {
-        if (statsMemo.size >= StatsMemoMax)
-          statsMemo.headOption.foreach { case (k, _) => statsMemo.remove(k) }
-        statsMemo.put(key, v)
-        ()
-      }
-      v
-    })
-  }
+      (row.getLong(0), row.getInt(1))
+    }
 
   private def fitsBudget(emb: DataFrame, n: Long, d: Int): Boolean = {
     val budget = emb.sparkSession.conf
@@ -922,17 +938,22 @@ object Similarity extends Serializable {
       emb: DataFrame,
       numCentroids: Int = 16,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Array[Array[Double]] = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    emb
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .as[(Long, Array[Float])]
-      .orderBy(col(idCol))
-      .limit(numCentroids)
-      .collect()
-      .map(_._2.map(_.toDouble))
-  }
+      vecCol: String = "embedding"): Array[Array[Double]] =
+    // memoized per corpus plan (collision-proof, see [[memoizedOnPlan]]):
+    // the seed is a deterministic function of the table version and was
+    // re-collected as a full Spark job on every call — every IVF query
+    // paid it per invocation
+    memoizedOnPlan(emb, s"ivfseed:$numCentroids:$idCol:$vecCol") {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      emb
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+        .as[(Long, Array[Float])]
+        .orderBy(col(idCol))
+        .limit(numCentroids)
+        .collect()
+        .map(_._2.map(_.toDouble))
+    }
 
   /** Learned IVF coarse centroids: deterministic Lloyd iterations on
     * top of the [[ivfCentroids]] seed, with the centroid UPDATE in
@@ -966,8 +987,14 @@ object Similarity extends Serializable {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Array[Array[Double]] = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    var cents = ivfCentroids(emb, numCentroids, idCol, vecCol)
-    if (cents.isEmpty) return cents
+    val seed = ivfCentroids(emb, numCentroids, idCol, vecCol)
+    if (seed.isEmpty) return seed
+    // memoized per corpus plan like the seed: each Lloyd iteration is a
+    // full aggregate job, re-run per call before — deterministic in
+    // (plan, k, iters) by the exact-integer update, so the memo returns
+    // byte-identical centroids
+    memoizedOnPlan(emb, s"ivfkmeans:$numCentroids:$iters:$idCol:$vecCol") {
+    var cents = seed
     val dims = cents(0).length
     for (_ <- 0 until iters) {
       val sumAggs = (0 until dims).map { d =>
@@ -999,6 +1026,7 @@ object Similarity extends Serializable {
       cents = next
     }
     cents
+    }
   }
 
   /** Dot products of one vector against every centroid — the shared
