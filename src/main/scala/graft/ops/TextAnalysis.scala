@@ -212,7 +212,12 @@ object TextAnalysis {
     // corpus size stays IN the plan (broadcast 1-row cross join) — no
     // eager count() action, so the whole thing is one lazy plan
     val nDocs = docs.agg(count(lit(1)).as("_n_docs"))
-    val tf = docs
+    // keyed narrow-scan fan-out: the (id, token) tf aggregate below
+    // clusters by a superset of the id, so the id-hash exchange is
+    // reused (no extra shuffle) and the tokenize+explode body runs at
+    // session parallelism instead of the scan's single task — the same
+    // measured pattern as duplicateSpans/shingleHashSets (round 14)
+    val tf = Dedup.fanOutNarrowScanBy(docs, Seq(idCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -292,7 +297,11 @@ object TextAnalysis {
       s"bm25TopK holds one aggregate column per distinct term; " +
         s"${termSet.size} terms exceeds the 256 cap — batch the queries")
     val termIdx = termSet.zipWithIndex.toMap
-    val tok = docs.select(
+    // keyed narrow-scan fan-out: the per-doc (dl, tf) aggregate below
+    // groups by the id, so the id-hash exchange replaces the
+    // aggregation's own and the tokenize+explode runs wide (round-14
+    // pattern; a single-split corpus otherwise runs it in one task)
+    val tok = Dedup.fanOutNarrowScanBy(docs, Seq(idCol)).select(
       col(idCol).as("_d"), explode(tokens(col(textCol))).as("_t"))
     // dl + per-term tf in ONE aggregation (terms are plan-time literals)
     val aggCols = count(lit(1)).as("_dl") +:
@@ -462,7 +471,13 @@ object TextAnalysis {
     val vocab = ref
       .select(explode(tokens(col(textCol))).as("_t"))
       .agg(countDistinct(col("_t")).as("_v"))
-    bigrams(scored.select(col(idCol), col(textCol)))
+    // keyed narrow-scan fan-out on the SCORED side: its bigram explode
+    // feeds broadcast joins and then a per-doc aggregate, so the
+    // id-hash exchange is reused by the final groupBy and the explode
+    // runs wide (the ref side's aggregates are token-keyed — no
+    // pre-explode key exists there, and it is a corpus fraction anyway)
+    bigrams(Dedup.fanOutNarrowScanBy(
+        scored.select(col(idCol), col(textCol)), Seq(idCol)))
       .join(broadcast(bigramCounts), Seq("w1", "w2"), "left")
       .join(broadcast(prefixCounts), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
